@@ -1,0 +1,119 @@
+"""Text-analysis column functions for the training-data pipeline surface.
+
+Beyond reference parity (the reference has no text ops — SURVEY.md §2.8);
+these are the north-star LLM-data operators.  All are built-in-function
+compositions (JVM-side, codegen'd) — no Python UDFs — so they stay inside
+WholeStageCodegen and scale linearly with input splits at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WS = r"\s+"
+STOPWORDS = (
+    "the", "a", "of", "and", "to", "in", "is", "on", "for", "with",
+)
+# crude per-language marker profiles for the n-gram/stopword language-ID
+# heuristic; deterministic and vocabulary-based so it is testable without
+# external models.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is"),
+    "es": ("el", "la", "de", "que"),
+    "fr": ("le", "la", "et", "les"),
+    "de": ("der", "die", "und", "das"),
+    "zh": ("的", "了", "是", "在"),
+}
+
+
+def normalized_text(text: Column) -> Column:
+    """Lowercase + whitespace-collapsed canonical form."""
+    return F.lower(F.regexp_replace(F.trim(text), WS, " "))
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (array<string>)."""
+    return F.split(F.trim(text), WS)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: splits on word/digit/punct boundaries,
+    approximating a BPE tokenizer's granularity without a vocab."""
+    pieces = F.split(
+        F.trim(text), r"(?<=\W)(?=\w)|(?<=\w)(?=\W)|(?<=\d)(?=\D)|(?<=\D)(?=\d)"
+    )
+    return F.size(F.filter(pieces, lambda p: F.trim(p) != F.lit(""))).cast("long")
+
+
+def stopword_count(text: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    return F.size(
+        F.filter(tokens(F.lower(text)), lambda t: t.isin(*stopwords))
+    ).cast("long")
+
+
+def punct_count(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, r"[^.!?,;:]", "")).cast("long")
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword quality-scoring features."""
+    n_tok = token_count(text)
+    return {
+        "n_chars_calc": F.length(text).cast("long"),
+        "n_tokens": n_tok,
+        "n_punct": punct_count(text),
+        "punct_ratio": F.round(
+            punct_count(text) / F.greatest(F.length(text).cast("double"), F.lit(1.0)),
+            4,
+        ),
+        "avg_token_len": F.round(
+            F.length(F.regexp_replace(F.trim(text), WS, ""))
+            / F.greatest(n_tok.cast("double"), F.lit(1.0)),
+            4,
+        ),
+    }
+
+
+def fingerprint(text: Column, length: int = 16) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text,
+    truncated.  (Rolling-hash analog; md5 keeps it oracle-checkable.)"""
+    return F.substring(F.md5(normalized_text(text)), 1, length)
+
+
+def lang_id_score(text: Column, lang: str) -> Column:
+    """Marker-hit count for one language profile."""
+    markers = LANG_MARKERS[lang]
+    toks = tokens(F.lower(text))
+    return F.size(F.filter(toks, lambda t: t.isin(*markers))).cast("long")
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: argmax marker-profile hit count, 'und' when no
+    profile matches.  Pure column expressions → stays JVM-side."""
+    scores = [
+        F.struct(lang_id_score(text, lang).alias("score"), F.lit(lang).alias("lang"))
+        for lang in LANG_MARKERS
+    ]
+    best = F.array_max(F.array(*scores))
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+__all__ = [
+    "LANG_MARKERS",
+    "STOPWORDS",
+    "bpe_ish_token_count",
+    "fingerprint",
+    "lang_id",
+    "lang_id_score",
+    "normalized_text",
+    "punct_count",
+    "quality_features",
+    "stopword_count",
+    "token_count",
+    "tokens",
+]

@@ -1,0 +1,283 @@
+"""Deduplication operator family for the training-data pipeline surface.
+
+Reference parity: the reference's only dedup is keyed ON CONFLICT DO NOTHING
+(store.go:92, handled by operators.ingest.idempotent_append).  This module
+adds the LLM-data dedup ladder: exact, near-dup MinHash+LSH, SimHash, and
+n-gram Jaccard — all as DataFrame compositions.
+
+Scale design:
+- Exact dedup is a hash-groupBy on a 128-bit content hash: one shuffle of
+  (hash, id) pairs only, never the payload.
+- MinHash signatures are computed per-row with built-in array functions
+  (JVM-side); LSH banding turns near-dup search into an equi-join on
+  (band_id, band_hash) — the classic trick that avoids the O(n²) pair space.
+  Candidate verification re-computes exact Jaccard only on candidate pairs.
+- SimHash packs 64 per-bit majority votes into one BIGINT; Hamming
+  neighborhoods are found by banding the 64 bits into 4 × 16-bit keys
+  (any pair within Hamming distance 3 shares at least one full band).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from paas_auditor_spark.functions.text import normalized_text, tokens
+
+HASH_PRIME = 2147483647  # 2^31 - 1, Mersenne prime for cheap affine perms
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup by content hash: one row per distinct normalized text with
+    the kept (minimum) id and the duplicate count.
+
+    Deterministic 'first wins by id' policy instead of dropDuplicates'
+    arbitrary winner, so results are stable across partitionings.
+    """
+    return (
+        df.select(
+            F.md5(normalized_text(F.col(text_col))).alias("text_hash"),
+            F.col(id_col),
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).cast("long").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles(text_col: str, k: int = 3) -> F.Column:
+    """k-word shingles of the normalized text as array<string>."""
+    toks = tokens(normalized_text(F.col(text_col)))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n >= k, F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
+    )).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature as array<bigint> of length num_hashes.
+
+    Permutation i is the affine map (a_i * x + b_i) mod p over the base
+    xxhash64 of each shingle — all computed with built-in array functions,
+    entirely JVM-side (no UDFs), so signature computation is a narrow map.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(text_col, shingle_k)).alias("sh"),
+    ).withColumn("hx", F.transform("sh", lambda s: F.pmod(F.xxhash64(s), F.lit(HASH_PRIME))))
+    # deterministic per-permutation coefficients (public trick: fixed seeds)
+    a = [2 * i + 1 for i in range(num_hashes)]  # odd multipliers
+    b = [(i * i + 7) % HASH_PRIME for i in range(num_hashes)]
+
+    def perm_min(i: int) -> F.Column:
+        ai, bi = a[i], b[i]
+        return F.array_min(
+            F.transform(
+                "hx", lambda x: F.pmod(x * F.lit(ai) + F.lit(bi), F.lit(HASH_PRIME))
+            )
+        )
+
+    sig = F.array(*[perm_min(i) for i in range(num_hashes)])
+    return base.select(F.col(id_col), sig.alias("signature"))
+
+
+def minhash_candidates(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    num_bands: int = 16,
+) -> DataFrame:
+    """LSH banding: split signatures into bands, equi-join on band hash.
+
+    Returns candidate pairs (id_a < id_b).  The join is an equi-join on
+    (band_id, band_hash) — Catalyst plans a shuffle hash join keyed on the
+    band, so the pair space never materializes.
+    """
+    rows_per_band = num_hashes // num_bands
+    banded = sig_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(
+                                    "signature", bi * rows_per_band + 1, rows_per_band
+                                ),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
+                    )
+                    for bi in range(num_bands)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band_id") == F.col("r.band_id"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (verification step)."""
+    sets_df = df.select(
+        F.col(id_col).alias("sid"),
+        F.array_distinct(shingles(text_col, shingle_k)).alias("sset"),
+    )
+    a = sets_df.alias("a")
+    b = sets_df.alias("b")
+    joined = (
+        pairs_df.join(a, pairs_df["id_a"] == F.col("a.sid"))
+        .join(b, pairs_df["id_b"] == F.col("b.sid"))
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("a.sset", "b.sset")).alias("inter"),
+            F.size(F.array_union("a.sset", "b.sset")).alias("uni"),
+        )
+    )
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("inter") / F.greatest(F.col("uni").cast("double"), F.lit(1.0)), 4
+        ).alias("jaccard"),
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: MinHash → LSH candidates → exact verify."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    cands = minhash_candidates(sigs, id_col, num_hashes, num_bands)
+    verified = jaccard_pairs(df, cands, text_col, id_col, shingle_k)
+    return verified.filter(F.col("jaccard") >= threshold).orderBy("id_a", "id_b")
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash fingerprint per document as a BIGINT.
+
+    Per token: xxhash64; per bit: majority vote across tokens, packed with a
+    sum over shifted bit tests.  All array expressions — JVM-side.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.array_distinct(tokens(normalized_text(F.col(text_col)))).alias("toks"),
+    ).withColumn("hx", F.expr("transform(toks, t -> xxhash64(t))"))
+    # per-bit majority vote packed into one BIGINT; SQL-expression lambdas
+    # because the bit index must itself be an expression (the Python
+    # shiftright wrapper only takes int shifts)
+    packed = F.expr(
+        "aggregate("
+        "  transform(sequence(0, 63), b ->"
+        "    CASE WHEN 2 * size(filter(hx, h -> (shiftright(h, b) & 1) = 1))"
+        "              > size(hx)"
+        "         THEN shiftleft(1L, b) ELSE 0L END),"
+        "  0L, (acc, x) -> acc | x)"
+    )
+    return base.select(F.col(id_col), packed.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding + exact Hamming verify.
+
+    With 4 bands of 16 bits, any pair within Hamming distance 3 matches on
+    at least one band (pigeonhole), so the band equi-join finds all of them
+    without an O(n²) comparison.
+    """
+    sh = simhash(df, text_col, id_col)
+    banded = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("band_id", "band_key"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cands = (
+        l.join(
+            r,
+            on=[
+                F.col("l.band_id") == F.col("r.band_id"),
+                F.col("l.band_key") == F.col("r.band_key"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cands.select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )
+
+
+__all__ = [
+    "exact_duplicates",
+    "jaccard_pairs",
+    "minhash_candidates",
+    "minhash_near_duplicates",
+    "minhash_signatures",
+    "shingles",
+    "simhash",
+    "simhash_near_duplicates",
+]

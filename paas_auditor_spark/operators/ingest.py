@@ -1,0 +1,130 @@
+"""Ingest operators: envelope normalization, validation, idempotent append.
+
+Reference behavior being re-expressed:
+- S4 envelope decode + flatten (pkg/fetchers/cf_audit_event_fetcher.go:71-81)
+- P8 event-time validity CHECK (create_cf_audit_events.sql:26-30)
+- T2 incremental watermark with 5s overlap re-read
+  (pkg/collectors/cf_audit_event_collector.go:36,92-104)
+- W1/T3 idempotent insert: ON CONFLICT (guid) DO NOTHING
+  (pkg/db/store.go:73-100) — overlap re-reads never duplicate.
+
+Scale notes (SURVEY.md §7 hard-part 1): the anti-join against the target
+must NOT scan full history.  Incoming batches only ever overlap the cursor
+window (watermark − 5 s), so we bound the anti-join's right side with the
+same range filter — on a date-partitioned table that is partition pruning,
+making dedup O(batch + overlap-window) regardless of history size.  The
+small bounded side is broadcast so no shuffle of the batch is needed.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from paas_auditor_spark.operators.cursor import EPOCH_TS
+from paas_auditor_spark.schemas import EVENTS_ENVELOPE
+
+
+def normalize_envelope(raw_df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode the /v2/events JSON envelope into flat event rows.
+
+    Parity with reference cf_audit_event_fetcher.go:71-81: decode
+    ``EventsResponse``, explode ``resources``, and flatten ``metadata.guid``
+    / ``metadata.created_at`` into the entity (the envelope's Meta wins over
+    the entity's own fields, which the reference ignores).
+    All JVM-side expressions — no Python in the hot path.
+    """
+    parsed = raw_df.select(
+        F.from_json(F.col(payload_col), EVENTS_ENVELOPE).alias("env")
+    )
+    resources = parsed.select(F.explode("env.resources").alias("r"))
+    return resources.select(
+        F.col("r.metadata.guid").alias("guid"),
+        F.to_timestamp("r.metadata.created_at").alias("created_at"),
+        F.col("r.entity.type").alias("event_type"),
+        F.col("r.entity.actor").alias("actor"),
+        F.col("r.entity.actor_type").alias("actor_type"),
+        F.col("r.entity.actor_name").alias("actor_name"),
+        F.col("r.entity.actor_username").alias("actor_username"),
+        F.col("r.entity.actee").alias("actee"),
+        F.col("r.entity.actee_type").alias("actee_type"),
+        F.col("r.entity.actee_name").alias("actee_name"),
+        # '' -> NULL on write, reference store.go:91 (P3)
+        F.nullif(F.col("r.entity.organization_guid"), F.lit("")).alias(
+            "organization_guid"
+        ),
+        F.nullif(F.col("r.entity.space_guid"), F.lit("")).alias("space_guid"),
+        F.to_json("r.entity.metadata").alias("metadata"),
+    )
+
+
+def validate_events(
+    df: DataFrame, ts_col: str = "created_at"
+) -> tuple[DataFrame, DataFrame]:
+    """Split (valid, quarantined) on the event-time CHECK (P8).
+
+    The reference enforces ``created_at > 'epoch'`` as a table constraint;
+    as an engine we filter on the write path and keep the rejects
+    addressable instead of erroring the batch.
+    """
+    cond = F.col(ts_col).isNotNull() & (F.col(ts_col) > F.lit(EPOCH_TS))
+    return df.filter(cond), df.filter(~cond | F.col(ts_col).isNull())
+
+
+def ingest_watermark(
+    target_df: DataFrame,
+    ts_col: str = "created_at",
+    overlap_s: float = 5.0,
+) -> dt.datetime:
+    """Next-fetch start time: max(created_at) − overlap, epoch when empty.
+
+    Parity with reference cf_audit_event_collector.go:36,92-104 including
+    the year<1970 guard (T2).  A single MAX aggregate — parquet footer
+    statistics make this a metadata-only scan under AQE.
+    """
+    row = target_df.agg(F.max(ts_col).alias("mx")).first()
+    mx = row["mx"]
+    if mx is None:
+        return EPOCH_TS
+    wm = mx - dt.timedelta(seconds=overlap_s)
+    if wm.year < 1970:
+        return EPOCH_TS
+    return wm
+
+
+def idempotent_append(
+    target_df: DataFrame,
+    batch_df: DataFrame,
+    key_col: str = "guid",
+    ts_col: str = "created_at",
+    window_floor: dt.datetime | None = None,
+) -> DataFrame:
+    """Append batch rows whose key is not already present (W1/T3).
+
+    Semantics of ``INSERT ... ON CONFLICT (guid) DO NOTHING`` per page
+    (reference store.go:87-93): in-batch dedup first (first occurrence
+    wins is irrelevant — guid collisions carry identical rows), then a
+    left-anti join against the target.
+
+    ``window_floor`` bounds the anti-join's target side: batches produced by
+    the watermark fetch can only collide inside the overlap window, so at
+    scale pass ``window_floor=watermark`` and the anti-join right side
+    becomes a pruned scan, broadcast to the batch.
+    """
+    deduped = batch_df.dropDuplicates([key_col])
+    existing = target_df
+    if window_floor is not None:
+        existing = existing.filter(F.col(ts_col) >= F.lit(window_floor))
+    existing_keys = F.broadcast(existing.select(key_col).distinct())
+    fresh = deduped.join(existing_keys, on=key_col, how="left_anti")
+    return target_df.unionByName(fresh)
+
+
+__all__ = [
+    "idempotent_append",
+    "ingest_watermark",
+    "normalize_envelope",
+    "validate_events",
+]

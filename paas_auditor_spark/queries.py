@@ -1,0 +1,690 @@
+"""Query registry: every implemented operator as (spark_fn, oracle_sql).
+
+Each entry maps a SURVEY.md §2 operator (or north-star extra) to
+- a Spark callable ``(spark, sf_dir) -> DataFrame``, and
+- an equivalent ANSI-SQL string for the DuckDB oracle (or ``None`` for
+  genuinely non-SQL-expressible ops → driver does a rows-only check).
+
+Column names and types are aligned on both sides (aggregates rounded the
+same way) because the driver hash-compares values column-by-name.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from paas_auditor_spark.functions import json_utils, text as tx
+from paas_auditor_spark.operators import dedup, similarity
+from paas_auditor_spark.operators.cursor import (
+    effective_cursor,
+    unshipped_events,
+)
+from paas_auditor_spark.operators.ingest import idempotent_append
+from paas_auditor_spark.schemas import SHIPPER_CURSOR
+from paas_auditor_spark.sources.tables import load_table
+
+SHIPPER_NAME = "cf-audit-events-to-splunk"
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Reference-parity queries (SURVEY.md §2) on the synthetic `events` table
+# (events maps to cf_audit_events: event_id→guid, ts→created_at,
+#  user_id→actor, props→metadata — FIXTURES.md §B).
+# --------------------------------------------------------------------------
+
+
+def q_unshipped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the shipper CTE (reference store.go:191-225).
+
+    The simulated persisted cursor is the 100th event by (ts, event_id) —
+    exercises J1 union-with-default, J2 top-1, J3 scalar inlining, P6 range
+    filter, P7 boundary anti-filter, O3 top-k bound, O4 ship order.
+    """
+    events = _t(spark, sf_dir, "events")
+    sim = (
+        events.orderBy("ts", "event_id")
+        .offset(99)
+        .limit(1)
+        .select(
+            F.lit(SHIPPER_NAME).alias("name"),
+            F.col("ts").alias("updated_at"),
+            F.col("event_id").cast("string").alias("shipped_id"),
+        )
+    )
+    cursors = spark.createDataFrame(sim.collect(), schema=SHIPPER_CURSOR)
+    cursor_ts, shipped_id = effective_cursor(cursors, SHIPPER_NAME)
+    return unshipped_events(
+        events, cursor_ts, shipped_id, batch_cap=8192, ts_col="ts", id_col="event_id"
+    )
+
+
+ORACLE_UNSHIPPED = """
+WITH sim_cursor AS (
+  SELECT ts AS updated_at, CAST(event_id AS VARCHAR) AS shipped_id
+  FROM events ORDER BY ts, event_id LIMIT 1 OFFSET 99
+),
+last_shipped_event AS (
+  SELECT updated_at, shipped_id FROM (
+    SELECT updated_at, shipped_id FROM sim_cursor
+    UNION
+    SELECT TIMESTAMP '1970-01-01 00:00:00', ''
+  ) ORDER BY updated_at DESC LIMIT 1
+)
+SELECT event_id, ts, user_id, event_type, value, props
+FROM events
+WHERE ts >= (SELECT updated_at FROM last_shipped_event)
+  AND CAST(event_id AS VARCHAR) != (SELECT shipped_id FROM last_shipped_event)
+ORDER BY ts, event_id
+LIMIT 8192
+"""
+
+
+def q_latest_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: MAX(event time) with epoch default (reference store.go:289-308)."""
+    events = _t(spark, sf_dir, "events")
+    return events.agg(
+        F.coalesce(
+            F.max("ts"), F.lit(dt.datetime(1970, 1, 1)).cast("timestamp")
+        ).alias("latest_ts")
+    )
+
+
+def q_count_and_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: exact COUNT(*) + MAX(created_at) (reference RUNBOOK.md:59)."""
+    events = _t(spark, sf_dir, "events")
+    return events.agg(
+        F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("max_ts")
+    )
+
+
+def q_raw_events_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2/P1: ordered raw-event page, descending id, limit
+    (reference store.go:105-145 GetCFAuditEvents with RawEventFilter)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .orderBy(F.col("event_id").desc())
+        .limit(100)
+    )
+
+
+def q_null_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/P3: NULLIF on write, COALESCE-to-'' on read
+    (reference store.go:91,137-138)."""
+    events = _t(spark, sf_dir, "events")
+    nulled = F.nullif(F.col("event_type"), F.lit("error"))
+    return events.select(
+        "event_id",
+        nulled.alias("type_nullable"),
+        F.coalesce(nulled, F.lit("")).alias("type_coalesced"),
+    )
+
+
+def q_time_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: RFC3339 Z formatting (reference cf_audit_event_fetcher.go:26)."""
+    events = _t(spark, sf_dir, "events")
+    return events.select(
+        "event_id", json_utils.rfc3339(F.col("ts")).alias("ts_str")
+    )
+
+
+def q_epoch_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: timestamp → epoch seconds (reference shipper.go:158-169)."""
+    events = _t(spark, sf_dir, "events")
+    return events.select(
+        "event_id", json_utils.epoch_seconds(F.col("ts")).alias("epoch_s")
+    )
+
+
+def q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12: JSON field extraction from the metadata column
+    (reference store.go:171-176)."""
+    events = _t(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        json_utils.json_field(F.col("props"), "k").cast("long").alias("k_val"),
+    )
+
+
+def q_splunk_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11/P13: Splunk HEC envelope serialization
+    (reference cf_audit_events_to_splunk_shipper.go:24-28,187-192)."""
+    events = _t(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        json_utils.splunk_envelope(
+            F.col("event_id"), F.col("ts"), F.col("event_type"), source_env="test"
+        ).alias("payload"),
+    )
+
+
+def q_validity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: event-time CHECK > epoch (reference create_cf_audit_events.sql:26-30)."""
+    events = _t(spark, sf_dir, "events")
+    return events.filter(
+        F.col("ts") > F.lit(dt.datetime(1970, 1, 1)).cast("timestamp")
+    ).agg(F.count(F.lit(1)).alias("valid_count"))
+
+
+def q_idempotent_reingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/T3: overlap re-ingest is a no-op — re-fetching a window and
+    appending with ON-CONFLICT-DO-NOTHING semantics leaves the table
+    unchanged (reference store.go:73-100 + collector overlap T2)."""
+    events = _t(spark, sf_dir, "events")
+    floor = dt.datetime(2024, 1, 25)
+    refetch = events.filter(F.col("ts") >= F.lit(floor))
+    return idempotent_append(
+        events, refetch, key_col="event_id", ts_col="ts", window_floor=floor
+    )
+
+
+# --------------------------------------------------------------------------
+# Generic relational surface (the engine exposes full DataFrame/SQL power;
+# these pin join/agg/window/top-k behavior on the TPC-H-ish tables).
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style aggregation: groupBy + 8 aggregates (map-side partial
+    aggregation; one shuffle on the 2-column group key)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: 3-way join + agg + top-10.  Customer side is
+    broadcast (small dim); lineitem↔orders shuffle on the order key."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.round(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+    ).alias("revenue")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "c_mktsegment")
+        .agg(revenue)
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style star join: fact table joined to a broadcast dim chain
+    (customer→nation→region collapses to one small broadcast side)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    dims = (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def q_segment_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranking window (the engine's generic top-k)."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.withColumn("seg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("seg_rank") <= 3)
+        .select("c_mktsegment", "seg_rank", "c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_mktsegment", "seg_rank")
+    )
+
+
+def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup (batch shape of the streaming hourly agg)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("hour_ts", "event_type")
+    )
+
+
+def q_event_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregation pivot: per-user event-type counts."""
+    events = _t(spark, sf_dir, "events")
+
+    def cnt(t: str) -> F.Column:
+        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).cast(
+            "long"
+        ).alias(f"n_{t}")
+
+    return (
+        events.groupBy("user_id")
+        .agg(cnt("click"), cnt("view"), cnt("signup"), cnt("purchase"), cnt("error"))
+        .orderBy("user_id")
+    )
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + gap>30min cumulative flag — the batch shape
+    of session_window(ts, gap) in streaming."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    flagged = events.withColumn(
+        "is_new", F.when(gap > 1800.0, 1).otherwise(0)
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg((F.sum("is_new") + 1).cast("long").alias("n_sessions"))
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# North-star: dedup / similarity / text / multimodal
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content hash (hash-groupBy; shuffles only
+    (hash, id), never the payload)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(docs).orderBy("text_hash")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint (md5-based rolling-hash analog)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", tx.fingerprint(F.col("text")).alias("fp")
+    ).orderBy("doc_id")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features: length/punct/token stats, all JVM-side."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = tx.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id", *[c.alias(n) for n, c in feats.items()]
+    ).orderBy("doc_id")
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus token statistics."""
+    docs = _t(spark, sf_dir, "documents")
+    with_tok = docs.select(
+        "lang", tx.token_count(F.col("text")).alias("n_tok")
+    )
+    return (
+        with_tok.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 2).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (marker-profile argmax) — rows-only check:
+    the heuristic's vocabulary logic is not reasonably SQL-portable."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", tx.lang_id(F.col("text")).alias("lang_guess")
+    ).orderBy("doc_id")
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for query vectors (vec_id < 10):
+    broadcast nested-loop + per-query top-k window."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(emb, queries, k=5).withColumnRenamed(
+        "rank", "knn_rank"
+    )
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via hyperplane-LSH bucketing — rows-only check
+    (approximate by construction)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.lsh_topk(emb, queries, k=5).withColumnRenamed(
+        "rank", "knn_rank"
+    )
+
+
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs — rows-only check (hash family is
+    engine-specific; verified exactly by jaccard in tests)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_near_duplicates(docs, threshold=0.5)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit fingerprints — rows-only check (xxhash64-specific)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash(docs).orderBy("doc_id")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity for a bounded id-window of pairs —
+    oracle-checkable exact set similarity."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(F.col("doc_id").alias("id_a"))
+        .filter(F.col("id_a") < 20)
+        .join(
+            docs.select(F.col("doc_id").alias("id_b")).filter(F.col("id_b") < 20),
+            F.col("id_a") < F.col("id_b"),
+        )
+    )
+    return dedup.jaccard_pairs(docs, pairs, shingle_k=3).orderBy("id_a", "id_b")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: text→bytes as the opaque blob, Arrow-batched
+    mapInPandas feature extraction (byte length + sha256).  The real
+    image/audio decode is stubbed (libs not installed); the Spark-side
+    schema/batching/UDF shape is the real thing."""
+    from paas_auditor_spark.functions.multimodal import binary_features
+
+    docs = _t(spark, sf_dir, "documents")
+    blobs = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")
+    )
+    return binary_features(blobs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+REGISTRY: dict[str, QuerySpec] = {
+    "unshipped_events": QuerySpec(q_unshipped_events, ORACLE_UNSHIPPED),
+    "latest_event_time": QuerySpec(
+        q_latest_event_time,
+        "SELECT coalesce(max(ts), TIMESTAMP '1970-01-01 00:00:00')"
+        " AS latest_ts FROM events",
+    ),
+    "count_and_max": QuerySpec(
+        q_count_and_max,
+        "SELECT count(*) AS n_events, max(ts) AS max_ts FROM events",
+    ),
+    "raw_events_page": QuerySpec(
+        q_raw_events_page,
+        "SELECT event_id, ts, user_id, event_type, value, props FROM events"
+        " ORDER BY event_id DESC LIMIT 100",
+    ),
+    "null_boundary": QuerySpec(
+        q_null_boundary,
+        "SELECT event_id, nullif(event_type, 'error') AS type_nullable,"
+        " coalesce(nullif(event_type, 'error'), '') AS type_coalesced"
+        " FROM events",
+    ),
+    "time_format": QuerySpec(
+        q_time_format,
+        "SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS ts_str"
+        " FROM events",
+    ),
+    "epoch_seconds": QuerySpec(
+        q_epoch_seconds,
+        "SELECT event_id,"
+        " CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM events",
+    ),
+    "props_json": QuerySpec(
+        q_props_json,
+        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT)"
+        " AS k_val FROM events",
+    ),
+    "splunk_envelope": QuerySpec(
+        q_splunk_envelope,
+        "SELECT event_id,"
+        " '{\"sourcetype\":\"cf-audit-event\",\"source\":\"test\",\"event\":{\"guid\":\"'"
+        " || CAST(event_id AS VARCHAR) || '\",\"created_at\":\"'"
+        " || strftime(ts, '%Y-%m-%dT%H:%M:%SZ') || '\",\"event_type\":\"'"
+        " || event_type || '\"}}' AS payload FROM events",
+    ),
+    "validity_filter": QuerySpec(
+        q_validity_filter,
+        "SELECT count(*) AS valid_count FROM events"
+        " WHERE ts > TIMESTAMP '1970-01-01 00:00:00'",
+    ),
+    "idempotent_reingest": QuerySpec(
+        q_idempotent_reingest,
+        "SELECT event_id, ts, user_id, event_type, value, props FROM events",
+    ),
+    "pricing_summary": QuerySpec(
+        q_pricing_summary,
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 2) AS avg_qty,
+               round(avg(l_extendedprice), 2) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """,
+    ),
+    "top_revenue_orders": QuerySpec(
+        q_top_revenue_orders,
+        """
+        SELECT o_orderkey, o_orderdate, c_mktsegment,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY o_orderkey, o_orderdate, c_mktsegment
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+        """,
+    ),
+    "regional_revenue": QuerySpec(
+        q_regional_revenue,
+        """
+        SELECT r_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name
+        """,
+    ),
+    "segment_top_customers": QuerySpec(
+        q_segment_top_customers,
+        """
+        SELECT c_mktsegment, seg_rank, c_custkey, c_name, c_acctbal FROM (
+          SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+                 CAST(row_number() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS seg_rank
+          FROM customer)
+        WHERE seg_rank <= 3
+        ORDER BY c_mktsegment, seg_rank
+        """,
+    ),
+    "hourly_rollup": QuerySpec(
+        q_hourly_rollup,
+        """
+        SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+               count(*) AS n_events, round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+    ),
+    "event_type_matrix": QuerySpec(
+        q_event_type_matrix,
+        """
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+        FROM events GROUP BY user_id ORDER BY user_id
+        """,
+    ),
+    "sessionization": QuerySpec(
+        q_sessionization,
+        """
+        WITH g AS (
+          SELECT user_id,
+                 CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) > 1800.0
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events)
+        SELECT user_id, CAST(sum(is_new) + 1 AS BIGINT) AS n_sessions
+        FROM g GROUP BY user_id ORDER BY user_id
+        """,
+    ),
+    "dedup_exact": QuerySpec(
+        q_dedup_exact,
+        """
+        SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS text_hash,
+               CAST(min(doc_id) AS BIGINT) AS keep_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY 1
+        """,
+    ),
+    "doc_fingerprint": QuerySpec(
+        q_doc_fingerprint,
+        """
+        SELECT doc_id,
+               substr(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 16) AS fp
+        FROM documents ORDER BY doc_id
+        """,
+    ),
+    "text_quality": QuerySpec(
+        q_text_quality,
+        """
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_calc,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+               CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
+               round(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                     / greatest(CAST(length(text) AS DOUBLE), 1.0), 4) AS punct_ratio,
+               round(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                     / greatest(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 1.0), 4)
+                 AS avg_token_len
+        FROM documents ORDER BY doc_id
+        """,
+    ),
+    "token_stats": QuerySpec(
+        q_token_stats,
+        """
+        WITH t AS (
+          SELECT lang, len(string_split_regex(trim(text), '\\s+')) AS n_tok
+          FROM documents)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               round(avg(n_tok), 2) AS avg_tokens
+        FROM t GROUP BY lang ORDER BY lang
+        """,
+    ),
+    "lang_id": QuerySpec(q_lang_id, None),
+    "knn_bruteforce": QuerySpec(
+        q_knn_bruteforce,
+        """
+        WITH n AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+          FROM embeddings),
+        q AS (SELECT * FROM n WHERE vec_id < 10),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cos_sim
+          FROM q, n c WHERE c.vec_id != q.vec_id)
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+               ) AS BIGINT) AS knn_rank
+        FROM scored
+        QUALIFY knn_rank <= 5
+        ORDER BY query_id, knn_rank
+        """,
+    ),
+    "knn_lsh": QuerySpec(q_knn_lsh, None),
+    "minhash_near_dup": QuerySpec(q_minhash_near_dup, None),
+    "simhash": QuerySpec(q_simhash, None),
+    "ngram_jaccard": QuerySpec(q_ngram_jaccard, None),
+    "multimodal_features": QuerySpec(
+        q_multimodal_features,
+        """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+               sha256(text) AS sha256_hex
+        FROM documents ORDER BY doc_id
+        """,
+    ),
+}
+
+
+def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_queries() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle
+    }

@@ -1,0 +1,1 @@
+from paas_auditor_spark.sources.tables import load_table, load_tables  # noqa: F401

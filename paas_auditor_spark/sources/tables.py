@@ -1,0 +1,49 @@
+"""Parquet table loaders for the driver's synthetic testdata.
+
+The relational scan surface of the reference (store.go:125-145, :201-207)
+maps to plain ``spark.read.parquet`` — Catalyst gives projection pushdown
+and predicate pushdown into the scan for free.
+
+Scale notes: at 100 TB these paths would be date-partitioned
+(``.../events/dt=YYYY-MM-DD/``) so the cursor range filter (P6) becomes
+partition pruning instead of a full scan; the loader API takes an optional
+list of columns so callers prune early.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from paas_auditor_spark.schemas import TABLES
+
+# Parquet TIMESTAMP(NANOS) columns (Spark has no nanos type: read as long
+# via the legacy conf, then integer-divide to micros — matches DuckDB's
+# ns→us truncation exactly).
+NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # UTC is load-bearing for oracle parity (SURVEY.md hard-part 5); pin it
+    # here so the engine is correct even under a caller-built session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in NANOS_TS_COLS.get(name, ()):
+        if col in df.columns and isinstance(
+            df.schema[col].dataType, T.LongType
+        ):
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}

@@ -1,0 +1,67 @@
+"""Mirror of the driver's correctness gate: every registered query runs on
+Spark AND as DuckDB SQL over the same parquet tables; results must match
+(row count, column names, values).  Rows-only queries must at least run
+and produce a stable schema.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from paas_auditor_spark.queries import REGISTRY
+from paas_auditor_spark.schemas import TABLES
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = pdf[sorted(pdf.columns)].copy()
+    for c in out.columns:
+        if pd.api.types.is_datetime64_any_dtype(out[c]):
+            out[c] = out[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(out[c]):
+            out[c] = out[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(out[c]):
+            out[c] = out[c].astype("int64")
+    return out.sort_values(by=list(out.columns), ignore_index=True)
+
+
+ORACLE_QUERIES = [n for n, s in REGISTRY.items() if s.oracle]
+ROWS_ONLY_QUERIES = [n for n, s in REGISTRY.items() if not s.oracle]
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(spark, sf_dir, name):
+    spec = REGISTRY[name]
+    got = _normalize(spec.fn(spark, sf_dir).toPandas())
+    con = _duck(sf_dir)
+    want = _normalize(con.execute(spec.oracle).df())
+    con.close()
+    assert list(got.columns) == list(want.columns), name
+    assert len(got) == len(want), name
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=0, rtol=0)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_runs(spark, sf_dir, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, sf_dir)
+    assert df.columns  # stable schema
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
