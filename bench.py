@@ -1,0 +1,74 @@
+"""Engine benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized through the noop sink (so limits/projections
+can't short-circuit the measurement) after a small JVM warm-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+HEADLINE = [
+    "unshipped_events",
+    "raw_events_page",
+    "splunk_envelope",
+    "idempotent_reingest",
+    "pricing_summary",
+    "top_revenue_orders",
+    "regional_revenue",
+    "hourly_rollup",
+    "sessionization",
+    "dedup_exact",
+    "text_quality",
+    "token_stats",
+    "minhash_near_dup",
+    "simhash",
+    "knn_bruteforce",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from paas_auditor_spark.queries import REGISTRY
+    from paas_auditor_spark.session import get_spark
+
+    spark = get_spark(app_name="paas-auditor-spark-bench")
+    # warm up the JVM / codegen path so query 1 isn't charged for startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -52,20 +52,18 @@ def effective_cursor(
     dropDuplicates for strict parity, SURVEY.md hard-part 4), then top-1 by
     updated_at (J2).  Cardinality is exactly 1 → collect to driver (J3).
     """
-    spark = cursors_df.sparkSession
-    default_row = spark.createDataFrame(
-        [("", EPOCH_TS, "")], schema=SHIPPER_CURSOR
-    ).select("updated_at", "shipped_id")
-    candidate = (
+    rows = (
         cursors_df.filter(F.col("name") == F.lit(shipper_name))
         .select("updated_at", "shipped_id")
-        .unionByName(default_row)
-        .dropDuplicates()
-        .orderBy(F.col("updated_at").desc())
-        .limit(1)
+        .collect()
     )
-    row = candidate.first()
-    return row["updated_at"], row["shipped_id"]
+    # UNION with the (epoch, '') default row + ORDER BY updated_at DESC
+    # LIMIT 1, resolved driver-side: the relation is at most a handful of
+    # rows per shipper, and a distributed sort+dedup here costs two shuffle
+    # jobs for nothing (Postgres equally resolves this via an index top-1).
+    candidates = [(r["updated_at"], r["shipped_id"]) for r in rows]
+    candidates.append((EPOCH_TS, ""))
+    return max(dict.fromkeys(candidates), key=lambda c: c[0])
 
 
 def unshipped_events(

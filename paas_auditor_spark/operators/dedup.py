@@ -72,24 +72,28 @@ def minhash_signatures(
     xxhash64 of each shingle — all computed with built-in array functions,
     entirely JVM-side (no UDFs), so signature computation is a narrow map.
     """
-    base = df.select(
+    # Explode shingle hashes and compute the 64 permutation-minima as one
+    # grouped aggregation.  (An array-expression formulation — 64
+    # array_min(transform(hx, ...)) projections — looks natural but
+    # Catalyst's CollapseProject inlines the shared shingle+hash array into
+    # every permutation, recomputing it 64x; the explode+agg shape hashes
+    # each shingle once and gets map-side partial aggregation for free.)
+    exploded = df.select(
         F.col(id_col),
-        F.array_distinct(shingles(text_col, shingle_k)).alias("sh"),
-    ).withColumn("hx", F.transform("sh", lambda s: F.pmod(F.xxhash64(s), F.lit(HASH_PRIME))))
+        F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("s"),
+    ).select(id_col, F.pmod(F.xxhash64("s"), F.lit(HASH_PRIME)).alias("h"))
     # deterministic per-permutation coefficients (public trick: fixed seeds)
     a = [2 * i + 1 for i in range(num_hashes)]  # odd multipliers
     b = [(i * i + 7) % HASH_PRIME for i in range(num_hashes)]
-
-    def perm_min(i: int) -> F.Column:
-        ai, bi = a[i], b[i]
-        return F.array_min(
-            F.transform(
-                "hx", lambda x: F.pmod(x * F.lit(ai) + F.lit(bi), F.lit(HASH_PRIME))
-            )
-        )
-
-    sig = F.array(*[perm_min(i) for i in range(num_hashes)])
-    return base.select(F.col(id_col), sig.alias("signature"))
+    aggs = [
+        F.min(
+            F.pmod(F.col("h") * F.lit(a[i]) + F.lit(b[i]), F.lit(HASH_PRIME))
+        ).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    grouped = exploded.groupBy(id_col).agg(*aggs)
+    sig = F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
+    return grouped.select(F.col(id_col), sig.alias("signature"))
 
 
 def minhash_candidates(

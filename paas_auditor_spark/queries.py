@@ -57,17 +57,15 @@ def q_unshipped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter, P7 boundary anti-filter, O3 top-k bound, O4 ship order.
     """
     events = _t(spark, sf_dir, "events")
-    sim = (
-        events.orderBy("ts", "event_id")
-        .offset(99)
-        .limit(1)
-        .select(
-            F.lit(SHIPPER_NAME).alias("name"),
-            F.col("ts").alias("updated_at"),
-            F.col("event_id").cast("string").alias("shipped_id"),
-        )
+    # top-100 by (ts, event_id) runs as TakeOrderedAndProject (per-partition
+    # heaps, no global sort); the 100th row is the simulated cursor
+    head = (
+        events.select("ts", "event_id").orderBy("ts", "event_id").limit(100).collect()
     )
-    cursors = spark.createDataFrame(sim.collect(), schema=SHIPPER_CURSOR)
+    last = head[-1]
+    cursors = spark.createDataFrame(
+        [(SHIPPER_NAME, last["ts"], str(last["event_id"]))], schema=SHIPPER_CURSOR
+    )
     cursor_ts, shipped_id = effective_cursor(cursors, SHIPPER_NAME)
     return unshipped_events(
         events, cursor_ts, shipped_id, batch_cap=8192, ts_col="ts", id_col="event_id"

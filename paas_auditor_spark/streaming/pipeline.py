@@ -1,0 +1,190 @@
+"""Micro-batch ingest pipeline: collector tick + Structured Streaming dress.
+
+Batch-incremental core (T1/T2/T3 in SURVEY.md §2.7, reference
+pkg/collectors/cf_audit_event_collector.go:30-104):
+
+    watermark = max(created_at) − 5s  (epoch when empty)
+    pages     = paginated fetch since watermark
+    batch     = normalize + validate
+    target    = idempotent_append(target, batch)   # guid dedup
+
+``collect_once`` is that tick as a pure function over DataFrames, usable
+both from a scheduler loop and from ``foreachBatch``.  ``stream_to_bronze``
+is the Structured Streaming wrapper: file-source micro-batches with
+rate limiting (maxFilesPerTrigger — the reference's page pacing analog,
+S3/T5), foreachBatch dedup-append into a bronze parquet table, and the
+collector's fail-fast error policy (T8).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from paas_auditor_spark.operators.ingest import (
+    idempotent_append,
+    ingest_watermark,
+    normalize_envelope,
+    validate_events,
+)
+from paas_auditor_spark.sources.paginated_http import (
+    Transport,
+    fetch_event_pages,
+    pages_to_dataframe,
+)
+from paas_auditor_spark.streaming.metrics import MetricsRegistry
+
+
+@dataclass
+class CollectResult:
+    target_df: DataFrame
+    collected: int
+    watermark: dt.datetime
+
+
+def collect_once(
+    spark: SparkSession,
+    target_df: DataFrame,
+    transport: Transport,
+    base_url: str = "http://cc.internal",
+    page_size: int = 100,
+    wait_s: float = 0.0,
+    overlap_s: float = 5.0,
+    key_col: str = "guid",
+    ts_col: str = "created_at",
+    metrics: MetricsRegistry | None = None,
+) -> CollectResult:
+    """One collector tick (reference cf_audit_event_collector.go:30-88).
+
+    Errors propagate (fail-fast, T8 collector policy — main.go:90-98 exits
+    on collector error; the caller decides process policy).
+    """
+    t0 = time.perf_counter()
+    watermark = ingest_watermark(target_df, ts_col=ts_col, overlap_s=overlap_s)
+    pages = list(
+        fetch_event_pages(transport, base_url, watermark, page_size, wait_s)
+    )
+    batch = pages_to_dataframe(spark, pages)
+    valid, _quarantine = validate_events(batch, ts_col=ts_col)
+    before = target_df.count()
+    new_target = idempotent_append(
+        target_df, valid, key_col=key_col, ts_col=ts_col, window_floor=watermark
+    )
+    collected = new_target.count() - before
+    if metrics:
+        metrics.inc("cf_audit_event_collector_events_collected_total", collected)
+        metrics.inc(
+            "cf_audit_event_collector_collect_duration_total",
+            time.perf_counter() - t0,
+        )
+    return CollectResult(new_target, collected, watermark)
+
+
+def informer_tick(
+    target_df: DataFrame,
+    metrics: MetricsRegistry,
+    parquet_path: str | None = None,
+    ts_col: str = "created_at",
+) -> None:
+    """Informer tick (reference pkg/informer/informer.go:26-54): count +
+    latest-timestamp gauges.  With a parquet path the count is the
+    metadata-only approximation (A2, like pg_class.reltuples)."""
+    from paas_auditor_spark.operators.stats import approx_count, latest_event_time
+
+    if parquet_path is not None:
+        n = approx_count(parquet_path)
+    else:
+        n = target_df.count()
+    metrics.set("informer_cf_audit_events_total", float(n))
+    metrics.set(
+        "informer_latest_cf_audit_event_timestamp",
+        latest_event_time(target_df, ts_col).timestamp(),
+    )
+
+
+def stream_to_bronze(
+    spark: SparkSession,
+    source_dir: str,
+    bronze_dir: str,
+    checkpoint_dir: str,
+    schema,
+    key_col: str = "guid",
+    ts_col: str = "created_at",
+    max_files_per_trigger: int = 1,
+    trigger_processing_time: str | None = None,
+):
+    """Structured Streaming ingest: file micro-batches → dedup → bronze.
+
+    - rate limiting via maxFilesPerTrigger (S3/T5 backpressure analog)
+    - foreachBatch: in-batch dropDuplicates + left-anti vs bronze (T3) —
+      the same idempotent-append semantics as the batch path, but the
+      anti-join right side is bounded by the batch's own time window so
+      state never grows with history (SURVEY.md §7 hard-part 1)
+    - returns the StreamingQuery; caller stops it (T7 graceful shutdown)
+    """
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        deduped = batch_df.dropDuplicates([key_col])
+        bounds = deduped.agg(F.min(ts_col).alias("lo")).first()
+        if bounds["lo"] is None:
+            return
+        try:
+            bronze = spark.read.parquet(bronze_dir)
+            existing = (
+                bronze.filter(F.col(ts_col) >= F.lit(bounds["lo"]))
+                .select(key_col)
+                .distinct()
+            )
+            fresh = deduped.join(
+                F.broadcast(existing), on=key_col, how="left_anti"
+            )
+        except Exception:
+            fresh = deduped  # first batch: bronze does not exist yet
+        fresh.write.mode("append").parquet(bronze_dir)
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_processing_time:
+        writer = writer.trigger(processingTime=trigger_processing_time)
+    return writer.start()
+
+
+def scheduler_loop(
+    tick: Callable[[], None],
+    interval_s: float,
+    should_stop: Callable[[], bool],
+    on_error: str = "raise",
+    sleep: Callable[[float], None] = time.sleep,
+) -> Iterator[None]:
+    """The reference's loop shape (time.After + ctx.Done, T1/T7/T8) as a
+    generator: ``on_error='raise'`` = collector fail-fast policy,
+    ``'continue'`` = shipper log-and-continue policy."""
+    while not should_stop():
+        try:
+            tick()
+        except Exception:
+            if on_error == "raise":
+                raise
+        yield
+        sleep(interval_s)
+
+
+__all__ = [
+    "CollectResult",
+    "collect_once",
+    "informer_tick",
+    "scheduler_loop",
+    "stream_to_bronze",
+]

@@ -1,0 +1,149 @@
+"""Ordered stop-on-failure shipper with cursor commit.
+
+Re-expresses the reference shipper
+(pkg/shippers/cf_audit_events_to_splunk_shipper.go:52-225):
+
+- W3 per-event HTTP sink with exponential-backoff retry
+  (shipper.go:62-86: 100ms→2s, exponent 2, jitter 500ms, 3 retries)
+- W4 oldest-first ship loop, break on first failure, commit cursor to the
+  last successful (created_at, guid) (shipper.go:117-170)
+- T4 at-least-once: the cursor advances only on success; events sharing the
+  cursor timestamp may re-ship.
+
+Scale notes (SURVEY.md §7 hard-part 3): total ship order + stop-on-failure
+implies sequential delivery of the ≤8192-event batch, so the loop runs
+driver-side over the collected batch — identical to the reference, whose
+shipper is equally single-threaded.  Payload serialization stays
+distributed (the envelope column is computed by executors before collect).
+For unordered sinks, swap the loop for foreachPartition fan-out.
+"""
+
+from __future__ import annotations
+
+import random
+import time
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from paas_auditor_spark.functions.json_utils import splunk_envelope
+from paas_auditor_spark.operators.cursor import (
+    effective_cursor,
+    unshipped_events,
+    upsert_cursor,
+)
+from paas_auditor_spark.streaming.metrics import MetricsRegistry
+
+Sender = Callable[[str], None]  # raises on delivery failure
+
+
+@dataclass
+class RetryPolicy:
+    """Reference shipper.go:62-86 backoff envelope."""
+
+    initial_backoff_s: float = 0.1
+    max_backoff_s: float = 2.0
+    exponent: float = 2.0
+    jitter_s: float = 0.5
+    max_retries: int = 3
+    sleep: Callable[[float], None] = time.sleep
+    rng: random.Random | None = None
+
+    def send_with_retry(self, sender: Sender, payload: str) -> None:
+        rng = self.rng or random
+        backoff = self.initial_backoff_s
+        attempt = 0
+        while True:
+            try:
+                sender(payload)
+                return
+            except Exception:
+                attempt += 1
+                if attempt > self.max_retries:
+                    raise
+                self.sleep(min(backoff, self.max_backoff_s) + rng.uniform(0, self.jitter_s))
+                backoff *= self.exponent
+
+
+@dataclass
+class ShipResult:
+    shipped: int
+    cursors_df: DataFrame
+    failed: bool
+
+
+def ship_unshipped(
+    events_df: DataFrame,
+    cursors_df: DataFrame,
+    shipper_name: str,
+    sender: Sender,
+    deploy_env: str = "test",
+    batch_cap: int = 8192,
+    ts_col: str = "created_at",
+    id_col: str = "guid",
+    event_type_col: str = "event_type",
+    retry: RetryPolicy | None = None,
+    metrics: MetricsRegistry | None = None,
+) -> ShipResult:
+    """One shipper tick: query → ordered ship → cursor advance.
+
+    Mirrors shipper.go:106-170: on the first delivery failure stop; if at
+    least one event shipped, commit the cursor at the last success so the
+    next tick resumes from there (at-least-once, monotone cursor).
+    """
+    retry = retry or RetryPolicy()
+    t0 = time.perf_counter()
+    cursor_ts, shipped_id = effective_cursor(cursors_df, shipper_name)
+    batch_df = unshipped_events(
+        events_df, cursor_ts, shipped_id, batch_cap, ts_col=ts_col, id_col=id_col
+    ).select(
+        F.col(id_col).cast("string").alias("guid"),
+        F.col(ts_col).alias("created_at"),
+        splunk_envelope(
+            F.col(id_col), F.col(ts_col), F.col(event_type_col), deploy_env
+        ).alias("payload"),
+    )
+    batch = batch_df.collect()  # ≤ batch_cap rows, ship order preserved
+
+    shipped = 0
+    last_ok = None
+    failed = False
+    for row in batch:
+        try:
+            retry.send_with_retry(sender, row["payload"])
+        except Exception:
+            failed = True
+            if metrics:
+                metrics.inc(f"{_mname(shipper_name)}_errors_total")
+            break
+        shipped += 1
+        last_ok = row
+
+    new_cursors = cursors_df
+    if last_ok is not None:
+        new_cursors = upsert_cursor(
+            cursors_df, shipper_name, last_ok["created_at"], last_ok["guid"]
+        )
+        if metrics:
+            metrics.set(
+                f"{_mname(shipper_name)}_latest_event_timestamp",
+                last_ok["created_at"].timestamp(),
+            )
+    if metrics:
+        metrics.inc(f"{_mname(shipper_name)}_events_shipped_total", shipped)
+        metrics.inc(
+            f"{_mname(shipper_name)}_ship_duration_total",
+            time.perf_counter() - t0,
+        )
+    return ShipResult(shipped=shipped, cursors_df=new_cursors, failed=failed)
+
+
+def _mname(shipper_name: str) -> str:
+    # "cf-audit-events-to-splunk" → metric prefix
+    # "cf_audit_events_to_splunk_shipper" (reference pkg/shippers/metrics.go)
+    return shipper_name.replace("-", "_") + "_shipper"
+
+
+__all__ = ["RetryPolicy", "Sender", "ShipResult", "ship_unshipped"]

@@ -1,0 +1,70 @@
+"""Dedup-family correctness on constructed fixtures: exact dups, near dups
+(small edits), and unrelated docs — the properties the sf* documents table
+(all-distinct) cannot exercise."""
+
+from __future__ import annotations
+
+import pytest
+
+from paas_auditor_spark.operators import dedup
+
+DOCS = [
+    # 0 and 1: exact duplicates modulo case/whitespace
+    (0, "The quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "the quick  brown fox jumps over the lazy dog near the river bank today"),
+    # 2: near-duplicate of 0 (one word changed)
+    (2, "The quick brown fox jumps over the lazy cat near the river bank today"),
+    # 3: unrelated
+    (3, "Completely different content about distributed query engines and shuffles"),
+    # 4: another near-dup of 0 (word appended)
+    (4, "The quick brown fox jumps over the lazy dog near the river bank today again"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_duplicates(docs_df):
+    groups = {r["keep_id"]: r["n_copies"] for r in dedup.exact_duplicates(docs_df).collect()}
+    assert groups[0] == 2  # docs 0 and 1 collapse
+    assert groups[2] == 1 and groups[3] == 1 and groups[4] == 1
+
+
+def test_minhash_near_duplicates(docs_df):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_near_duplicates(docs_df, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0  # identical shingle sets
+    assert (0, 2) in pairs or (0, 4) in pairs  # near-dups surface
+    assert all(3 not in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_jaccard_exact_values(spark, docs_df):
+    pairs = spark.createDataFrame([(0, 1), (0, 3)], ["id_a", "id_b"])
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dedup.jaccard_pairs(docs_df, pairs).collect()}
+    assert j[(0, 1)] == 1.0
+    assert j[(0, 3)] == 0.0
+
+
+def test_simhash_near_duplicates(docs_df):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs_df).collect()}
+    assert sh[0] == sh[1]  # identical normalized token sets
+    ham_02 = bin(sh[0] ^ sh[2]).count("1")
+    ham_03 = bin(sh[0] ^ sh[3]).count("1")
+    assert ham_02 < ham_03  # near-dup closer than unrelated
+
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             dedup.simhash_near_duplicates(docs_df, max_hamming=3).collect()}
+    assert (0, 1) in pairs
+
+
+def test_minhash_signature_shape(docs_df):
+    sigs = dedup.minhash_signatures(docs_df).collect()
+    assert all(len(r["signature"]) == 64 for r in sigs)
+    by_id = {r["doc_id"]: r["signature"] for r in sigs}
+    assert by_id[0] == by_id[1]  # identical docs → identical signatures
+    agree = sum(a == b for a, b in zip(by_id[0], by_id[2]))
+    assert agree > 32  # near-dup signatures mostly agree

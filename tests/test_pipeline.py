@@ -1,0 +1,295 @@
+"""Pipeline-semantics tests mirroring the reference's BDD suites
+(SURVEY.md §5): pager behavior (fetcher_test), idempotent collection
+(collector_test), ordered stop-on-failure shipping + at-least-once re-ship
+(shipper_test), informer gauges (informer_test)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import uuid
+
+import pytest
+
+from paas_auditor_spark.operators.cursor import (
+    EPOCH_TS,
+    effective_cursor,
+    empty_cursors,
+    upsert_cursor,
+    validate_cursor_monotonic,
+)
+from paas_auditor_spark.operators.ingest import (
+    idempotent_append,
+    ingest_watermark,
+    normalize_envelope,
+    validate_events,
+)
+from paas_auditor_spark.schemas import CF_AUDIT_EVENT
+from paas_auditor_spark.sources.paginated_http import (
+    build_events_url,
+    fetch_event_pages,
+    pages_to_dataframe,
+)
+from paas_auditor_spark.streaming.metrics import COUNTERS, GAUGES, MetricsRegistry
+from paas_auditor_spark.streaming.pipeline import collect_once, informer_tick
+from paas_auditor_spark.streaming.ship import RetryPolicy, ship_unshipped
+
+BASE = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+
+def make_event(i: int, ts: dt.datetime | None = None) -> dict:
+    guid = str(uuid.UUID(int=i))
+    created = (ts or (BASE + dt.timedelta(seconds=i))).strftime(
+        "%Y-%m-%dT%H:%M:%SZ"
+    )
+    return {
+        "metadata": {"guid": guid, "url": f"/v2/events/{guid}", "created_at": created},
+        "entity": {
+            "type": "audit.app.create",
+            "actor": f"actor-{i}",
+            "actor_type": "user",
+            "actor_name": f"actor-name-{i}",
+            "actor_username": f"user-{i}",
+            "actee": f"actee-{i}",
+            "actee_type": "app",
+            "actee_name": f"actee-name-{i}",
+            "timestamp": created,
+            "organization_guid": "" if i % 3 == 0 else str(uuid.UUID(int=10_000 + i)),
+            "space_guid": str(uuid.UUID(int=20_000 + i)),
+            "metadata": {"request": f"r{i}"},
+        },
+    }
+
+
+def make_pages(ids: list[list[int]]) -> list[dict]:
+    pages = []
+    for p, chunk in enumerate(ids):
+        pages.append(
+            {
+                "total_results": sum(len(c) for c in ids),
+                "total_pages": len(ids),
+                "next_url": f"/v2/events?page={p + 2}" if p + 1 < len(ids) else None,
+                "resources": [make_event(i) for i in chunk],
+            }
+        )
+    return pages
+
+
+class PageServer:
+    """Canned-page transport mirroring the reference's httpmock builder."""
+
+    def __init__(self, pages: list[dict]):
+        self.pages = pages
+        self.requests: list[str] = []
+
+    def __call__(self, url: str) -> dict:
+        self.requests.append(url)
+        return self.pages[len(self.requests) - 1]
+
+
+# --- pager (reference cf_audit_event_fetcher_test.go) ---------------------
+
+
+def test_pager_follows_next_url_and_paces():
+    server = PageServer(make_pages([[0, 1], [2, 3], [4]]))
+    sleeps: list[float] = []
+    pages = list(
+        fetch_event_pages(
+            server, "http://cc", BASE, page_size=100, wait_s=0.2,
+            sleep=sleeps.append,
+        )
+    )
+    assert len(pages) == 3
+    assert server.requests[0] == (
+        "http://cc/v2/events?q=timestamp>2024-03-01T12:00:00Z&results-per-page=100"
+    )
+    assert server.requests[1].endswith("page=2")
+    # one pacing sleep per follow-up page (reference fetcher.go:55)
+    assert sleeps == [0.2, 0.2]
+
+
+def test_envelope_normalization(spark):
+    server = PageServer(make_pages([[0, 1, 2]]))
+    pages = list(fetch_event_pages(server, "http://cc", BASE, wait_s=0))
+    df = pages_to_dataframe(spark, pages)
+    rows = {r["guid"]: r for r in df.collect()}
+    assert len(rows) == 3
+    r0 = rows[str(uuid.UUID(int=0))]
+    # Meta.guid/created_at flattened into the entity (fetcher.go:76-81)
+    assert r0["created_at"] == BASE
+    assert r0["event_type"] == "audit.app.create"
+    assert r0["organization_guid"] is None  # '' -> NULL (P3)
+    assert r0["space_guid"] == str(uuid.UUID(int=20_000))
+    assert '"request": "r0"' in r0["metadata"] or '"request":"r0"' in r0["metadata"]
+
+
+# --- collector (reference cf_audit_event_collector_test.go) ---------------
+
+
+def _empty_target(spark):
+    return spark.createDataFrame([], schema=CF_AUDIT_EVENT)
+
+
+def test_collect_once_then_overlap_reingest(spark):
+    metrics = MetricsRegistry()
+    server1 = PageServer(make_pages([[0, 1, 2], [3, 4]]))
+    res1 = collect_once(
+        spark, _empty_target(spark), server1, metrics=metrics
+    )
+    assert res1.collected == 5
+    assert res1.watermark == EPOCH_TS  # empty table → epoch backfill (T2)
+
+    # second tick re-fetches an overlapping window (events 3,4 again + 5,6)
+    server2 = PageServer(make_pages([[3, 4, 5, 6]]))
+    res2 = collect_once(spark, res1.target_df, server2, metrics=metrics)
+    assert res2.collected == 2  # only the genuinely new events land (T3/W1)
+    assert res2.target_df.count() == 7
+    assert res2.target_df.select("guid").distinct().count() == 7
+    # watermark = max - 5s (collector.go:36)
+    assert res2.watermark == BASE + dt.timedelta(seconds=4) - dt.timedelta(seconds=5)
+    assert metrics.get("cf_audit_event_collector_events_collected_total") == 7
+    # source-side pushdown uses the watermark (S2)
+    assert "timestamp>" in server2.requests[0]
+
+
+def test_validate_events_quarantines_epoch(spark):
+    good = make_event(1)
+    bad = make_event(2)
+    bad["metadata"]["created_at"] = "1970-01-01T00:00:00Z"
+    df = pages_to_dataframe(
+        spark,
+        [{"total_results": 2, "total_pages": 1, "next_url": None,
+          "resources": [good, bad]}],
+    )
+    valid, quarantined = validate_events(df)
+    assert valid.count() == 1
+    assert quarantined.count() == 1
+
+
+def test_ingest_watermark_empty_is_epoch(spark):
+    assert ingest_watermark(_empty_target(spark)) == EPOCH_TS
+
+
+# --- shipper (reference cf_audit_events_to_splunk_shipper_test.go) --------
+
+
+def _events_df(spark, n=3):
+    pages = make_pages([list(range(n))])
+    return pages_to_dataframe(spark, pages)
+
+
+NO_SLEEP = RetryPolicy(sleep=lambda s: None, max_retries=3)
+
+
+def test_ship_happy_path(spark):
+    metrics = MetricsRegistry()
+    sent: list[str] = []
+    res = ship_unshipped(
+        _events_df(spark), empty_cursors(spark), "cf-audit-events-to-splunk",
+        sent.append, retry=NO_SLEEP, metrics=metrics,
+    )
+    assert res.shipped == 3 and not res.failed
+    # chronological ship order (O4) with the HEC envelope shape (P13)
+    assert '"sourcetype":"cf-audit-event"' in sent[0]
+    assert sent[0] < sent[1] < sent[2]  # guids UUID(int=i) sort with time here
+    ts, sid = effective_cursor(res.cursors_df, "cf-audit-events-to-splunk")
+    assert ts == BASE + dt.timedelta(seconds=2)
+    assert sid == str(uuid.UUID(int=2))
+    assert metrics.get(
+        "cf_audit_events_to_splunk_shipper_events_shipped_total") == 3
+
+
+def test_ship_stop_on_failure_then_reship(spark):
+    events = _events_df(spark, 3)
+    calls: list[str] = []
+
+    def flaky(payload: str) -> None:
+        calls.append(payload)
+        if str(uuid.UUID(int=1)) in payload:
+            raise RuntimeError("splunk 500")
+
+    res = ship_unshipped(
+        events, empty_cursors(spark), "cf-audit-events-to-splunk",
+        flaky, retry=NO_SLEEP,
+    )
+    # first event shipped, second failed after retries, third never tried (W4)
+    assert res.shipped == 1 and res.failed
+    # 1 success + (1 initial + 3 retries) for the failure
+    assert len(calls) == 5
+    ts, sid = effective_cursor(res.cursors_df, "cf-audit-events-to-splunk")
+    assert sid == str(uuid.UUID(int=0))  # cursor at last success
+
+    # next tick: events ≥ cursor-ts excluding exactly shipped_id re-ship
+    # (P7 boundary semantics, at-least-once T4)
+    sent2: list[str] = []
+    res2 = ship_unshipped(
+        events, res.cursors_df, "cf-audit-events-to-splunk",
+        sent2.append, retry=NO_SLEEP,
+    )
+    assert res2.shipped == 2 and not res2.failed
+    assert str(uuid.UUID(int=1)) in sent2[0]
+    assert str(uuid.UUID(int=2)) in sent2[1]
+
+
+def test_retry_backoff_recovers():
+    attempts = []
+
+    def flaky_twice(payload: str) -> None:
+        attempts.append(payload)
+        if len(attempts) <= 2:
+            raise RuntimeError("transient")
+
+    slept: list[float] = []
+    policy = RetryPolicy(sleep=slept.append, max_retries=3)
+    policy.send_with_retry(flaky_twice, "x")
+    assert len(attempts) == 3
+    assert len(slept) == 2
+    # exponential envelope: 0.1(+jitter≤0.5), then 0.2(+jitter)
+    assert 0.1 <= slept[0] <= 0.6 and 0.2 <= slept[1] <= 0.7
+
+
+def test_cursor_upsert_and_monotonic(spark):
+    c0 = empty_cursors(spark)
+    before = effective_cursor(c0, "s")
+    c1 = upsert_cursor(c0, "s", BASE, "g1")
+    after = effective_cursor(c1, "s")
+    assert after == (BASE, "g1")
+    assert validate_cursor_monotonic(before, after)
+    # second upsert replaces, not duplicates (name is PK — W2)
+    c2 = upsert_cursor(c1, "s", BASE + dt.timedelta(seconds=5), "g2")
+    assert c2.filter("name = 's'").count() == 1
+    assert effective_cursor(c2, "s") == (BASE + dt.timedelta(seconds=5), "g2")
+
+
+# --- informer (reference informer_test.go) --------------------------------
+
+
+def test_informer_gauges(spark):
+    metrics = MetricsRegistry()
+    informer_tick(_events_df(spark, 4), metrics)
+    assert metrics.get("informer_cf_audit_events_total") == 4.0
+    assert metrics.get("informer_latest_cf_audit_event_timestamp") == (
+        BASE + dt.timedelta(seconds=3)
+    ).replace(tzinfo=dt.timezone.utc).timestamp()
+
+
+def test_metric_registry_names():
+    m = MetricsRegistry()
+    assert len(COUNTERS) + len(GAUGES) == 9  # reference README.md:45-58
+    with pytest.raises(KeyError):
+        m.inc("not_a_metric")
+
+
+# --- idempotent append window bound (scale hard-part 1) -------------------
+
+
+def test_idempotent_append_respects_window_floor(spark):
+    events = _events_df(spark, 5)
+    batch = _events_df(spark, 3)  # all duplicates of the target
+    floored = idempotent_append(
+        events, batch, window_floor=BASE + dt.timedelta(seconds=10)
+    )
+    # window floor above all rows → anti-join side empty → dupes slip in;
+    # proves the floor actually bounds the comparison set
+    assert floored.count() == 8
+    correct = idempotent_append(events, batch, window_floor=EPOCH_TS)
+    assert correct.count() == 5

@@ -1,0 +1,65 @@
+"""Similarity-search correctness on constructed vectors."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from paas_auditor_spark.operators import similarity
+
+DIM = 64
+
+
+def _vec(direction: int, scale: float = 1.0) -> list[float]:
+    v = [0.0] * DIM
+    v[direction] = scale
+    v[(direction + 1) % DIM] = 0.1 * scale
+    return v
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rows = [
+        (0, _vec(0)),
+        (1, _vec(0, 2.0)),   # same direction as 0 → cosine 1.0
+        (2, _vec(5)),        # orthogonal-ish
+        (3, [1.0 / math.sqrt(DIM)] * DIM),  # diffuse
+    ]
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def test_bruteforce_exact_neighbors(emb_df):
+    out = similarity.brute_force_topk(
+        emb_df, emb_df.filter(F.col("vec_id") == 0), k=3
+    ).collect()
+    assert [r["neighbor_id"] for r in out] == [1, 3, 2][: len(out)]
+    assert out[0]["cos_sim"] == 1.0  # scale-invariant cosine
+    assert all(out[i]["cos_sim"] >= out[i + 1]["cos_sim"] for i in range(len(out) - 1))
+
+
+def test_lsh_buckets_group_same_direction(emb_df):
+    out = similarity.lsh_topk(
+        emb_df, emb_df.filter(F.col("vec_id") == 0), k=3, n_planes=2
+    ).collect()
+    # with coarse buckets the identical-direction vector must be found
+    assert any(r["neighbor_id"] == 1 and r["cos_sim"] == 1.0 for r in out)
+
+
+def test_dot_and_norm(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 2.0], [2.0, 0.0, 1.0])], ["a", "b"]
+    )
+    row = df.select(
+        similarity.dot(F.col("a"), F.col("b")).alias("d"),
+        similarity.l2_norm(F.col("a")).alias("n"),
+    ).first()
+    assert row["d"] == 4.0
+    assert row["n"] == 3.0
