@@ -329,6 +329,56 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operator Spark lacks): each event matched to the
+    user's most recent order at event time — single-shuffle union+window
+    implementation (operators/asof.py)."""
+    from paas_auditor_spark.operators.asof import asof_join_backward
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("k"), "ts"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"), "o_orderdate", "o_orderkey"
+    )
+    return (
+        asof_join_backward(
+            events,
+            orders,
+            key="k",
+            left_time="ts",
+            right_time="o_orderdate",
+            right_value_cols=["o_orderkey"],
+        )
+        .withColumnRenamed("k", "user_id")
+        .select("event_id", "user_id", "ts", "asof_o_orderdate", "asof_o_orderkey")
+        .orderBy("event_id")
+    )
+
+
+def q_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-set aggregation (generic relational surface)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_approx_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: approximate row count from storage statistics (reference
+    store.go:310-329 pg_class.reltuples) — parquet footer metadata, zero
+    data pages read."""
+    from paas_auditor_spark.operators.stats import approx_count
+
+    n = approx_count(f"{sf_dir}/events.parquet")
+    return spark.createDataFrame([(n,)], "approx_rows long")
+
+
 # --------------------------------------------------------------------------
 # North-star: dedup / similarity / text / multimodal
 # --------------------------------------------------------------------------
@@ -640,6 +690,36 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM t GROUP BY lang ORDER BY lang
         """,
     ),
+    "asof_join": QuerySpec(
+        q_asof_join,
+        """
+        WITH m AS (
+          SELECT e.event_id, e.user_id, e.ts, max(o.o_orderdate) AS asof_o_orderdate
+          FROM events e
+          LEFT JOIN orders o
+            ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+          GROUP BY e.event_id, e.user_id, e.ts)
+        SELECT m.event_id, m.user_id, m.ts, m.asof_o_orderdate,
+               (SELECT max(o2.o_orderkey) FROM orders o2
+                WHERE o2.o_custkey = m.user_id
+                  AND o2.o_orderdate = m.asof_o_orderdate) AS asof_o_orderkey
+        FROM m ORDER BY m.event_id
+        """,
+    ),
+    "cube_rollup": QuerySpec(
+        q_cube_rollup,
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag, l_linestatus
+        """,
+    ),
+    "approx_count": QuerySpec(
+        q_approx_count,
+        "SELECT count(*) AS approx_rows FROM events",
+    ),
     "lang_id": QuerySpec(q_lang_id, None),
     "knn_bruteforce": QuerySpec(
         q_knn_bruteforce,
@@ -665,7 +745,29 @@ REGISTRY: dict[str, QuerySpec] = {
     "knn_lsh": QuerySpec(q_knn_lsh, None),
     "minhash_near_dup": QuerySpec(q_minhash_near_dup, None),
     "simhash": QuerySpec(q_simhash, None),
-    "ngram_jaccard": QuerySpec(q_ngram_jaccard, None),
+    "ngram_jaccard": QuerySpec(
+        q_ngram_jaccard,
+        """
+        WITH t AS (
+          SELECT doc_id,
+                 string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS toks
+          FROM documents WHERE doc_id < 20),
+        s AS (
+          SELECT doc_id,
+                 list_distinct(
+                   CASE WHEN len(toks) >= 3
+                        THEN list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+                        ELSE [array_to_string(toks, ' ')] END) AS sset
+          FROM t)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.sset, b.sset))
+                     / greatest(CAST(len(list_distinct(list_concat(a.sset, b.sset))) AS DOUBLE), 1.0),
+                     4) AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        ORDER BY id_a, id_b
+        """,
+    ),
     "multimodal_features": QuerySpec(
         q_multimodal_features,
         """

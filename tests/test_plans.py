@@ -1,0 +1,59 @@
+"""Plan-shape regression tests: the scale posture of each headline operator
+is asserted against the physical plan, so a refactor that silently degrades
+a plan (lost broadcast, detached pushdown, global sort instead of top-k)
+fails loudly."""
+
+from __future__ import annotations
+
+from paas_auditor_spark.plans import assert_plan_contains, assert_plan_lacks
+from paas_auditor_spark.queries import (
+    q_knn_bruteforce,
+    q_pricing_summary,
+    q_raw_events_page,
+    q_regional_revenue,
+    q_top_revenue_orders,
+    q_unshipped_events,
+)
+
+
+def test_unshipped_events_is_topk_with_pushdown(spark, sf_dir):
+    df = q_unshipped_events(spark, sf_dir)
+    plan = assert_plan_contains(df, "TakeOrderedAndProject", "PushedFilters")
+    # single stage: no shuffle exchange anywhere in the ship query
+    assert "Exchange" not in plan
+
+
+def test_raw_events_page_is_topk(spark, sf_dir):
+    df = q_raw_events_page(spark, sf_dir)
+    assert_plan_contains(df, "TakeOrderedAndProject")
+    assert_plan_lacks(df, "Sort ")  # no global sort for a bounded page
+
+
+def test_pricing_summary_partial_agg(spark, sf_dir):
+    df = q_pricing_summary(spark, sf_dir)
+    plan = assert_plan_contains(df, "HashAggregate", "PushedFilters")
+    # map-side partial aggregation before the exchange
+    assert plan.index("HashAggregate") < plan.rindex("HashAggregate")
+    # shipdate filter reaches the parquet scan
+    assert "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_joins_broadcast_small_dims(spark, sf_dir):
+    assert_plan_contains(
+        q_top_revenue_orders(spark, sf_dir), "BroadcastHashJoin"
+    )
+    assert_plan_contains(
+        q_regional_revenue(spark, sf_dir), "BroadcastHashJoin"
+    )
+
+
+def test_knn_broadcasts_queries(spark, sf_dir):
+    df = q_knn_bruteforce(spark, sf_dir)
+    assert_plan_contains(df, "BroadcastNestedLoopJoin")
+
+
+def test_no_python_udfs_in_relational_path(spark, sf_dir):
+    # every reference-parity query is pure JVM expressions: no Python
+    # evaluation nodes anywhere
+    for fn in (q_unshipped_events, q_pricing_summary, q_top_revenue_orders):
+        assert_plan_lacks(fn(spark, sf_dir), "BatchEvalPython", "ArrowEvalPython")
