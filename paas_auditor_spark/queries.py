@@ -329,6 +329,141 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (two-phase distinct-then-count under AQE)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS) — broadcast of the key set."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(
+            orders, cust.c_custkey == orders.o_custkey, "left_semi"
+        )
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS); the filtered right side keeps the
+    result non-empty on the synthetic data (every customer has *some*
+    order, not every customer has a big one)."""
+    cust = _t(spark, sf_dir, "customer")
+    big_orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000
+    )
+    return (
+        cust.join(
+            big_orders, cust.c_custkey == big_orders.o_custkey, "left_anti"
+        )
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) set operation on derived key sets."""
+    events = _t(spark, sf_dir, "events")
+    clickers = events.filter(F.col("event_type") == "click").select("user_id")
+    buyers = events.filter(F.col("event_type") == "purchase").select("user_id")
+    return clickers.intersect(buyers).orderBy("user_id")
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native pivot operator (same result contract as event_type_matrix)."""
+    events = _t(spark, sf_dir, "events")
+    kinds = ["click", "view", "signup", "purchase", "error"]
+    out = (
+        events.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return out.select(
+        "user_id",
+        *[F.col(k).cast("long").alias(f"n_{k}") for k in kinds],
+    ).orderBy("user_id")
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (percentile/quantile_cont)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax-per-group (latest event): ranking window, deterministic
+    (ts, event_id) tie-break."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantizer building block: assign every vector to its
+    nearest centroid (centroids = vec_id < 8) by cosine; broadcast
+    centroids, per-vector top-1 window."""
+    from paas_auditor_spark.operators.similarity import _to_double, dot, l2_norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", _to_double(F.col("embedding")).alias("v")
+    ).withColumn("vnorm", l2_norm(F.col("v")))
+    cents = (
+        vecs.filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("v").alias("cv"),
+            F.col("vnorm").alias("cnorm"),
+        )
+    )
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "centroid_id",
+        F.round(
+            dot(F.col("v"), F.col("cv")) / (F.col("vnorm") * F.col("cnorm")), 4
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", "cos_sim")
+        .orderBy("vec_id")
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (operator Spark lacks): each event matched to the
     user's most recent order at event time — single-shuffle union+window
@@ -766,6 +901,93 @@ REGISTRY: dict[str, QuerySpec] = {
                      4) AS jaccard
         FROM s a JOIN s b ON a.doc_id < b.doc_id
         ORDER BY id_a, id_b
+        """,
+    ),
+    "distinct_users": QuerySpec(
+        q_distinct_users,
+        """
+        SELECT event_type, count(DISTINCT user_id) AS n_users,
+               count(*) AS n_events
+        FROM events GROUP BY event_type ORDER BY event_type
+        """,
+    ),
+    "customers_with_orders": QuerySpec(
+        q_customers_with_orders,
+        """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey
+        """,
+    ),
+    "customers_without_orders": QuerySpec(
+        q_customers_without_orders,
+        """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_totalprice > 300000)
+        ORDER BY c_custkey
+        """,
+    ),
+    "set_ops": QuerySpec(
+        q_set_ops,
+        """
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        ORDER BY user_id
+        """,
+    ),
+    "pivot": QuerySpec(
+        q_pivot,
+        """
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+        FROM events GROUP BY user_id ORDER BY user_id
+        """,
+    ),
+    "value_percentiles": QuerySpec(
+        q_value_percentiles,
+        """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.9), 4) AS p90
+        FROM events GROUP BY event_type ORDER BY event_type
+        """,
+    ),
+    "latest_event_per_user": QuerySpec(
+        q_latest_event_per_user,
+        """
+        SELECT user_id, event_id AS last_event_id, ts AS last_ts FROM (
+          SELECT user_id, event_id, ts,
+                 row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        WHERE rn = 1 ORDER BY user_id
+        """,
+    ),
+    "centroid_assign": QuerySpec(
+        q_centroid_assign,
+        """
+        WITH n AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+          FROM embeddings),
+        c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+              FROM n WHERE vec_id < 8),
+        scored AS (
+          SELECT n.vec_id, c.centroid_id,
+                 round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 4) AS cos_sim
+          FROM n, c)
+        SELECT vec_id, centroid_id, cos_sim
+        FROM scored
+        QUALIFY row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos_sim DESC, centroid_id ASC) = 1
+        ORDER BY vec_id
         """,
     ),
     "multimodal_features": QuerySpec(
