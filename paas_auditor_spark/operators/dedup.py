@@ -59,11 +59,33 @@ def shingles(text_col: str, k: int = 3) -> F.Column:
     )).otherwise(F.array(F.array_join(toks, " ")))
 
 
+def hashed_shingle_sets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, hset) where hset = distinct xxhash64-mod-p shingle hashes.
+
+    The shared base for signatures AND verification: each shingle string is
+    hashed exactly once, and every downstream set operation (explode for
+    MinHash minima, array_intersect for Jaccard verify) runs on compact
+    bigints instead of re-comparing strings.
+    """
+    hset = F.array_distinct(
+        F.transform(
+            shingles(text_col, shingle_k),
+            lambda s: F.pmod(F.xxhash64(s), F.lit(HASH_PRIME)),
+        )
+    )
+    return df.select(F.col(id_col), hset.alias("hset"))
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = 64,
+    num_hashes: int = 32,
     shingle_k: int = 3,
 ) -> DataFrame:
     """Per-document MinHash signature as array<bigint> of length num_hashes.
@@ -78,10 +100,15 @@ def minhash_signatures(
     # Catalyst's CollapseProject inlines the shared shingle+hash array into
     # every permutation, recomputing it 64x; the explode+agg shape hashes
     # each shingle once and gets map-side partial aggregation for free.)
-    exploded = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("s"),
-    ).select(id_col, F.pmod(F.xxhash64("s"), F.lit(HASH_PRIME)).alias("h"))
+    exploded = hashed_shingle_sets(df, text_col, id_col, shingle_k).select(
+        id_col, F.explode("hset").alias("h")
+    )
+    return _signatures_from_exploded(exploded, id_col, num_hashes)
+
+
+def _signatures_from_exploded(
+    exploded: DataFrame, id_col: str, num_hashes: int
+) -> DataFrame:
     # deterministic per-permutation coefficients (public trick: fixed seeds)
     a = [2 * i + 1 for i in range(num_hashes)]  # odd multipliers
     b = [(i * i + 7) % HASH_PRIME for i in range(num_hashes)]
@@ -99,14 +126,16 @@ def minhash_signatures(
 def minhash_candidates(
     sig_df: DataFrame,
     id_col: str = "doc_id",
-    num_hashes: int = 64,
+    num_hashes: int = 32,
     num_bands: int = 16,
 ) -> DataFrame:
     """LSH banding: split signatures into bands, equi-join on band hash.
 
     Returns candidate pairs (id_a < id_b).  The join is an equi-join on
     (band_id, band_hash) — Catalyst plans a shuffle hash join keyed on the
-    band, so the pair space never materializes.
+    band, so the pair space never materializes.  Band keys are a numeric
+    polynomial fold of the band's signature slice (no string building —
+    keeps the generated code small and the per-row cost a few multiplies).
     """
     rows_per_band = num_hashes // num_bands
     banded = sig_df.select(
@@ -114,16 +143,10 @@ def minhash_candidates(
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice(
-                                    "signature", bi * rows_per_band + 1, rows_per_band
-                                ),
-                                lambda v: v.cast("string"),
-                            ),
-                            ",",
-                        )
+                    F.aggregate(
+                        F.slice("signature", bi * rows_per_band + 1, rows_per_band),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc * F.lit(1000003) + x,
                     )
                     for bi in range(num_bands)
                 ]
@@ -182,19 +205,62 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_hashed(
+    sets_df: DataFrame,
+    pairs_df: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard over hashed shingle sets for candidate pairs.
+
+    Identical value to string-set Jaccard modulo (rare) 31-bit hash
+    collisions; the bigint array_intersect/union is far cheaper than string
+    comparison, which matters because verification touches every candidate.
+    """
+    a = sets_df.select(
+        F.col(id_col).alias("id_a"), F.col("hset").alias("set_a")
+    )
+    b = sets_df.select(
+        F.col(id_col).alias("id_b"), F.col("hset").alias("set_b")
+    )
+    joined = (
+        pairs_df.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("set_a", "set_b")).alias("inter"),
+            F.size(F.array_union("set_a", "set_b")).alias("uni"),
+        )
+    )
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("inter") / F.greatest(F.col("uni").cast("double"), F.lit(1.0)), 4
+        ).alias("jaccard"),
+    )
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.7,
-    num_hashes: int = 64,
+    num_hashes: int = 32,
     num_bands: int = 16,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Full near-dup pipeline: MinHash → LSH candidates → exact verify."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    """Full near-dup pipeline: MinHash → LSH candidates → exact verify.
+
+    The hashed-shingle base is computed once and reused by both the
+    signature and the verification branches (identical subtrees → Spark's
+    ReusedExchange; at cluster scale, `.persist()` the base instead).
+    """
+    sets_df = hashed_shingle_sets(df, text_col, id_col, shingle_k)
+    exploded = sets_df.select(id_col, F.explode("hset").alias("h"))
+    sigs = _signatures_from_exploded(exploded, id_col, num_hashes)
     cands = minhash_candidates(sigs, id_col, num_hashes, num_bands)
-    verified = jaccard_pairs(df, cands, text_col, id_col, shingle_k)
+    verified = jaccard_pairs_hashed(sets_df, cands, id_col)
     return verified.filter(F.col("jaccard") >= threshold).orderBy("id_a", "id_b")
 
 
@@ -277,7 +343,9 @@ def simhash_near_duplicates(
 
 __all__ = [
     "exact_duplicates",
+    "hashed_shingle_sets",
     "jaccard_pairs",
+    "jaccard_pairs_hashed",
     "minhash_candidates",
     "minhash_near_duplicates",
     "minhash_signatures",

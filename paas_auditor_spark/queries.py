@@ -26,7 +26,7 @@ from paas_auditor_spark.operators.cursor import (
 )
 from paas_auditor_spark.operators.ingest import idempotent_append
 from paas_auditor_spark.schemas import SHIPPER_CURSOR
-from paas_auditor_spark.sources.tables import load_table
+from paas_auditor_spark.sources.tables import load_table, rebalance_scan
 
 SHIPPER_NAME = "cf-audit-events-to-splunk"
 
@@ -40,6 +40,12 @@ class QuerySpec:
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def _th(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Loader for tables feeding compute-heavy per-row work (shingling,
+    hashing, vector math): small scans get rebalanced across all cores."""
+    return rebalance_scan(load_table(spark, sf_dir, name))
 
 
 # --------------------------------------------------------------------------
@@ -434,7 +440,7 @@ def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, per-vector top-1 window."""
     from paas_auditor_spark.operators.similarity import _to_double, dot, l2_norm
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _th(spark, sf_dir, "embeddings")
     vecs = emb.select(
         "vec_id", _to_double(F.col("embedding")).alias("v")
     ).withColumn("vnorm", l2_norm(F.col("v")))
@@ -522,13 +528,13 @@ def q_approx_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by normalized-content hash (hash-groupBy; shuffles only
     (hash, id), never the payload)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _th(spark, sf_dir, "documents")
     return dedup.exact_duplicates(docs).orderBy("text_hash")
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic document fingerprint (md5-based rolling-hash analog)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _th(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", tx.fingerprint(F.col("text")).alias("fp")
     ).orderBy("doc_id")
@@ -536,7 +542,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring features: length/punct/token stats, all JVM-side."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _th(spark, sf_dir, "documents")
     feats = tx.quality_features(F.col("text"))
     return docs.select(
         "doc_id", *[c.alias(n) for n, c in feats.items()]
@@ -545,7 +551,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus token statistics."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _th(spark, sf_dir, "documents")
     with_tok = docs.select(
         "lang", tx.token_count(F.col("text")).alias("n_tok")
     )
@@ -563,7 +569,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID (marker-profile argmax) — rows-only check:
     the heuristic's vocabulary logic is not reasonably SQL-portable."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _th(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", "lang", tx.lang_id(F.col("text")).alias("lang_guess")
     ).orderBy("doc_id")
@@ -572,7 +578,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for query vectors (vec_id < 10):
     broadcast nested-loop + per-query top-k window."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _th(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.brute_force_topk(emb, queries, k=5).withColumnRenamed(
         "rank", "knn_rank"
@@ -582,7 +588,7 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via hyperplane-LSH bucketing — rows-only check
     (approximate by construction)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _th(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.lsh_topk(emb, queries, k=5).withColumnRenamed(
         "rank", "knn_rank"
@@ -592,20 +598,20 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs — rows-only check (hash family is
     engine-specific; verified exactly by jaccard in tests)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _th(spark, sf_dir, "documents")
     return dedup.minhash_near_duplicates(docs, threshold=0.5)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit fingerprints — rows-only check (xxhash64-specific)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _th(spark, sf_dir, "documents")
     return dedup.simhash(docs).orderBy("doc_id")
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity for a bounded id-window of pairs —
     oracle-checkable exact set similarity."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _th(spark, sf_dir, "documents")
     pairs = (
         docs.select(F.col("doc_id").alias("id_a"))
         .filter(F.col("id_a") < 20)
@@ -624,7 +630,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema/batching/UDF shape is the real thing."""
     from paas_auditor_spark.functions.multimodal import binary_features
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _th(spark, sf_dir, "documents")
     blobs = docs.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")
     )

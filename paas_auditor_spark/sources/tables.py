@@ -12,6 +12,8 @@ list of columns so callers prune early.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -47,3 +49,32 @@ def load_table(
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+# Rebalance only inputs small enough that the round-robin shuffle is ~free;
+# anything bigger already has >= cores parquet splits and must NOT be
+# re-shuffled (at 100 TB this guard makes rebalance_scan a no-op).
+REBALANCE_MAX_BYTES = 1 << 30
+
+
+def rebalance_scan(df: DataFrame) -> DataFrame:
+    """Round-robin rebalance of a *small* scan before compute-heavy per-row
+    work (shingling, hashing, vector math).
+
+    Parquet scan parallelism is bounded by file splits: a tiny table (one
+    file, one row group) reads as ONE task, which serializes every narrow
+    transformation chained onto the scan.  Shuffling <=1 GB costs
+    milliseconds and unlocks all cores; on large inputs (or non-local paths
+    we cannot stat) this returns the input unchanged.
+    """
+    try:
+        total = 0
+        for f in df.inputFiles():
+            path = f.removeprefix("file:")
+            total += os.path.getsize(path)
+            if total > REBALANCE_MAX_BYTES:
+                return df
+    except OSError:
+        return df
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)

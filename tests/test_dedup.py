@@ -63,8 +63,8 @@ def test_simhash_near_duplicates(docs_df):
 
 def test_minhash_signature_shape(docs_df):
     sigs = dedup.minhash_signatures(docs_df).collect()
-    assert all(len(r["signature"]) == 64 for r in sigs)
+    assert all(len(r["signature"]) == 32 for r in sigs)
     by_id = {r["doc_id"]: r["signature"] for r in sigs}
     assert by_id[0] == by_id[1]  # identical docs → identical signatures
     agree = sum(a == b for a, b in zip(by_id[0], by_id[2]))
-    assert agree > 32  # near-dup signatures mostly agree
+    assert agree > 16  # near-dup signatures mostly agree
