@@ -163,11 +163,174 @@ def lsh_topk(
     )
 
 
+def _normed(df: DataFrame, id_col: str, vec_col: str, suffix: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(f"id_{suffix}"),
+        _to_double(F.col(vec_col)).alias(f"v_{suffix}"),
+    ).withColumn(f"n_{suffix}", l2_norm(F.col(f"v_{suffix}")))
+
+
+def embedding_near_duplicates(
+    corpus_df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b).
+
+    All-pairs self-join with one side broadcast — the exact baseline, fine
+    while one side fits in memory.  The filter compares the ROUNDED
+    similarity so boundary pairs are decided identically by any re-checker
+    using the same rounding.  At corpus scale use
+    ``embedding_near_duplicates_lsh`` (bucketed candidates, same verify).
+    """
+    a = _normed(corpus_df, id_col, vec_col, "a")
+    b = _normed(corpus_df, id_col, vec_col, "b")
+    scored = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
+                round_digits,
+            ).alias("cos_sim"),
+        )
+    )
+    return scored.filter(F.col("cos_sim") >= threshold).orderBy("id_a", "id_b")
+
+
+def embedding_near_duplicates_lsh(
+    corpus_df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Approximate embedding near-dup: candidate pairs share a hyperplane
+    bucket, then exact cosine verify — the 100 TB path (the equi-join on
+    the bucket id keeps the pair space near-linear; high-cosine pairs land
+    in the same bucket with probability (1 - theta/pi)^n_planes)."""
+    c = corpus_df.select(
+        F.col(id_col),
+        _to_double(F.col(vec_col)).alias("v"),
+    ).withColumn("bucket", hyperplane_bucket(F.col("v"), n_planes, 64))
+    c = c.withColumn("nrm", l2_norm(F.col("v")))
+    a = c.select(
+        F.col(id_col).alias("id_a"),
+        F.col("v").alias("v_a"),
+        F.col("nrm").alias("n_a"),
+        "bucket",
+    )
+    b = c.select(
+        F.col(id_col).alias("id_b"),
+        F.col("v").alias("v_b"),
+        F.col("nrm").alias("n_b"),
+        "bucket",
+    )
+    scored = (
+        a.join(b, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
+                round_digits,
+            ).alias("cos_sim"),
+        )
+    )
+    return scored.filter(F.col("cos_sim") >= threshold).orderBy("id_a", "id_b")
+
+
+def ivf_topk(
+    corpus_df: DataFrame,
+    queries_df: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: a coarse quantizer assigns every corpus
+    vector to its nearest centroid (inverted list); each query probes only
+    its ``nprobe`` closest lists.
+
+    Centroids here are the first ``n_centroids`` corpus vectors —
+    deterministic and model-free (a k-means fit would slot in unchanged).
+    Both assignment joins broadcast the centroid set; at 100 TB the corpus
+    assignment is precomputed and the table is partitioned by ``list_id``,
+    so a query probe is partition pruning, not a scan.
+    """
+    cents = (
+        corpus_df.filter(F.col(id_col) < n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            _to_double(F.col(vec_col)).alias("cv"),
+        )
+        .withColumn("cnorm", l2_norm(F.col("cv")))
+    )
+
+    def assign(df: DataFrame, side: str, n_lists: int) -> DataFrame:
+        v = df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            _to_double(F.col(vec_col)).alias(f"{side}_v"),
+        ).withColumn(f"{side}_n", l2_norm(F.col(f"{side}_v")))
+        scored = v.join(F.broadcast(cents)).select(
+            f"{side}_id",
+            f"{side}_v",
+            f"{side}_n",
+            "centroid_id",
+            (
+                dot(F.col(f"{side}_v"), F.col("cv"))
+                / (F.col(f"{side}_n") * F.col("cnorm"))
+            ).alias("c_sim"),
+        )
+        w = Window.partitionBy(f"{side}_id").orderBy(
+            F.col("c_sim").desc(), F.col("centroid_id").asc()
+        )
+        return (
+            scored.withColumn("list_rank", F.row_number().over(w))
+            .filter(F.col("list_rank") <= n_lists)
+            .select(f"{side}_id", f"{side}_v", f"{side}_n", "centroid_id")
+        )
+
+    corpus_lists = assign(corpus_df, "c", 1)
+    query_probes = assign(queries_df, "q", nprobe)
+    scored = (
+        corpus_lists.join(F.broadcast(query_probes), on="centroid_id")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            F.round(
+                dot(F.col("q_v"), F.col("c_v")) / (F.col("q_n") * F.col("c_n")),
+                round_digits,
+            ).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 __all__ = [
     "brute_force_topk",
     "cosine",
     "dot",
+    "embedding_near_duplicates",
+    "embedding_near_duplicates_lsh",
     "hyperplane_bucket",
+    "ivf_topk",
     "l2_norm",
     "lsh_topk",
 ]

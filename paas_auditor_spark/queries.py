@@ -623,6 +623,29 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, pairs, shingle_k=3).orderBy("id_a", "id_b")
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact all-pairs baseline
+    (rounded-cosine >= 0.4 so the boundary is decided identically by the
+    oracle)."""
+    emb = _th(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_duplicates(emb, threshold=0.4)
+
+
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via hyperplane-LSH bucketed candidates — the
+    scale path; approximate by construction → rows-only check."""
+    emb = _th(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_duplicates_lsh(emb, threshold=0.4)
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN top-k (coarse quantizer + nprobe list probing) —
+    approximate by construction → rows-only check."""
+    emb = _th(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=2)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: text→bytes as the opaque blob, Arrow-batched
     mapInPandas feature extraction (byte length + sha256).  The real
@@ -996,6 +1019,22 @@ REGISTRY: dict[str, QuerySpec] = {
         ORDER BY vec_id
         """,
     ),
+    "embedding_near_dup": QuerySpec(
+        q_embedding_near_dup,
+        """
+        WITH n AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+          FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.4
+        ORDER BY id_a, id_b
+        """,
+    ),
+    "embedding_near_dup_lsh": QuerySpec(q_embedding_near_dup_lsh, None),
+    "knn_ivf": QuerySpec(q_knn_ivf, None),
     "multimodal_features": QuerySpec(
         q_multimodal_features,
         """

@@ -53,6 +53,32 @@ def test_lsh_buckets_group_same_direction(emb_df):
     assert any(r["neighbor_id"] == 1 and r["cos_sim"] == 1.0 for r in out)
 
 
+def test_embedding_near_dup_exact(emb_df):
+    out = similarity.embedding_near_duplicates(emb_df, threshold=0.95).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(0, 1)]
+    assert out[0]["cos_sim"] == 1.0
+
+
+def test_embedding_near_dup_lsh_finds_identical_direction(emb_df):
+    # identical-direction vectors land in the same bucket for ANY hyperplane
+    # set (sign pattern depends only on direction), so recall on cosine-1.0
+    # pairs is exact
+    out = similarity.embedding_near_duplicates_lsh(
+        emb_df, threshold=0.95, n_planes=4
+    ).collect()
+    assert (0, 1) in [(r["id_a"], r["id_b"]) for r in out]
+
+
+def test_ivf_topk_matches_bruteforce_on_probed_lists(emb_df):
+    # with n_centroids=2 and nprobe=2 every list is probed → IVF == exact
+    queries = emb_df.filter(F.col("vec_id") == 0)
+    exact = similarity.brute_force_topk(emb_df, queries, k=3).collect()
+    approx = similarity.ivf_topk(
+        emb_df, queries, k=3, n_centroids=2, nprobe=2
+    ).collect()
+    assert [r["neighbor_id"] for r in approx] == [r["neighbor_id"] for r in exact]
+
+
 def test_dot_and_norm(spark):
     df = spark.createDataFrame(
         [([1.0, 2.0, 2.0], [2.0, 0.0, 1.0])], ["a", "b"]
