@@ -102,10 +102,95 @@ def image_meta_features(
     )
 
 
+def resize_images(
+    blobs_df: DataFrame,
+    target_w: int = 32,
+    target_h: int = 32,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+    resizer=None,
+) -> DataFrame:
+    """Resize template: binary in → binary out, same mapInPandas shape.
+
+    ``resizer(blob, w, h) -> bytes`` is the pluggable codec step (PIL
+    ``Image.resize`` on a real cluster).  The default is a deterministic
+    fake — sha256-keyed byte expansion to exactly w*h bytes — so the
+    pipeline (schema binary→binary, Arrow round-trip of bytearrays, batch
+    shape) is exercised without a codec.
+    """
+
+    def fake_resize(blob: bytes, w: int, h: int) -> bytes:
+        seed = hashlib.sha256(blob).digest()
+        reps = (w * h) // len(seed) + 1
+        return (seed * reps)[: w * h]
+
+    resizer = resizer or fake_resize
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "resized": [
+                        resizer(bytes(b), target_w, target_h)
+                        for b in pdf[blob_col]
+                    ],
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return blobs_df.mapInPandas(
+        run, schema="doc_id long, resized binary, width int, height int"
+    )
+
+
+def sample_frames(
+    blobs_df: DataFrame,
+    n_frames: int = 4,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+    frame_extractor=None,
+) -> DataFrame:
+    """Frame-sampling template for video blobs: one output row per sampled
+    frame (doc_id, frame_idx, frame binary).
+
+    ``frame_extractor(blob, idx) -> bytes`` is the pluggable decode step
+    (ffmpeg/pyav seek+decode on a real cluster); the default derives a
+    deterministic fake frame from (blob hash, idx).  Frame indices are
+    evenly spaced — the standard uniform-sampling policy for training-data
+    pipelines.  Output rows fan out n_frames× — at scale follow with a
+    repartition to restore balanced partitions before heavy per-frame work.
+    """
+
+    def fake_frame(blob: bytes, idx: int) -> bytes:
+        return hashlib.sha256(blob + idx.to_bytes(4, "big")).digest()
+
+    frame_extractor = frame_extractor or fake_frame
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(frame_extractor(bytes(blob), i))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return blobs_df.mapInPandas(
+        run, schema="doc_id long, frame_idx int, frame binary"
+    )
+
+
 __all__ = [
     "BINARY_FEATURES_SCHEMA",
     "binary_features",
     "decode_image",
     "fake_image_meta",
     "image_meta_features",
+    "resize_images",
+    "sample_frames",
 ]

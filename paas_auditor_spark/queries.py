@@ -273,6 +273,31 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_brand_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-two-dimensions star join (part + supplier→nation), both dim
+    chains broadcast; one shuffle on the (brand, nation) group key."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    sdim = supp.join(
+        nation, supp.s_nationkey == nation.n_nationkey
+    ).select(F.col("s_suppkey"), F.col("n_name").alias("supp_nation"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sdim), li.l_suppkey == sdim.s_suppkey)
+        .groupBy("p_brand", "supp_nation")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("p_brand", "supp_nation")
+    )
+
+
 def q_segment_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per group via ranking window (the engine's generic top-k)."""
     cust = _t(spark, sf_dir, "customer")
@@ -660,6 +685,25 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_features(blobs).orderBy("doc_id")
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling + resize plumbing over binary blobs
+    (mapInPandas fan-out, one row per sampled frame) — rows-only check
+    (the fake decode is engine-specific; shape is asserted in tests)."""
+    from paas_auditor_spark.functions.multimodal import sample_frames
+
+    docs = _th(spark, sf_dir, "documents")
+    blobs = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")
+    )
+    frames = sample_frames(blobs, n_frames=3)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.length("frame").cast("long").alias("frame_bytes"),
+        F.substring(F.hex("frame"), 1, 8).alias("frame_sig"),
+    ).orderBy("doc_id", "frame_idx")
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -762,6 +806,21 @@ REGISTRY: dict[str, QuerySpec] = {
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name, n_name
         ORDER BY r_name, n_name
+        """,
+    ),
+    "brand_nation_revenue": QuerySpec(
+        q_brand_nation_revenue,
+        """
+        SELECT p_brand, n_name AS supp_nation,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n_lineitems
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY p_brand, supp_nation
+        ORDER BY p_brand, supp_nation
         """,
     ),
     "segment_top_customers": QuerySpec(
@@ -1035,6 +1094,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "embedding_near_dup_lsh": QuerySpec(q_embedding_near_dup_lsh, None),
     "knn_ivf": QuerySpec(q_knn_ivf, None),
+    "multimodal_frames": QuerySpec(q_multimodal_frames, None),
     "multimodal_features": QuerySpec(
         q_multimodal_features,
         """
