@@ -23,7 +23,9 @@ HEADLINE = [
     "pricing_summary",
     "top_revenue_orders",
     "regional_revenue",
+    "brand_nation_revenue",
     "hourly_rollup",
+    "rolling_daily_value",
     "sessionization",
     "dedup_exact",
     "text_quality",
@@ -31,6 +33,7 @@ HEADLINE = [
     "minhash_near_dup",
     "simhash",
     "knn_bruteforce",
+    "embedding_near_dup_lsh",
     "multimodal_features",
 ]
 

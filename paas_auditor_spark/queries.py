@@ -535,6 +535,65 @@ def q_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) set operation on derived key sets."""
+    events = _t(spark, sf_dir, "events")
+    clickers = events.filter(F.col("event_type") == "click").select("user_id")
+    buyers = events.filter(F.col("event_type") == "purchase").select("user_id")
+    return clickers.subtract(buyers).orderBy("user_id")
+
+
+def q_rolling_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-frame window aggregation: 3-day moving average and running
+    total over the daily value series (RANGE/ROWS frame windows)."""
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day_ts")
+    ).agg(F.round(F.sum("value"), 2).alias("day_value"))
+    w3 = Window.orderBy("day_ts").rowsBetween(-2, 0)
+    wrun = Window.orderBy("day_ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return daily.select(
+        "day_ts",
+        "day_value",
+        F.round(F.avg("day_value").over(w3), 4).alias("ma3"),
+        F.round(F.sum("day_value").over(wrun), 2).alias("running_total"),
+    ).orderBy("day_ts")
+
+
+def q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-set aggregation over the region→nation hierarchy
+    (subtotals per region, grand total) with broadcast dim chain."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    dims = nation.join(
+        region, nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name", "r_name")
+    return (
+        cust.join(F.broadcast(dims), cust.c_nationkey == dims.n_nationkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct count — the 100 TB path for
+    cardinality (one pass, fixed sketch memory, no distinct shuffle) —
+    rows-only check (sketch estimates are engine-specific; accuracy is
+    asserted against the exact count in tests)."""
+    events = _t(spark, sf_dir, "events")
+    return events.agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.approx_count_distinct("event_id", rsd=0.01).alias("approx_events"),
+    )
+
+
 def q_approx_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: approximate row count from storage statistics (reference
     store.go:310-329 pg_class.reltuples) — parquet footer metadata, zero
@@ -943,6 +1002,45 @@ REGISTRY: dict[str, QuerySpec] = {
         q_approx_count,
         "SELECT count(*) AS approx_rows FROM events",
     ),
+    "set_except": QuerySpec(
+        q_set_except,
+        """
+        SELECT user_id FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        ORDER BY user_id
+        """,
+    ),
+    "rolling_daily_value": QuerySpec(
+        q_rolling_daily_value,
+        """
+        WITH daily AS (
+          SELECT date_trunc('day', ts) AS day_ts,
+                 round(sum(value), 2) AS day_value
+          FROM events GROUP BY 1)
+        SELECT day_ts, day_value,
+               round(avg(day_value) OVER (
+                 ORDER BY day_ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+                 AS ma3,
+               round(sum(day_value) OVER (
+                 ORDER BY day_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                 AS running_total
+        FROM daily ORDER BY day_ts
+        """,
+    ),
+    "rollup_hierarchy": QuerySpec(
+        q_rollup_hierarchy,
+        """
+        SELECT r_name, n_name, count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS total_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY r_name, n_name
+        """,
+    ),
+    "approx_distinct_users": QuerySpec(q_approx_distinct_users, None),
     "lang_id": QuerySpec(q_lang_id, None),
     "knn_bruteforce": QuerySpec(
         q_knn_bruteforce,

@@ -57,3 +57,17 @@ def test_no_python_udfs_in_relational_path(spark, sf_dir):
     # evaluation nodes anywhere
     for fn in (q_unshipped_events, q_pricing_summary, q_top_revenue_orders):
         assert_plan_lacks(fn(spark, sf_dir), "BatchEvalPython", "ArrowEvalPython")
+
+
+def test_approx_distinct_accuracy(spark, sf_dir):
+    """HLL++ at rsd=0.01 must land within 2% of the exact counts."""
+    from paas_auditor_spark.queries import REGISTRY
+
+    row = REGISTRY["approx_distinct_users"].fn(spark, sf_dir).first()
+    from paas_auditor_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    exact_users = events.select("user_id").distinct().count()
+    exact_events = events.select("event_id").distinct().count()
+    assert abs(row["approx_users"] - exact_users) <= max(2, 0.02 * exact_users)
+    assert abs(row["approx_events"] - exact_events) <= 0.02 * exact_events
