@@ -328,6 +328,17 @@ def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming windowed aggregation run in batch mode (identical
+    function serves readStream with watermark — streaming/windows.py)."""
+    from paas_auditor_spark.streaming.windows import windowed_event_counts
+
+    events = _t(spark, sf_dir, "events")
+    return windowed_event_counts(events, "1 hour").orderBy(
+        "window_start", "event_type"
+    )
+
+
 def q_event_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional-aggregation pivot: per-user event-type counts."""
     events = _t(spark, sf_dir, "events")
@@ -901,6 +912,17 @@ REGISTRY: dict[str, QuerySpec] = {
         SELECT date_trunc('hour', ts) AS hour_ts, event_type,
                count(*) AS n_events, round(sum(value), 2) AS total_value
         FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+    ),
+    "windowed_counts": QuerySpec(
+        q_windowed_counts,
+        """
+        SELECT date_trunc('hour', ts) AS window_start,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3
         """,
     ),
     "event_type_matrix": QuerySpec(

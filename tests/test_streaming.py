@@ -51,3 +51,97 @@ def test_stream_to_bronze_dedups_across_microbatches(spark, tmp_path):
     out = spark.read.parquet(bronze)
     assert out.count() == 5
     assert out.select("guid").distinct().count() == 5
+
+
+def test_windowed_counts_streaming_matches_batch(spark, tmp_path):
+    """The same windowed-agg function run as a stream equals the batch run
+    (one definition, two execution modes)."""
+    import pyspark.sql.functions as F
+
+    from paas_auditor_spark.streaming.windows import windowed_event_counts
+
+    src = str(tmp_path / "wsrc")
+    rows = [
+        (i, BASE + dt.timedelta(minutes=7 * i), f"u{i % 3}",
+         "click" if i % 2 == 0 else "view", float(i))
+        for i in range(40)
+    ]
+    schema = "event_id long, ts timestamp, user_id string, event_type string, value double"
+    spark.createDataFrame(rows, schema).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    batch_out = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in windowed_event_counts(
+            spark.read.parquet(src), "1 hour"
+        ).collect()
+    }
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        windowed_event_counts(stream, "1 hour")
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        stream_out = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+            for r in spark.sql("SELECT * FROM win_counts").collect()
+        }
+    finally:
+        q.stop()
+    assert stream_out == batch_out
+    assert len(batch_out) > 0
+
+
+def test_stateful_sessionization_matches_batch_rule(spark, tmp_path):
+    """applyInPandasWithState sessionization equals the batch lag+gap rule."""
+    from paas_auditor_spark.streaming.stateful import sessionize_stream
+
+    src = str(tmp_path / "ssrc")
+    # user 1: events 10 min apart (1 session); user 2: two bursts separated
+    # by 2 hours (2 sessions)
+    rows = []
+    for i in range(4):
+        rows.append((100 + i, BASE + dt.timedelta(minutes=10 * i), 1))
+    for i in range(3):
+        rows.append((200 + i, BASE + dt.timedelta(minutes=i), 2))
+    for i in range(3):
+        rows.append((300 + i, BASE + dt.timedelta(hours=2, minutes=i), 2))
+    schema = "event_id long, ts timestamp, user_id long"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sessionize_stream(stream, gap_s=1800.0)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # last emitted row per user is the current total
+        out = {
+            r["user_id"]: r["n_sessions"]
+            for r in spark.sql(
+                "SELECT user_id, n_sessions FROM sessions"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    assert out == {1: 1, 2: 2}
