@@ -546,6 +546,30 @@ def q_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key join through the explicit salting operator (events are
+    maximally skewed on event_type: 5 values): spray big side across 8
+    salts, replicate the dim per salt, aggregate after.  Result contract
+    is identical to the plain join, which is what the oracle checks."""
+    from paas_auditor_spark.operators.skew import salted_join
+
+    events = _t(spark, sf_dir, "events")
+    type_avg = events.groupBy("event_type").agg(
+        F.avg("value").alias("type_avg")
+    )
+    joined = salted_join(events, type_avg, on="event_type", n_salts=8)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("value") > F.col("type_avg"), 1).otherwise(0)
+            ).cast("long").alias("n_above_avg"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT (distinct) set operation on derived key sets."""
     events = _t(spark, sf_dir, "events")
@@ -1023,6 +1047,19 @@ REGISTRY: dict[str, QuerySpec] = {
     "approx_count": QuerySpec(
         q_approx_count,
         "SELECT count(*) AS approx_rows FROM events",
+    ),
+    "skew_salted_join": QuerySpec(
+        q_skew_salted_join,
+        """
+        WITH type_avg AS (
+          SELECT event_type, avg(value) AS type_avg
+          FROM events GROUP BY event_type)
+        SELECT e.event_type, count(*) AS n_events,
+               CAST(sum(CASE WHEN e.value > t.type_avg THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_above_avg
+        FROM events e JOIN type_avg t ON e.event_type = t.event_type
+        GROUP BY e.event_type ORDER BY e.event_type
+        """,
     ),
     "set_except": QuerySpec(
         q_set_except,

@@ -116,6 +116,7 @@ def stream_to_bronze(
     ts_col: str = "created_at",
     max_files_per_trigger: int = 1,
     trigger_processing_time: str | None = None,
+    metrics: MetricsRegistry | None = None,
 ):
     """Structured Streaming ingest: file micro-batches → dedup → bronze.
 
@@ -124,8 +125,11 @@ def stream_to_bronze(
       the same idempotent-append semantics as the batch path, but the
       anti-join right side is bounded by the batch's own time window so
       state never grows with history (SURVEY.md §7 hard-part 1)
+    - per-batch collected-event counts come from ``df.observe`` (A4): the
+      count rides the write job itself, no second scan of the batch
     - returns the StreamingQuery; caller stops it (T7 graceful shutdown)
     """
+    from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
     stream = (
@@ -151,7 +155,14 @@ def stream_to_bronze(
             )
         except Exception:
             fresh = deduped  # first batch: bronze does not exist yet
+        obs = Observation()
+        fresh = fresh.observe(obs, F.count(F.lit(1)).alias("n"))
         fresh.write.mode("append").parquet(bronze_dir)
+        if metrics:
+            metrics.inc(
+                "cf_audit_event_collector_events_collected_total",
+                float(obs.get["n"]),
+            )
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

@@ -71,3 +71,44 @@ def test_approx_distinct_accuracy(spark, sf_dir):
     exact_events = events.select("event_id").distinct().count()
     assert abs(row["approx_users"] - exact_users) <= max(2, 0.02 * exact_users)
     assert abs(row["approx_events"] - exact_events) <= 0.02 * exact_events
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must not change join results (inner and left), including
+    unmatched-left rows and duplicate small-side keys."""
+    from paas_auditor_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(k, i) for i in range(200) for k in ("hot", "hot", "cold")]
+        + [("orphan", 999)],
+        "k string, v long",
+    )
+    small = spark.createDataFrame(
+        [("hot", 1.0), ("cold", 2.0), ("unused", 3.0)], "k string, w double"
+    )
+    for how in ("inner", "left"):
+        plain = sorted(
+            map(tuple, big.join(small, on="k", how=how).collect())
+        )
+        salted = sorted(
+            map(tuple, salted_join(big, small, on="k", how=how).collect())
+        )
+        assert salted == plain, how
+
+
+def test_brand_nation_broadcasts_both_dims(spark, sf_dir):
+    from paas_auditor_spark.queries import q_brand_nation_revenue
+
+    plan = assert_plan_contains(
+        q_brand_nation_revenue(spark, sf_dir), "BroadcastHashJoin"
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_pricing_summary_prunes_columns(spark, sf_dir):
+    # the scan must not read lineitem columns the query never touches
+    df = q_pricing_summary(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "l_partkey" not in read_schema[0]
+    assert "l_suppkey" not in read_schema[0]
