@@ -5,6 +5,8 @@ fails loudly."""
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
+
 from paas_auditor_spark.plans import assert_plan_contains, assert_plan_lacks
 from paas_auditor_spark.queries import (
     q_knn_bruteforce,
@@ -112,3 +114,33 @@ def test_pricing_summary_prunes_columns(spark, sf_dir):
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read_schema and "l_partkey" not in read_schema[0]
     assert "l_suppkey" not in read_schema[0]
+
+
+def test_partitioned_bronze_prunes_partitions(spark, sf_dir, tmp_path):
+    """The cursor-window read over a date-partitioned bronze must show the
+    date predicate as a PartitionFilter (pruning), not a data filter."""
+    import datetime as dt
+
+    from paas_auditor_spark.sources.partitioned import (
+        read_since,
+        write_partitioned,
+    )
+    from paas_auditor_spark.sources.tables import load_table
+
+    bronze = str(tmp_path / "bronze_part")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").alias("created_at"), "event_type"
+    )
+    write_partitioned(events, bronze)
+
+    hi = events.agg(F.max("created_at")).first()[0]
+    since = hi - dt.timedelta(days=1)
+    df = read_since(spark, bronze, since)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "event_date" in pf[0] and "isnotnull(event_date" in pf[0]
+    # and the timestamp predicate still reaches the row groups
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(created_at" in plan
+    # correctness: everything at/after the cursor, nothing before
+    lo = df.agg(F.min("created_at")).first()[0]
+    assert lo is not None and lo >= since
