@@ -685,6 +685,32 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio quality feature (english stopword hit rate per doc)."""
+    docs = _th(spark, sf_dir, "documents")
+    n_tok = tx.token_count(F.col("text"))
+    n_stop = tx.stopword_count(F.col("text"))
+    return docs.select(
+        "doc_id",
+        n_stop.alias("n_stopwords"),
+        F.round(
+            n_stop / F.greatest(n_tok.cast("double"), F.lit(1.0)), 4
+        ).alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word-ish token counting (BPE-granularity regex splitting) —
+    rows-only check (the lookaround split is not RE2-expressible for the
+    DuckDB oracle; values are pinned by unit tests on fixed strings)."""
+    docs = _th(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("n_ws_tokens"),
+        tx.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID (marker-profile argmax) — rows-only check:
     the heuristic's vocabulary logic is not reasonably SQL-portable."""
@@ -1101,6 +1127,26 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "approx_distinct_users": QuerySpec(q_approx_distinct_users, None),
     "lang_id": QuerySpec(q_lang_id, None),
+    "stopword_ratio": QuerySpec(
+        q_stopword_ratio,
+        """
+        WITH t AS (
+          SELECT doc_id,
+                 string_split_regex(trim(text), '\\s+') AS toks,
+                 string_split_regex(lower(text), '\\s+') AS ltoks
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(list_filter(ltoks, x -> x IN
+                 ('the','a','of','and','to','in','is','on','for','with')))
+                 AS BIGINT) AS n_stopwords,
+               round(len(list_filter(ltoks, x -> x IN
+                 ('the','a','of','and','to','in','is','on','for','with')))
+                 / greatest(CAST(len(toks) AS DOUBLE), 1.0), 4)
+                 AS stopword_ratio
+        FROM t ORDER BY doc_id
+        """,
+    ),
+    "token_bpe": QuerySpec(q_token_bpe, None),
     "knn_bruteforce": QuerySpec(
         q_knn_bruteforce,
         """

@@ -1,0 +1,72 @@
+"""Text-function unit tests: pinned values on constructed strings (the
+exact-semantics backstop for the rows-only registered queries)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from paas_auditor_spark.functions import text as tx
+
+
+def _one(spark, s: str, col):
+    return (
+        spark.createDataFrame([(s,)], "text string")
+        .select(col(F.col("text")).alias("v"))
+        .first()["v"]
+    )
+
+
+def test_token_count_whitespace(spark):
+    assert _one(spark, "a  b\tc\nd", tx.token_count) == 4
+    assert _one(spark, "  one  ", tx.token_count) == 1
+
+
+def test_bpe_ish_token_count_splits_boundaries(spark):
+    # word/punct/digit boundaries: "don't" -> don | ' | t ; "v2" -> v | 2
+    assert _one(spark, "don't", tx.bpe_ish_token_count) == 3
+    assert _one(spark, "v2", tx.bpe_ish_token_count) == 2
+    assert _one(spark, "hello world", tx.bpe_ish_token_count) == 2
+    assert _one(spark, "a,b", tx.bpe_ish_token_count) == 3
+
+
+def test_stopword_count_case_insensitive(spark):
+    assert _one(spark, "The cat and THE dog", tx.stopword_count) == 3
+
+
+def test_punct_and_quality(spark):
+    assert _one(spark, "Hi, there! ok", tx.punct_count) == 2
+    feats = {
+        n: c
+        for n, c in tx.quality_features(F.col("text")).items()
+    }
+    row = (
+        spark.createDataFrame([("ab cd!",)], "text string")
+        .select(*[c.alias(n) for n, c in feats.items()])
+        .first()
+    )
+    assert row["n_chars_calc"] == 6
+    assert row["n_tokens"] == 2
+    assert row["n_punct"] == 1
+
+
+def test_fingerprint_normalization_invariance(spark):
+    a = _one(spark, "  Hello   World ", tx.fingerprint)
+    b = _one(spark, "hello world", tx.fingerprint)
+    c = _one(spark, "hello worlds", tx.fingerprint)
+    assert a == b and len(a) == 16
+    assert a != c
+
+
+@pytest.mark.parametrize(
+    ("s", "want"),
+    [
+        ("the cat is on the mat and happy", "en"),
+        ("el perro de la casa que ladra", "es"),
+        ("der Hund und die Katze und das", "de"),
+        ("xyzzy qwerty plugh", "und"),
+    ],
+)
+def test_lang_id_heuristic(spark, s, want):
+    assert _one(spark, s, tx.lang_id) == want
