@@ -24,10 +24,14 @@ HEADLINE = [
     "top_revenue_orders",
     "regional_revenue",
     "brand_nation_revenue",
+    "order_priority_counts",
+    "promo_revenue",
+    "returned_item_customers",
     "hourly_rollup",
     "rolling_daily_value",
     "sessionization",
     "dedup_exact",
+    "dedup_clusters",
     "text_quality",
     "token_stats",
     "minhash_near_dup",

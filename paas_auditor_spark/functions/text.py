@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from paas_auditor_spark.functions.exprs import let
+
 WS = r"\s+"
 STOPWORDS = (
     "the", "a", "of", "and", "to", "in", "is", "on", "for", "with",
@@ -94,13 +96,24 @@ def lang_id_score(text: Column, lang: str) -> Column:
 
 def lang_id(text: Column) -> Column:
     """Heuristic language ID: argmax marker-profile hit count, 'und' when no
-    profile matches.  Pure column expressions → stays JVM-side."""
-    scores = [
-        F.struct(lang_id_score(text, lang).alias("score"), F.lit(lang).alias("lang"))
-        for lang in LANG_MARKERS
-    ]
-    best = F.array_max(F.array(*scores))
-    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    profile matches.  Pure column expressions → stays JVM-side.  The token
+    array is let-bound so the tokenizer runs once per row, not once per
+    language profile."""
+
+    def best_of(toks: Column) -> Column:
+        scores = [
+            F.struct(
+                F.size(
+                    F.filter(toks, lambda t: t.isin(*LANG_MARKERS[lang]))
+                ).cast("long").alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang in LANG_MARKERS
+        ]
+        best = F.array_max(F.array(*scores))
+        return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+    return let(tokens(F.lower(text)), best_of)
 
 
 __all__ = [

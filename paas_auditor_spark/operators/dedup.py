@@ -19,9 +19,10 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from paas_auditor_spark.functions.exprs import let
 from paas_auditor_spark.functions.text import normalized_text, tokens
 
 HASH_PRIME = 2147483647  # 2^31 - 1, Mersenne prime for cheap affine perms
@@ -50,13 +51,29 @@ def exact_duplicates(
 
 
 def shingles(text_col: str, k: int = 3) -> F.Column:
-    """k-word shingles of the normalized text as array<string>."""
-    toks = tokens(normalized_text(F.col(text_col)))
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(n >= k, F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
-    )).otherwise(F.array(F.array_join(toks, " ")))
+    """k-word shingles of the normalized text as array<string>.
+
+    Built as a zip_with chain over k offset slices of the token array
+    (shingle i = toks[i] ⊕ toks[i+1] ⊕ … ⊕ toks[i+k-1]) instead of a
+    per-index ``transform`` + ``slice`` — the transform formulation
+    re-evaluates the tokenizer once per shingle (no hoisting through HOF
+    lambdas), turning an O(n) split into O(n²) regex work per row.  The
+    ``let`` binding makes the tokenizer run exactly once per row.
+    """
+
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        cnt = n - (k - 1)
+        joined = F.slice(toks, 1, cnt)
+        for offset in range(2, k + 1):
+            joined = F.zip_with(
+                joined,
+                F.slice(toks, offset, cnt),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        return F.when(n >= k, joined).otherwise(F.array(F.array_join(toks, " ")))
+
+    return let(tokens(normalized_text(F.col(text_col))), build)
 
 
 def hashed_shingle_sets(
@@ -256,9 +273,23 @@ def minhash_near_duplicates(
     signature and the verification branches (identical subtrees → Spark's
     ReusedExchange; at cluster scale, `.persist()` the base instead).
     """
-    sets_df = hashed_shingle_sets(df, text_col, id_col, shingle_k)
+    # localCheckpoint (not persist): the shingle base feeds the signature
+    # branch AND both sides of the verification join, and the signatures
+    # feed both sides of the band self-join — checkpointing computes each
+    # once and shares the materialized blocks across branches within this
+    # query, without registering in the cross-query cache (persist would
+    # canonically match an identical later plan and silently serve it from
+    # cache).  Both intermediates are (id, array<bigint>) — tiny relative
+    # to the input text.  On a real cluster localCheckpoint blocks live on
+    # executors (MEMORY_AND_DISK); recompute-on-executor-loss is acceptable
+    # for a deterministic batch pipeline.
+    sets_df = hashed_shingle_sets(df, text_col, id_col, shingle_k).localCheckpoint(
+        eager=False
+    )
     exploded = sets_df.select(id_col, F.explode("hset").alias("h"))
-    sigs = _signatures_from_exploded(exploded, id_col, num_hashes)
+    sigs = _signatures_from_exploded(exploded, id_col, num_hashes).localCheckpoint(
+        eager=False
+    )
     cands = minhash_candidates(sigs, id_col, num_hashes, num_bands)
     verified = jaccard_pairs_hashed(sets_df, cands, id_col)
     return verified.filter(F.col("jaccard") >= threshold).orderBy("id_a", "id_b")
@@ -269,16 +300,22 @@ def simhash(
 ) -> DataFrame:
     """64-bit SimHash fingerprint per document as a BIGINT.
 
-    Per token: xxhash64; per bit: majority vote across tokens, packed with a
-    sum over shifted bit tests.  All array expressions — JVM-side.
+    Per distinct token: xxhash64; per bit: majority vote across tokens,
+    packed with a sum over shifted bit tests.  All array expressions —
+    JVM-side.  ``hx`` stays a separate column on purpose: the packer
+    references it 128×, which stops CollapseProject from inlining the
+    tokenizer into the bit loop (it only inlines once-referenced or cheap
+    expressions), so tokenization+hashing runs once per row.  The bit loop
+    is one compact ``aggregate`` HOF rather than 64 Python-generated
+    branches — the expanded tree blows past codegen method limits and runs
+    ~3× slower interpreted.
     """
     base = df.select(
         F.col(id_col),
         F.array_distinct(tokens(normalized_text(F.col(text_col)))).alias("toks"),
     ).withColumn("hx", F.expr("transform(toks, t -> xxhash64(t))"))
-    # per-bit majority vote packed into one BIGINT; SQL-expression lambdas
-    # because the bit index must itself be an expression (the Python
-    # shiftright wrapper only takes int shifts)
+    # SQL-expression lambdas because the bit index must itself be an
+    # expression (the Python shiftright wrapper only takes int shifts)
     packed = F.expr(
         "aggregate("
         "  transform(sequence(0, 63), b ->"
@@ -302,7 +339,9 @@ def simhash_near_duplicates(
     at least one band (pigeonhole), so the band equi-join finds all of them
     without an O(n²) comparison.
     """
-    sh = simhash(df, text_col, id_col)
+    # checkpoint: the banded fingerprints feed both sides of the self-join
+    # (see minhash_near_duplicates for the localCheckpoint-vs-persist note)
+    sh = simhash(df, text_col, id_col).localCheckpoint(eager=False)
     banded = sh.select(
         F.col(id_col),
         F.col("simhash"),
@@ -341,7 +380,69 @@ def simhash_near_duplicates(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list by iterative
+    min-label propagation: every node's label converges to the minimum node
+    id reachable from it.  Returns (node, component).
+
+    The near-dup dedup closer: LSH/Jaccard emit *pairs*; grouping pairs
+    into clusters (and keeping e.g. the min-id doc per cluster) needs the
+    transitive closure, which no single join expresses.
+
+    Scale design: each iteration is one shuffle join (labels ⋈ edges on the
+    neighbor key) + one min-aggregation — both keyed on node id, so AQE can
+    coalesce/skew-split them; iterations = graph diameter, and near-dup
+    graphs are overwhelmingly tiny star clusters (diameter ≤ 2-3).
+    ``localCheckpoint`` per iteration truncates the lineage so plan size
+    stays constant across iterations.  For adversarially long chains,
+    alternate large-star/small-star rounds (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — same join/agg primitives.
+    """
+    und = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+    if nodes is not None:
+        node_df = nodes.select(F.col(nodes.columns[0]).alias("node"))
+    else:
+        node_df = und.select(F.col("s").alias("node")).distinct()
+    und = und.localCheckpoint(eager=False)
+    labels = node_df.select("node", F.col("node").alias("component"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und.d == labels.node)
+            .groupBy("s")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.s, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 __all__ = [
+    "connected_components",
     "exact_duplicates",
     "hashed_shingle_sets",
     "jaccard_pairs",

@@ -298,6 +298,87 @@ def q_brand_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style EXISTS: orders with ≥1 returned lineitem, counted by
+    priority.  The EXISTS becomes a left-semi join — Spark never materializes
+    the match multiplicity, and the returned-lineitem side is reduced to its
+    join key before the shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style conditional aggregation: promo revenue share via
+    sum(CASE WHEN) over a broadcast part join — single shuffle-free global
+    agg after the broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+    total = F.sum(rev)
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        F.round(100.0 * promo / total, 2).alias("promo_revenue_pct"),
+        F.round(total, 2).alias("total_revenue"),
+    )
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style: supplier(s) with the maximum total revenue — a
+    scalar-subquery max re-joined against the per-supplier aggregate.  The
+    1-row max side is broadcast; revenue is rounded to 2dp BEFORE the max
+    comparison so the equality is decided identically everywhere."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx.max_revenue)
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: top-20 customers by revenue lost to returns.  Fact
+    shuffles once on the order key; the customer→nation dim chain is
+    broadcast; top-20 runs as TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    cdim = cust.join(nation, cust.c_nationkey == nation.n_nationkey).select(
+        "c_custkey", "c_name", "c_acctbal", "n_name"
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cdim), orders.o_custkey == cdim.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
 def q_segment_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per group via ranking window (the engine's generic top-k)."""
     cust = _t(spark, sf_dir, "customer")
@@ -651,6 +732,28 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_duplicates(docs).orderBy("text_hash")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: Jaccard edges → connected components (iterative
+    min-label propagation) → (doc_id, cluster_id) with cluster_id = min doc
+    id in the component.  The transitive-closure step no single join can
+    express; the oracle is a DuckDB recursive CTE over the same edges.
+    Bounded to doc_id < 80 so the exact all-pairs edge build stays small —
+    at scale the edge input comes from minhash_near_duplicates instead."""
+    docs = _th(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    ids_a = docs.select(F.col("doc_id").alias("id_a"))
+    ids_b = docs.select(F.col("doc_id").alias("id_b"))
+    pairs = ids_a.join(ids_b, F.col("id_a") < F.col("id_b"))
+    sims = dedup.jaccard_pairs(docs, pairs, shingle_k=3)
+    edges = sims.filter(F.col("jaccard") >= 0.7).select("id_a", "id_b")
+    cc = dedup.connected_components(
+        edges, nodes=docs.select("doc_id"), src="id_a", dst="id_b"
+    )
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+    ).orderBy("doc_id")
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic document fingerprint (md5-based rolling-hash analog)."""
     docs = _th(spark, sf_dir, "documents")
@@ -943,6 +1046,59 @@ REGISTRY: dict[str, QuerySpec] = {
         ORDER BY p_brand, supp_nation
         """,
     ),
+    "order_priority_counts": QuerySpec(
+        q_order_priority_counts,
+        """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+    ),
+    "promo_revenue": QuerySpec(
+        q_promo_revenue,
+        """
+        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 2)
+                 AS promo_revenue_pct,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                 AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        """,
+    ),
+    "top_supplier": QuerySpec(
+        q_top_supplier,
+        """
+        WITH rev AS (
+          SELECT l_suppkey,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS total_revenue
+          FROM lineitem GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        ORDER BY s_suppkey
+        """,
+    ),
+    "returned_item_customers": QuerySpec(
+        q_returned_item_customers,
+        """
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+        """,
+    ),
     "segment_top_customers": QuerySpec(
         q_segment_top_customers,
         """
@@ -1007,6 +1163,38 @@ REGISTRY: dict[str, QuerySpec] = {
                CAST(min(doc_id) AS BIGINT) AS keep_id,
                count(*) AS n_copies
         FROM documents GROUP BY 1 ORDER BY 1
+        """,
+    ),
+    "dedup_clusters": QuerySpec(
+        q_dedup_clusters,
+        """
+        WITH RECURSIVE t AS (
+          SELECT doc_id,
+                 string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS toks
+          FROM documents WHERE doc_id < 80),
+        s AS (
+          SELECT doc_id,
+                 list_distinct(
+                   CASE WHEN len(toks) >= 3
+                        THEN list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+                        ELSE [array_to_string(toks, ' ')] END) AS sset
+          FROM t),
+        edges AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE round(len(list_intersect(a.sset, b.sset))
+                      / greatest(CAST(len(list_distinct(list_concat(a.sset, b.sset))) AS DOUBLE), 1.0),
+                      4) >= 0.7),
+        und AS (
+          SELECT id_a AS src, id_b AS dst FROM edges
+          UNION ALL SELECT id_b, id_a FROM edges),
+        reach(src, dst) AS (
+          SELECT doc_id, doc_id FROM t
+          UNION
+          SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src)
+        SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY src ORDER BY doc_id
         """,
     ),
     "doc_fingerprint": QuerySpec(

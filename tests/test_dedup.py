@@ -68,3 +68,25 @@ def test_minhash_signature_shape(docs_df):
     assert by_id[0] == by_id[1]  # identical docs → identical signatures
     agree = sum(a == b for a, b in zip(by_id[0], by_id[2]))
     assert agree > 16  # near-dup signatures mostly agree
+
+
+def test_connected_components_chain_and_isolates(spark):
+    # two components: {1,2,3,4} (chain) and {7,8}; 9 isolated via nodes df
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(n,) for n in [1, 2, 3, 4, 7, 8, 9]], ["node"])
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(edges, nodes=nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7, 9: 9}
+
+
+def test_connected_components_without_nodes_df(spark):
+    edges = spark.createDataFrame([(5, 3), (3, 1)], ["id_a", "id_b"])
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(edges).collect()
+    }
+    assert got == {1: 1, 3: 1, 5: 1}
