@@ -106,6 +106,30 @@ def informer_tick(
     )
 
 
+def deduped_stream(
+    stream_df: DataFrame,
+    key_col: str = "guid",
+    ts_col: str = "created_at",
+    watermark: str = "5 seconds",
+) -> DataFrame:
+    """T3 as a *native* streaming operator: exactly-once-per-key on an
+    at-least-once stream via ``dropDuplicatesWithinWatermark``.
+
+    The engine's default ingest dedup is the foreachBatch anti-join
+    (``stream_to_bronze``), which consults the bronze table itself and so
+    survives restarts with no dedup state at all.  This variant is the
+    built-in alternative when the sink is not itself queryable (e.g. the
+    JDBC statement path): per-key state in the state store, evicted once
+    the watermark passes — the watermark delay mirrors the reference's 5 s
+    re-read overlap (T2, cf_audit_event_collector.go:36), which is exactly
+    the window in which duplicates can arrive.  State is bounded by
+    (keys within watermark), not history — SURVEY.md §7 hard-part 1.
+    """
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [key_col]
+    )
+
+
 def stream_to_bronze(
     spark: SparkSession,
     source_dir: str,

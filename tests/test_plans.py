@@ -144,3 +144,41 @@ def test_partitioned_bronze_prunes_partitions(spark, sf_dir, tmp_path):
     # correctness: everything at/after the cursor, nothing before
     lo = df.agg(F.min("created_at")).first()[0]
     assert lo is not None and lo >= since
+
+
+def test_order_priority_counts_semi_join_pushdown(spark, sf_dir):
+    from paas_auditor_spark.queries import q_order_priority_counts
+
+    df = q_order_priority_counts(spark, sf_dir)
+    plan = assert_plan_contains(df, "LeftSemi")
+    # the returnflag filter reaches the lineitem parquet scan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_promo_revenue_broadcasts_part(spark, sf_dir):
+    from paas_auditor_spark.queries import q_promo_revenue
+
+    plan = assert_plan_contains(
+        q_promo_revenue(spark, sf_dir), "BroadcastHashJoin", "HashAggregate"
+    )
+    # partial agg before the final single-group agg
+    assert plan.index("HashAggregate") < plan.rindex("HashAggregate")
+
+
+def test_top_supplier_broadcasts_scalar_max(spark, sf_dir):
+    from paas_auditor_spark.queries import q_top_supplier
+
+    assert_plan_contains(
+        q_top_supplier(spark, sf_dir), "BroadcastHashJoin"
+    )
+
+
+def test_returned_item_customers_topk_and_broadcast(spark, sf_dir):
+    from paas_auditor_spark.queries import q_returned_item_customers
+
+    plan = assert_plan_contains(
+        q_returned_item_customers(spark, sf_dir),
+        "TakeOrderedAndProject",
+        "BroadcastHashJoin",
+    )
+    assert "EqualTo(l_returnflag,R)" in plan
