@@ -26,6 +26,8 @@ HEADLINE = [
     "brand_nation_revenue",
     "order_priority_counts",
     "promo_revenue",
+    "small_quantity_revenue",
+    "idle_customers",
     "returned_item_customers",
     "hourly_rollup",
     "rolling_daily_value",
@@ -34,6 +36,7 @@ HEADLINE = [
     "dedup_clusters",
     "text_quality",
     "token_stats",
+    "token_histogram",
     "minhash_near_dup",
     "simhash",
     "knn_bruteforce",

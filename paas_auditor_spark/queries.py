@@ -379,6 +379,67 @@ def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style correlated scalar subquery, manually decorrelated:
+    per-part avg quantity computed once (one shuffle on l_partkey), joined
+    back to the fact — the scale-correct plan Catalyst would also pick for
+    the correlated form, made explicit."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    return (
+        li.join(per_part, li.l_partkey == per_part.ap_partkey)
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small_lineitems"),
+        )
+    )
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: high-balance customers lapsed since 2000 — a global
+    scalar aggregate (broadcast as a 1-row cross join) + left-anti join
+    against the recent-orders key set, grouped by nation.  The date filter
+    is pushed into the anti-join's build side, shrinking it before the
+    shuffle."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    avg_pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count distribution: fixed-width histogram over per-doc token
+    counts — one narrow map + one tiny aggregation."""
+    docs = _th(spark, sf_dir, "documents")
+    bucket = (F.floor(tx.token_count(F.col("text")) / F.lit(10)) * 10).alias(
+        "bucket_lo"
+    )
+    return (
+        docs.select(bucket)
+        .groupBy("bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("bucket_lo")
+    )
+
+
 def q_segment_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per group via ranking window (the engine's generic top-k)."""
     cust = _t(spark, sf_dir, "customer")
@@ -449,6 +510,28 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         flagged.groupBy("user_id")
         .agg((F.sum("is_new") + 1).cast("long").alias("n_sessions"))
         .orderBy("user_id")
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (Spark 4 DataFrame API): per-type, per-day and
+    grand totals in ONE pass over events — one shuffle, partial aggregation
+    per set, no self-union of three scans."""
+    events = _t(spark, sf_dir, "events")
+    base = events.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        "value",
+    )
+    return (
+        base.groupingSets(
+            [["event_type"], ["event_date"], []], "event_type", "event_date"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type", "event_date")
     )
 
 
@@ -1099,6 +1182,43 @@ REGISTRY: dict[str, QuerySpec] = {
         LIMIT 20
         """,
     ),
+    "small_quantity_revenue": QuerySpec(
+        q_small_quantity_revenue,
+        """
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+               count(*) AS n_small_lineitems
+        FROM lineitem
+        WHERE l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                            FROM lineitem l2
+                            WHERE l2.l_partkey = lineitem.l_partkey)
+        """,
+    ),
+    "idle_customers": QuerySpec(
+        q_idle_customers,
+        """
+        SELECT c_nationkey, count(*) AS n_custs,
+               round(sum(c_acctbal), 2) AS total_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+        """,
+    ),
+    "token_histogram": QuerySpec(
+        q_token_histogram,
+        """
+        SELECT CAST(floor(len(string_split_regex(trim(text), '\\s+')) / 10)
+                    * 10 AS BIGINT) AS bucket_lo,
+               count(*) AS n_docs
+        FROM documents
+        GROUP BY bucket_lo
+        ORDER BY bucket_lo
+        """,
+    ),
     "segment_top_customers": QuerySpec(
         q_segment_top_customers,
         """
@@ -1380,6 +1500,18 @@ REGISTRY: dict[str, QuerySpec] = {
                      4) AS jaccard
         FROM s a JOIN s b ON a.doc_id < b.doc_id
         ORDER BY id_a, id_b
+        """,
+    ),
+    "grouping_sets": QuerySpec(
+        q_grouping_sets,
+        """
+        SELECT event_type,
+               strftime(ts, '%Y-%m-%d') AS event_date,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (strftime(ts, '%Y-%m-%d')), ())
+        ORDER BY event_type, event_date
         """,
     ),
     "distinct_users": QuerySpec(
