@@ -47,4 +47,61 @@ def read_since(
     ).drop(PARTITION_COL)
 
 
-__all__ = ["PARTITION_COL", "read_since", "write_partitioned"]
+def compact_partition(
+    spark: SparkSession,
+    path: str,
+    partition_value: str,
+    target_files: int = 1,
+) -> int:
+    """Rewrite one date partition into ``target_files`` files (small-file
+    compaction).  Streaming ingest appends a file per micro-batch, so a
+    partition accumulates thousands of KB-sized files whose per-file open
+    cost eventually dominates scans; compaction is the standing maintenance
+    job that keeps file count O(partition_size / target_file_size).
+
+    Only *closed* partitions (older than the ingest watermark) should be
+    compacted — the rewrite is read-then-overwrite and must not race the
+    appender.  The swap goes through a sibling temp directory and an atomic
+    rename, so a concurrent reader sees either the old or the new file set,
+    never a partial one.  (Table formats with a transaction log — Delta,
+    Iceberg — replace this file choreography with OPTIMIZE/rewrite_data_files;
+    call sites keep the same shape.)
+
+    Returns the number of rows in the compacted partition.
+    """
+    import os
+    import shutil
+
+    part_dir = os.path.join(path, f"{PARTITION_COL}={partition_value}")
+    tmp_dir = part_dir + "._compacting"
+    df = spark.read.parquet(part_dir)
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp_dir)
+    n = spark.read.parquet(tmp_dir).count()
+    old_dir = part_dir + "._old"
+    os.rename(part_dir, old_dir)
+    os.rename(tmp_dir, part_dir)
+    shutil.rmtree(old_dir)
+    return n
+
+
+def list_partitions(path: str) -> list[str]:
+    """Partition values present under ``path`` (directory listing, no scan)."""
+    import os
+
+    if not os.path.isdir(path):
+        return []
+    return sorted(
+        d.split("=", 1)[1]
+        for d in os.listdir(path)
+        # skip in-flight compaction temp/backup dirs (suffixed `._...`)
+        if d.startswith(f"{PARTITION_COL}=") and "._" not in d
+    )
+
+
+__all__ = [
+    "PARTITION_COL",
+    "compact_partition",
+    "list_partitions",
+    "read_since",
+    "write_partitioned",
+]

@@ -293,3 +293,44 @@ def test_idempotent_append_respects_window_floor(spark):
     assert floored.count() == 8
     correct = idempotent_append(events, batch, window_floor=EPOCH_TS)
     assert correct.count() == 5
+
+
+def test_compact_partition_preserves_rows_and_reduces_files(spark, tmp_path):
+    """Small-file compaction: many per-batch appends collapse to one file
+    per closed partition, with row-for-row identical content."""
+    import datetime as dt
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from paas_auditor_spark.sources.partitioned import (
+        compact_partition,
+        list_partitions,
+        write_partitioned,
+    )
+
+    bronze = str(tmp_path / "bronze")
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    # 5 micro-batch appends into the same date partition
+    for batch in range(5):
+        df = spark.createDataFrame(
+            [(batch * 10 + i, base + dt.timedelta(seconds=batch * 10 + i))
+             for i in range(10)],
+            "guid long, created_at timestamp",
+        ).coalesce(2)
+        write_partitioned(df, bronze)
+
+    assert list_partitions(bronze) == ["2024-03-01"]
+    part_dir = os.path.join(bronze, "event_date=2024-03-01")
+    files_before = glob.glob(os.path.join(part_dir, "*.parquet"))
+    assert len(files_before) >= 5
+
+    n = compact_partition(spark, bronze, "2024-03-01", target_files=1)
+    assert n == 50
+    files_after = glob.glob(os.path.join(part_dir, "*.parquet"))
+    assert len(files_after) == 1
+    out = spark.read.parquet(part_dir)
+    assert out.count() == 50
+    assert out.agg(F.sum("guid")).first()[0] == sum(range(50))
+    assert list_partitions(bronze) == ["2024-03-01"]  # no temp dirs leak

@@ -182,3 +182,37 @@ def test_returned_item_customers_topk_and_broadcast(spark, sf_dir):
         "BroadcastHashJoin",
     )
     assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Same-bucketed tables join with zero shuffles — the co-location
+    contract that makes repeated fact-to-fact joins viable at scale."""
+    from paas_auditor_spark.plans import physical_plan
+    from paas_auditor_spark.sources.bucketed import bucketed_join, write_bucketed
+    from paas_auditor_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_bucketed(li, "bkt_lineitem", "l_orderkey", num_buckets=4)
+    write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "bkt_orders",
+        "l_orderkey",
+        num_buckets=4,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "bkt_lineitem", "bkt_orders", "l_orderkey")
+        plan = physical_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
