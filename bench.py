@@ -31,7 +31,10 @@ HEADLINE = [
     "returned_item_customers",
     "hourly_rollup",
     "rolling_daily_value",
+    "daily_gapfill",
+    "value_stats",
     "sessionization",
+    "interval_join",
     "dedup_exact",
     "dedup_clusters",
     "text_quality",

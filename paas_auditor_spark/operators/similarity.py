@@ -323,6 +323,105 @@ def ivf_topk(
     )
 
 
+def kmeans_assign(
+    corpus_df: DataFrame,
+    k: int = 8,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Lloyd's k-means (euclidean), returning (id, cluster_id, dist2).
+
+    The second iterative algorithm in the engine (with
+    dedup.connected_components): init = first ``k`` corpus vectors
+    (deterministic, the same coarse-quantizer convention as ivf_topk), then
+    ``max_iter`` rounds of assign → re-center.
+
+    Scale shape per iteration: one broadcast join against the k-row
+    centroid set + windowed argmin for assignment (narrow w.r.t. the
+    corpus), then posexplode → groupBy (cluster, dim) average for the new
+    centroids — map-side partial aggregation makes the shuffle k×dim rows
+    regardless of corpus size.  Centroids are collected to the driver
+    between rounds (k×dim doubles — trivially small), which also acts as
+    the per-iteration lineage cut.
+    """
+    from paas_auditor_spark.functions.exprs import let
+
+    base = corpus_df.select(
+        F.col(id_col).alias("kid"), _to_double(F.col(vec_col)).alias("kv")
+    )
+    cents: list[tuple[int, list[float]]] = [
+        (r["kid"], list(r["kv"]))
+        for r in base.filter(F.col("kid") < k).collect()
+    ]
+
+    def assign(cent_list) -> DataFrame:
+        # Centroids ride into the plan as literals (k×dim doubles — the
+        # "broadcast" is the expression tree itself), so assignment is a
+        # pure narrow map: argmin via array_min over k (partial_dist, cid)
+        # structs.  ||v||² is constant per row and dropped from the
+        # ranking: partial = ||c||² − 2·v·c, with ||c||² precomputed in
+        # Python.  Struct ordering gives the cid tiebreak for free.
+        def best_of(kv: Column) -> Column:
+            candidates = F.array(
+                *[
+                    F.struct(
+                        (
+                            F.lit(sum(x * x for x in cv))
+                            - 2
+                            * dot(
+                                kv, F.array(*[F.lit(float(x)) for x in cv])
+                            )
+                        ).alias("partial"),
+                        F.lit(int(cid)).alias("cid"),
+                    )
+                    for cid, cv in cent_list
+                ]
+            )
+            best = F.array_min(candidates)
+            return F.struct(
+                best["cid"].alias("cluster_id"),
+                (best["partial"] + dot(kv, kv)).alias("dist2"),
+            )
+
+        return base.select("kid", "kv", let(F.col("kv"), best_of).alias("b"))
+
+    for _ in range(max_iter):
+        assigned = assign(cents)
+        # re-center: posexplode → per-(cluster, dim) mean — map-side
+        # partial aggregation shrinks the shuffle to k×dim rows regardless
+        # of corpus size; k rows collected to the driver per round (the
+        # iteration barrier and lineage cut)
+        new_cents = (
+            assigned.select(
+                F.col("b")["cluster_id"].alias("cluster_id"),
+                F.posexplode("kv").alias("pos", "x"),
+            )
+            .groupBy("cluster_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                    ),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+        )
+        cents = [
+            (r["cluster_id"], list(r["cv"])) for r in new_cents.collect()
+        ]
+
+    final = assign(cents)
+    return final.select(
+        F.col("kid").alias(id_col),
+        F.col("b")["cluster_id"].alias("cluster_id"),
+        F.round(F.col("b")["dist2"], round_digits).alias("dist2"),
+    )
+
+
 __all__ = [
     "brute_force_topk",
     "cosine",
@@ -331,6 +430,7 @@ __all__ = [
     "embedding_near_duplicates_lsh",
     "hyperplane_bucket",
     "ivf_topk",
+    "kmeans_assign",
     "l2_norm",
     "lsh_topk",
 ]

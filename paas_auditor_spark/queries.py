@@ -513,6 +513,96 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispersion statistics per event type: stddev/variance/correlation —
+    all JVM aggregates with map-side partials (one shuffle on the group
+    key)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.stddev_samp("value"), 4).alias("sd"),
+            F.round(F.var_samp("value"), 4).alias("var"),
+            F.round(
+                F.corr("value", F.col("user_id").cast("double")), 4
+            ).alias("corr_user"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a generated date spine left-joined to a
+    sparse daily aggregate, with forward fill via last(ignorenulls) over an
+    unbounded-preceding frame.  The spine is sequence+explode (no driver
+    loop); at scale the fill is one window over a spine sized in days, not
+    rows."""
+    events = _t(spark, sf_dir, "events")
+    daily = (
+        events.filter((F.col("event_type") == "error") & (F.col("value") > 190))
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-30").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("d")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(daily, "d", "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce("v", F.lit(0.0)).alias("day_value"),
+            F.round(
+                F.coalesce(F.last("v", ignorenulls=True).over(w), F.lit(0.0)), 2
+            ).alias("filled_value"),
+        )
+        .orderBy("day")
+    )
+
+
+def q_user_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-over-event deltas (lag) and value quartiles (ntile)
+    for a bounded user set — ranking/navigation window functions over a
+    partitioned, ordered frame."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # event_id tiebreak: tied values must order identically in the oracle
+    wq = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return (
+        events.filter(F.col("user_id") < 10)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(
+                F.col("value") - F.lag("value", 1, 0.0).over(w), 2
+            ).alias("delta_prev"),
+            F.ntile(4).over(wq).alias("value_quartile"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded stratified sampling by event type (training-data curation:
+    per-class downsampling).  Bernoulli per-stratum sampling — seeded and
+    reproducible on a fixed partitioning, but not SQL-portable → rows-only
+    check; the per-stratum fraction contract is pinned by a unit test."""
+    events = _t(spark, sf_dir, "events")
+    fractions = {"click": 0.5, "view": 0.1, "error": 1.0, "purchase": 1.0}
+    sampled = events.sampleBy("event_type", fractions, seed=42)
+    return (
+        sampled.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("event_type")
+    )
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (Spark 4 DataFrame API): per-type, per-day and
     grand totals in ONE pass over events — one shuffle, partial aggregation
@@ -695,6 +785,52 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ts", "asof_o_orderdate", "asof_o_orderkey")
         .orderBy("event_id")
     )
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-containment join via time-bin equi-join (operators.rangejoin):
+    per-user daily activity spans joined to ALL events falling inside them.
+    The binned shape replaces the BroadcastNestedLoopJoin a raw BETWEEN
+    theta join would get."""
+    from paas_auditor_spark.operators.rangejoin import interval_join
+
+    events = _t(spark, sf_dir, "events")
+    spans = (
+        events.filter(F.col("user_id") < 5)
+        .groupBy(
+            F.col("user_id").alias("span_user"),
+            F.to_date("ts").alias("span_day"),
+        )
+        .agg(F.min("ts").alias("span_start"), F.max("ts").alias("span_end"))
+    )
+    joined = interval_join(
+        events.select("event_id", "ts"),
+        spans,
+        ts_col="ts",
+        start_col="span_start",
+        end_col="span_end",
+        bin_width_s=3600,
+    )
+    return (
+        joined.groupBy("span_user", "span_day")
+        .agg(F.count(F.lit(1)).alias("n_events_in_span"))
+        .select(
+            "span_user",
+            F.date_format("span_day", "yyyy-MM-dd").alias("day"),
+            "n_events_in_span",
+        )
+        .orderBy("span_user", "day")
+    )
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means cluster assignment over the embeddings corpus —
+    iterative algorithm (broadcast assign + k×dim re-center per round);
+    rows-only check (float summation order makes exact centroid values
+    engine-specific); convergence pinned by unit tests on constructed
+    clusters."""
+    emb = _th(spark, sf_dir, "embeddings")
+    return similarity.kmeans_assign(emb, k=8, max_iter=3).orderBy("vec_id")
 
 
 def q_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1502,6 +1638,67 @@ REGISTRY: dict[str, QuerySpec] = {
         ORDER BY id_a, id_b
         """,
     ),
+    "interval_join": QuerySpec(
+        q_interval_join,
+        """
+        WITH spans AS (
+          SELECT user_id AS span_user, CAST(ts AS DATE) AS span_day,
+                 min(CAST(ts AS TIMESTAMP)) AS s, max(CAST(ts AS TIMESTAMP)) AS e
+          FROM events WHERE user_id < 5
+          GROUP BY user_id, CAST(ts AS DATE))
+        SELECT span_user, strftime(span_day, '%Y-%m-%d') AS day,
+               count(*) AS n_events_in_span
+        FROM spans JOIN events ev
+          ON CAST(ev.ts AS TIMESTAMP) BETWEEN s AND e
+        GROUP BY span_user, span_day
+        ORDER BY span_user, day
+        """,
+    ),
+    "kmeans": QuerySpec(q_kmeans, None),
+    "value_stats": QuerySpec(
+        q_value_stats,
+        """
+        SELECT event_type,
+               round(stddev_samp(value), 4) AS sd,
+               round(var_samp(value), 4) AS var,
+               round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_user
+        FROM events GROUP BY event_type ORDER BY event_type
+        """,
+    ),
+    "daily_gapfill": QuerySpec(
+        q_daily_gapfill,
+        """
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) d, round(sum(value), 2) v
+          FROM events WHERE event_type = 'error' AND value > 190
+          GROUP BY d),
+        spine AS (
+          SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                        INTERVAL 1 DAY))::DATE AS d),
+        joined AS (
+          SELECT s.d, daily.v FROM spine s LEFT JOIN daily ON s.d = daily.d)
+        SELECT strftime(d, '%Y-%m-%d') AS day,
+               coalesce(v, 0.0) AS day_value,
+               round(coalesce(last_value(v IGNORE NULLS) OVER (
+                 ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 0.0), 2) AS filled_value
+        FROM joined ORDER BY day
+        """,
+    ),
+    "user_value_delta": QuerySpec(
+        q_user_value_delta,
+        """
+        SELECT user_id, event_id,
+               round(value - lag(value, 1, 0.0) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta_prev,
+               ntile(4) OVER (
+                 PARTITION BY user_id ORDER BY value, event_id)
+                 AS value_quartile
+        FROM events WHERE user_id < 10
+        ORDER BY user_id, event_id
+        """,
+    ),
+    "stratified_sample": QuerySpec(q_stratified_sample, None),
     "grouping_sets": QuerySpec(
         q_grouping_sets,
         """

@@ -90,3 +90,32 @@ def test_connected_components_without_nodes_df(spark):
         for r in dedup.connected_components(edges).collect()
     }
     assert got == {1: 1, 3: 1, 5: 1}
+
+
+def test_interval_join_containment_pairs(spark):
+    """Binned interval join returns exactly the BETWEEN-containment pairs,
+    each once — including intervals spanning multiple bins and events on
+    interval boundaries."""
+    import datetime as dt
+
+    from paas_auditor_spark.operators.rangejoin import interval_join
+
+    base = dt.datetime(2024, 5, 1, 0, 0, 0)
+    ev = spark.createDataFrame(
+        [(i, base + dt.timedelta(minutes=30 * i)) for i in range(12)],
+        "event_id long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [
+            (1, base, base + dt.timedelta(hours=1)),          # 3 events (0,1,2)
+            (2, base + dt.timedelta(hours=2, minutes=30),
+                base + dt.timedelta(hours=5)),                # events 5..10
+            (3, base + dt.timedelta(hours=10), base + dt.timedelta(hours=11)),  # none
+        ],
+        "iv_id long, start timestamp, end timestamp",
+    )
+    got = interval_join(ev, iv, "ts", "start", "end", bin_width_s=3600)
+    pairs = sorted((r["iv_id"], r["event_id"]) for r in got.collect())
+    assert pairs == (
+        [(1, 0), (1, 1), (1, 2)] + [(2, e) for e in range(5, 11)]
+    )

@@ -334,3 +334,29 @@ def test_compact_partition_preserves_rows_and_reduces_files(spark, tmp_path):
     assert out.count() == 50
     assert out.agg(F.sum("guid")).first()[0] == sum(range(50))
     assert list_partitions(bronze) == ["2024-03-01"]  # no temp dirs leak
+
+
+def test_stratified_sample_fractions(spark, sf_dir):
+    """sampleBy honors per-stratum fractions (within Bernoulli tolerance)
+    and is reproducible for a fixed seed."""
+    from paas_auditor_spark.queries import q_stratified_sample
+    from paas_auditor_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    totals = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type").agg(
+            __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+        ).collect()
+    }
+    got1 = {r["event_type"]: r["n_sampled"]
+            for r in q_stratified_sample(spark, sf_dir).collect()}
+    got2 = {r["event_type"]: r["n_sampled"]
+            for r in q_stratified_sample(spark, sf_dir).collect()}
+    assert got1 == got2  # seeded → reproducible
+    assert got1["error"] == totals["error"]  # fraction 1.0 keeps everything
+    assert got1["purchase"] == totals["purchase"]
+    # Bernoulli tolerance: observed rate within ±35% relative of target
+    for etype, frac in [("click", 0.5), ("view", 0.1)]:
+        rate = got1[etype] / totals[etype]
+        assert 0.65 * frac < rate < 1.35 * frac, (etype, rate)

@@ -76,3 +76,106 @@ def test_unshipped_respects_cursor_order_and_cap(spark, batch, cursor_s, cap):
     # O4: chronological ship order
     times = [r["created_at"] for r in out]
     assert times == sorted(times)
+
+
+edge_list = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)),
+    min_size=0,
+    max_size=18,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edge_list)
+def test_connected_components_matches_union_find(spark, edges):
+    """Min-label propagation equals a driver-side union-find on any random
+    graph (self-loops and duplicate edges included)."""
+    from paas_auditor_spark.operators.dedup import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    nodes = sorted({n for e in edges for n in e} | {0, 12})
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in nodes}
+    # canonicalize: component label = min member
+    comp_min: dict[int, int] = {}
+    for n in nodes:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want = {n: comp_min[find(n)] for n in nodes}
+
+    edges_df = spark.createDataFrame(
+        edges or [(0, 0)], "id_a long, id_b long"
+    )
+    if not edges:
+        edges_df = edges_df.filter("id_a != id_a")  # empty edge set
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], "node long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges_df, nodes=nodes_df).collect()
+    }
+    assert got == want
+
+
+interval_case = st.tuples(
+    st.lists(st.integers(0, 100), min_size=0, max_size=15),          # event offsets (min)
+    st.lists(st.tuples(st.integers(0, 100), st.integers(0, 40)),
+             min_size=0, max_size=6),                                 # (start, length)
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=interval_case)
+def test_interval_join_matches_theta_join(spark, case):
+    """The binned interval join returns exactly the pairs a naive BETWEEN
+    cross-check yields, for arbitrary event/interval layouts (boundary
+    hits, multi-bin spans, empty sides)."""
+    from paas_auditor_spark.operators.rangejoin import interval_join
+
+    offsets, spans = case
+    base = dt.datetime(2024, 5, 1)
+    ev = [(i, base + dt.timedelta(minutes=m)) for i, m in enumerate(offsets)]
+    iv = [
+        (j, base + dt.timedelta(minutes=s), base + dt.timedelta(minutes=s + ln))
+        for j, (s, ln) in enumerate(spans)
+    ]
+    want = sorted(
+        (j, i)
+        for (j, s, e) in iv
+        for (i, t) in ev
+        if s <= t <= e
+    )
+    ev_df = spark.createDataFrame(ev or [(0, base)], "event_id long, ts timestamp")
+    if not ev:
+        ev_df = ev_df.filter("event_id < 0")
+    iv_df = spark.createDataFrame(
+        iv or [(0, base, base)], "iv_id long, start timestamp, end timestamp"
+    )
+    if not iv:
+        iv_df = iv_df.filter("iv_id < 0")
+    got = sorted(
+        (r["iv_id"], r["event_id"])
+        for r in interval_join(
+            ev_df, iv_df, "ts", "start", "end", bin_width_s=600
+        ).collect()
+    )
+    assert got == want

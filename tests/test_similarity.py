@@ -89,3 +89,25 @@ def test_dot_and_norm(spark):
     ).first()
     assert row["d"] == 4.0
     assert row["n"] == 3.0
+
+
+def test_kmeans_separates_constructed_clusters(spark):
+    """Two well-separated blobs in 4-d: k-means with k=2 must put each blob
+    in one cluster and converge to near-zero within-cluster distance for
+    the tight blob."""
+    from paas_auditor_spark.operators.similarity import kmeans_assign
+
+    rows = []
+    for i in range(10):  # blob A around (0,0,0,0)
+        rows.append((i, [0.0 + 0.01 * i, 0.0, 0.0, 0.0]))
+    for i in range(10):  # blob B around (10,10,10,10)
+        rows.append((100 + i, [10.0 + 0.01 * i, 10.0, 10.0, 10.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = kmeans_assign(df, k=2, max_iter=4).collect()
+    by_id = {r["vec_id"]: r["cluster_id"] for r in got}
+    a_clusters = {by_id[i] for i in range(10)}
+    b_clusters = {by_id[100 + i] for i in range(10)}
+    assert len(a_clusters) == 1 and len(b_clusters) == 1
+    assert a_clusters != b_clusters
+    # within-blob distance is tiny, cross-blob assignment would be ~400
+    assert all(r["dist2"] < 1.0 for r in got)
