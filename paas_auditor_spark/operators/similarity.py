@@ -217,7 +217,9 @@ def embedding_near_duplicates_lsh(
         F.col(id_col),
         _to_double(F.col(vec_col)).alias("v"),
     ).withColumn("bucket", hyperplane_bucket(F.col("v"), n_planes, 64))
-    c = c.withColumn("nrm", l2_norm(F.col("v")))
+    # checkpoint: both sides of the bucket self-join read the bucketed
+    # projection (see dedup.minhash_near_duplicates for the rationale)
+    c = c.withColumn("nrm", l2_norm(F.col("v"))).localCheckpoint(eager=False)
     a = c.select(
         F.col(id_col).alias("id_a"),
         F.col("v").alias("v_a"),

@@ -166,6 +166,31 @@ def q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 on the Spark 4 semi-structured path: metadata JSON parsed ONCE
+    into a VariantType column (binary semi-structured encoding), fields
+    extracted with variant_get — at scale this replaces N per-field JSON
+    re-parses (get_json_object) with one parse + N cheap binary probes,
+    and aggregates push into the variant column like any other."""
+    events = _t(spark, sf_dir, "events")
+    v = events.select(
+        "event_type", F.parse_json(F.col("props")).alias("pv")
+    )
+    return (
+        v.select(
+            "event_type",
+            F.variant_get(F.col("pv"), "$.k", "long").alias("k_val"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("k_val"), 4).alias("avg_k"),
+            F.max("k_val").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_splunk_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P11/P13: Splunk HEC envelope serialization
     (reference cf_audit_events_to_splunk_shipper.go:24-28,187-192)."""
@@ -1033,6 +1058,27 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top document bigrams via a Python UDTF + LATERAL join — the
+    generalized row fan-out extension point (§2.8).  The same result is
+    expressible JVM-side (shingles + explode); registering both keeps the
+    UDTF path exercised and the preference order documented."""
+    from paas_auditor_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    docs = _th(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT ngram, count(*) AS n
+        FROM udtf_docs, LATERAL ngrams_udtf(text, 2)
+        GROUP BY ngram
+        ORDER BY n DESC, ngram
+        LIMIT 20
+        """
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID (marker-profile argmax) — rows-only check:
     the heuristic's vocabulary logic is not reasonably SQL-portable."""
@@ -1186,6 +1232,16 @@ REGISTRY: dict[str, QuerySpec] = {
         q_props_json,
         "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT)"
         " AS k_val FROM events",
+    ),
+    "props_variant": QuerySpec(
+        q_props_variant,
+        """
+        SELECT event_type, count(*) AS n_events,
+               round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4)
+                 AS avg_k,
+               max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type
+        """,
     ),
     "splunk_envelope": QuerySpec(
         q_splunk_envelope,
@@ -1571,6 +1627,20 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "approx_distinct_users": QuerySpec(q_approx_distinct_users, None),
     "lang_id": QuerySpec(q_lang_id, None),
+    "udtf_ngrams": QuerySpec(
+        q_udtf_ngrams,
+        """
+        WITH t AS (
+          SELECT string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS toks
+          FROM documents),
+        b AS (
+          SELECT unnest(list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1])) AS ngram
+          FROM t)
+        SELECT ngram, count(*) AS n
+        FROM b GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20
+        """,
+    ),
     "stopword_ratio": QuerySpec(
         q_stopword_ratio,
         """

@@ -70,3 +70,32 @@ def test_fingerprint_normalization_invariance(spark):
 )
 def test_lang_id_heuristic(spark, s, want):
     assert _one(spark, s, tx.lang_id) == want
+
+
+def test_udtf_ngrams_agrees_with_jvm_shingles(spark):
+    """The Python UDTF fan-out and the JVM shingle path produce identical
+    bigram multisets — the documented 'prefer built-ins' contract."""
+    from pyspark.sql import functions as F
+
+    from paas_auditor_spark.functions.udtf import register_udtfs
+    from paas_auditor_spark.operators.dedup import shingles
+
+    register_udtfs(spark)
+    docs = spark.createDataFrame(
+        [(1, "The  quick brown fox"), (2, "brown fox  jumps"), (3, "x")],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("udtf_test_docs")
+    via_udtf = spark.sql(
+        "SELECT ngram, count(*) AS n FROM udtf_test_docs, "
+        "LATERAL ngrams_udtf(text, 2) GROUP BY ngram"
+    )
+    via_jvm = (
+        docs.select(F.explode(shingles("text", k=2)).alias("ngram"))
+        .filter(F.size(F.split(F.col("ngram"), " ")) == 2)  # drop <k fallback rows
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, via_udtf.collect())) == sorted(
+        map(tuple, via_jvm.collect())
+    )
