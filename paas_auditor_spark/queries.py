@@ -405,16 +405,19 @@ def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17-style correlated scalar subquery, manually decorrelated:
-    per-part avg quantity computed once (one shuffle on l_partkey), joined
-    back to the fact — the scale-correct plan Catalyst would also pick for
-    the correlated form, made explicit."""
+    """TPC-H Q17-style correlated scalar subquery, decorrelated as a window
+    aggregate: avg(l_quantity) OVER (PARTITION BY l_partkey) gives every
+    row its part's average in ONE scan + one shuffle.  (The agg+self-join
+    decorrelation scans lineitem twice with no exchange reuse — the column
+    sets differ — and shuffles twice; the window form halves both.)"""
     li = _t(spark, sf_dir, "lineitem")
-    per_part = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
-        (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
-    )
+    w = Window.partitionBy("l_partkey")
     return (
-        li.join(per_part, li.l_partkey == per_part.ap_partkey)
+        li.select(
+            "l_quantity",
+            "l_extendedprice",
+            (0.5 * F.avg("l_quantity").over(w)).alias("half_avg_qty"),
+        )
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(
             F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
@@ -951,6 +954,32 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.approx_count_distinct("event_id", rsd=0.01).alias("approx_events"),
+    )
+
+
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles per event type (percentile_approx — Spark's
+    mergeable quantile sketch): the single-pass, bounded-memory scale path
+    where exact percentiles would need a full sort per group.  Sketch
+    internals are engine-specific → rows-only check; the accuracy envelope
+    vs the exact percentile is pinned by a unit test."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias(
+                "p50_p95_p99"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.round(F.col("p50_p95_p99")[0], 2).alias("p50"),
+            F.round(F.col("p50_p95_p99")[1], 2).alias("p95"),
+            F.round(F.col("p50_p95_p99")[2], 2).alias("p99"),
+            "n_events",
+        )
+        .orderBy("event_type")
     )
 
 
@@ -1626,6 +1655,7 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
     ),
     "approx_distinct_users": QuerySpec(q_approx_distinct_users, None),
+    "approx_percentiles": QuerySpec(q_approx_percentiles, None),
     "lang_id": QuerySpec(q_lang_id, None),
     "udtf_ngrams": QuerySpec(
         q_udtf_ngrams,

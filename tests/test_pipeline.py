@@ -360,3 +360,35 @@ def test_stratified_sample_fractions(spark, sf_dir):
     for etype, frac in [("click", 0.5), ("view", 0.1)]:
         rate = got1[etype] / totals[etype]
         assert 0.65 * frac < rate < 1.35 * frac, (etype, rate)
+
+
+def test_approx_percentiles_accuracy_envelope(spark, sf_dir):
+    """percentile_approx must land within rank tolerance: between the
+    exact (q-2%) and (q+2%) percentiles.  (Value tolerance is the wrong
+    contract — the sketch returns a real element while exact percentile
+    interpolates, so sparse tails diverge in value even at full accuracy.)"""
+    from pyspark.sql import functions as F
+
+    from paas_auditor_spark.queries import q_approx_percentiles
+    from paas_auditor_spark.sources.tables import load_table
+
+    approx = {
+        r["event_type"]: (r["p50"], r["p95"], r["p99"])
+        for r in q_approx_percentiles(spark, sf_dir).collect()
+    }
+    qs = [0.5, 0.95, 0.99]
+    lo_hi = F.expr(
+        "percentile(value, array(0.48, 0.93, 0.97, 0.52, 0.97, 1.0))"
+    )
+    bounds = {
+        r["event_type"]: r["b"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(lo_hi.alias("b"))
+        .collect()
+    }
+    for etype, vals in approx.items():
+        b = bounds[etype]
+        for i, a in enumerate(vals):
+            lo, hi = b[i], b[i + 3]
+            assert lo - 0.01 <= a <= hi + 0.01, (etype, qs[i], a, lo, hi)

@@ -216,3 +216,30 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
+
+
+def test_interval_join_avoids_nested_loop(spark, sf_dir):
+    """The binned range join must run as an equi-join on the bin key — a
+    BETWEEN theta join would degenerate to BroadcastNestedLoopJoin, which
+    is exactly what the operator exists to avoid."""
+    from paas_auditor_spark.queries import q_interval_join
+
+    plan = assert_plan_contains(q_interval_join(spark, sf_dir), "Join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_small_quantity_revenue_single_scan_window(spark, sf_dir):
+    """Q17 decorrelation as a window aggregate: ONE lineitem scan and one
+    partkey shuffle (the agg+self-join form scans twice with no exchange
+    reuse because the two branches prune different columns)."""
+    import re
+
+    from paas_auditor_spark.plans import physical_plan
+    from paas_auditor_spark.queries import q_small_quantity_revenue
+
+    plan = physical_plan(q_small_quantity_revenue(spark, sf_dir))
+    assert "Window" in plan
+    # formatted explain lists each node twice (tree + details): 1 scan = 2
+    assert len(re.findall(r"Scan parquet", plan)) == 2
+    assert "BroadcastNestedLoopJoin" not in plan
