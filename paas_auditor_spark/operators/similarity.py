@@ -87,25 +87,36 @@ def brute_force_topk(
     )
 
 
-def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
+def hyperplane_bucket(
+    vec: Column, n_planes: int = 8, dim: int = 64, plane_offset: int = 0
+) -> Column:
     """Sign-pattern bucket id from deterministic pseudo-random hyperplanes.
 
     Plane p's component j is derived from xxhash64(p, j) mapped to [-1, 1] —
     fully deterministic, no stored model, computable at read time on any
-    executor.
+    executor.  ``plane_offset`` selects a disjoint plane family, so callers
+    can build independent hash tables (OR-amplification) from one function.
+
+    The plane coefficients are generated in Python (seeded) and embedded as
+    LITERAL arrays: they're constant per plane, and an expression-side
+    derivation (xxhash over a sequence) re-hashes the whole plane for
+    every row — constant work that Catalyst cannot fold out of a lambda.
     """
+
     def plane_dot(p: int) -> Column:
-        coeffs = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda j: (
-                F.pmod(F.xxhash64(F.lit(p), j), F.lit(2001)) - F.lit(1000)
-            ).cast("double")
-            / F.lit(1000.0),
-        )
+        import random
+
+        rng = random.Random(0xC0FFEE + p)
+        # one F.lit per PLANE (array literal), not one per coefficient —
+        # 64 py4j round trips per plane during plan construction add whole
+        # seconds to query build time
+        coeffs = F.lit([rng.uniform(-1.0, 1.0) for _ in range(dim)])
         return dot(vec, coeffs)
 
     bits = [
-        F.when(plane_dot(p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        F.when(plane_dot(plane_offset + p) >= 0, F.lit(1 << p)).otherwise(
+            F.lit(0)
+        )
         for p in range(n_planes)
     ]
     bucket = bits[0]
@@ -207,34 +218,67 @@ def embedding_near_duplicates_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 4,
+    n_tables: int = 8,
     round_digits: int = 4,
 ) -> DataFrame:
-    """Approximate embedding near-dup: candidate pairs share a hyperplane
-    bucket, then exact cosine verify — the 100 TB path (the equi-join on
-    the bucket id keeps the pair space near-linear; high-cosine pairs land
-    in the same bucket with probability (1 - theta/pi)^n_planes)."""
-    c = corpus_df.select(
-        F.col(id_col),
-        _to_double(F.col(vec_col)).alias("v"),
-    ).withColumn("bucket", hyperplane_bucket(F.col("v"), n_planes, 64))
-    # checkpoint: both sides of the bucket self-join read the bucketed
-    # projection (see dedup.minhash_near_duplicates for the rationale)
-    c = c.withColumn("nrm", l2_norm(F.col("v"))).localCheckpoint(eager=False)
-    a = c.select(
-        F.col(id_col).alias("id_a"),
-        F.col("v").alias("v_a"),
-        F.col("nrm").alias("n_a"),
-        "bucket",
+    """Approximate embedding near-dup: multi-table hyperplane LSH
+    candidates, then exact cosine verify — the 100 TB path.
+
+    One k-plane table alone collides a θ-angle pair with probability
+    (1 − θ/π)^k — at cosine 0.4 and k=4 that's ~16% recall, useless.  The
+    standard fix is OR-amplification: ``n_tables`` independent plane
+    families; a pair is a candidate if it collides in ANY table, lifting
+    recall to 1 − (1 − p^k)^L (~0.75 at cosine 0.4, >0.99 at 0.9 with
+    k=4, L=8) while each table's equi-join stays near-linear.  Candidate
+    pairs are deduped BEFORE verification so a pair colliding in many
+    tables is scored once.
+    """
+    c = (
+        corpus_df.select(
+            F.col(id_col),
+            _to_double(F.col(vec_col)).alias("v"),
+        )
+        .withColumn("nrm", l2_norm(F.col("v")))
+        # checkpoint: the banded self-join and the two verify joins all
+        # read this projection (see dedup.minhash_near_duplicates)
+        .localCheckpoint(eager=False)
     )
-    b = c.select(
-        F.col(id_col).alias("id_b"),
-        F.col("v").alias("v_b"),
-        F.col("nrm").alias("n_b"),
-        "bucket",
+    # key = table_id * 2^n_planes + bucket (disjoint key spaces per table)
+    banded = c.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.lit(t << n_planes)
+                        + hyperplane_bucket(
+                            F.col("v"), n_planes, 64, plane_offset=t * n_planes
+                        )
+                    ).cast("int")
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("bucket"),
+    ).localCheckpoint(eager=False)  # both self-join sides read it
+    pairs = (
+        banded.alias("l")
+        .join(banded.alias("r"), on="bucket")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    va = c.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a")
+    )
+    vb = c.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b")
     )
     scored = (
-        a.join(b, on="bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",

@@ -84,6 +84,29 @@ def compact_partition(
     return n
 
 
+def export_ordered(
+    df: DataFrame,
+    path: str,
+    order_col: str,
+    num_partitions: int = 8,
+) -> None:
+    """O1's global sort, scale-correct: ``repartitionByRange`` samples the
+    key distribution and assigns contiguous, disjoint key ranges to
+    partitions; ``sortWithinPartitions`` orders inside each.  The result is
+    a totally ordered export across numbered part-files — WITHOUT the
+    single-partition merge a plain ``orderBy`` write would funnel through
+    (a global Sort exchange still ends in one ordered stream per partition,
+    but downstream consumers of one big sorted file don't parallelize).
+    File k's rows all precede file k+1's; each file is internally sorted.
+    """
+    (
+        df.repartitionByRange(num_partitions, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def list_partitions(path: str) -> list[str]:
     """Partition values present under ``path`` (directory listing, no scan)."""
     import os
@@ -101,6 +124,7 @@ def list_partitions(path: str) -> list[str]:
 __all__ = [
     "PARTITION_COL",
     "compact_partition",
+    "export_ordered",
     "list_partitions",
     "read_since",
     "write_partitioned",

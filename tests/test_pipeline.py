@@ -392,3 +392,32 @@ def test_approx_percentiles_accuracy_envelope(spark, sf_dir):
         for i, a in enumerate(vals):
             lo, hi = b[i], b[i + 3]
             assert lo - 0.01 <= a <= hi + 0.01, (etype, qs[i], a, lo, hi)
+
+
+def test_export_ordered_total_order_across_files(spark, sf_dir, tmp_path):
+    """Range-partitioned sorted export: every part-file internally sorted,
+    file key-ranges disjoint and increasing — i.e. a total order readable
+    in parallel."""
+    import glob
+
+    from paas_auditor_spark.sources.partitioned import export_ordered
+    from paas_auditor_spark.sources.tables import load_table
+
+    out = str(tmp_path / "ordered")
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    export_ordered(events, out, "event_id", num_partitions=4)
+
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) >= 2
+    ranges = []
+    total = 0
+    for f in files:
+        vals = [r["event_id"] for r in spark.read.parquet(f).collect()]
+        if not vals:
+            continue
+        assert vals == sorted(vals), f  # internal order
+        ranges.append((vals[0], vals[-1]))
+        total += len(vals)
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint, increasing across files
+    assert total == events.count()

@@ -111,3 +111,28 @@ def test_kmeans_separates_constructed_clusters(spark):
     assert a_clusters != b_clusters
     # within-blob distance is tiny, cross-blob assignment would be ~400
     assert all(r["dist2"] < 1.0 for r in got)
+
+
+def test_embedding_lsh_recall_floor(spark, sf_dir):
+    """Multi-table OR-amplification must keep recall vs the exact pair set
+    above 60% at threshold 0.4 (a single 4-plane table sits at ~16%) and
+    100% of what it returns must be true positives (exact verify step)."""
+    from pyspark.sql import functions as F
+
+    from paas_auditor_spark.operators import similarity
+    from paas_auditor_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_duplicates(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_duplicates_lsh(
+            emb, threshold=0.4
+        ).collect()
+    }
+    assert exact  # ground truth must be non-trivial
+    assert len(lsh & exact) / len(exact) >= 0.6
+    assert lsh <= exact  # verify step guarantees precision 1.0
