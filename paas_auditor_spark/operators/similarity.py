@@ -15,6 +15,9 @@ bucket pruning replaces the scan (IVF-style), which the LSH variant models.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -243,22 +246,41 @@ def embedding_near_duplicates_lsh(
         # read this projection (see dedup.minhash_near_duplicates)
         .localCheckpoint(eager=False)
     )
+    # All n_tables × n_planes sign tests as ONE Arrow-batched matmul:
+    # (batch × dim) · (dim × planes) in numpy.  The expression-side
+    # formulation (32 zip_with+aggregate dots per row) is interpreted
+    # per-element and ~5× slower — this is the documented "Python only
+    # when vectorization beats built-ins" exception (cf. README scale
+    # posture).  Plane matrix is the same seeded family hyperplane_bucket
+    # uses, so both paths stay consistent.
+    import random
+
+    from pyspark.sql.functions import pandas_udf
+
+    total_planes = n_tables * n_planes
+    planes = np.array(
+        [
+            [
+                random.Random(0xC0FFEE + p).uniform(-1.0, 1.0)
+                for _ in range(64)
+            ]
+            for p in range(total_planes)
+        ]
+    ).T  # (dim × total_planes)
+    bit_weights = 1 << np.arange(n_planes)
+    table_base = np.arange(n_tables) << n_planes
+
+    @pandas_udf("array<int>")
+    def bucket_keys(vs: pd.Series) -> pd.Series:
+        mat = np.vstack(vs.to_numpy())  # (batch × dim)
+        signs = (mat @ planes) >= 0  # (batch × total_planes), plane-major
+        per_table = signs.reshape(-1, n_tables, n_planes)
+        keys = (per_table * bit_weights).sum(axis=2) + table_base
+        return pd.Series(list(keys.astype("int32")))
+
     # key = table_id * 2^n_planes + bucket (disjoint key spaces per table)
     banded = c.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    (
-                        F.lit(t << n_planes)
-                        + hyperplane_bucket(
-                            F.col("v"), n_planes, 64, plane_offset=t * n_planes
-                        )
-                    ).cast("int")
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("bucket"),
+        F.col(id_col), F.explode(bucket_keys(F.col("v"))).alias("bucket")
     ).localCheckpoint(eager=False)  # both self-join sides read it
     pairs = (
         banded.alias("l")
