@@ -24,6 +24,23 @@ from pyspark.sql import functions as F
 HASH_PRIME = 2147483647
 
 
+def _plane_coeffs(p: int, dim: int = 64) -> list:
+    """Coefficients of deterministic pseudo-random hyperplane ``p``.
+
+    The single source of truth for the plane family: both the expression
+    path (``hyperplane_bucket``) and the vectorized numpy path
+    (``embedding_near_duplicates_lsh``) call this, so their sign tests
+    agree by construction.  The RNG is seeded ONCE per plane and then
+    advanced per coefficient — re-seeding per coefficient would make all
+    ``dim`` components identical (a constant multiple of all-ones, which
+    collapses every plane to sign(sum(v)) and degenerates LSH banding).
+    """
+    import random
+
+    rng = random.Random(0xC0FFEE + p)
+    return [rng.uniform(-1.0, 1.0) for _ in range(dim)]
+
+
 def _to_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
@@ -107,13 +124,10 @@ def hyperplane_bucket(
     """
 
     def plane_dot(p: int) -> Column:
-        import random
-
-        rng = random.Random(0xC0FFEE + p)
         # one F.lit per PLANE (array literal), not one per coefficient —
         # 64 py4j round trips per plane during plan construction add whole
         # seconds to query build time
-        coeffs = F.lit([rng.uniform(-1.0, 1.0) for _ in range(dim)])
+        coeffs = F.lit(_plane_coeffs(p, dim))
         return dot(vec, coeffs)
 
     bits = [
@@ -126,6 +140,63 @@ def hyperplane_bucket(
     for b in bits[1:]:
         bucket = bucket + b
     return bucket.cast("int")
+
+
+def lsh_bucket_keys_udf(n_planes: int, n_tables: int, dim: int = 64):
+    """Arrow-batched UDF computing all ``n_tables`` LSH bucket keys at once.
+
+    All n_tables × n_planes sign tests run as ONE numpy matmul per batch:
+    (batch × dim) · (dim × total_planes).  The expression-side formulation
+    (n_tables × n_planes zip_with+aggregate dots per row) is interpreted
+    per-element and ~5× slower — the documented "Python only when
+    vectorization beats built-ins" exception (cf. README scale posture).
+    Plane ``t*n_planes + p`` is ``_plane_coeffs(t*n_planes + p)``, the same
+    family ``hyperplane_bucket(..., plane_offset=t*n_planes)`` uses, so
+    table t's key equals ``t << n_planes | hyperplane_bucket(...)`` —
+    agreement unit-tested (test_similarity.py).
+
+    Returned key = ``table_id * 2**n_planes + bucket`` (disjoint key
+    spaces per table).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    total_planes = n_tables * n_planes
+    planes = np.array(
+        [_plane_coeffs(p, dim) for p in range(total_planes)]
+    ).T  # (dim × total_planes)
+    bit_weights = 1 << np.arange(n_planes)
+    table_base = np.arange(n_tables) << n_planes
+
+    @pandas_udf("array<int>")
+    def bucket_keys(vs: pd.Series) -> pd.Series:
+        mat = np.vstack(vs.to_numpy())  # (batch × dim)
+        signs = (mat @ planes) >= 0  # (batch × total_planes), plane-major
+        per_table = signs.reshape(-1, n_tables, n_planes)
+        keys = (per_table * bit_weights).sum(axis=2) + table_base
+        return pd.Series(list(keys.astype("int32")))
+
+    return bucket_keys
+
+
+def pairwise_dot_udf():
+    """Arrow-batched UDF: row-wise dot product of two array<double> columns.
+
+    Used by the LSH verify step, where the candidate set is orders of
+    magnitude larger than the corpus (every close pair × every colliding
+    table) — at sf0.1 ~800k candidate dots.  One einsum per Arrow batch
+    replaces ~10⁸ interpreted HOF element operations (measured ~4× faster
+    end-to-end); the same "Python only when vectorization beats built-ins"
+    exception as ``lsh_bucket_keys_udf``.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.vstack(a.to_numpy())
+        mb = np.vstack(b.to_numpy())
+        return pd.Series(np.einsum("ij,ij->i", ma, mb))
+
+    return pair_dot
 
 
 def lsh_topk(
@@ -253,30 +324,7 @@ def embedding_near_duplicates_lsh(
     # when vectorization beats built-ins" exception (cf. README scale
     # posture).  Plane matrix is the same seeded family hyperplane_bucket
     # uses, so both paths stay consistent.
-    import random
-
-    from pyspark.sql.functions import pandas_udf
-
-    total_planes = n_tables * n_planes
-    planes = np.array(
-        [
-            [
-                random.Random(0xC0FFEE + p).uniform(-1.0, 1.0)
-                for _ in range(64)
-            ]
-            for p in range(total_planes)
-        ]
-    ).T  # (dim × total_planes)
-    bit_weights = 1 << np.arange(n_planes)
-    table_base = np.arange(n_tables) << n_planes
-
-    @pandas_udf("array<int>")
-    def bucket_keys(vs: pd.Series) -> pd.Series:
-        mat = np.vstack(vs.to_numpy())  # (batch × dim)
-        signs = (mat @ planes) >= 0  # (batch × total_planes), plane-major
-        per_table = signs.reshape(-1, n_tables, n_planes)
-        keys = (per_table * bit_weights).sum(axis=2) + table_base
-        return pd.Series(list(keys.astype("int32")))
+    bucket_keys = lsh_bucket_keys_udf(n_planes, n_tables)
 
     # key = table_id * 2^n_planes + bucket (disjoint key spaces per table)
     banded = c.select(
@@ -298,6 +346,7 @@ def embedding_near_duplicates_lsh(
     vb = c.select(
         F.col(id_col).alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b")
     )
+    pair_dot = pairwise_dot_udf()
     scored = (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
@@ -305,7 +354,8 @@ def embedding_near_duplicates_lsh(
             "id_a",
             "id_b",
             F.round(
-                dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
+                pair_dot(F.col("v_a"), F.col("v_b"))
+                / (F.col("n_a") * F.col("n_b")),
                 round_digits,
             ).alias("cos_sim"),
         )
@@ -500,5 +550,6 @@ __all__ = [
     "ivf_topk",
     "kmeans_assign",
     "l2_norm",
+    "lsh_bucket_keys_udf",
     "lsh_topk",
 ]

@@ -113,6 +113,48 @@ def test_kmeans_separates_constructed_clusters(spark):
     assert all(r["dist2"] < 1.0 for r in got)
 
 
+def test_plane_coeffs_not_degenerate():
+    """Each plane's coefficients must come from ONE advancing RNG — a
+    per-coefficient re-seed makes every plane a constant multiple of the
+    all-ones vector, collapsing all sign tests to sign(sum(v))."""
+    p0 = similarity._plane_coeffs(0)
+    p1 = similarity._plane_coeffs(1)
+    assert len(set(p0)) > 1  # not constant within a plane
+    assert p0 != p1  # distinct planes
+    # deterministic across calls
+    assert p0 == similarity._plane_coeffs(0)
+
+
+def test_lsh_numpy_buckets_agree_with_expression_path(emb_df):
+    """The vectorized numpy bucket keys (one per table) must equal the
+    expression-path hyperplane_bucket with the matching plane_offset."""
+    n_planes, n_tables = 4, 3
+    udf = similarity.lsh_bucket_keys_udf(n_planes, n_tables)
+    base = emb_df.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    got = {
+        r["vec_id"]: r["keys"]
+        for r in base.select("vec_id", udf(F.col("v")).alias("keys")).collect()
+    }
+    for t in range(n_tables):
+        expected = {
+            r["vec_id"]: r["b"]
+            for r in base.select(
+                "vec_id",
+                similarity.hyperplane_bucket(
+                    F.col("v"), n_planes, DIM, plane_offset=t * n_planes
+                ).alias("b"),
+            ).collect()
+        }
+        for vid, keys in got.items():
+            assert keys[t] == (t << n_planes) + expected[vid], (
+                f"table {t} vec {vid}: numpy {keys[t]} vs expr "
+                f"{(t << n_planes) + expected[vid]}"
+            )
+
+
 def test_embedding_lsh_recall_floor(spark, sf_dir):
     """Multi-table OR-amplification must keep recall vs the exact pair set
     above 60% at threshold 0.4 (a single 4-plane table sits at ~16%) and
