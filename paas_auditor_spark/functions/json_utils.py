@@ -9,10 +9,13 @@ Covers the reference's scalar JSON surface (SURVEY.md §2.2):
   (reference cf_audit_events_to_splunk_shipper.go:24-28,187-192)
 - P12 metadata JSON access (reference store.go:171-176)
 
-The ship envelope is built with explicit string concatenation rather than
-``to_json(struct(...))`` so the byte layout (field order, no spaces) is
-deterministic and engine-independent — the reference's Go ``json.Marshal``
-likewise emits struct-ordered compact JSON.
+The ship envelope serializes the scalar event fields with
+``to_json(struct(...))`` — compact, struct-ordered, string-escaped JSON,
+exactly the layout Go's ``json.Marshal`` emits for the ``cfclient.Event``
+struct — and splices the raw ``metadata`` JSON string in unmodified, the
+same byte-faithful JSONB round-trip the reference does
+(store.go:82,171-176: metadata is stored and re-emitted as raw JSON).
+Everything is a JVM column expression; no Python in the ship hot path.
 """
 
 from __future__ import annotations
@@ -38,28 +41,97 @@ def json_field(json_str: Column, field: str) -> Column:
     return F.get_json_object(json_str, f"$.{field}")
 
 
-def splunk_envelope(
+def event_json(
     guid: Column,
     created_at: Column,
     event_type: Column,
-    source_env: str,
-    sourcetype: str = "cf-audit-event",
+    actor: Column,
+    actor_type: Column,
+    actor_name: Column,
+    actor_username: Column,
+    actee: Column,
+    actee_type: Column,
+    actee_name: Column,
+    organization_guid: Column | None = None,
+    space_guid: Column | None = None,
+    metadata: Column | None = None,
 ) -> Column:
-    """Wrap an event as the Splunk HEC payload (P13 + P11).
+    """Serialize the full 13-field ``cfclient.Event`` as compact JSON.
 
-    Reference shape (cf_audit_events_to_splunk_shipper.go:24-28):
-    ``{"sourcetype": ..., "source": <deploy_env>, "event": {...}}``.
+    Field order and names mirror the Go struct tags
+    (vendor/.../go-cfclient/events.go:26-41), which is the order
+    ``json.Marshal`` emits: guid, type, created_at, actor, actor_type,
+    actor_name, actor_username, actee, actee_type, actee_name,
+    organization_guid, space_guid, metadata.
+
+    - ``created_at`` is the RFC3339 string (the struct field is a string
+      the reference never re-parses for shipping — events.go:28).
+    - ``organization_guid``/``space_guid`` NULL→'' (the read-side
+      ``coalesce(...::text,'')``, store.go:219-220).
+    - ``metadata`` is a raw JSON string spliced in verbatim (JSONB
+      round-trip); NULL → JSON ``null`` (store.go:251-256: metadata is
+      only unmarshalled when non-empty, a nil map marshals to ``null``).
     """
+    empty = F.lit("")
+    scalars = F.to_json(
+        F.struct(
+            guid.cast("string").alias("guid"),
+            event_type.cast("string").alias("type"),
+            rfc3339(created_at).alias("created_at"),
+            actor.cast("string").alias("actor"),
+            actor_type.cast("string").alias("actor_type"),
+            actor_name.cast("string").alias("actor_name"),
+            actor_username.cast("string").alias("actor_username"),
+            actee.cast("string").alias("actee"),
+            actee_type.cast("string").alias("actee_type"),
+            actee_name.cast("string").alias("actee_name"),
+            F.coalesce(
+                (organization_guid if organization_guid is not None else empty)
+                .cast("string"),
+                empty,
+            ).alias("organization_guid"),
+            F.coalesce(
+                (space_guid if space_guid is not None else empty).cast("string"),
+                empty,
+            ).alias("space_guid"),
+        )
+    )
+    # splice raw metadata before the object's closing brace: to_json output
+    # always ends in '}', so drop the last byte and append the dynamic tail
     return F.concat(
-        F.lit('{"sourcetype":"' + sourcetype + '","source":"' + source_env + '"'),
-        F.lit(',"event":{"guid":"'),
-        guid.cast("string"),
-        F.lit('","created_at":"'),
-        rfc3339(created_at),
-        F.lit('","event_type":"'),
-        event_type,
-        F.lit('"}}'),
+        F.substring(scalars, F.lit(1), F.length(scalars) - F.lit(1)),
+        F.lit(',"metadata":'),
+        F.coalesce(metadata, F.lit("null"))
+        if metadata is not None
+        else F.lit("null"),
+        F.lit("}"),
     )
 
 
-__all__ = ["RFC3339", "epoch_seconds", "json_field", "rfc3339", "splunk_envelope"]
+def splunk_envelope(
+    event: Column,
+    source_env: str,
+    sourcetype: str = "cf-audit-event",
+) -> Column:
+    """Wrap a serialized event as the Splunk HEC payload (P11 + P13).
+
+    Reference shape (cf_audit_events_to_splunk_shipper.go:24-28,187-192):
+    ``{"sourcetype": ..., "source": <deploy_env>, "event": <full event>}``.
+    ``event`` is the raw-JSON event column (see :func:`event_json`).
+    """
+    return F.concat(
+        F.lit('{"sourcetype":"' + sourcetype + '","source":"' + source_env + '"'),
+        F.lit(',"event":'),
+        event,
+        F.lit("}"),
+    )
+
+
+__all__ = [
+    "RFC3339",
+    "epoch_seconds",
+    "event_json",
+    "json_field",
+    "rfc3339",
+    "splunk_envelope",
+]

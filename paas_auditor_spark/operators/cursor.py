@@ -9,10 +9,15 @@ Re-expresses the CTE at reference pkg/db/store.go:191-225:
       ORDER BY updated_at DESC LIMIT 1),
     recent_cf_audit_events AS (
       SELECT * FROM cf_audit_events
-      WHERE created_at >= (SELECT updated_at FROM last_shipped_event))
+      WHERE created_at >= (SELECT updated_at FROM last_shipped_event)
+      ORDER BY created_at ASC LIMIT 8192)
     SELECT <13 cols> FROM recent_cf_audit_events
     WHERE guid::text != (SELECT shipped_id FROM last_shipped_event)
-    ORDER BY created_at ASC LIMIT 8192
+    ORDER BY created_at ASC
+
+    Note the clause order: the 8192 cap applies to the *recent* window
+    BEFORE the last-shipped guid is excluded, so a full boundary batch
+    yields 8191 rows — mirrored exactly below.
 
 Operator mapping (SURVEY.md §2.3/§2.5): J1 union-with-default, J2 top-1 by
 sort, J3 scalar-subquery inlining, P6 range filter, P7 boundary anti-filter,
@@ -77,18 +82,26 @@ def unshipped_events(
     """Bounded, chronologically-ordered batch of not-yet-shipped events.
 
     Parity with reference store.go:201-225: range filter P6
-    (``created_at >= cursor``), boundary anti-filter P7 (exclude exactly the
-    last-shipped id — events sharing the cursor timestamp may re-ship:
-    at-least-once, preserved deliberately), O3 top-k bound, O4 ascending
-    ship order.  ``id_col`` is a deterministic tie-break the reference gets
-    implicitly from its index scan.
+    (``created_at >= cursor``), O3 top-k bound *inside* the recent-events
+    CTE, then boundary anti-filter P7 (exclude exactly the last-shipped
+    id — events sharing the cursor timestamp may re-ship: at-least-once,
+    preserved deliberately), O4 ascending ship order.  The cap is applied
+    BEFORE the exclusion, exactly as the reference SQL orders its clauses,
+    so a saturated batch ships 8191 events.  ``id_col`` is a deterministic
+    tie-break the reference gets implicitly from its index scan.
+
+    Plan shape: the capped window is TakeOrderedAndProject (per-partition
+    heaps of size k, no global sort); the post-filter and final sort then
+    touch ≤ ``batch_cap`` rows.
     """
-    return (
+    recent = (
         events_df.filter(F.col(ts_col) >= F.lit(cursor_ts))
-        .filter(F.col(id_col).cast("string") != F.lit(shipped_id))
         .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
         .limit(batch_cap)
     )
+    return recent.filter(
+        F.col(id_col).cast("string") != F.lit(shipped_id)
+    ).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
 
 
 def upsert_cursor(

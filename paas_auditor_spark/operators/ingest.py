@@ -94,14 +94,14 @@ def ingest_watermark(
     return wm
 
 
-def idempotent_append(
+def idempotent_merge(
     target_df: DataFrame,
     batch_df: DataFrame,
     key_col: str = "guid",
     ts_col: str = "created_at",
     window_floor: dt.datetime | None = None,
-) -> DataFrame:
-    """Append batch rows whose key is not already present (W1/T3).
+) -> tuple[DataFrame, DataFrame]:
+    """W1/T3 merge returning ``(new_target, fresh)``.
 
     Semantics of ``INSERT ... ON CONFLICT (guid) DO NOTHING`` per page
     (reference store.go:87-93): in-batch dedup first (first occurrence
@@ -112,6 +112,11 @@ def idempotent_append(
     the watermark fetch can only collide inside the overlap window, so at
     scale pass ``window_floor=watermark`` and the anti-join right side
     becomes a pruned scan, broadcast to the batch.
+
+    ``fresh`` is ``localCheckpoint``'d (lazy): counting it and then acting
+    on the union computes the anti-join once — the collected-rows metric is
+    O(batch), never a rescan of history (the reference likewise counts only
+    the page it just stored, cf_audit_event_collector.go:67-68).
     """
     deduped = batch_df.dropDuplicates([key_col])
     existing = target_df
@@ -119,11 +124,28 @@ def idempotent_append(
         existing = existing.filter(F.col(ts_col) >= F.lit(window_floor))
     existing_keys = F.broadcast(existing.select(key_col).distinct())
     fresh = deduped.join(existing_keys, on=key_col, how="left_anti")
-    return target_df.unionByName(fresh)
+    fresh = fresh.localCheckpoint(eager=False)
+    return target_df.unionByName(fresh), fresh
+
+
+def idempotent_append(
+    target_df: DataFrame,
+    batch_df: DataFrame,
+    key_col: str = "guid",
+    ts_col: str = "created_at",
+    window_floor: dt.datetime | None = None,
+) -> DataFrame:
+    """Append batch rows whose key is not already present (W1/T3) — the
+    union-only view of :func:`idempotent_merge`."""
+    merged, _fresh = idempotent_merge(
+        target_df, batch_df, key_col=key_col, ts_col=ts_col, window_floor=window_floor
+    )
+    return merged
 
 
 __all__ = [
     "idempotent_append",
+    "idempotent_merge",
     "ingest_watermark",
     "normalize_envelope",
     "validate_events",

@@ -89,13 +89,19 @@ last_shipped_event AS (
     UNION
     SELECT TIMESTAMP '1970-01-01 00:00:00', ''
   ) ORDER BY updated_at DESC LIMIT 1
+),
+recent_cf_audit_events AS (
+  -- the 8192 cap applies BEFORE the shipped-id exclusion (store.go:201-225)
+  SELECT event_id, ts, user_id, event_type, value, props
+  FROM events
+  WHERE ts >= (SELECT updated_at FROM last_shipped_event)
+  ORDER BY ts, event_id
+  LIMIT 8192
 )
 SELECT event_id, ts, user_id, event_type, value, props
-FROM events
-WHERE ts >= (SELECT updated_at FROM last_shipped_event)
-  AND CAST(event_id AS VARCHAR) != (SELECT shipped_id FROM last_shipped_event)
+FROM recent_cf_audit_events
+WHERE CAST(event_id AS VARCHAR) != (SELECT shipped_id FROM last_shipped_event)
 ORDER BY ts, event_id
-LIMIT 8192
 """
 
 
@@ -192,14 +198,35 @@ def q_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_splunk_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P11/P13: Splunk HEC envelope serialization
-    (reference cf_audit_events_to_splunk_shipper.go:24-28,187-192)."""
+    """P11/P13: full 13-field Splunk HEC envelope serialization
+    (reference cf_audit_events_to_splunk_shipper.go:24-28,187-192 ships the
+    entire ``cfclient.Event`` incl. raw metadata).
+
+    The synthetic events table carries 6 columns; the remaining CF fields
+    are derived deterministically (actor=user, actee=the event itself,
+    org/space absent → '' per the read-side coalesce, props = raw metadata
+    JSON passthrough) so the payload exercises every envelope position.
+    """
     events = _t(spark, sf_dir, "events")
+    user = F.col("user_id").cast("string")
+    evt = json_utils.event_json(
+        F.col("event_id"),
+        F.col("ts"),
+        F.col("event_type"),
+        actor=user,
+        actor_type=F.lit("user"),
+        actor_name=F.concat(F.lit("user-"), user),
+        actor_username=F.concat(F.lit("user-"), user),
+        actee=F.col("event_id").cast("string"),
+        actee_type=F.lit("event"),
+        actee_name=F.lit(""),
+        organization_guid=F.lit(None).cast("string"),  # NULL → '' (P2/P3)
+        space_guid=F.lit(None).cast("string"),
+        metadata=F.col("props"),
+    )
     return events.select(
         "event_id",
-        json_utils.splunk_envelope(
-            F.col("event_id"), F.col("ts"), F.col("event_type"), source_env="test"
-        ).alias("payload"),
+        json_utils.splunk_envelope(evt, source_env="test").alias("payload"),
     )
 
 
@@ -1274,11 +1301,20 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "splunk_envelope": QuerySpec(
         q_splunk_envelope,
+        # the 13-field json.Marshal layout, field order = Go struct order
         "SELECT event_id,"
-        " '{\"sourcetype\":\"cf-audit-event\",\"source\":\"test\",\"event\":{\"guid\":\"'"
-        " || CAST(event_id AS VARCHAR) || '\",\"created_at\":\"'"
-        " || strftime(ts, '%Y-%m-%dT%H:%M:%SZ') || '\",\"event_type\":\"'"
-        " || event_type || '\"}}' AS payload FROM events",
+        " '{\"sourcetype\":\"cf-audit-event\",\"source\":\"test\",\"event\":"
+        "{\"guid\":\"' || CAST(event_id AS VARCHAR)"
+        " || '\",\"type\":\"' || event_type"
+        " || '\",\"created_at\":\"' || strftime(ts, '%Y-%m-%dT%H:%M:%SZ')"
+        " || '\",\"actor\":\"' || CAST(user_id AS VARCHAR)"
+        " || '\",\"actor_type\":\"user\""
+        ",\"actor_name\":\"user-' || CAST(user_id AS VARCHAR)"
+        " || '\",\"actor_username\":\"user-' || CAST(user_id AS VARCHAR)"
+        " || '\",\"actee\":\"' || CAST(event_id AS VARCHAR)"
+        " || '\",\"actee_type\":\"event\",\"actee_name\":\"\""
+        ",\"organization_guid\":\"\",\"space_guid\":\"\""
+        ",\"metadata\":' || props || '}}' AS payload FROM events",
     ),
     "validity_filter": QuerySpec(
         q_validity_filter,

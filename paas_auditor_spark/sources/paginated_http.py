@@ -72,6 +72,100 @@ def pages_to_dataframe(spark: SparkSession, pages: list[dict]) -> DataFrame:
     return normalize_envelope(raw)
 
 
+def discover_token_url(base_url: str, timeout_s: float = 30.0) -> str:
+    """Resolve the UAA token endpoint from the CF API's /v2/info document.
+
+    Parity: go-cfclient bootstraps auth by reading ``token_endpoint`` from
+    ``GET {api}/v2/info`` (the reference's client is built from
+    ``cfg.CFClientConfig`` at main.go:45).  Falls back to the conventional
+    ``{api}/oauth/token`` if the info document omits it.
+    """
+    import urllib.request
+
+    try:
+        with urllib.request.urlopen(  # noqa: S310
+            f"{base_url}/v2/info", timeout=timeout_s
+        ) as resp:
+            info = json.load(resp)
+        endpoint = info.get("token_endpoint")
+    except Exception:
+        endpoint = None
+    return f"{endpoint}/oauth/token" if endpoint else f"{base_url}/oauth/token"
+
+
+def uaa_transport(
+    token_url: str,
+    client_id: str,
+    client_secret: str,
+    timeout_s: float = 30.0,
+) -> Transport:
+    """Authenticated CF transport: UAA OAuth2 client-credentials grant (S1).
+
+    Parity with the reference's go-cfclient auth
+    (main_config.go:42-46: ``CF_CLIENT_ID``/``CF_CLIENT_SECRET``; the
+    fetcher tests mock exactly this UAA token endpoint,
+    cf_audit_event_fetcher_test.go:202-236):
+
+    - lazily POSTs the client-credentials grant (HTTP Basic client auth)
+      to ``token_url`` and caches the bearer token,
+    - sends ``Authorization: bearer <token>`` on every events request,
+    - on a 401 (token expired/revoked) re-acquires a fresh token and
+      retries the request exactly once; any other failure propagates.
+
+    Stdlib urllib only — no extra dependencies; the pager stays transport-
+    agnostic (this is just another ``url -> dict`` callable).
+    """
+    import base64
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    state: dict[str, str | None] = {"token": None}
+
+    def fetch_token() -> str:
+        body = urllib.parse.urlencode(
+            {"grant_type": "client_credentials", "response_type": "token"}
+        ).encode()
+        basic = base64.b64encode(
+            f"{client_id}:{client_secret}".encode()
+        ).decode()
+        req = urllib.request.Request(
+            token_url,
+            data=body,
+            headers={
+                "Authorization": f"Basic {basic}",
+                "Content-Type": "application/x-www-form-urlencoded",
+                "Accept": "application/json",
+            },
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:  # noqa: S310
+            payload = json.load(resp)
+        token = payload.get("access_token")
+        if not token:
+            raise RuntimeError("UAA token response missing access_token")
+        return token
+
+    def get(url: str) -> dict:
+        if state["token"] is None:
+            state["token"] = fetch_token()
+        for attempt in (0, 1):
+            req = urllib.request.Request(
+                url, headers={"Authorization": f"bearer {state['token']}"}
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=timeout_s) as resp:  # noqa: S310
+                    return json.load(resp)
+            except urllib.error.HTTPError as ex:
+                if ex.code == 401 and attempt == 0:
+                    state["token"] = fetch_token()  # expired → refresh once
+                    continue
+                raise
+        raise AssertionError("unreachable")
+
+    return get
+
+
 def requests_transport(token: str | None = None, timeout_s: float = 30.0) -> Transport:
     """Real-HTTP transport, gated behind an import-try (requests may be
     absent; tests inject fakes)."""
@@ -94,7 +188,9 @@ __all__ = [
     "TIME_FORMAT",
     "Transport",
     "build_events_url",
+    "discover_token_url",
     "fetch_event_pages",
     "pages_to_dataframe",
     "requests_transport",
+    "uaa_transport",
 ]

@@ -26,7 +26,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from paas_auditor_spark.operators.ingest import (
-    idempotent_append,
+    idempotent_merge,
     ingest_watermark,
     normalize_envelope,
     validate_events,
@@ -70,11 +70,14 @@ def collect_once(
     )
     batch = pages_to_dataframe(spark, pages)
     valid, _quarantine = validate_events(batch, ts_col=ts_col)
-    before = target_df.count()
-    new_target = idempotent_append(
+    new_target, fresh = idempotent_merge(
         target_df, valid, key_col=key_col, ts_col=ts_col, window_floor=watermark
     )
-    collected = new_target.count() - before
+    # O(batch): fresh is localCheckpoint'd by idempotent_merge, so this one
+    # bounded action materializes the anti-join once and later actions on
+    # new_target reuse it — never a before/after count of full history
+    # (reference counts only the stored page, collector.go:67-68)
+    collected = fresh.count()
     if metrics:
         metrics.inc("cf_audit_event_collector_events_collected_total", collected)
         metrics.inc(
@@ -163,11 +166,21 @@ def stream_to_bronze(
     )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        import os
+
         deduped = batch_df.dropDuplicates([key_col])
         bounds = deduped.agg(F.min(ts_col).alias("lo")).first()
         if bounds["lo"] is None:
             return
-        try:
+        # first-batch detection is an explicit existence check, NOT a broad
+        # except: a corrupt file / transient FS error during the bronze read
+        # must propagate (collector fail-fast policy T8), or duplicates
+        # would silently skip the anti-join and break idempotence (T3).
+        # (On an object store / Delta deployment this check is the catalog's
+        # table-exists; the local stand-in is the directory listing.)
+        if os.path.isdir(bronze_dir) and any(
+            not f.startswith((".", "_")) for f in os.listdir(bronze_dir)
+        ):
             bronze = spark.read.parquet(bronze_dir)
             existing = (
                 bronze.filter(F.col(ts_col) >= F.lit(bounds["lo"]))
@@ -177,7 +190,7 @@ def stream_to_bronze(
             fresh = deduped.join(
                 F.broadcast(existing), on=key_col, how="left_anti"
             )
-        except Exception:
+        else:
             fresh = deduped  # first batch: bronze does not exist yet
         obs = Observation()
         fresh = fresh.observe(obs, F.count(F.lit(1)).alias("n"))

@@ -25,10 +25,10 @@ import time
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from paas_auditor_spark.functions.json_utils import splunk_envelope
+from paas_auditor_spark.functions.json_utils import event_json, splunk_envelope
 from paas_auditor_spark.operators.cursor import (
     effective_cursor,
     unshipped_events,
@@ -96,14 +96,35 @@ def ship_unshipped(
     retry = retry or RetryPolicy()
     t0 = time.perf_counter()
     cursor_ts, shipped_id = effective_cursor(cursors_df, shipper_name)
+    # full-fidelity P13 payload: all 13 event fields + raw metadata, in the
+    # reference's json.Marshal order (shipper.go:187-192 ships the whole
+    # cfclient.Event).  Missing columns (synthetic test frames) default ''.
+    cols = set(events_df.columns)
+
+    def _c(name: str) -> Column:
+        return F.col(name) if name in cols else F.lit("")
+
+    evt = event_json(
+        F.col(id_col),
+        F.col(ts_col),
+        F.col(event_type_col),
+        _c("actor"),
+        _c("actor_type"),
+        _c("actor_name"),
+        _c("actor_username"),
+        _c("actee"),
+        _c("actee_type"),
+        _c("actee_name"),
+        organization_guid=_c("organization_guid"),
+        space_guid=_c("space_guid"),
+        metadata=F.col("metadata") if "metadata" in cols else None,
+    )
     batch_df = unshipped_events(
         events_df, cursor_ts, shipped_id, batch_cap, ts_col=ts_col, id_col=id_col
     ).select(
         F.col(id_col).cast("string").alias("guid"),
         F.col(ts_col).alias("created_at"),
-        splunk_envelope(
-            F.col(id_col), F.col(ts_col), F.col(event_type_col), deploy_env
-        ).alias("payload"),
+        splunk_envelope(evt, deploy_env).alias("payload"),
     )
     batch = batch_df.collect()  # ≤ batch_cap rows, ship order preserved
 

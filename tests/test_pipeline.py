@@ -191,6 +191,27 @@ def test_ship_happy_path(spark):
     # chronological ship order (O4) with the HEC envelope shape (P13)
     assert '"sourcetype":"cf-audit-event"' in sent[0]
     assert sent[0] < sent[1] < sent[2]  # guids UUID(int=i) sort with time here
+    # full-fidelity payload: all 13 event fields in json.Marshal order
+    # (shipper.go:24-28,187-192 ships the whole cfclient.Event)
+    import json as _json
+
+    p0 = _json.loads(sent[0])
+    assert p0["source"] == "test"
+    ev = p0["event"]
+    assert list(ev.keys()) == [
+        "guid", "type", "created_at", "actor", "actor_type", "actor_name",
+        "actor_username", "actee", "actee_type", "actee_name",
+        "organization_guid", "space_guid", "metadata",
+    ]
+    assert ev["guid"] == str(uuid.UUID(int=0))
+    assert ev["type"] == "audit.app.create"
+    assert ev["created_at"] == BASE.strftime("%Y-%m-%dT%H:%M:%SZ")
+    assert ev["actor"] == "actor-0"
+    assert ev["actor_username"] == "user-0"
+    assert ev["actee_name"] == "actee-name-0"
+    assert ev["organization_guid"] == ""  # NULL → '' on read (store.go:219)
+    assert ev["space_guid"] == str(uuid.UUID(int=20_000))
+    assert ev["metadata"] == {"request": "r0"}  # raw JSONB passthrough
     ts, sid = effective_cursor(res.cursors_df, "cf-audit-events-to-splunk")
     assert ts == BASE + dt.timedelta(seconds=2)
     assert sid == str(uuid.UUID(int=2))
