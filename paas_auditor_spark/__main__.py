@@ -43,16 +43,57 @@ def _splunk_sender(endpoint: str, token: str):
 def main() -> int:
     cfg = EngineConfig()
     spark = get_spark(app_name="paas-auditor-spark")
+    base_url = os.environ.get("CF_API_ADDRESS", "http://cc.internal")
+
+    # CF auth (reference main_config.go:42-46): client-credentials when
+    # CF_CLIENT_ID/CF_CLIENT_SECRET are present, else unauthenticated.
+    client_id = os.environ.get("CF_CLIENT_ID", "")
+    client_secret = os.environ.get("CF_CLIENT_SECRET", "")
+    if client_id and client_secret:
+        from paas_auditor_spark.sources.paginated_http import (
+            discover_token_url,
+            uaa_transport,
+        )
+
+        transport = uaa_transport(
+            os.environ.get("CF_TOKEN_URL") or discover_token_url(base_url),
+            client_id,
+            client_secret,
+        )
+    else:
+        transport = _http_transport
+
+    # shipper runs only with full Splunk creds (reference main.go:110-121)
+    splunk_url = os.environ.get("SPLUNK_HEC_ENDPOINT_URL", "")
+    splunk_key = os.environ.get("SPLUNK_HEC_AUTH_TOKEN", "")
+    sender = _splunk_sender(splunk_url, splunk_key) if splunk_url and splunk_key else None
+
+    # persistence backend: parquet warehouse by default; ENGINE_STORE=jdbc
+    # selects the reference-shaped relational store over DATABASE_URL
+    # (main_config.go:39; DB-API driver: psycopg2 for postgres:// URLs,
+    # duckdb for file paths — both behind import-try)
+    store = None
+    if os.environ.get("ENGINE_STORE", "").lower() == "jdbc":
+        from paas_auditor_spark.sinks.jdbc import dbapi_factory
+        from paas_auditor_spark.stores import DbApiStore
+
+        db_url = os.environ.get("DATABASE_URL", "postgres://localhost:5432/")
+        if db_url.startswith(("postgres://", "postgresql://")):
+            factory = dbapi_factory("psycopg2", db_url)
+            paramstyle = "pyformat"
+        else:
+            factory = dbapi_factory("duckdb", db_url)
+            paramstyle = "qmark"
+        store = DbApiStore(spark, factory, paramstyle=paramstyle)
+
     service = Service(
         spark,
         warehouse_dir=os.environ.get("ENGINE_WAREHOUSE", "./warehouse"),
-        transport=_http_transport,
-        sender=_splunk_sender(
-            os.environ.get("SPLUNK_HEC_ENDPOINT_URL", ""),
-            os.environ.get("SPLUNK_HEC_AUTH_TOKEN", ""),
-        ),
+        transport=transport,
+        sender=sender,
         cfg=cfg,
-        base_url=os.environ.get("CF_API_ADDRESS", "http://cc.internal"),
+        base_url=base_url,
+        store=store,
     )
     server = service.serve_metrics(int(os.environ.get("PORT", "8080")))
     for sig in (signal.SIGINT, signal.SIGTERM):  # T7 graceful shutdown

@@ -52,17 +52,34 @@ def binary_features(
     return blobs_df.mapInPandas(extract, schema=BINARY_FEATURES_SCHEMA)
 
 
-def decode_image(blob: bytes) -> dict:
-    """STUB: image decode requires PIL/opencv, not installed here.
+def have_pil() -> bool:
+    """True when a real image codec (PIL) is importable on the workers."""
+    try:
+        import PIL.Image  # noqa: F401, PLC0415
 
-    On a real cluster this returns {width, height, mode, ...}; the engine
-    treats it as a black-box bytes→dict function inside the same
-    mapInPandas template as ``binary_features``.
+        return True
+    except ImportError:
+        return False
+
+
+def decode_image(blob: bytes) -> dict:
+    """Decode image metadata: real PIL decode when the codec is present,
+    else a clearly-marked NotImplementedError (this sandbox has no image
+    libraries — the deterministic ``fake_image_meta`` stands in for tests;
+    the Spark-side plumbing is identical either way).
     """
-    raise NotImplementedError(
-        "image decode libraries are not available in this environment; "
-        "wire PIL.Image.open(io.BytesIO(blob)) here on a real deployment"
-    )
+    try:
+        import io  # noqa: PLC0415
+
+        from PIL import Image  # noqa: PLC0415
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decode libraries are not available in this environment; "
+            "install PIL (pillow) on the cluster and decode_image uses it "
+            "automatically"
+        ) from exc
+    with Image.open(io.BytesIO(blob)) as img:
+        return {"width": img.width, "height": img.height, "mode": img.mode}
 
 
 def fake_image_meta(blob: bytes) -> dict:
@@ -81,9 +98,12 @@ def image_meta_features(
     blobs_df: DataFrame,
     id_col: str = "doc_id",
     blob_col: str = "blob",
-    decoder=fake_image_meta,
+    decoder=None,
 ) -> DataFrame:
-    """Decode-and-extract template over binary image columns."""
+    """Decode-and-extract over binary image columns: the real PIL decoder
+    when present, else the deterministic test stand-in."""
+    if decoder is None:
+        decoder = decode_image if have_pil() else fake_image_meta
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -190,6 +210,7 @@ __all__ = [
     "binary_features",
     "decode_image",
     "fake_image_meta",
+    "have_pil",
     "image_meta_features",
     "resize_images",
     "sample_frames",

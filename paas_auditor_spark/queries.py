@@ -238,6 +238,30 @@ def q_validity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("valid_count"))
 
 
+def q_ordered_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 / SURVEY §1.2 hard-part 2: the persisted ingest-sequence key.
+
+    The reference's ``id SERIAL`` is an insertion sequence used as a sort
+    key (create_cf_audit_events.sql:2, store.go:142-143).  The engine's
+    analog is (ingest_batch_id, created_at, guid); here the batch id is
+    derived as the ingest hour (a monotone writer-side stamp), and
+    ``assign_ingest_sequence`` materializes the dense 1..N sequence with
+    per-batch windows + broadcast offsets — no single-partition global
+    window at any size.
+    """
+    from paas_auditor_spark.operators.sequence import assign_ingest_sequence
+
+    events = _t(spark, sf_dir, "events")
+    stamped = events.withColumn(
+        "ingest_batch_id",
+        F.floor(F.unix_timestamp(F.col("ts")) / F.lit(3600)).cast("long"),
+    )
+    seq = assign_ingest_sequence(
+        stamped, batch_col="ingest_batch_id", ts_col="ts", id_col="event_id"
+    )
+    return seq.select("ingest_seq", "ingest_batch_id", "event_id", "ts")
+
+
 def q_idempotent_reingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1/T3: overlap re-ingest is a no-op — re-fetching a window and
     appending with ON-CONFLICT-DO-NOTHING semantics leaves the table
@@ -1324,6 +1348,16 @@ REGISTRY: dict[str, QuerySpec] = {
     "idempotent_reingest": QuerySpec(
         q_idempotent_reingest,
         "SELECT event_id, ts, user_id, event_type, value, props FROM events",
+    ),
+    "ordered_export": QuerySpec(
+        q_ordered_export,
+        # the hour-batch stamp is monotone in ts, so the dense sequence over
+        # (batch, ts, id) equals row_number over (ts, id)
+        "SELECT CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT)"
+        "   AS ingest_seq,"
+        " CAST(floor(epoch(CAST(ts AS TIMESTAMP))/3600) AS BIGINT)"
+        "   AS ingest_batch_id,"
+        " event_id, ts FROM events",
     ),
     "pricing_summary": QuerySpec(
         q_pricing_summary,

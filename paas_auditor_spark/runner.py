@@ -20,8 +20,8 @@ the Spark engine:
 
 from __future__ import annotations
 
+import datetime as dt
 import http.server
-import os
 import threading
 from dataclasses import dataclass
 
@@ -29,23 +29,17 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from paas_auditor_spark.config import EngineConfig
-from paas_auditor_spark.operators.ingest import (
-    ingest_watermark,
-    validate_events,
-)
-from paas_auditor_spark.sources.bootstrap import (
-    CURSORS_TABLE,
-    EVENTS_TABLE,
-    init_warehouse,
-)
+from paas_auditor_spark.operators.cursor import EPOCH_TS
+from paas_auditor_spark.operators.ingest import validate_events
 from paas_auditor_spark.sources.paginated_http import (
     Transport,
     fetch_event_pages,
     pages_to_dataframe,
 )
+from paas_auditor_spark.stores import ParquetStore
 from paas_auditor_spark.streaming.metrics import MetricsRegistry
-from paas_auditor_spark.streaming.pipeline import informer_tick, scheduler_loop
-from paas_auditor_spark.streaming.ship import Sender, ship_unshipped
+from paas_auditor_spark.streaming.pipeline import scheduler_loop
+from paas_auditor_spark.streaming.ship import Sender, build_payloads, ship_rows
 
 SHIPPER_NAME = "cf-audit-events-to-splunk"
 
@@ -62,33 +56,46 @@ class Service:
     def __init__(
         self,
         spark: SparkSession,
-        warehouse_dir: str,
-        transport: Transport,
-        sender: Sender,
+        warehouse_dir: str | None = None,
+        transport: Transport | None = None,
+        sender: Sender | None = None,
         cfg: EngineConfig | None = None,
         base_url: str = "http://cc.internal",
+        store=None,
     ) -> None:
+        """``sender=None`` means Splunk creds are absent: the shipper loop
+        is never started (reference main.go:110-121 gates the shipper on
+        ``SplunkAPIKey != "" && SplunkURL != ""``); collector + informer
+        run regardless.
+
+        ``store`` selects the persistence backend (``stores.ParquetStore``
+        default, ``stores.DbApiStore`` for the reference's
+        Postgres-shaped deployment); ``warehouse_dir`` is the parquet
+        default's location.
+        """
         self.spark = spark
         self.cfg = cfg or EngineConfig()
         self.transport = transport
         self.sender = sender
         self.base_url = base_url
         self.metrics = MetricsRegistry()
-        self.paths = init_warehouse(spark, warehouse_dir)  # W5
+        self.store = store or ParquetStore(spark, warehouse_dir)  # W5
+        self.paths = getattr(self.store, "paths", {})
         self.totals = TickCounts()
         self._stop = threading.Event()
 
     # -- ticks ------------------------------------------------------------
 
-    def _events(self):
-        return self.spark.read.parquet(self.paths[EVENTS_TABLE])
+    def _watermark(self) -> dt.datetime:
+        """max(created_at) − overlap, epoch default + year<1970 guard (T2,
+        reference cf_audit_event_collector.go:36,92-104)."""
+        latest = self.store.latest_event_time()
+        wm = latest - dt.timedelta(seconds=self.cfg.watermark_overlap_s)
+        return EPOCH_TS if wm.year < 1970 else wm
 
     def collector_tick(self) -> int:
         """Fetch since watermark, validate, append ONLY the fresh delta."""
-        target = self._events()
-        watermark = ingest_watermark(
-            target, ts_col="created_at", overlap_s=self.cfg.watermark_overlap_s
-        )
+        watermark = self._watermark()
         pages = list(
             fetch_event_pages(
                 self.transport,
@@ -100,21 +107,19 @@ class Service:
         )
         batch = pages_to_dataframe(self.spark, pages)
         valid, _quarantine = validate_events(batch, ts_col="created_at")
-        # same dedup shape as idempotent_append (in-batch dropDuplicates +
+        # same dedup shape as idempotent_merge (in-batch dropDuplicates +
         # watermark-bounded anti-join), but keeping only the fresh side so
-        # the write is a delta append, never a history rewrite
+        # the write is a delta append, never a history rewrite.  The DB-API
+        # store's ON CONFLICT insert backstops the same guarantee
+        # transactionally (W1).
         deduped = valid.dropDuplicates(["guid"])
-        overlap_keys = (
-            target.filter(F.col("created_at") >= F.lit(watermark))
-            .select("guid")
-            .distinct()
-        )
+        overlap_keys = self.store.overlap_keys_df(watermark)
         fresh = deduped.join(
             F.broadcast(overlap_keys), "guid", "left_anti"
         ).localCheckpoint(eager=False)  # count + write = two actions
         n = fresh.count()
         if n:
-            fresh.write.mode("append").parquet(self.paths[EVENTS_TABLE])
+            self.store.append_events(fresh)
         self.metrics.inc(
             "cf_audit_event_collector_events_collected_total", float(n)
         )
@@ -122,35 +127,39 @@ class Service:
         return n
 
     def shipper_tick(self) -> int:
-        cursors = self.spark.read.parquet(self.paths[CURSORS_TABLE])
-        res = ship_unshipped(
-            self._events(),
-            cursors,
-            SHIPPER_NAME,
-            self.sender,
-            deploy_env=self.cfg.deploy_env,
-            batch_cap=self.cfg.ship_batch_cap,
-            metrics=self.metrics,
-        )
-        if res.shipped:
-            # W2 on parquet: write the upserted cursor table to a sibling
-            # temp dir and atomically swap (same choreography as
-            # sources.partitioned.compact_partition)
-            path = self.paths[CURSORS_TABLE]
-            tmp = path + "._upsert"
-            res.cursors_df.coalesce(1).write.mode("overwrite").parquet(tmp)
-            old = path + "._old"
-            os.rename(path, old)
-            os.rename(tmp, path)
-            import shutil
+        if self.sender is None:  # creds absent: shipper disabled
+            return 0
+        import time as _time
 
-            shutil.rmtree(old)
-        self.totals.shipped += res.shipped
-        return res.shipped
+        t0 = _time.perf_counter()
+        batch_df = self.store.unshipped_events(
+            SHIPPER_NAME, self.cfg.ship_batch_cap
+        )
+        rows = build_payloads(batch_df, self.cfg.deploy_env).collect()
+        shipped, last_ok, _failed = ship_rows(
+            rows, self.sender, SHIPPER_NAME, metrics=self.metrics
+        )
+        if last_ok is not None:
+            # W2: cursor advances only to the last success (T4 monotone)
+            self.store.upsert_cursor(
+                SHIPPER_NAME, last_ok["created_at"], last_ok["guid"]
+            )
+        self.metrics.inc(
+            "cf_audit_events_to_splunk_shipper_ship_duration_total",
+            _time.perf_counter() - t0,
+        )
+        self.totals.shipped += shipped
+        return shipped
 
     def informer_tick(self) -> None:
-        informer_tick(
-            self._events(), self.metrics, parquet_path=self.paths[EVENTS_TABLE]
+        """Reference pkg/informer/informer.go:26-54: dataset-size (A2
+        approximate where the backend offers it) + latest-timestamp gauges."""
+        self.metrics.set(
+            "informer_cf_audit_events_total", float(self.store.event_count())
+        )
+        self.metrics.set(
+            "informer_latest_cf_audit_event_timestamp",
+            self.store.latest_event_time().timestamp(),
         )
 
     # -- loops / service --------------------------------------------------
@@ -180,9 +189,12 @@ class Service:
         cadences (T1), stopped via ``stop()`` (T7)."""
         specs = [
             (self.collector_tick, self.cfg.collector_schedule_s, "raise"),
-            (self.shipper_tick, self.cfg.shipper_schedule_s, "continue"),
             (self.informer_tick, self.cfg.informer_schedule_s, "continue"),
         ]
+        if self.sender is not None:  # main.go:110-121 creds gate
+            specs.insert(
+                1, (self.shipper_tick, self.cfg.shipper_schedule_s, "continue")
+            )
         threads = []
         for tick, interval, policy in specs:
             loop = scheduler_loop(

@@ -70,6 +70,20 @@ class JdbcTarget:
         return rw
 
 
+_SQL_IDENT = __import__("re").compile(
+    r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*\Z"
+)
+
+
+def _ident(name: str) -> str:
+    """Validate a config-sourced SQL identifier before interpolation —
+    the dbtable subquery below is string-built, so reject anything that
+    could escape it (quotes, spaces, comments)."""
+    if not name or not _SQL_IDENT.match(name):
+        raise ValueError(f"invalid SQL identifier: {name!r}")
+    return name
+
+
 def read_keys_jdbc(
     spark: SparkSession,
     target: JdbcTarget,
@@ -79,9 +93,25 @@ def read_keys_jdbc(
 ) -> DataFrame:
     """Key projection of the destination, with the overlap window pushed
     down into the remote query (a ``dbtable`` subquery, so the database —
-    not Spark — filters; the wire carries keys only)."""
-    predicate = f" WHERE {ts_col} >= '{ts_floor}'" if ts_col and ts_floor else ""
-    subq = f"(SELECT {key_col} FROM {target.table}{predicate}) AS existing_keys"
+    not Spark — filters; the wire carries keys only).
+
+    Identifiers are validated (no quoting characters can pass) and the
+    time floor is rendered through an explicit ISO formatter — config
+    values cannot break out of the generated subquery.
+    """
+    predicate = ""
+    if ts_col and ts_floor is not None:
+        if hasattr(ts_floor, "isoformat"):
+            floor_str = ts_floor.isoformat(sep=" ")
+        else:
+            floor_str = str(ts_floor)
+            if "'" in floor_str or "\\" in floor_str:
+                raise ValueError(f"invalid time floor literal: {floor_str!r}")
+        predicate = f" WHERE {_ident(ts_col)} >= '{floor_str}'"
+    subq = (
+        f"(SELECT {_ident(key_col)} FROM {_ident(target.table)}{predicate})"
+        " AS existing_keys"
+    )
     return target.apply(spark.read.format("jdbc")).option("dbtable", subq).load()
 
 

@@ -24,8 +24,19 @@ def write_partitioned(
     path: str,
     ts_col: str = "created_at",
     mode: str = "append",
+    ingest_batch_id: int | None = None,
 ) -> None:
-    """Append rows under ``path/event_date=YYYY-MM-DD/`` directories."""
+    """Append rows under ``path/event_date=YYYY-MM-DD/`` directories.
+
+    ``ingest_batch_id`` persists the ingest ordering key (the reference's
+    ``id SERIAL`` analog, SURVEY §1.2): sorting by
+    (ingest_batch_id, ts_col, key) reproduces insertion order exactly as
+    store.go:142-143 sorts on ``id``.
+    """
+    if ingest_batch_id is not None:
+        from paas_auditor_spark.operators.sequence import stamp_ingest_batch
+
+        df = stamp_ingest_batch(df, ingest_batch_id)
     df.withColumn(PARTITION_COL, F.to_date(F.col(ts_col))).write.partitionBy(
         PARTITION_COL
     ).mode(mode).parquet(path)

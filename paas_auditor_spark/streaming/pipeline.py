@@ -192,7 +192,13 @@ def stream_to_bronze(
             )
         else:
             fresh = deduped  # first batch: bronze does not exist yet
+        # persist the ingest ordering key (SURVEY §1.2: the id SERIAL
+        # analog is (ingest_batch_id, created_at, guid)); epoch_id is the
+        # streaming batch sequence, monotone under checkpoint recovery
+        from paas_auditor_spark.operators.sequence import stamp_ingest_batch
+
         obs = Observation()
+        fresh = stamp_ingest_batch(fresh, epoch_id)
         fresh = fresh.observe(obs, F.count(F.lit(1)).alias("n"))
         fresh.write.mode("append").parquet(bronze_dir)
         if metrics:

@@ -74,32 +74,20 @@ class ShipResult:
     failed: bool
 
 
-def ship_unshipped(
-    events_df: DataFrame,
-    cursors_df: DataFrame,
-    shipper_name: str,
-    sender: Sender,
-    deploy_env: str = "test",
-    batch_cap: int = 8192,
+def build_payloads(
+    batch_df: DataFrame,
+    deploy_env: str,
     ts_col: str = "created_at",
     id_col: str = "guid",
     event_type_col: str = "event_type",
-    retry: RetryPolicy | None = None,
-    metrics: MetricsRegistry | None = None,
-) -> ShipResult:
-    """One shipper tick: query → ordered ship → cursor advance.
-
-    Mirrors shipper.go:106-170: on the first delivery failure stop; if at
-    least one event shipped, commit the cursor at the last success so the
-    next tick resumes from there (at-least-once, monotone cursor).
+) -> DataFrame:
+    """(guid, created_at, payload) for a ship batch — the full-fidelity P13
+    envelope (all 13 event fields + raw metadata, json.Marshal order;
+    shipper.go:24-28,187-192).  Missing columns (synthetic test frames)
+    default to ''.  Serialization is JVM column expressions on executors;
+    only the bounded ready-to-send rows reach the driver.
     """
-    retry = retry or RetryPolicy()
-    t0 = time.perf_counter()
-    cursor_ts, shipped_id = effective_cursor(cursors_df, shipper_name)
-    # full-fidelity P13 payload: all 13 event fields + raw metadata, in the
-    # reference's json.Marshal order (shipper.go:187-192 ships the whole
-    # cfclient.Event).  Missing columns (synthetic test frames) default ''.
-    cols = set(events_df.columns)
+    cols = set(batch_df.columns)
 
     def _c(name: str) -> Column:
         return F.col(name) if name in cols else F.lit("")
@@ -119,19 +107,27 @@ def ship_unshipped(
         space_guid=_c("space_guid"),
         metadata=F.col("metadata") if "metadata" in cols else None,
     )
-    batch_df = unshipped_events(
-        events_df, cursor_ts, shipped_id, batch_cap, ts_col=ts_col, id_col=id_col
-    ).select(
+    return batch_df.select(
         F.col(id_col).cast("string").alias("guid"),
         F.col(ts_col).alias("created_at"),
         splunk_envelope(evt, deploy_env).alias("payload"),
     )
-    batch = batch_df.collect()  # ≤ batch_cap rows, ship order preserved
 
+
+def ship_rows(
+    rows,
+    sender: Sender,
+    shipper_name: str,
+    retry: RetryPolicy | None = None,
+    metrics: MetricsRegistry | None = None,
+):
+    """Ordered stop-on-failure delivery loop (W4) over collected payload
+    rows.  Returns ``(shipped, last_ok_row, failed)``."""
+    retry = retry or RetryPolicy()
     shipped = 0
     last_ok = None
     failed = False
-    for row in batch:
+    for row in rows:
         try:
             retry.send_with_retry(sender, row["payload"])
         except Exception:
@@ -141,19 +137,57 @@ def ship_unshipped(
             break
         shipped += 1
         last_ok = row
+    if metrics:
+        metrics.inc(f"{_mname(shipper_name)}_events_shipped_total", shipped)
+        if last_ok is not None:
+            metrics.set(
+                f"{_mname(shipper_name)}_latest_event_timestamp",
+                last_ok["created_at"].timestamp(),
+            )
+    return shipped, last_ok, failed
 
+
+def ship_unshipped(
+    events_df: DataFrame,
+    cursors_df: DataFrame,
+    shipper_name: str,
+    sender: Sender,
+    deploy_env: str = "test",
+    batch_cap: int = 8192,
+    ts_col: str = "created_at",
+    id_col: str = "guid",
+    event_type_col: str = "event_type",
+    retry: RetryPolicy | None = None,
+    metrics: MetricsRegistry | None = None,
+) -> ShipResult:
+    """One shipper tick: query → ordered ship → cursor advance.
+
+    Mirrors shipper.go:106-170: on the first delivery failure stop; if at
+    least one event shipped, commit the cursor at the last success so the
+    next tick resumes from there (at-least-once, monotone cursor).
+    """
+    t0 = time.perf_counter()
+    cursor_ts, shipped_id = effective_cursor(cursors_df, shipper_name)
+    batch_df = build_payloads(
+        unshipped_events(
+            events_df, cursor_ts, shipped_id, batch_cap,
+            ts_col=ts_col, id_col=id_col,
+        ),
+        deploy_env,
+        ts_col=ts_col,
+        id_col=id_col,
+        event_type_col=event_type_col,
+    )
+    batch = batch_df.collect()  # ≤ batch_cap rows, ship order preserved
+    shipped, last_ok, failed = ship_rows(
+        batch, sender, shipper_name, retry=retry, metrics=metrics
+    )
     new_cursors = cursors_df
     if last_ok is not None:
         new_cursors = upsert_cursor(
             cursors_df, shipper_name, last_ok["created_at"], last_ok["guid"]
         )
-        if metrics:
-            metrics.set(
-                f"{_mname(shipper_name)}_latest_event_timestamp",
-                last_ok["created_at"].timestamp(),
-            )
     if metrics:
-        metrics.inc(f"{_mname(shipper_name)}_events_shipped_total", shipped)
         metrics.inc(
             f"{_mname(shipper_name)}_ship_duration_total",
             time.perf_counter() - t0,
@@ -167,4 +201,11 @@ def _mname(shipper_name: str) -> str:
     return shipper_name.replace("-", "_") + "_shipper"
 
 
-__all__ = ["RetryPolicy", "Sender", "ShipResult", "ship_unshipped"]
+__all__ = [
+    "RetryPolicy",
+    "Sender",
+    "ShipResult",
+    "build_payloads",
+    "ship_rows",
+    "ship_unshipped",
+]

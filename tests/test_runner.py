@@ -134,3 +134,113 @@ def test_service_shipper_failure_keeps_collector_alive(spark, tmp_path):
     svc.sender = sent.append
     svc.run_loops(max_ticks=1)
     assert svc.totals.shipped == 2  # re-shipped after recovery
+
+
+def test_shipper_gated_on_missing_creds(spark, tmp_path):
+    """main.go:110-121 parity: no Splunk creds → shipper never runs;
+    collector + informer are unaffected."""
+    transport = PageServer([0, 1, 2])
+    cfg = EngineConfig()
+    cfg.pagination_wait_s = 0.0
+    svc = Service(
+        spark,
+        warehouse_dir=str(tmp_path / "wh3"),
+        transport=transport,
+        sender=None,  # creds absent
+        cfg=cfg,
+    )
+    svc.run_loops(max_ticks=1)
+    assert svc.totals.collected == 3
+    assert svc.totals.shipped == 0
+    # cursor table untouched (no silent epoch ship)
+    assert spark.read.parquet(svc.paths[CURSORS_TABLE]).count() == 0
+    # threaded deployment: only collector + informer loops spawn
+    assert len(svc.run_threaded()) == 2
+    svc.stop()
+
+
+def test_cursor_swap_crash_recovery(spark, tmp_path):
+    """A crash between the two swap renames leaves only `._old`; the next
+    read heals it and the shipper resumes from the committed cursor."""
+    import os
+
+    transport = PageServer([0, 1, 2])
+    sent: list[str] = []
+    cfg = EngineConfig()
+    cfg.pagination_wait_s = 0.0
+    svc = Service(
+        spark,
+        warehouse_dir=str(tmp_path / "wh4"),
+        transport=transport,
+        sender=sent.append,
+        cfg=cfg,
+    )
+    svc.run_loops(max_ticks=1)
+    assert svc.totals.shipped == 3
+
+    # simulate the torn swap: cursors dir renamed away, new one never landed
+    path = svc.paths[CURSORS_TABLE]
+    os.rename(path, path + "._old")
+
+    transport.ids = [3]
+    svc.run_loops(max_ticks=1)  # read heals from ._old; only event 3 ships
+    assert svc.totals.shipped == 4
+    import json as _json
+
+    assert _json.loads(sent[-1])["event"]["guid"] == str(uuid.UUID(int=3))
+
+
+def test_service_jdbc_store_end_to_end(spark, tmp_path):
+    """ENGINE_STORE=jdbc path: the reference-shaped relational store —
+    DDL bootstrap (W5), partition-wise ON CONFLICT ingest (W1), the
+    shipper CTE delegated to the database (store.go:191-225), ON CONFLICT
+    DO UPDATE cursor (W2) — one service run, DuckDB as the DB-API
+    destination."""
+    import duckdb
+
+    from paas_auditor_spark.sinks.jdbc import dbapi_factory
+    from paas_auditor_spark.stores import DbApiStore
+
+    db = str(tmp_path / "store.duckdb")
+    store = DbApiStore(
+        spark, dbapi_factory("duckdb", db), write_partitions=1
+    )
+    transport = PageServer([0, 1, 2])
+    sent: list[str] = []
+    cfg = EngineConfig()
+    cfg.pagination_wait_s = 0.0
+    svc = Service(
+        spark, transport=transport, sender=sent.append, cfg=cfg, store=store
+    )
+
+    svc.run_loops(max_ticks=1)
+    assert svc.totals.collected == 3
+    assert svc.totals.shipped == 3
+
+    # cursor row landed in the database (W2), at the last shipped event
+    # (connection must be closed before the next tick: a DuckDB file is
+    # single-writer, and the store's appends run from executor processes)
+    con = duckdb.connect(db)
+    cur = con.execute("SELECT name, shipped_id FROM shipper_cursors").fetchall()
+    con.close()
+    assert cur == [(SHIPPER_NAME, str(uuid.UUID(int=2)))]
+
+    # tick 2: overlap re-fetch + new events — ON CONFLICT + anti-join keep
+    # the table exact; only the new events ship, resuming from the cursor
+    transport.ids = [1, 2, 3, 4]
+    svc.run_loops(max_ticks=1)
+    assert svc.totals.collected == 5
+    assert svc.totals.shipped == 5
+    con = duckdb.connect(db)
+    n, = con.execute("SELECT count(*) FROM cf_audit_events").fetchone()
+    con.close()
+    assert n == 5
+
+    guids = [json.loads(p)["event"]["guid"] for p in sent]
+    assert len(guids) == len(set(guids)) == 5
+    # full 13-field envelope also on the DB path (P13)
+    ev = json.loads(sent[0])["event"]
+    assert ev["actor_username"] == "u-0" and ev["metadata"] == {"request": "r0"}
+    # informer gauges read through the store
+    svc.informer_tick()
+    assert svc.metrics.get("informer_cf_audit_events_total") == 5.0

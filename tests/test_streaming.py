@@ -51,6 +51,19 @@ def test_stream_to_bronze_dedups_across_microbatches(spark, tmp_path):
     out = spark.read.parquet(bronze)
     assert out.count() == 5
     assert out.select("guid").distinct().count() == 5
+    # the persisted ingest ordering key (id SERIAL analog, SURVEY §1.2):
+    # each micro-batch stamped with its epoch id, two distinct batches here
+    assert "ingest_batch_id" in out.columns
+    assert out.select("ingest_batch_id").distinct().count() == 2
+    # dense global sequence over (batch, created_at, guid) is 1..5 and
+    # respects insertion order (earlier batch strictly precedes later)
+    from paas_auditor_spark.operators.sequence import assign_ingest_sequence
+
+    seq = assign_ingest_sequence(out).collect()
+    assert sorted(r["ingest_seq"] for r in seq) == [1, 2, 3, 4, 5]
+    by_seq = sorted(seq, key=lambda r: r["ingest_seq"])
+    batches = [r["ingest_batch_id"] for r in by_seq]
+    assert batches == sorted(batches)
 
 
 def test_windowed_counts_streaming_matches_batch(spark, tmp_path):
