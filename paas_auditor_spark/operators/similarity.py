@@ -294,6 +294,7 @@ def embedding_near_duplicates_lsh(
     n_planes: int = 4,
     n_tables: int = 8,
     round_digits: int = 4,
+    broadcast_verify: bool = True,
 ) -> DataFrame:
     """Approximate embedding near-dup: multi-table hyperplane LSH
     candidates, then exact cosine verify — the 100 TB path.
@@ -306,6 +307,19 @@ def embedding_near_duplicates_lsh(
     k=4, L=8) while each table's equi-join stays near-linear.  Candidate
     pairs are deduped BEFORE verification so a pair colliding in many
     tables is scored once.
+
+    **Verify cost model.**  Candidates outnumber the corpus by orders of
+    magnitude, so what travels per candidate decides the bill.  With
+    ``broadcast_verify`` (default) only the (id_a, id_b) pairs cross the
+    Arrow boundary (16 B/pair); the L2-normalized corpus matrix rides
+    along ONCE as a Spark broadcast and each batch scores as a single
+    numpy gather+einsum.  Contract: the normalized matrix must fit in
+    driver/executor memory (dim × 8 B per vector — ~1 GB per 2M vectors
+    at dim 64), the same boundary ``knn_topk`` draws for its broadcast
+    side.  Beyond that, ``broadcast_verify=False`` attaches vectors to
+    pairs by join (unbounded, but shuffles dim × 8 B per candidate);
+    the true 100 TB layout partitions the banded table by bucket so each
+    bucket verifies against only its own, locally materialized vectors.
     """
     c = (
         corpus_df.select(
@@ -340,6 +354,38 @@ def embedding_near_duplicates_lsh(
         )
         .distinct()
     )
+    if broadcast_verify:
+        # id-only verify: collect + L2-normalize the corpus once (bounded
+        # by the documented memory contract), broadcast it, ship nothing
+        # but id pairs to Python
+        from pyspark.sql.functions import pandas_udf
+
+        rows = c.collect()
+        order = np.argsort([r[0] for r in rows])
+        ids = np.array([rows[i][0] for i in order])
+        mat = np.vstack([rows[i]["v"] for i in order]) / np.array(
+            [rows[i]["nrm"] for i in order]
+        )[:, None]
+        bc = corpus_df.sparkSession.sparkContext.broadcast((ids, mat))
+
+        @pandas_udf("double")
+        def pair_cos(ia: pd.Series, ib: pd.Series) -> pd.Series:
+            ids_, m = bc.value
+            a = np.searchsorted(ids_, ia.to_numpy())
+            b = np.searchsorted(ids_, ib.to_numpy())
+            return pd.Series(np.einsum("ij,ij->i", m[a], m[b]))
+
+        scored = pairs.select(
+            "id_a",
+            "id_b",
+            F.round(pair_cos(F.col("id_a"), F.col("id_b")), round_digits).alias(
+                "cos_sim"
+            ),
+        )
+        return scored.filter(F.col("cos_sim") >= threshold).orderBy(
+            "id_a", "id_b"
+        )
+
     va = c.select(
         F.col(id_col).alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a")
     )

@@ -1272,6 +1272,141 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "frame_idx")
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style forecasting-revenue filter-aggregate: tight range
+    predicates all pushed to the parquet scan (PushedFilters), one
+    map-side-combined global aggregate — no shuffle of any wide row."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("2024-02-01"))
+            & (F.col("l_shipdate") < F.lit("2024-06-01"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 10)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("forecast_revenue")
+        )
+    )
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style volume shipping: revenue between supplier-nation and
+    customer-nation pairs per ship month.  Both nation dims broadcast; the
+    single wide shuffle is the lineitem↔orders join, after which the
+    (supp_nation, cust_nation, month) agg is map-side partial."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    sd = F.broadcast(
+        supp.join(n1, supp.s_nationkey == n1.s_nkey).select(
+            "s_suppkey", "supp_nation"
+        )
+    )
+    cd = F.broadcast(
+        cust.join(n2, cust.c_nationkey == n2.c_nkey).select(
+            "c_custkey", "cust_nation"
+        )
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(sd, li.l_suppkey == sd.s_suppkey)
+        .join(cd, orders.o_custkey == cd.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        )
+        # fine-grained groups sit on cent boundaries, so accumulate in
+        # exact decimal (order-independent) instead of float
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_month")
+    )
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style product-type profit by supplier nation and year
+    (profit = discounted revenue − retail-cost·qty; the synthetic part
+    table has no supplycost, so p_retailprice/10 is the unit-cost proxy on
+    BOTH sides of the oracle).  part + supplier→nation broadcast; one fact
+    shuffle for the final (nation, year) rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    pd_ = F.broadcast(
+        part.filter(F.col("p_name").contains("red")).select(
+            "p_partkey", "p_retailprice"
+        )
+    )
+    sd = F.broadcast(
+        supp.join(nation, supp.s_nationkey == nation.n_nationkey).select(
+            "s_suppkey", F.col("n_name").alias("nation")
+        )
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - (
+        F.col("p_retailprice") / 10.0
+    ) * F.col("l_quantity")
+    return (
+        li.join(pd_, li.l_partkey == pd_.p_partkey)
+        .join(sd, li.l_suppkey == sd.s_suppkey)
+        .groupBy(
+            "nation", F.year("l_shipdate").cast("long").alias("o_year")
+        )
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume customers: orders whose total quantity
+    exceeds a threshold, joined back to customer.  The HAVING subquery is
+    one fact aggregation (map-side partial on l_orderkey) whose small
+    survivor set joins broadcast against orders+customer — never a second
+    scan of lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_raw_qty"))
+        .filter(F.col("_raw_qty") > 25)  # HAVING on the unrounded sum
+        .select("l_orderkey", F.round("_raw_qty", 2).alias("total_qty"))
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+        .limit(50)
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1418,6 +1553,63 @@ REGISTRY: dict[str, QuerySpec] = {
         JOIN nation ON s_nationkey = n_nationkey
         GROUP BY p_brand, supp_nation
         ORDER BY p_brand, supp_nation
+        """,
+    ),
+    "forecast_revenue": QuerySpec(
+        q_forecast_revenue,
+        """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS forecast_revenue
+        FROM lineitem
+        WHERE l_shipdate >= DATE '2024-02-01' AND l_shipdate < DATE '2024-06-01'
+          AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 10
+        """,
+    ),
+    "volume_shipping": QuerySpec(
+        q_volume_shipping,
+        """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               strftime(l_shipdate, '%Y-%m') AS ship_month,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name != n2.n_name
+        GROUP BY supp_nation, cust_nation, ship_month
+        ORDER BY supp_nation, cust_nation, ship_month
+        """,
+    ),
+    "product_profit": QuerySpec(
+        q_product_profit,
+        """
+        SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+               round(sum(l_extendedprice * (1 - l_discount)
+                         - (p_retailprice / 10.0) * l_quantity), 2)
+                 AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY n_name, year(l_shipdate)
+        ORDER BY nation, o_year DESC
+        """,
+    ),
+    "large_orders": QuerySpec(
+        q_large_orders,
+        """
+        SELECT c_name, o_orderkey, o_orderdate, o_totalprice, big.total_qty
+        FROM orders
+        JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(l_quantity) > 25) big
+          ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY total_qty DESC, o_orderkey ASC
+        LIMIT 50
         """,
     ),
     "order_priority_counts": QuerySpec(
