@@ -81,6 +81,44 @@ def quality_features(text: Column) -> dict[str, Column]:
     }
 
 
+def ngrams(text: Column, n: int = 2) -> Column:
+    """Word n-grams (array<string>) as pure column expressions: the token
+    array is let-bound once, then a ``transform`` over the start-index
+    ``sequence`` slices and joins each window — no explode, no UDF, one
+    codegen stage.  Empty array when the document has < n tokens."""
+
+    def build(toks: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+        # guard BEFORE building: sequence(1, 0) is DESCENDING ([1, 0]) in
+        # Spark, so a < n-token doc would otherwise slice from index 0.
+        return F.when(F.size(toks) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return let(tokens(F.lower(text)), build)
+
+
+def repetition_ratio(text: Column, n: int = 2) -> Column:
+    """Duplicate n-gram fraction (Gopher-style repetitiousness signal):
+    1 − distinct/total over the document's word n-grams, 0.0 for
+    documents too short to form one.  Let-bound so the n-gram array is
+    built once per row."""
+
+    def ratio(g: Column) -> Column:
+        total = F.size(g).cast("double")
+        return F.when(
+            total > 0,
+            F.round(
+                F.lit(1.0) - F.size(F.array_distinct(g)) / total, 4
+            ),
+        ).otherwise(F.lit(0.0))
+
+    return let(ngrams(text, n), ratio)
+
+
 def fingerprint(text: Column, length: int = 16) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text,
     truncated.  (Rolling-hash analog; md5 keeps it oracle-checkable.)"""
@@ -123,9 +161,11 @@ __all__ = [
     "fingerprint",
     "lang_id",
     "lang_id_score",
+    "ngrams",
     "normalized_text",
     "punct_count",
     "quality_features",
+    "repetition_ratio",
     "stopword_count",
     "token_count",
     "tokens",

@@ -1407,6 +1407,353 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style correlated-min lookup: for each small part, the
+    supplier(s) selling at that part's minimum observed price.  The
+    correlated scalar subquery (``price = (SELECT min(price) ... WHERE
+    same part)``) decorrelates to ONE window min over the l_partkey
+    shuffle — a single pass over lineitem, no self-join re-scan; part and
+    supplier dims broadcast onto the survivors."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("l_partkey")
+    best = (
+        li.select("l_partkey", "l_suppkey", "l_extendedprice")
+        .withColumn("min_price", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("min_price"))
+    )
+    return (
+        best.join(
+            F.broadcast(part.filter(F.col("p_size") <= 5)),
+            best.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp), best.l_suppkey == F.col("s_suppkey"))
+        .select(
+            "p_partkey", "s_name", F.round("min_price", 2).alias("min_price")
+        )
+        .distinct()
+        .orderBy("p_partkey", "s_name", "min_price")
+        .limit(100)
+    )
+
+
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style market share: the fraction of AMERICA-region
+    customers' order revenue supplied by NATION_3, per order year.  Both
+    dim chains (customer→nation→region, supplier→nation) broadcast; one
+    lineitem↔orders shuffle; share = conditional-sum / sum in a single
+    aggregate (no second pass)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cust_in_region = F.broadcast(
+        cust.join(
+            nation, cust.c_nationkey == nation.n_nationkey
+        )
+        .join(
+            region.filter(F.col("r_name") == "AMERICA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = F.broadcast(
+        supp.join(nation, supp.s_nationkey == nation.n_nationkey).select(
+            "s_suppkey", F.col("n_name").alias("supp_nation")
+        )
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_in_region, orders.o_custkey == F.col("c_custkey"))
+        .join(supp_nation, li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", volume)
+                    .otherwise(F.lit(0.0))
+                )
+                / F.sum(volume),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style "important stock": parts whose revenue exceeds a
+    fixed fraction of GLOBAL revenue.  The scalar subquery stays in-plan
+    as a broadcast cross-join of the 1-row global aggregate onto the
+    per-part aggregate — no driver collect, both aggregates share the one
+    l_partkey shuffle (the global total re-aggregates the small per-part
+    frame, not the fact table)."""
+    li = _t(spark, sf_dir, "lineitem")
+    value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = (
+        li.groupBy("l_partkey").agg(F.sum(value).alias("_val"))
+    ).localCheckpoint(eager=False)
+    total = per_part.agg(F.sum("_val").alias("_total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("_val") > F.col("_total") * 0.0005)
+        .select("l_partkey", F.round("_val", 2).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), F.col("l_partkey"))
+    )
+
+
+def q_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style two-way conditional count: per return flag, how
+    many lines shipped after the order date belong to urgent/high vs
+    lower-priority orders.  orders projected to 2 columns before the one
+    fact shuffle; the CASE pair folds into a single aggregate pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style distribution: histogram of per-customer order
+    counts INCLUDING zero-order customers (left outer join, count of the
+    nullable key).  Two cascading aggregations — the second groups the
+    already-small (custkey, count) frame, so only the first touches
+    fact-sized data."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders.filter(F.col("o_orderpriority") != "5-LOW").select(
+                "o_custkey", "o_orderkey"
+            ),
+            cust.c_custkey == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style supplier-per-part-class counts: distinct suppliers
+    per (brand, type, size) bucket, excluding one brand and suppliers in
+    deficit (NOT IN → broadcast anti-join, null-safe because s_suppkey is
+    a key).  count(DISTINCT) runs as the standard two-level expand —
+    fine here because the distinct key (l_suppkey) is low-cardinality per
+    group."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    deficit = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(
+            F.broadcast(
+                part.filter(
+                    (F.col("p_brand") != "Brand#1")
+                    & (F.col("p_size") <= 20)
+                )
+            ),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(deficit),
+            li.l_suppkey == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+        .limit(100)
+    )
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style disjunctive predicate join: revenue over an OR of
+    three (brand, quantity-band, size-band) conjunct groups.  The
+    lineitem-side common bound (l_quantity <= 30) and the part-side bound
+    (p_size <= 15) are factored out so each scan still gets a pushable
+    residual predicate; the per-branch conjuncts evaluate post-join in
+    one codegen stage."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.filter(F.col("l_quantity") <= 30).join(
+        F.broadcast(part.filter(F.col("p_size") <= 15)),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("l_quantity").between(1, 11)
+            & F.col("p_size").between(1, 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("l_quantity").between(10, 20)
+            & F.col("p_size").between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("l_quantity").between(20, 30)
+            & F.col("p_size").between(1, 15)
+        )
+    )
+    return joined.filter(branch).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+def q_top_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style nested semi-join: suppliers whose shipped quantity
+    of red parts crosses a threshold.  The inner IN-subquery runs once as
+    aggregate-then-filter; its small survivor set drives a broadcast LEFT
+    SEMI join against supplier — supplier is never shuffled."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    heavy = (
+        li.join(
+            F.broadcast(
+                part.filter(F.col("p_name").contains("red")).select(
+                    "p_partkey"
+                )
+            ),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(
+            F.broadcast(heavy),
+            supp.s_suppkey == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+def q_lone_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style EXISTS / NOT EXISTS pair: suppliers who were the
+    ONLY supplier with a returned line in a finished multi-supplier
+    order.  Both correlated existentials decorrelate into ONE per-order
+    aggregate (distinct-supplier count, distinct-returning-supplier
+    count) — a single extra pass over the order-filtered lines instead of
+    two correlated self-joins; supplier broadcast at the end."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    fin = F.broadcast(
+        orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    )
+    lines = li.join(
+        fin, li.l_orderkey == F.col("o_orderkey")
+    ).select("l_orderkey", "l_suppkey", "l_returnflag")
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("_n_ret_supp"),
+    )
+    # EXISTS(other supplier) ⇔ _n_supp > 1; NOT EXISTS(other supplier
+    # returned) for a returning l1 ⇔ the only returning supplier is l1's.
+    culprit_lines = (
+        lines.filter(F.col("l_returnflag") == "R")
+        .join(
+            per_order.filter(
+                (F.col("_n_supp") > 1) & (F.col("_n_ret_supp") == 1)
+            ).select(per_order.l_orderkey.alias("_ok")),
+            F.col("l_orderkey") == F.col("_ok"),
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()  # one wait per (order, supplier), line-multiplicity-free
+    )
+    return (
+        culprit_lines.join(
+            F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate-bigram fraction per document — the standard
+    repetitiousness quality filter for LLM training corpora.  Pure column
+    expressions (let-bound n-gram build, no explode/UDF): per-row work
+    only, embarrassingly parallel at 100 TB."""
+    docs = _th(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", tx.repetition_ratio(F.col("text"), 2).alias("rep_ratio")
+    ).orderBy("doc_id")
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document: explode → (doc, term) counts →
+    corpus document-frequency join → windowed top-k.  The df side
+    aggregates BEFORE the join (term-cardinality rows, map-side partials)
+    and broadcasts; the window partitions by doc_id, so the only
+    fact-sized shuffle is the (doc, term) groupBy.  ln(N/df) uses the
+    in-plan 1-row count (broadcast cross-join, no driver collect)."""
+    docs = _th(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(tx.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("_tf")
+    )
+    df_ = terms.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("_df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("_tf") * F.log(F.col("_n") / F.col("_df")), 4
+            ),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf")
+        .orderBy("doc_id", F.col("tfidf").desc(), "term")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1612,6 +1959,143 @@ REGISTRY: dict[str, QuerySpec] = {
         LIMIT 50
         """,
     ),
+    "min_cost_supplier": QuerySpec(
+        q_min_cost_supplier,
+        """
+        WITH m AS (SELECT l_partkey, min(l_extendedprice) AS min_price
+                   FROM lineitem GROUP BY l_partkey)
+        SELECT DISTINCT p_partkey, s_name,
+               round(m.min_price, 2) AS min_price
+        FROM lineitem
+        JOIN m ON lineitem.l_partkey = m.l_partkey
+              AND l_extendedprice = m.min_price
+        JOIN part ON p_partkey = lineitem.l_partkey AND p_size <= 5
+        JOIN supplier ON s_suppkey = l_suppkey
+        ORDER BY p_partkey, s_name, min_price
+        LIMIT 100
+        """,
+    ),
+    "nation_market_share": QuerySpec(
+        q_nation_market_share,
+        """
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               round(sum(CASE WHEN n2.n_name = 'NATION_3'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4)
+                 AS mkt_share
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        GROUP BY o_year ORDER BY o_year
+        """,
+    ),
+    "important_parts": QuerySpec(
+        q_important_parts,
+        """
+        WITH pv AS (SELECT l_partkey,
+                           sum(l_extendedprice * (1 - l_discount)) AS val
+                    FROM lineitem GROUP BY l_partkey)
+        SELECT l_partkey, round(val, 2) AS part_value
+        FROM pv WHERE val > (SELECT sum(val) * 0.0005 FROM pv)
+        ORDER BY part_value DESC, l_partkey
+        """,
+    ),
+    "priority_shipping": QuerySpec(
+        q_priority_shipping,
+        """
+        SELECT l_returnflag,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= o_orderdate
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+    ),
+    "customer_order_distribution": QuerySpec(
+        q_customer_order_distribution,
+        """
+        WITH c_orders AS (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+          GROUP BY c_custkey)
+        SELECT c_count, count(*) AS custdist
+        FROM c_orders GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+        """,
+    ),
+    "supplier_part_counts": QuerySpec(
+        q_supplier_part_counts,
+        """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1' AND p_size <= 20
+          AND l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        LIMIT 100
+        """,
+    ),
+    "disjunctive_revenue": QuerySpec(
+        q_disjunctive_revenue,
+        """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+               AND p_size BETWEEN 1 AND 5)
+           OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+               AND p_size BETWEEN 1 AND 10)
+           OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30
+               AND p_size BETWEEN 1 AND 15)
+        """,
+    ),
+    "top_part_suppliers": QuerySpec(
+        q_top_part_suppliers,
+        """
+        SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+        FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM lineitem
+          JOIN part ON p_partkey = l_partkey
+          WHERE p_name LIKE '%red%'
+          GROUP BY l_suppkey HAVING sum(l_quantity) > 50)
+        ORDER BY s_name
+        """,
+    ),
+    "lone_returned_supplier": QuerySpec(
+        q_lone_returned_supplier,
+        """
+        WITH lines AS (
+          SELECT l_orderkey, l_suppkey, l_returnflag
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'),
+        per_order AS (
+          SELECT l_orderkey,
+                 count(DISTINCT l_suppkey) AS n_supp,
+                 count(DISTINCT CASE WHEN l_returnflag = 'R'
+                                     THEN l_suppkey END) AS n_ret_supp
+          FROM lines GROUP BY l_orderkey),
+        culprits AS (
+          SELECT DISTINCT lines.l_orderkey, l_suppkey
+          FROM lines JOIN per_order
+            ON lines.l_orderkey = per_order.l_orderkey
+          WHERE l_returnflag = 'R' AND n_supp > 1 AND n_ret_supp = 1)
+        SELECT s_name, count(*) AS numwait
+        FROM culprits JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_name ORDER BY numwait DESC, s_name
+        LIMIT 100
+        """,
+    ),
     "order_priority_counts": QuerySpec(
         q_order_priority_counts,
         """
@@ -1806,6 +2290,48 @@ REGISTRY: dict[str, QuerySpec] = {
         SELECT doc_id,
                substr(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 16) AS fp
         FROM documents ORDER BY doc_id
+        """,
+    ),
+    "repetition_ratio": QuerySpec(
+        q_repetition_ratio,
+        """
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 [array_to_string(t[i:i+1], ' ')
+                  for i in range(1, len(t))] AS g
+          FROM toks)
+        SELECT doc_id,
+               round(CASE WHEN len(g) = 0 THEN 0.0
+                     ELSE 1.0 - len(list_distinct(g)) * 1.0 / len(g)
+                     END, 4) AS rep_ratio
+        FROM grams ORDER BY doc_id
+        """,
+    ),
+    "tfidf_top_terms": QuerySpec(
+        q_tfidf_top_terms,
+        """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                   AS term
+          FROM documents),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM toks GROUP BY doc_id, term),
+        df AS (
+          SELECT term, count(DISTINCT doc_id) AS df
+          FROM toks GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, term,
+               round(tf * ln(n_docs * 1.0 / df), 4) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) <= 3
+        ORDER BY doc_id, tfidf DESC, term
         """,
     ),
     "text_quality": QuerySpec(

@@ -215,6 +215,69 @@ def stream_to_bronze(
     return writer.start()
 
 
+def stream_to_store(
+    spark: SparkSession,
+    source_dir: str,
+    store,
+    checkpoint_dir: str,
+    schema,
+    key_col: str = "guid",
+    ts_col: str = "created_at",
+    max_files_per_trigger: int = 1,
+    trigger_processing_time: str | None = None,
+    metrics: MetricsRegistry | None = None,
+):
+    """Structured Streaming ingest into any engine store — the north-star
+    "Structured Streaming from CF events → JDBC sink to Postgres" wired
+    end-to-end.
+
+    Same micro-batch choreography as ``stream_to_bronze`` (rate-limited
+    file source, in-batch dedup, overlap-bounded anti-join), but the sink
+    is the pluggable store: with ``stores.DbApiStore`` every batch lands
+    through partition-wise ``INSERT … ON CONFLICT DO NOTHING`` (W1), so
+    the database enforces exactly the idempotence the anti-join
+    pre-filters — a retried/replayed micro-batch (Spark's at-least-once
+    foreachBatch contract) is harmless twice over (T3).
+    """
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        deduped = batch_df.dropDuplicates([key_col])
+        bounds = deduped.agg(F.min(ts_col).alias("lo")).first()
+        if bounds["lo"] is None:
+            return
+        # localCheckpoint so the anti-join runs ONCE: the store write and
+        # the metrics count both read the materialized micro-batch —
+        # O(batch) per tick, never O(history).  (An Observation can't
+        # carry the count here: the DB-API store's partition-wise write
+        # is an RDD action, which never completes DataFrame observation
+        # metrics — sinks/jdbc.py:216.)
+        fresh = deduped.join(
+            F.broadcast(store.overlap_keys_df(bounds["lo"])),
+            on=key_col,
+            how="left_anti",
+        ).localCheckpoint()
+        store.append_events(fresh)
+        if metrics:
+            metrics.inc(
+                "cf_audit_event_collector_events_collected_total",
+                float(fresh.count()),
+            )
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_processing_time:
+        writer = writer.trigger(processingTime=trigger_processing_time)
+    return writer.start()
+
+
 def scheduler_loop(
     tick: Callable[[], None],
     interval_s: float,
@@ -241,4 +304,5 @@ __all__ = [
     "informer_tick",
     "scheduler_loop",
     "stream_to_bronze",
+    "stream_to_store",
 ]

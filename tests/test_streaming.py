@@ -192,3 +192,44 @@ def test_deduped_stream_within_watermark(spark, tmp_path):
     out = spark.sql("SELECT guid FROM dedup_within_wm")
     assert out.count() == 4
     assert out.distinct().count() == 4
+
+
+def test_stream_to_jdbc_store_dedups_and_upserts(spark, tmp_path):
+    """North-star path end-to-end in streaming mode: file micro-batches →
+    dedup → DbApiStore (partition-wise ON CONFLICT inserts into DuckDB).
+    Overlapping guids across micro-batches land exactly once."""
+    import duckdb
+
+    from paas_auditor_spark.sinks.jdbc import dbapi_factory
+    from paas_auditor_spark.stores import DbApiStore
+    from paas_auditor_spark.streaming.metrics import MetricsRegistry
+    from paas_auditor_spark.streaming.pipeline import stream_to_store
+
+    src = str(tmp_path / "jsrc")
+    ckpt = str(tmp_path / "jckpt")
+    db = str(tmp_path / "jstore.duckdb")
+    store = DbApiStore(spark, dbapi_factory("duckdb", db), write_partitions=1)
+    metrics = MetricsRegistry()
+
+    spark.createDataFrame(_rows([0, 1, 2]), schema=CF_AUDIT_EVENT).coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(_rows([2, 3, 4]), schema=CF_AUDIT_EVENT).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    q = stream_to_store(
+        spark, src, store, ckpt, CF_AUDIT_EVENT,
+        max_files_per_trigger=1, metrics=metrics,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    con = duckdb.connect(db)
+    n, = con.execute("SELECT count(*) FROM cf_audit_events").fetchone()
+    nd, = con.execute("SELECT count(DISTINCT guid) FROM cf_audit_events").fetchone()
+    con.close()
+    assert n == 5 and nd == 5
+    assert metrics.get("cf_audit_event_collector_events_collected_total") == 5

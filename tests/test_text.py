@@ -99,3 +99,16 @@ def test_udtf_ngrams_agrees_with_jvm_shingles(spark):
     assert sorted(map(tuple, via_udtf.collect())) == sorted(
         map(tuple, via_jvm.collect())
     )
+
+
+def test_ngrams_and_repetition_ratio(spark):
+    # "a b a b a" bigrams: [a b, b a, a b, b a] -> 4 total, 2 distinct
+    got = _one(spark, "a b a b a", lambda c: tx.ngrams(c, 2))
+    assert got == ["a b", "b a", "a b", "b a"]
+    assert _one(spark, "a b a b a", tx.repetition_ratio) == pytest.approx(0.5)
+    # all-unique bigrams -> 0.0; sub-n-token docs -> 0.0 (empty gram array)
+    assert _one(spark, "x y z", tx.repetition_ratio) == 0.0
+    assert _one(spark, "solo", tx.repetition_ratio) == 0.0
+    # case-insensitive: "A b a B" bigrams all lowercase
+    got = _one(spark, "A b a B", lambda c: tx.ngrams(c, 2))
+    assert got == ["a b", "b a", "a b"]
