@@ -40,6 +40,11 @@ HEADLINE = [
     "text_quality",
     "token_stats",
     "token_histogram",
+    "min_cost_supplier",
+    "customer_order_distribution",
+    "lone_returned_supplier",
+    "repetition_ratio",
+    "tfidf_top_terms",
     "minhash_near_dup",
     "simhash",
     "knn_bruteforce",

@@ -1127,9 +1127,9 @@ def q_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sub-word-ish token counting (BPE-granularity regex splitting) —
-    rows-only check (the lookaround split is not RE2-expressible for the
-    DuckDB oracle; values are pinned by unit tests on fixed strings)."""
+    """Sub-word-ish token counting (BPE-granularity regex splitting).
+    Oracle-checked: the lookaround split's non-empty pieces equal the
+    maximal [A-Za-z_]/[0-9]/non-word runs, which RE2 can extract."""
     docs = _th(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -1160,8 +1160,9 @@ def q_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID (marker-profile argmax) — rows-only check:
-    the heuristic's vocabulary logic is not reasonably SQL-portable."""
+    """Heuristic language ID (marker-profile argmax).  Oracle-checked:
+    the DuckDB side replicates the marker-hit scores and the
+    array_max-of-struct tie-break (score, then greatest lang code)."""
     docs = _th(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", "lang", tx.lang_id(F.col("text")).alias("lang_guess")
@@ -2444,7 +2445,36 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "approx_distinct_users": QuerySpec(q_approx_distinct_users, None),
     "approx_percentiles": QuerySpec(q_approx_percentiles, None),
-    "lang_id": QuerySpec(q_lang_id, None),
+    "lang_id": QuerySpec(
+        q_lang_id,
+        # replicates functions.text.lang_id exactly: per-language marker
+        # hit counts, argmax with array_max-of-struct semantics (max
+        # score, then lexicographically GREATEST language code), 'und'
+        # when every profile scores 0.
+        """
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+          FROM documents),
+        profiles(cand, markers) AS (VALUES
+          ('en', ['the', 'and', 'of', 'is']),
+          ('es', ['el', 'la', 'de', 'que']),
+          ('fr', ['le', 'la', 'et', 'les']),
+          ('de', ['der', 'die', 'und', 'das']),
+          ('zh', ['的', '了', '是', '在'])),
+        scores AS (
+          SELECT doc_id, lang, cand,
+                 len(list_filter(t, x -> list_contains(markers, x)))
+                   AS score
+          FROM toks CROSS JOIN profiles)
+        SELECT doc_id, lang,
+               CASE WHEN score > 0 THEN cand ELSE 'und' END AS lang_guess
+        FROM scores
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, cand DESC) = 1
+        ORDER BY doc_id
+        """,
+    ),
     "udtf_ngrams": QuerySpec(
         q_udtf_ngrams,
         """
@@ -2478,7 +2508,23 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM t ORDER BY doc_id
         """,
     ),
-    "token_bpe": QuerySpec(q_token_bpe, None),
+    "token_bpe": QuerySpec(
+        q_token_bpe,
+        # the Spark side splits at \w/\W and digit/nondigit lookaround
+        # boundaries; the non-empty pieces of that split are exactly the
+        # maximal runs of [A-Za-z_], [0-9], and non-word chars — which IS
+        # RE2-expressible as extract-all (no lookarounds needed).
+        """
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+'))
+                 AS n_ws_tokens,
+               len(list_filter(
+                     regexp_extract_all(trim(text),
+                       '[A-Za-z_]+|[0-9]+|[^A-Za-z0-9_]+'),
+                     x -> trim(x) <> '')) AS n_bpe_tokens
+        FROM documents ORDER BY doc_id
+        """,
+    ),
     "knn_bruteforce": QuerySpec(
         q_knn_bruteforce,
         """
