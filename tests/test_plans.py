@@ -243,3 +243,61 @@ def test_small_quantity_revenue_single_scan_window(spark, sf_dir):
     # formatted explain lists each node twice (tree + details): 1 scan = 2
     assert len(re.findall(r"Scan parquet", plan)) == 2
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_min_cost_supplier_single_scan_window(spark, sf_dir):
+    # Q2-shape correlated min decorrelates to ONE window over ONE lineitem
+    # scan — a second FileScan of lineitem would mean the correlated
+    # subquery re-scanned the fact table.
+    from paas_auditor_spark.queries import q_min_cost_supplier
+
+    df = q_min_cost_supplier(spark, sf_dir)
+    plan = assert_plan_contains(df, "Window", "BroadcastHashJoin")
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_important_parts_no_driver_collect_scalar(spark, sf_dir):
+    # Q11-shape global-total comparison stays in-plan: the 1-row total is
+    # broadcast-joined, not collected to the driver.
+    from paas_auditor_spark.queries import q_important_parts
+
+    df = q_important_parts(spark, sf_dir)
+    assert_plan_contains(df, "BroadcastNestedLoopJoin")
+
+
+def test_lone_returned_supplier_no_fact_self_join(spark, sf_dir):
+    # Q21-shape EXISTS/NOT-EXISTS pair decorrelates into a per-order
+    # aggregate joined back on the SAME l_orderkey partitioning (the
+    # lines↔per-order join is sort-merge on co-partitioned keys — the
+    # scale-correct shape, since BOTH sides are order-cardinality at
+    # 100 TB); the correlated form would instead re-scan lineitem per
+    # branch.  supplier broadcasts; no nested-loop anywhere.
+    from paas_auditor_spark.queries import q_lone_returned_supplier
+
+    df = q_lone_returned_supplier(spark, sf_dir)
+    plan = assert_plan_contains(
+        df, "BroadcastHashJoin", "HashAggregate", "TakeOrderedAndProject"
+    )
+    assert_plan_lacks(df, "BroadcastNestedLoopJoin", "CartesianProduct")
+    # exactly one sort-merge join (lines ↔ per-order), on the order key —
+    # formatted explain names each node twice (tree + detail section)
+    assert plan.count("SortMergeJoin") == 2
+
+
+def test_tfidf_broadcasts_df_side(spark, sf_dir):
+    # the document-frequency side aggregates to term cardinality and
+    # broadcasts; no sort-merge join of two fact-sized sides.
+    from paas_auditor_spark.queries import q_tfidf_top_terms
+
+    df = q_tfidf_top_terms(spark, sf_dir)
+    assert_plan_contains(df, "BroadcastHashJoin", "Window")
+    assert_plan_lacks(df, "SortMergeJoin")
+
+
+def test_repetition_ratio_stays_jvm_side(spark, sf_dir):
+    from paas_auditor_spark.queries import q_repetition_ratio
+
+    df = q_repetition_ratio(spark, sf_dir)
+    assert_plan_lacks(
+        df, "BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas"
+    )
