@@ -1008,6 +1008,28 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Datasketches HLL): one sketch
+    per day, unioned into the total WITHOUT touching raw data twice.
+    This is the incremental-rollup cardinality pattern at 100 TB — daily
+    sketch columns are tiny, additive, and re-aggregable to any coarser
+    grain (week/month/all-time) with no re-scan of history; a plain
+    approx_count_distinct total cannot be maintained incrementally.
+    Rows-only check (sketch estimates are engine-specific); the
+    union-vs-direct consistency is pinned by a unit test."""
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").alias("n_events"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+        .alias("distinct_users_via_union"),
+    )
+
+
 def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles per event type (percentile_approx — Spark's
     mergeable quantile sketch): the single-pass, bounded-memory scale path
@@ -1755,6 +1777,77 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash stratified sampling: keep a row iff
+    md5(event_id) mod 10000 clears the stratum's threshold.  Unlike
+    seeded RNG sampling (``sampleBy``, q_stratified_sample) the decision
+    is a pure function of the KEY — reproducible across engines, re-runs,
+    repartitioning and backfills, which is what a training-data curation
+    pipeline actually needs.  One narrow map + one small aggregate; the
+    hash never leaves the executors."""
+    events = _t(spark, sf_dir, "events")
+    pct = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 10000
+    )
+    threshold = (
+        F.when(F.col("event_type") == "click", 5000)
+        .when(F.col("event_type") == "view", 1000)
+        .otherwise(10000)
+    )
+    return (
+        events.filter(pct < threshold)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("event_type")
+    )
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher-style document quality gate: token count, average
+    token length, stopword ratio, punctuation density and duplicate-bigram
+    fraction combined into one keep/drop verdict.  Every signal is a pure
+    column expression over ONE scan of the text column — the full filter
+    is a single narrow map stage, embarrassingly parallel at 100 TB."""
+    docs = _th(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tok = tx.token_count(text)
+    stop_ratio = F.round(
+        tx.stopword_count(text)
+        / F.greatest(n_tok.cast("double"), F.lit(1.0)),
+        4,
+    )
+    punct_ratio = F.round(
+        tx.punct_count(text)
+        / F.greatest(F.length(text).cast("double"), F.lit(1.0)),
+        4,
+    )
+    avg_len = F.round(
+        F.length(F.regexp_replace(F.trim(text), tx.WS, ""))
+        / F.greatest(n_tok.cast("double"), F.lit(1.0)),
+        4,
+    )
+    rep = tx.repetition_ratio(text, 2)
+    keep = (
+        (n_tok >= 10)
+        & (avg_len >= 2.0)
+        & (avg_len <= 12.0)
+        & (stop_ratio >= 0.01)
+        & (punct_ratio <= 0.2)
+        & (rep <= 0.3)
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        avg_len.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        rep.alias("rep_ratio"),
+        keep.alias("keep"),
+    ).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2293,6 +2386,58 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM documents ORDER BY doc_id
         """,
     ),
+    "deterministic_sample": QuerySpec(
+        q_deterministic_sample,
+        """
+        SELECT event_type, count(*) AS n_sampled
+        FROM events
+        WHERE CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 4))
+                   AS INTEGER) % 10000
+              < CASE event_type WHEN 'click' THEN 5000
+                                WHEN 'view' THEN 1000
+                                ELSE 10000 END
+        GROUP BY event_type ORDER BY event_type
+        """,
+    ),
+    "quality_filter": QuerySpec(
+        q_quality_filter,
+        """
+        WITH base AS (
+          SELECT doc_id, text,
+                 regexp_split_to_array(lower(trim(text)), '\\s+') AS lt,
+                 CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+          FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 [array_to_string(lt[i:i+1], ' ')
+                  for i in range(1, len(lt))] AS g
+          FROM base),
+        f AS (
+          SELECT base.doc_id, n_tokens,
+                 round(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                       / greatest(CAST(n_tokens AS DOUBLE), 1.0), 4)
+                   AS avg_token_len,
+                 round(len(list_filter(lt, x -> x IN
+                       ('the','a','of','and','to','in','is','on','for',
+                        'with')))
+                       / greatest(CAST(n_tokens AS DOUBLE), 1.0), 4)
+                   AS stopword_ratio,
+                 round(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                       / greatest(CAST(length(text) AS DOUBLE), 1.0), 4)
+                   AS punct_ratio,
+                 round(CASE WHEN len(g) = 0 THEN 0.0
+                       ELSE 1.0 - len(list_distinct(g)) * 1.0 / len(g)
+                       END, 4) AS rep_ratio
+          FROM base JOIN grams ON base.doc_id = grams.doc_id)
+        SELECT doc_id, n_tokens, avg_token_len, stopword_ratio,
+               punct_ratio, rep_ratio,
+               (n_tokens >= 10 AND avg_token_len >= 2.0
+                AND avg_token_len <= 12.0 AND stopword_ratio >= 0.01
+                AND punct_ratio <= 0.2 AND rep_ratio <= 0.3) AS keep
+        FROM f ORDER BY doc_id
+        """,
+    ),
     "repetition_ratio": QuerySpec(
         q_repetition_ratio,
         """
@@ -2445,6 +2590,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "approx_distinct_users": QuerySpec(q_approx_distinct_users, None),
     "approx_percentiles": QuerySpec(q_approx_percentiles, None),
+    "hll_mergeable_sketch": QuerySpec(q_hll_mergeable_sketch, None),
     "lang_id": QuerySpec(
         q_lang_id,
         # replicates functions.text.lang_id exactly: per-language marker

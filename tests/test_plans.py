@@ -75,6 +75,20 @@ def test_approx_distinct_accuracy(spark, sf_dir):
     assert abs(row["approx_events"] - exact_events) <= 0.02 * exact_events
 
 
+def test_hll_sketch_union_consistent_with_exact(spark, sf_dir):
+    """Daily Datasketches-HLL sketches unioned across days estimate the
+    same distinct-user cardinality as an exact count (±3%) — the
+    re-aggregability contract the mergeable-sketch rollup relies on."""
+    from paas_auditor_spark.queries import REGISTRY
+    from paas_auditor_spark.sources.tables import load_table
+
+    row = REGISTRY["hll_mergeable_sketch"].fn(spark, sf_dir).first()
+    events = load_table(spark, sf_dir, "events")
+    exact = events.select("user_id").distinct().count()
+    assert abs(row["distinct_users_via_union"] - exact) <= max(3, 0.03 * exact)
+    assert row["n_events"] == events.count()
+
+
 def test_salted_join_equals_plain_join(spark):
     """Salting must not change join results (inner and left), including
     unmatched-left rows and duplicate small-side keys."""
