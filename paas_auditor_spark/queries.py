@@ -1777,6 +1777,112 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 fold demonstrated on the customer dimension: an initial
+    snapshot (valid 2024-01-01 → ∞) folded with an update batch that
+    bumps every 7th customer's balance.  Changed keys close at the
+    update's effective time and reopen as the new current row — the
+    operator's one-pass join shape (operators/scd.py), oracle-matched
+    against the equivalent UNION-of-slices SQL."""
+    from paas_auditor_spark.operators.scd import MAX_TS, scd2_apply
+
+    cust = _t(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("2024-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(MAX_TS).cast("timestamp").alias("valid_to"),
+    )
+    updates = (
+        cust.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") + 100, 2).alias("acctbal"),
+            F.lit("2024-06-01").cast("timestamp").alias("effective_ts"),
+        )
+    )
+    return scd2_apply(dim, updates, "c_custkey", ["acctbal"]).orderBy(
+        "c_custkey", "valid_from"
+    )
+
+
+def q_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel (view → click → purchase): how many
+    users reach each stage IN ORDER.  The stage timestamps chain as
+    conditional aggregates over ONE user-partitioned pass — stage k's
+    earliest qualifying time is a min over events later than stage k−1's
+    — so the whole funnel costs a single user_id shuffle, not three
+    self-joins.  (The two inner window mins reuse the same partitioning —
+    Catalyst runs them in one Window stage.)"""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    staged = (
+        events.withColumn(
+            "_t1",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "_t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("_t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "_t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("_t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("_t1").alias("t1"),
+            F.max("_t2").alias("t2"),
+            F.max("_t3").alias("t3"),
+        )
+    )
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("reached_view"),
+        F.count("t2").alias("reached_click"),
+        F.count("t3").alias("reached_purchase"),
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week; for
+    each (cohort, weeks-since) cell, how many distinct users were active.
+    Two aggregates — first-touch per user (map-side combinable min), then
+    the cohort matrix over the events×first-touch broadcast join.  The
+    events side shuffles once on user_id; the cohort dim is
+    user-cardinality but projects to 2 small columns."""
+    events = _t(spark, sf_dir, "events")
+    first_touch = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        events.join(first_touch, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                (F.col("ts").cast("long") - F.col("cohort_week").cast("long"))
+                / (7 * 86400)
+            )
+            .cast("long")
+            .alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
 def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-hash stratified sampling: keep a row iff
     md5(event_id) mod 10000 clears the stratum's threshold.  Unlike
@@ -2384,6 +2490,77 @@ REGISTRY: dict[str, QuerySpec] = {
         SELECT doc_id,
                substr(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 16) AS fp
         FROM documents ORDER BY doc_id
+        """,
+    ),
+    "scd2_history": QuerySpec(
+        q_scd2_history,
+        """
+        WITH dim AS (
+          SELECT c_custkey, round(c_acctbal, 2) AS acctbal,
+                 TIMESTAMP '2024-01-01' AS valid_from,
+                 TIMESTAMP '2200-01-01 00:00:00' AS valid_to
+          FROM customer),
+        upd AS (
+          SELECT c_custkey, round(c_acctbal + 100, 2) AS acctbal,
+                 TIMESTAMP '2024-06-01' AS eff
+          FROM customer WHERE c_custkey % 7 = 0)
+        SELECT c_custkey, acctbal, valid_from, valid_to FROM (
+          SELECT d.c_custkey, d.acctbal, d.valid_from,
+                 CASE WHEN u.c_custkey IS NOT NULL THEN u.eff
+                      ELSE d.valid_to END AS valid_to
+          FROM dim d LEFT JOIN upd u ON d.c_custkey = u.c_custkey
+          UNION ALL
+          SELECT c_custkey, acctbal, eff,
+                 TIMESTAMP '2200-01-01 00:00:00'
+          FROM upd)
+        ORDER BY c_custkey, valid_from
+        """,
+    ),
+    "funnel_analysis": QuerySpec(
+        q_funnel_analysis,
+        # CAST ts to us-precision TIMESTAMP so strict '>' comparisons see
+        # the same values Spark's ns→us converted reads do.
+        """
+        WITH e AS (
+          SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+          FROM events),
+        s1 AS (
+          SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+                      OVER (PARTITION BY user_id) AS t1 FROM e),
+        s2 AS (
+          SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+                             THEN ts END)
+                      OVER (PARTITION BY user_id) AS t2 FROM s1),
+        s3 AS (
+          SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+                             THEN ts END)
+                      OVER (PARTITION BY user_id) AS t3 FROM s2),
+        per_user AS (
+          SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+          FROM s3 GROUP BY user_id)
+        SELECT count(*) AS n_users,
+               count(t1) AS reached_view,
+               count(t2) AS reached_click,
+               count(t3) AS reached_purchase
+        FROM per_user
+        """,
+    ),
+    "cohort_retention": QuerySpec(
+        q_cohort_retention,
+        """
+        WITH e AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        ft AS (
+          SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+          FROM e GROUP BY user_id)
+        SELECT cohort_week,
+               CAST(floor((CAST(floor(epoch(ts)) AS BIGINT)
+                           - CAST(floor(epoch(cohort_week)) AS BIGINT))
+                          / (7 * 86400.0)) AS BIGINT) AS weeks_since,
+               count(DISTINCT user_id) AS active_users
+        FROM e JOIN ft USING (user_id)
+        GROUP BY cohort_week, weeks_since
+        ORDER BY cohort_week, weeks_since
         """,
     ),
     "deterministic_sample": QuerySpec(

