@@ -45,6 +45,10 @@ HEADLINE = [
     "lone_returned_supplier",
     "repetition_ratio",
     "tfidf_top_terms",
+    "quality_filter",
+    "funnel_analysis",
+    "cohort_retention",
+    "scd2_history",
     "minhash_near_dup",
     "simhash",
     "knn_bruteforce",

@@ -1777,6 +1777,100 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: classify keys as added / removed /
+    changed / unchanged between two table versions (here: orders vs the
+    same orders with a deterministic perturbation).  One full-outer join
+    on the key — the canonical audit primitive for replication checks and
+    incremental-pipeline validation.  At scale both sides shuffle once on
+    the key; the classification is a narrow projection."""
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.select("o_orderkey", "o_totalprice")
+    new = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.round(F.col("o_totalprice") + 1, 2)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    j = old.alias("a").join(
+        new.alias("b"),
+        F.col("a.o_orderkey") == F.col("b.o_orderkey"),
+        "full_outer",
+    )
+    status = (
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "removed")
+        .when(
+            ~F.col("a.o_totalprice").eqNullSafe(F.col("b.o_totalprice")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status")
+    )
+
+
+def q_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining analytic-window family in one pass: percent_rank,
+    cume_dist, nth_value and last_value over per-type value ordering.
+    All functions share ONE window spec → a single sort per partition;
+    rows are made unique by (value, event_id) tie-break so every rank is
+    deterministic."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    wall = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        events.filter(F.col("event_id") % 97 == 0)
+        .select(
+            "event_type",
+            "event_id",
+            F.round("value", 2).alias("value_r"),
+            F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 4).alias("cume"),
+            F.round(F.nth_value("value", 2).over(wall), 2).alias("second_v"),
+            F.round(F.last("value").over(wall), 2).alias("max_v"),
+        )
+        .orderBy("event_type", "event_id")
+    )
+
+
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate pairing: supplier names within edit
+    distance 1 of each other, BLOCKED by nation so the pair space is
+    per-block O(b²) instead of corpus O(n²) — the standard blocking
+    pattern for fuzzy dedup at scale (same shape as the LSH banding
+    joins: equi-join on the block key, verify on the candidates).
+    levenshtein runs JVM-side on the joined pairs only."""
+    supp = _t(spark, sf_dir, "supplier")
+    a = supp.select(
+        F.col("s_nationkey").alias("nk"),
+        F.col("s_suppkey").alias("id_a"),
+        F.col("s_name").alias("name_a"),
+    )
+    b = supp.select(
+        F.col("s_nationkey").alias("nk"),
+        F.col("s_suppkey").alias("id_b"),
+        F.col("s_name").alias("name_b"),
+    )
+    return (
+        a.join(b, "nk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= 1)
+        .select("id_a", "id_b", "name_a", "name_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD-2 fold demonstrated on the customer dimension: an initial
     snapshot (valid 2024-01-01 → ∞) folded with an update batch that
@@ -2490,6 +2584,54 @@ REGISTRY: dict[str, QuerySpec] = {
         SELECT doc_id,
                substr(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 16) AS fp
         FROM documents ORDER BY doc_id
+        """,
+    ),
+    "snapshot_diff": QuerySpec(
+        q_snapshot_diff,
+        """
+        WITH old_v AS (SELECT o_orderkey, o_totalprice FROM orders),
+        new_v AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 7 = 0
+                      THEN round(o_totalprice + 1, 2)
+                      ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderkey % 11 <> 0)
+        SELECT status, count(*) AS n FROM (
+          SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                      WHEN b.o_orderkey IS NULL THEN 'removed'
+                      WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice
+                        THEN 'changed'
+                      ELSE 'unchanged' END AS status
+          FROM old_v a FULL OUTER JOIN new_v b
+            ON a.o_orderkey = b.o_orderkey)
+        GROUP BY status ORDER BY status
+        """,
+    ),
+    "window_family": QuerySpec(
+        q_window_family,
+        """
+        SELECT event_type, event_id, round(value, 2) AS value_r,
+               round(percent_rank() OVER w, 4) AS pct_rank,
+               round(cume_dist() OVER w, 4) AS cume,
+               round(nth_value(value, 2) OVER wf, 2) AS second_v,
+               round(last_value(value) OVER wf, 2) AS max_v
+        FROM events WHERE event_id % 97 = 0
+        WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id),
+               wf AS (PARTITION BY event_type ORDER BY value, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING)
+        ORDER BY event_type, event_id
+        """,
+    ),
+    "fuzzy_name_pairs": QuerySpec(
+        q_fuzzy_name_pairs,
+        """
+        SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+               a.s_name AS name_a, b.s_name AS name_b
+        FROM supplier a JOIN supplier b
+          ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+        WHERE levenshtein(a.s_name, b.s_name) <= 1
+        ORDER BY id_a, id_b
         """,
     ),
     "scd2_history": QuerySpec(
