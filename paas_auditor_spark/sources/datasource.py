@@ -1,0 +1,222 @@
+"""CF audit events as a NATIVE Spark data source (Python DataSource API,
+Spark 4): ``spark.read.format("cf_events").option("base_url", …).load()``.
+
+This lifts the S1 paginated scan from a driver-side pager into a
+first-class source the planner understands:
+
+- **Partitioned parallel fetch**: planning probes page 1 for
+  ``total_pages`` and splits the page range into ``InputPartition``s —
+  executors fetch page ranges concurrently (the reference walks
+  ``next_url`` serially at ≤500 events/s; page-numbered fetch is the
+  parallel form of the same API, cf_audit_event_fetcher.go:33-57).
+- **Native predicate pushdown (S2)**: a ``created_at > X`` / ``>= X``
+  filter is claimed in ``pushFilters`` and becomes the API's
+  ``q=timestamp>…`` parameter — the source transfers only the watermark
+  window.  The filter is ALSO returned to Spark (partial pushdown), so
+  boundary semantics are re-verified engine-side and a lying server
+  cannot corrupt results.
+- **Politeness**: per-request pacing within a partition via ``wait_s``
+  (reference fetcher.go:55); overall concurrency is bounded by the
+  number of partitions.
+
+Python-side JSON decode is deliberate here: the API fetch is the
+bottleneck (network + the reference's 100-events/page envelope), so the
+decode rides inside the same I/O-bound task — unlike file scans, there
+is no JVM fast path being given up.  Auth: pass ``token`` (or wire
+``sources.paginated_http.uaa_transport``'s token) — sent as a Bearer
+header.
+
+Register per-session:  ``spark.dataSource.register(CfEventsDataSource)``.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import time
+import urllib.request
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+
+from paas_auditor_spark.schemas import CF_AUDIT_EVENT
+
+TIME_FORMAT = "%Y-%m-%dT%H:%M:%SZ"
+EPOCH_STR = "1970-01-01T00:00:00Z"
+
+
+class _PageRange(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+def _flatten(resource: dict) -> tuple:
+    """One envelope resource → a CF_AUDIT_EVENT tuple (same field mapping
+    as operators/ingest.normalize_envelope; '' → NULL for org/space)."""
+    meta = resource.get("metadata") or {}
+    ent = resource.get("entity") or {}
+    created = meta.get("created_at")
+    ts = (
+        dt.datetime.strptime(created, TIME_FORMAT) if created else None
+    )
+    return (
+        meta.get("guid"),
+        ts,
+        ent.get("type"),
+        ent.get("actor"),
+        ent.get("actor_type"),
+        ent.get("actor_name"),
+        ent.get("actor_username"),
+        ent.get("actee"),
+        ent.get("actee_type"),
+        ent.get("actee_name"),
+        ent.get("organization_guid") or None,
+        ent.get("space_guid") or None,
+        json.dumps(ent.get("metadata"), sort_keys=True)
+        if ent.get("metadata") is not None
+        else None,
+    )
+
+
+class CfEventsReader(DataSourceReader):
+    def __init__(self, options):
+        self.base_url = options["base_url"].rstrip("/")
+        self.page_size = int(options.get("page_size", 100))
+        self.pages_per_partition = int(options.get("pages_per_partition", 8))
+        self.wait_s = float(options.get("wait_s", 0.0))
+        self.timeout_s = float(options.get("timeout_s", 30.0))
+        self.token = options.get("token")
+        self.since: str | None = None
+
+    # -- S2: claim the time predicate for the API query --------------------
+
+    def pushFilters(self, filters):
+        for f in filters:
+            if (
+                isinstance(f, (GreaterThan, GreaterThanOrEqual))
+                and f.attribute == ("created_at",)
+                and isinstance(f.value, dt.datetime)
+            ):
+                self.since = f.value.strftime(TIME_FORMAT)
+            # yield EVERYTHING back (partial pushdown): the source narrows
+            # the transfer, Spark re-verifies the exact boundary.
+            yield f
+
+    # -- fetch plumbing -----------------------------------------------------
+
+    def _url(self, page: int) -> str:
+        q = f"&q=timestamp>{self.since}" if self.since else ""
+        return (
+            f"{self.base_url}/v2/events?results-per-page={self.page_size}"
+            f"&page={page}{q}"
+        )
+
+    def _fetch(self, url: str) -> dict:
+        req = urllib.request.Request(url)
+        if self.token:
+            req.add_header("Authorization", f"Bearer {self.token}")
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            return json.loads(resp.read().decode("utf-8"))
+
+    # -- planning + execution ----------------------------------------------
+
+    def partitions(self):
+        first = self._fetch(self._url(1))
+        total = int(first.get("total_pages") or 1)
+        step = self.pages_per_partition
+        return [
+            _PageRange(s, min(s + step - 1, total))
+            for s in range(1, total + 1, step)
+        ]
+
+    def read(self, partition: _PageRange):
+        for page in range(partition.start, partition.end + 1):
+            if self.wait_s and page != partition.start:
+                time.sleep(self.wait_s)  # reference pacing (S3)
+            doc = self._fetch(self._url(page))
+            for resource in doc.get("resources", []):
+                yield _flatten(resource)
+
+
+class CfEventsStreamReader(SimpleDataSourceStreamReader):
+    """The collector loop as a NATIVE streaming source:
+    ``spark.readStream.format("cf_events")`` micro-batches the API with
+    the reference's exact watermark discipline (T2).
+
+    Offsets are the watermark itself: ``{"since": <rfc3339>, "max_seen":
+    <rfc3339>}``.  Each trigger fetches ``timestamp > since``; the next
+    offset's ``since`` backs off ``overlap_s`` (default 5 s) from the
+    max event time seen — the reference's overlap re-read
+    (cf_audit_event_collector.go:36).  Boundary rows therefore arrive
+    at-least-once BY DESIGN; pair with ``dropDuplicatesWithinWatermark``
+    or the store's ON CONFLICT insert for the reference's
+    effectively-once result (T3).  ``readBetweenOffsets`` replays a
+    committed range by refetching and capping at the range's
+    ``max_seen`` — recovery needs no source-side state."""
+
+    def __init__(self, options):
+        self.inner = CfEventsReader(options)
+        self.inner.since = options.get("since", EPOCH_STR)
+        self.overlap_s = float(options.get("overlap_s", 5.0))
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        return {"since": self.inner.since, "max_seen": self.inner.since}
+
+    def _fetch_all(self, since: str) -> list[tuple]:
+        self.inner.since = since
+        rows: list[tuple] = []
+        for part in self.inner.partitions():
+            rows.extend(self.inner.read(part))
+        return rows
+
+    def read(self, start: dict):
+        rows = self._fetch_all(start["since"])
+        if not rows:
+            return iter(()), start
+        max_seen = max(r[1] for r in rows)
+        # Spark's contract: a non-empty batch MUST advance the offset.  A
+        # fetch that only re-read the overlap window (no event newer than
+        # max_seen) carries nothing the previous batch didn't emit — report
+        # no progress instead of an un-advanceable batch.
+        prev_max = dt.datetime.strptime(start["max_seen"], TIME_FORMAT)
+        if max_seen <= prev_max:
+            return iter(()), start
+        wm = max_seen - dt.timedelta(seconds=self.overlap_s)
+        if wm.year < 1970:  # reference epoch guard (T2)
+            wm = dt.datetime(1970, 1, 1)
+        end = {
+            "since": wm.strftime(TIME_FORMAT),
+            "max_seen": max_seen.strftime(TIME_FORMAT),
+        }
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
+        cap = dt.datetime.strptime(end["max_seen"], TIME_FORMAT)
+        return iter(
+            r for r in self._fetch_all(start["since"]) if r[1] <= cap
+        )
+
+
+class CfEventsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "cf_events"
+
+    def schema(self):
+        return CF_AUDIT_EVENT
+
+    def reader(self, schema):
+        return CfEventsReader(self.options)
+
+    def simpleStreamReader(self, schema):  # noqa: N802
+        return CfEventsStreamReader(self.options)
+
+
+__all__ = ["CfEventsDataSource", "CfEventsReader", "CfEventsStreamReader"]
