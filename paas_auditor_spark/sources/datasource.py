@@ -34,6 +34,7 @@ from __future__ import annotations
 import datetime as dt
 import json
 import time
+import urllib.error
 import urllib.request
 
 from pyspark.sql.datasource import (
@@ -93,6 +94,8 @@ class CfEventsReader(DataSourceReader):
         self.wait_s = float(options.get("wait_s", 0.0))
         self.timeout_s = float(options.get("timeout_s", 30.0))
         self.token = options.get("token")
+        self.max_retries = int(options.get("max_retries", 3))
+        self.retry_backoff_s = float(options.get("retry_backoff_s", 0.5))
         self.since: str | None = None
 
     # -- S2: claim the time predicate for the API query --------------------
@@ -119,11 +122,27 @@ class CfEventsReader(DataSourceReader):
         )
 
     def _fetch(self, url: str) -> dict:
+        """GET with the shipper's retry envelope (W3 parity): transient
+        failures (5xx, timeouts, connection resets) back off and retry up
+        to ``max_retries``; 4xx are permanent and raise immediately."""
         req = urllib.request.Request(url)
         if self.token:
             req.add_header("Authorization", f"Bearer {self.token}")
-        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
-            return json.loads(resp.read().decode("utf-8"))
+        attempt = 0
+        while True:
+            try:
+                with urllib.request.urlopen(
+                    req, timeout=self.timeout_s
+                ) as resp:
+                    return json.loads(resp.read().decode("utf-8"))
+            except urllib.error.HTTPError as e:
+                if e.code < 500 or attempt >= self.max_retries:
+                    raise
+            except (urllib.error.URLError, TimeoutError):
+                if attempt >= self.max_retries:
+                    raise
+            attempt += 1
+            time.sleep(self.retry_backoff_s * (2 ** (attempt - 1)))
 
     # -- planning + execution ----------------------------------------------
 

@@ -12,6 +12,7 @@ operation touches only the watermark's trailing edge.
 from __future__ import annotations
 
 import datetime as dt
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -118,6 +119,58 @@ def export_ordered(
     )
 
 
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: Sequence[str],
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Multi-column clustered layout (Z-order-lite): range-partition on
+    the leading cluster key, then sort every file by the full key tuple.
+
+    Parquet stores per-row-group min/max statistics; a scan with a
+    predicate on the cluster columns skips row groups whose stat range
+    misses the predicate.  On randomly laid-out data every row group
+    spans nearly the full value domain and nothing skips — clustering is
+    what makes the footer statistics selective.  This is the table-format
+    OPTIMIZE ZORDER analog expressed with plain Spark primitives; at
+    100 TB it is the difference between touching one file and all of
+    them for a point-range query on the cluster key.
+    """
+    cols = [F.col(c) for c in cluster_cols]
+    (
+        df.repartitionByRange(num_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def row_group_stats(path: str, column: str) -> list[tuple]:
+    """Per-row-group (min, max) of ``column`` across all files — metadata
+    only, no data read.  The observability half of ``write_clustered``:
+    tight, near-disjoint ranges mean the layout supports skipping."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out: list[tuple] = []
+    for root, _dirs, files in os.walk(path):
+        for fname in sorted(files):
+            if not fname.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, fname)).metadata
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema == column and col.statistics:
+                        out.append(
+                            (col.statistics.min, col.statistics.max)
+                        )
+    return out
+
+
 def list_partitions(path: str) -> list[str]:
     """Partition values present under ``path`` (directory listing, no scan)."""
     import os
@@ -138,5 +191,7 @@ __all__ = [
     "export_ordered",
     "list_partitions",
     "read_since",
+    "row_group_stats",
+    "write_clustered",
     "write_partitioned",
 ]

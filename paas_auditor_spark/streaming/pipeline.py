@@ -239,13 +239,28 @@ def stream_to_store(
     pre-filters — a retried/replayed micro-batch (Spark's at-least-once
     foreachBatch contract) is harmless twice over (T3).
     """
-    from pyspark.sql import functions as F
-
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
+    writer = stream.writeStream.foreachBatch(
+        store_sink(store, key_col, ts_col, metrics)
+    ).option("checkpointLocation", checkpoint_dir)
+    if trigger_processing_time:
+        writer = writer.trigger(processingTime=trigger_processing_time)
+    return writer.start()
+
+
+def store_sink(
+    store,
+    key_col: str = "guid",
+    ts_col: str = "created_at",
+    metrics: MetricsRegistry | None = None,
+):
+    """foreachBatch sink into a pluggable store: in-batch dedup →
+    overlap-bounded broadcast anti-join → idempotent append."""
+    from pyspark.sql import functions as F
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         deduped = batch_df.dropDuplicates([key_col])
@@ -270,8 +285,47 @@ def stream_to_store(
                 float(fresh.count()),
             )
 
-    writer = stream.writeStream.foreachBatch(sink).option(
-        "checkpointLocation", checkpoint_dir
+    return sink
+
+
+def stream_api_to_store(
+    spark: SparkSession,
+    base_url: str,
+    store,
+    checkpoint_dir: str,
+    since: str | None = None,
+    page_size: int = 100,
+    overlap_s: float = 5.0,
+    trigger_processing_time: str | None = None,
+    metrics: MetricsRegistry | None = None,
+    extra_options: dict | None = None,
+):
+    """The north-star pipeline FULLY native: ``spark.readStream.format
+    ("cf_events")`` (watermark-offset micro-batches straight off the CF
+    API — sources/datasource.py) → in-batch dedup → overlap-bounded
+    anti-join → pluggable store append (parquet warehouse or DB-API
+    ON CONFLICT).  The reference's collector loop (fetch → dedup →
+    insert, cf_audit_event_collector.go:30-70) as ONE Structured
+    Streaming query: offsets checkpoint the watermark, retries replay
+    micro-batches, and the store's idempotence absorbs the at-least-once
+    edges (T2/T3/W1)."""
+    from paas_auditor_spark.sources.datasource import CfEventsDataSource
+
+    spark.dataSource.register(CfEventsDataSource)
+    reader = (
+        spark.readStream.format("cf_events")
+        .option("base_url", base_url)
+        .option("page_size", page_size)
+        .option("overlap_s", overlap_s)
+    )
+    if since:
+        reader = reader.option("since", since)
+    for k, v in (extra_options or {}).items():
+        reader = reader.option(k, v)
+    writer = (
+        reader.load()
+        .writeStream.foreachBatch(store_sink(store, metrics=metrics))
+        .option("checkpointLocation", checkpoint_dir)
     )
     if trigger_processing_time:
         writer = writer.trigger(processingTime=trigger_processing_time)
@@ -303,6 +357,8 @@ __all__ = [
     "collect_once",
     "informer_tick",
     "scheduler_loop",
+    "store_sink",
+    "stream_api_to_store",
     "stream_to_bronze",
     "stream_to_store",
 ]

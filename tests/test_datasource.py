@@ -44,10 +44,16 @@ class PagedEventsServer:
         self.n_events = n_events
         self.cap = page_size_cap
         self.queries: list[dict] = []
+        self.fail_next = 0  # serve this many 500s before recovering
         outer = self
 
         class Handler(http.server.BaseHTTPRequestHandler):
             def do_GET(self):  # noqa: N802
+                if outer.fail_next > 0:
+                    outer.fail_next -= 1
+                    self.send_response(500)
+                    self.end_headers()
+                    return
                 parsed = urllib.parse.urlparse(self.path)
                 qs = urllib.parse.parse_qs(parsed.query)
                 outer.queries.append(
@@ -185,3 +191,61 @@ def test_datasource_streaming_watermark_offsets(registered, tmp_path):
     assert distinct == 12
     # overlap re-read duplicates stay bounded to the 5s window
     assert total >= 12 and total <= 12 + 6
+
+
+def test_datasource_retries_transient_errors(registered):
+    """5xx responses retry with backoff (W3 envelope); the read succeeds
+    once the server recovers."""
+    spark = registered
+    server = PagedEventsServer(n_events=5, page_size_cap=10)
+    server.fail_next = 2  # first two requests 500
+    try:
+        df = (
+            spark.read.format("cf_events")
+            .option("base_url", server.url)
+            .option("page_size", 10)
+            .option("retry_backoff_s", 0.01)
+            .load()
+        )
+        assert df.count() == 5
+    finally:
+        server.close()
+
+
+def test_native_api_to_store_pipeline(registered, tmp_path):
+    """North-star fully native: readStream cf_events (watermark offsets)
+    → dedup → DuckDB store via ON CONFLICT. New API events land exactly
+    once in the database across triggers despite the overlap re-read."""
+    import duckdb
+
+    from paas_auditor_spark.sinks.jdbc import dbapi_factory
+    from paas_auditor_spark.stores import DbApiStore
+    from paas_auditor_spark.streaming.metrics import MetricsRegistry
+    from paas_auditor_spark.streaming.pipeline import stream_api_to_store
+
+    spark = registered
+    server = PagedEventsServer(n_events=6, page_size_cap=10)
+    db = str(tmp_path / "native.duckdb")
+    store = DbApiStore(spark, dbapi_factory("duckdb", db), write_partitions=1)
+    metrics = MetricsRegistry()
+    try:
+        q = stream_api_to_store(
+            spark, server.url, store, str(tmp_path / "ckpt"),
+            page_size=10, metrics=metrics,
+        )
+        try:
+            q.processAllAvailable()
+            server.n_events = 9
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        server.close()
+    con = duckdb.connect(db)
+    n, nd = con.execute(
+        "SELECT count(*), count(DISTINCT guid) FROM cf_audit_events"
+    ).fetchone()
+    con.close()
+    # the DB absorbed the overlap re-read: exactly one row per event
+    assert (n, nd) == (9, 9)
+    assert metrics.get("cf_audit_event_collector_events_collected_total") == 9

@@ -509,3 +509,38 @@ def test_jsonl_replay_quarantines_malformed_lines(spark, tmp_path):
     events, bad = read_envelope_jsonl(spark, str(dump), with_quarantine=True)
     assert events.count() == 2
     assert bad.count() == 2  # both non-envelope lines kept addressable
+
+
+def test_clustered_write_makes_row_group_stats_selective(spark, sf_dir, tmp_path):
+    """write_clustered must produce near-disjoint per-file value ranges on
+    the cluster key (the precondition for row-group skipping), where a
+    random layout's ranges all span the full domain."""
+    from paas_auditor_spark.sources.partitioned import (
+        row_group_stats,
+        write_clustered,
+    )
+    from paas_auditor_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    clustered = str(tmp_path / "clustered")
+    random_layout = str(tmp_path / "random")
+    write_clustered(events, clustered, ["user_id", "ts"], num_files=4)
+    events.repartition(4).write.mode("overwrite").parquet(random_layout)
+
+    def spread(stats):
+        lo = min(s[0] for s in stats)
+        hi = max(s[1] for s in stats)
+        full = hi - lo or 1
+        return sum((s[1] - s[0]) / full for s in stats) / len(stats)
+
+    clustered_spread = spread(row_group_stats(clustered, "user_id"))
+    random_spread = spread(row_group_stats(random_layout, "user_id"))
+    # each clustered row group covers a narrow slice of the key domain;
+    # random row groups each cover ~the whole domain
+    assert clustered_spread < 0.5 < random_spread
+    # and the ranges tile the domain: sorted by min, overlaps are rare
+    stats = sorted(row_group_stats(clustered, "user_id"))
+    overlaps = sum(
+        1 for a, b in zip(stats, stats[1:]) if b[0] < a[1]
+    )
+    assert overlaps <= len(stats) // 4
