@@ -1777,6 +1777,91 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping character chunking (the embedding-prep
+    operator: context-window-sized pieces with overlap so no boundary
+    sentence is lost).  Chunk starts come from an in-row ``sequence`` +
+    explode — no UDF, no driver loop; each document fans out
+    independently so the op is embarrassingly parallel at corpus scale."""
+    size, step = 200, 150  # 50-char overlap
+    docs = _th(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.floor((F.length("text") - 1) / step).cast("int"), F.lit(0)
+        ),
+    )
+    return (
+        docs.filter(F.length("text") > 0)
+        .select(
+            "doc_id", "text", F.posexplode(starts).alias("chunk_id", "_s")
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.substring(
+                F.col("text"), F.col("_s") * step + 1, F.lit(size)
+            ).alias("chunk"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (curation hygiene): mask email-shaped and
+    long-digit-run tokens, report per-doc redaction counts.  Pure
+    regexp_replace / regexp_count column expressions — one narrow map
+    over the corpus, no shuffle at all until the final ORDER BY."""
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    digits = r"\d{6,}"
+    docs = _th(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email, "<EMAIL>"),
+        digits,
+        "<NUM>",
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.regexp_count(F.col("text"), F.lit(email)).alias("n_emails"),
+            F.regexp_count(F.col("text"), F.lit(digits)).alias("n_numbers"),
+            F.length(scrubbed).alias("scrubbed_len"),
+            F.substring(scrubbed, 1, 80).alias("scrubbed_head"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build for the corpus's heavy terms: term → sorted
+    posting list + document frequency.  explode → (term, doc) distinct →
+    grouped sort_array(collect_set) — one shuffle on term; posting lists
+    stay arrays (no driver materialization).  The df > 100 cut keeps the
+    output to head terms, the realistic shape for a broadcastable
+    high-DF stoplist."""
+    docs = _th(spark, sf_dir, "documents")
+    postings = docs.select(
+        "doc_id", F.explode(tx.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    return (
+        postings.groupBy("term")
+        .agg(
+            # serialized posting list: numerically sorted, comma-joined
+            # (string form keeps the oracle compare hashable)
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_set("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            ).alias("posting_list"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .filter(F.col("df") > 100)
+        .orderBy("term")
+    )
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-style snapshot diff: classify keys as added / removed /
     changed / unchanged between two table versions (here: orders vs the
@@ -2584,6 +2669,59 @@ REGISTRY: dict[str, QuerySpec] = {
         SELECT doc_id,
                substr(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 16) AS fp
         FROM documents ORDER BY doc_id
+        """,
+    ),
+    "doc_chunks": QuerySpec(
+        q_doc_chunks,
+        """
+        WITH starts AS (
+          SELECT doc_id, text,
+                 unnest(range(0, greatest(
+                   CAST(floor((length(text) - 1) / 150) AS BIGINT), 0) + 1))
+                   AS chunk_id
+          FROM documents WHERE length(text) > 0)
+        SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+               substr(text, CAST(chunk_id * 150 + 1 AS BIGINT), 200)
+                 AS chunk
+        FROM starts ORDER BY doc_id, chunk_id
+        """,
+    ),
+    "pii_scrub": QuerySpec(
+        q_pii_scrub,
+        """
+        WITH s AS (
+          SELECT doc_id, text,
+                 regexp_replace(
+                   regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                   '\\d{6,}', '<NUM>', 'g') AS scrubbed
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                 AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text, '\\d{6,}')) AS BIGINT)
+                 AS n_numbers,
+               CAST(length(scrubbed) AS BIGINT) AS scrubbed_len,
+               substr(scrubbed, 1, 80) AS scrubbed_head
+        FROM s ORDER BY doc_id
+        """,
+    ),
+    "inverted_index": QuerySpec(
+        q_inverted_index,
+        """
+        WITH postings AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                   AS term
+          FROM documents)
+        SELECT term,
+               array_to_string(list_sort(list(DISTINCT doc_id)), ',')
+                 AS posting_list,
+               count(DISTINCT doc_id) AS df
+        FROM postings GROUP BY term HAVING df > 100
+        ORDER BY term
         """,
     ),
     "snapshot_diff": QuerySpec(
