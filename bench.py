@@ -49,6 +49,9 @@ HEADLINE = [
     "funnel_analysis",
     "cohort_retention",
     "scd2_history",
+    "pii_scrub",
+    "doc_chunks",
+    "inverted_index",
     "minhash_near_dup",
     "simhash",
     "knn_bruteforce",
