@@ -315,3 +315,31 @@ def test_repetition_ratio_stays_jvm_side(spark, sf_dir):
     assert_plan_lacks(
         df, "BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas"
     )
+
+
+def test_curation_ops_stay_jvm_side(spark, sf_dir):
+    # chunking, scrubbing and index build are pure JVM expressions — no
+    # Python evaluation nodes in any of them
+    from paas_auditor_spark.queries import (
+        q_doc_chunks,
+        q_inverted_index,
+        q_pii_scrub,
+    )
+
+    for fn in (q_doc_chunks, q_pii_scrub, q_inverted_index):
+        assert_plan_lacks(
+            fn(spark, sf_dir),
+            "BatchEvalPython",
+            "ArrowEvalPython",
+            "FlatMapsInPandas",
+        )
+
+
+def test_inverted_index_single_shuffle(spark, sf_dir):
+    # one term-keyed exchange feeds the posting-list aggregate; the sort
+    # is on the already-small head-term output
+    from paas_auditor_spark.queries import q_inverted_index
+
+    df = q_inverted_index(spark, sf_dir)
+    plan = assert_plan_contains(df, "HashAggregate")
+    assert plan.count("Exchange hashpartitioning") <= 2  # agg + distinct step
