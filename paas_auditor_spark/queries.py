@@ -1862,6 +1862,59 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum: per-row md5 fold summed across
+    the table — equal content ⇒ equal checksum regardless of row order or
+    partitioning.  The replication-audit primitive that pairs with
+    snapshot_diff: compare two sides with one number each, no row
+    transfer.  Only int/string columns go into the row serialization (a
+    float's text form is engine-dependent)."""
+    events = _t(spark, sf_dir, "events")
+    row_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("event_id").cast("string"),
+                    "event_type",
+                    F.col("user_id").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return events.agg(
+        F.sum(row_hash).alias("checksum"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup: a new document batch is admitted
+    only where its content fingerprint is absent from the existing
+    corpus — fingerprint anti-join, the content-level analog of the
+    guid-keyed idempotent append (W1).  At 100 TB the corpus side is a
+    fingerprint-only projection (16 bytes/doc) and the join is broadcast
+    or bucket-pruned, never a payload shuffle."""
+    docs = _th(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    fp = tx.fingerprint(F.col("text"))
+    corpus_fp = corpus.select(fp.alias("fp")).distinct()
+    admitted = (
+        batch.withColumn("fp", fp)
+        .join(F.broadcast(corpus_fp), "fp", "left_anti")
+        .select("doc_id")
+    )
+    return admitted.agg(
+        F.count(F.lit(1)).alias("n_admitted"),
+        F.coalesce(F.min("doc_id"), F.lit(-1)).alias("first_admitted"),
+    )
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-style snapshot diff: classify keys as added / removed /
     changed / unchanged between two table versions (here: orders vs the
@@ -2722,6 +2775,33 @@ REGISTRY: dict[str, QuerySpec] = {
                count(DISTINCT doc_id) AS df
         FROM postings GROUP BY term HAVING df > 100
         ORDER BY term
+        """,
+    ),
+    "table_checksum": QuerySpec(
+        q_table_checksum,
+        """
+        SELECT sum(CAST(concat('0x',
+                 substr(md5(concat_ws('|', CAST(event_id AS VARCHAR),
+                                      event_type,
+                                      CAST(user_id AS VARCHAR))), 1, 8))
+                 AS BIGINT)) AS checksum,
+               count(*) AS n_rows
+        FROM events
+        """,
+    ),
+    "incremental_dedup": QuerySpec(
+        q_incremental_dedup,
+        """
+        WITH fp AS (
+          SELECT doc_id,
+                 substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                           'g')), 1, 16) AS fp
+          FROM documents),
+        corpus AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 5 <> 0),
+        batch AS (SELECT doc_id, fp FROM fp WHERE doc_id % 5 = 0)
+        SELECT count(*) AS n_admitted,
+               coalesce(min(doc_id), -1) AS first_admitted
+        FROM batch WHERE fp NOT IN (SELECT fp FROM corpus)
         """,
     ),
     "snapshot_diff": QuerySpec(
