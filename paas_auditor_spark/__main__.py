@@ -98,11 +98,40 @@ def main() -> int:
     server = service.serve_metrics(int(os.environ.get("PORT", "8080")))
     for sig in (signal.SIGINT, signal.SIGTERM):  # T7 graceful shutdown
         signal.signal(sig, lambda *_: service.stop())
-    threads = service.run_threaded()
+
+    # ENGINE_MODE=streaming replaces the scheduled collector loop with the
+    # fully native Structured Streaming pipeline (readStream cf_events →
+    # store; streaming/pipeline.py::stream_api_to_store): offsets
+    # checkpoint the watermark, the store's idempotence absorbs overlap
+    # re-reads.  Shipper + informer loops run unchanged beside it.
+    collector_query = None
+    if os.environ.get("ENGINE_MODE", "").lower() == "streaming":
+        from paas_auditor_spark.streaming.pipeline import stream_api_to_store
+
+        collector_query = stream_api_to_store(
+            spark,
+            base_url,
+            service.store,
+            os.environ.get("ENGINE_CHECKPOINT", "./checkpoint/collector"),
+            trigger_processing_time=os.environ.get(
+                "COLLECTOR_TRIGGER", "120 seconds"
+            ),
+            metrics=service.metrics,
+            extra_options=(
+                {"token": os.environ.get("CF_TOKEN", "")}
+                if os.environ.get("CF_TOKEN")
+                else None
+            ),
+        )
+        threads = service.run_threaded(loops=("shipper", "informer"))
+    else:
+        threads = service.run_threaded()
     try:
         for t in threads:
             t.join()
     finally:
+        if collector_query is not None:
+            collector_query.stop()
         server.shutdown()
     return 0
 

@@ -184,16 +184,28 @@ class Service:
             if max_ticks is not None and ticks >= max_ticks:
                 break
 
-    def run_threaded(self) -> list[threading.Thread]:
+    def run_threaded(
+        self,
+        loops: tuple[str, ...] = ("collector", "shipper", "informer"),
+    ) -> list[threading.Thread]:
         """Reference deployment shape: three daemon loops on their own
-        cadences (T1), stopped via ``stop()`` (T7)."""
-        specs = [
-            (self.collector_tick, self.cfg.collector_schedule_s, "raise"),
-            (self.informer_tick, self.cfg.informer_schedule_s, "continue"),
-        ]
-        if self.sender is not None:  # main.go:110-121 creds gate
+        cadences (T1), stopped via ``stop()`` (T7).  ``loops`` selects a
+        subset — the streaming deployment replaces the collector loop with
+        a Structured Streaming query and runs only shipper+informer here."""
+        specs = []
+        if "collector" in loops:
+            specs.append(
+                (self.collector_tick, self.cfg.collector_schedule_s, "raise")
+            )
+        if "informer" in loops:
+            specs.append(
+                (self.informer_tick, self.cfg.informer_schedule_s, "continue")
+            )
+        if self.sender is not None and "shipper" in loops:
+            # main.go:110-121 creds gate
             specs.insert(
-                1, (self.shipper_tick, self.cfg.shipper_schedule_s, "continue")
+                min(1, len(specs)),
+                (self.shipper_tick, self.cfg.shipper_schedule_s, "continue"),
             )
         threads = []
         for tick, interval, policy in specs:

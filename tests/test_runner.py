@@ -244,3 +244,28 @@ def test_service_jdbc_store_end_to_end(spark, tmp_path):
     # informer gauges read through the store
     svc.informer_tick()
     assert svc.metrics.get("informer_cf_audit_events_total") == 5.0
+
+
+def test_run_threaded_loop_subset_for_streaming_mode(spark, tmp_path):
+    """ENGINE_MODE=streaming runs only shipper+informer as loops (the
+    collector is a Structured Streaming query); the loop subset must skip
+    the collector tick entirely and still honor the shipper creds gate."""
+    import time
+
+    cfg = EngineConfig()
+    cfg.informer_schedule_s = 0.05
+    svc = Service(
+        spark,
+        warehouse_dir=str(tmp_path / "wh"),
+        transport=None,  # a collector tick would crash on None transport
+        sender=None,  # no creds → shipper thread must not start either
+        cfg=cfg,
+    )
+    threads = svc.run_threaded(loops=("shipper", "informer"))
+    assert len(threads) == 1  # informer only
+    time.sleep(0.3)
+    svc.stop()
+    for t in threads:
+        t.join(timeout=10)
+    assert all(not t.is_alive() for t in threads)
+    assert svc.totals.collected == 0
