@@ -80,11 +80,14 @@ def main() -> int:
         db_url = os.environ.get("DATABASE_URL", "postgres://localhost:5432/")
         if db_url.startswith(("postgres://", "postgresql://")):
             factory = dbapi_factory("psycopg2", db_url)
-            paramstyle = "pyformat"
+            store = DbApiStore(spark, factory, paramstyle="pyformat")
         else:
+            # a DuckDB FILE is single-writer: the partition-wise insert
+            # path must not open concurrent connections (store contract)
             factory = dbapi_factory("duckdb", db_url)
-            paramstyle = "qmark"
-        store = DbApiStore(spark, factory, paramstyle=paramstyle)
+            store = DbApiStore(
+                spark, factory, paramstyle="qmark", write_partitions=1
+            )
 
     service = Service(
         spark,
@@ -108,6 +111,24 @@ def main() -> int:
     if os.environ.get("ENGINE_MODE", "").lower() == "streaming":
         from paas_auditor_spark.streaming.pipeline import stream_api_to_store
 
+        # auth flows to the native source: UAA client-credentials (the
+        # reader acquires + refreshes its own bearer token) or a static
+        # CF_TOKEN — NOT the loop-mode transport, which is unused here.
+        source_auth: dict = {}
+        if client_id and client_secret:
+            from paas_auditor_spark.sources.paginated_http import (
+                discover_token_url,
+            )
+
+            source_auth = {
+                "client_id": client_id,
+                "client_secret": client_secret,
+                "token_url": os.environ.get("CF_TOKEN_URL")
+                or discover_token_url(base_url),
+            }
+        elif os.environ.get("CF_TOKEN"):
+            source_auth = {"token": os.environ["CF_TOKEN"]}
+
         collector_query = stream_api_to_store(
             spark,
             base_url,
@@ -117,11 +138,7 @@ def main() -> int:
                 "COLLECTOR_TRIGGER", "120 seconds"
             ),
             metrics=service.metrics,
-            extra_options=(
-                {"token": os.environ.get("CF_TOKEN", "")}
-                if os.environ.get("CF_TOKEN")
-                else None
-            ),
+            extra_options=source_auth or None,
         )
         threads = service.run_threaded(loops=("shipper", "informer"))
     else:

@@ -73,18 +73,25 @@ def event_json(
       only unmarshalled when non-empty, a nil map marshals to ``null``).
     """
     empty = F.lit("")
+
+    def _s(col):
+        # Go string struct fields are never nil — a NULL column must emit
+        # "" rather than letting to_json DROP the key entirely
+        # (spark.sql.jsonGenerator.ignoreNullFields defaults to true).
+        return F.coalesce(col.cast("string"), empty)
+
     scalars = F.to_json(
         F.struct(
-            guid.cast("string").alias("guid"),
-            event_type.cast("string").alias("type"),
-            rfc3339(created_at).alias("created_at"),
-            actor.cast("string").alias("actor"),
-            actor_type.cast("string").alias("actor_type"),
-            actor_name.cast("string").alias("actor_name"),
-            actor_username.cast("string").alias("actor_username"),
-            actee.cast("string").alias("actee"),
-            actee_type.cast("string").alias("actee_type"),
-            actee_name.cast("string").alias("actee_name"),
+            _s(guid).alias("guid"),
+            _s(event_type).alias("type"),
+            F.coalesce(rfc3339(created_at), empty).alias("created_at"),
+            _s(actor).alias("actor"),
+            _s(actor_type).alias("actor_type"),
+            _s(actor_name).alias("actor_name"),
+            _s(actor_username).alias("actor_username"),
+            _s(actee).alias("actee"),
+            _s(actee_type).alias("actee_type"),
+            _s(actee_name).alias("actee_name"),
             F.coalesce(
                 (organization_guid if organization_guid is not None else empty)
                 .cast("string"),

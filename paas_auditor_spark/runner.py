@@ -79,6 +79,10 @@ class Service:
         self.sender = sender
         self.base_url = base_url
         self.metrics = MetricsRegistry()
+        if store is None and warehouse_dir is None:
+            raise ValueError(
+                "Service needs a store: pass store=... or warehouse_dir=..."
+            )
         self.store = store or ParquetStore(spark, warehouse_dir)  # W5
         self.paths = getattr(self.store, "paths", {})
         self.totals = TickCounts()
@@ -144,8 +148,10 @@ class Service:
             self.store.upsert_cursor(
                 SHIPPER_NAME, last_ok["created_at"], last_ok["guid"]
             )
+        from paas_auditor_spark.streaming.ship import _mname
+
         self.metrics.inc(
-            "cf_audit_events_to_splunk_shipper_ship_duration_total",
+            f"{_mname(SHIPPER_NAME)}_ship_duration_total",
             _time.perf_counter() - t0,
         )
         self.totals.shipped += shipped

@@ -94,6 +94,12 @@ class CfEventsReader(DataSourceReader):
         self.wait_s = float(options.get("wait_s", 0.0))
         self.timeout_s = float(options.get("timeout_s", 30.0))
         self.token = options.get("token")
+        # UAA client-credentials (reference main_config.go:42-46): when
+        # set, the reader acquires its own bearer token and refreshes it
+        # once on 401 — each executor task holds at most one token.
+        self.token_url = options.get("token_url")
+        self.client_id = options.get("client_id")
+        self.client_secret = options.get("client_secret")
         self.max_retries = int(options.get("max_retries", 3))
         self.retry_backoff_s = float(options.get("retry_backoff_s", 0.5))
         self.since: str | None = None
@@ -107,7 +113,14 @@ class CfEventsReader(DataSourceReader):
                 and f.attribute == ("created_at",)
                 and isinstance(f.value, dt.datetime)
             ):
-                self.since = f.value.strftime(TIME_FORMAT)
+                # the API operator is STRICT (q=timestamp>); a >= filter
+                # must back off one second so boundary-timestamp rows are
+                # still transferred — Spark's re-verify (below) trims the
+                # over-fetch exactly.
+                floor = f.value
+                if isinstance(f, GreaterThanOrEqual):
+                    floor = floor - dt.timedelta(seconds=1)
+                self.since = floor.strftime(TIME_FORMAT)
             # yield EVERYTHING back (partial pushdown): the source narrows
             # the transfer, Spark re-verifies the exact boundary.
             yield f
@@ -121,21 +134,57 @@ class CfEventsReader(DataSourceReader):
             f"&page={page}{q}"
         )
 
+    def _acquire_token(self) -> None:
+        """client_credentials grant against the UAA token endpoint."""
+        import urllib.parse
+
+        body = urllib.parse.urlencode(
+            {
+                "grant_type": "client_credentials",
+                "client_id": self.client_id,
+                "client_secret": self.client_secret,
+            }
+        ).encode()
+        req = urllib.request.Request(
+            self.token_url,
+            data=body,
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            self.token = json.loads(resp.read().decode("utf-8"))[
+                "access_token"
+            ]
+
     def _fetch(self, url: str) -> dict:
         """GET with the shipper's retry envelope (W3 parity): transient
         failures (5xx, timeouts, connection resets) back off and retry up
-        to ``max_retries``; 4xx are permanent and raise immediately."""
-        req = urllib.request.Request(url)
-        if self.token:
-            req.add_header("Authorization", f"Bearer {self.token}")
+        to ``max_retries``; 4xx are permanent and raise immediately —
+        except one 401 when UAA creds are configured, which refreshes the
+        bearer token and retries (expired-token path, S1)."""
+        if self.token is None and self.client_id and self.token_url:
+            self._acquire_token()
+        refreshed = False
         attempt = 0
         while True:
+            req = urllib.request.Request(url)
+            if self.token:
+                req.add_header("Authorization", f"Bearer {self.token}")
             try:
                 with urllib.request.urlopen(
                     req, timeout=self.timeout_s
                 ) as resp:
                     return json.loads(resp.read().decode("utf-8"))
             except urllib.error.HTTPError as e:
+                if (
+                    e.code == 401
+                    and not refreshed
+                    and self.client_id
+                    and self.token_url
+                ):
+                    refreshed = True
+                    self._acquire_token()
+                    continue
                 if e.code < 500 or attempt >= self.max_retries:
                     raise
             except (urllib.error.URLError, TimeoutError):
@@ -186,33 +235,52 @@ class CfEventsStreamReader(SimpleDataSourceStreamReader):
         self.overlap_s = float(options.get("overlap_s", 5.0))
 
     def initialOffset(self) -> dict:  # noqa: N802
-        return {"since": self.inner.since, "max_seen": self.inner.since}
+        return {
+            "since": self.inner.since,
+            "max_seen": self.inner.since,
+            "n": 0,
+        }
 
     def _fetch_all(self, since: str) -> list[tuple]:
+        """All pages for one watermark window — page 1 is fetched ONCE
+        (its resources come straight from the total_pages probe, never a
+        second request).  Rows without a parseable created_at are dropped
+        here: they cannot order against the watermark, and the batch path
+        quarantines them anyway (P8)."""
         self.inner.since = since
-        rows: list[tuple] = []
-        for part in self.inner.partitions():
-            rows.extend(self.inner.read(part))
-        return rows
+        first = self.inner._fetch(self.inner._url(1))
+        rows = [_flatten(r) for r in first.get("resources", [])]
+        total = int(first.get("total_pages") or 1)
+        for page in range(2, total + 1):
+            if self.inner.wait_s:
+                time.sleep(self.inner.wait_s)
+            doc = self.inner._fetch(self.inner._url(page))
+            rows.extend(_flatten(r) for r in doc.get("resources", []))
+        return [r for r in rows if r[1] is not None]
 
     def read(self, start: dict):
         rows = self._fetch_all(start["since"])
         if not rows:
             return iter(()), start
         max_seen = max(r[1] for r in rows)
-        # Spark's contract: a non-empty batch MUST advance the offset.  A
-        # fetch that only re-read the overlap window (no event newer than
-        # max_seen) carries nothing the previous batch didn't emit — report
-        # no progress instead of an un-advanceable batch.
         prev_max = dt.datetime.strptime(start["max_seen"], TIME_FORMAT)
-        if max_seen <= prev_max:
+        # Spark's contract: a non-empty batch MUST advance the offset.  A
+        # fetch that merely re-read the overlap window (same max AND same
+        # row count as last trigger) carries nothing new — report no
+        # progress.  A LATE arrival inside the window changes the count
+        # without moving max: emit it, advancing the offset via "n", so
+        # late rows are never starved waiting for a newer event.
+        if max_seen <= prev_max and len(rows) == start.get("n", 0):
             return iter(()), start
-        wm = max_seen - dt.timedelta(seconds=self.overlap_s)
+        hi = max(max_seen, prev_max)
+        wm = hi - dt.timedelta(seconds=self.overlap_s)
         if wm.year < 1970:  # reference epoch guard (T2)
             wm = dt.datetime(1970, 1, 1)
         end = {
             "since": wm.strftime(TIME_FORMAT),
-            "max_seen": max_seen.strftime(TIME_FORMAT),
+            "max_seen": hi.strftime(TIME_FORMAT),
+            # expected row count of a no-news refetch from end["since"]
+            "n": sum(1 for r in rows if r[1] > wm),
         }
         return iter(rows), end
 

@@ -18,9 +18,11 @@ from pyspark.sql import functions as F
 BASE = dt.datetime(2024, 3, 1, 12, 0, 0)
 
 
-def _resource(i: int) -> dict:
+def _resource(i: int, sec: float | None = None) -> dict:
     guid = str(uuid.UUID(int=i))
-    created = (BASE + dt.timedelta(seconds=i)).strftime("%Y-%m-%dT%H:%M:%SZ")
+    created = (
+        BASE + dt.timedelta(seconds=i if sec is None else sec)
+    ).strftime("%Y-%m-%dT%H:%M:%SZ")
     return {
         "metadata": {"guid": guid, "url": f"/v2/events/{guid}",
                      "created_at": created},
@@ -45,6 +47,8 @@ class PagedEventsServer:
         self.cap = page_size_cap
         self.queries: list[dict] = []
         self.fail_next = 0  # serve this many 500s before recovering
+        self.extra: list[tuple] = []  # (guid_int, sec_offset) late arrivals
+        self.include_invalid = False  # add one resource w/o created_at
         outer = self
 
         class Handler(http.server.BaseHTTPRequestHandler):
@@ -63,23 +67,30 @@ class PagedEventsServer:
                 page = int(qs.get("page", ["1"])[0])
                 per = min(int(qs.get("results-per-page", ["10"])[0]), outer.cap)
                 # honor the pushed-down time predicate like the CF API
-                ids = range(outer.n_events)
+                pairs = [(i, float(i)) for i in range(outer.n_events)]
+                pairs += [(i, float(s_)) for i, s_ in outer.extra]
                 if "q" in qs and qs["q"][0].startswith("timestamp>"):
                     floor = dt.datetime.strptime(
                         qs["q"][0].removeprefix("timestamp>"),
                         "%Y-%m-%dT%H:%M:%SZ",
                     )
-                    ids = [i for i in ids if BASE + dt.timedelta(seconds=i) > floor]
-                else:
-                    ids = list(ids)
-                total_pages = max(1, -(-len(ids) // per))
-                chunk = ids[(page - 1) * per : page * per]
+                    pairs = [
+                        p for p in pairs
+                        if BASE + dt.timedelta(seconds=p[1]) > floor
+                    ]
+                total_pages = max(1, -(-len(pairs) // per))
+                chunk = pairs[(page - 1) * per : page * per]
+                resources = [_resource(i, s_) for i, s_ in chunk]
+                if outer.include_invalid and page == 1:
+                    resources.append(
+                        {"metadata": {"guid": "no-ts"}, "entity": {}}
+                    )
                 body = json.dumps(
                     {
-                        "total_results": len(ids),
+                        "total_results": len(pairs),
                         "total_pages": total_pages,
                         "next_url": None,
-                        "resources": [_resource(i) for i in chunk],
+                        "resources": resources,
                     }
                 ).encode()
                 self.send_response(200)
@@ -249,3 +260,64 @@ def test_native_api_to_store_pipeline(registered, tmp_path):
     # the DB absorbed the overlap re-read: exactly one row per event
     assert (n, nd) == (9, 9)
     assert metrics.get("cf_audit_event_collector_events_collected_total") == 9
+
+
+def test_datasource_gte_pushdown_keeps_boundary_row(registered):
+    """A >= filter must NOT be narrowed to the API's strict timestamp> at
+    the same instant — the source backs the floor off 1s and Spark trims
+    the over-fetch, so the boundary-timestamp event survives."""
+    spark = registered
+    server = PagedEventsServer(n_events=30, page_size_cap=10)
+    try:
+        df = (
+            spark.read.format("cf_events")
+            .option("base_url", server.url)
+            .option("page_size", 10)
+            .load()
+            .filter(
+                F.col("created_at") >= F.lit(BASE + dt.timedelta(seconds=20))
+            )
+        )
+        got = sorted(r["guid"] for r in df.collect())
+    finally:
+        server.close()
+    # event 20 sits exactly on the boundary and must be included
+    assert got == sorted(str(uuid.UUID(int=i)) for i in range(20, 30))
+
+
+def test_datasource_streaming_late_arrival_not_starved(registered, tmp_path):
+    """A late event landing INSIDE the overlap window (max_seen does not
+    advance) must still be emitted on the next trigger — the offset
+    advances via the window row count.  A resource without created_at is
+    dropped, not a crash."""
+    spark = registered
+    server = PagedEventsServer(n_events=8, page_size_cap=10)
+    server.include_invalid = True
+    try:
+        q = (
+            spark.readStream.format("cf_events")
+            .option("base_url", server.url)
+            .option("page_size", 10)
+            .load()
+            .writeStream.format("memory")
+            .queryName("cf_late")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            assert spark.sql(
+                "SELECT DISTINCT guid FROM cf_late"
+            ).count() == 8
+            # late arrival: ts=5s < max_seen=7s, inside the 5s overlap
+            # window (since=2s) — no newer event exists to advance max
+            server.extra = [(100, 5)]
+            q.processAllAvailable()
+            out = spark.sql("SELECT DISTINCT guid FROM cf_late")
+            assert out.count() == 9
+            got = {r["guid"] for r in out.collect()}
+        finally:
+            q.stop()
+    finally:
+        server.close()
+    assert str(uuid.UUID(int=100)) in got

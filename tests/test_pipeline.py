@@ -544,3 +544,45 @@ def test_clustered_write_makes_row_group_stats_selective(spark, sf_dir, tmp_path
         1 for a, b in zip(stats, stats[1:]) if b[0] < a[1]
     )
     assert overlaps <= len(stats) // 4
+
+
+def test_event_json_emits_empty_string_for_null_fields(spark):
+    """to_json drops null struct keys by default — event_json must emit
+    "" instead (Go string struct fields are never nil), keeping the
+    13-field json.Marshal layout stable for every row."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from paas_auditor_spark.functions.json_utils import event_json
+
+    df = spark.createDataFrame(
+        [("g1", dt.datetime(2024, 3, 1), "audit.x", None)],
+        "guid string, created_at timestamp, event_type string,"
+        " actor_name string",
+    )
+    payload = df.select(
+        event_json(
+            guid=F.col("guid"),
+            event_type=F.col("event_type"),
+            created_at=F.col("created_at"),
+            actor=F.lit("a"),
+            actor_type=F.lit("t"),
+            actor_name=F.col("actor_name"),  # NULL
+            actor_username=F.lit("u"),
+            actee=F.lit("e"),
+            actee_type=F.lit("et"),
+            actee_name=F.lit("en"),
+            organization_guid=F.lit(None).cast("string"),
+            space_guid=F.lit("sp"),
+            metadata=F.lit(None).cast("string"),
+        ).alias("j")
+    ).first()["j"]
+    ev = _json.loads(payload)
+    assert ev["actor_name"] == ""  # present, not dropped
+    assert ev["organization_guid"] == ""
+    assert list(ev.keys()) == [
+        "guid", "type", "created_at", "actor", "actor_type", "actor_name",
+        "actor_username", "actee", "actee_type", "actee_name",
+        "organization_guid", "space_guid", "metadata",
+    ]
