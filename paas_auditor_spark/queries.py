@@ -2038,6 +2038,46 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup — the SCD-2 READ side: each order
+    joins the customer-balance version that was valid AT ITS ORDER DATE
+    (valid_from ≤ t < valid_to).  The versioned dim broadcasts (it is
+    key-cardinality × few versions); the interval predicate rides the
+    broadcast hash join on the key, so the fact table never shuffles.
+    Summed per balance-era so the result is era-level auditable."""
+    from paas_auditor_spark.operators.scd import MAX_TS, scd2_apply
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    dim = cust.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(MAX_TS).cast("timestamp").alias("valid_to"),
+    )
+    updates = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") + 100, 2).alias("acctbal"),
+        F.lit("1998-01-01").cast("timestamp").alias("effective_ts"),
+    )
+    versioned = scd2_apply(dim, updates, "c_custkey", ["acctbal"])
+    ts = F.col("o_orderdate").cast("timestamp")
+    joined = orders.join(
+        F.broadcast(versioned),
+        (orders.o_custkey == versioned.c_custkey)
+        & (ts >= versioned.valid_from)
+        & (ts < versioned.valid_to),
+    )
+    return (
+        joined.groupBy("valid_from")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("acctbal"), 2).alias("sum_balance_at_order"),
+        )
+        .orderBy("valid_from")
+    )
+
+
 def q_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered three-stage funnel (view → click → purchase): how many
     users reach each stage IN ORDER.  The stage timestamps chain as
@@ -2874,6 +2914,36 @@ REGISTRY: dict[str, QuerySpec] = {
                  TIMESTAMP '2200-01-01 00:00:00'
           FROM upd)
         ORDER BY c_custkey, valid_from
+        """,
+    ),
+    "scd2_asof_lookup": QuerySpec(
+        q_scd2_asof_lookup,
+        """
+        WITH dim AS (
+          SELECT c_custkey, round(c_acctbal, 2) AS acctbal,
+                 TIMESTAMP '1995-01-01' AS valid_from,
+                 TIMESTAMP '2200-01-01 00:00:00' AS valid_to
+          FROM customer),
+        upd AS (
+          SELECT c_custkey, round(c_acctbal + 100, 2) AS acctbal,
+                 TIMESTAMP '1998-01-01' AS eff
+          FROM customer WHERE c_custkey % 7 = 0),
+        versioned AS (
+          SELECT d.c_custkey, d.acctbal, d.valid_from,
+                 CASE WHEN u.c_custkey IS NOT NULL THEN u.eff
+                      ELSE d.valid_to END AS valid_to
+          FROM dim d LEFT JOIN upd u ON d.c_custkey = u.c_custkey
+          UNION ALL
+          SELECT c_custkey, acctbal, eff,
+                 TIMESTAMP '2200-01-01 00:00:00'
+          FROM upd)
+        SELECT valid_from, count(*) AS n_orders,
+               round(sum(acctbal), 2) AS sum_balance_at_order
+        FROM orders JOIN versioned
+          ON o_custkey = c_custkey
+         AND CAST(o_orderdate AS TIMESTAMP) >= valid_from
+         AND CAST(o_orderdate AS TIMESTAMP) < valid_to
+        GROUP BY valid_from ORDER BY valid_from
         """,
     ),
     "funnel_analysis": QuerySpec(
