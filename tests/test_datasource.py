@@ -321,3 +321,90 @@ def test_datasource_streaming_late_arrival_not_starved(registered, tmp_path):
     finally:
         server.close()
     assert str(uuid.UUID(int=100)) in got
+
+
+class UaaEventsServer:
+    """UAA token endpoint + /v2/events in one server; tokens expire after
+    ``token_uses`` requests, forcing the 401-refresh path."""
+
+    def __init__(self, n_events: int, token_uses: int = 2) -> None:
+        self.n_events = n_events
+        self.token_uses = token_uses
+        self.issued = 0
+        self.uses: dict[str, int] = {}
+        self.token_posts = 0
+        outer = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def _json(self, code, payload):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):  # noqa: N802 — UAA token endpoint
+                outer.token_posts += 1
+                outer.issued += 1
+                tok = f"tok-{outer.issued}"
+                outer.uses[tok] = 0
+                self._json(200, {"access_token": tok, "token_type": "bearer"})
+
+            def do_GET(self):  # noqa: N802
+                auth = (self.headers.get("Authorization") or "")
+                tok = auth.removeprefix("Bearer ")
+                if tok not in outer.uses:
+                    self._json(401, {"error": "invalid_token"})
+                    return
+                outer.uses[tok] += 1
+                if outer.uses[tok] > outer.token_uses:
+                    self._json(401, {"error": "token_expired"})
+                    return
+                parsed = urllib.parse.urlparse(self.path)
+                qs = urllib.parse.parse_qs(parsed.query)
+                page = int(qs.get("page", ["1"])[0])
+                per = int(qs.get("results-per-page", ["10"])[0])
+                ids = list(range(outer.n_events))
+                total_pages = max(1, -(-len(ids) // per))
+                chunk = ids[(page - 1) * per : page * per]
+                self._json(200, {
+                    "total_results": len(ids),
+                    "total_pages": total_pages,
+                    "next_url": None,
+                    "resources": [_resource(i) for i in chunk],
+                })
+
+            def log_message(self, *a):  # noqa: N802
+                pass
+
+        self.httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.url = f"http://127.0.0.1:{self.httpd.server_port}"
+        threading.Thread(target=self.httpd.serve_forever, daemon=True).start()
+
+    def close(self):
+        self.httpd.shutdown()
+
+
+def test_datasource_uaa_acquires_and_refreshes_token(registered):
+    """client-credentials options: the reader fetches a bearer token
+    before the first request and transparently refreshes when the API
+    starts returning 401 (expiry) — S1 auth parity for the native
+    source."""
+    spark = registered
+    # 5 pages of 10 events; tokens die after 2 uses → ≥2 token grants
+    server = UaaEventsServer(n_events=50, token_uses=2)
+    try:
+        df = (
+            spark.read.format("cf_events")
+            .option("base_url", server.url)
+            .option("page_size", 10)
+            .option("pages_per_partition", 10)  # single partition: serial uses
+            .option("token_url", server.url + "/oauth/token")
+            .option("client_id", "paas-auditor")
+            .option("client_secret", "s3cret")
+            .load()
+        )
+        assert df.count() == 50
+    finally:
+        server.close()
+    assert server.token_posts >= 2  # initial grant + at least one refresh

@@ -236,3 +236,55 @@ def test_deterministic_sample_is_stable_under_repartition(spark, ids):
     kept1 = sorted(r["id"] for r in df1.filter(pct < 5000).collect())
     kept8 = sorted(r["id"] for r in df8.filter(pct < 5000).collect())
     assert kept1 == kept8
+
+
+# --- SCD-2 fold invariants -------------------------------------------------
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    updates=st.lists(
+        st.tuples(st.integers(0, 2), st.sampled_from("rgb")),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_scd2_fold_invariants(spark, updates):
+    """Any sequence of update batches preserves: exactly one current row
+    per key, per-key intervals chain contiguously from first sight to the
+    sentinel, and re-applying the last batch is a no-op."""
+    from paas_auditor_spark.operators.scd import MAX_TS, scd2_apply
+
+    tmax = dt.datetime.fromisoformat(MAX_TS)
+    dim = spark.createDataFrame(
+        [],
+        "k long, color string, valid_from timestamp, valid_to timestamp",
+    )
+    batch_df = None
+    for step, (key, color) in enumerate(updates):
+        batch_df = spark.createDataFrame(
+            [(key, color, BASE + dt.timedelta(days=step + 1))],
+            "k long, color string, effective_ts timestamp",
+        )
+        # checkpoint per fold: each apply is union-of-joins over the prior
+        # result — uncut, the plan nests exponentially with batch count
+        dim = scd2_apply(dim, batch_df, "k", ["color"]).localCheckpoint()
+    rows = dim.collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["k"], []).append(r)
+    for key, versions in by_key.items():
+        current = [r for r in versions if r["valid_to"] == tmax]
+        assert len(current) == 1, f"key {key}: {len(current)} current rows"
+        chain = sorted(versions, key=lambda r: r["valid_from"])
+        for a, b in zip(chain, chain[1:]):
+            assert a["valid_to"] == b["valid_from"], "interval gap/overlap"
+    # replaying the final batch changes nothing
+    again = scd2_apply(dim, batch_df, "k", ["color"])
+    assert sorted(map(tuple, again.collect()), key=repr) == sorted(
+        map(tuple, rows), key=repr
+    )
