@@ -1862,6 +1862,39 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    8-token shingle with a held-out benchmark set (every 97th doc stands
+    in) — the standard eval-leakage gate before training.  The benchmark
+    shingle set is tiny and broadcasts; corpus shingles stream through
+    the equi-join without materializing pairs, then per-doc hit counts
+    aggregate map-side.  O(corpus shingles) with no fact shuffle beyond
+    the per-doc count."""
+    docs = _th(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(tx.ngrams(F.col("text"), 8)).alias("g")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    )
+    hits = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_hits"))
+    )
+    return (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent table checksum: per-row md5 fold summed across
     the table — equal content ⇒ equal checksum regardless of row order or
@@ -2815,6 +2848,31 @@ REGISTRY: dict[str, QuerySpec] = {
                count(DISTINCT doc_id) AS df
         FROM postings GROUP BY term HAVING df > 100
         ORDER BY term
+        """,
+    ),
+    "decontaminate": QuerySpec(
+        q_decontaminate,
+        """
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 unnest([array_to_string(t[i:i+7], ' ')
+                         for i in range(1, len(t) - 6)]) AS g
+          FROM toks WHERE len(t) >= 8),
+        bench AS (
+          SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+        hits AS (
+          SELECT doc_id, count(DISTINCT grams.g) AS n_hits
+          FROM grams JOIN bench ON grams.g = bench.g
+          WHERE doc_id % 97 <> 0 GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+               coalesce(h.n_hits, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        WHERE d.doc_id % 97 <> 0
+        ORDER BY d.doc_id
         """,
     ),
     "table_checksum": QuerySpec(
