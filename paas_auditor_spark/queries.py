@@ -1862,6 +1862,109 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit suite in one result table: row counts, key
+    uniqueness, null rates and referential orphans across the star
+    schema.  Each check is an independent aggregate/anti-join over ONE
+    table scan; the union of 1-row results is the audit report shape a
+    pipeline gate consumes.  At scale each check is map-side partial
+    aggregation; orphan checks broadcast the key side."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    events = _t(spark, sf_dir, "events")
+
+    checks = [
+        orders.agg(F.count(F.lit(1)).alias("v")).select(
+            F.lit("orders_rows").alias("check"),
+            F.col("v").alias("value"),
+        ),
+        events.agg(
+            (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("v")
+        ).select(
+            F.lit("events_duplicate_ids").alias("check"),
+            F.col("v").alias("value"),
+        ),
+        events.agg(
+            F.sum(F.when(F.col("props").isNull(), 1).otherwise(0)).alias("v")
+        ).select(
+            F.lit("events_null_props").alias("check"),
+            F.col("v").alias("value"),
+        ),
+        # referential orphans: facts whose dimension key is missing
+        li.join(
+            F.broadcast(orders.select("o_orderkey")),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("v"))
+        .select(
+            F.lit("lineitem_orphans").alias("check"),
+            F.col("v").alias("value"),
+        ),
+        orders.join(
+            F.broadcast(cust.select("c_custkey")),
+            orders.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("v"))
+        .select(
+            F.lit("orders_orphans").alias("check"),
+            F.col("v").alias("value"),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("check")
+
+
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sampling: within each event type keep
+    the 3 rows with the smallest md5(event_id) — a content-addressed
+    stand-in for uniform per-class reservoir sampling that is
+    reproducible across engines, runs and partitionings.  One shuffle on
+    the group key; the hash ranking is a plain window row_number."""
+    events = _t(spark, sf_dir, "events")
+    h = F.md5(F.col("event_id").cast("string"))
+    w = Window.partitionBy("event_type").orderBy(h.asc(), F.col("event_id"))
+    return (
+        events.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("event_type", "event_id", "rk")
+        .orderBy("event_type", "rk")
+    )
+
+
+def q_zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalization (feature standardization): each
+    event's value scaled by its type's mean/stddev — one grouped
+    aggregate broadcast back onto the facts (never a window over the
+    whole fact table, which would sort every partition).  Sampled output
+    keeps the result bounded."""
+    events = _t(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        F.avg("value").alias("_mu"),
+        F.stddev_samp("value").alias("_sd"),
+    )
+    return (
+        events.filter(F.col("event_id") % 53 == 0)
+        .join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(
+                (F.col("value") - F.col("_mu"))
+                / F.when(F.col("_sd") > 0, F.col("_sd")).otherwise(
+                    F.lit(1.0)
+                ),
+                4,
+            ).alias("zscore"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag corpus documents sharing any
     8-token shingle with a held-out benchmark set (every 97th doc stands
@@ -2848,6 +2951,52 @@ REGISTRY: dict[str, QuerySpec] = {
                count(DISTINCT doc_id) AS df
         FROM postings GROUP BY term HAVING df > 100
         ORDER BY term
+        """,
+    ),
+    "dq_audit": QuerySpec(
+        q_dq_audit,
+        """
+        SELECT 'orders_rows' AS "check", count(*) AS value FROM orders
+        UNION ALL
+        SELECT 'events_duplicate_ids',
+               count(*) - count(DISTINCT event_id) FROM events
+        UNION ALL
+        SELECT 'events_null_props',
+               sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) FROM events
+        UNION ALL
+        SELECT 'lineitem_orphans', count(*) FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        UNION ALL
+        SELECT 'orders_orphans', count(*) FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        ORDER BY "check"
+        """,
+    ),
+    "group_sample": QuerySpec(
+        q_group_sample,
+        """
+        SELECT event_type, event_id, rk FROM (
+          SELECT event_type, event_id,
+                 CAST(row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id)
+                 AS INTEGER) AS rk
+          FROM events)
+        WHERE rk <= 3 ORDER BY event_type, rk
+        """,
+    ),
+    "zscore_by_group": QuerySpec(
+        q_zscore_by_group,
+        """
+        WITH stats AS (
+          SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+          FROM events GROUP BY event_type)
+        SELECT event_id, events.event_type,
+               round((value - mu)
+                     / CASE WHEN sd > 0 THEN sd ELSE 1.0 END, 4) AS zscore
+        FROM events JOIN stats ON events.event_type = stats.event_type
+        WHERE event_id % 53 = 0
+        ORDER BY event_id
         """,
     ),
     "decontaminate": QuerySpec(

@@ -233,3 +233,60 @@ def test_stream_to_jdbc_store_dedups_and_upserts(spark, tmp_path):
     con.close()
     assert n == 5 and nd == 5
     assert metrics.get("cf_audit_event_collector_events_collected_total") == 5
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream inner join with event-time bounds: purchases join
+    the click that preceded them within 10 minutes, both sides
+    watermarked so join state is bounded (late rows beyond the watermark
+    are dropped from state, not buffered forever)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    B = dt.datetime(2024, 3, 1, 12, 0, 0)
+    cdir, bdir = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    schema = "user_id string, ts timestamp"
+    spark.createDataFrame(
+        [("u1", B), ("u2", B + dt.timedelta(minutes=1))], schema
+    ).coalesce(1).write.mode("overwrite").parquet(cdir)
+    spark.createDataFrame(
+        [
+            ("u1", B + dt.timedelta(minutes=5)),   # joins u1's click
+            ("u2", B + dt.timedelta(minutes=20)),  # outside the window
+            ("u3", B + dt.timedelta(minutes=2)),   # no click at all
+        ],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(bdir)
+
+    clicks = (
+        spark.readStream.schema(schema).parquet(cdir)
+        .withWatermark("ts", "10 seconds")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    )
+    buys = (
+        spark.readStream.schema(schema).parquet(bdir)
+        .withWatermark("ts", "10 seconds")
+        .select(F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"))
+    )
+    joined = clicks.join(
+        buys,
+        F.expr(
+            "c_user = b_user AND "
+            "b_ts BETWEEN c_ts AND c_ts + interval 10 minutes"
+        ),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT c_user, b_ts FROM ss_join").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 1
+    assert rows[0]["c_user"] == "u1"
+    assert rows[0]["b_ts"] == B + dt.timedelta(minutes=5)
