@@ -32,9 +32,41 @@ class NGramsUDTF:
             yield (" ".join(toks[i : i + n]),)
 
 
+class SplitFieldsUDTF:
+    """Polymorphic UDTF (Spark 4 ``analyze``): splits a delimited string
+    into N named columns where N is decided AT PLAN TIME from a constant
+    argument — the dynamic-schema half of the §2.8 extension surface
+    (static-schema UDTFs can't change arity per call site).
+
+    ``analyze`` receives the literal arguments during resolution and
+    returns the output schema; ``eval`` then emits matching tuples.
+    Used for fixed-layout log/line formats where the column count is a
+    property of the call, not the data.
+    """
+
+    @staticmethod
+    def analyze(*args):
+        from pyspark.sql.functions import AnalyzeResult
+        from pyspark.sql.types import StringType, StructType
+
+        n = args[2].value  # constant column count
+        schema = StructType()
+        for i in range(n):
+            schema = schema.add(f"f{i}", StringType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, line: str, sep: str, n: int):  # noqa: D102
+        parts = (line or "").split(sep)
+        parts = (parts + [""] * n)[:n]
+        yield tuple(parts)
+
+
 def register_udtfs(spark) -> None:
     """Idempotently register the engine's UDTFs in the session catalog."""
+    from pyspark.sql.functions import udtf as _udtf
+
     spark.udtf.register("ngrams_udtf", NGramsUDTF)
+    spark.udtf.register("split_fields", _udtf(SplitFieldsUDTF))
 
 
-__all__ = ["NGramsUDTF", "register_udtfs"]
+__all__ = ["NGramsUDTF", "SplitFieldsUDTF", "register_udtfs"]

@@ -1862,6 +1862,29 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same engine through the SQL front-end: temp views +
+    ``spark.sql`` with a CTE, join and ranking window — proving the SQL
+    surface end-to-end (every other registered query drives the
+    DataFrame API; Catalyst plans both identically)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        WITH ranked AS (
+          SELECT c_mktsegment, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY o_totalprice DESC,
+                                             o_orderkey) AS rk
+          FROM v_orders JOIN v_customer ON o_custkey = c_custkey)
+        SELECT c_mktsegment, o_orderkey,
+               round(o_totalprice, 2) AS o_totalprice, rk
+        FROM ranked WHERE rk <= 2
+        ORDER BY c_mktsegment, rk
+        """
+    )
+
+
 def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality audit suite in one result table: row counts, key
     uniqueness, null rates and referential orphans across the star
@@ -2951,6 +2974,22 @@ REGISTRY: dict[str, QuerySpec] = {
                count(DISTINCT doc_id) AS df
         FROM postings GROUP BY term HAVING df > 100
         ORDER BY term
+        """,
+    ),
+    "sql_pipeline": QuerySpec(
+        q_sql_pipeline,
+        """
+        WITH ranked AS (
+          SELECT c_mktsegment, o_orderkey, o_totalprice,
+                 CAST(row_number() OVER (PARTITION BY c_mktsegment
+                                         ORDER BY o_totalprice DESC,
+                                                  o_orderkey)
+                      AS INTEGER) AS rk
+          FROM orders JOIN customer ON o_custkey = c_custkey)
+        SELECT c_mktsegment, o_orderkey,
+               round(o_totalprice, 2) AS o_totalprice, rk
+        FROM ranked WHERE rk <= 2
+        ORDER BY c_mktsegment, rk
         """,
     ),
     "dq_audit": QuerySpec(

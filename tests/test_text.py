@@ -112,3 +112,17 @@ def test_ngrams_and_repetition_ratio(spark):
     # case-insensitive: "A b a B" bigrams all lowercase
     got = _one(spark, "A b a B", lambda c: tx.ngrams(c, 2))
     assert got == ["a b", "b a", "a b"]
+
+
+def test_polymorphic_udtf_analyze_schema(spark):
+    """SplitFieldsUDTF: the output schema is decided at plan time from
+    the constant column-count argument (Spark 4 analyze contract)."""
+    from paas_auditor_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    three = spark.sql("SELECT * FROM split_fields('a|b|c', '|', 3)")
+    four = spark.sql("SELECT * FROM split_fields('x|y', '|', 4)")
+    assert three.columns == ["f0", "f1", "f2"]
+    assert four.columns == ["f0", "f1", "f2", "f3"]
+    assert tuple(three.first()) == ("a", "b", "c")
+    assert tuple(four.first()) == ("x", "y", "", "")  # padded, not dropped
