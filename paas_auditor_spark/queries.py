@@ -1862,6 +1862,50 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group linear trend via the SQL regression aggregates
+    (regr_slope/intercept/count): value over days-since-epoch, one
+    grouped pass (each regr_* is a map-side-combinable moment
+    aggregate — no per-group iteration, no ML library).  Slope is per
+    DAY so the magnitude survives 2-decimal rounding on both engines."""
+    events = _t(spark, sf_dir, "events")
+    x = F.col("ts").cast("double") / 86400.0
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.regr_slope(F.col("value"), x), 2).alias("slope_per_day"),
+            F.round(F.regr_intercept(F.col("value"), x), 1).alias("intercept"),
+            F.regr_count(F.col("value"), x).alias("n_points"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding diagnostics: count, mean norm (should be 1.0
+    for normalized corpora — a drift check), and the mean of the first
+    component (a cheap centroid-shift signal).  The norm is a JVM
+    ``aggregate`` HOF per row; everything else is plain grouped
+    aggregation — one shuffle of label-keyed scalars."""
+    emb = _th(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double"),
+    )
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg(F.sqrt(sq_sum)), 4).alias("avg_norm"),
+            F.round(
+                F.avg(F.element_at("embedding", 1).cast("double")), 4
+            ).alias("avg_first_component"),
+        )
+        .orderBy("label")
+    )
+
+
 def q_sql_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same engine through the SQL front-end: temp views +
     ``spark.sql`` with a CTE, join and ranking window — proving the SQL
@@ -2974,6 +3018,33 @@ REGISTRY: dict[str, QuerySpec] = {
                count(DISTINCT doc_id) AS df
         FROM postings GROUP BY term HAVING df > 100
         ORDER BY term
+        """,
+    ),
+    "trend_by_type": QuerySpec(
+        q_trend_by_type,
+        """
+        SELECT event_type,
+               round(regr_slope(value, epoch(CAST(ts AS TIMESTAMP))
+                                / 86400.0), 2) AS slope_per_day,
+               round(regr_intercept(value, epoch(CAST(ts AS TIMESTAMP))
+                                    / 86400.0), 1) AS intercept,
+               regr_count(value, epoch(CAST(ts AS TIMESTAMP)) / 86400.0)
+                 AS n_points
+        FROM events GROUP BY event_type ORDER BY event_type
+        """,
+    ),
+    "embedding_stats": QuerySpec(
+        q_embedding_stats,
+        """
+        SELECT label,
+               count(*) AS n_vectors,
+               round(avg(sqrt(list_sum(
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)
+                                              * CAST(x AS DOUBLE))))), 4)
+                 AS avg_norm,
+               round(avg(CAST(embedding[1] AS DOUBLE)), 4)
+                 AS avg_first_component
+        FROM embeddings GROUP BY label ORDER BY label
         """,
     ),
     "sql_pipeline": QuerySpec(
