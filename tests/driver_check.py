@@ -58,16 +58,32 @@ def main() -> int:
         if only and name not in only:
             continue
         sql = e.oracle_sql().get(name)
-        got = norm(fn(spark, sf_dir).toPandas())
+        raw_got = fn(spark, sf_dir).toPandas()
+        got = norm(raw_got)
         if sql is None:
             print(f"{name}: rows-only ({len(got)} rows)")
             continue
-        want = norm(con.execute(sql).df())
+        raw_want = con.execute(sql).df()
+        # The driver hashes raw values, so an int64 column on one side
+        # rendered float64 on the other (e.g. DuckDB HUGEINT sums) is a
+        # hash mismatch even when values agree — flag dtype-kind drift.
+        kind_drift = [
+            c
+            for c in raw_got.columns
+            if c in raw_want.columns
+            and raw_want[c].dtype.kind != raw_got[c].dtype.kind
+            and not {raw_want[c].dtype.kind, raw_got[c].dtype.kind} <= {"i", "u"}
+        ]
+        want = norm(raw_want)
         try:
             pd.testing.assert_frame_equal(
                 got, want, check_dtype=False, atol=0, rtol=0
             )
-            print(f"{name}: MATCH ({len(got)} rows)")
+            if kind_drift:
+                fails.append(name)
+                print(f"{name}: DTYPE-KIND DRIFT {kind_drift} (values match)")
+            else:
+                print(f"{name}: MATCH ({len(got)} rows)")
         except AssertionError as ex:
             fails.append(name)
             print(f"{name}: MISMATCH -> {str(ex)[:200]}")
