@@ -581,7 +581,12 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     of session_window(ts, gap) in streaming."""
     events = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    # NTZ-safe fractional epoch: parquet timestamps without UTC adjustment
+    # read as TIMESTAMP_NTZ, which Spark refuses to cast straight to DOUBLE;
+    # casting via TIMESTAMP (session tz pinned to UTC by _t) is exact to the
+    # microsecond and matches DuckDB's epoch() on the naive timestamp.
+    ts_epoch = F.col("ts").cast("timestamp").cast("double")
+    gap = ts_epoch - F.lag(ts_epoch).over(w)
     flagged = events.withColumn(
         "is_new", F.when(gap > 1800.0, 1).otherwise(0)
     )
@@ -1869,7 +1874,8 @@ def q_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate — no per-group iteration, no ML library).  Slope is per
     DAY so the magnitude survives 2-decimal rounding on both engines."""
     events = _t(spark, sf_dir, "events")
-    x = F.col("ts").cast("double") / 86400.0
+    # NTZ-safe epoch (see q_sessionization): cast via TIMESTAMP, UTC session.
+    x = F.col("ts").cast("timestamp").cast("double") / 86400.0
     return (
         events.groupBy("event_type")
         .agg(
@@ -2346,8 +2352,11 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.join(first_touch, "user_id")
         .groupBy(
             "cohort_week",
+            # NTZ-safe: unix_timestamp instead of a direct timestamp→long
+            # cast (disallowed for TIMESTAMP_NTZ); whole seconds suffice
+            # for week bucketing.
             F.floor(
-                (F.col("ts").cast("long") - F.col("cohort_week").cast("long"))
+                (F.unix_timestamp("ts") - F.unix_timestamp("cohort_week"))
                 / (7 * 86400)
             )
             .cast("long")
@@ -3072,7 +3081,8 @@ REGISTRY: dict[str, QuerySpec] = {
                count(*) - count(DISTINCT event_id) FROM events
         UNION ALL
         SELECT 'events_null_props',
-               sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) FROM events
+               CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM events
         UNION ALL
         SELECT 'lineitem_orphans', count(*) FROM lineitem
         WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
@@ -3137,11 +3147,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "table_checksum": QuerySpec(
         q_table_checksum,
         """
-        SELECT sum(CAST(concat('0x',
+        SELECT CAST(sum(CAST(concat('0x',
                  substr(md5(concat_ws('|', CAST(event_id AS VARCHAR),
                                       event_type,
                                       CAST(user_id AS VARCHAR))), 1, 8))
-                 AS BIGINT)) AS checksum,
+                 AS BIGINT)) AS BIGINT) AS checksum,
                count(*) AS n_rows
         FROM events
         """,

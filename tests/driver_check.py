@@ -74,6 +74,12 @@ def main() -> int:
             and raw_want[c].dtype.kind != raw_got[c].dtype.kind
             and not {raw_want[c].dtype.kind, raw_got[c].dtype.kind} <= {"i", "u"}
         ]
+        # columns present on only one side are invisible to kind_drift;
+        # surface the set mismatch explicitly (the value compare below
+        # still fails on it, but this names the columns)
+        col_mismatch = set(raw_got.columns) ^ set(raw_want.columns)
+        if col_mismatch:
+            print(f"{name}: COLUMN-SET MISMATCH {sorted(col_mismatch)}")
         want = norm(raw_want)
         try:
             pd.testing.assert_frame_equal(
