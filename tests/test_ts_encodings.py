@@ -1,0 +1,78 @@
+"""The driver has shipped events.parquet with three different physical
+timestamp encodings across rounds: TIMESTAMP(NANOS), TIMESTAMP(MICROS,
+adjusted-to-UTC) and TIMESTAMP(MICROS, naive) — the last reads as
+TIMESTAMP_NTZ in Spark 4, which refuses direct numeric casts
+(CAST_WITHOUT_SUGGESTION broke sessionization/trend_by_type in round 3).
+
+Pin that every epoch-dependent query path produces IDENTICAL results for
+all three encodings of the same instants, so a future re-encode of the
+testdata cannot regress the engine again.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from paas_auditor_spark.queries import (
+    q_cohort_retention,
+    q_sessionization,
+    q_trend_by_type,
+)
+
+BASE = dt.datetime(2024, 1, 1, 0, 0, 0)
+# same instants in every encoding; whole microseconds so ns→us truncation
+# is lossless and the three variants are bit-identical logically
+ROWS = [
+    # user 1: two sessions (gap > 30 min between event 2 and 3)
+    (1, BASE + dt.timedelta(seconds=0), 1, "click", 10.0, None),
+    (2, BASE + dt.timedelta(seconds=60), 1, "view", 20.0, "{}"),
+    (3, BASE + dt.timedelta(seconds=60 + 1801), 1, "click", 30.0, None),
+    # user 2: one session
+    (4, BASE + dt.timedelta(seconds=5), 2, "view", 40.0, "{}"),
+    (5, BASE + dt.timedelta(seconds=900), 2, "error", 50.0, None),
+    # microsecond-precision instants (sub-second gaps)
+    (6, BASE + dt.timedelta(days=30, microseconds=123456), 3, "click", 60.0, None),
+    (7, BASE + dt.timedelta(days=30, seconds=1, microseconds=654321), 3, "click", 70.0, None),
+]
+
+
+def _write_events(path: str, ts_type: pa.DataType) -> None:
+    cols = list(zip(*ROWS))
+    table = pa.table(
+        {
+            "event_id": pa.array(cols[0], pa.int64()),
+            "ts": pa.array(cols[1], ts_type),
+            "user_id": pa.array(cols[2], pa.int64()),
+            "event_type": pa.array(cols[3], pa.string()),
+            "value": pa.array(cols[4], pa.float64()),
+            "props": pa.array(cols[5], pa.string()),
+        }
+    )
+    pq.write_table(table, f"{path}/events.parquet")
+
+
+ENCODINGS = {
+    "us_naive": pa.timestamp("us"),           # → TIMESTAMP_NTZ (round 3+)
+    "us_utc": pa.timestamp("us", tz="UTC"),   # → TIMESTAMP (rounds 1-2)
+    "ns_naive": pa.timestamp("ns"),           # → long via nanosAsLong conf
+}
+
+
+@pytest.mark.parametrize(
+    "query", [q_sessionization, q_cohort_retention, q_trend_by_type]
+)
+def test_epoch_queries_invariant_across_ts_encodings(spark, tmp_path, query):
+    results = {}
+    for name, ts_type in ENCODINGS.items():
+        d = tmp_path / name
+        d.mkdir()
+        _write_events(str(d), ts_type)
+        results[name] = [tuple(r) for r in query(spark, str(d)).collect()]
+    assert results["us_naive"] == results["us_utc"] == results["ns_naive"]
+    # sessionization sanity on the fixture itself: user 1 splits in two
+    if query is q_sessionization:
+        assert (1, 2) in results["us_naive"] and (2, 1) in results["us_naive"]
