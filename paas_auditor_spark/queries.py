@@ -2442,6 +2442,97 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry
 # --------------------------------------------------------------------------
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed probe-term set over the corpus
+    (see operators/ranking.py for the scale posture: query-term tf is the
+    only corpus-sized shuffle, df/avgdl broadcast).  Rounded score is the
+    ranking key on both engines so the top-20 cut is deterministic."""
+    from paas_auditor_spark.operators.ranking import bm25_scores
+
+    docs = _th(spark, sf_dir, "documents")
+    scores = bm25_scores(docs, ["table", "hash", "merge"])
+    return (
+        scores.select(
+            "doc_id", F.round(F.col("score"), 4).alias("bm25")
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization round-trip quality per label — narrow-map
+    HOF quantize/reconstruct, one label-keyed scalar shuffle (see
+    operators/quantize.py)."""
+    from paas_auditor_spark.operators.quantize import reconstruction_report
+
+    emb = _th(spark, sf_dir, "embeddings")
+    return reconstruction_report(emb).orderBy("label")
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group anomaly detection: median / MAD (median absolute
+    deviation) instead of mean / stddev, so the threshold itself is not
+    dragged by the outliers it is hunting.  Two grouped exact-percentile
+    passes (median, then median of |v - med|) with the per-type medians
+    broadcast back onto the facts — group cardinality is tiny, the fact
+    table shuffles only on event_type."""
+    events = _t(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+        )
+    )
+    return (
+        events.join(F.broadcast(dev), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("med"), 4).alias("med"),
+            F.round(F.first("mad"), 4).alias("mad"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3 * 1.4826 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) key over (user_id, epoch-second): interleave the
+    low 16 bits of each so range-partitioning on the key co-locates rows
+    that are close in BOTH dimensions — the multi-column data-skipping
+    layout behind ``write_clustered``.  The interleave is one JVM
+    ``aggregate`` over a 16-element sequence (no UDF, no shuffle); the
+    query materializes the first 50 keys for oracle parity."""
+    events = _t(spark, sf_dir, "events")
+    x = F.col("user_id").cast("bigint")
+    y = F.unix_timestamp("ts")
+    # static 16-step unroll (shift amounts must be Python ints); 32 shift
+    # terms over two scalars stay well inside codegen limits
+    zval = F.lit(0).cast("bigint")
+    for i in range(16):
+        zval = (
+            zval
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(1), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(1), 2 * i + 1)
+        )
+    return (
+        events.select("event_id", zval.alias("zval"))
+        .orderBy("zval", "event_id")
+        .limit(50)
+    )
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "unshipped_events": QuerySpec(q_unshipped_events, ORACLE_UNSHIPPED),
     "latest_event_time": QuerySpec(
@@ -3836,6 +3927,100 @@ REGISTRY: dict[str, QuerySpec] = {
                CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
                sha256(text) AS sha256_hex
         FROM documents ORDER BY doc_id
+        """,
+    ),
+    "bm25_search": QuerySpec(
+        q_bm25_search,
+        """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                   AS term
+          FROM documents),
+        doclen AS (
+          SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (
+          SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT avg(dl) FROM doclen) AS avgdl),
+        q AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM toks WHERE term IN ('table', 'hash', 'merge')
+          GROUP BY doc_id, term),
+        df AS (
+          SELECT term, count(DISTINCT doc_id) AS df FROM q GROUP BY term)
+        SELECT doc_id,
+               round(sum(
+                 ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * (tf * 2.2)
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               ), 4) AS bm25
+        FROM q JOIN df USING (term) JOIN doclen USING (doc_id)
+        CROSS JOIN stats
+        GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id LIMIT 20
+        """,
+    ),
+    "embedding_quantize": QuerySpec(
+        q_embedding_quantize,
+        """
+        WITH q AS (
+          SELECT label,
+                 CAST(embedding AS DOUBLE[]) AS v,
+                 greatest(list_max(list_transform(
+                   CAST(embedding AS DOUBLE[]), x -> abs(x))), 1e-12)
+                   / 127.0 AS s
+          FROM embeddings),
+        r AS (
+          SELECT label, v,
+                 list_transform(v, x -> round(x / s) * s) AS rec
+          FROM q),
+        m AS (
+          SELECT label,
+                 sqrt(list_sum(list_transform(range(1, len(v) + 1),
+                   i -> (v[i] - rec[i]) * (v[i] - rec[i])))) AS l2_err,
+                 list_dot_product(v, rec)
+                   / (sqrt(greatest(list_dot_product(v, v), 1e-24))
+                      * sqrt(greatest(list_dot_product(rec, rec), 1e-24)))
+                   AS cos
+          FROM r)
+        SELECT label, count(*) AS n_vectors,
+               round(avg(l2_err), 4) AS avg_l2_err,
+               round(avg(cos), 4) AS avg_cosine
+        FROM m GROUP BY label ORDER BY label
+        """,
+    ),
+    "mad_outliers": QuerySpec(
+        q_mad_outliers,
+        """
+        WITH med AS (
+          SELECT event_type, median(value) AS med
+          FROM events GROUP BY event_type),
+        dev AS (
+          SELECT e.event_type, any_value(m.med) AS med,
+                 median(abs(e.value - m.med)) AS mad
+          FROM events e JOIN med m USING (event_type)
+          GROUP BY e.event_type)
+        SELECT e.event_type,
+               round(any_value(d.med), 4) AS med,
+               round(any_value(d.mad), 4) AS mad,
+               CAST(sum(CASE WHEN abs(e.value - d.med)
+                                  > 3 * 1.4826 * d.mad
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM events e JOIN dev d USING (event_type)
+        GROUP BY e.event_type ORDER BY e.event_type
+        """,
+    ),
+    "zorder_key": QuerySpec(
+        q_zorder_key,
+        """
+        SELECT event_id,
+               CAST(list_sum([
+                 (((user_id >> i) & 1) << (2 * i))
+                 + (((CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                      >> i) & 1) << (2 * i + 1))
+                 FOR i IN range(0, 16)
+               ]) AS BIGINT) AS zval
+        FROM events ORDER BY zval, event_id LIMIT 50
         """,
     ),
 }

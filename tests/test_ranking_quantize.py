@@ -1,0 +1,77 @@
+"""Unit tests for BM25 ranking and int8 scalar quantization operators
+(the oracle-parity test covers end-to-end hash equality; these pin the
+operator semantics on hand-checkable fixtures)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from paas_auditor_spark.operators.quantize import (
+    quantize,
+    reconstruction_report,
+)
+from paas_auditor_spark.operators.ranking import bm25_scores
+
+
+@pytest.fixture()
+def tiny_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "table table table scan"),
+            (2, "table scan merge"),
+            (3, "hash hash join join join join"),
+            (4, "sort only terms here nothing else at all"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_bm25_hand_computed(spark, tiny_docs):
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(tiny_docs, ["table"]).collect()
+    }
+    # N=4 docs, df(table)=2, avgdl=(4+3+6+8)/4=5.25
+    idf = math.log(1 + (4 - 2 + 0.5) / (2 + 0.5))
+    def s(tf, dl):
+        return idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 5.25))
+    assert got.keys() == {1, 2}
+    assert got[1] == pytest.approx(s(3, 4))
+    assert got[2] == pytest.approx(s(1, 3))
+    # saturation: tf=3 scores higher, but less than 3x the tf=1 score
+    assert got[1] > got[2] and got[1] < 3 * got[2]
+
+
+def test_bm25_multi_term_is_sum(spark, tiny_docs):
+    both = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(tiny_docs, ["table", "hash"]).collect()
+    }
+    # doc 3 matches only 'hash', docs 1-2 only 'table'; all present
+    assert both.keys() == {1, 2, 3}
+
+
+def test_sq8_codes_bounded_and_roundtrip(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a", [1.0, -0.5, 0.25, 0.003]),
+            (2, "a", [0.0, 0.0, 0.0, 0.0]),  # zero vector must stay finite
+            (3, "b", [100.0, -100.0, 50.0, 0.0]),
+        ],
+        ["vec_id", "label", "embedding"],
+    )
+    rows = quantize(df).collect()
+    for r in rows:
+        assert all(-127 <= c <= 127 for c in r["sq_codes"])
+        recon = [c * r["sq_scale"] for c in r["sq_codes"]]
+        for orig, rec in zip(r["embedding"], recon):
+            # max quantization error is scale/2 per component
+            assert abs(orig - rec) <= r["sq_scale"] / 2 + 1e-12
+    rep = {
+        r["label"]: r for r in reconstruction_report(df).collect()
+    }
+    assert rep["a"]["n_vectors"] == 2 and rep["b"]["n_vectors"] == 1
+    # unit-scale vectors reconstruct to cosine ~1
+    assert rep["b"]["avg_cosine"] == pytest.approx(1.0, abs=1e-3)
