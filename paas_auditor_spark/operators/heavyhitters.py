@@ -1,0 +1,71 @@
+"""Misra-Gries heavy hitters: bounded-memory frequent-items summaries.
+
+An exact ``groupBy(item).count()`` over a 100 TB token stream shuffles
+the FULL vocabulary (web-scale corpora: billions of distinct tokens /
+URLs / shingles).  The Misra-Gries summary caps executor memory at
+``capacity`` entries per partition and ships only those to the merge —
+shuffle volume is ``capacity × partitions`` rows regardless of input
+size, with the classic guarantee:
+
+- every item with true frequency > n/capacity survives, and
+- each reported count is a lower bound short by at most n/capacity.
+
+The per-partition summary is the batched MG variant: fold each Arrow
+batch's ``value_counts`` into the running summary; on overflow subtract
+the (capacity+1)-th largest count from everything and drop the
+non-positive entries (the standard generalized-decrement step).  Merged
+summaries add counts per item (sums of lower bounds stay lower bounds,
+errors stay additive), so the merge is one small ``groupBy(item).sum``.
+
+With ``capacity`` ≥ the true distinct count no decrement ever fires and
+the result is EXACT — which is how the registered query is oracle-checked
+while the operator's value is the bounded-memory path at scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def misra_gries_summary(
+    df: DataFrame, item_col: str, capacity: int = 4096
+) -> DataFrame:
+    """Merged MG summary: (item, cnt_lb) with ≤ capacity rows surviving
+    per input partition before the merge."""
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        summary: dict = {}
+        for pdf in batches:
+            for item, c in pdf[item_col].value_counts().items():
+                summary[item] = summary.get(item, 0) + int(c)
+            if len(summary) > capacity:
+                cuts = sorted(summary.values(), reverse=True)
+                thresh = cuts[capacity]
+                summary = {
+                    i: c - thresh for i, c in summary.items() if c > thresh
+                }
+        yield pd.DataFrame(
+            {"item": list(summary.keys()), "cnt_lb": list(summary.values())}
+        )
+
+    partials = df.select(F.col(item_col).alias(item_col)).mapInPandas(
+        partial, schema="item string, cnt_lb long"
+    )
+    return partials.groupBy("item").agg(F.sum("cnt_lb").alias("cnt_lb"))
+
+
+def heavy_hitters(
+    df: DataFrame, item_col: str, k: int = 20, capacity: int = 4096
+) -> DataFrame:
+    """Top-k items by merged lower-bound count (deterministic tiebreak on
+    the item)."""
+    return (
+        misra_gries_summary(df, item_col, capacity)
+        .orderBy(F.col("cnt_lb").desc(), "item")
+        .limit(k)
+    )

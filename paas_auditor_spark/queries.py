@@ -2507,6 +2507,21 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus tokens via the Misra-Gries bounded-memory summary
+    (operators/heavyhitters.py).  Capacity 8192 exceeds this corpus's
+    vocabulary so the lower-bound counts are exact and oracle-checkable;
+    at web scale the same operator caps shuffle volume at
+    capacity×partitions rows instead of the full vocabulary."""
+    from paas_auditor_spark.operators.heavyhitters import heavy_hitters
+
+    docs = _th(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tx.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    return heavy_hitters(toks, "term", k=20, capacity=8192)
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) key over (user_id, epoch-second): interleave the
     low 16 bits of each so range-partitioning on the key co-locates rows
@@ -4008,6 +4023,18 @@ REGISTRY: dict[str, QuerySpec] = {
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         FROM events e JOIN dev d USING (event_type)
         GROUP BY e.event_type ORDER BY e.event_type
+        """,
+    ),
+    "heavy_hitters": QuerySpec(
+        q_heavy_hitters,
+        """
+        WITH toks AS (
+          SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                   AS item
+          FROM documents)
+        SELECT item, count(*) AS cnt_lb
+        FROM toks GROUP BY item
+        ORDER BY cnt_lb DESC, item LIMIT 20
         """,
     ),
     "zorder_key": QuerySpec(
