@@ -57,6 +57,11 @@ HEADLINE = [
     "knn_bruteforce",
     "embedding_near_dup_lsh",
     "multimodal_features",
+    "bm25_search",
+    "embedding_quantize",
+    "mad_outliers",
+    "heavy_hitters",
+    "zorder_key",
 ]
 
 

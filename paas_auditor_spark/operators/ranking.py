@@ -39,11 +39,19 @@ def bm25_scores(
         F.col(id_col),
         F.explode(tx.tokens(F.lower(F.col(text_col)))).alias("term"),
     )
-    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    n_docs = docs.count()  # scalar: inlined as a literal like the
-    # reference's scalar subqueries (cardinality 1, not a data collect)
-    avgdl_row = doclen.agg(F.avg("dl").alias("avgdl")).collect()[0]
-    avgdl = float(avgdl_row["avgdl"])
+    # materialize doc lengths once (the corpus-sized explode+agg) so the
+    # scalar stats and the final score join both reuse it instead of
+    # re-exploding the corpus; ONE 1-row collect covers N and avgdl
+    # (every doc has >=1 token, so doclen rows == corpus size)
+    doclen = (
+        toks.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("dl"))
+        .localCheckpoint(eager=False)
+    )
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
 
     qterms = [t.lower() for t in query_terms]
     qtoks = toks.filter(F.col("term").isin(qterms))

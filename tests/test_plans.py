@@ -343,3 +343,52 @@ def test_inverted_index_single_shuffle(spark, sf_dir):
     df = q_inverted_index(spark, sf_dir)
     plan = assert_plan_contains(df, "HashAggregate")
     assert plan.count("Exchange hashpartitioning") <= 2  # agg + distinct step
+
+
+def test_bm25_broadcasts_df_not_doclen(spark, sf_dir):
+    # the |Q|-row document-frequency frame broadcasts; the corpus-sized
+    # doc-length frame must NOT (it shuffle-joins on the id)
+    from paas_auditor_spark.queries import q_bm25_search
+
+    df = q_bm25_search(spark, sf_dir)
+    plan = assert_plan_contains(df, "BroadcastHashJoin")
+    assert_plan_lacks(df, "BroadcastNestedLoopJoin")
+
+
+def test_quantize_and_zorder_stay_jvm_side(spark, sf_dir):
+    # SQ8 round-trip metrics and the Morton interleave are pure column
+    # expressions — no Python evaluation nodes
+    from paas_auditor_spark.queries import q_embedding_quantize, q_zorder_key
+
+    for fn in (q_embedding_quantize, q_zorder_key):
+        assert_plan_lacks(
+            fn(spark, sf_dir),
+            "BatchEvalPython",
+            "ArrowEvalPython",
+            "FlatMapsInPandas",
+        )
+
+
+def test_zorder_key_is_topk(spark, sf_dir):
+    from paas_auditor_spark.queries import q_zorder_key
+
+    assert_plan_contains(q_zorder_key(spark, sf_dir), "TakeOrderedAndProject")
+
+
+def test_mad_outliers_broadcasts_group_stats(spark, sf_dir):
+    # per-type median/MAD frames are tiny and broadcast back onto the
+    # facts; the fact table never shuffles on anything but event_type
+    from paas_auditor_spark.queries import q_mad_outliers
+
+    df = q_mad_outliers(spark, sf_dir)
+    assert_plan_contains(df, "BroadcastHashJoin")
+
+
+def test_heavy_hitters_single_merge_exchange(spark, sf_dir):
+    # MG partials run in the scan stage; the only exchange is the
+    # capacity-bounded summary merge (plus the final top-k)
+    from paas_auditor_spark.queries import q_heavy_hitters
+
+    df = q_heavy_hitters(spark, sf_dir)
+    plan = assert_plan_contains(df, "MapInPandas", "TakeOrderedAndProject")
+    assert plan.count("Exchange hashpartitioning") <= 1
