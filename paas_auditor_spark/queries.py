@@ -2507,6 +2507,18 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization quality report: codebooks trained on a
+    256-vector sample (driver-side deterministic Lloyd's), corpus encoded
+    by a pure narrow-map assignment (operators/quantize.py).  Iterative
+    training is not SQL-expressible → rows-only check; semantics pinned
+    by test_ranking_quantize.py."""
+    from paas_auditor_spark.operators.quantize import pq_report
+
+    emb = _th(spark, sf_dir, "embeddings")
+    return pq_report(emb).orderBy("label")
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 corpus tokens via the Misra-Gries bounded-memory summary
     (operators/heavyhitters.py).  Capacity 8192 exceeds this corpus's
@@ -4025,6 +4037,7 @@ REGISTRY: dict[str, QuerySpec] = {
         GROUP BY e.event_type ORDER BY e.event_type
         """,
     ),
+    "pq_codes": QuerySpec(q_pq_codes, None),
     "heavy_hitters": QuerySpec(
         q_heavy_hitters,
         """

@@ -75,3 +75,46 @@ def test_sq8_codes_bounded_and_roundtrip(spark):
     assert rep["a"]["n_vectors"] == 2 and rep["b"]["n_vectors"] == 1
     # unit-scale vectors reconstruct to cosine ~1
     assert rep["b"]["avg_cosine"] == pytest.approx(1.0, abs=1e-3)
+
+
+def test_pq_exact_when_codebook_covers_subvectors(spark):
+    from paas_auditor_spark.operators.quantize import pq_assign, pq_train
+
+    # vectors assembled from 4 distinct subvectors per 2-dim subspace:
+    # a k=4 codebook must reconstruct them exactly (err2 ~ 0)
+    subs = [[1.0, 0.0], [0.0, 1.0], [2.0, 2.0], [-1.0, 3.0]]
+    rows = [
+        (i, "x", subs[i % 4] + subs[(i + 1) % 4])
+        for i in range(16)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    books = pq_train(df, m=2, k=4, sample_n=16)
+    out = pq_assign(df, books).collect()
+    for r in out:
+        assert len(r["pq_codes"]) == 2
+        assert all(0 <= c < 4 for c in r["pq_codes"])
+        assert r["pq_err2"] < 1e-18
+    # same subvector input -> same code (codebook is a function)
+    code_of = {}
+    for r, (i, _, emb) in zip(sorted(out, key=lambda r: r["vec_id"]), rows):
+        key = tuple(emb[:2])
+        code_of.setdefault(key, r["pq_codes"][0])
+        assert code_of[key] == r["pq_codes"][0]
+
+
+def test_pq_error_shrinks_with_k(spark):
+    import random
+
+    from paas_auditor_spark.operators.quantize import pq_assign, pq_train
+
+    rng = random.Random(3)
+    rows = [
+        (i, "x", [rng.uniform(-1, 1) for _ in range(8)]) for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+
+    def total_err(k):
+        books = pq_train(df, m=4, k=k, sample_n=64)
+        return sum(r["pq_err2"] for r in pq_assign(df, books).collect())
+
+    assert total_err(16) < total_err(2) < total_err(1)
