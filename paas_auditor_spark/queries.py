@@ -2507,6 +2507,58 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: per-user trailing-1-hour event count and
+    value sum at each event — rangeBetween over epoch seconds, the
+    time-interval window a rows-based frame cannot express (irregular
+    event spacing).  One shuffle on user_id; the frame scan is linear
+    per partition.  Output sampled by key hash to stay bounded."""
+    events = _t(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+            F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+        )
+        .filter(F.col("event_id") % 101 == 0)
+        .orderBy("event_id")
+    )
+
+
+def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): match events
+    on their nullable props string INCLUDING the null=null bucket — the
+    semantics a plain equi-join silently drops.  Joining a distinct
+    key-level aggregate (tiny, broadcast) back to the facts keeps it one
+    fact-side pass."""
+    events = _t(spark, sf_dir, "events")
+    # deterministic nullable bucket: k mod 7, with bucket 3 nulled out —
+    # exercises the null=null match a plain equi-join silently drops
+    key = F.nullif(
+        F.get_json_object("props", "$.k").cast("bigint") % 7, F.lit(3)
+    )
+    keyed = events.withColumn("bucket", key)
+    counts = keyed.groupBy(F.col("bucket").alias("b")).agg(
+        F.count(F.lit(1)).alias("n_same_bucket")
+    )
+    return (
+        keyed.filter(F.col("event_id") % 211 == 0)
+        .join(
+            F.broadcast(counts),
+            F.col("bucket").eqNullSafe(F.col("b")),
+        )
+        .select("event_id", "bucket", "n_same_bucket")
+        .orderBy("event_id")
+    )
+
+
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization quality report: codebooks trained on a
     256-vector sample (driver-side deterministic Lloyd's), corpus encoded
@@ -4035,6 +4087,38 @@ REGISTRY: dict[str, QuerySpec] = {
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         FROM events e JOIN dev d USING (event_type)
         GROUP BY e.event_type ORDER BY e.event_type
+        """,
+    ),
+    "rolling_time_window": QuerySpec(
+        q_rolling_time_window,
+        """
+        SELECT event_id, user_id,
+               count(*) OVER w AS n_1h,
+               round(sum(value) OVER w, 2) AS sum_1h
+        FROM events
+        WINDOW w AS (
+          PARTITION BY user_id
+          ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        QUALIFY event_id % 101 = 0
+        ORDER BY event_id
+        """,
+    ),
+    "nullsafe_join": QuerySpec(
+        q_nullsafe_join,
+        """
+        WITH keyed AS (
+          SELECT event_id,
+                 nullif(CAST(props ->> '$.k' AS BIGINT) % 7, 3) AS bucket
+          FROM events),
+        counts AS (
+          SELECT bucket AS b, count(*) AS n_same_bucket
+          FROM keyed GROUP BY bucket)
+        SELECT event_id, bucket, n_same_bucket
+        FROM keyed JOIN counts
+          ON keyed.bucket IS NOT DISTINCT FROM counts.b
+        WHERE event_id % 211 = 0
+        ORDER BY event_id
         """,
     ),
     "pq_codes": QuerySpec(q_pq_codes, None),
