@@ -32,6 +32,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def fold_counts(summary: dict, series: pd.Series, capacity: int) -> dict:
+    """Fold one batch's value_counts into a running MG summary in place;
+    on overflow apply the generalized decrement (subtract the
+    (capacity+1)-th largest count, drop non-positive)."""
+    for item, c in series.value_counts().items():
+        summary[item] = summary.get(item, 0) + int(c)
+    if len(summary) > capacity:
+        cuts = sorted(summary.values(), reverse=True)
+        thresh = cuts[capacity]
+        for item in [i for i, c in summary.items() if c <= thresh]:
+            del summary[item]
+        for item in summary:
+            summary[item] -= thresh
+    return summary
+
+
 def misra_gries_summary(
     df: DataFrame, item_col: str, capacity: int = 4096
 ) -> DataFrame:
@@ -41,14 +57,7 @@ def misra_gries_summary(
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         summary: dict = {}
         for pdf in batches:
-            for item, c in pdf[item_col].value_counts().items():
-                summary[item] = summary.get(item, 0) + int(c)
-            if len(summary) > capacity:
-                cuts = sorted(summary.values(), reverse=True)
-                thresh = cuts[capacity]
-                summary = {
-                    i: c - thresh for i, c in summary.items() if c > thresh
-                }
+            fold_counts(summary, pdf[item_col], capacity)
         yield pd.DataFrame(
             {"item": list(summary.keys()), "cnt_lb": list(summary.values())}
         )

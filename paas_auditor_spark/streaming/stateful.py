@@ -106,9 +106,70 @@ def sessionize_stream(
     )
 
 
+HH_OUTPUT_SCHEMA = "shard int, item string, cnt_lb long"
+HH_STATE_SCHEMA = "items array<string>, counts array<long>"
+
+
+def track_heavy_hitters(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+    capacity: int = 256,
+) -> Iterator[pd.DataFrame]:
+    """Streaming Misra-Gries per shard: the shard's summary (≤ capacity
+    items) lives in group state and folds each micro-batch in with the
+    same generalized-decrement step as the batch operator
+    (operators/heavyhitters.py::fold_counts) — so stream and batch modes
+    are cross-checkable.  Emits the shard's refreshed summary after every
+    batch it appears in."""
+    from paas_auditor_spark.operators.heavyhitters import fold_counts
+
+    items, counts = state.get if state.exists else ([], [])
+    summary = dict(zip(items, counts))
+    for pdf in batches:
+        fold_counts(summary, pdf["item"], capacity)
+    state.update((list(summary.keys()), list(summary.values())))
+    yield pd.DataFrame(
+        {
+            "shard": [key[0]] * len(summary),
+            "item": list(summary.keys()),
+            "cnt_lb": list(summary.values()),
+        }
+    )
+
+
+def heavy_hitters_stream(items_df, n_shards: int = 8, capacity: int = 256):
+    """Bounded-state frequent items over an unbounded stream.
+
+    Terms shard by hash so state parallelizes across executors while
+    staying capped at ``n_shards × capacity`` entries TOTAL — a streaming
+    word-count's state, by contrast, grows with the vocabulary without
+    bound.  Update mode; merge shard summaries downstream (sum cnt_lb per
+    item) exactly like the batch merge.
+    """
+    from functools import partial as _partial
+
+    from pyspark.sql import functions as F
+
+    sharded = items_df.withColumn(
+        "shard", F.pmod(F.hash("item"), F.lit(n_shards)).cast("int")
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        _partial(track_heavy_hitters, capacity=capacity),
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 __all__ = [
+    "HH_OUTPUT_SCHEMA",
+    "HH_STATE_SCHEMA",
     "SESSION_OUTPUT_SCHEMA",
     "SESSION_STATE_SCHEMA",
+    "heavy_hitters_stream",
     "sessionize_stream",
+    "track_heavy_hitters",
     "track_sessions",
 ]
