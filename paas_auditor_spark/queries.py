@@ -2507,6 +2507,26 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_argmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-event-per-user as a plain aggregate: max over a (ts, id)
+    struct — lexicographic max gives the deterministic argmax with
+    map-side partial aggregation and NO per-partition sort, the plan that
+    beats the ranking-window variant (q_latest_event_per_user) at scale:
+    shuffle carries one struct per (user, map task) instead of every
+    event through a sorted window."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id")).alias("m"))
+        .select(
+            "user_id",
+            F.col("m.event_id").alias("last_event_id"),
+            F.col("m.ts").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time RANGE frame: per-user trailing-1-hour event count and
     value sum at each event — rangeBetween over epoch seconds, the
@@ -4087,6 +4107,18 @@ REGISTRY: dict[str, QuerySpec] = {
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         FROM events e JOIN dev d USING (event_type)
         GROUP BY e.event_type ORDER BY e.event_type
+        """,
+    ),
+    "argmax_agg": QuerySpec(
+        q_argmax_agg,
+        """
+        SELECT user_id, event_id AS last_event_id, ts AS last_ts
+        FROM (
+          SELECT user_id, event_id, ts,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        WHERE rn = 1 ORDER BY user_id
         """,
     ),
     "rolling_time_window": QuerySpec(

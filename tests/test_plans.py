@@ -392,3 +392,15 @@ def test_heavy_hitters_single_merge_exchange(spark, sf_dir):
     df = q_heavy_hitters(spark, sf_dir)
     plan = assert_plan_contains(df, "MapInPandas", "TakeOrderedAndProject")
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_argmax_agg_has_no_window_sort(spark, sf_dir):
+    # the aggregate argmax must plan as partial+final HashAggregate (or
+    # ObjectHashAggregate) with no ranking window and no per-partition
+    # sort of the fact table
+    from paas_auditor_spark.queries import q_argmax_agg
+
+    df = q_argmax_agg(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Aggregate" in plan
