@@ -2507,6 +2507,41 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window sequence packing: assign documents to fixed
+    token-budget packs (8192) by running token count, the batch-assembly
+    step of an LLM training pipeline.  Packing is contiguous per SOURCE
+    (cumulative sum over a per-source window), so at scale each shard
+    packs independently — no global sort, the window partitions by the
+    same key the corpus is stored under.  Output is the per-pack
+    manifest: doc span, doc count, token total."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = tx.token_count(F.col("text"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = docs.select(
+        "source",
+        "doc_id",
+        n_tok.alias("n_tok"),
+        F.floor(
+            F.coalesce(F.sum(n_tok).over(w), F.lit(0)) / 8192
+        ).alias("pack_id"),
+    )
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
 def q_argmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-event-per-user as a plain aggregate: max over a (ts, id)
     struct — lexicographic max gives the deterministic argmax with
@@ -4107,6 +4142,28 @@ REGISTRY: dict[str, QuerySpec] = {
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         FROM events e JOIN dev d USING (event_type)
         GROUP BY e.event_type ORDER BY e.event_type
+        """,
+    ),
+    "sequence_pack": QuerySpec(
+        q_sequence_pack,
+        """
+        WITH toks AS (
+          SELECT source, doc_id,
+                 CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tok
+          FROM documents),
+        packed AS (
+          SELECT source, doc_id, n_tok,
+                 CAST(floor(coalesce(sum(n_tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   / 8192) AS BIGINT) AS pack_id
+          FROM toks)
+        SELECT source, pack_id, count(*) AS n_docs,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens
+        FROM packed GROUP BY source, pack_id
+        ORDER BY source, pack_id
         """,
     ),
     "argmax_agg": QuerySpec(
