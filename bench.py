@@ -62,6 +62,7 @@ HEADLINE = [
     "mad_outliers",
     "heavy_hitters",
     "zorder_key",
+    "curation_pipeline",
 ]
 
 

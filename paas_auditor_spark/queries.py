@@ -2507,6 +2507,74 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship curation composition: quality gate → exact dedup →
+    sequence packing, as ONE declarative DataFrame program (the stages
+    are the already-proven quality_filter / dedup_exact / sequence_pack
+    operators).  Catalyst fuses the quality signals and the dedup
+    fingerprint into the same scan stage; the dedup winner keeps its
+    source/token payload via the min(struct) argmax trick, so no join
+    back to the corpus; packing then shuffles only the survivors.  Plan:
+    scan → narrow quality map → one fingerprint shuffle → per-source
+    window → manifest aggregate."""
+    from paas_auditor_spark.operators.dedup import normalized_text
+
+    docs = _th(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tok = tx.token_count(text)
+    stop_ratio = F.round(
+        tx.stopword_count(text)
+        / F.greatest(n_tok.cast("double"), F.lit(1.0)),
+        4,
+    )
+    punct_ratio = F.round(
+        tx.punct_count(text)
+        / F.greatest(F.length(text).cast("double"), F.lit(1.0)),
+        4,
+    )
+    avg_len = F.round(
+        F.length(F.regexp_replace(F.trim(text), tx.WS, ""))
+        / F.greatest(n_tok.cast("double"), F.lit(1.0)),
+        4,
+    )
+    keep = (
+        (n_tok >= 10)
+        & (avg_len >= 2.0)
+        & (avg_len <= 12.0)
+        & (stop_ratio >= 0.01)
+        & (punct_ratio <= 0.2)
+        & (tx.repetition_ratio(text, 2) <= 0.3)
+    )
+    kept = docs.filter(keep).select(
+        F.md5(normalized_text(text)).alias("fp"),
+        F.struct("doc_id", "source", n_tok.alias("n_tok")).alias("row"),
+    )
+    survivors = (
+        kept.groupBy("fp")
+        .agg(F.min("row").alias("row"))
+        .select("row.doc_id", "row.source", "row.n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = survivors.withColumn(
+        "pack_id",
+        F.floor(
+            F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / 8192
+        ),
+    )
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window sequence packing: assign documents to fixed
     token-budget packs (8192) by running token count, the batch-assembly
@@ -4142,6 +4210,62 @@ REGISTRY: dict[str, QuerySpec] = {
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         FROM events e JOIN dev d USING (event_type)
         GROUP BY e.event_type ORDER BY e.event_type
+        """,
+    ),
+    "curation_pipeline": QuerySpec(
+        q_curation_pipeline,
+        """
+        WITH base AS (
+          SELECT doc_id, source, text,
+                 regexp_split_to_array(lower(trim(text)), '\\s+') AS lt,
+                 CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tok
+          FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 [array_to_string(lt[i:i+1], ' ')
+                  for i in range(1, len(lt))] AS g
+          FROM base),
+        f AS (
+          SELECT base.doc_id, source, text, n_tok,
+                 round(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                       / greatest(CAST(n_tok AS DOUBLE), 1.0), 4)
+                   AS avg_token_len,
+                 round(len(list_filter(lt, x -> x IN
+                       ('the','a','of','and','to','in','is','on','for',
+                        'with')))
+                       / greatest(CAST(n_tok AS DOUBLE), 1.0), 4)
+                   AS stopword_ratio,
+                 round(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                       / greatest(CAST(length(text) AS DOUBLE), 1.0), 4)
+                   AS punct_ratio,
+                 round(CASE WHEN len(g) = 0 THEN 0.0
+                       ELSE 1.0 - len(list_distinct(g)) * 1.0 / len(g)
+                       END, 4) AS rep_ratio
+          FROM base JOIN grams ON base.doc_id = grams.doc_id),
+        kept AS (
+          SELECT doc_id, source, n_tok,
+                 md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                   AS fp
+          FROM f
+          WHERE n_tok >= 10 AND avg_token_len >= 2.0
+            AND avg_token_len <= 12.0 AND stopword_ratio >= 0.01
+            AND punct_ratio <= 0.2 AND rep_ratio <= 0.3),
+        surv AS (SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY fp),
+        srows AS (
+          SELECT k.doc_id, k.source, k.n_tok
+          FROM kept k JOIN surv s ON k.doc_id = s.doc_id),
+        packed AS (
+          SELECT source, doc_id, n_tok,
+                 CAST(floor(coalesce(sum(n_tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   / 8192) AS BIGINT) AS pack_id
+          FROM srows)
+        SELECT source, pack_id, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens
+        FROM packed GROUP BY source, pack_id
+        ORDER BY source, pack_id
         """,
     ),
     "sequence_pack": QuerySpec(
