@@ -130,3 +130,40 @@ def test_streaming_mg_state_stays_bounded(spark, tmp_path):
     assert all(r["n"] <= 20 for r in per_shard)
     # the heavy item survives the decrements with a positive lower bound
     assert hot is not None and hot > 0
+
+
+# -- property-based: fold_counts is pure Python, so hypothesis can hammer
+#    the MG invariants without a Spark round-trip per example
+from collections import Counter as _Counter
+
+import pandas as _pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from paas_auditor_spark.operators.heavyhitters import fold_counts
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    stream=st.lists(
+        st.lists(st.integers(min_value=0, max_value=30), max_size=40),
+        max_size=6,
+    ),
+    capacity=st.integers(min_value=1, max_value=12),
+)
+def test_fold_counts_invariants(stream, capacity):
+    summary: dict = {}
+    for batch in stream:
+        fold_counts(summary, _pd.Series(batch, dtype="object"), capacity)
+    true = _Counter(x for batch in stream for x in batch)
+    n = sum(true.values())
+    # bounded size
+    assert len(summary) <= capacity
+    # lower bounds, short by at most n/capacity
+    for item, lb in summary.items():
+        assert 0 < lb <= true[item]
+        assert true[item] - lb <= n / capacity
+    # every sufficiently heavy item survives
+    for item, c in true.items():
+        if c > n / capacity:
+            assert item in summary
