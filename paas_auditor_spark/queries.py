@@ -2507,6 +2507,28 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rows via the BUILT-IN session_window (gap 30 min) —
+    the native grouping q_sessionization emulates with lag+cumsum; here
+    each session materializes as (user, start, end, n_events) in one
+    grouped aggregation.  The oracle reproduces the semantics with the
+    gaps-and-islands pattern: a new island when the gap >= the timeout
+    (session_window's end bound is exclusive), end = last event + gap."""
+    events = _t(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        events.groupBy("user_id", sw)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship curation composition: quality gate → exact dedup →
     sequence packing, as ONE declarative DataFrame program (the stages
@@ -4210,6 +4232,30 @@ REGISTRY: dict[str, QuerySpec] = {
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         FROM events e JOIN dev d USING (event_type)
         GROUP BY e.event_type ORDER BY e.event_type
+        """,
+    ),
+    "session_window_agg": QuerySpec(
+        q_session_window_agg,
+        """
+        WITH flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch(CAST(ts AS TIMESTAMP))
+                         - epoch(CAST(lag(ts) OVER w AS TIMESTAMP))
+                         >= 1800 THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        islands AS (
+          SELECT user_id, ts,
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS island
+          FROM flagged)
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events
+        FROM islands GROUP BY user_id, island
+        ORDER BY user_id, session_start
         """,
     ),
     "curation_pipeline": QuerySpec(

@@ -586,3 +586,28 @@ def test_event_json_emits_empty_string_for_null_fields(spark):
         "actor_username", "actee", "actee_type", "actee_name",
         "organization_guid", "space_guid", "metadata",
     ]
+
+
+def test_csv_source_quarantines_malformed_rows(spark, tmp_path):
+    """Typed CSV scan: good rows parse to the events schema, unparseable
+    lines land in the quarantine channel instead of vanishing."""
+    from paas_auditor_spark.sources.csv import read_events_csv
+
+    p = tmp_path / "events.csv"
+    p.write_text(
+        "event_id,ts,user_id,event_type,value,props\n"
+        "1,2024-01-01T00:00:00,10,click,1.5,\"{}\"\n"
+        "2,2024-01-01T00:01:00,11,view,2.0,\n"
+        "not-a-number,garbage-ts,x,oops,NaNope,{}\n"
+        "3,2024-01-01T00:02:00,12,error,9.9,\"{\"\"k\"\": 1}\"\n"
+    )
+    good, bad = read_events_csv(spark, str(p), with_quarantine=True)
+    rows = {r["event_id"]: r for r in good.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[3]["props"] == '{"k": 1}'
+    assert rows[1]["value"] == 1.5
+    assert [c for c in good.columns] == [
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ]
+    bad_lines = [r["raw_line"] for r in bad.collect()]
+    assert len(bad_lines) == 1 and bad_lines[0].startswith("not-a-number")
