@@ -2507,6 +2507,91 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick): each document's unigram
+    counts land in 64 hash slots — a model-free, vocabulary-free sparse
+    vectorization whose width is FIXED however large the corpus grows
+    (no vocab broadcast, no OOV).  The slot hash is md5-based so it is
+    engine-portable (Spark murmur3 hash() would diverge from the
+    oracle).  Per-doc summary: occupied slots, L2 norm, dominant slot
+    (deterministic min(struct) argmax).  Shuffles (doc, slot) pairs
+    only — never text."""
+    docs = _th(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tx.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    slot = (
+        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long") % 64
+    )
+    slots = toks.groupBy("doc_id", slot.alias("slot")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        slots.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nnz"),
+            F.round(F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))), 4).alias(
+                "l2"
+            ),
+            F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("slot")))[
+                "slot"
+            ].alias("top_slot"),
+        )
+        .filter(F.col("doc_id") % 7 == 0)
+        .orderBy("doc_id")
+    )
+
+
+def q_grouped_model_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group model fitting via applyInPandas (grouped map): a
+    closed-form OLS of value on days-since-epoch per event_type, the
+    engine's template for 'fit a small model per key' — each group
+    arrives as ONE Arrow batch in pandas, fits vectorized numpy, returns
+    one row.  The oracle is the SQL regression aggregates
+    (regr_slope/regr_intercept), so the Python path is pinned against
+    the JVM moment-aggregate path bit-for-bit after 2dp/1dp rounding.
+    Scale: groups fan out across executors; each task holds one group's
+    columns, not the corpus."""
+    import pandas as pd
+
+    events = _t(spark, sf_dir, "events")
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        # unit-safe: Arrow may hand pandas datetime64[us] or [ns]
+        x = (
+            pdf["ts"].to_numpy().astype("datetime64[ns]").astype("int64")
+            / 1e9
+            / 86400.0
+        )
+        x = pd.Series(x, index=pdf.index)
+        y = pdf["value"]
+        mx, my = x.mean(), y.mean()
+        cov = ((x - mx) * (y - my)).sum()
+        var = ((x - mx) ** 2).sum()
+        slope = cov / var
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "slope_per_day": [round(slope, 2)],
+                "intercept": [round(my - slope * mx, 1)],
+                "n_points": [len(pdf)],
+            }
+        )
+
+    return (
+        events.select("event_type", "ts", "value")
+        .groupBy("event_type")
+        .applyInPandas(
+            fit,
+            schema=(
+                "event_type string, slope_per_day double, "
+                "intercept double, n_points long"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-session rows via the BUILT-IN session_window (gap 30 min) —
     the native grouping q_sessionization emulates with lag+cumsum; here
@@ -4232,6 +4317,49 @@ REGISTRY: dict[str, QuerySpec] = {
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         FROM events e JOIN dev d USING (event_type)
         GROUP BY e.event_type ORDER BY e.event_type
+        """,
+    ),
+    "feature_hash": QuerySpec(
+        q_feature_hash,
+        """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                   AS term
+          FROM documents),
+        slots AS (
+          SELECT doc_id,
+                 CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT) % 64
+                   AS slot,
+                 count(*) AS cnt
+          FROM toks GROUP BY 1, 2),
+        ranked AS (
+          SELECT doc_id, slot, cnt,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY cnt DESC, slot) AS rn
+          FROM slots)
+        SELECT doc_id, count(*) AS nnz,
+               round(sqrt(CAST(sum(cnt * cnt) AS DOUBLE)), 4) AS l2,
+               min(CASE WHEN rn = 1 THEN slot END) AS top_slot
+        FROM ranked
+        WHERE doc_id % 7 = 0
+        GROUP BY doc_id ORDER BY doc_id
+        """,
+    ),
+    "grouped_model_fit": QuerySpec(
+        q_grouped_model_fit,
+        """
+        SELECT event_type,
+               round(regr_slope(value,
+                     epoch(CAST(ts AS TIMESTAMP)) / 86400.0), 2)
+                 AS slope_per_day,
+               round(regr_intercept(value,
+                     epoch(CAST(ts AS TIMESTAMP)) / 86400.0), 1)
+                 AS intercept,
+               CAST(regr_count(value,
+                    epoch(CAST(ts AS TIMESTAMP)) / 86400.0) AS BIGINT)
+                 AS n_points
+        FROM events GROUP BY event_type ORDER BY event_type
         """,
     ),
     "session_window_agg": QuerySpec(

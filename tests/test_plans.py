@@ -404,3 +404,25 @@ def test_argmax_agg_has_no_window_sort(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "Aggregate" in plan
+
+
+def test_shuffle_hash_hint_avoids_sort(spark, sf_dir):
+    # fact-to-fact joins default to sort-merge; the shuffle_hash hint
+    # drops both sort passes — the right trade when one side hashes into
+    # memory per partition and the output needs no sort order
+    from paas_auditor_spark.sources.tables import load_table
+
+    # (at test scale orders broadcasts by default, so pin each strategy
+    # with its hint and compare the plan shapes)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    smj = li.join(
+        orders.hint("merge"), li.l_orderkey == orders.o_orderkey
+    )
+    shj = li.join(
+        orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey
+    )
+    smj_plan = smj._jdf.queryExecution().executedPlan().toString()
+    shj_plan = shj._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in smj_plan and "Sort " in smj_plan
+    assert "ShuffledHashJoin" in shj_plan and "Sort " not in shj_plan
