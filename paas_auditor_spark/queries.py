@@ -2507,6 +2507,36 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiling (the ANALYZE/catalog-stats shape): per
+    column null count, exact distinct count, lexicographic min/max — all
+    columns aggregated in a SINGLE scan, then unpivoted to one row per
+    column with stack().  At 100 TB the same plan runs with
+    approx_count_distinct; exact NDV here keeps the oracle exact."""
+    events = _t(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                f"{c}__nulls"
+            ),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            # min/max in the native type, rendered to string at the end
+            # (a lexicographic min over rendered doubles would be wrong)
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = events.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__ndv, {c}__min, {c}__max" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, n_nulls, ndv, min_str, max_str)"
+    ).orderBy("column_name")
+
+
 def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature hashing (the hashing trick): each document's unigram
     counts land in 64 hash slots — a model-free, vocabulary-free sparse
@@ -4317,6 +4347,56 @@ REGISTRY: dict[str, QuerySpec] = {
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         FROM events e JOIN dev d USING (event_type)
         GROUP BY e.event_type ORDER BY e.event_type
+        """,
+    ),
+    "table_profile": QuerySpec(
+        q_table_profile,
+        """
+        SELECT 'event_id' AS column_name,
+               CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_nulls,
+               count(DISTINCT event_id) AS ndv,
+               CAST(min(event_id) AS VARCHAR) AS min_str,
+               CAST(max(event_id) AS VARCHAR) AS max_str
+        FROM events
+        UNION ALL
+        SELECT 'ts',
+               CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT ts),
+               CAST(min(CAST(ts AS TIMESTAMP)) AS VARCHAR),
+               CAST(max(CAST(ts AS TIMESTAMP)) AS VARCHAR)
+        FROM events
+        UNION ALL
+        SELECT 'user_id',
+               CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               count(DISTINCT user_id),
+               CAST(min(user_id) AS VARCHAR),
+               CAST(max(user_id) AS VARCHAR)
+        FROM events
+        UNION ALL
+        SELECT 'event_type',
+               CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               count(DISTINCT event_type),
+               min(event_type), max(event_type)
+        FROM events
+        UNION ALL
+        SELECT 'value',
+               CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               count(DISTINCT value),
+               CAST(min(value) AS VARCHAR),
+               CAST(max(value) AS VARCHAR)
+        FROM events
+        UNION ALL
+        SELECT 'props',
+               CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               count(DISTINCT props),
+               min(props), max(props)
+        FROM events
+        ORDER BY column_name
         """,
     ),
     "feature_hash": QuerySpec(
