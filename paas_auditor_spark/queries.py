@@ -2507,6 +2507,64 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent token
+    pairs — PMI = ln(p(xy) / (p(x)p(y))) over corpus bigram/unigram
+    frequencies, the classic phrase-detection signal feeding tokenizer
+    vocab decisions.  Two grouped counts + two joins on the term key
+    (unigram side broadcast here; at web scale it shuffle-joins on term);
+    ranking on the ROUNDED score keeps the top-30 cut deterministic
+    across engines."""
+    docs = _th(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tx.tokens(F.lower(F.col("text")))).alias("w")
+    )
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_uni = toks.count()
+    # bind the token array once, then pair adjacent tokens
+    bigrams = docs.select(
+        tx.tokens(F.lower(F.col("text"))).alias("lt")
+    ).select(
+        F.explode(
+            # guard: sequence(1, 0) would count DOWN, and ANSI mode
+            # errors on out-of-range subscripts — short docs emit no pairs
+            F.expr(
+                "CASE WHEN size(lt) < 2 THEN array() "
+                "ELSE transform(sequence(1, size(lt) - 1), "
+                "i -> concat(lt[i - 1], ' ', lt[i])) END"
+            )
+        ).alias("bg")
+    )
+    bi = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("cxy"))
+    n_bi = bigrams.count()
+    parts = F.split("bg", " ")
+    scored = (
+        bi.withColumn("x", parts[0])
+        .withColumn("y", parts[1])
+        .join(F.broadcast(uni.select(F.col("w").alias("x"), F.col("c").alias("cx"))), "x")
+        .join(F.broadcast(uni.select(F.col("w").alias("y"), F.col("c").alias("cy"))), "y")
+        .select(
+            "bg",
+            "cxy",
+            F.round(
+                F.log(
+                    (F.col("cxy") / F.lit(float(n_bi)))
+                    / (
+                        (F.col("cx") / F.lit(float(n_uni)))
+                        * (F.col("cy") / F.lit(float(n_uni)))
+                    )
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return (
+        scored.filter(F.col("cxy") >= 20)
+        .orderBy(F.col("pmi").desc(), "bg")
+        .limit(30)
+    )
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass table profiling (the ANALYZE/catalog-stats shape): per
     column null count, exact distinct count, lexicographic min/max — all
@@ -4347,6 +4405,37 @@ REGISTRY: dict[str, QuerySpec] = {
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         FROM events e JOIN dev d USING (event_type)
         GROUP BY e.event_type ORDER BY e.event_type
+        """,
+    ),
+    "bigram_pmi": QuerySpec(
+        q_bigram_pmi,
+        """
+        WITH toks AS (
+          SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS lt
+          FROM documents),
+        uni AS (SELECT unnest(lt) AS w FROM toks),
+        ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+        nu AS (SELECT count(*) AS n_uni FROM uni),
+        bgs AS (
+          SELECT unnest([array_to_string(lt[i:i+1], ' ')
+                         for i in range(1, len(lt))]) AS bg
+          FROM toks),
+        bcnt AS (SELECT bg, count(*) AS cxy FROM bgs GROUP BY bg),
+        nb AS (SELECT count(*) AS n_bi FROM bgs),
+        split AS (
+          SELECT bg, cxy,
+                 string_split(bg, ' ')[1] AS x,
+                 string_split(bg, ' ')[2] AS y
+          FROM bcnt)
+        SELECT bg, cxy,
+               round(ln((cxy / n_bi)
+                        / ((ux.c / n_uni) * (uy.c / n_uni))), 4) AS pmi
+        FROM split
+        JOIN ucnt ux ON split.x = ux.w
+        JOIN ucnt uy ON split.y = uy.w
+        CROSS JOIN nu CROSS JOIN nb
+        WHERE cxy >= 20
+        ORDER BY pmi DESC, bg LIMIT 30
         """,
     ),
     "table_profile": QuerySpec(
