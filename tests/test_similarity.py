@@ -178,3 +178,31 @@ def test_embedding_lsh_recall_floor(spark, sf_dir):
     assert exact  # ground truth must be non-trivial
     assert len(lsh & exact) / len(exact) >= 0.6
     assert lsh <= exact  # verify step guarantees precision 1.0
+
+
+def test_ivf_lists_partition_prune_on_probe(spark, sf_dir, tmp_path):
+    """The IVF scale story made concrete: corpus written partitioned by
+    list_id, a probe filtered to nprobe lists must scan ONLY those
+    partitions (PartitionFilters at the scan, fewer files touched)."""
+    import pyspark.sql.functions as F
+
+    from paas_auditor_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # coarse-quantize: 8 lists by a cheap deterministic key so the test
+    # exercises the layout, not the quantizer
+    corpus = emb.withColumn("list_id", (F.col("vec_id") % 8).cast("int"))
+    path = str(tmp_path / "ivf_corpus")
+    corpus.write.partitionBy("list_id").mode("overwrite").parquet(path)
+
+    back = spark.read.parquet(path)
+    probe = back.filter(F.col("list_id").isin(2, 5))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    # the probe predicate is a PARTITION filter (directory pruning), not a
+    # data filter over a full scan
+    assert pf and "list_id" in pf[0] and "IN (2,5)" in pf[0].replace(", ", ",")
+    # and the scan feeding the probe reads exactly the two lists' rows
+    expected = back.filter(F.col("vec_id") % 8 == 2).count() + \
+        back.filter(F.col("vec_id") % 8 == 5).count()
+    assert probe.count() == expected > 0
