@@ -143,9 +143,17 @@ def stream_to_bronze(
     ts_col: str = "created_at",
     max_files_per_trigger: int = 1,
     trigger_processing_time: str | None = None,
+    available_now: bool = False,
     metrics: MetricsRegistry | None = None,
 ):
     """Structured Streaming ingest: file micro-batches → dedup → bronze.
+
+    ``available_now=True`` runs the backfill mode: process everything
+    already in the source (still rate-limited into micro-batches by
+    maxFilesPerTrigger, still exactly the same dedup sink), then stop —
+    the catch-up-after-downtime semantics of the reference's first
+    collector tick, with the stream's checkpoint carrying the watermark
+    forward into the next run.
 
     - rate limiting via maxFilesPerTrigger (S3/T5 backpressure analog)
     - foreachBatch: in-batch dropDuplicates + left-anti vs bronze (T3) —
@@ -210,7 +218,9 @@ def stream_to_bronze(
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir
     )
-    if trigger_processing_time:
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_processing_time:
         writer = writer.trigger(processingTime=trigger_processing_time)
     return writer.start()
 

@@ -290,3 +290,56 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["c_user"] == "u1"
     assert rows[0]["b_ts"] == B + dt.timedelta(minutes=5)
+
+
+def test_available_now_backfill_drains_then_stops(spark, tmp_path):
+    """Backfill mode: availableNow processes the whole backlog through
+    the same dedup sink (rate-limited into micro-batches), terminates on
+    its own, and a SECOND run resumes from the checkpoint — ingesting
+    only new files, never re-appending the old ones."""
+    import datetime as dt
+
+    from paas_auditor_spark.schemas import CF_AUDIT_EVENT
+    from paas_auditor_spark.streaming.pipeline import stream_to_bronze
+
+    src = str(tmp_path / "an_src")
+    bronze = str(tmp_path / "an_bronze")
+    ckpt = str(tmp_path / "an_ckpt")
+    base = dt.datetime(2024, 1, 1)
+
+    def mk(guid, minutes):
+        return (
+            guid, base + dt.timedelta(minutes=minutes), "audit.x",
+            "a", "t", "n", "u", "ae", "at", "an", None, None, "{}",
+        )
+
+    rows1 = [mk(f"g{i}", i) for i in range(4)] + [mk("g1", 1)]  # dup
+    spark.createDataFrame(rows1, CF_AUDIT_EVENT).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    q = stream_to_bronze(
+        spark, src, bronze, ckpt, CF_AUDIT_EVENT,
+        max_files_per_trigger=1, available_now=True,
+    )
+    q.awaitTermination(120)  # availableNow terminates by itself
+    assert not q.isActive
+    first = spark.read.parquet(bronze)
+    assert first.count() == 4  # dup dropped
+    assert first.select("guid").distinct().count() == 4
+
+    # second wave: one new file with one new + one already-seen guid
+    spark.createDataFrame(
+        [mk("g9", 9), mk("g2", 2)], CF_AUDIT_EVENT
+    ).coalesce(1).write.mode("append").parquet(src)
+    q2 = stream_to_bronze(
+        spark, src, bronze, ckpt, CF_AUDIT_EVENT,
+        max_files_per_trigger=1, available_now=True,
+    )
+    q2.awaitTermination(120)
+    out = spark.read.parquet(bronze)
+    # 4 + g9: the windowed anti-join's bronze slice reaches back to the
+    # new batch's min ts (minute 2), so the re-sent g2 dedups across runs
+    assert out.count() == 5
+    assert out.filter("guid = 'g9'").count() == 1
+    assert out.filter("guid = 'g2'").count() == 1
