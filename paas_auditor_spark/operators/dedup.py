@@ -140,6 +140,31 @@ def _signatures_from_exploded(
     return grouped.select(F.col(id_col), sig.alias("signature"))
 
 
+def _banded(
+    sig_df: DataFrame, id_col: str, num_hashes: int, num_bands: int
+) -> DataFrame:
+    """(id, band_id, band_hash) rows: each band's signature slice folded
+    to one numeric key (polynomial fold — no string building)."""
+    rows_per_band = num_hashes // num_bands
+    return sig_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.aggregate(
+                        F.slice(
+                            "signature", bi * rows_per_band + 1, rows_per_band
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc * F.lit(1000003) + x,
+                    )
+                    for bi in range(num_bands)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+
+
 def minhash_candidates(
     sig_df: DataFrame,
     id_col: str = "doc_id",
@@ -154,22 +179,7 @@ def minhash_candidates(
     polynomial fold of the band's signature slice (no string building —
     keeps the generated code small and the per-row cost a few multiplies).
     """
-    rows_per_band = num_hashes // num_bands
-    banded = sig_df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.aggregate(
-                        F.slice("signature", bi * rows_per_band + 1, rows_per_band),
-                        F.lit(0).cast("long"),
-                        lambda acc, x: acc * F.lit(1000003) + x,
-                    )
-                    for bi in range(num_bands)
-                ]
-            )
-        ).alias("band_id", "band_hash"),
-    )
+    banded = _banded(sig_df, id_col, num_hashes, num_bands)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -293,6 +303,62 @@ def minhash_near_duplicates(
     cands = minhash_candidates(sigs, id_col, num_hashes, num_bands)
     verified = jaccard_pairs_hashed(sets_df, cands, id_col)
     return verified.filter(F.col("jaccard") >= threshold).orderBy("id_a", "id_b")
+
+
+def minhash_near_duplicates_incremental(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    num_bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Ingestion-time near-dup gate: NEW documents banded against an
+    INDEXED corpus (ids must be disjoint) — the incremental form of
+    ``minhash_near_duplicates``.
+
+    At scale the index side's (band_id, band_hash) rows are precomputed
+    once and STORED partitioned/bucketed by band key, so gating a new
+    batch is an equi-join whose right side is bucket-pruned — the batch
+    never re-signatures the corpus, and the pair space still never
+    materializes.  Returns (id_a=new, id_b=index, jaccard >= threshold),
+    exact-verified on the hashed shingle sets like the batch operator.
+    """
+    new_sets = hashed_shingle_sets(
+        new_df, text_col, id_col, shingle_k
+    ).localCheckpoint(eager=False)
+    idx_sets = hashed_shingle_sets(
+        index_df, text_col, id_col, shingle_k
+    ).localCheckpoint(eager=False)
+
+    def sigs(sets_df: DataFrame) -> DataFrame:
+        exploded = sets_df.select(id_col, F.explode("hset").alias("h"))
+        return _signatures_from_exploded(exploded, id_col, num_hashes)
+
+    banded_new = _banded(sigs(new_sets), id_col, num_hashes, num_bands)
+    banded_idx = _banded(sigs(idx_sets), id_col, num_hashes, num_bands)
+    cands = (
+        banded_new.alias("n")
+        .join(
+            banded_idx.alias("i"),
+            on=[
+                F.col("n.band_id") == F.col("i.band_id"),
+                F.col("n.band_hash") == F.col("i.band_hash"),
+            ],
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("id_a"),
+            F.col(f"i.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    both_sets = new_sets.unionByName(idx_sets)
+    verified = jaccard_pairs_hashed(both_sets, cands, id_col)
+    return verified.filter(F.col("jaccard") >= threshold).orderBy(
+        "id_a", "id_b"
+    )
 
 
 def simhash(

@@ -2507,6 +2507,51 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time near-dup gate: every 5th doc plays the NEW batch,
+    the rest the indexed corpus; new docs band-join the index and
+    exact-verify (operators/dedup.py::minhash_near_duplicates_incremental).
+    Rows-only (LSH banding internals); recall/precision pinned by
+    test_dedup.py on planted duplicates."""
+    from paas_auditor_spark.operators.dedup import (
+        minhash_near_duplicates_incremental,
+    )
+
+    docs = _th(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    index = docs.filter(F.col("doc_id") % 5 != 0)
+    return minhash_near_duplicates_incremental(new, index, threshold=0.5)
+
+
+def q_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB profiling plan: same per-column stats but NDV via
+    approx_count_distinct (HLL) — one scan, one partial+final aggregate,
+    NO multi-distinct Expand (the exact variant expands the input
+    7× to satisfy the count-distinct grouping sets; this one does not —
+    plan-asserted).  Rows-only check (sketch values are
+    implementation-defined); exactness pinned by the exact twin."""
+    events = _t(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                f"{c}__nulls"
+            ),
+            F.approx_count_distinct(c).alias(f"{c}__ndv"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = events.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__ndv, {c}__min, {c}__max" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, n_nulls, ndv_approx, min_str, max_str)"
+    ).orderBy("column_name")
+
+
 def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining: pointwise mutual information of adjacent token
     pairs — PMI = ln(p(xy) / (p(x)p(y))) over corpus bigram/unigram
@@ -4407,6 +4452,8 @@ REGISTRY: dict[str, QuerySpec] = {
         GROUP BY e.event_type ORDER BY e.event_type
         """,
     ),
+    "table_profile_approx": QuerySpec(q_table_profile_approx, None),
+    "minhash_incremental": QuerySpec(q_minhash_incremental, None),
     "bigram_pmi": QuerySpec(
         q_bigram_pmi,
         """

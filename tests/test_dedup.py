@@ -119,3 +119,50 @@ def test_interval_join_containment_pairs(spark):
     assert pairs == (
         [(1, 0), (1, 1), (1, 2)] + [(2, e) for e in range(5, 11)]
     )
+
+
+def test_incremental_minhash_gates_new_batch(spark):
+    """New-batch docs near-duplicating an INDEXED doc are flagged with
+    the right index partner; novel docs pass through unflagged."""
+    from paas_auditor_spark.operators.dedup import (
+        minhash_near_duplicates,
+        minhash_near_duplicates_incremental,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog "
+            "while the rain in spain falls mainly on the plain "
+            "and colorless green ideas sleep furiously tonight")
+    # index: ids 1-3; new batch: ids 101-103
+    index_rows = [
+        (1, base),
+        (2, "completely different content about database engines and "
+            "distributed query processing with columnar storage formats"),
+        (3, "a third unrelated document mentioning neither foxes nor "
+            "databases but entirely other topics like cooking recipes"),
+    ]
+    new_rows = [
+        (101, base + " extra"),          # near-dup of index doc 1
+        (102, "novel text about orchestration of spark streaming jobs "
+              "with watermarks and stateful operators in micro batches"),
+        (103, base),                      # exact dup of index doc 1
+    ]
+    index = spark.createDataFrame(index_rows, ["doc_id", "text"])
+    new = spark.createDataFrame(new_rows, ["doc_id", "text"])
+
+    got = minhash_near_duplicates_incremental(
+        new, index, threshold=0.5
+    ).collect()
+    flagged = {(r["id_a"], r["id_b"]) for r in got}
+    assert (101, 1) in flagged and (103, 1) in flagged
+    assert all(a in (101, 103) and b == 1 for a, b in flagged)
+
+    # parity: the incremental gate finds exactly the cross-pairs the
+    # batch self-join finds over the union (restricted to new x index)
+    union = index.unionByName(new)
+    batch = minhash_near_duplicates(union, threshold=0.5).collect()
+    cross = {
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"]))
+        for r in batch
+        if (r["id_a"] >= 100) != (r["id_b"] >= 100)
+    }
+    assert flagged == cross

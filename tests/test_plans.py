@@ -426,3 +426,23 @@ def test_shuffle_hash_hint_avoids_sort(spark, sf_dir):
     shj_plan = shj._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in smj_plan and "Sort " in smj_plan
     assert "ShuffledHashJoin" in shj_plan and "Sort " not in shj_plan
+
+
+def test_table_profile_approx_has_no_expand(spark, sf_dir):
+    # multi-column exact NDV forces an Expand (input x n_cols); the HLL
+    # variant must profile every column in one pass without it
+    from paas_auditor_spark.queries import (
+        q_table_profile,
+        q_table_profile_approx,
+    )
+
+    exact_plan = (
+        q_table_profile(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    approx_plan = (
+        q_table_profile_approx(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" in exact_plan  # the cost the approx variant removes
+    assert "Expand" not in approx_plan
