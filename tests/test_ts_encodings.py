@@ -76,3 +76,35 @@ def test_epoch_queries_invariant_across_ts_encodings(spark, tmp_path, query):
     # sessionization sanity on the fixture itself: user 1 splits in two
     if query is q_sessionization:
         assert (1, 2) in results["us_naive"] and (2, 1) in results["us_naive"]
+
+
+def test_utc_pinned_under_non_utc_caller_session(spark, tmp_path):
+    """load_table pins the session timezone to UTC, so epoch/format
+    results stay oracle-correct even when a caller (or the driver) built
+    the session with a different zone."""
+    import datetime as dt
+
+    from paas_auditor_spark.queries import q_epoch_seconds, q_time_format
+
+    d = tmp_path / "tzcheck"
+    d.mkdir()
+    _write_events(str(d), pa.timestamp("us"))
+
+    original = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        row = (
+            q_epoch_seconds(spark, str(d))
+            .filter("event_id = 1")
+            .collect()[0]
+        )
+        # 2024-01-01T00:00:00 naive == that instant in UTC, not EST
+        assert row["epoch_s"] == int(
+            dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()
+        )
+        fmt = (
+            q_time_format(spark, str(d)).filter("event_id = 1").collect()[0]
+        )
+        assert fmt["ts_str"] == "2024-01-01T00:00:00Z"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)
