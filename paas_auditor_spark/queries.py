@@ -1105,6 +1105,29 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-PATH twin of q_dedup_clusters: the whole corpus, with
+    edges from the banded MinHash pipeline (exact-verified candidates,
+    never all-pairs) feeding the same min-label connected components —
+    this is the full near-dup clustering a 100 TB curation run executes.
+    Rows-only (LSH internals); the exact-edge twin and the dedup tests
+    pin the semantics.  Output: one row per multi-doc cluster."""
+    docs = _th(spark, sf_dir, "documents")
+    edges = dedup.minhash_near_duplicates(docs, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    cc = dedup.connected_components(edges, src="id_a", dst="id_b")
+    return (
+        cc.groupBy(F.col("component").cast("long").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("node").cast("long").alias("keep_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("cluster_id")
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic document fingerprint (md5-based rolling-hash analog)."""
     docs = _th(spark, sf_dir, "documents")
@@ -4454,6 +4477,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "table_profile_approx": QuerySpec(q_table_profile_approx, None),
     "minhash_incremental": QuerySpec(q_minhash_incremental, None),
+    "dedup_clusters_minhash": QuerySpec(q_dedup_clusters_minhash, None),
     "bigram_pmi": QuerySpec(
         q_bigram_pmi,
         """
