@@ -343,3 +343,41 @@ def test_available_now_backfill_drains_then_stops(spark, tmp_path):
     assert out.count() == 5
     assert out.filter("guid = 'g9'").count() == 1
     assert out.filter("guid = 'g2'").count() == 1
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static join: a streaming fact enriched against a static
+    (broadcastable) dimension — the standard streaming enrichment shape;
+    the static side is re-resolved per micro-batch, no state store."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "ss_src")
+    rows = [(1, 10, 5.0), (2, 11, 7.0), (3, 10, 1.0), (4, 99, 2.0)]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    dim = spark.createDataFrame(
+        [(10, "gold"), (11, "silver")], "user_id long, tier string"
+    )
+
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, value double"
+    ).parquet(src)
+    enriched = stream.join(F.broadcast(dim), "user_id", "left").select(
+        "event_id", F.coalesce("tier", F.lit("unknown")).alias("tier")
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("ss_enriched")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = {
+            r["event_id"]: r["tier"]
+            for r in spark.sql("SELECT * FROM ss_enriched").collect()
+        }
+    finally:
+        q.stop()
+    assert out == {1: "gold", 2: "silver", 3: "gold", 4: "unknown"}
