@@ -25,6 +25,19 @@ def _http_transport(url: str) -> dict:
         return json.load(resp)
 
 
+def _bearer_transport(token: str):
+    """Static-token transport (reference CF_TOKEN mode, client.go:343-344)."""
+
+    def get(url: str) -> dict:
+        req = urllib.request.Request(
+            url, headers={"Authorization": f"bearer {token}"}
+        )
+        with urllib.request.urlopen(req, timeout=30) as resp:  # noqa: S310
+            return json.load(resp)
+
+    return get
+
+
 def _splunk_sender(endpoint: str, token: str):
     def send(payload: str) -> None:
         req = urllib.request.Request(
@@ -40,33 +53,66 @@ def _splunk_sender(endpoint: str, token: str):
     return send
 
 
-def main() -> int:
-    cfg = EngineConfig()
-    spark = get_spark(app_name="paas-auditor-spark")
-    base_url = os.environ.get("CF_API_ADDRESS", "http://cc.internal")
-
-    # CF auth (reference main_config.go:42-46): client-credentials when
-    # CF_CLIENT_ID/CF_CLIENT_SECRET are present, else unauthenticated.
-    client_id = os.environ.get("CF_CLIENT_ID", "")
-    client_secret = os.environ.get("CF_CLIENT_SECRET", "")
+def resolve_transport(environ, base_url: str):
+    """CF auth — the reference's go-cfclient mode switch (client.go:342-352):
+    static CF_TOKEN first, then CF_CLIENT_ID client-credentials, then
+    CF_USERNAME/CF_PASSWORD password grant (main_config.go:42-47); with no
+    creds at all, unauthenticated (the test/synthetic path)."""
+    client_id = environ.get("CF_CLIENT_ID", "")
+    client_secret = environ.get("CF_CLIENT_SECRET", "")
+    username = environ.get("CF_USERNAME", "")
+    password = environ.get("CF_PASSWORD", "")
+    if environ.get("CF_TOKEN"):
+        return _bearer_transport(environ["CF_TOKEN"])
     if client_id and client_secret:
         from paas_auditor_spark.sources.paginated_http import (
             discover_token_url,
             uaa_transport,
         )
 
-        transport = uaa_transport(
-            os.environ.get("CF_TOKEN_URL") or discover_token_url(base_url),
+        return uaa_transport(
+            environ.get("CF_TOKEN_URL") or discover_token_url(base_url),
             client_id,
             client_secret,
         )
-    else:
-        transport = _http_transport
+    if username:
+        from paas_auditor_spark.sources.paginated_http import (
+            discover_token_url,
+            uaa_transport,
+        )
 
-    # shipper runs only with full Splunk creds (reference main.go:110-121)
-    splunk_url = os.environ.get("SPLUNK_HEC_ENDPOINT_URL", "")
-    splunk_key = os.environ.get("SPLUNK_HEC_AUTH_TOKEN", "")
-    sender = _splunk_sender(splunk_url, splunk_key) if splunk_url and splunk_key else None
+        # go-cfclient runs the password grant as the public "cf" client
+        # with an empty secret (client.go:155-165)
+        return uaa_transport(
+            environ.get("CF_TOKEN_URL") or discover_token_url(base_url),
+            "cf",
+            "",
+            username=username,
+            password=password,
+        )
+    return _http_transport
+
+
+def resolve_sender(environ):
+    """Shipper creds gate (reference main.go:110-121): runs only with full
+    Splunk creds.  ``SPLUNK_API_KEY`` is the reference's env name
+    (main_config.go:61); ``SPLUNK_HEC_AUTH_TOKEN`` the engine's historical
+    alias."""
+    splunk_url = environ.get("SPLUNK_HEC_ENDPOINT_URL", "")
+    splunk_key = environ.get("SPLUNK_API_KEY") or environ.get(
+        "SPLUNK_HEC_AUTH_TOKEN", ""
+    )
+    if splunk_url and splunk_key:
+        return _splunk_sender(splunk_url, splunk_key)
+    return None
+
+
+def main() -> int:
+    cfg = EngineConfig()
+    spark = get_spark(app_name="paas-auditor-spark")
+    base_url = os.environ.get("CF_API_ADDRESS", "http://cc.internal")
+    transport = resolve_transport(os.environ, base_url)
+    sender = resolve_sender(os.environ)
 
     # persistence backend: parquet warehouse by default; ENGINE_STORE=jdbc
     # selects the reference-shaped relational store over DATABASE_URL
@@ -98,7 +144,8 @@ def main() -> int:
         base_url=base_url,
         store=store,
     )
-    server = service.serve_metrics(int(os.environ.get("PORT", "8080")))
+    # reference default listen port 9299 (main_config.go:63)
+    server = service.serve_metrics(int(os.environ.get("PORT", "9299")))
     for sig in (signal.SIGINT, signal.SIGTERM):  # T7 graceful shutdown
         signal.signal(sig, lambda *_: service.stop())
 
@@ -114,6 +161,8 @@ def main() -> int:
         # auth flows to the native source: UAA client-credentials (the
         # reader acquires + refreshes its own bearer token) or a static
         # CF_TOKEN — NOT the loop-mode transport, which is unused here.
+        client_id = os.environ.get("CF_CLIENT_ID", "")
+        client_secret = os.environ.get("CF_CLIENT_SECRET", "")
         source_auth: dict = {}
         if client_id and client_secret:
             from paas_auditor_spark.sources.paginated_http import (

@@ -56,7 +56,8 @@ class EngineConfig:
     ship_batch_cap: int = 8192
     # watermark overlap (reference cf_audit_event_collector.go:36, fixed 5s)
     watermark_overlap_s: float = 5.0
-    # deploy env tag for the ship envelope (reference main_config.go:40-42)
+    # deploy env tag for the ship envelope (reference main_config.go:36,
+    # default "dev")
     deploy_env: str = field(
-        default_factory=lambda: os.environ.get("DEPLOY_ENV", "test")
+        default_factory=lambda: os.environ.get("DEPLOY_ENV", "dev")
     )

@@ -8,6 +8,26 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def fan_out(df, min_partitions: int | None = None):
+    """Repartition ``df`` up to cluster parallelism IF the upstream scan
+    under-splits — the small-input guard for expensive narrow maps.
+
+    Parquet can only split at row-group boundaries, so a small file (or a
+    single-row-group file of any size) scans as ONE partition and every
+    downstream narrow map (regex tokenize, shingle hashing, vector math)
+    runs serially until the first shuffle.  Calling this on the *narrow
+    projection* feeding such a map shuffles only the projected columns and
+    unlocks full parallelism.  The condition is partition-count based, so
+    at real scale (a 100 TB table scans as thousands of splits) it is a
+    no-op — no extra Exchange ever appears in the large-input plan.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def let(value: Column, body: Callable[[Column], Column]) -> Column:
     """Bind ``value`` to a name evaluated once per row inside ``body``.
 

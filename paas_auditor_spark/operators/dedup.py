@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from paas_auditor_spark.functions.exprs import let
+from paas_auditor_spark.functions.exprs import fan_out, let
 from paas_auditor_spark.functions.text import normalized_text, tokens
 
 HASH_PRIME = 2147483647  # 2^31 - 1, Mersenne prime for cheap affine perms
@@ -38,7 +38,8 @@ def exact_duplicates(
     arbitrary winner, so results are stable across partitionings.
     """
     return (
-        df.select(
+        fan_out(df.select(F.col(text_col), F.col(id_col)))
+        .select(
             F.md5(normalized_text(F.col(text_col))).alias("text_hash"),
             F.col(id_col),
         )
@@ -95,7 +96,13 @@ def hashed_shingle_sets(
             lambda s: F.pmod(F.xxhash64(s), F.lit(HASH_PRIME)),
         )
     )
-    return df.select(F.col(id_col), hset.alias("hset"))
+    # fan_out BEFORE the shingle map: a single-row-group parquet scan is one
+    # partition, which would run the whole tokenize+hash serially (measured
+    # 2.0 s of minhash_near_dup's 2.2 s at sf0.1); shuffling the narrow
+    # (id, text) projection first unlocks full parallelism, and at real
+    # scale (many splits) fan_out is a no-op
+    base = fan_out(df.select(F.col(id_col), F.col(text_col)))
+    return base.select(F.col(id_col), hset.alias("hset"))
 
 
 def minhash_signatures(
@@ -376,10 +383,16 @@ def simhash(
     branches — the expanded tree blows past codegen method limits and runs
     ~3× slower interpreted.
     """
-    base = df.select(
-        F.col(id_col),
-        F.array_distinct(tokens(normalized_text(F.col(text_col)))).alias("toks"),
-    ).withColumn("hx", F.expr("transform(toks, t -> xxhash64(t))"))
+    base = (
+        fan_out(df.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.array_distinct(tokens(normalized_text(F.col(text_col)))).alias(
+                "toks"
+            ),
+        )
+        .withColumn("hx", F.expr("transform(toks, t -> xxhash64(t))"))
+    )
     # SQL-expression lambdas because the bit index must itself be an
     # expression (the Python shiftright wrapper only takes int shifts)
     packed = F.expr(
@@ -507,8 +520,100 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14).  Returns (node, component) with component = min node id.
+
+    Why a second CC operator: ``connected_components`` (min-label
+    propagation) needs O(diameter) rounds — a 500-node chain is 500
+    shuffle rounds.  The star algorithm contracts the graph toward
+    star form in O(log² n) rounds regardless of diameter:
+
+    - **large-star** (per node u): hang every *larger* neighbor off the
+      minimum of u's closed neighborhood — emit (v, min(Γ⁺(u))) for
+      v ∈ Γ(u), v > u.  Keeps edges pointing sharply downhill.
+    - **small-star** (per node u): hang u and all its (smaller) parents
+      off their collective minimum — emit (v, m) for
+      v ∈ Γ⁻(u) ∪ {u} − {m}, m = min(Γ⁻(u) ∪ {u}).
+
+    Both rounds are one groupBy-min plus one equi-join on the node key —
+    the same shuffle primitives as min-label, just fewer rounds.  Edges
+    stay in (child > parent) canonical form between rounds; at the fixed
+    point every child points directly at its component minimum.
+    ``localCheckpoint`` per round truncates lineage (constant plan size).
+    Fixpoint detection is exact: a round that changes nothing ends the
+    loop (``exceptAll`` both ways via counts of the canonical edge set).
+    """
+    # canonical directed form (child > parent); drop self-loops
+    e = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(
+            F.greatest("x", "y").alias("a"), F.least("x", "y").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        # -- large-star: neighborhoods over BOTH orientations
+        und = e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = (
+            und.groupBy("a")
+            .agg(F.min("b").alias("mn"))
+            .select("a", F.least("mn", "a").alias("m"))
+        )
+        large = (
+            und.filter(F.col("b") > F.col("a"))  # strictly larger neighbors
+            .join(mins, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # -- small-star on the (child, parent) edges: parents are exactly
+        # the ≤-neighbors, so one groupBy gives m = min(Γ⁻(u) ∪ {u})
+        sm = large.groupBy("a").agg(F.min("b").alias("m"))
+        contracted = (
+            large.join(sm, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .unionByName(sm.select(F.col("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        # exact fixpoint: same canonical edge set as last round
+        if (
+            contracted.count() == e.count()
+            and contracted.exceptAll(e).limit(1).count() == 0
+        ):
+            e = contracted
+            break
+        e = contracted
+    labels = e.select(F.col("a").alias("node"), F.col("b").alias("component"))
+    roots = e.select(F.col("b").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    out = labels.unionByName(roots)
+    if nodes is not None:
+        node_df = nodes.select(F.col(nodes.columns[0]).alias("node"))
+        isolated = node_df.join(out, "node", "left_anti").withColumn(
+            "component", F.col("node")
+        )
+        out = out.unionByName(isolated)
+    return out.distinct()
+
+
 __all__ = [
     "connected_components",
+    "connected_components_star",
     "exact_duplicates",
     "hashed_shingle_sets",
     "jaccard_pairs",

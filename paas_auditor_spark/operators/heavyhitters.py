@@ -52,7 +52,10 @@ def misra_gries_summary(
     df: DataFrame, item_col: str, capacity: int = 4096
 ) -> DataFrame:
     """Merged MG summary: (item, cnt_lb) with ≤ capacity rows surviving
-    per input partition before the merge."""
+    per input partition before the merge.  The ``item`` output column
+    keeps the INPUT column's type (string terms, bigint ids/URLs, ...) —
+    the Arrow schema is derived from ``df.schema``, not hardcoded."""
+    item_type = df.schema[item_col].dataType.simpleString()
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         summary: dict = {}
@@ -63,7 +66,7 @@ def misra_gries_summary(
         )
 
     partials = df.select(F.col(item_col).alias(item_col)).mapInPandas(
-        partial, schema="item string, cnt_lb long"
+        partial, schema=f"item {item_type}, cnt_lb long"
     )
     return partials.groupBy("item").agg(F.sum("cnt_lb").alias("cnt_lb"))
 

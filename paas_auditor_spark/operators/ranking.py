@@ -41,17 +41,19 @@ def bm25_scores(
     )
     # materialize doc lengths once (the corpus-sized explode+agg) so the
     # scalar stats and the final score join both reuse it instead of
-    # re-exploding the corpus; ONE 1-row collect covers N and avgdl
-    # (every doc has >=1 token, so doclen rows == corpus size)
+    # re-exploding the corpus.  N is counted over the DOCS relation, not
+    # doclen: explode drops NULL-text documents, and BM25's N (like the
+    # oracle's count(*) FROM documents) counts every document in the
+    # corpus; avgdl is over documents that HAVE tokens, matching the
+    # oracle's doclen CTE.  Two bounded driver actions (a count and a
+    # 1-row collect), both scalar.
     doclen = (
         toks.groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("dl"))
         .localCheckpoint(eager=False)
     )
-    stats = doclen.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+    n_docs = docs.count()
+    avgdl = float(doclen.agg(F.avg("dl")).collect()[0][0])
 
     qterms = [t.lower() for t in query_terms]
     qtoks = toks.filter(F.col("term").isin(qterms))

@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from paas_auditor_spark.functions.exprs import fan_out
+
 HASH_PRIME = 2147483647
 
 
@@ -77,9 +79,11 @@ def brute_force_topk(
     computed once per side before the join.  Ranking uses the rounded
     similarity with a neighbor-id tie-break so results are deterministic.
     """
-    c = corpus_df.select(
-        F.col(id_col).alias("neighbor_id"),
-        _to_double(F.col(vec_col)).alias("cvec"),
+    c = fan_out(
+        corpus_df.select(
+            F.col(id_col).alias("neighbor_id"),
+            _to_double(F.col(vec_col)).alias("cvec"),
+        )
     ).withColumn("cnorm", l2_norm(F.col("cvec")))
     q = queries_df.select(
         F.col(id_col).alias("query_id"),
@@ -270,7 +274,7 @@ def embedding_near_duplicates(
     using the same rounding.  At corpus scale use
     ``embedding_near_duplicates_lsh`` (bucketed candidates, same verify).
     """
-    a = _normed(corpus_df, id_col, vec_col, "a")
+    a = fan_out(_normed(corpus_df, id_col, vec_col, "a"))
     b = _normed(corpus_df, id_col, vec_col, "b")
     scored = (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
@@ -294,7 +298,7 @@ def embedding_near_duplicates_lsh(
     n_planes: int = 4,
     n_tables: int = 8,
     round_digits: int = 4,
-    broadcast_verify: bool = True,
+    verify: str = "bucket",
 ) -> DataFrame:
     """Approximate embedding near-dup: multi-table hyperplane LSH
     candidates, then exact cosine verify — the 100 TB path.
@@ -304,33 +308,47 @@ def embedding_near_duplicates_lsh(
     standard fix is OR-amplification: ``n_tables`` independent plane
     families; a pair is a candidate if it collides in ANY table, lifting
     recall to 1 − (1 − p^k)^L (~0.75 at cosine 0.4, >0.99 at 0.9 with
-    k=4, L=8) while each table's equi-join stays near-linear.  Candidate
-    pairs are deduped BEFORE verification so a pair colliding in many
-    tables is scored once.
+    k=4, L=8) while each table's equi-join stays near-linear.
 
-    **Verify cost model.**  Candidates outnumber the corpus by orders of
-    magnitude, so what travels per candidate decides the bill.  With
-    ``broadcast_verify`` (default) only the (id_a, id_b) pairs cross the
-    Arrow boundary (16 B/pair); the L2-normalized corpus matrix rides
-    along ONCE as a Spark broadcast and each batch scores as a single
-    numpy gather+einsum.  Contract: the normalized matrix must fit in
-    driver/executor memory (dim × 8 B per vector — ~1 GB per 2M vectors
-    at dim 64), the same boundary ``knn_topk`` draws for its broadcast
-    side.  Beyond that, ``broadcast_verify=False`` attaches vectors to
-    pairs by join (unbounded, but shuffles dim × 8 B per candidate);
-    the true 100 TB layout partitions the banded table by bucket so each
-    bucket verifies against only its own, locally materialized vectors.
+    **Verify modes** (``verify=``), by what travels per candidate:
+
+    - ``"bucket"`` (default, the 100 TB layout): the banded
+      (bucket, id, vec) table is hash-partitioned by bucket and each
+      bucket verifies against ONLY its own, locally materialized
+      vectors inside one ``applyInPandas`` group — within a bucket
+      every pair collides by construction, so the within-bucket
+      pairwise cosine IS the candidate verification for that bucket.
+      No driver collect, no corpus broadcast, no candidate-pair
+      self-join: shuffle volume is exactly the banded table
+      (``n_tables`` × dim × 8 B per vector), independent of how many
+      candidate pairs exist.  Below-threshold pairs are dropped
+      executor-side before the cross-bucket dedup, so only survivors
+      shuffle twice.  Per-task memory is bounded by the LARGEST
+      bucket (rows × dim doubles; the pairwise scores are computed in
+      row blocks, never as a full |bucket|² matrix) — expected bucket
+      size is n/2^``n_planes`` per table, so skewed corpora raise
+      ``n_planes``, not executor memory.
+    - ``"broadcast"``: dedup candidate (id_a, id_b) pairs from a banded
+      self-join, collect + L2-normalize the corpus ONCE on the driver,
+      broadcast the matrix, score pairs as numpy gather+einsum (16 B
+      per pair across Arrow).  Fastest when the corpus fits in memory
+      (dim × 8 B per vector — ~1 GB per 2M vectors at dim 64), the same
+      boundary ``knn_topk`` draws for its broadcast side; the explicit
+      driver-memory contract makes it opt-in, not the default.
+    - ``"join"``: attach vectors to candidate pairs by join — unbounded
+      corpus, but shuffles dim × 8 B per CANDIDATE (candidates outnumber
+      the corpus by orders of magnitude); the fallback when one bucket
+      outgrows executor memory AND the corpus outgrows the broadcast
+      contract.
     """
-    c = (
+    if verify not in ("bucket", "broadcast", "join"):
+        raise ValueError(f"verify must be bucket|broadcast|join, got {verify!r}")
+    c = fan_out(
         corpus_df.select(
             F.col(id_col),
             _to_double(F.col(vec_col)).alias("v"),
         )
-        .withColumn("nrm", l2_norm(F.col("v")))
-        # checkpoint: the banded self-join and the two verify joins all
-        # read this projection (see dedup.minhash_near_duplicates)
-        .localCheckpoint(eager=False)
-    )
+    ).withColumn("nrm", l2_norm(F.col("v")))
     # All n_tables × n_planes sign tests as ONE Arrow-batched matmul:
     # (batch × dim) · (dim × planes) in numpy.  The expression-side
     # formulation (32 zip_with+aggregate dots per row) is interpreted
@@ -340,6 +358,59 @@ def embedding_near_duplicates_lsh(
     # uses, so both paths stay consistent.
     bucket_keys = lsh_bucket_keys_udf(n_planes, n_tables)
 
+    if verify == "bucket":
+        id_type = corpus_df.schema[id_col].dataType.simpleString()
+        out_schema = f"id_a {id_type}, id_b {id_type}, cos_sim double"
+        banded_v = c.select(
+            F.col(id_col).alias("id"),
+            F.col("v"),
+            F.col("nrm"),
+            F.explode(bucket_keys(F.col("v"))).alias("bucket"),
+        )
+
+        def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            n = len(pdf)
+            if n < 2:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+            order = np.argsort(pdf["id"].to_numpy())
+            ids = pdf["id"].to_numpy()[order]
+            nrm = pdf["nrm"].to_numpy()[order]
+            nrm = np.where(nrm == 0.0, np.nan, nrm)  # zero vectors never match
+            m = np.vstack(pdf["v"].to_numpy()[order]) / nrm[:, None]
+            out_a, out_b, out_s = [], [], []
+            # row blocks keep peak memory at block×|bucket| scores, never
+            # the full |bucket|² matrix
+            block = 1024
+            for lo in range(0, n - 1, block):
+                hi = min(lo + block, n)
+                sims = np.round(m[lo:hi] @ m.T, round_digits)
+                ia, ib = np.nonzero(sims >= threshold)
+                ia = ia + lo
+                keep = ia < ib  # upper triangle only: id_a < id_b
+                out_a.append(ids[ia[keep]])
+                out_b.append(ids[ib[keep]])
+                out_s.append(sims[ia[keep] - lo, ib[keep]])
+            return pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a),
+                    "id_b": np.concatenate(out_b),
+                    "cos_sim": np.concatenate(out_s),
+                }
+            )
+
+        # a pair colliding in several tables/buckets is recomputed with
+        # identical rounded value in each, so distinct() on all three
+        # columns dedups exactly
+        return (
+            banded_v.groupBy("bucket")
+            .applyInPandas(bucket_pairs, out_schema)
+            .distinct()
+            .orderBy("id_a", "id_b")
+        )
+
+    # candidate-pair modes: banded self-join, pairs deduped BEFORE
+    # verification so a pair colliding in many tables is scored once
+    c = c.localCheckpoint(eager=False)  # both self-join sides + verify read it
     # key = table_id * 2^n_planes + bucket (disjoint key spaces per table)
     banded = c.select(
         F.col(id_col), F.explode(bucket_keys(F.col("v"))).alias("bucket")
@@ -354,7 +425,7 @@ def embedding_near_duplicates_lsh(
         )
         .distinct()
     )
-    if broadcast_verify:
+    if verify == "broadcast":
         # id-only verify: collect + L2-normalize the corpus once (bounded
         # by the documented memory contract), broadcast it, ship nothing
         # but id pairs to Python

@@ -1105,6 +1105,27 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_clusters closed by large-star/small-star contraction
+    (Kiveris et al., SoCC'14) instead of min-label propagation — the CC
+    variant whose round count is O(log² n) independent of graph diameter,
+    so adversarially chained near-dup graphs can't stall it.  Identical
+    output contract, same recursive-CTE oracle."""
+    docs = _th(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    ids_a = docs.select(F.col("doc_id").alias("id_a"))
+    ids_b = docs.select(F.col("doc_id").alias("id_b"))
+    pairs = ids_a.join(ids_b, F.col("id_a") < F.col("id_b"))
+    sims = dedup.jaccard_pairs(docs, pairs, shingle_k=3)
+    edges = sims.filter(F.col("jaccard") >= 0.7).select("id_a", "id_b")
+    cc = dedup.connected_components_star(
+        edges, nodes=docs.select("doc_id"), src="id_a", dst="id_b"
+    )
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+    ).orderBy("doc_id")
+
+
 def q_dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE-PATH twin of q_dedup_clusters: the whole corpus, with
     edges from the banded MinHash pipeline (exact-verified candidates,
@@ -1243,9 +1264,12 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs — rows-only check (hash family is
     engine-specific; verified exactly by jaccard in tests).  24 hashes /
     12 bands keeps rows-per-band=2 (same per-pair candidate curve shape,
-    ~0.97 recall at jaccard 0.5) and is ~35% cheaper than 32/16; measured
-    result-identical on this corpus at sf0.01 and sf0.1 because the
-    exact-jaccard verify bounds the answer."""
+    ~0.97 theoretical recall at jaccard 0.5 vs ~0.99 for 32/16) and is
+    ~35% cheaper.  NB the exact-jaccard verify bounds PRECISION only
+    (false candidates are removed); pairs the banding misses are
+    invisible to it, so the observed result-identity with 32/16 on this
+    corpus at sf0.01/sf0.1 is an empirical recall observation at these
+    scales, not a guarantee."""
     docs = _th(spark, sf_dir, "documents")
     return dedup.minhash_near_duplicates(
         docs, threshold=0.5, num_hashes=24, num_bands=12
@@ -2968,9 +2992,13 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 corpus tokens via the Misra-Gries bounded-memory summary
     (operators/heavyhitters.py).  Capacity 8192 exceeds this corpus's
-    vocabulary so the lower-bound counts are exact and oracle-checkable;
-    at web scale the same operator caps shuffle volume at
-    capacity×partitions rows instead of the full vocabulary."""
+    vocabulary so the lower-bound counts are exact and oracle-checkable —
+    an assumption ASSERTED by
+    test_heavyhitters.py::test_q_heavy_hitters_capacity_covers_testdata_vocab,
+    so a testdata change that breaks it fails loudly instead of silently
+    corrupting the oracle comparison.  At web scale the same operator caps
+    shuffle volume at capacity×partitions rows instead of the full
+    vocabulary."""
     from paas_auditor_spark.operators.heavyhitters import heavy_hitters
 
     docs = _th(spark, sf_dir, "documents")
@@ -3005,6 +3033,38 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
     )
 
+
+# shared by dedup_clusters (min-label CC) and dedup_clusters_star
+# (large-star/small-star CC): both must equal this transitive closure
+_DEDUP_CLUSTERS_ORACLE = """
+        WITH RECURSIVE t AS (
+          SELECT doc_id,
+                 string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS toks
+          FROM documents WHERE doc_id < 80),
+        s AS (
+          SELECT doc_id,
+                 list_distinct(
+                   CASE WHEN len(toks) >= 3
+                        THEN list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+                        ELSE [array_to_string(toks, ' ')] END) AS sset
+          FROM t),
+        edges AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE round(len(list_intersect(a.sset, b.sset))
+                      / greatest(CAST(len(list_distinct(list_concat(a.sset, b.sset))) AS DOUBLE), 1.0),
+                      4) >= 0.7),
+        und AS (
+          SELECT id_a AS src, id_b AS dst FROM edges
+          UNION ALL SELECT id_b, id_a FROM edges),
+        reach(src, dst) AS (
+          SELECT doc_id, doc_id FROM t
+          UNION
+          SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src)
+        SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY src ORDER BY doc_id
+        """
 
 REGISTRY: dict[str, QuerySpec] = {
     "unshipped_events": QuerySpec(q_unshipped_events, ORACLE_UNSHIPPED),
@@ -3502,35 +3562,11 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "dedup_clusters": QuerySpec(
         q_dedup_clusters,
-        """
-        WITH RECURSIVE t AS (
-          SELECT doc_id,
-                 string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS toks
-          FROM documents WHERE doc_id < 80),
-        s AS (
-          SELECT doc_id,
-                 list_distinct(
-                   CASE WHEN len(toks) >= 3
-                        THEN list_transform(range(1, len(toks) - 1),
-                               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
-                        ELSE [array_to_string(toks, ' ')] END) AS sset
-          FROM t),
-        edges AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM s a JOIN s b ON a.doc_id < b.doc_id
-          WHERE round(len(list_intersect(a.sset, b.sset))
-                      / greatest(CAST(len(list_distinct(list_concat(a.sset, b.sset))) AS DOUBLE), 1.0),
-                      4) >= 0.7),
-        und AS (
-          SELECT id_a AS src, id_b AS dst FROM edges
-          UNION ALL SELECT id_b, id_a FROM edges),
-        reach(src, dst) AS (
-          SELECT doc_id, doc_id FROM t
-          UNION
-          SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src)
-        SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
-        FROM reach GROUP BY src ORDER BY doc_id
-        """,
+        _DEDUP_CLUSTERS_ORACLE,
+    ),
+    "dedup_clusters_star": QuerySpec(
+        q_dedup_clusters_star,
+        _DEDUP_CLUSTERS_ORACLE,
     ),
     "doc_fingerprint": QuerySpec(
         q_doc_fingerprint,

@@ -29,6 +29,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from paas_auditor_spark.config import EngineConfig
+from paas_auditor_spark.logs import JsonLogger
 from paas_auditor_spark.operators.cursor import EPOCH_TS
 from paas_auditor_spark.operators.ingest import validate_events
 from paas_auditor_spark.sources.paginated_http import (
@@ -62,6 +63,7 @@ class Service:
         cfg: EngineConfig | None = None,
         base_url: str = "http://cc.internal",
         store=None,
+        logger: JsonLogger | None = None,
     ) -> None:
         """``sender=None`` means Splunk creds are absent: the shipper loop
         is never started (reference main.go:110-121 gates the shipper on
@@ -87,6 +89,14 @@ class Service:
         self.paths = getattr(self.store, "paths", {})
         self.totals = TickCounts()
         self._stop = threading.Event()
+        # lager parity (main.go:59,66,71): one root logger, one session per
+        # loop, JSON lines to stdout, LOG_LEVEL=debug switch
+        self.logger = logger or JsonLogger()
+        self._loop_logs = {
+            self.collector_tick: self.logger.session("collector"),
+            self.shipper_tick: self.logger.session("shipper"),
+            self.informer_tick: self.logger.session("informer"),
+        }
 
     # -- ticks ------------------------------------------------------------
 
@@ -128,6 +138,9 @@ class Service:
             "cf_audit_event_collector_events_collected_total", float(n)
         )
         self.totals.collected += n
+        self._loop_logs[self.collector_tick].info(
+            "collected", {"events": n, "watermark": watermark.isoformat()}
+        )
         return n
 
     def shipper_tick(self) -> int:
@@ -141,7 +154,11 @@ class Service:
         )
         rows = build_payloads(batch_df, self.cfg.deploy_env).collect()
         shipped, last_ok, _failed = ship_rows(
-            rows, self.sender, SHIPPER_NAME, metrics=self.metrics
+            rows,
+            self.sender,
+            SHIPPER_NAME,
+            metrics=self.metrics,
+            logger=self._loop_logs[self.shipper_tick],
         )
         if last_ok is not None:
             # W2: cursor advances only to the last success (T4 monotone)
@@ -155,6 +172,7 @@ class Service:
             _time.perf_counter() - t0,
         )
         self.totals.shipped += shipped
+        self._loop_logs[self.shipper_tick].info("shipped", {"events": shipped})
         return shipped
 
     def informer_tick(self) -> None:
@@ -180,12 +198,19 @@ class Service:
         tick callables)."""
         ticks = 0
         while not self._stop.is_set():
-            self.collector_tick()  # on_error=raise → propagate (fail fast)
+            try:
+                self.collector_tick()
+            except Exception as ex:
+                # fail-fast policy, but LOGGED before propagating, like the
+                # reference's logger.Error + os.Exit(1) (main.go:92-97)
+                self._loop_logs[self.collector_tick].error("tick.failed", ex)
+                raise
             for tick in (self.shipper_tick, self.informer_tick):
                 try:
                     tick()
-                except Exception:  # noqa: BLE001 — shipper policy: continue
-                    pass
+                except Exception as ex:  # shipper policy: log and continue
+                    # (shipper.go:111-115 logs the error, next tick retries)
+                    self._loop_logs[tick].error("tick.failed", ex)
             ticks += 1
             if max_ticks is not None and ticks >= max_ticks:
                 break
@@ -216,7 +241,13 @@ class Service:
         threads = []
         for tick, interval, policy in specs:
             loop = scheduler_loop(
-                tick, interval, self._stop.is_set, on_error=policy
+                tick,
+                interval,
+                self._stop.is_set,
+                on_error=policy,
+                on_exception=lambda ex, t=tick: self._loop_logs[t].error(
+                    "tick.failed", ex
+                ),
             )
             t = threading.Thread(
                 target=lambda lp=loop: [None for _ in lp], daemon=True
@@ -230,6 +261,7 @@ class Service:
         the bound server (``server.server_address[1]`` is the port; pass
         port=0 for an ephemeral one).  Caller shuts it down."""
         registry = self.metrics
+        http_log = self.logger.session("http")
 
         class Handler(http.server.BaseHTTPRequestHandler):
             def do_GET(self):  # noqa: N802 — BaseHTTPRequestHandler contract
@@ -246,8 +278,10 @@ class Service:
                 self.end_headers()
                 self.wfile.write(body)
 
-            def log_message(self, *args):  # silence per-request stderr
-                pass
+            def log_message(self, fmt, *args):
+                # per-request noise belongs at DEBUG, as structured JSON,
+                # not raw stderr lines
+                http_log.debug("request", {"line": fmt % args})
 
         server = http.server.ThreadingHTTPServer(("127.0.0.1", port), Handler)
         threading.Thread(target=server.serve_forever, daemon=True).start()

@@ -98,19 +98,31 @@ def uaa_transport(
     client_id: str,
     client_secret: str,
     timeout_s: float = 30.0,
+    *,
+    username: str | None = None,
+    password: str | None = None,
 ) -> Transport:
-    """Authenticated CF transport: UAA OAuth2 client-credentials grant (S1).
+    """Authenticated CF transport: UAA OAuth2 grant (S1).
 
-    Parity with the reference's go-cfclient auth
-    (main_config.go:42-46: ``CF_CLIENT_ID``/``CF_CLIENT_SECRET``; the
-    fetcher tests mock exactly this UAA token endpoint,
-    cf_audit_event_fetcher_test.go:202-236):
+    Two grants, mirroring go-cfclient's auth modes (client.go:342-352):
 
-    - lazily POSTs the client-credentials grant (HTTP Basic client auth)
-      to ``token_url`` and caches the bearer token,
-    - sends ``Authorization: bearer <token>`` on every events request,
-    - on a 401 (token expired/revoked) re-acquires a fresh token and
-      retries the request exactly once; any other failure propagates.
+    - **client_credentials** (default): parity with
+      ``CF_CLIENT_ID``/``CF_CLIENT_SECRET`` (main_config.go:44-45); the
+      fetcher tests mock exactly this UAA token endpoint
+      (cf_audit_event_fetcher_test.go:202-236).
+    - **password** (``username``/``password`` given): parity with
+      ``CF_USERNAME``/``CF_PASSWORD`` (main_config.go:42-43) — the
+      reference's default mode when no client id is set; go-cfclient
+      authenticates the grant as the public ``cf`` client with an empty
+      secret (client.go:155-165), which is what the caller passes here.
+
+    Both grants:
+
+    - lazily POST the grant (HTTP Basic client auth) to ``token_url``
+      and cache the bearer token,
+    - send ``Authorization: bearer <token>`` on every events request,
+    - on a 401 (token expired/revoked) re-acquire a fresh token and
+      retry the request exactly once; any other failure propagates.
 
     Stdlib urllib only — no extra dependencies; the pager stays transport-
     agnostic (this is just another ``url -> dict`` callable).
@@ -123,9 +135,16 @@ def uaa_transport(
     state: dict[str, str | None] = {"token": None}
 
     def fetch_token() -> str:
-        body = urllib.parse.urlencode(
-            {"grant_type": "client_credentials", "response_type": "token"}
-        ).encode()
+        if username is not None:
+            grant = {
+                "grant_type": "password",
+                "username": username,
+                "password": password or "",
+                "response_type": "token",
+            }
+        else:
+            grant = {"grant_type": "client_credentials", "response_type": "token"}
+        body = urllib.parse.urlencode(grant).encode()
         basic = base64.b64encode(
             f"{client_id}:{client_secret}".encode()
         ).decode()

@@ -348,14 +348,19 @@ def scheduler_loop(
     should_stop: Callable[[], bool],
     on_error: str = "raise",
     sleep: Callable[[float], None] = time.sleep,
+    on_exception: Callable[[Exception], None] | None = None,
 ) -> Iterator[None]:
     """The reference's loop shape (time.After + ctx.Done, T1/T7/T8) as a
     generator: ``on_error='raise'`` = collector fail-fast policy,
-    ``'continue'`` = shipper log-and-continue policy."""
+    ``'continue'`` = shipper log-and-continue policy.  ``on_exception``
+    observes the error either way (the reference logs before both exit
+    and continue — main.go:92-97, shipper.go:111-115)."""
     while not should_stop():
         try:
             tick()
-        except Exception:
+        except Exception as ex:
+            if on_exception is not None:
+                on_exception(ex)
             if on_error == "raise":
                 raise
         yield

@@ -120,9 +120,12 @@ def ship_rows(
     shipper_name: str,
     retry: RetryPolicy | None = None,
     metrics: MetricsRegistry | None = None,
+    logger=None,
 ):
     """Ordered stop-on-failure delivery loop (W4) over collected payload
-    rows.  Returns ``(shipped, last_ok_row, failed)``."""
+    rows.  Returns ``(shipped, last_ok_row, failed)``.  ``logger`` (a
+    ``logs.JsonLogger`` session) observes the first failure — the
+    reference logs it before breaking (shipper.go:125-130)."""
     retry = retry or RetryPolicy()
     shipped = 0
     last_ok = None
@@ -130,10 +133,16 @@ def ship_rows(
     for row in rows:
         try:
             retry.send_with_retry(sender, row["payload"])
-        except Exception:
+        except Exception as ex:
             failed = True
             if metrics:
                 metrics.inc(f"{_mname(shipper_name)}_errors_total")
+            if logger is not None:
+                logger.error(
+                    "ship.failed",
+                    ex,
+                    {"guid": row["guid"], "shipped_before_failure": shipped},
+                )
             break
         shipped += 1
         last_ok = row

@@ -144,8 +144,13 @@ def heavy_hitters_stream(items_df, n_shards: int = 8, capacity: int = 256):
     Terms shard by hash so state parallelizes across executors while
     staying capped at ``n_shards × capacity`` entries TOTAL — a streaming
     word-count's state, by contrast, grows with the vocabulary without
-    bound.  Update mode; merge shard summaries downstream (sum cnt_lb per
-    item) exactly like the batch merge.
+    bound.  Update mode: each micro-batch RE-EMITS the shard's CUMULATIVE
+    summary, so the downstream merge must take the LATEST emission per
+    (shard, item) — upsert semantics — and only then combine across
+    shards; summing across a shard's successive emissions would
+    double-count.  (Summing per item is correct only for the batch
+    operator's per-partition partials, which are disjoint slices of one
+    pass.)
     """
     from functools import partial as _partial
 

@@ -83,6 +83,51 @@ def test_connected_components_chain_and_isolates(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7, 9: 9}
 
 
+def test_star_cc_matches_minlabel_on_random_graph(spark):
+    """Large-star/small-star must produce identical components to the
+    min-label operator on an arbitrary (multi-component, cyclic) graph."""
+    import random
+
+    rng = random.Random(5)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    edf = spark.createDataFrame(edges, ["id_a", "id_b"])
+    nodes = spark.createDataFrame([(n,) for n in range(200)], ["node"])
+    want = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(edf, nodes=nodes).collect()
+    }
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components_star(edf, nodes=nodes).collect()
+    }
+    assert got == want
+
+
+def test_star_cc_converges_on_long_path(spark):
+    """VERDICT r04 item 5 done-criterion: a 500-node path graph (diameter
+    499 — min-label would need 499 rounds) must converge well under
+    max_iter and equal the trivially-known answer (all nodes → 0)."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(499)], ["id_a", "id_b"]
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components_star(edges, max_iter=15).collect()
+    }
+    assert got == {i: 0 for i in range(500)}
+
+
+def test_star_cc_isolated_nodes_and_empty_edges(spark):
+    edges = spark.createDataFrame([(7, 8)], ["id_a", "id_b"])
+    nodes = spark.createDataFrame([(n,) for n in [7, 8, 9]], ["node"])
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components_star(edges, nodes=nodes).collect()
+    }
+    assert got == {7: 7, 8: 7, 9: 9}
+
+
 def test_connected_components_without_nodes_df(spark):
     edges = spark.createDataFrame([(5, 3), (3, 1)], ["id_a", "id_b"])
     got = {

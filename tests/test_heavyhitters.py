@@ -56,6 +56,43 @@ def test_guarantees_under_tight_capacity(spark):
     assert [r["item"] for r in top] == ["hot1", "hot2", "hot3"]
 
 
+def test_non_string_item_column_keeps_type(spark):
+    """ADVICE r04: the summary schema derives the item type from the input
+    column — bigint ids/URL hashes must survive the Arrow boundary intact,
+    not coerce to (or fail as) strings."""
+    items = [7] * 30 + [13] * 20 + [999] * 5
+    df = spark.createDataFrame([(x,) for x in items], "item bigint").repartition(3)
+    out = misra_gries_summary(df, "item", 100)
+    assert out.schema["item"].dataType.simpleString() == "bigint"
+    got = {r["item"]: r["cnt_lb"] for r in out.collect()}
+    assert got == {7: 30, 13: 20, 999: 5}
+    top = heavy_hitters(df, "item", k=2, capacity=100).collect()
+    assert [r["item"] for r in top] == [7, 13]
+
+
+def test_q_heavy_hitters_capacity_covers_testdata_vocab(spark, sf_dir):
+    """ADVICE r04: q_heavy_hitters' exact-count oracle is only valid while
+    its capacity (8192) exceeds the corpus vocabulary — merged MG lower
+    bounds diverge past that and the top-20 cut can silently flip.  Fail
+    LOUDLY here if a future testdata change breaks the assumption."""
+    from pyspark.sql import functions as F
+
+    from paas_auditor_spark.functions import text as tx
+    from paas_auditor_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tx.tokens(F.lower(F.col("text")))).alias("term"))
+        .select(F.countDistinct("term"))
+        .first()[0]
+    )
+    assert vocab <= 8192, (
+        f"documents vocabulary ({vocab}) outgrew q_heavy_hitters' capacity "
+        "8192: the oracle comparison is no longer exact — raise the "
+        "query's capacity"
+    )
+
+
 def test_streaming_mg_matches_batch_counts(spark, tmp_path):
     """Streamed MG (ample capacity) over two micro-batches must equal the
     exact batch counts after merging shard summaries."""

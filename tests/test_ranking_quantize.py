@@ -44,6 +44,25 @@ def test_bm25_hand_computed(spark, tiny_docs):
     assert got[1] > got[2] and got[1] < 3 * got[2]
 
 
+def test_bm25_null_text_counts_toward_n(spark, tiny_docs):
+    """ADVICE r04: N must be count(*) over the corpus — a NULL-text row is
+    dropped by the explode (so it never matches and never shifts avgdl)
+    but still raises N, exactly like the oracle's count(*) FROM documents."""
+    with_null = tiny_docs.unionByName(
+        spark.createDataFrame([(9, None)], "doc_id long, text string")
+    )
+    idf5 = math.log(1 + (5 - 2 + 0.5) / (2 + 0.5))  # N=5 now, df(table)=2
+    def s(tf, dl):
+        return idf5 * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 5.25))
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(with_null, ["table"]).collect()
+    }
+    assert got.keys() == {1, 2}  # the NULL doc itself never matches
+    assert got[1] == pytest.approx(s(3, 4))
+    assert got[2] == pytest.approx(s(1, 3))
+
+
 def test_bm25_multi_term_is_sum(spark, tiny_docs):
     both = {
         r["doc_id"]: r["score"]

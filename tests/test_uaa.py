@@ -76,10 +76,16 @@ class FakeCF:
                 form = self.rfile.read(length).decode()
                 basic = self.headers.get("Authorization", "")
                 outer.token_posts.append({"form": form, "auth": basic})
-                want = base64.b64encode(
-                    f"{CLIENT_ID}:{CLIENT_SECRET}".encode()
-                ).decode()
-                if basic != f"Basic {want}":
+                # accept the confidential engine client OR the public "cf"
+                # client (empty secret) that the password grant uses
+                accepted = {
+                    "Basic "
+                    + base64.b64encode(
+                        f"{CLIENT_ID}:{CLIENT_SECRET}".encode()
+                    ).decode(),
+                    "Basic " + base64.b64encode(b"cf:").decode(),
+                }
+                if basic not in accepted:
                     self._json(401, {"error": "unauthorized"})
                     return
                 outer.issued += 1
@@ -148,6 +154,81 @@ def test_bad_client_secret_raises(cf):
     transport = uaa_transport(f"{cf.url}/oauth/token", CLIENT_ID, "wrong")
     with pytest.raises(urllib.error.HTTPError):
         transport(f"{cf.url}/v2/events")
+
+
+def test_password_grant_acquires_token_as_cf_client(cf):
+    """CF_USERNAME/CF_PASSWORD parity (main_config.go:42-43): the password
+    grant authenticates as the public ``cf`` client with an empty secret,
+    exactly like go-cfclient's getUserAuth (client.go:155-165)."""
+    transport = uaa_transport(
+        f"{cf.url}/oauth/token", "cf", "", username="admin", password="pw1"
+    )
+    page = transport(f"{cf.url}/v2/events?q=x")
+    assert page["total_pages"] == 1
+    form = cf.token_posts[0]["form"]
+    assert "grant_type=password" in form
+    assert "username=admin" in form
+    assert "password=pw1" in form
+    assert cf.token_posts[0]["auth"] == "Basic " + base64.b64encode(b"cf:").decode()
+    assert cf.event_gets == ["bearer tok-1"]
+    # cached token: no re-grant on the next page
+    transport(f"{cf.url}/v2/events?page=2")
+    assert len(cf.token_posts) == 1
+
+
+def test_password_grant_refreshes_on_401(cf):
+    transport = uaa_transport(
+        f"{cf.url}/oauth/token", "cf", "", username="admin", password="pw1"
+    )
+    transport(f"{cf.url}/v2/events")
+    cf.valid_tokens.clear()
+    page = transport(f"{cf.url}/v2/events")
+    assert page["total_results"] == 1
+    assert len(cf.token_posts) == 2
+    assert all("grant_type=password" in p["form"] for p in cf.token_posts)
+
+
+def test_resolve_transport_env_mode_switch(cf):
+    """__main__.resolve_transport mirrors go-cfclient's auth priority
+    (client.go:342-352): CF_TOKEN > CF_CLIENT_ID > CF_USERNAME."""
+    from paas_auditor_spark.__main__ import resolve_transport
+
+    # password grant from reference-named env vars
+    transport = resolve_transport(
+        {
+            "CF_USERNAME": "admin",
+            "CF_PASSWORD": "pw1",
+            "CF_TOKEN_URL": f"{cf.url}/oauth/token",
+        },
+        cf.url,
+    )
+    page = transport(f"{cf.url}/v2/events")
+    assert page["total_pages"] == 1
+    assert "grant_type=password" in cf.token_posts[0]["form"]
+
+    # client-credentials wins over username when both are set
+    cf.token_posts.clear()
+    transport = resolve_transport(
+        {
+            "CF_CLIENT_ID": CLIENT_ID,
+            "CF_CLIENT_SECRET": CLIENT_SECRET,
+            "CF_USERNAME": "admin",
+            "CF_PASSWORD": "pw1",
+            "CF_TOKEN_URL": f"{cf.url}/oauth/token",
+        },
+        cf.url,
+    )
+    transport(f"{cf.url}/v2/events")
+    assert "grant_type=client_credentials" in cf.token_posts[0]["form"]
+
+    # static token wins over everything
+    cf.valid_tokens.add("static-tok")
+    transport = resolve_transport(
+        {"CF_TOKEN": "static-tok", "CF_USERNAME": "admin"}, cf.url
+    )
+    page = transport(f"{cf.url}/v2/events")
+    assert page["total_results"] == 1
+    assert cf.event_gets[-1] == "bearer static-tok"
 
 
 def test_discover_token_url(cf):
