@@ -63,6 +63,11 @@ HEADLINE = [
     "heavy_hitters",
     "zorder_key",
     "curation_pipeline",
+    "semantic_dedup",
+    "segment_dedup",
+    "lm_perplexity",
+    "temperature_sample",
+    "knn_ivfpq",
 ]
 
 

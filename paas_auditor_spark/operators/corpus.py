@@ -1,0 +1,268 @@
+"""Corpus-level curation operators: cross-document segment dedup,
+corpus-trained LM scoring, and domain-mix (temperature) sampling.
+
+Beyond reference parity (SURVEY.md §2.8 — the reference has no text
+surface); these are the C4/CCNet-shaped curation steps an LLM training
+pipeline runs between raw ingest and tokenization:
+
+- ``segment_dedup``: remove text segments that repeat across documents
+  (the C4 "discard duplicate three-sentence spans" rule, word-window
+  form).  Raffel et al. 2020 §2.2; Lee et al. 2022 (Deduplicating
+  Training Data ...) motivates substring-level dedup.
+- ``bigram_lm_perplexity``: score every document against a word-bigram
+  LM trained on the corpus itself (the CCNet quality signal — Wenzek et
+  al. 2020 uses a KenLM 5-gram; the bigram+Laplace form keeps the exact
+  same plan shape while staying oracle-checkable).
+- ``temperature_sample``: per-source sampling quotas ∝ n_source^alpha
+  (the multinomial temperature mix used for multilingual/multi-domain
+  training sets, e.g. XLM-R, alpha≈0.3-0.7), with a deterministic
+  rank-based keep decision.
+
+All three are pure DataFrame compositions — JVM-side expressions, no
+Python in any hot path.  Scale notes per operator in the docstrings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from paas_auditor_spark.functions.exprs import let
+from paas_auditor_spark.functions.text import tokens
+
+
+def _segments(text_col, width: int):
+    """array<string> of consecutive non-overlapping ``width``-word windows
+    over the lowercased token stream; the tail segment may be shorter.
+    Built with transform-over-sequence (no explode, no UDF) so the token
+    array is materialized once per row."""
+
+    def build(toks):
+        n_seg = F.ceil(F.size(toks) / F.lit(float(width))).cast("int")
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(n_seg, F.lit(1))),
+            lambda i: F.array_join(
+                F.slice(toks, (i - F.lit(1)) * width + 1, width), " "
+            ),
+        )
+
+    return let(tokens(F.lower(text_col)), build)
+
+
+def segment_dedup(
+    docs_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 8,
+) -> DataFrame:
+    """Cross-document duplicate-segment removal (C4-style).
+
+    Every document is cut into consecutive ``width``-word segments; a
+    segment that occurs in MORE THAN ONE distinct document is a
+    cross-corpus duplicate and is dropped from every document that
+    contains it.  Returns one row per input document:
+
+      (doc_id, n_segments, n_dup_segments, dup_frac, clean_text)
+
+    where ``clean_text`` re-joins the surviving segments in their
+    original order (empty string when everything was duplicated).
+
+    Scale shape: explode to (doc_id, seg_idx, segment) — fan-out is
+    ~n_words/width, bounded; one shuffle on the segment key for the
+    document-frequency count (map-side partial agg applies), one shuffle
+    joining the counts back, one shuffle re-grouping by document.  The
+    segment key shuffled here is the segment STRING for oracle
+    transparency; at 100 TB substitute ``xxhash64(segment)`` as the join
+    key — same plan, 8-byte keys (collision odds negligible at 2^64).
+    Skewed segments (boilerplate occurring everywhere) produce one hot
+    reduce key; AQE skew-split handles the count, and the join back is
+    per-(doc, idx) so it stays balanced.
+    """
+    segs = docs_df.select(
+        F.col(id_col),
+        F.posexplode(_segments(F.col(text_col), width)).alias("seg_idx", "seg"),
+    ).filter(F.col("seg") != "")
+    seg_df = segs.groupBy("seg").agg(
+        F.countDistinct(id_col).alias("seg_docs")
+    )
+    marked = segs.join(seg_df, on="seg")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum((F.col("seg_docs") > 1).cast("long")).alias("n_dup_segments"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("seg_docs") == 1,
+                                F.struct("seg_idx", "seg"),
+                            )
+                        )
+                    ),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("n_dup_segments") / F.col("n_segments"), 4),
+        )
+        .select(id_col, "n_segments", "n_dup_segments", "dup_frac", "clean_text")
+        .orderBy(id_col)
+    )
+
+
+def bigram_lm_perplexity(
+    docs_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document perplexity under a corpus-trained word-bigram LM with
+    Laplace (add-one) smoothing:
+
+      p(w2 | w1) = (C(w1, w2) + 1) / (C(w1) + V)
+
+    where counts come from the corpus itself and V is the distinct-token
+    vocabulary size.  Returns (doc_id, n_bigrams, avg_nll, ppl) with
+    ppl = exp(avg negative log-likelihood); documents with < 2 tokens
+    yield n_bigrams = 0 and NULL scores.
+
+    This is the CCNet quality signal (low perplexity ≈ fluent text, high
+    ≈ noise) in an oracle-checkable closed form.  Scale shape: the only
+    corpus-sized shuffles key on terms — (w1, w2) and (w1) count
+    aggregations with map-side combine, then the per-doc bigram
+    occurrence table joins those counts on the same term keys and
+    reduces by doc_id.  V arrives via a 1-row cross join (in-plan, no
+    driver collect).  Hot head words (Zipf) are exactly the skew AQE
+    skew-join splitting targets.
+    """
+
+    def bigram_arr(toks):
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        )
+        return F.when(F.size(toks) >= 2, grams).otherwise(
+            F.array().cast("array<struct<w1:string,w2:string>>")
+        )
+
+    base = docs_df.select(
+        F.col(id_col), let(tokens(F.lower(F.col(text_col))), bigram_arr).alias("bg")
+    )
+    # per-(doc, w1, w2) occurrence counts: one explode, then every
+    # downstream aggregate reuses this narrow table
+    occ = (
+        base.select(
+            id_col, F.explode("bg").alias("g")
+        )
+        .groupBy(id_col, F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    c2 = occ.groupBy("w1", "w2").agg(F.sum("m").alias("c2"))
+    c1 = occ.groupBy("w1").agg(F.sum("m").alias("c1"))
+    vocab = docs_df.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("w")
+    ).agg(F.countDistinct("w").alias("v"))
+    scored = (
+        occ.join(c2, on=["w1", "w2"])
+        .join(c1, on="w1")
+        .crossJoin(vocab)
+        .select(
+            id_col,
+            F.col("m"),
+            (
+                -F.col("m")
+                * F.log((F.col("c2") + 1) / (F.col("c1") + F.col("v")))
+            ).alias("nll"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("m").alias("n_bigrams"),
+        (F.sum("nll") / F.sum("m")).alias("raw_nll"),
+    )
+    # left join back so < 2-token docs keep a row (n_bigrams 0, NULL ppl)
+    return (
+        docs_df.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.round(F.col("raw_nll"), 4).alias("avg_nll"),
+            F.round(F.exp(F.col("raw_nll")), 4).alias("ppl"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def temperature_sample(
+    docs_df: DataFrame,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-mix balancing: per-source quotas from a temperature-scaled
+    multinomial, with a deterministic rank-based keep decision.
+
+      p(source) ∝ n_source^alpha       (alpha < 1 upweights small sources)
+      quota(source) = floor(T · p(source)),  T = target_frac · n_total
+
+    A document is kept iff its ascending doc_id rank within its source is
+    ≤ the source's quota — fully deterministic (re-runs and the oracle
+    agree), and the keep set is stable under appends to OTHER sources.
+    Returns (doc_id, source, n_source, quota, src_rank, kept).
+
+    Scale shape: the per-source counts are a tiny aggregate (one row per
+    source) broadcast back onto the corpus; the only corpus-sized
+    shuffle is the per-source rank window.  At 100 TB replace the global
+    row_number window with a per-source deterministic hash threshold
+    (keep iff pmod(xxhash64(id), 2^20) < quota/n·2^20) — same contract,
+    no sort; the rank form is kept here because it is exactly
+    reproducible in ANSI SQL.
+    """
+    counts = docs_df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_source")
+    )
+    tot = docs_df.agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    weights = (
+        counts.crossJoin(tot)
+        .withColumn("w", F.pow(F.col("n_source"), F.lit(alpha)))
+        .withColumn("w_sum", F.sum("w").over(Window.partitionBy()))
+        .withColumn(
+            "quota",
+            F.floor(
+                F.lit(target_frac) * F.col("n_total") * F.col("w") / F.col("w_sum")
+            ).cast("long"),
+        )
+        .select(source_col, "n_source", "quota")
+    )
+    w = Window.partitionBy(source_col).orderBy(F.col(id_col).asc())
+    return (
+        docs_df.select(id_col, source_col)
+        .withColumn("src_rank", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(weights), on=source_col)
+        .select(
+            id_col,
+            source_col,
+            "n_source",
+            "quota",
+            "src_rank",
+            (F.col("src_rank") <= F.col("quota")).alias("kept"),
+        )
+        .orderBy(id_col)
+    )
+
+
+__all__ = [
+    "bigram_lm_perplexity",
+    "segment_dedup",
+    "temperature_sample",
+]

@@ -558,6 +558,252 @@ def ivf_topk(
     )
 
 
+def semantic_dedup(
+    corpus_df: DataFrame,
+    k: int = 8,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): coarse-cluster the
+    embeddings, then prune near-duplicates WITHIN each cluster only.
+
+    The cluster step is what makes semantic dedup tractable: the pairwise
+    space shrinks from n² to Σ|cluster|², and clusters are the natural
+    unit of parallelism.  Centroids here are the first ``k`` corpus
+    vectors by id (deterministic, the same coarse-quantizer convention as
+    ``ivf_topk``; a k-means fit slots in unchanged — k grows with the
+    corpus so cluster sizes stay bounded).
+
+    Keep rule (deterministic, greedy-by-id): a vector is KEPT iff no
+    same-cluster vector with a smaller id has rounded cosine ≥
+    ``threshold`` to it.  This is the paper's "keep one example per
+    ε-ball" with lowest-id standing in for their random representative —
+    reproducible, and expressible in ANSI SQL for the oracle.
+
+    Returns (vec_id, cluster_id, cos_to_centroid, keep) for every input
+    vector.  Scale shape: one broadcast join against the k-row centroid
+    set for assignment (narrow), then a self-join keyed on cluster_id —
+    the shuffle is the corpus once per side, and per-task work is bounded
+    by the largest cluster (raise k for skewed corpora, exactly the
+    SemDeDup contract).
+    """
+    vecs = fan_out(
+        corpus_df.select(
+            F.col(id_col), _to_double(F.col(vec_col)).alias("v")
+        )
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    cents = vecs.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        "v",
+        "nrm",
+        "centroid_id",
+        F.round(
+            dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")),
+            round_digits,
+        ).alias("c_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("c_sim").desc(), F.col("centroid_id").asc()
+    )
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            id_col,
+            "v",
+            "nrm",
+            F.col("centroid_id").alias("cluster_id"),
+            F.col("c_sim").alias("cos_to_centroid"),
+        )
+        .localCheckpoint(eager=False)  # both self-join sides + output read it
+    )
+    a = assigned.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    shadowed = (
+        a.join(b, on="cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                round_digits,
+            )
+            >= threshold
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            shadowed.withColumn("_shadowed", F.lit(True)), on=id_col, how="left"
+        )
+        .select(
+            id_col,
+            "cluster_id",
+            "cos_to_centroid",
+            F.coalesce(~F.col("_shadowed"), F.lit(True)).alias("keep"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def ivfpq_topk(
+    corpus_df: DataFrame,
+    queries_df: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    codes: int = 16,
+    rerank: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF-PQ approximate top-k (the FAISS IVFPQ shape): an IVF probe
+    restricts candidates to ``nprobe`` inverted lists, a product-quantized
+    approximation ranks them cheaply, and only the ``rerank`` best per
+    query are re-scored against true vectors.
+
+    The PQ stage is asymmetric-distance-by-reconstruction: each corpus
+    vector's m byte-codes decode (via the literal codebooks — a narrow
+    map, no join) to an approximate vector, and candidate ranking uses
+    cosine(query, reconstruction).  That is numerically identical to the
+    classic ADC lookup-table formulation but stays entirely inside JVM
+    expressions.  At 100 TB the corpus stores ONLY (list_id, pq_codes) —
+    m bytes per vector instead of dim×4 — and full vectors are fetched
+    (join on id) for just rerank×|queries| rows.
+
+    Approximate by construction (rows-only oracle); recall vs the exact
+    baseline is pinned by test_similarity.py.
+    """
+    from paas_auditor_spark.operators.quantize import pq_assign, pq_train
+
+    books = pq_train(
+        corpus_df, vec_col=vec_col, id_col=id_col, m=m, k=codes
+    )
+    sub = len(books[0][0])
+    cents = (
+        corpus_df.filter(F.col(id_col) < n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            _to_double(F.col(vec_col)).alias("cv"),
+        )
+        .withColumn("cnorm", l2_norm(F.col("cv")))
+    )
+
+    def assign(df: DataFrame, side: str, n_lists: int) -> DataFrame:
+        v = df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            _to_double(F.col(vec_col)).alias(f"{side}_v"),
+        ).withColumn(f"{side}_n", l2_norm(F.col(f"{side}_v")))
+        scored = v.join(F.broadcast(cents)).select(
+            f"{side}_id",
+            f"{side}_v",
+            f"{side}_n",
+            "centroid_id",
+            (
+                dot(F.col(f"{side}_v"), F.col("cv"))
+                / (F.col(f"{side}_n") * F.col("cnorm"))
+            ).alias("c_sim"),
+        )
+        w = Window.partitionBy(f"{side}_id").orderBy(
+            F.col("c_sim").desc(), F.col("centroid_id").asc()
+        )
+        return (
+            scored.withColumn("list_rank", F.row_number().over(w))
+            .filter(F.col("list_rank") <= n_lists)
+            .select(f"{side}_id", f"{side}_v", f"{side}_n", "centroid_id")
+        )
+
+    # corpus side: list assignment + PQ codes + reconstruction — all
+    # narrow maps over the scan (codebooks ride in as literals)
+    encoded = pq_assign(
+        assign(fan_out(corpus_df), "c", 1), books, vec_col="c_v"
+    )
+    recon = F.flatten(
+        F.array(
+            *[
+                F.element_at(
+                    F.array(
+                        *[
+                            F.array(*[F.lit(float(x)) for x in cv])
+                            for cv in books[j]
+                        ]
+                    ),
+                    F.element_at(F.col("pq_codes"), j + 1) + 1,
+                )
+                for j in range(m)
+            ]
+        )
+    )
+    approx = encoded.select(
+        "c_id", "c_v", "c_n", "centroid_id", recon.alias("rv")
+    ).withColumn("rn_norm", l2_norm(F.col("rv")))
+
+    probes = assign(queries_df, "q", nprobe)
+    cand = (
+        approx.join(F.broadcast(probes), on="centroid_id")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "c_v",
+            "c_n",
+            "q_v",
+            "q_n",
+            (
+                dot(F.col("q_v"), F.col("rv"))
+                / (
+                    F.col("q_n")
+                    * F.greatest(F.col("rn_norm"), F.lit(1e-12))
+                )
+            ).alias("adc_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = cand.withColumn("adc_rank", F.row_number().over(wq)).filter(
+        F.col("adc_rank") <= rerank
+    )
+    # exact re-rank of the shortlist only (true vectors already rode
+    # along here; at scale this is the id-join fetch described above)
+    rescored = shortlist.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot(F.col("q_v"), F.col("c_v")) / (F.col("q_n") * F.col("c_n")),
+            round_digits,
+        ).alias("cos_sim"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def kmeans_assign(
     corpus_df: DataFrame,
     k: int = 8,
@@ -665,6 +911,8 @@ __all__ = [
     "embedding_near_duplicates_lsh",
     "hyperplane_bucket",
     "ivf_topk",
+    "ivfpq_topk",
+    "semantic_dedup",
     "kmeans_assign",
     "l2_norm",
     "lsh_bucket_keys_udf",

@@ -3066,6 +3066,53 @@ _DEDUP_CLUSTERS_ORACLE = """
         FROM reach GROUP BY src ORDER BY doc_id
         """
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: coarse-cluster embeddings (centroids = vec_id < 8), prune
+    within-cluster near-duplicates (rounded cosine >= 0.4, keep lowest id).
+    Fully deterministic → exact oracle."""
+    emb = _th(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, k=8, threshold=0.4)
+
+
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-k: IVF probe -> PQ-reconstruction candidate ranking
+    -> exact re-rank of the shortlist.  Approximate by construction →
+    rows-only check; recall pinned in test_similarity.py."""
+    emb = _th(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivfpq_topk(
+        emb, queries, k=5, n_centroids=8, nprobe=2, m=4, codes=16, rerank=32
+    )
+
+
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document duplicate-segment removal: 8-word windows,
+    a segment in >1 distinct doc is dropped everywhere; returns per-doc
+    dup stats + the cleaned text."""
+    from paas_auditor_spark.operators.corpus import segment_dedup
+
+    docs = _th(spark, sf_dir, "documents")
+    return segment_dedup(docs, width=8)
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal: per-doc perplexity under a
+    corpus-trained word-bigram LM with Laplace smoothing."""
+    from paas_auditor_spark.operators.corpus import bigram_lm_perplexity
+
+    docs = _th(spark, sf_dir, "documents")
+    return bigram_lm_perplexity(docs)
+
+
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix balancing: per-source quotas ∝ n^0.5 (temperature
+    sampling), deterministic rank-based keep decision."""
+    from paas_auditor_spark.operators.corpus import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_sample(docs, alpha=0.5, target_frac=0.5)
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "unshipped_events": QuerySpec(q_unshipped_events, ORACLE_UNSHIPPED),
     "latest_event_time": QuerySpec(
@@ -4816,6 +4863,121 @@ REGISTRY: dict[str, QuerySpec] = {
                  FOR i IN range(0, 16)
                ]) AS BIGINT) AS zval
         FROM events ORDER BY zval, event_id LIMIT 50
+        """,
+    ),
+    "semantic_dedup": QuerySpec(
+        q_semantic_dedup,
+        """
+        WITH n AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                              x -> x * x))) AS nrm
+          FROM embeddings),
+        c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+              FROM n WHERE vec_id < 8),
+        scored AS (
+          SELECT n.vec_id, n.v, n.nrm, c.centroid_id,
+                 round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 4)
+                   AS cos_sim
+          FROM n, c),
+        assigned AS (
+          SELECT vec_id, v, nrm, centroid_id, cos_sim
+          FROM scored
+          QUALIFY row_number() OVER (
+            PARTITION BY vec_id ORDER BY cos_sim DESC, centroid_id ASC) = 1),
+        shadowed AS (
+          SELECT DISTINCT b.vec_id
+          FROM assigned a JOIN assigned b
+            ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+          WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.4)
+        SELECT a.vec_id, a.centroid_id AS cluster_id,
+               a.cos_sim AS cos_to_centroid,
+               s.vec_id IS NULL AS keep
+        FROM assigned a LEFT JOIN shadowed s ON a.vec_id = s.vec_id
+        ORDER BY a.vec_id
+        """,
+    ),
+    "knn_ivfpq": QuerySpec(q_knn_ivfpq, None),
+    "segment_dedup": QuerySpec(
+        q_segment_dedup,
+        """
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+          FROM documents),
+        segs AS (
+          SELECT doc_id, i AS seg_idx,
+                 array_to_string(w[((i - 1) * 8 + 1):(i * 8)], ' ') AS seg
+          FROM toks,
+               unnest(generate_series(
+                 1, greatest(CAST(ceil(len(w) / 8.0) AS BIGINT), 1))) AS u(i)
+          WHERE array_to_string(w[((i - 1) * 8 + 1):(i * 8)], ' ') <> ''),
+        counts AS (
+          SELECT seg, count(DISTINCT doc_id) AS seg_docs
+          FROM segs GROUP BY seg)
+        SELECT s.doc_id,
+               count(*) AS n_segments,
+               count(*) FILTER (WHERE c.seg_docs > 1) AS n_dup_segments,
+               round(count(*) FILTER (WHERE c.seg_docs > 1) * 1.0 / count(*),
+                     4) AS dup_frac,
+               coalesce(string_agg(s.seg, ' ' ORDER BY s.seg_idx)
+                          FILTER (WHERE c.seg_docs = 1), '') AS clean_text
+        FROM segs s JOIN counts c USING (seg)
+        GROUP BY s.doc_id ORDER BY s.doc_id
+        """,
+    ),
+    "lm_perplexity": QuerySpec(
+        q_lm_perplexity,
+        """
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+          FROM documents),
+        occ AS (
+          SELECT doc_id, w[i] AS w1, w[i + 1] AS w2, count(*) AS m
+          FROM toks, unnest(generate_series(1, len(w) - 1)) AS u(i)
+          WHERE len(w) >= 2
+          GROUP BY doc_id, w1, w2),
+        c2 AS (SELECT w1, w2, sum(m) AS c2 FROM occ GROUP BY w1, w2),
+        c1 AS (SELECT w1, sum(m) AS c1 FROM occ GROUP BY w1),
+        v AS (SELECT count(DISTINCT tok) AS v
+              FROM (SELECT unnest(w) AS tok FROM toks)),
+        per_doc AS (
+          SELECT occ.doc_id,
+                 CAST(sum(m) AS BIGINT) AS n_bigrams,
+                 sum(-m * ln((c2.c2 + 1) * 1.0 / (c1.c1 + v.v))) / sum(m)
+                   AS raw_nll
+          FROM occ JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+          GROUP BY occ.doc_id)
+        SELECT d.doc_id,
+               coalesce(p.n_bigrams, 0) AS n_bigrams,
+               round(p.raw_nll, 4) AS avg_nll,
+               round(exp(p.raw_nll), 4) AS ppl
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        ORDER BY d.doc_id
+        """,
+    ),
+    "temperature_sample": QuerySpec(
+        q_temperature_sample,
+        """
+        WITH counts AS (
+          SELECT source, count(*) AS n_source FROM documents GROUP BY source),
+        tot AS (SELECT count(*) AS n_total FROM documents),
+        wts AS (
+          SELECT source, n_source,
+                 CAST(floor(0.5 * n_total * pow(n_source, 0.5)
+                            / sum(pow(n_source, 0.5)) OVER ()) AS BIGINT)
+                   AS quota
+          FROM counts CROSS JOIN tot),
+        ranked AS (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source ORDER BY doc_id ASC) AS src_rank
+          FROM documents)
+        SELECT r.doc_id, r.source, w.n_source, w.quota, r.src_rank,
+               r.src_rank <= w.quota AS kept
+        FROM ranked r JOIN wts w USING (source)
+        ORDER BY r.doc_id
         """,
     ),
 }

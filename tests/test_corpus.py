@@ -1,0 +1,118 @@
+"""Corpus-level curation operators: segment dedup, bigram-LM perplexity,
+temperature sampling (operators/corpus.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import types as T
+
+from paas_auditor_spark.operators.corpus import (
+    bigram_lm_perplexity,
+    segment_dedup,
+    temperature_sample,
+)
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+SHARED = "one two three four five six seven eight"  # exactly one 8-word window
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, SHARED + " unique tail words here", "s0"),
+        (1, SHARED + " different ending entirely now", "s0"),
+        (2, "totally fresh text with no overlap at all", "s1"),
+    ]
+    return spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+def test_segment_dedup_drops_cross_doc_windows(docs):
+    out = {r["doc_id"]: r for r in segment_dedup(docs, width=8).collect()}
+    # docs 0 and 1: segment 1 is SHARED (in both) → dropped; segment 2 is
+    # the 4-word tail (unique) → kept
+    for d, tail in [(0, "unique tail words here"), (1, "different ending entirely now")]:
+        assert out[d]["n_segments"] == 2
+        assert out[d]["n_dup_segments"] == 1
+        assert out[d]["dup_frac"] == 0.5
+        assert out[d]["clean_text"] == tail
+    assert out[2]["n_dup_segments"] == 0
+    assert out[2]["clean_text"] == "totally fresh text with no overlap at all"
+
+
+def test_segment_dedup_preserves_segment_order(spark):
+    # two duplicated windows sandwiching a unique one: surviving text must
+    # keep original order, not collect_list arrival order
+    a = "w1 w2 w3 w4 w5 w6 w7 w8"
+    b = "x1 x2 x3 x4 x5 x6 x7 x8"
+    mid = "keep these middle words in order yes ok"  # exactly 8 words
+    rows = [
+        (0, f"{a} {mid} {b}", "s"),
+        (1, f"{b} {a}", "s"),
+    ]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = {r["doc_id"]: r for r in segment_dedup(df, width=8).collect()}
+    assert out[0]["clean_text"] == mid
+    assert out[1]["clean_text"] == ""
+    assert out[1]["dup_frac"] == 1.0
+
+
+def test_bigram_lm_perplexity_matches_hand_computation(spark):
+    # corpus: "a b a b" and "a c" → V=3
+    # C1: a=3, b=2(only as w1: "b a"→1... count by w1 occurrences in bigrams)
+    # bigrams: doc0: (a,b) (b,a) (a,b); doc1: (a,c)
+    # C2: (a,b)=2, (b,a)=1, (a,c)=1;  C1(w1): a=3, b=1
+    rows = [(0, "a b a b", "s"), (1, "a c", "s")]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = {r["doc_id"]: r for r in bigram_lm_perplexity(df).collect()}
+    v = 3
+    p_ab = (2 + 1) / (3 + v)
+    p_ba = (1 + 1) / (1 + v)
+    p_ac = (1 + 1) / (3 + v)
+    nll0 = -(2 * math.log(p_ab) + 1 * math.log(p_ba)) / 3
+    nll1 = -math.log(p_ac)
+    assert out[0]["n_bigrams"] == 3
+    assert out[0]["avg_nll"] == round(nll0, 4)
+    assert out[0]["ppl"] == round(math.exp(nll0), 4)
+    assert out[1]["n_bigrams"] == 1
+    assert out[1]["ppl"] == round(math.exp(nll1), 4)
+
+
+def test_bigram_lm_short_doc_gets_null_scores(spark):
+    rows = [(0, "solo", "s"), (1, "a b", "s")]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = {r["doc_id"]: r for r in bigram_lm_perplexity(df).collect()}
+    assert out[0]["n_bigrams"] == 0
+    assert out[0]["ppl"] is None
+    assert out[1]["n_bigrams"] == 1
+
+
+def test_temperature_sample_quotas_and_determinism(spark):
+    # sources sized 9/4/1, alpha=0.5 → weights 3/2/1; T = 0.5*14 = 7
+    # quotas: floor(7*3/6)=3, floor(7*2/6)=2, floor(7*1/6)=1
+    rows = [(i, f"doc {i}", "big") for i in range(9)]
+    rows += [(100 + i, f"doc {100+i}", "mid") for i in range(4)]
+    rows += [(200, "doc 200", "small")]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = temperature_sample(df, alpha=0.5, target_frac=0.5).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert {r["quota"] for r in by_src["big"]} == {3}
+    assert {r["quota"] for r in by_src["mid"]} == {2}
+    assert {r["quota"] for r in by_src["small"]} == {1}
+    # kept = lowest doc_ids per source, exactly quota of them
+    kept = sorted(r["doc_id"] for r in out if r["kept"])
+    assert kept == [0, 1, 2, 100, 101, 200]
+    # small sources are UPWEIGHTED relative to their share: small keeps
+    # 100% (1/1), big only 33% (3/9) — the alpha<1 contract
+    assert len([r for r in by_src["big"] if r["kept"]]) / 9 < 1.0

@@ -250,3 +250,84 @@ def test_ivf_lists_partition_prune_on_probe(spark, sf_dir, tmp_path):
     expected = back.filter(F.col("vec_id") % 8 == 2).count() + \
         back.filter(F.col("vec_id") % 8 == 5).count()
     assert probe.count() == expected > 0
+
+
+def test_semantic_dedup_prunes_within_cluster_only(spark):
+    """Two tight direction-groups: within each, only the lowest id
+    survives; cross-cluster similarity never shadows anything."""
+    rows = [
+        (0, _vec(0)),
+        (1, _vec(0, 2.0)),      # same direction as 0 → shadowed by 0
+        (2, _vec(0, 0.5)),      # also shadowed (by 0 and 1)
+        (3, _vec(5)),
+        (4, _vec(5, 3.0)),      # shadowed by 3
+        (5, _vec(20)),          # alone in its direction → kept
+    ]
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    out = {r["vec_id"]: r for r in
+           similarity.semantic_dedup(df, k=6, threshold=0.95).collect()}
+    assert len(out) == 6  # every vector gets a row
+    assert [v for v in sorted(out) if out[v]["keep"]] == [0, 3, 5]
+    # cluster assignment is the nearest centroid (centroids = ids < k,
+    # which here is every vector → each is its own centroid at cos 1.0)
+    assert all(out[v]["cos_to_centroid"] == 1.0 for v in out)
+
+
+def test_semantic_dedup_testdata_keep_set_consistent(spark, sf_dir):
+    """On real testdata: keep-set = vectors with no smaller-id same-cluster
+    neighbor above threshold (re-derived independently per row)."""
+    from paas_auditor_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.semantic_dedup(emb, k=8, threshold=0.4)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    removed = [r for r in rows if not r["keep"]]
+    assert removed, "threshold 0.4 should shadow at least one vector"
+    # every removed vector must have a kept-or-removed smaller-id neighbor
+    # in the SAME cluster at >= threshold (spot-check via exact pairs)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_duplicates(emb, threshold=0.4).collect()
+    }
+    cluster = {r["vec_id"]: r["cluster_id"] for r in rows}
+    for r in removed:
+        assert any(
+            (a, r["vec_id"]) in pairs and cluster[a] == r["cluster_id"]
+            for a in cluster
+            if a < r["vec_id"]
+        ), f"vec {r['vec_id']} removed without an in-cluster shadower"
+
+
+def test_ivfpq_recall_floor_and_exact_rerank(spark, sf_dir):
+    """IVF-PQ top-k: (a) returned cos_sim values are EXACT (re-rank uses
+    true vectors — every returned (query, neighbor, sim) must appear in
+    the brute-force table); (b) recall@5 vs brute force stays above the
+    floor the IVF probe allows."""
+    import pyspark.sql.functions as F
+
+    from paas_auditor_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = similarity.ivfpq_topk(
+        emb, queries, k=5, n_centroids=8, nprobe=2, m=4, codes=16, rerank=32
+    ).collect()
+    exact = similarity.brute_force_topk(emb, queries, k=5).collect()
+    exact_sims = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact
+    }
+    all_sims = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in similarity.brute_force_topk(emb, queries, k=10**9).collect()
+    }
+    for r in approx:
+        assert all_sims[(r["query_id"], r["neighbor_id"])] == r["cos_sim"]
+    hits = sum(1 for key in {(r["query_id"], r["neighbor_id"]) for r in approx}
+               if key in exact_sims)
+    recall = hits / max(len(exact_sims), 1)
+    assert recall >= 0.5, f"IVF-PQ recall@5 {recall:.2f} below floor"
