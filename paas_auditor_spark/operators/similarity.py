@@ -565,6 +565,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): coarse-cluster the
     embeddings, then prune near-duplicates WITHIN each cluster only.
@@ -622,8 +623,12 @@ def semantic_dedup(
             F.col("centroid_id").alias("cluster_id"),
             F.col("c_sim").alias("cos_to_centroid"),
         )
-        .localCheckpoint(eager=False)  # both self-join sides + output read it
     )
+    if checkpoint:
+        # both self-join sides + the output read the assignment; the lazy
+        # checkpoint computes it once (checkpoint=False exposes the full
+        # logical tree for plan assertions)
+        assigned = assigned.localCheckpoint(eager=False)
     a = assigned.select(
         F.col("cluster_id"),
         F.col(id_col).alias("id_a"),
@@ -690,74 +695,115 @@ def ivfpq_topk(
     m bytes per vector instead of dim×4 — and full vectors are fetched
     (join on id) for just rerank×|queries| rows.
 
+    IVF assignment is a pure narrow map: the ``n_centroids`` centroid
+    vectors are collected (bounded, the same k-row driver convention as
+    ``kmeans_assign``) and ride into the plan as ONE nested array
+    literal; per row an ``array_sort`` over the k (−sim, idx) structs
+    picks the nearest list(s).  No window, no shuffle for assignment —
+    the only shuffles in the whole query are the two per-query top-k
+    windows (shortlist + final re-rank).
+
     Approximate by construction (rows-only oracle); recall vs the exact
     baseline is pinned by test_similarity.py.
     """
-    from paas_auditor_spark.operators.quantize import pq_assign, pq_train
+    import math
 
-    books = pq_train(
-        corpus_df, vec_col=vec_col, id_col=id_col, m=m, k=codes
+    import numpy as np
+
+    from paas_auditor_spark.functions.exprs import (
+        sql_doubles,
+        sql_doubles_2d,
+        sql_longs,
     )
-    sub = len(books[0][0])
-    cents = (
-        corpus_df.filter(F.col(id_col) < n_centroids)
-        .select(
-            F.col(id_col).alias("centroid_id"),
-            _to_double(F.col(vec_col)).alias("cv"),
-        )
-        .withColumn("cnorm", l2_norm(F.col("cv")))
+    from paas_auditor_spark.operators.quantize import (
+        pq_assign,
+        pq_train_arrays,
     )
 
-    def assign(df: DataFrame, side: str, n_lists: int) -> DataFrame:
-        v = df.select(
-            F.col(id_col).alias(f"{side}_id"),
-            _to_double(F.col(vec_col)).alias(f"{side}_v"),
-        ).withColumn(f"{side}_n", l2_norm(F.col(f"{side}_v")))
-        scored = v.join(F.broadcast(cents)).select(
-            f"{side}_id",
-            f"{side}_v",
-            f"{side}_n",
-            "centroid_id",
-            (
-                dot(F.col(f"{side}_v"), F.col("cv"))
-                / (F.col(f"{side}_n") * F.col("cnorm"))
-            ).alias("c_sim"),
-        )
-        w = Window.partitionBy(f"{side}_id").orderBy(
-            F.col("c_sim").desc(), F.col("centroid_id").asc()
-        )
-        return (
-            scored.withColumn("list_rank", F.row_number().over(w))
-            .filter(F.col("list_rank") <= n_lists)
-            .select(f"{side}_id", f"{side}_v", f"{side}_n", "centroid_id")
-        )
+    # ONE bounded collect feeds both models: the PQ training sample is
+    # the first 256 vectors by id and the IVF centroids are the first
+    # n_centroids — a prefix of the same rows (the documented bounded-
+    # sample exception, same convention as the kmeans iteration barrier)
+    sample_n = max(256, n_centroids)
+    rows = sorted(
+        (
+            (r[0], list(r[1]))
+            for r in corpus_df.select(
+                F.col(id_col), _to_double(F.col(vec_col))
+            )
+            .orderBy(id_col)
+            .limit(sample_n)
+            .collect()
+        ),
+        key=lambda t: t[0],
+    )
+    books = pq_train_arrays(
+        np.array([v for _, v in rows], dtype=np.float64), m=m, k=codes
+    )
+    cent_rows = rows[:n_centroids]
+    cb = sql_doubles_2d([v for _, v in cent_rows])
+    cn = sql_doubles(
+        max(math.sqrt(sum(x * x for x in v)), 1e-12) for _, v in cent_rows
+    )
+    cid = sql_longs(i for i, _ in cent_rows)
+    n_cent = len(cent_rows)
+
+    def nearest_lists_sql(v: str, n: str, n_lists: int) -> str:
+        """SQL text: array of the n_lists nearest centroid ids, best
+        first.  One parsed expression — centroid matrix, norms and ids
+        ride in as embedded literals (see exprs.sql_doubles)."""
+        return f"""
+        slice(transform(array_sort(transform(sequence(1, {n_cent}), c ->
+          struct(
+            -(aggregate(zip_with({v}, element_at({cb}, c), (x, y) -> x * y),
+                        CAST(0.0 AS DOUBLE), (a, x) -> a + x))
+              / ({n} * element_at({cn}, c)) AS negsim,
+            element_at({cid}, c) AS centroid_id))),
+          s -> s.centroid_id), 1, {n_lists})
+        """
 
     # corpus side: list assignment + PQ codes + reconstruction — all
-    # narrow maps over the scan (codebooks ride in as literals)
-    encoded = pq_assign(
-        assign(fan_out(corpus_df), "c", 1), books, vec_col="c_v"
-    )
-    recon = F.flatten(
-        F.array(
-            *[
-                F.element_at(
-                    F.array(
-                        *[
-                            F.array(*[F.lit(float(x)) for x in cv])
-                            for cv in books[j]
-                        ]
-                    ),
-                    F.element_at(F.col("pq_codes"), j + 1) + 1,
-                )
-                for j in range(m)
-            ]
+    # narrow maps over the scan (centroids + codebooks ride in as
+    # parsed literals)
+    cvec = fan_out(
+        corpus_df.select(
+            F.col(id_col).alias("c_id"),
+            _to_double(F.col(vec_col)).alias("c_v"),
         )
+    ).withColumn("c_n", l2_norm(F.col("c_v")))
+    assigned = cvec.withColumn(
+        "centroid_id",
+        F.expr(nearest_lists_sql("c_v", "c_n", 1))[0],
+    )
+    encoded = pq_assign(assigned, books, vec_col="c_v")
+    # decode = per-subspace codebook row lookup, one parsed expression
+    recon_sql = (
+        "flatten(array("
+        + ",".join(
+            f"element_at({sql_doubles_2d(books[j])},"
+            f" element_at(pq_codes, {j + 1}) + 1)"
+            for j in range(m)
+        )
+        + "))"
     )
     approx = encoded.select(
-        "c_id", "c_v", "c_n", "centroid_id", recon.alias("rv")
+        "c_id", "c_v", "c_n", "centroid_id", F.expr(recon_sql).alias("rv")
     ).withColumn("rn_norm", l2_norm(F.col("rv")))
 
-    probes = assign(queries_df, "q", nprobe)
+    probes = (
+        queries_df.select(
+            F.col(id_col).alias("q_id"),
+            _to_double(F.col(vec_col)).alias("q_v"),
+        )
+        .withColumn("q_n", l2_norm(F.col("q_v")))
+        .withColumn(
+            "centroid_id",
+            F.explode(F.expr(nearest_lists_sql("q_v", "q_n", nprobe))),
+        )
+    )
+    # every corpus vector lives in exactly ONE list and a query probes
+    # each list at most once, so (q, c) candidate pairs are unique by
+    # construction — no dropDuplicates shuffle needed
     cand = (
         approx.join(F.broadcast(probes), on="centroid_id")
         .filter(F.col("q_id") != F.col("c_id"))
@@ -776,7 +822,6 @@ def ivfpq_topk(
                 )
             ).alias("adc_sim"),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("adc_sim").desc(), F.col("neighbor_id").asc()
@@ -827,7 +872,7 @@ def kmeans_assign(
     between rounds (k×dim doubles — trivially small), which also acts as
     the per-iteration lineage cut.
     """
-    from paas_auditor_spark.functions.exprs import let
+    from paas_auditor_spark.functions.exprs import let, lit_doubles
 
     base = corpus_df.select(
         F.col(id_col).alias("kid"), _to_double(F.col(vec_col)).alias("kv")
@@ -850,10 +895,7 @@ def kmeans_assign(
                     F.struct(
                         (
                             F.lit(sum(x * x for x in cv))
-                            - 2
-                            * dot(
-                                kv, F.array(*[F.lit(float(x)) for x in cv])
-                            )
+                            - 2 * dot(kv, lit_doubles(cv))
                         ).alias("partial"),
                         F.lit(int(cid)).alias("cid"),
                     )

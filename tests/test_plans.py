@@ -446,3 +446,47 @@ def test_table_profile_approx_has_no_expand(spark, sf_dir):
     )
     assert "Expand" in exact_plan  # the cost the approx variant removes
     assert "Expand" not in approx_plan
+
+
+def test_corpus_ops_stay_jvm_side_with_partial_agg(spark, sf_dir):
+    """segment_dedup / lm_perplexity / temperature_sample are pure JVM
+    expression plans (no Python nodes), and the term-keyed aggregations
+    partial-aggregate map-side before their exchange."""
+    from paas_auditor_spark.queries import (
+        q_lm_perplexity,
+        q_segment_dedup,
+        q_temperature_sample,
+    )
+
+    for fn in (q_segment_dedup, q_lm_perplexity, q_temperature_sample):
+        df = fn(spark, sf_dir)
+        assert_plan_lacks(df, "BatchEvalPython", "ArrowEvalPython", "PythonUDF")
+    plan = q_lm_perplexity(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    # partial + final HashAggregate pairs around the term shuffles
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_semantic_dedup_broadcasts_centroids(spark, sf_dir):
+    """The cluster-assignment join must broadcast the k-row centroid set,
+    never shuffle the corpus against it (checkpoint=False exposes the
+    assignment subtree the lazy localCheckpoint would otherwise hide)."""
+    from paas_auditor_spark.operators import similarity
+    from paas_auditor_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = similarity.semantic_dedup(emb, k=8, threshold=0.4, checkpoint=False)
+    assert_plan_contains(df, "BroadcastNestedLoopJoin")
+    assert_plan_lacks(df, "BatchEvalPython", "ArrowEvalPython")
+
+
+def test_ivfpq_decodes_without_join_and_reranks_shortlist(spark, sf_dir):
+    """PQ decode is a narrow map (codebook literals — no join attaches the
+    reconstruction), probes broadcast, and no Python node appears."""
+    from paas_auditor_spark.queries import q_knn_ivfpq
+
+    df = q_knn_ivfpq(spark, sf_dir)
+    plan = assert_plan_contains(df, "BroadcastHashJoin")
+    assert_plan_lacks(df, "BatchEvalPython", "ArrowEvalPython")
+    # candidate ranking + final re-rank are bounded per-query windows,
+    # not global sorts over the corpus
+    assert "TakeOrderedAndProject" in plan or "Window" in plan
