@@ -130,12 +130,95 @@ def minhash_signatures(
     return _signatures_from_exploded(exploded, id_col, num_hashes)
 
 
+def _minhash_coeffs(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic affine-permutation coefficients (fixed public seeds):
+    the single source of truth shared by the grouped-aggregation path and
+    the narrow SQL-text path, so their signatures agree by construction."""
+    a = [2 * i + 1 for i in range(num_hashes)]  # odd multipliers
+    b = [(i * i + 7) % HASH_PRIME for i in range(num_hashes)]
+    return a, b
+
+
+def _band_keys_sql(
+    num_hashes: int, num_bands: int, hset_col: str = "hset"
+) -> str:
+    """SQL text of ``array<bigint>`` band keys computed NARROWLY from a
+    materialized hashed-shingle set — minimum of each affine permutation
+    via ``array_min(transform(...))``, polynomial-folded per band.
+
+    This is the zero-shuffle formulation of signatures+banding: when
+    ``hset`` comes from a checkpointed/materialized relation the whole
+    signature is a per-row map fused into the band shuffle's map stage,
+    replacing the explode → groupBy(id) shuffle of every shingle hash
+    (|docs| × |shingles| rows) with nothing at all.  (The grouped shape in
+    ``_signatures_from_exploded`` remains for inputs that are NOT
+    materialized, where Catalyst's CollapseProject would otherwise inline
+    the shingle tokenizer once per permutation.)  Values are identical to
+    the grouped path: same coefficients (``_minhash_coeffs``), same fold.
+    Built as ONE parsed expression string — no per-element py4j chatter
+    (see ``exprs.sql_doubles`` for the measured rationale).
+    """
+    rows_per_band = num_hashes // num_bands
+    a, b = _minhash_coeffs(num_hashes)
+
+    def mh(i: int) -> str:
+        return (
+            f"array_min(transform({hset_col}, "
+            f"h -> pmod(h * {a[i]}L + {b[i]}L, {HASH_PRIME}L)))"
+        )
+
+    bands = []
+    for bi in range(num_bands):
+        fold = "0L"
+        for r in range(rows_per_band):
+            fold = f"({fold} * 1000003L + {mh(bi * rows_per_band + r)})"
+        bands.append(fold)
+    return "array(" + ",".join(bands) + ")"
+
+
+def _banded_from_sets(
+    sets_df: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    num_bands: int,
+) -> DataFrame:
+    """(id, band_id, band_hash) directly from hashed shingle sets — one
+    narrow projection, no signature materialization, no shuffle."""
+    return sets_df.select(
+        F.col(id_col),
+        F.posexplode(F.expr(_band_keys_sql(num_hashes, num_bands))).alias(
+            "band_id", "band_hash"
+        ),
+    )
+
+
+def _pairs_from_banded(
+    banded_l: DataFrame, banded_r: DataFrame, id_col: str, self_join: bool
+) -> DataFrame:
+    """Distinct candidate pairs from banded tables via the (band_id,
+    band_hash) equi-join.  For a self-join both sides are the SAME plan,
+    so Spark reuses one Exchange (the banded table shuffles once)."""
+    on = [
+        F.col("l.band_id") == F.col("r.band_id"),
+        F.col("l.band_hash") == F.col("r.band_hash"),
+    ]
+    if self_join:
+        on.append(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+    return (
+        banded_l.alias("l")
+        .join(banded_r.alias("r"), on=on)
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def _signatures_from_exploded(
     exploded: DataFrame, id_col: str, num_hashes: int
 ) -> DataFrame:
-    # deterministic per-permutation coefficients (public trick: fixed seeds)
-    a = [2 * i + 1 for i in range(num_hashes)]  # odd multipliers
-    b = [(i * i + 7) % HASH_PRIME for i in range(num_hashes)]
+    a, b = _minhash_coeffs(num_hashes)
     aggs = [
         F.min(
             F.pmod(F.col("h") * F.lit(a[i]) + F.lit(b[i]), F.lit(HASH_PRIME))
@@ -303,11 +386,12 @@ def minhash_near_duplicates(
     sets_df = hashed_shingle_sets(df, text_col, id_col, shingle_k).localCheckpoint(
         eager=False
     )
-    exploded = sets_df.select(id_col, F.explode("hset").alias("h"))
-    sigs = _signatures_from_exploded(exploded, id_col, num_hashes).localCheckpoint(
-        eager=False
-    )
-    cands = minhash_candidates(sigs, id_col, num_hashes, num_bands)
+    # Banding is computed NARROWLY over the checkpointed sets (see
+    # _band_keys_sql): the signature never materializes and the only
+    # shuffles left in candidate generation are the band equi-join's —
+    # one Exchange, reused by both self-join sides.
+    banded = _banded_from_sets(sets_df, id_col, num_hashes, num_bands)
+    cands = _pairs_from_banded(banded, banded, id_col, self_join=True)
     verified = jaccard_pairs_hashed(sets_df, cands, id_col)
     return verified.filter(F.col("jaccard") >= threshold).orderBy("id_a", "id_b")
 
@@ -340,27 +424,9 @@ def minhash_near_duplicates_incremental(
         index_df, text_col, id_col, shingle_k
     ).localCheckpoint(eager=False)
 
-    def sigs(sets_df: DataFrame) -> DataFrame:
-        exploded = sets_df.select(id_col, F.explode("hset").alias("h"))
-        return _signatures_from_exploded(exploded, id_col, num_hashes)
-
-    banded_new = _banded(sigs(new_sets), id_col, num_hashes, num_bands)
-    banded_idx = _banded(sigs(idx_sets), id_col, num_hashes, num_bands)
-    cands = (
-        banded_new.alias("n")
-        .join(
-            banded_idx.alias("i"),
-            on=[
-                F.col("n.band_id") == F.col("i.band_id"),
-                F.col("n.band_hash") == F.col("i.band_hash"),
-            ],
-        )
-        .select(
-            F.col(f"n.{id_col}").alias("id_a"),
-            F.col(f"i.{id_col}").alias("id_b"),
-        )
-        .distinct()
-    )
+    banded_new = _banded_from_sets(new_sets, id_col, num_hashes, num_bands)
+    banded_idx = _banded_from_sets(idx_sets, id_col, num_hashes, num_bands)
+    cands = _pairs_from_banded(banded_new, banded_idx, id_col, self_join=False)
     both_sets = new_sets.unionByName(idx_sets)
     verified = jaccard_pairs_hashed(both_sets, cands, id_col)
     return verified.filter(F.col("jaccard") >= threshold).orderBy(
