@@ -68,6 +68,10 @@ HEADLINE = [
     "lm_perplexity",
     "temperature_sample",
     "knn_ivfpq",
+    "train_test_split",
+    "zipf_slope",
+    "quality_classifier",
+    "random_projection",
 ]
 
 

@@ -947,13 +947,18 @@ def kmeans_assign(
 
 def projection_signs(dim: int = 64, out_dim: int = 8) -> list[list[float]]:
     """Deterministic ±1 (Achlioptas-style) projection matrix, one row per
-    OUTPUT dimension.  Sign is a pure arithmetic function of the
-    (input, output) index pair, so any re-checker — including a SQL
-    oracle — regenerates the identical matrix with no RNG state."""
-    return [
-        [1.0 if (i * 31 + j * 17) % 2 == 0 else -1.0 for i in range(dim)]
-        for j in range(out_dim)
-    ]
+    OUTPUT dimension.  Seeded per row like ``_plane_coeffs`` (a fixed
+    public seed advanced per element — an arithmetic parity formula like
+    (i·31+j·17) mod 2 looks deterministic but collapses to parity(i+j),
+    i.e. a rank-2 matrix).  Re-checkers reproduce it from the same seed
+    or embed the literal rows (the SQL oracle does the latter)."""
+    import random
+
+    out = []
+    for j in range(out_dim):
+        rng = random.Random(0x1337BEEF + j)
+        out.append([1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)])
+    return out
 
 
 def random_projection(

@@ -3113,6 +3113,129 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_sample(docs, alpha=0.5, target_frac=0.5)
 
 
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed train/val/test split, reported as
+    per-(source, split) stratification counts.  The assignment is a pure
+    function of the document id's md5 prefix (~80/10/10 via hex-prefix
+    thresholds), so every worker — and every RE-RUN over re-partitioned,
+    re-ordered, or incrementally grown data — agrees on each document's
+    split with zero coordination: no RNG state, no shuffle for the
+    assignment itself, only the small stratification agg at the end.
+    That idempotence is what makes the split safe at 100 TB: adding a
+    shard never reassigns existing documents across splits."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    split = (
+        F.when(h < "cccd", "train").when(h < "e666", "val").otherwise("test")
+    )
+    return (
+        docs.groupBy(F.col("source"), split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health diagnostic: per-source Zipf slope — the OLS slope of
+    ln(freq) over ln(rank) across the source's term frequency spectrum
+    (natural text ≈ −1; synthetic/templated corpora flatten toward 0).
+    One (source, term) groupBy with map-side partials is the only
+    fact-sized shuffle; the rank window and regr_slope run over
+    term-cardinality rows, tiny next to the token stream."""
+    docs = _th(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tx.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    freq = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("freq").desc(), F.col("term").asc()
+    )
+    ranked = freq.withColumn("rnk", F.row_number().over(w))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.round(
+                F.regr_slope(
+                    F.log(F.col("freq").cast("double")),
+                    F.log(F.col("rnk").cast("double")),
+                ),
+                4,
+            ).alias("zipf_slope"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style learned quality gate: logistic score over the cheap
+    text features (log token count, stopword ratio, punctuation density,
+    average token length) with fixed public weights — the shape of an
+    'edu-classifier' pass without shipping a model.  Every feature and
+    the sigmoid are single-pass column expressions over one scan: a pure
+    narrow map, embarrassingly parallel at 100 TB.  Feature ratios are
+    rounded to 4dp BEFORE the linear form so any engine reproducing the
+    rounded features reproduces the score bit-for-bit."""
+    docs = _th(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tok = tx.token_count(text)
+    stop_ratio = F.round(
+        tx.stopword_count(text) / F.greatest(n_tok.cast("double"), F.lit(1.0)),
+        4,
+    )
+    punct_ratio = F.round(
+        tx.punct_count(text)
+        / F.greatest(F.length(text).cast("double"), F.lit(1.0)),
+        4,
+    )
+    avg_len = F.round(
+        F.length(F.regexp_replace(F.trim(text), tx.WS, ""))
+        / F.greatest(n_tok.cast("double"), F.lit(1.0)),
+        4,
+    )
+    z = (
+        F.lit(-3.0)
+        + F.lit(0.9) * F.log(F.lit(1.0) + n_tok.cast("double"))
+        + F.lit(2.5) * stop_ratio
+        - F.lit(4.0) * punct_ratio
+        + F.lit(0.15) * avg_len
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+    return docs.select(
+        "doc_id",
+        score.alias("score"),
+        (score >= 0.5).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss 64→8 projection of the embedding column with
+    a deterministic ±1 sign matrix (operators.similarity.random_projection):
+    the dimensionality-reduction front-end for downstream ANN/clustering."""
+    emb = _th(spark, sf_dir, "embeddings")
+    return similarity.random_projection(emb, out_dim=8).orderBy("vec_id")
+
+
+def _oracle_random_projection() -> str:
+    from paas_auditor_spark.operators.similarity import projection_signs
+
+    cols = ",\n               ".join(
+        "round(list_dot_product(CAST(embedding AS DOUBLE[]), ["
+        + ", ".join(repr(s) for s in row)
+        + f"]), 4) AS rp_{j}"
+        for j, row in enumerate(projection_signs(64, 8))
+    )
+    return f"""
+        SELECT vec_id,
+               {cols}
+        FROM embeddings ORDER BY vec_id
+        """
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "unshipped_events": QuerySpec(q_unshipped_events, ORACLE_UNSHIPPED),
     "latest_event_time": QuerySpec(
@@ -4979,6 +5102,82 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM ranked r JOIN wts w USING (source)
         ORDER BY r.doc_id
         """,
+    ),
+    "train_test_split": QuerySpec(
+        q_train_test_split,
+        """
+        SELECT source,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+                      THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                      THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               min(doc_id) AS min_doc_id,
+               max(doc_id) AS max_doc_id
+        FROM documents
+        GROUP BY source, split
+        ORDER BY source, split
+        """,
+    ),
+    "zipf_slope": QuerySpec(
+        q_zipf_slope,
+        """
+        WITH toks AS (
+          SELECT source,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                   AS term
+          FROM documents),
+        freq AS (
+          SELECT source, term, count(*) AS freq
+          FROM toks GROUP BY source, term),
+        ranked AS (
+          SELECT source, freq,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY freq DESC, term ASC) AS rnk
+          FROM freq)
+        SELECT source,
+               round(regr_slope(ln(CAST(freq AS DOUBLE)),
+                                ln(CAST(rnk AS DOUBLE))), 4) AS zipf_slope,
+               count(*) AS n_terms
+        FROM ranked GROUP BY source ORDER BY source
+        """,
+    ),
+    "quality_classifier": QuerySpec(
+        q_quality_classifier,
+        """
+        WITH f AS (
+          SELECT doc_id,
+                 CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens,
+                 round(len(list_filter(
+                         regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x IN ('the','a','of','and','to','in','is','on',
+                                    'for','with')))
+                       / greatest(CAST(len(string_split_regex(trim(text),
+                                       '\\s+')) AS DOUBLE), 1.0), 4)
+                   AS stop_ratio,
+                 round(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                       / greatest(CAST(length(text) AS DOUBLE), 1.0), 4)
+                   AS punct_ratio,
+                 round(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                       / greatest(CAST(len(string_split_regex(trim(text),
+                                       '\\s+')) AS DOUBLE), 1.0), 4)
+                   AS avg_len
+          FROM documents),
+        z AS (
+          SELECT doc_id,
+                 -3.0 + 0.9 * ln(1.0 + n_tokens) + 2.5 * stop_ratio
+                      - 4.0 * punct_ratio + 0.15 * avg_len AS z
+          FROM f)
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(-z)), 4) AS score,
+               round(1.0 / (1.0 + exp(-z)), 4) >= 0.5 AS keep
+        FROM z ORDER BY doc_id
+        """,
+    ),
+    "random_projection": QuerySpec(
+        q_random_projection, _oracle_random_projection()
     ),
 }
 

@@ -1,0 +1,129 @@
+"""Tests for the curation extras: deterministic split, Zipf diagnostics,
+quality classifier, and JL random projection."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from paas_auditor_spark.operators import similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    from paas_auditor_spark.sources.tables import load_table
+
+    return load_table(spark, SF, "documents")
+
+
+def test_train_test_split_deterministic_and_total(spark):
+    from paas_auditor_spark.queries import q_train_test_split
+
+    a = q_train_test_split(spark, SF).collect()
+    b = q_train_test_split(spark, SF).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    total = sum(r["n_docs"] for r in a)
+    assert total == _docs(spark).count()
+    # hex-prefix thresholds give ~80/10/10; assert loose bands so a
+    # testdata regen can't silently skew the split logic
+    by_split: dict[str, int] = {}
+    for r in a:
+        by_split[r["split"]] = by_split.get(r["split"], 0) + r["n_docs"]
+    assert 0.7 < by_split["train"] / total < 0.9
+    assert 0.05 < by_split["val"] / total < 0.15
+    assert 0.05 < by_split["test"] / total < 0.15
+
+
+def test_train_test_split_stable_under_growth(spark):
+    """Adding documents never reassigns existing ones (content-addressed)."""
+    docs = _docs(spark)
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    split = (
+        F.when(h < "cccd", "train").when(h < "e666", "val").otherwise("test")
+    )
+    full = {
+        r["doc_id"]: r["s"]
+        for r in docs.select("doc_id", split.alias("s")).collect()
+    }
+    half = {
+        r["doc_id"]: r["s"]
+        for r in docs.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", split.alias("s"))
+        .collect()
+    }
+    assert all(full[k] == v for k, v in half.items())
+
+
+def test_zipf_slope_negative_and_bounded(spark):
+    from paas_auditor_spark.queries import q_zipf_slope
+
+    rows = q_zipf_slope(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # frequency must decay with rank: slope strictly negative, and
+        # steeper than a flat synthetic corpus would allow
+        assert r["zipf_slope"] < -0.1, r
+        assert r["n_terms"] > 10
+
+
+def test_quality_classifier_is_sigmoid_of_features(spark):
+    from paas_auditor_spark.queries import q_quality_classifier
+
+    rows = q_quality_classifier(spark, SF).orderBy("doc_id").limit(50).collect()
+    assert rows and all(0.0 <= r["score"] <= 1.0 for r in rows)
+    assert all(r["keep"] == (r["score"] >= 0.5) for r in rows)
+
+
+def test_projection_signs_deterministic_pm1():
+    m = similarity.projection_signs(64, 8)
+    assert len(m) == 8 and all(len(row) == 64 for row in m)
+    assert all(v in (1.0, -1.0) for row in m for v in row)
+    # rows must differ (distinct output dims), else the projection is rank-1
+    assert len({tuple(r) for r in m}) == 8
+    assert m == similarity.projection_signs(64, 8)
+
+
+def test_random_projection_matches_numpy(spark):
+    from paas_auditor_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings").limit(20)
+    got = similarity.random_projection(emb, out_dim=8).orderBy("vec_id").collect()
+    src = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in emb.collect()}
+    signs = np.array(similarity.projection_signs(64, 8))
+    for r in got:
+        want = signs @ src[r["vec_id"]]
+        have = np.array([r[f"rp_{j}"] for j in range(8)])
+        assert np.allclose(have, np.round(want, 4), atol=1e-9)
+
+
+def test_random_projection_bounded_distortion(spark):
+    """JL sanity: E[||Sx||²] = out_dim·||x||² for ±1 rows, so the rescaled
+    projected distance over the source distance is a sqrt(χ²_8/8)-shaped
+    ratio — individually bounded, mean near 1.  (Rank correlation is NOT
+    a valid check here: high-dim random pair distances concentrate, so
+    their ranks under any 8-dim projection are noise.)"""
+    from paas_auditor_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings").limit(40)
+    proj = {
+        r["vec_id"]: np.array([r[f"rp_{j}"] for j in range(8)])
+        for r in similarity.random_projection(emb, out_dim=8).collect()
+    }
+    src = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in emb.collect()}
+    ids = sorted(src)
+    ratios = []
+    for i in range(0, len(ids) - 1, 2):
+        a, b = ids[i], ids[i + 1]
+        d_src = float(np.linalg.norm(src[a] - src[b]))
+        d_prj = float(np.linalg.norm(proj[a] - proj[b])) / math.sqrt(8)
+        if d_src > 0:
+            ratios.append(d_prj / d_src)
+    assert ratios and all(0.2 < r < 3.0 for r in ratios), ratios
+    assert 0.7 < float(np.mean(ratios)) < 1.3, np.mean(ratios)
