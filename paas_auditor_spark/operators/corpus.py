@@ -152,9 +152,16 @@ def bigram_lm_perplexity(
             F.array().cast("array<struct<w1:string,w2:string>>")
         )
 
-    base = docs_df.select(
-        F.col(id_col), let(tokens(F.lower(F.col(text_col))), bigram_arr).alias("bg")
-    )
+    # Tokenize ONCE and checkpoint: the token array feeds the bigram
+    # stream AND the vocabulary count (re-deriving each from text would
+    # run the regex tokenizer twice over the corpus — measured ~40% of
+    # the operator's wall time at sf0.1).  occ is checkpointed too: three
+    # consumers (c2, c1, the scored join) would otherwise each re-reduce
+    # the (doc, w1, w2) shuffle.
+    toked = docs_df.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("toks")
+    ).localCheckpoint(eager=False)
+    base = toked.select(id_col, bigram_arr(F.col("toks")).alias("bg"))
     # per-(doc, w1, w2) occurrence counts: one explode, then every
     # downstream aggregate reuses this narrow table
     occ = (
@@ -163,12 +170,13 @@ def bigram_lm_perplexity(
         )
         .groupBy(id_col, F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
         .agg(F.count(F.lit(1)).alias("m"))
+        .localCheckpoint(eager=False)
     )
     c2 = occ.groupBy("w1", "w2").agg(F.sum("m").alias("c2"))
     c1 = occ.groupBy("w1").agg(F.sum("m").alias("c1"))
-    vocab = docs_df.select(
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("w")
-    ).agg(F.countDistinct("w").alias("v"))
+    vocab = toked.select(F.explode("toks").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
     scored = (
         occ.join(c2, on=["w1", "w2"])
         .join(c1, on="w1")
@@ -188,7 +196,7 @@ def bigram_lm_perplexity(
     )
     # left join back so < 2-token docs keep a row (n_bigrams 0, NULL ppl)
     return (
-        docs_df.select(id_col)
+        toked.select(id_col)
         .join(per_doc, on=id_col, how="left")
         .select(
             id_col,

@@ -35,25 +35,28 @@ def bm25_scores(
 ) -> DataFrame:
     """Per-document BM25 score for ``query_terms``; one row per matching
     document: (id_col, score)."""
-    toks = docs.select(
-        F.col(id_col),
-        F.explode(tx.tokens(F.lower(F.col(text_col)))).alias("term"),
+    # Tokenize ONCE and checkpoint the token arrays: doc length is then a
+    # narrow size() over the array (the explode+groupBy formulation
+    # re-shuffled every token to count them), and the query-term explode
+    # reads the same materialized base instead of re-running the regex
+    # tokenizer over the corpus.  N is counted over the DOCS relation,
+    # not doclen: tokenization yields NULL for NULL text, and BM25's N
+    # (like the oracle's count(*) FROM documents) counts every document
+    # in the corpus; avgdl is over documents that HAVE tokens, matching
+    # the oracle's doclen CTE.  Two bounded driver actions (a count and
+    # a 1-row collect), both scalar.
+    toked = docs.select(
+        F.col(id_col), tx.tokens(F.lower(F.col(text_col))).alias("toks")
+    ).localCheckpoint(eager=False)
+    doclen = toked.filter(F.col("toks").isNotNull()).select(
+        F.col(id_col), F.size("toks").alias("dl")
     )
-    # materialize doc lengths once (the corpus-sized explode+agg) so the
-    # scalar stats and the final score join both reuse it instead of
-    # re-exploding the corpus.  N is counted over the DOCS relation, not
-    # doclen: explode drops NULL-text documents, and BM25's N (like the
-    # oracle's count(*) FROM documents) counts every document in the
-    # corpus; avgdl is over documents that HAVE tokens, matching the
-    # oracle's doclen CTE.  Two bounded driver actions (a count and a
-    # 1-row collect), both scalar.
-    doclen = (
-        toks.groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("dl"))
-        .localCheckpoint(eager=False)
-    )
-    n_docs = docs.count()
-    avgdl = float(doclen.agg(F.avg("dl")).collect()[0][0])
+    toks = toked.select(F.col(id_col), F.explode("toks").alias("term"))
+    # N and avgdl stay IN-PLAN as broadcast 1-row cross joins (no driver
+    # collect, no extra job round-trips); CAST to double mirrors the
+    # float() the collected formulation applied
+    n_df = docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    avgdl_df = doclen.agg(F.avg("dl").alias("_avgdl"))
 
     qterms = [t.lower() for t in query_terms]
     qtoks = toks.filter(F.col("term").isin(qterms))
@@ -61,14 +64,15 @@ def bm25_scores(
     df_ = qtoks.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
 
     idf = F.log(
-        F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        F.lit(1.0) + (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
     # df_ is |Q|-row → broadcast; doclen is corpus-sized → shuffle join on
     # the id (both sides already hash on it from their aggregations)
     per_term = (
         tf.join(F.broadcast(df_), "term")
         .join(doclen, id_col)
+        .crossJoin(F.broadcast(n_df))
+        .crossJoin(F.broadcast(avgdl_df))
         .select(
             id_col,
             (
@@ -76,7 +80,7 @@ def bm25_scores(
                 * (F.col("tf") * (k1 + 1))
                 / (
                     F.col("tf")
-                    + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))
+                    + k1 * (1 - b + b * F.col("dl") / F.col("_avgdl"))
                 )
             ).alias("term_score"),
         )

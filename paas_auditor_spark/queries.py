@@ -1809,12 +1809,16 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = docs.select(
         "doc_id", F.explode(tx.tokens(F.lower(F.col("text")))).alias("term")
     )
-    tf = terms.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("_tf")
+    # tf is checkpointed because BOTH df and the score join read it: df
+    # per term is just the (doc, term) row count of tf (one row per doc
+    # carrying the term), so deriving it from tf saves the second corpus
+    # tokenize+explode AND downgrades countDistinct to a plain count.
+    tf = (
+        terms.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+        .localCheckpoint(eager=False)
     )
-    df_ = terms.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("_df")
-    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("term").asc()
@@ -3111,6 +3115,53 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return temperature_sample(docs, alpha=0.5, target_frac=0.5)
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join on the events stream: every purchase picks up the user's
+    latest prior-or-same-instant click (operators.rangejoin.asof_join —
+    the sort-merge shape: ONE |L|+|R| shuffle, no candidate-pair join).
+    The oracle states the same semantics as the quadratic LEFT JOIN +
+    row_number formulation — ties at equal click ts break by max
+    event_id, matching the operator's deterministic tie rule."""
+    from paas_auditor_spark.operators.rangejoin import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        key_cols=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        tie_break="event_id",
+        right_prefix="click_",
+    ).orderBy("event_id")
+
+
+ORACLE_ASOF = """
+WITH p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type = 'click'),
+j AS (
+  SELECT p.event_id, p.user_id, p.ts, p.value,
+         c.ts AS click_ts, c.event_id AS click_event_id,
+         c.value AS click_value,
+         row_number() OVER (
+           PARTITION BY p.event_id
+           ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn
+  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts)
+SELECT event_id, user_id, ts, value, click_ts, click_event_id, click_value
+FROM j WHERE rn = 1 ORDER BY event_id
+"""
 
 
 def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5103,6 +5154,7 @@ REGISTRY: dict[str, QuerySpec] = {
         ORDER BY r.doc_id
         """,
     ),
+    "asof_join": QuerySpec(q_asof_join, ORACLE_ASOF),
     "train_test_split": QuerySpec(
         q_train_test_split,
         """

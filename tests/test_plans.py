@@ -347,12 +347,20 @@ def test_inverted_index_single_shuffle(spark, sf_dir):
 
 def test_bm25_broadcasts_df_not_doclen(spark, sf_dir):
     # the |Q|-row document-frequency frame broadcasts; the corpus-sized
-    # doc-length frame must NOT (it shuffle-joins on the id)
+    # doc-length frame must NOT (it shuffle-joins on the id).  The only
+    # BroadcastNestedLoopJoins allowed are the Cross-type 1-row stat
+    # frames (N, avgdl ride in-plan) — a CONDITIONED BNLJ would mean a
+    # theta join over the corpus.
+    import re
+
     from paas_auditor_spark.queries import q_bm25_search
 
     df = q_bm25_search(spark, sf_dir)
     plan = assert_plan_contains(df, "BroadcastHashJoin")
-    assert_plan_lacks(df, "BroadcastNestedLoopJoin")
+    # formatted explain puts the node header and its detail block apart:
+    # every BNLJ block must read "Join type: Cross" (unconditioned 1-row)
+    for m in re.finditer(r"BroadcastNestedLoopJoin\n[^(]*", plan):
+        assert "Join type: Cross" in m.group(0), m.group(0)
 
 
 def test_quantize_and_zorder_stay_jvm_side(spark, sf_dir):
@@ -466,17 +474,20 @@ def test_corpus_ops_stay_jvm_side_with_partial_agg(spark, sf_dir):
     assert plan.count("HashAggregate") >= 4
 
 
-def test_semantic_dedup_broadcasts_centroids(spark, sf_dir):
-    """The cluster-assignment join must broadcast the k-row centroid set,
-    never shuffle the corpus against it (checkpoint=False exposes the
-    assignment subtree the lazy localCheckpoint would otherwise hide)."""
+def test_semantic_dedup_single_shuffle_no_join(spark, sf_dir):
+    """Centroids ride in as parsed literals, so cluster assignment is a
+    pure narrow map — the plan must contain NO join at all; the only
+    corpus shuffle is the cluster groupBy feeding the vectorized
+    per-cluster prune (FlatMapGroupsInPandas — the measured
+    'vectorization beats built-ins' exception, like the LSH verify)."""
     from paas_auditor_spark.operators import similarity
     from paas_auditor_spark.sources.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    df = similarity.semantic_dedup(emb, k=8, threshold=0.4, checkpoint=False)
-    assert_plan_contains(df, "BroadcastNestedLoopJoin")
-    assert_plan_lacks(df, "BatchEvalPython", "ArrowEvalPython")
+    df = similarity.semantic_dedup(emb, k=8, threshold=0.4)
+    plan = assert_plan_contains(df, "FlatMapGroupsInPandas")
+    assert "Join" not in plan, plan
+    assert_plan_lacks(df, "BatchEvalPython", "ArrowEvalPython", "Window")
 
 
 def test_ivfpq_decodes_without_join_and_reranks_shortlist(spark, sf_dir):

@@ -288,3 +288,102 @@ def test_scd2_fold_invariants(spark, updates):
     assert sorted(map(tuple, again.collect()), key=repr) == sorted(
         map(tuple, rows), key=repr
     )
+
+
+def test_asof_join_semantics_tolerance_and_null_carry(spark):
+    """Backward-inclusive match, max-ts then max-tie winner, NULL right
+    VALUE carried from the matched row (not skipped), tolerance nulling,
+    unmatched-left retention."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from paas_auditor_spark.operators.rangejoin import asof_join
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    lschema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("lid", T.LongType()),
+    ])
+    rschema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("rid", T.LongType()),
+        T.StructField("val", T.DoubleType()),
+    ])
+    left = spark.createDataFrame(
+        [(1, ts(10), 100), (1, ts(30), 101), (2, ts(10), 200),
+         (3, ts(5), 300)],
+        lschema,
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts(10), 7, None),    # same-instant match, NULL value
+            (1, ts(8), 6, 8.0),      # older — must NOT be carried into 100
+            (1, ts(25), 9, 25.0),
+            (1, ts(25), 8, 24.0),    # same ts as rid 9 → rid 9 wins (max tie)
+            (2, ts(50), 11, 50.0),   # only AFTER the left row → no match
+        ],
+        rschema,
+    )
+    out = {
+        r["lid"]: r
+        for r in asof_join(
+            left, right, ["k"], "ts", "ts", "rid"
+        ).collect()
+    }
+    assert len(out) == 4
+    # inclusive same-instant match; the matched row's NULL val is carried
+    assert out[100]["right_rid"] == 7 and out[100]["right_val"] is None
+    assert out[101]["right_rid"] == 9 and out[101]["right_val"] == 25.0
+    assert out[200]["right_rid"] is None  # right exists only in the future
+    assert out[300]["right_rid"] is None  # key with no right rows at all
+    # tolerance: 101 matched at ts 25 vs left ts 30 (5s gap) — a 3s
+    # tolerance nulls it, a 5s tolerance keeps it (inclusive)
+    tol3 = {
+        r["lid"]: r
+        for r in asof_join(
+            left, right, ["k"], "ts", "ts", "rid", tolerance_s=3
+        ).collect()
+    }
+    assert tol3[101]["right_rid"] is None
+    assert tol3[100]["right_rid"] == 7  # 0s gap survives any tolerance
+    tol5 = {
+        r["lid"]: r
+        for r in asof_join(
+            left, right, ["k"], "ts", "ts", "rid", tolerance_s=5
+        ).collect()
+    }
+    assert tol5[101]["right_rid"] == 9
+
+
+def test_asof_join_single_shuffle_no_join_node(spark):
+    """The plan must be union → one window (shuffle+sort) — never a join
+    of candidate pairs."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from paas_auditor_spark.operators.rangejoin import asof_join
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("x", T.LongType()),
+    ])
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2026, 1, 1), 1)], schema
+    )
+    plan = (
+        asof_join(df, df, ["k"], "ts", "ts", "x")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" in plan
+    assert "Join" not in plan, plan
