@@ -74,6 +74,9 @@ HEADLINE = [
     "quality_classifier",
     "random_projection",
     "asof_join",
+    "chi2_keywords",
+    "source_drift_psi",
+    "label_centroid_stats",
 ]
 
 

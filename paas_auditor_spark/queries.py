@@ -3117,6 +3117,225 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_sample(docs, alpha=0.5, target_frac=0.5)
 
 
+def q_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive-term extraction per source via the χ² statistic over
+    document-presence contingency tables — the classic feature-selection
+    signal (complements bigram_pmi, which finds collocations WITHIN the
+    corpus; χ² finds what separates one slice FROM the rest).  For each
+    (source, term): a = docs of the source containing the term, b = other
+    docs containing it, c/d the complements; χ² = N(ad−bc)²/((a+b)(c+d)
+    (a+c)(b+d)).  Scale shape: one fact-sized distinct on (doc, source,
+    term), then every aggregate is slice- or vocabulary-sized; the tiny
+    per-term and per-source frames broadcast back.  Terms present in
+    every document carry no signal and divide by zero — filtered."""
+    docs = _th(spark, sf_dir, "documents")
+    docterm = docs.select(
+        "doc_id",
+        "source",
+        F.explode(tx.tokens(F.lower(F.col("text")))).alias("term"),
+    ).distinct()
+    a_df = docterm.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("a")
+    )
+    df_tot = docterm.groupBy("term").agg(F.count(F.lit(1)).alias("df_tot"))
+    n_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    n_all = docs.agg(F.count(F.lit(1)).alias("n_all"))
+    a, b = F.col("a"), F.col("df_tot") - F.col("a")
+    c = F.col("n_src") - F.col("a")
+    d = F.col("n_all") - F.col("n_src") - b
+    chi2 = (
+        F.col("n_all")
+        * (a * d - b * c)
+        * (a * d - b * c)
+        / ((a + b) * (c + d) * (a + c) * (b + d))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("chi2").desc(), F.col("term").asc()
+    )
+    return (
+        a_df.join(F.broadcast(df_tot), "term")
+        .join(F.broadcast(n_src), "source")
+        .crossJoin(F.broadcast(n_all))
+        .filter(F.col("df_tot") < F.col("n_all"))  # no-signal terms
+        .withColumn("chi2", F.round(chi2, 4))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("source", "term", "chi2")
+        .orderBy("source", F.col("chi2").desc(), "term")
+    )
+
+
+ORACLE_CHI2 = """
+WITH docterm AS (
+  SELECT DISTINCT doc_id, source,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents),
+a_df AS (
+  SELECT source, term, count(*) AS a FROM docterm GROUP BY source, term),
+df_tot AS (
+  SELECT term, count(*) AS df_tot FROM docterm GROUP BY term),
+n_src AS (
+  SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+n_all AS (SELECT count(*) AS n_all FROM documents),
+scored AS (
+  SELECT a_df.source, a_df.term,
+         round(n_all * (a * (n_all - n_src - (df_tot - a))
+                        - (df_tot - a) * (n_src - a))
+                     * (a * (n_all - n_src - (df_tot - a))
+                        - (df_tot - a) * (n_src - a))
+               * 1.0
+               / ((a + (df_tot - a))
+                  * ((n_src - a) + (n_all - n_src - (df_tot - a)))
+                  * (a + (n_src - a))
+                  * ((df_tot - a) + (n_all - n_src - (df_tot - a)))),
+               4) AS chi2
+  FROM a_df JOIN df_tot USING (term) JOIN n_src USING (source)
+       CROSS JOIN n_all
+  WHERE df_tot < n_all)
+SELECT source, term, chi2 FROM scored
+QUALIFY row_number() OVER (PARTITION BY source
+                           ORDER BY chi2 DESC, term ASC) <= 3
+ORDER BY source, chi2 DESC, term
+"""
+
+
+def q_source_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: Population Stability Index of each
+    source's doc-length distribution against the whole corpus — the
+    standard pipeline guardrail for 'did this shard/source change shape'.
+    Lengths bin at 50 chars; PSI = Σ (p_s − p_c)·ln(p_s/p_c) over the
+    corpus's observed bins with add-one smoothing (so empty source bins
+    stay finite and the statistic is exactly reproducible in SQL).
+    Scale shape: one map-side-combined (source, bin) count — everything
+    after is bins×sources-sized; the source×bin grid is built by a
+    broadcast cross join of two tiny aggregates."""
+    docs = _t(spark, sf_dir, "documents")
+    binned = docs.select(
+        "source", (F.floor(F.col("n_chars") / 50)).alias("bin")
+    )
+    src_bin = binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    corpus_bin = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c_cnt"))
+    n_src = binned.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    totals = binned.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.countDistinct("bin").alias("n_bins"),
+    )
+    grid = n_src.crossJoin(F.broadcast(corpus_bin)).crossJoin(
+        F.broadcast(totals)
+    )
+    p_s = (F.coalesce(F.col("cnt"), F.lit(0)) + 1) / (
+        F.col("n_src") + F.col("n_bins")
+    )
+    p_c = (F.col("c_cnt") + 1) / (F.col("n_all") + F.col("n_bins"))
+    return (
+        grid.join(src_bin, ["source", "bin"], "left")
+        .withColumn("term_psi", (p_s - p_c) * F.log(p_s / p_c))
+        .groupBy("source")
+        .agg(
+            F.round(F.sum("term_psi"), 4).alias("psi"),
+            F.first("n_src").alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_PSI = """
+WITH binned AS (
+  SELECT source, CAST(floor(n_chars / 50) AS BIGINT) AS bin
+  FROM documents),
+src_bin AS (
+  SELECT source, bin, count(*) AS cnt FROM binned GROUP BY source, bin),
+corpus_bin AS (
+  SELECT bin, count(*) AS c_cnt FROM binned GROUP BY bin),
+n_src AS (
+  SELECT source, count(*) AS n_src FROM binned GROUP BY source),
+totals AS (
+  SELECT count(*) AS n_all, count(DISTINCT bin) AS n_bins FROM binned),
+grid AS (
+  SELECT * FROM n_src CROSS JOIN corpus_bin CROSS JOIN totals)
+SELECT g.source,
+       round(sum(((coalesce(s.cnt, 0) + 1.0) / (g.n_src + g.n_bins)
+                  - (g.c_cnt + 1.0) / (g.n_all + g.n_bins))
+                 * ln(((coalesce(s.cnt, 0) + 1.0) / (g.n_src + g.n_bins))
+                      / ((g.c_cnt + 1.0) / (g.n_all + g.n_bins)))), 4)
+         AS psi,
+       any_value(g.n_src) AS n_docs
+FROM grid g LEFT JOIN src_bin s ON s.source = g.source AND s.bin = g.bin
+GROUP BY g.source ORDER BY g.source
+"""
+
+
+def q_label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality audit over the labeled embeddings: per label the
+    member count, centroid L2 norm, and cohesion (mean/min cosine of
+    members to their label centroid) — the health check run after any
+    clustering/labeling pass.  Scale shape: centroids come from a
+    (label, dim) mean over the posexploded vectors (64 rows per vector,
+    map-side combined), then cohesion reuses the SAME exploded relation
+    joined to the label×64-row centroid frame by broadcast — the corpus
+    is never shuffled whole, and no |n|² pair space exists."""
+    emb = _th(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos", "x"),
+    ).localCheckpoint(eager=False)
+    cent = dims.groupBy("label", "pos").agg(F.avg("x").alias("c"))
+    per_vec = (
+        dims.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("x") * F.col("c")).alias("dot_vc"),
+            F.sum(F.col("x") * F.col("x")).alias("vv"),
+        )
+    )
+    cnorm = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cnorm")
+    )
+    cos = F.col("dot_vc") / (F.sqrt(F.col("vv")) * F.col("cnorm"))
+    return (
+        per_vec.join(F.broadcast(cnorm), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.first("cnorm"), 4).alias("centroid_norm"),
+            F.round(F.avg(cos), 4).alias("avg_cos"),
+            F.round(F.min(cos), 4).alias("min_cos"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_LABEL_CENTROIDS = """
+WITH real_dims AS (
+  -- constant-bound dim join: DuckDB's generate_series cannot take
+  -- lateral column args; the testdata embedding dim is fixed at 64
+  SELECT e.vec_id, e.label, r.range AS pos,
+         CAST(e.embedding[r.range + 1] AS DOUBLE) AS x
+  FROM embeddings e CROSS JOIN range(64) r),
+cent AS (
+  SELECT label, pos, avg(x) AS c FROM real_dims GROUP BY label, pos),
+per_vec AS (
+  SELECT d.vec_id, d.label,
+         sum(d.x * cent.c) AS dot_vc, sum(d.x * d.x) AS vv
+  FROM real_dims d JOIN cent ON cent.label = d.label AND cent.pos = d.pos
+  GROUP BY d.vec_id, d.label),
+cnorm AS (
+  SELECT label, sqrt(sum(c * c)) AS cnorm FROM cent GROUP BY label)
+SELECT p.label,
+       count(*) AS n_vecs,
+       round(any_value(n.cnorm), 4) AS centroid_norm,
+       round(avg(p.dot_vc / (sqrt(p.vv) * n.cnorm)), 4) AS avg_cos,
+       round(min(p.dot_vc / (sqrt(p.vv) * n.cnorm)), 4) AS min_cos
+FROM per_vec p JOIN cnorm n USING (label)
+GROUP BY p.label ORDER BY p.label
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join on the events stream: every purchase picks up the user's
     latest prior-or-same-instant click (operators.rangejoin.asof_join —
@@ -5155,6 +5374,11 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
     ),
     "asof_join": QuerySpec(q_asof_join, ORACLE_ASOF),
+    "chi2_keywords": QuerySpec(q_chi2_keywords, ORACLE_CHI2),
+    "source_drift_psi": QuerySpec(q_source_drift_psi, ORACLE_PSI),
+    "label_centroid_stats": QuerySpec(
+        q_label_centroid_stats, ORACLE_LABEL_CENTROIDS
+    ),
     "train_test_split": QuerySpec(
         q_train_test_split,
         """

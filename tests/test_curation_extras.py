@@ -127,3 +127,69 @@ def test_random_projection_bounded_distortion(spark):
             ratios.append(d_prj / d_src)
     assert ratios and all(0.2 < r < 3.0 for r in ratios), ratios
     assert 0.7 < float(np.mean(ratios)) < 1.3, np.mean(ratios)
+
+
+def test_chi2_keywords_planted_distinctive_term(spark):
+    """A term appearing in every doc of one source and nowhere else must
+    be that source's top χ² keyword; a uniformly-present term must not
+    appear at all (no-signal filter)."""
+    import os
+    import tempfile
+
+    from paas_auditor_spark.queries import REGISTRY
+
+    rows = []
+    for i in range(20):
+        src = "a" if i < 10 else "b"
+        marker = "zebra" if src == "a" else "yak"
+        rows.append((i, f"common filler {marker} words", "en", src, 20))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = REGISTRY["chi2_keywords"].fn(spark, d).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["term"])
+    assert by_src["a"][0] in ("zebra", "yak")  # max chi2, tie by term asc
+    assert "common" not in by_src["a"] and "filler" not in by_src["a"]
+
+
+def test_source_drift_psi_zero_for_identical_distributions(spark):
+    """Sources with identical length distributions → PSI ≈ 0 for each."""
+    import os
+    import tempfile
+
+    from paas_auditor_spark.queries import REGISTRY
+
+    rows = []
+    i = 0
+    for src in ("a", "b"):
+        for ln in (10, 60, 110, 160) * 5:  # same shape in both sources
+            rows.append((i, "x" * ln, "en", src, ln))
+            i += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = {r["source"]: r["psi"] for r in
+               REGISTRY["source_drift_psi"].fn(spark, d).collect()}
+    assert set(out) == {"a", "b"}
+    assert all(abs(v) < 1e-6 for v in out.values()), out
+
+
+def test_label_centroid_stats_bounds(spark, sf_dir):
+    from paas_auditor_spark.queries import REGISTRY
+
+    rows = REGISTRY["label_centroid_stats"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_vecs"] > 0
+        assert -1.0001 <= r["min_cos"] <= r["avg_cos"] <= 1.0001
+        assert r["centroid_norm"] > 0
