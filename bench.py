@@ -74,6 +74,7 @@ HEADLINE = [
     "quality_classifier",
     "random_projection",
     "asof_join",
+    "asof_join_tolerance",
     "chi2_keywords",
     "source_drift_psi",
     "label_centroid_stats",

@@ -30,12 +30,19 @@ def asof_join_backward(
     right_time: str,
     right_value_cols: list[str],
     right_tiebreak: str | None = None,
+    tolerance_s: int | None = None,
 ) -> DataFrame:
     """Left rows + the as-of matched right values (NULL when no match).
 
     Tie rule: a right row at exactly left_time matches (inclusive).  Among
     right rows sharing (key, right_time), the one with the greatest
     ``right_tiebreak`` wins — making results deterministic.
+
+    ``tolerance_s`` bounds match staleness (pandas ``merge_asof``'s
+    ``tolerance``): a carried match older than ``left_time −
+    tolerance_s`` is nulled out AFTER the window pass (the left row is
+    kept), so the tolerance adds zero shuffle — one conditional
+    projection over the already-carried struct.
     """
     tiebreak = right_tiebreak or right_value_cols[0]
     lcols = [c for c in left_df.columns]
@@ -69,6 +76,15 @@ def asof_join_backward(
     )
     # struct max is lexicographic (time, tiebreak, ...) → deterministic winner
     carried = unioned.withColumn("__asof", F.max("__rv").over(w))
+    if tolerance_s is not None:
+        carried = carried.withColumn(
+            "__asof",
+            F.when(
+                F.col("__asof.__rt")
+                >= F.col("__t") - F.expr(f"INTERVAL {int(tolerance_s)} SECOND"),
+                F.col("__asof"),
+            ),
+        )
     out = carried.filter(F.col("__tag") == 1).select(
         *lcols,
         F.col("__asof.__rt").alias(f"asof_{right_time}"),

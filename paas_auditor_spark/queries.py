@@ -3336,34 +3336,54 @@ GROUP BY p.label ORDER BY p.label
 """
 
 
-def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join on the events stream: every purchase picks up the user's
-    latest prior-or-same-instant click (operators.rangejoin.asof_join —
-    the sort-merge shape: ONE |L|+|R| shuffle, no candidate-pair join).
-    The oracle states the same semantics as the quadratic LEFT JOIN +
-    row_number formulation — ties at equal click ts break by max
-    event_id, matching the operator's deterministic tie rule."""
-    from paas_auditor_spark.operators.rangejoin import asof_join
+def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join: every purchase picks up the user's
+    latest prior-or-same-instant click, but only if it happened within
+    the last hour (operators.asof.asof_join_backward with tolerance_s —
+    pandas merge_asof's ``tolerance`` semantics).  Same single
+    union+window shuffle as the unbounded asof_join; the staleness cut
+    is one conditional projection after the carry, zero extra shuffle.
+    The oracle states identical semantics via the quadratic LEFT JOIN +
+    row_number formulation with the tolerance in the join predicate —
+    ties at equal click ts break by max event_id, matching the
+    operator's deterministic tie rule."""
+    from paas_auditor_spark.operators.asof import asof_join_backward
 
     events = _t(spark, sf_dir, "events")
     purchases = events.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id", "value"
+        "event_id", "user_id", "ts", "value"
     )
     clicks = events.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", "event_id", "value"
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_event_id"),
+        F.col("value").alias("click_value"),
     )
-    return asof_join(
-        purchases,
-        clicks,
-        key_cols=["user_id"],
-        left_ts="ts",
-        right_ts="ts",
-        tie_break="event_id",
-        right_prefix="click_",
-    ).orderBy("event_id")
+    return (
+        asof_join_backward(
+            purchases,
+            clicks,
+            key="user_id",
+            left_time="ts",
+            right_time="click_ts",
+            right_value_cols=["click_event_id", "click_value"],
+            right_tiebreak="click_event_id",
+            tolerance_s=3600,
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            F.col("asof_click_ts").alias("click_ts"),
+            F.col("asof_click_event_id").alias("click_event_id"),
+            F.col("asof_click_value").alias("click_value"),
+        )
+        .orderBy("event_id")
+    )
 
 
-ORACLE_ASOF = """
+ORACLE_ASOF_TOLERANCE = """
 WITH p AS (
   SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
   FROM events WHERE event_type = 'purchase'),
@@ -3377,7 +3397,9 @@ j AS (
          row_number() OVER (
            PARTITION BY p.event_id
            ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn
-  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts)
+  FROM p LEFT JOIN c
+    ON c.user_id = p.user_id AND c.ts <= p.ts
+   AND c.ts >= p.ts - INTERVAL 3600 SECOND)
 SELECT event_id, user_id, ts, value, click_ts, click_event_id, click_value
 FROM j WHERE rn = 1 ORDER BY event_id
 """
@@ -5373,7 +5395,9 @@ REGISTRY: dict[str, QuerySpec] = {
         ORDER BY r.doc_id
         """,
     ),
-    "asof_join": QuerySpec(q_asof_join, ORACLE_ASOF),
+    "asof_join_tolerance": QuerySpec(
+        q_asof_join_tolerance, ORACLE_ASOF_TOLERANCE
+    ),
     "chi2_keywords": QuerySpec(q_chi2_keywords, ORACLE_CHI2),
     "source_drift_psi": QuerySpec(q_source_drift_psi, ORACLE_PSI),
     "label_centroid_stats": QuerySpec(

@@ -293,12 +293,12 @@ def test_scd2_fold_invariants(spark, updates):
 def test_asof_join_semantics_tolerance_and_null_carry(spark):
     """Backward-inclusive match, max-ts then max-tie winner, NULL right
     VALUE carried from the matched row (not skipped), tolerance nulling,
-    unmatched-left retention."""
+    unmatched-left retention (operators.asof.asof_join_backward)."""
     import datetime as dt
 
     from pyspark.sql import types as T
 
-    from paas_auditor_spark.operators.rangejoin import asof_join
+    from paas_auditor_spark.operators.asof import asof_join_backward
 
     t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
 
@@ -312,7 +312,7 @@ def test_asof_join_semantics_tolerance_and_null_carry(spark):
     ])
     rschema = T.StructType([
         T.StructField("k", T.LongType()),
-        T.StructField("ts", T.TimestampType()),
+        T.StructField("rts", T.TimestampType()),
         T.StructField("rid", T.LongType()),
         T.StructField("val", T.DoubleType()),
     ])
@@ -324,52 +324,47 @@ def test_asof_join_semantics_tolerance_and_null_carry(spark):
     right = spark.createDataFrame(
         [
             (1, ts(10), 7, None),    # same-instant match, NULL value
-            (1, ts(8), 6, 8.0),      # older — must NOT be carried into 100
+            (1, ts(8), 6, 8.0),      # older - must NOT be carried into 100
             (1, ts(25), 9, 25.0),
-            (1, ts(25), 8, 24.0),    # same ts as rid 9 → rid 9 wins (max tie)
-            (2, ts(50), 11, 50.0),   # only AFTER the left row → no match
+            (1, ts(25), 8, 24.0),    # same ts as rid 9 -> rid 9 wins (max tie)
+            (2, ts(50), 11, 50.0),   # only AFTER the left row -> no match
         ],
         rschema,
     )
-    out = {
-        r["lid"]: r
-        for r in asof_join(
-            left, right, ["k"], "ts", "ts", "rid"
-        ).collect()
-    }
+
+    def run(**kw):
+        return {
+            r["lid"]: r
+            for r in asof_join_backward(
+                left, right, key="k", left_time="ts", right_time="rts",
+                right_value_cols=["rid", "val"], right_tiebreak="rid", **kw
+            ).collect()
+        }
+
+    out = run()
     assert len(out) == 4
     # inclusive same-instant match; the matched row's NULL val is carried
-    assert out[100]["right_rid"] == 7 and out[100]["right_val"] is None
-    assert out[101]["right_rid"] == 9 and out[101]["right_val"] == 25.0
-    assert out[200]["right_rid"] is None  # right exists only in the future
-    assert out[300]["right_rid"] is None  # key with no right rows at all
-    # tolerance: 101 matched at ts 25 vs left ts 30 (5s gap) — a 3s
+    assert out[100]["asof_rid"] == 7 and out[100]["asof_val"] is None
+    assert out[101]["asof_rid"] == 9 and out[101]["asof_val"] == 25.0
+    assert out[200]["asof_rid"] is None  # right exists only in the future
+    assert out[300]["asof_rid"] is None  # key with no right rows at all
+    # tolerance: 101 matched at ts 25 vs left ts 30 (5s gap) - a 3s
     # tolerance nulls it, a 5s tolerance keeps it (inclusive)
-    tol3 = {
-        r["lid"]: r
-        for r in asof_join(
-            left, right, ["k"], "ts", "ts", "rid", tolerance_s=3
-        ).collect()
-    }
-    assert tol3[101]["right_rid"] is None
-    assert tol3[100]["right_rid"] == 7  # 0s gap survives any tolerance
-    tol5 = {
-        r["lid"]: r
-        for r in asof_join(
-            left, right, ["k"], "ts", "ts", "rid", tolerance_s=5
-        ).collect()
-    }
-    assert tol5[101]["right_rid"] == 9
+    tol3 = run(tolerance_s=3)
+    assert tol3[101]["asof_rid"] is None
+    assert tol3[100]["asof_rid"] == 7  # 0s gap survives any tolerance
+    tol5 = run(tolerance_s=5)
+    assert tol5[101]["asof_rid"] == 9
 
 
 def test_asof_join_single_shuffle_no_join_node(spark):
-    """The plan must be union → one window (shuffle+sort) — never a join
+    """The plan must be union -> one window (shuffle+sort) - never a join
     of candidate pairs."""
     import datetime as dt
 
     from pyspark.sql import types as T
 
-    from paas_auditor_spark.operators.rangejoin import asof_join
+    from paas_auditor_spark.operators.asof import asof_join_backward
 
     schema = T.StructType([
         T.StructField("k", T.LongType()),
@@ -380,7 +375,11 @@ def test_asof_join_single_shuffle_no_join_node(spark):
         [(1, dt.datetime(2026, 1, 1), 1)], schema
     )
     plan = (
-        asof_join(df, df, ["k"], "ts", "ts", "x")
+        asof_join_backward(
+            df, df.withColumnRenamed("ts", "rts"), key="k",
+            left_time="ts", right_time="rts", right_value_cols=["x"],
+            tolerance_s=60,
+        )
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
