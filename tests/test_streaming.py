@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime as dt
 import uuid
+import pytest
 
 from paas_auditor_spark.schemas import CF_AUDIT_EVENT
 from paas_auditor_spark.streaming.pipeline import stream_to_bronze
@@ -381,3 +382,115 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
     finally:
         q.stop()
     assert out == {1: "gold", 2: "silver", 3: "gold", 4: "unknown"}
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """transformWithStateInPandas per-user running totals: cumulative
+    across micro-batches, update-mode upsert semantics (latest emission
+    per key equals the batch aggregate).  The state-server protocol
+    needs protobuf, which this sandbox lacks - the test self-upgrades
+    when google.protobuf appears (same pattern as the PIL decode)."""
+    pytest.importorskip("google.protobuf")
+    import pyspark.sql.functions as F
+
+    from paas_auditor_spark.streaming.stateful import running_user_totals
+
+    src = str(tmp_path / "tws_src")
+    rows = [
+        (i, BASE + dt.timedelta(minutes=i), i % 3, "click", float(i))
+        for i in range(30)
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    spark.createDataFrame(rows, schema).repartition(3).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    expected = {
+        r["user_id"]: (r["n"], round(r["t"], 2))
+        for r in spark.read.parquet(src)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)  # several micro-batches
+            .parquet(src)
+        )
+        q = (
+            running_user_totals(stream)
+            .writeStream.format("memory")
+            .queryName("tws_totals")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            emitted = spark.sql("SELECT * FROM tws_totals").collect()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    assert len(emitted) > len(expected)
+    latest = {}
+    for r in emitted:
+        cur = latest.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            latest[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert latest == expected
+
+
+def test_running_totals_processor_logic():
+    """The processor's fold logic, exercised directly against a fake
+    ValueState handle (the wire protocol needs protobuf; the LOGIC does
+    not): cumulative across calls, NULL-value rows count but add 0."""
+    import pandas as pd
+
+    from paas_auditor_spark.streaming.stateful import RunningTotalsProcessor
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+        def exists(self):
+            return self._v is not None
+        def get(self):
+            return self._v
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeState()
+            self.ttl = "unset"
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            self.ttl = ttlDurationMs
+            return self.state
+
+    proc = RunningTotalsProcessor(ttl_ms=60_000)
+    handle = FakeHandle()
+    proc.init(handle)
+    assert handle.ttl == 60_000  # TTL config reaches the state handle
+
+    out1 = list(proc.handleInputRows(
+        (7,), iter([pd.DataFrame({"value": [1.0, 2.0]}),
+                    pd.DataFrame({"value": [3.0]})]), None))
+    assert len(out1) == 1
+    assert out1[0].iloc[0].to_dict() == {
+        "user_id": 7, "n_events": 3, "total_value": 6.0}
+
+    out2 = list(proc.handleInputRows(
+        (7,), iter([pd.DataFrame({"value": [None, 4.0]})]), None))
+    assert out2[0].iloc[0].to_dict() == {
+        "user_id": 7, "n_events": 5, "total_value": 10.0}
