@@ -75,6 +75,7 @@ HEADLINE = [
     "random_projection",
     "asof_join",
     "asof_join_tolerance",
+    "weighted_sample",
     "chi2_keywords",
     "source_drift_psi",
     "label_centroid_stats",

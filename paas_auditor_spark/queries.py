@@ -3117,6 +3117,64 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_sample(docs, alpha=0.5, target_frac=0.5)
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k=5 per source, weight ∝
+    n_chars — Efraimidis–Spirakis A-ES (Inf. Proc. Letters 2006): each
+    item draws key u^(1/w) (equivalently ln(u)/w, the form used here so
+    both engines run identical FP ops) and the k largest keys per group
+    are the sample.  The uniform u is DERIVED from the doc id's md5
+    prefix instead of an RNG, so the sample is exactly reproducible on
+    any engine and re-runs/backfills agree with zero coordination — the
+    same content-addressed determinism as train_test_split.  One narrow
+    map computes keys; the only shuffle is the per-group top-k window
+    over (source).  At 100 TB swap the window for a per-partition
+    bounded heap + re-top-k (the classic two-level top-k), shape
+    unchanged."""
+    docs = _t(spark, sf_dir, "documents")
+    u = (
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+            " AS DOUBLE)"
+        )
+        + 1.0
+    ) / 4294967297.0
+    key = F.log(u) / F.col("n_chars").cast("double")
+    w = Window.partitionBy("source").orderBy(
+        F.col("es_key").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .select("source", "doc_id", "n_chars", key.alias("es_key"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.round("es_key", 8).alias("es_key"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+        .orderBy("source", "rk")
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = """
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT) + 1.0) / 4294967297.0)
+           / CAST(n_chars AS DOUBLE) AS es_key
+  FROM documents WHERE n_chars > 0),
+ranked AS (
+  SELECT source, doc_id, n_chars, es_key,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY es_key DESC, doc_id ASC) AS rk
+  FROM keyed)
+SELECT source, doc_id, n_chars, round(es_key, 8) AS es_key, rk
+FROM ranked WHERE rk <= 5 ORDER BY source, rk
+"""
+
+
 def q_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinctive-term extraction per source via the χ² statistic over
     document-presence contingency tables — the classic feature-selection
@@ -5399,6 +5457,7 @@ REGISTRY: dict[str, QuerySpec] = {
         q_asof_join_tolerance, ORACLE_ASOF_TOLERANCE
     ),
     "chi2_keywords": QuerySpec(q_chi2_keywords, ORACLE_CHI2),
+    "weighted_sample": QuerySpec(q_weighted_sample, ORACLE_WEIGHTED_SAMPLE),
     "source_drift_psi": QuerySpec(q_source_drift_psi, ORACLE_PSI),
     "label_centroid_stats": QuerySpec(
         q_label_centroid_stats, ORACLE_LABEL_CENTROIDS

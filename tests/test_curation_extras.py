@@ -193,3 +193,32 @@ def test_label_centroid_stats_bounds(spark, sf_dir):
         assert r["n_vecs"] > 0
         assert -1.0001 <= r["min_cos"] <= r["avg_cos"] <= 1.0001
         assert r["centroid_norm"] > 0
+
+
+def test_weighted_sample_aes_properties(spark):
+    """A-ES sanity: k per group, deterministic across runs, and a
+    dominant-weight item (1e6 vs 1) lands in the sample — its key
+    ln(u)/w is ~0 while light items sit near ln(u), far below."""
+    import os
+    import tempfile
+
+    from paas_auditor_spark.queries import REGISTRY
+
+    rows = [(0, "big", "en", "s", 1_000_000)] + [
+        (i, "small", "en", "s", 1) for i in range(1, 51)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        got1 = REGISTRY["weighted_sample"].fn(spark, d).collect()
+        got2 = REGISTRY["weighted_sample"].fn(spark, d).collect()
+    assert [tuple(r) for r in got1] == [tuple(r) for r in got2]
+    assert len(got1) == 5
+    assert 0 in {r["doc_id"] for r in got1}  # the heavy item is sampled
+    # keys are sorted descending with rank
+    keys = [r["es_key"] for r in got1]
+    assert keys == sorted(keys, reverse=True)
