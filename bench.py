@@ -76,6 +76,7 @@ HEADLINE = [
     "asof_join",
     "asof_join_tolerance",
     "weighted_sample",
+    "pagerank",
     "chi2_keywords",
     "source_drift_psi",
     "label_centroid_stats",

@@ -3117,6 +3117,60 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_sample(docs, alpha=0.5, target_frac=0.5)
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer→supplier trade graph (operators.graph):
+    5 damped power-iteration rounds, top-20 nodes by rounded rank.
+    Exact oracle: the same recurrence unrolled as a 5-CTE chain in
+    DuckDB (dangling mass dropped — the SQL-reproducible variant; see
+    operators/graph.py).  The cut ranks by the ROUNDED score on both
+    sides so the top-20 frontier is engine-independent."""
+    from paas_auditor_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    pr = pagerank(edges, iterations=5)
+    return (
+        pr.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(20)
+    )
+
+
+def _oracle_pagerank(iters: int = 5) -> str:
+    sql = """
+WITH edges AS (
+  SELECT DISTINCT concat('c', CAST(o_custkey AS VARCHAR)) AS src,
+                  concat('s', CAST(l_suppkey AS VARCHAR)) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+pr0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn),
+"""
+    for i in range(iters):
+        sql += f"""pr{i + 1} AS (
+  SELECT nd.node,
+         (1 - 0.85) / nn.n + 0.85 * coalesce(c.contrib, 0.0) AS rank
+  FROM nodes nd CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst AS node, sum(p.rank / d.outdeg) AS contrib
+             FROM pr{i} p JOIN edges e ON e.src = p.node
+                  JOIN deg d ON d.src = p.node
+             GROUP BY e.dst) c ON c.node = nd.node),
+"""
+    sql = sql.rstrip().rstrip(",")
+    sql += f"""
+SELECT node, round(rank, 6) AS rank FROM pr{iters}
+ORDER BY rank DESC, node LIMIT 20
+"""
+    return sql
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling WITHOUT replacement, k=5 per source, weight ∝
     n_chars — Efraimidis–Spirakis A-ES (Inf. Proc. Letters 2006): each
@@ -5458,6 +5512,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "chi2_keywords": QuerySpec(q_chi2_keywords, ORACLE_CHI2),
     "weighted_sample": QuerySpec(q_weighted_sample, ORACLE_WEIGHTED_SAMPLE),
+    "pagerank": QuerySpec(q_pagerank, _oracle_pagerank()),
     "source_drift_psi": QuerySpec(q_source_drift_psi, ORACLE_PSI),
     "label_centroid_stats": QuerySpec(
         q_label_centroid_stats, ORACLE_LABEL_CENTROIDS

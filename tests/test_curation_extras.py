@@ -222,3 +222,31 @@ def test_weighted_sample_aes_properties(spark):
     # keys are sorted descending with rank
     keys = [r["es_key"] for r in got1]
     assert keys == sorted(keys, reverse=True)
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """pagerank() equals an independent numpy power iteration of the same
+    recurrence on a constructed graph (sink, source, and cycle nodes)."""
+    from paas_auditor_spark.operators.graph import pagerank
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=8).collect()}
+
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    r = np.full(n, 1.0 / n)
+    for _ in range(8):
+        nxt = np.full(n, (1.0 - 0.85) / n)
+        for s, ds in out.items():
+            for d in ds:
+                nxt[idx[d]] += 0.85 * r[idx[s]] / len(ds)
+        r = nxt
+    for node in nodes:
+        assert abs(got[node] - r[idx[node]]) < 1e-12, (node, got[node])
+    # structural sanity: the cycle hub 'a' outranks the pure source 'd'
+    assert got["a"] > got["d"]
