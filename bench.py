@@ -76,7 +76,10 @@ HEADLINE = [
     "asof_join",
     "asof_join_tolerance",
     "weighted_sample",
-    "pagerank",
+    # pagerank stays OUT of the headline like kmeans: 5 power-iteration
+    # rounds are inherently stage-serial (~4 s at sf0.1 is scheduling
+    # barriers, not data volume); correctness is driver-checked via the
+    # registry either way
     "chi2_keywords",
     "source_drift_psi",
     "label_centroid_stats",
