@@ -1,4 +1,4 @@
-"""Graph centrality over relational edge sets — PageRank.
+"""Graph analytics over relational edge sets — PageRank, triangle counts.
 
 Beyond reference parity (the reference has no graph surface); with
 connected components (operators/dedup.py) this completes the graph
@@ -90,4 +90,84 @@ def pagerank(
     return ranks
 
 
-__all__ = ["pagerank"]
+def triangle_counts(
+    edges_df: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, n_triangles) for every node that closes ≥1 triangle.
+
+    Degree-ordered orientation (Schank–Wagner forward algorithm; the
+    MapReduce form is Suri & Vassilvitskii, WWW'11): treat the edge set
+    as undirected, orient every edge from the lower-ranked endpoint to
+    the higher, ranking nodes by (degree, node).  The oriented
+    out-degree is O(√m), so the wedge self-join generates
+    Σ outdeg(v)² = O(m^1.5) candidate wedges instead of Σ deg(v)² —
+    on a skewed graph the difference is the whole game: a hub with
+    degree 10⁶ contributes zero wedges as a wedge CENTER because all
+    its edges point INTO it.  Each triangle {a,b,c} with rank
+    a<b<c appears exactly once, as wedge (b,c) centered at a closed by
+    oriented edge b→c.
+
+    Shuffle plan: two node-keyed joins to attach endpoint degrees, one
+    src-keyed self-join for wedges, one (src,dst)-keyed equi-join to
+    close them, one node-keyed count.  No driver collect; nothing is
+    ever materialized beyond the wedge stream, which Catalyst pipelines
+    into the closing join.
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    e = (
+        edges_df.select(
+            F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = (
+        e.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    # rank(u) < rank(v) ⇔ (deg u, u) < (deg v, v); struct comparison is
+    # lexicographic, which is exactly the total order we need
+    ra = F.struct(F.col("da").alias("d"), F.col("a").alias("n"))
+    rb = F.struct(F.col("db").alias("d"), F.col("b").alias("n"))
+    oriented = ed.select(
+        F.when(ra < rb, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(ra < rb, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(ra < rb, rb).otherwise(ra).alias("dst_rank"),
+    ).localCheckpoint(eager=False)
+    o1 = oriented.select(
+        F.col("src").alias("ctr"),
+        F.col("dst").alias("x"),
+        F.col("dst_rank").alias("xr"),
+    )
+    o2 = oriented.select(
+        F.col("src").alias("ctr"),
+        F.col("dst").alias("y"),
+        F.col("dst_rank").alias("yr"),
+    )
+    wedges = o1.join(o2, "ctr").filter(F.col("xr") < F.col("yr"))
+    closed = wedges.join(
+        oriented.select(
+            F.col("src").alias("x"), F.col("dst").alias("y")
+        ),
+        ["x", "y"],
+    ).select("ctr", "x", "y")
+    nodes = (
+        closed.select(F.col("ctr").alias("node"))
+        .unionAll(closed.select(F.col("x").alias("node")))
+        .unionAll(closed.select(F.col("y").alias("node")))
+    )
+    return nodes.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+__all__ = ["pagerank", "triangle_counts"]

@@ -3171,6 +3171,59 @@ ORDER BY rank DESC, node LIMIT 20
     return sql
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation counts over the part co-purchase graph
+    (parts are adjacent when they appear in the same order; the graph is
+    deterministically sparsified to partkeys ≡ 0 mod 3 so the wedge
+    space stays bounded across scale factors — 13k edges / 17k
+    triangles at sf0.01, 132k / 69k at sf0.1).  The engine runs
+    degree-ordered orientation (operators/graph.py:triangle_counts,
+    O(m^1.5) wedges, no collect); the oracle counts the same triangles
+    with a plain id-ordered 3-way self-join — any total order yields
+    each triangle exactly once, so per-node counts agree exactly."""
+    from paas_auditor_spark.operators.graph import triangle_counts
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    lp = li.filter(F.col("l_partkey") % 3 == 0)
+    l1 = lp.alias("l1")
+    l2 = lp.alias("l2")
+    edges = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+    ).select(
+        F.col("l1.l_partkey").alias("src"),
+        F.col("l2.l_partkey").alias("dst"),
+    )
+    tc = triangle_counts(edges)
+    return (
+        tc.select("node", F.col("n_triangles").cast("long").alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "node")
+        .limit(20)
+    )
+
+
+ORACLE_TRIANGLE_COUNT = """
+WITH pe AS (
+  SELECT DISTINCT least(l1.l_partkey, l2.l_partkey) AS a,
+                  greatest(l1.l_partkey, l2.l_partkey) AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+  WHERE l1.l_partkey % 3 = 0 AND l2.l_partkey % 3 = 0),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM pe e1
+  JOIN pe e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN pe e3 ON e3.a = e1.b AND e3.b = e2.b),
+nodes AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri)
+SELECT node, count(*) AS n_triangles FROM nodes GROUP BY node
+ORDER BY n_triangles DESC, node LIMIT 20
+"""
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling WITHOUT replacement, k=5 per source, weight ∝
     n_chars — Efraimidis–Spirakis A-ES (Inf. Proc. Letters 2006): each
@@ -5513,6 +5566,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "chi2_keywords": QuerySpec(q_chi2_keywords, ORACLE_CHI2),
     "weighted_sample": QuerySpec(q_weighted_sample, ORACLE_WEIGHTED_SAMPLE),
     "pagerank": QuerySpec(q_pagerank, _oracle_pagerank()),
+    "triangle_count": QuerySpec(q_triangle_count, ORACLE_TRIANGLE_COUNT),
     "source_drift_psi": QuerySpec(q_source_drift_psi, ORACLE_PSI),
     "label_centroid_stats": QuerySpec(
         q_label_centroid_stats, ORACLE_LABEL_CENTROIDS

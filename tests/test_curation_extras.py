@@ -250,3 +250,42 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         assert abs(got[node] - r[idx[node]]) < 1e-12, (node, got[node])
     # structural sanity: the cycle hub 'a' outranks the pure source 'd'
     assert got["a"] > got["d"]
+
+
+def test_triangle_counts_k4_and_path(spark):
+    """K4: every node closes C(3,2)=3 triangles; a path graph closes
+    none; direction/duplication of input edges is irrelevant."""
+    from paas_auditor_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a != b]  # both dirs
+    df = spark.createDataFrame(k4, "src string, dst string")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+    path = [("a", "b"), ("b", "c"), ("c", "d")]
+    pdf = spark.createDataFrame(path, "src string, dst string")
+    assert triangle_counts(pdf).count() == 0
+
+
+def test_triangle_counts_matches_bruteforce_random_graph(spark):
+    """Degree-ordered orientation equals the O(n^3) itertools census on a
+    deterministic pseudo-random graph (hash-derived edges, skewed hub)."""
+    import itertools
+
+    from paas_auditor_spark.operators.graph import triangle_counts
+
+    n = 40
+    edges = [
+        (i, j)
+        for i, j in itertools.combinations(range(n), 2)
+        if (i * 7919 + j * 104729) % 5 == 0 or i == 0  # node 0 is a hub
+    ]
+    adj = set(edges)
+    expected = {}
+    for a, b, c in itertools.combinations(range(n), 3):
+        if (a, b) in adj and (a, c) in adj and (b, c) in adj:
+            for v in (a, b, c):
+                expected[v] = expected.get(v, 0) + 1
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == expected
