@@ -3171,6 +3171,51 @@ ORDER BY rank DESC, node LIMIT 20
     return sql
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup signal (Lee et al. 2022): fraction
+    of each document's tokens covered by an 8-gram that occurs ≥2 times
+    corpus-wide.  The engine marks spans via 64-bit gram hashes + a
+    semi-join and measures coverage with an interval-union sweep
+    (operators/dedup.py:duplicate_spans); the oracle does the same over
+    the literal gram strings — identical answers unless xxhash64
+    collides (~10⁻⁸ at this corpus size)."""
+    from paas_auditor_spark.operators.dedup import duplicate_spans
+
+    docs = _th(spark, sf_dir, "documents")
+    return duplicate_spans(docs, k=8).orderBy("doc_id")
+
+
+ORACLE_DUPLICATE_SPANS = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest([i - 1 for i in range(1, len(t) - 6)]) AS pos,
+         unnest([array_to_string(t[i:i+7], ' ')
+                 for i in range(1, len(t) - 6)]) AS g
+  FROM toks WHERE len(t) >= 8),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+iv AS (
+  SELECT doc_id, pos AS s, pos + 8 AS e
+  FROM grams SEMI JOIN dup USING (g)),
+cov AS (
+  SELECT doc_id,
+         greatest(0, e - greatest(s, coalesce(max(e) OVER (
+           PARTITION BY doc_id ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), s))) AS add
+  FROM iv),
+per_doc AS (SELECT doc_id, sum(add) AS dup_tokens FROM cov GROUP BY doc_id)
+SELECT t.doc_id, len(t.t) AS n_tokens,
+       CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       round(CASE WHEN len(t.t) > 0
+             THEN coalesce(p.dup_tokens, 0) * 1.0 / len(t.t)
+             ELSE 0 END, 4) AS dup_frac
+FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+ORDER BY t.doc_id
+"""
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle participation counts over the part co-purchase graph
     (parts are adjacent when they appear in the same order; the graph is
@@ -5567,6 +5612,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "weighted_sample": QuerySpec(q_weighted_sample, ORACLE_WEIGHTED_SAMPLE),
     "pagerank": QuerySpec(q_pagerank, _oracle_pagerank()),
     "triangle_count": QuerySpec(q_triangle_count, ORACLE_TRIANGLE_COUNT),
+    "duplicate_spans": QuerySpec(q_duplicate_spans, ORACLE_DUPLICATE_SPANS),
     "source_drift_psi": QuerySpec(q_source_drift_psi, ORACLE_PSI),
     "label_centroid_stats": QuerySpec(
         q_label_centroid_stats, ORACLE_LABEL_CENTROIDS

@@ -211,3 +211,32 @@ def test_incremental_minhash_gates_new_batch(spark):
         if (r["id_a"] >= 100) != (r["id_b"] >= 100)
     }
     assert flagged == cross
+
+
+def test_duplicate_spans_hand_graph(spark):
+    """Two docs sharing one 8-token sentence: exactly those 8 positions
+    are covered in each; a doc with an internal repeat marks both
+    occurrences; overlapping grams don't double-count."""
+    from paas_auditor_spark.operators.dedup import duplicate_spans
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (1, shared + " one two three"),
+        (2, "x y z " + shared),
+        # 9 tokens repeated twice → grams at offsets 0..1 and 9..10 dup
+        (3, "p q r s t u v w a p q r s t u v w a"),
+        (4, "totally unique words only nine tokens here right now"),
+        (5, "short text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_frac"])
+        for r in duplicate_spans(df, k=8).collect()
+    }
+    assert got[1] == (11, 8, round(8 / 11, 4))
+    assert got[2] == (11, 8, round(8 / 11, 4))
+    # doc 3: every 8-gram of the repeated 9-token block occurs twice;
+    # all 18 positions are covered
+    assert got[3] == (18, 18, 1.0)
+    assert got[4] == (9, 0, 0.0)
+    assert got[5] == (2, 0, 0.0)  # shorter than k → no grams
