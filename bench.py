@@ -83,6 +83,9 @@ HEADLINE = [
     "chi2_keywords",
     "source_drift_psi",
     "label_centroid_stats",
+    "triangle_count",
+    "duplicate_spans",
+    "dsir_sample",
 ]
 
 

@@ -208,6 +208,99 @@ def bigram_lm_perplexity(
     )
 
 
+def dsir_scores(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169): score
+    every raw document by the log-likelihood ratio of a hashed
+    bag-of-unigrams model trained on a small in-domain target set vs the
+    raw pool itself,
+
+        log w(x) = Σ_b c_x(b) · [log p_target(b) − log p_raw(b)]
+
+    with add-one smoothing over ``buckets`` hash buckets.  Downstream,
+    resampling keeps the top-weighted docs (the paper adds Gumbel noise;
+    the deterministic top-k variant is what an exact oracle can check).
+
+    Returns (id, n_tokens, log_ratio) for every raw doc; log_ratio is
+    rounded to 4dp (sum order across partitions perturbs the last bits).
+
+    Scale shape: tokens hash to ``buckets`` buckets via an md5-derived
+    bucket id (portable across engines — no engine-native hash in the
+    semantics).  The two distribution tables are ≤``buckets`` rows —
+    broadcast; the only corpus-sized shuffle is the per-(doc, bucket)
+    count reduce, map-side combined.  Token totals ride along as 1-row
+    broadcast cross joins; no driver collect.
+    """
+
+    def bucket(w):
+        return (
+            F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+            % buckets
+        )
+
+    def doc_buckets(df):
+        toked = df.select(
+            F.col(id_col).alias("id"),
+            tokens(F.lower(F.col(text_col))).alias("toks"),
+        )
+        return toked, toked.select(
+            "id", F.explode("toks").alias("w")
+        ).select("id", bucket(F.col("w")).alias("b"))
+
+    raw_toked, raw_tok = doc_buckets(raw_df)
+    _, tgt_tok = doc_buckets(target_df)
+
+    tgt_dist = tgt_tok.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    raw_dist = raw_tok.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt_total = tgt_tok.agg(F.count(F.lit(1)).alias("nt"))
+    raw_total = raw_tok.agg(F.count(F.lit(1)).alias("nr"))
+
+    per_doc_b = raw_tok.groupBy("id", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    scored = (
+        per_doc_b.join(F.broadcast(tgt_dist), "b", "left")
+        .join(F.broadcast(raw_dist), "b", "left")
+        .crossJoin(F.broadcast(tgt_total))
+        .crossJoin(F.broadcast(raw_total))
+        .select(
+            "id",
+            "c",
+            (
+                F.col("c")
+                * (
+                    F.log(
+                        (F.coalesce("ct", F.lit(0)) + 1)
+                        / (F.col("nt") + F.lit(buckets)).cast("double")
+                    )
+                    - F.log(
+                        (F.coalesce("cr", F.lit(0)) + 1)
+                        / (F.col("nr") + F.lit(buckets)).cast("double")
+                    )
+                )
+            ).alias("lr"),
+        )
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.sum("c").alias("n_tokens"), F.sum("lr").alias("lr")
+    )
+    return (
+        raw_toked.select("id")
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.round(F.coalesce("lr", F.lit(0.0)), 4).alias("log_ratio"),
+        )
+    )
+
+
 def temperature_sample(
     docs_df: DataFrame,
     alpha: float = 0.5,

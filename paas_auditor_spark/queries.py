@@ -3171,6 +3171,61 @@ ORDER BY rank DESC, node LIMIT 20
     return sql
 
 
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): every 17th doc stands in as
+    the in-domain target set; the remaining pool is scored by the hashed
+    bag-of-unigrams log-likelihood ratio target-vs-pool (1024 md5-derived
+    buckets, add-one smoothing) and the top-50 by rounded score are the
+    selected training subset (deterministic stand-in for the paper's
+    Gumbel resampling).  operators/corpus.py:dsir_scores; the oracle
+    replays the identical closed form in SQL."""
+    from paas_auditor_spark.operators.corpus import dsir_scores
+
+    docs = _th(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 17 == 0)
+    raw = docs.filter(F.col("doc_id") % 17 != 0)
+    return (
+        dsir_scores(raw, target, buckets=1024)
+        .orderBy(F.col("log_ratio").desc(), "doc_id")
+        .limit(50)
+    )
+
+
+ORACLE_DSIR = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+  FROM documents),
+tok AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 1024 AS b
+  FROM words),
+tgt AS (SELECT b, count(*) AS ct FROM tok WHERE doc_id % 17 = 0 GROUP BY b),
+rawd AS (SELECT b, count(*) AS cr FROM tok WHERE doc_id % 17 <> 0 GROUP BY b),
+tot AS (
+  SELECT sum(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END) AS nt,
+         sum(CASE WHEN doc_id % 17 <> 0 THEN 1 ELSE 0 END) AS nr
+  FROM tok),
+pdb AS (
+  SELECT doc_id, b, count(*) AS c FROM tok
+  WHERE doc_id % 17 <> 0 GROUP BY doc_id, b),
+sc AS (
+  SELECT doc_id, sum(c) AS n_tokens,
+         sum(c * (ln((coalesce(ct, 0) + 1) * 1.0 / (nt + 1024))
+                  - ln((coalesce(cr, 0) + 1) * 1.0 / (nr + 1024)))) AS lr
+  FROM pdb
+  LEFT JOIN tgt USING (b)
+  LEFT JOIN rawd USING (b)
+  CROSS JOIN tot
+  GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       round(coalesce(s.lr, 0.0), 4) AS log_ratio
+FROM documents d LEFT JOIN sc s ON d.doc_id = s.doc_id
+WHERE d.doc_id % 17 <> 0
+ORDER BY log_ratio DESC, d.doc_id LIMIT 50
+"""
+
+
 def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level exact-substring dedup signal (Lee et al. 2022): fraction
     of each document's tokens covered by an 8-gram that occurs ≥2 times
@@ -5613,6 +5668,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "pagerank": QuerySpec(q_pagerank, _oracle_pagerank()),
     "triangle_count": QuerySpec(q_triangle_count, ORACLE_TRIANGLE_COUNT),
     "duplicate_spans": QuerySpec(q_duplicate_spans, ORACLE_DUPLICATE_SPANS),
+    "dsir_sample": QuerySpec(q_dsir_sample, ORACLE_DSIR),
     "source_drift_psi": QuerySpec(q_source_drift_psi, ORACLE_PSI),
     "label_centroid_stats": QuerySpec(
         q_label_centroid_stats, ORACLE_LABEL_CENTROIDS

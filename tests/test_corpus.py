@@ -116,3 +116,53 @@ def test_temperature_sample_quotas_and_determinism(spark):
     # small sources are UPWEIGHTED relative to their share: small keeps
     # 100% (1/1), big only 33% (3/9) — the alpha<1 contract
     assert len([r for r in by_src["big"] if r["kept"]]) / 9 < 1.0
+
+
+def test_dsir_scores_favor_target_like_docs(spark):
+    """Docs sharing the target's vocabulary get a higher log-likelihood
+    ratio than off-domain docs; values match an independent numpy
+    replay of the closed form (same md5 bucketing)."""
+    import hashlib
+    import math
+
+    from paas_auditor_spark.operators.corpus import dsir_scores
+
+    target = spark.createDataFrame(
+        [(100, "quantum physics entanglement qubit decoherence"),
+         (101, "qubit gate quantum circuit physics")],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(1, "quantum qubit physics experiment"),
+         (2, "football league cup final replay"),
+         (3, "qubit")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["log_ratio"])
+        for r in dsir_scores(raw, target, buckets=64).collect()
+    }
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 64
+
+    tgt_toks = [w for _, t in [(100, "quantum physics entanglement qubit decoherence"), (101, "qubit gate quantum circuit physics")] for w in t.lower().split()]
+    raw_rows = [(1, "quantum qubit physics experiment"), (2, "football league cup final replay"), (3, "qubit")]
+    raw_toks = [w for _, t in raw_rows for w in t.lower().split()]
+    ct, cr = {}, {}
+    for w in tgt_toks:
+        ct[bucket(w)] = ct.get(bucket(w), 0) + 1
+    for w in raw_toks:
+        cr[bucket(w)] = cr.get(bucket(w), 0) + 1
+    nt, nr = len(tgt_toks), len(raw_toks)
+    for doc_id, text in raw_rows:
+        lr = sum(
+            math.log((ct.get(bucket(w), 0) + 1) / (nt + 64))
+            - math.log((cr.get(bucket(w), 0) + 1) / (nr + 64))
+            for w in text.lower().split()
+        )
+        n, got_lr = got[doc_id]
+        assert n == len(text.split())
+        assert abs(got_lr - round(lr, 4)) < 1e-9, (doc_id, got_lr, lr)
+    # in-domain doc outranks the off-domain one
+    assert got[1][1] > got[2][1]
