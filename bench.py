@@ -76,7 +76,8 @@ HEADLINE = [
     "asof_join",
     "asof_join_tolerance",
     "weighted_sample",
-    # pagerank stays OUT of the headline like kmeans: 5 power-iteration
+    # pagerank and bpe_merges stay OUT of the headline like kmeans:
+    # power-iteration / merge rounds are inherently stage-serial
     # rounds are inherently stage-serial (~4 s at sf0.1 is scheduling
     # barriers, not data volume); correctness is driver-checked via the
     # registry either way

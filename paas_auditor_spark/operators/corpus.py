@@ -208,6 +208,113 @@ def bigram_lm_perplexity(
     )
 
 
+def bpe_merge_table(
+    docs_df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges from the corpus (Sennrich
+    et al. 2016, "Neural Machine Translation of Rare Words with Subword
+    Units", arXiv:1508.07909): start from per-character symbol sequences
+    over the word-frequency table, and each round (1) pick the adjacent
+    symbol pair with the highest corpus frequency (ties broken
+    lexicographically — counts are integers, so the argmax is exact and
+    engine-independent), (2) greedily merge its non-overlapping
+    occurrences left-to-right in every word.  Returns
+    (merge_rank, lhs, rhs, cnt), the ordered merge table a tokenizer
+    would apply.  Simplification vs production BPE: no end-of-word
+    marker symbol (merges are intra-word either way here).
+
+    Scale shape: everything after the first aggregation runs on the
+    WORD-FREQUENCY table, not the corpus — bounded by distinct-word
+    vocabulary (10⁷-10⁸ at web scale), orders of magnitude below corpus
+    size.  Each round is one map-side-combined pair-count shuffle, a
+    top-1 ``TakeOrderedAndProject``, and a narrow fold
+    (``F.aggregate``) applying the broadcast 1-row winner; per-round
+    ``localCheckpoint`` keeps the plan O(1) deep like k-means/PageRank.
+    The rounds are inherently stage-serial (each merge depends on the
+    last) — wall time is round barriers, not data volume.
+    """
+    words = (
+        docs_df.select(
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("w")
+        )
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    cur = words.select(
+        "w",
+        "freq",
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        ).alias("syms"),
+    ).localCheckpoint(eager=False)
+
+    merge_rows = []
+    for r in range(1, n_merges + 1):
+        pairs = cur.filter(F.size("syms") >= 2).select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda i: F.struct(
+                        F.element_at("syms", i).alias("p1"),
+                        F.element_at("syms", i + 1).alias("p2"),
+                    ),
+                )
+            ).alias("pr"),
+        )
+        best = (
+            pairs.groupBy(
+                F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2")
+            )
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "p1", "p2")
+            .limit(1)
+            .localCheckpoint(eager=False)  # pin the winner: 3 consumers
+        )
+        merge_rows.append(
+            best.select(
+                F.lit(r).alias("merge_rank"),
+                F.col("p1").alias("lhs"),
+                F.col("p2").alias("rhs"),
+                F.col("cnt").cast("long").alias("cnt"),
+            )
+        )
+        b = F.broadcast(
+            best.select(F.col("p1").alias("_p1"), F.col("p2").alias("_p2"))
+        )
+        cur = (
+            cur.crossJoin(b)
+            .select(
+                "w",
+                "freq",
+                F.aggregate(
+                    "syms",
+                    F.array().cast("array<string>"),
+                    lambda acc, s: F.when(
+                        (F.size(acc) > 0)
+                        & (F.element_at(acc, -1) == F.col("_p1"))
+                        & (s == F.col("_p2")),
+                        F.concat(
+                            F.slice(acc, 1, F.size(acc) - 1),
+                            F.array(
+                                F.concat(F.col("_p1"), F.col("_p2"))
+                            ),
+                        ),
+                    ).otherwise(F.concat(acc, F.array(s))),
+                ).alias("syms"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out
+
+
 def dsir_scores(
     raw_df: DataFrame,
     target_df: DataFrame,

@@ -3226,6 +3226,59 @@ ORDER BY log_ratio DESC, d.doc_id LIMIT 50
 """
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary induction: the first 8 BPE merges learned
+    from the documents corpus (Sennrich et al. 2016).  All counts are
+    integers and ties break lexicographically, so the merge table is
+    exact on any engine; the oracle unrolls the same 8 rounds as a CTE
+    chain with DuckDB's list_reduce applying each merge (the same greedy
+    left-to-right fold the engine runs via F.aggregate) — the
+    pagerank-style iterative-oracle pattern.
+    operators/corpus.py:bpe_merge_table."""
+    from paas_auditor_spark.operators.corpus import bpe_merge_table
+
+    docs = _th(spark, sf_dir, "documents")
+    return bpe_merge_table(docs, n_merges=8).orderBy("merge_rank")
+
+
+def _oracle_bpe(n: int = 8) -> str:
+    sql = """
+WITH w0 AS (
+  SELECT w, count(*) AS freq,
+         [substr(w, i, 1) for i in range(1, length(w) + 1)] AS syms
+  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents)
+  WHERE length(w) >= 1
+  GROUP BY w),
+"""
+    for r in range(1, n + 1):
+        sql += f"""p{r} AS (
+  SELECT unnest([syms[i] for i in range(1, len(syms))]) AS p1,
+         unnest([syms[i+1] for i in range(1, len(syms))]) AS p2,
+         freq
+  FROM w{r - 1} WHERE len(syms) >= 2),
+m{r} AS (
+  SELECT p1, p2, CAST(sum(freq) AS BIGINT) AS cnt FROM p{r}
+  GROUP BY p1, p2 ORDER BY cnt DESC, p1, p2 LIMIT 1),
+"""
+        if r < n:
+            sql += f"""w{r} AS (
+  SELECT w, freq,
+         list_reduce(list_transform(syms, s -> [s]),
+           (acc, x) -> CASE WHEN acc[-1] = m.p1 AND x[1] = m.p2
+                       THEN acc[:-2] || [m.p1 || m.p2]
+                       ELSE acc || x END) AS syms
+  FROM w{r - 1} CROSS JOIN m{r} m),
+"""
+    sql = sql.rstrip().rstrip(",")
+    sql += "\n" + "\nUNION ALL\n".join(
+        f"SELECT {r} AS merge_rank, p1 AS lhs, p2 AS rhs, cnt FROM m{r}"
+        for r in range(1, n + 1)
+    )
+    sql += "\nORDER BY merge_rank"
+    return sql
+
+
 def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level exact-substring dedup signal (Lee et al. 2022): fraction
     of each document's tokens covered by an 8-gram that occurs ≥2 times
@@ -5669,6 +5722,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "triangle_count": QuerySpec(q_triangle_count, ORACLE_TRIANGLE_COUNT),
     "duplicate_spans": QuerySpec(q_duplicate_spans, ORACLE_DUPLICATE_SPANS),
     "dsir_sample": QuerySpec(q_dsir_sample, ORACLE_DSIR),
+    "bpe_merges": QuerySpec(q_bpe_merges, _oracle_bpe()),
     "source_drift_psi": QuerySpec(q_source_drift_psi, ORACLE_PSI),
     "label_centroid_stats": QuerySpec(
         q_label_centroid_stats, ORACLE_LABEL_CENTROIDS

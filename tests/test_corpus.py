@@ -166,3 +166,42 @@ def test_dsir_scores_favor_target_like_docs(spark):
         assert abs(got_lr - round(lr, 4)) < 1e-9, (doc_id, got_lr, lr)
     # in-domain doc outranks the off-domain one
     assert got[1][1] > got[2][1]
+
+
+def test_bpe_merge_table_matches_reference(spark):
+    """Classic Sennrich corpus: learned merges equal an independent
+    pure-Python BPE trainer (greedy left-to-right merge application,
+    lexicographic tie-break)."""
+    from collections import Counter
+
+    from paas_auditor_spark.operators.corpus import bpe_merge_table
+
+    texts = ["low low low lower lowest", "new newer newest low"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["cnt"])
+        for r in bpe_merge_table(df, n_merges=6).orderBy("merge_rank").collect()
+    ]
+
+    wc = Counter(w for t in texts for w in t.lower().split())
+    syms = {w: list(w) for w in wc}
+    want = []
+    for rank in range(1, 7):
+        pc = Counter()
+        for w, f in wc.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        (p1, p2), cnt = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        want.append((rank, p1, p2, cnt))
+        for w in syms:
+            out = []
+            for c in syms[w]:
+                if out and out[-1] == p1 and c == p2:
+                    out[-1] = p1 + p2
+                else:
+                    out.append(c)
+            syms[w] = out
+    assert got == want
