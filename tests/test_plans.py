@@ -501,3 +501,36 @@ def test_ivfpq_decodes_without_join_and_reranks_shortlist(spark, sf_dir):
     # candidate ranking + final re-rank are bounded per-query windows,
     # not global sorts over the corpus
     assert "TakeOrderedAndProject" in plan or "Window" in plan
+
+
+def test_new_ops_stay_jvm_side(spark, sf_dir):
+    """Round-5 additions are pure JVM expression plans: no Python eval
+    nodes in triangle counting, span dedup, DSIR, or BPE pair counting."""
+    from paas_auditor_spark.queries import (
+        q_dsir_sample,
+        q_duplicate_spans,
+        q_triangle_count,
+    )
+
+    for fn in (q_triangle_count, q_duplicate_spans, q_dsir_sample):
+        assert_plan_lacks(
+            fn(spark, sf_dir), "BatchEvalPython", "ArrowEvalPython"
+        )
+
+
+def test_dsir_broadcasts_distribution_tables(spark, sf_dir):
+    """The two ≤1024-row bucket-distribution tables and both 1-row totals
+    reach the per-doc join as broadcasts — the corpus-sized side never
+    shuffles for them."""
+    from paas_auditor_spark.queries import q_dsir_sample
+
+    assert_plan_contains(q_dsir_sample(spark, sf_dir), "BroadcastHashJoin")
+
+
+def test_duplicate_spans_semi_join_marking(spark, sf_dir):
+    """Span marking is a semi join against the duplicated-gram set (skew
+    splittable), not a count-over-window on the gram key."""
+    from paas_auditor_spark.queries import q_duplicate_spans
+
+    df = q_duplicate_spans(spark, sf_dir)
+    assert_plan_contains(df, "LeftSemi")
