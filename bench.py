@@ -87,6 +87,7 @@ HEADLINE = [
     "triangle_count",
     "duplicate_spans",
     "dsir_sample",
+    "source_overlap",
 ]
 
 

@@ -3279,6 +3279,53 @@ m{r} AS (
     return sql
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how many
+    distinct 8-token shingles they share — the corpus-audit view that
+    catches mirrored/scraped-twice content BETWEEN ingest feeds before
+    near-dup pays for pair generation.  Scale shape: grams travel as
+    64-bit xxhash64 values; per-(gram, source) presence is one distinct
+    reduce, and the per-gram source self-join explodes only by the
+    per-gram source-list size (≈1 for honest corpora; a gram shared by
+    all S sources costs C(S,2), bounded by the source count, not the
+    corpus).  The oracle replays it on literal gram strings."""
+    docs = _th(spark, sf_dir, "documents")
+    gs = (
+        docs.select(
+            "source", F.explode(tx.ngrams(F.col("text"), 8)).alias("g")
+        )
+        .select("source", F.xxhash64("g").alias("gh"))
+        .distinct()
+    )
+    a = gs.select(F.col("source").alias("src_a"), "gh")
+    b = gs.select(F.col("source").alias("src_b"), "gh")
+    return (
+        a.join(b, "gh")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .orderBy(F.col("shared_grams").desc(), "src_a", "src_b")
+        .limit(30)
+    )
+
+
+ORACLE_SOURCE_OVERLAP = """
+WITH toks AS (
+  SELECT source, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents),
+gs AS (
+  SELECT DISTINCT source,
+         unnest([array_to_string(t[i:i+7], ' ')
+                 for i in range(1, len(t) - 6)]) AS g
+  FROM toks WHERE len(t) >= 8)
+SELECT a.source AS src_a, b.source AS src_b,
+       count(*) AS shared_grams
+FROM gs a JOIN gs b ON a.g = b.g AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY shared_grams DESC, src_a, src_b LIMIT 30
+"""
+
+
 def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level exact-substring dedup signal (Lee et al. 2022): fraction
     of each document's tokens covered by an 8-gram that occurs ≥2 times
@@ -5723,6 +5770,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "duplicate_spans": QuerySpec(q_duplicate_spans, ORACLE_DUPLICATE_SPANS),
     "dsir_sample": QuerySpec(q_dsir_sample, ORACLE_DSIR),
     "bpe_merges": QuerySpec(q_bpe_merges, _oracle_bpe()),
+    "source_overlap": QuerySpec(q_source_overlap, ORACLE_SOURCE_OVERLAP),
     "source_drift_psi": QuerySpec(q_source_drift_psi, ORACLE_PSI),
     "label_centroid_stats": QuerySpec(
         q_label_centroid_stats, ORACLE_LABEL_CENTROIDS

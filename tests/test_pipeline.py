@@ -611,3 +611,57 @@ def test_csv_source_quarantines_malformed_rows(spark, tmp_path):
     ]
     bad_lines = [r["raw_line"] for r in bad.collect()]
     assert len(bad_lines) == 1 and bad_lines[0].startswith("not-a-number")
+
+
+def test_orc_and_json_round_trip_preserve_events(spark, sf_dir, tmp_path):
+    """Bronze exports are format-agnostic: ORC and JSON round-trips
+    preserve row count and content checksum (order-independent md5
+    fold), including microsecond timestamps — the interchange guarantee
+    for downstream consumers that don't read parquet."""
+    from pyspark.sql import functions as F
+
+    from paas_auditor_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").limit(2000)
+
+    def checksum(df):
+        row_hash = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("event_id").cast("string"),
+                        "event_type",
+                        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return df.agg(
+            F.sum(row_hash).alias("c"), F.count(F.lit(1)).alias("n")
+        ).first()
+
+    want = checksum(events)
+    orc_path = str(tmp_path / "orc")
+    json_path = str(tmp_path / "json")
+    # JSON's default NTZ format truncates to milliseconds — pin a 6-digit
+    # fractional format on BOTH sides or sub-ms event times silently shift
+    ntz_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    events.write.mode("overwrite").orc(orc_path)
+    events.write.mode("overwrite").option(
+        "timestampNTZFormat", ntz_fmt
+    ).json(json_path)
+    got_orc = checksum(spark.read.orc(orc_path))
+    # JSON is schemaless on read: re-apply the writer's schema so ts
+    # comes back as a timestamp, the production contract for JSON lakes
+    got_json = checksum(
+        spark.read.schema(events.schema)
+        .option("timestampNTZFormat", ntz_fmt)
+        .json(json_path)
+    )
+    assert (got_orc["c"], got_orc["n"]) == (want["c"], want["n"])
+    assert (got_json["c"], got_json["n"]) == (want["c"], want["n"])
