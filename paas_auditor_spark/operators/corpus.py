@@ -213,6 +213,29 @@ def bpe_merge_table(
     text_col: str = "text",
     n_merges: int = 8,
 ) -> DataFrame:
+    """The learned merge table; see ``_bpe_learn``."""
+    merges, _ = _bpe_learn(docs_df, text_col, n_merges)
+    return merges
+
+
+def bpe_segment(
+    docs_df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> DataFrame:
+    """The corpus word-frequency table re-segmented by the learned
+    merges: (w, freq, syms) with ``syms`` the subword sequence after
+    applying all ``n_merges`` merges in rank order — the tokenizer's
+    APPLY side, over the same vocabulary-sized table as training."""
+    _, seg = _bpe_learn(docs_df, text_col, n_merges)
+    return seg
+
+
+def _bpe_learn(
+    docs_df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> tuple[DataFrame, DataFrame]:
     """Learn the first ``n_merges`` BPE merges from the corpus (Sennrich
     et al. 2016, "Neural Machine Translation of Rare Words with Subword
     Units", arXiv:1508.07909): start from per-character symbol sequences
@@ -220,10 +243,11 @@ def bpe_merge_table(
     symbol pair with the highest corpus frequency (ties broken
     lexicographically — counts are integers, so the argmax is exact and
     engine-independent), (2) greedily merge its non-overlapping
-    occurrences left-to-right in every word.  Returns
-    (merge_rank, lhs, rhs, cnt), the ordered merge table a tokenizer
-    would apply.  Simplification vs production BPE: no end-of-word
-    marker symbol (merges are intra-word either way here).
+    occurrences left-to-right in every word.  Returns the pair
+    (merge table (merge_rank, lhs, rhs, cnt), segmented vocabulary
+    (w, freq, syms) after all merges).  Simplification vs production
+    BPE: no end-of-word marker symbol (merges are intra-word either
+    way here).
 
     Scale shape: everything after the first aggregation runs on the
     WORD-FREQUENCY table, not the corpus — bounded by distinct-word
@@ -312,7 +336,7 @@ def bpe_merge_table(
     out = merge_rows[0]
     for m in merge_rows[1:]:
         out = out.unionByName(m)
-    return out
+    return out, cur
 
 
 def dsir_scores(

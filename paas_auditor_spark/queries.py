@@ -3241,7 +3241,11 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_table(docs, n_merges=8).orderBy("merge_rank")
 
 
-def _oracle_bpe(n: int = 8) -> str:
+def _oracle_bpe_ctes(n: int, *, keep_last: bool = False) -> str:
+    """Shared CTE chain for the BPE oracles: w0 (char-split word-freq
+    table), then per round p{r} (adjacent pairs), m{r} (argmax merge),
+    w{r} (merge applied via list_reduce).  ``keep_last`` also emits
+    w{n} for oracles that need the final segmentation."""
     sql = """
 WITH w0 AS (
   SELECT w, count(*) AS freq,
@@ -3261,7 +3265,7 @@ m{r} AS (
   SELECT p1, p2, CAST(sum(freq) AS BIGINT) AS cnt FROM p{r}
   GROUP BY p1, p2 ORDER BY cnt DESC, p1, p2 LIMIT 1),
 """
-        if r < n:
+        if r < n or keep_last:
             sql += f"""w{r} AS (
   SELECT w, freq,
          list_reduce(list_transform(syms, s -> [s]),
@@ -3270,12 +3274,46 @@ m{r} AS (
                        ELSE acc || x END) AS syms
   FROM w{r - 1} CROSS JOIN m{r} m),
 """
-    sql = sql.rstrip().rstrip(",")
+    return sql.rstrip().rstrip(",")
+
+
+def _oracle_bpe(n: int = 8) -> str:
+    sql = _oracle_bpe_ctes(n)
     sql += "\n" + "\nUNION ALL\n".join(
         f"SELECT {r} AS merge_rank, p1 AS lhs, p2 AS rhs, cnt FROM m{r}"
         for r in range(1, n + 1)
     )
     sql += "\nORDER BY merge_rank"
+    return sql
+
+
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer's APPLY side: re-segment the corpus with the 8
+    learned merges and report the top-20 subword symbols by corpus
+    occurrence count (word frequency × occurrences within the word) —
+    the emergent subword vocabulary.  Counts are integers; ties break
+    on the symbol, so the cut is engine-independent.
+    operators/corpus.py:bpe_segment."""
+    from paas_auditor_spark.operators.corpus import bpe_segment
+
+    docs = _th(spark, sf_dir, "documents")
+    seg = bpe_segment(docs, n_merges=8)
+    return (
+        seg.select("freq", F.explode("syms").alias("sym"))
+        .groupBy("sym")
+        .agg(F.sum("freq").cast("long").alias("occurrences"))
+        .orderBy(F.col("occurrences").desc(), "sym")
+        .limit(20)
+    )
+
+
+def _oracle_bpe_vocab(n: int = 8) -> str:
+    sql = _oracle_bpe_ctes(n, keep_last=True)
+    sql += f"""
+SELECT sym, CAST(sum(freq) AS BIGINT) AS occurrences
+FROM (SELECT freq, unnest(syms) AS sym FROM w{n})
+GROUP BY sym ORDER BY occurrences DESC, sym LIMIT 20
+"""
     return sql
 
 
@@ -3323,6 +3361,67 @@ SELECT a.source AS src_a, b.source AS src_b,
 FROM gs a JOIN gs b ON a.g = b.g AND a.source < b.source
 GROUP BY a.source, b.source
 ORDER BY shared_grams DESC, src_a, src_b LIMIT 30
+"""
+
+
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-overhead audit for length-bucketed batching (the
+    alternative to sequence_pack when examples can't be concatenated):
+    docs round up to the next power-of-2 token bucket (floor 16), and
+    per bucket we report docs, real tokens, padded waste, and
+    efficiency.  The bucket is computed with integer bit tricks
+    (1 << bitlength(n−1)) instead of log2 — Math.log(x)/Math.log(2) is
+    1-ulp-unstable at exact powers of two and the bucket edge would be
+    engine-dependent."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(tx.tokens(F.col("text"))).cast("long")
+    toked = docs.select(n_tok.alias("n_tok"))
+    # F.shiftleft only takes a literal shift amount — column shifts go
+    # through the SQL form
+    bucket = F.greatest(
+        F.lit(16).cast("long"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT),"
+            " CAST(length(bin(n_tok - 1)) AS INT))"
+        ),
+    )
+    return (
+        toked.select(bucket.alias("bucket"), "n_tok")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("real_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "real_tokens",
+            (F.col("bucket") * F.col("n_docs") - F.col("real_tokens"))
+            .cast("long")
+            .alias("padded_tokens"),
+            F.round(
+                F.col("real_tokens")
+                / (F.col("bucket") * F.col("n_docs")).cast("double"),
+                4,
+            ).alias("efficiency"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_PACKING_EFFICIENCY = """
+WITH t AS (
+  SELECT len(string_split_regex(trim(text), '\\s+')) AS n_tok
+  FROM documents),
+b AS (
+  SELECT greatest(16, CAST(1 AS BIGINT) << length(bin(n_tok - 1))) AS bucket,
+         n_tok
+  FROM t)
+SELECT bucket, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS real_tokens,
+       CAST(bucket * count(*) - sum(n_tok) AS BIGINT) AS padded_tokens,
+       round(sum(n_tok) * 1.0 / (bucket * count(*)), 4) AS efficiency
+FROM b GROUP BY bucket ORDER BY bucket
 """
 
 
@@ -5771,6 +5870,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "dsir_sample": QuerySpec(q_dsir_sample, ORACLE_DSIR),
     "bpe_merges": QuerySpec(q_bpe_merges, _oracle_bpe()),
     "source_overlap": QuerySpec(q_source_overlap, ORACLE_SOURCE_OVERLAP),
+    "bpe_vocab": QuerySpec(q_bpe_vocab, _oracle_bpe_vocab()),
+    "packing_efficiency": QuerySpec(
+        q_packing_efficiency, ORACLE_PACKING_EFFICIENCY
+    ),
     "source_drift_psi": QuerySpec(q_source_drift_psi, ORACLE_PSI),
     "label_centroid_stats": QuerySpec(
         q_label_centroid_stats, ORACLE_LABEL_CENTROIDS

@@ -205,3 +205,39 @@ def test_bpe_merge_table_matches_reference(spark):
                     out.append(c)
             syms[w] = out
     assert got == want
+
+
+def test_bpe_segment_final_vocabulary(spark):
+    """bpe_segment returns the word table re-segmented by all learned
+    merges — checked against the same pure-Python trainer's final state."""
+    from collections import Counter
+
+    from paas_auditor_spark.operators.corpus import bpe_segment
+
+    texts = ["low low low lower lowest", "new newer newest low"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["w"]: (r["freq"], list(r["syms"]))
+        for r in bpe_segment(df, n_merges=6).collect()
+    }
+
+    wc = Counter(w for t in texts for w in t.lower().split())
+    syms = {w: list(w) for w in wc}
+    for _ in range(6):
+        pc = Counter()
+        for w, f in wc.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        (p1, p2), _cnt = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        for w in syms:
+            out = []
+            for c in syms[w]:
+                if out and out[-1] == p1 and c == p2:
+                    out[-1] = p1 + p2
+                else:
+                    out.append(c)
+            syms[w] = out
+    assert got == {w: (wc[w], syms[w]) for w in wc}
