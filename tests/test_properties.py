@@ -386,3 +386,76 @@ def test_asof_join_single_shuffle_no_join_node(spark):
     )
     assert "Window" in plan
     assert "Join" not in plan, plan
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab cd"), min_size=0, max_size=60
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_duplicate_spans_invariants(spark, texts):
+    """(1) coverage is bounded by the token count; (2) unioning the
+    corpus with a re-keyed copy of itself makes every ≥k-token doc fully
+    covered — every gram then occurs ≥2 times, and the gram intervals
+    tile the whole doc."""
+    from paas_auditor_spark.operators.dedup import duplicate_spans
+
+    k = 4
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {
+        r["doc_id"]: r for r in duplicate_spans(df, k=k).collect()
+    }
+    for r in base.values():
+        assert 0 <= r["dup_tokens"] <= r["n_tokens"]
+
+    doubled = spark.createDataFrame(
+        rows + [(i + 1000, t) for i, t in rows], "doc_id long, text string"
+    )
+    for r in duplicate_spans(doubled, k=k).collect():
+        if r["n_tokens"] >= k:
+            assert r["dup_tokens"] == r["n_tokens"], r
+            assert r["dup_frac"] == 1.0
+
+
+@given(st.integers(min_value=0, max_value=10_000))
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_triangle_counts_relabel_invariant(spark, offset):
+    """Triangle counts depend only on graph shape: shifting every node id
+    by a constant (which reshuffles the degree-ordering tie-breaks)
+    permutes the result with the relabeling."""
+    import itertools
+
+    from paas_auditor_spark.operators.graph import triangle_counts
+
+    n = 14
+    edges = [
+        (i, j)
+        for i, j in itertools.combinations(range(n), 2)
+        if (i * 31 + j * 17) % 3 == 0
+    ]
+    df0 = spark.createDataFrame(edges, "src long, dst long")
+    got0 = {
+        r["node"]: r["n_triangles"] for r in triangle_counts(df0).collect()
+    }
+    df1 = spark.createDataFrame(
+        [(a + offset, b + offset) for a, b in edges], "src long, dst long"
+    )
+    got1 = {
+        r["node"] - offset: r["n_triangles"]
+        for r in triangle_counts(df1).collect()
+    }
+    assert got0 == got1
