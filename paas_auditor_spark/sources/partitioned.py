@@ -96,6 +96,46 @@ def compact_partition(
     return n
 
 
+def delete_keys_from_partition(
+    spark: SparkSession,
+    path: str,
+    partition_value: str,
+    key_col: str,
+    keys: Sequence[str],
+) -> int:
+    """Targeted deletion (right-to-erasure / bad-record purge): rewrite
+    ONE date partition without the rows whose ``key_col`` is in ``keys``.
+
+    The 100 TB shape of "DELETE FROM events WHERE guid IN (...)": the
+    date partition bounds the rewrite to the files that can contain the
+    keys — the other 99.99% of the lake is untouched (verified by the
+    test on file contents).  The key list is a deletion manifest
+    (typically ≤ thousands of keys) and rides along as an IN-list /
+    broadcast; the rewrite reuses ``compact_partition``'s
+    temp-dir + atomic-rename choreography so concurrent readers see the
+    old or the new file set, never a partial one.  Table formats with a
+    log (Delta/Iceberg) replace the choreography with a DELETE
+    transaction; call sites keep the shape.
+
+    Returns the number of rows deleted.
+    """
+    import os
+    import shutil
+
+    part_dir = os.path.join(path, f"{PARTITION_COL}={partition_value}")
+    tmp_dir = part_dir + "._deleting"
+    df = spark.read.parquet(part_dir)
+    before = df.count()
+    kept = df.filter(~F.col(key_col).isin(list(keys)))
+    kept.write.mode("overwrite").parquet(tmp_dir)
+    after = spark.read.parquet(tmp_dir).count()
+    old_dir = part_dir + "._old"
+    os.rename(part_dir, old_dir)
+    os.rename(tmp_dir, part_dir)
+    shutil.rmtree(old_dir)
+    return before - after
+
+
 def export_ordered(
     df: DataFrame,
     path: str,
@@ -188,6 +228,7 @@ def list_partitions(path: str) -> list[str]:
 __all__ = [
     "PARTITION_COL",
     "compact_partition",
+    "delete_keys_from_partition",
     "export_ordered",
     "list_partitions",
     "read_since",

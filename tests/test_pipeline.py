@@ -665,3 +665,52 @@ def test_orc_and_json_round_trip_preserve_events(spark, sf_dir, tmp_path):
     )
     assert (got_orc["c"], got_orc["n"]) == (want["c"], want["n"])
     assert (got_json["c"], got_json["n"]) == (want["c"], want["n"])
+
+
+def test_delete_keys_rewrites_only_target_partition(spark, tmp_path):
+    """Right-to-erasure: deleting guids from one date partition removes
+    exactly those rows; the sibling partition's files are byte-identical
+    afterwards (the lake outside the target partition is untouched)."""
+    import datetime as dt
+    import glob
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from paas_auditor_spark.sources.partitioned import (
+        delete_keys_from_partition,
+        list_partitions,
+        write_partitioned,
+    )
+
+    bronze = str(tmp_path / "bronze")
+    d1 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    d2 = dt.datetime(2024, 3, 2, 12, 0, 0)
+    df = spark.createDataFrame(
+        [(i, d1 + dt.timedelta(seconds=i)) for i in range(20)]
+        + [(100 + i, d2 + dt.timedelta(seconds=i)) for i in range(20)],
+        "guid long, created_at timestamp",
+    )
+    write_partitioned(df, bronze)
+
+    def digest(part):
+        h = hashlib.md5()
+        for f in sorted(
+            glob.glob(os.path.join(bronze, f"event_date={part}", "*.parquet"))
+        ):
+            h.update(open(f, "rb").read())
+        return h.hexdigest()
+
+    other_before = digest("2024-03-02")
+    n = delete_keys_from_partition(
+        spark, bronze, "2024-03-01", "guid", [3, 7, 999]
+    )
+    assert n == 2  # 999 never existed
+    assert digest("2024-03-02") == other_before
+    left = spark.read.parquet(bronze)
+    assert left.count() == 38
+    assert (
+        left.filter(F.col("guid").isin([3, 7])).count() == 0
+    )
+    assert list_partitions(bronze) == ["2024-03-01", "2024-03-02"]
