@@ -1014,6 +1014,73 @@ def random_projection(
     return df.select(F.col(id_col), *outs)
 
 
+def mmr_select(
+    cand_df: DataFrame,
+    query_vec: list,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance subset selection (Carbonell &
+    Goldstein, SIGIR 1998): greedily pick ``k`` items maximizing
+
+        λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)
+
+    with rel/sim both cosine — the diversity-aware data-selection step
+    (dedup picks ONE of near-identical items; MMR additionally spreads
+    the survivors across the embedding space).  The argmax each round is
+    on the score ROUNDED to 4dp with ties to the lowest id, so the
+    greedy trajectory is engine-independent and an unrolled-CTE oracle
+    can replay it exactly.
+
+    Returns (select_rank, id, score) — k rows.
+
+    Scale shape (the k-means discipline): relevance is ONE narrow pass
+    over the candidates (query vector embedded as a SQL literal), reused
+    from a ``localCheckpoint`` across rounds; each round adds one
+    max-sim term against the newly selected vector — also a literal, so
+    scoring stays a narrow map with a TakeOrderedAndProject top-1, no
+    join, no shuffle of the candidate set, ever.  Each pick is a 1-row
+    driver action (bounded, like cursor reads); k rounds are inherently
+    stage-serial.
+    """
+    from paas_auditor_spark.functions.exprs import sql_doubles
+
+    q = F.expr(sql_doubles([float(x) for x in query_vec]))
+    base = (
+        cand_df.select(
+            F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
+        )
+        .withColumn("rel", cosine(F.col("v"), q))
+        .localCheckpoint(eager=False)
+    )
+    picked: list[tuple] = []  # (rank, id, score, vec)
+    for r in range(1, k + 1):
+        if picked:
+            sims = [
+                cosine(F.col("v"), F.expr(sql_doubles(vec)))
+                for _, _, _, vec in picked
+            ]
+            max_sim = sims[0] if len(sims) == 1 else F.greatest(*sims)
+            score = F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * max_sim
+        else:
+            score = F.lit(lam) * F.col("rel")
+        row = (
+            base.filter(~F.col("id").isin([p[1] for p in picked]))
+            .select("id", "v", F.round(score, 4).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        picked.append((r, row["id"], float(row["score"]), list(row["v"])))
+    spark = cand_df.sparkSession
+    return spark.createDataFrame(
+        [(r, i, s) for r, i, s, _ in picked],
+        f"select_rank long, {id_col} long, score double",
+    )
+
+
 __all__ = [
     "brute_force_topk",
     "cosine",
@@ -1023,9 +1090,10 @@ __all__ = [
     "hyperplane_bucket",
     "ivf_topk",
     "ivfpq_topk",
-    "semantic_dedup",
     "kmeans_assign",
     "l2_norm",
     "lsh_bucket_keys_udf",
     "lsh_topk",
+    "mmr_select",
+    "semantic_dedup",
 ]

@@ -3364,6 +3364,68 @@ ORDER BY shared_grams DESC, src_a, src_b LIMIT 30
 """
 
 
+def q_mmr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware selection: MMR (λ=0.7) picks 5 of the 99
+    candidate embeddings against anchor vec_id=0 — relevance pulls
+    toward the anchor, the marginal term pushes picks apart.  The greedy
+    argmax is on 4dp-rounded scores with id tie-breaks, so the DuckDB
+    oracle replays the identical trajectory as 5 unrolled CTEs
+    (operators/similarity.py:mmr_select)."""
+    from paas_auditor_spark.operators.similarity import mmr_select
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchor = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    cands = emb.filter(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= 99)
+    )
+    return mmr_select(cands, list(anchor), k=5, lam=0.7)
+
+
+def _oracle_mmr(k: int = 5, lam: float = 0.7) -> str:
+    mu = 1.0 - lam
+    sql = """
+WITH n AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> x * x))) AS nrm
+  FROM embeddings),
+q AS (SELECT v, nrm FROM n WHERE vec_id = 0),
+base AS (
+  SELECT n.vec_id, n.v, n.nrm,
+         list_dot_product(n.v, q.v) / (n.nrm * q.nrm) AS rel
+  FROM n CROSS JOIN q WHERE n.vec_id BETWEEN 1 AND 99),
+"""
+    for r in range(1, k + 1):
+        prev = [f"s{j}" for j in range(1, r)]
+        frm = "base b" + "".join(f" CROSS JOIN {p}" for p in prev)
+        excl = (
+            "WHERE " + " AND ".join(f"b.vec_id <> {p}.vec_id" for p in prev)
+            if prev
+            else ""
+        )
+        if prev:
+            sims = ", ".join(
+                f"list_dot_product(b.v, {p}.v) / (b.nrm * {p}.nrm)"
+                for p in prev
+            )
+            max_sim = f"greatest({sims})" if len(prev) > 1 else sims
+            score = f"round({lam!r} * b.rel - {mu!r} * ({max_sim}), 4)"
+        else:
+            score = f"round({lam!r} * b.rel, 4)"
+        sql += f"""s{r} AS (
+  SELECT b.vec_id, b.v, b.nrm, {score} AS score
+  FROM {frm} {excl}
+  ORDER BY score DESC, b.vec_id LIMIT 1),
+"""
+    sql = sql.rstrip().rstrip(",")
+    sql += "\n" + "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS select_rank, vec_id, score FROM s{r}"
+        for r in range(1, k + 1)
+    )
+    sql += "\nORDER BY select_rank"
+    return sql
+
+
 def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Padding-overhead audit for length-bucketed batching (the
     alternative to sequence_pack when examples can't be concatenated):
@@ -5874,6 +5936,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "packing_efficiency": QuerySpec(
         q_packing_efficiency, ORACLE_PACKING_EFFICIENCY
     ),
+    "mmr_diversity": QuerySpec(q_mmr_diversity, _oracle_mmr()),
     "source_drift_psi": QuerySpec(q_source_drift_psi, ORACLE_PSI),
     "label_centroid_stats": QuerySpec(
         q_label_centroid_stats, ORACLE_LABEL_CENTROIDS

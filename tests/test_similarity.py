@@ -331,3 +331,37 @@ def test_ivfpq_recall_floor_and_exact_rerank(spark, sf_dir):
                if key in exact_sims)
     recall = hits / max(len(exact_sims), 1)
     assert recall >= 0.5, f"IVF-PQ recall@5 {recall:.2f} below floor"
+
+
+def test_mmr_balances_relevance_and_diversity(spark):
+    """λ=1 degenerates to pure relevance top-k; a diversity-heavy λ=0.3
+    with two tight clusters must pick from BOTH clusters within the
+    first two picks (pure relevance would exhaust the nearer cluster
+    first: the near-duplicate penalty ≈1 dominates the ~0.78 rel gap
+    only when 1−λ outweighs λ)."""
+    from paas_auditor_spark.operators.similarity import mmr_select
+
+    anchor = [1.0, 0.0, 0.0, 0.0]
+    # cluster A hugs the anchor; cluster B is orthogonal-ish but not anti
+    rows = [
+        (1, [0.99, 0.1, 0.0, 0.0]),
+        (2, [0.98, 0.12, 0.0, 0.0]),
+        (3, [0.97, 0.14, 0.0, 0.0]),
+        (4, [0.2, 0.9, 0.1, 0.0]),
+        (5, [0.18, 0.92, 0.1, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    pure = [
+        r["vec_id"]
+        for r in mmr_select(df, anchor, k=3, lam=1.0).orderBy("select_rank").collect()
+    ]
+    assert pure == [1, 2, 3]  # relevance order, ids ascending on ties
+
+    mixed = [
+        r["vec_id"]
+        for r in mmr_select(df, anchor, k=3, lam=0.3).orderBy("select_rank").collect()
+    ]
+    assert mixed[0] == 1  # best relevance always first
+    assert any(v in (4, 5) for v in mixed[:2])  # cluster B enters early
