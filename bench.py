@@ -88,6 +88,11 @@ HEADLINE = [
     "duplicate_spans",
     "dsir_sample",
     "source_overlap",
+    "packing_efficiency",
+    "cms_estimate",
+    # mmr_diversity and bpe_merges/bpe_vocab stay OUT like kmeans and
+    # pagerank: greedy/merge rounds are stage-serial 1-row argmaxes —
+    # wall time there is scheduling barriers, not data volume
 ]
 
 

@@ -81,3 +81,83 @@ def heavy_hitters(
         .orderBy(F.col("cnt_lb").desc(), "item")
         .limit(k)
     )
+
+
+def cms_table(
+    df: DataFrame, item_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) in relational
+    form: ``depth`` independent hash rows of ``width`` counters each,
+    materialized as a (d, bucket, cnt) table of ≤ depth×width rows.
+
+    The complement to Misra-Gries: MG answers "which items are
+    frequent", CMS answers point frequency queries for ANY item with
+    estimate ≥ truth and overestimate ≤ 2n/width with probability
+    1 − 2^−depth.  Each hash row is one map-side-combined groupBy on an
+    md5-derived bucket (engine-portable — the sketch CONTENT is
+    deterministic, so two engines build bit-identical sketches and an
+    exact oracle can check them); the result is mergeable across
+    shards/days by summing counters, and the sketch itself broadcasts
+    anywhere (depth×width rows, independent of vocabulary).
+    """
+    parts = []
+    for d in range(depth):
+        bucket = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col(item_col), F.lit(f"#{d}"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width
+        )
+        parts.append(
+            df.groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit(d).alias("d"), "bucket", "cnt")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def cms_estimates(
+    df: DataFrame,
+    items_df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates for ``items_df[item_col]`` from the CMS
+    of ``df[item_col]``: estimate = min over the depth rows of the
+    counter each hash maps the item to.  The probe side derives the same
+    md5 buckets and joins the broadcast sketch — O(items × depth) work
+    regardless of stream size."""
+    sketch = cms_table(df, item_col, depth, width)
+    probes = []
+    for d in range(depth):
+        bucket = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col(item_col), F.lit(f"#{d}"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width
+        )
+        probes.append(
+            items_df.select(
+                item_col, F.lit(d).alias("d"), bucket.alias("bucket")
+            )
+        )
+    probe = probes[0]
+    for p in probes[1:]:
+        probe = probe.unionByName(p)
+    return (
+        probe.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy(item_col)
+        .agg(F.min("cnt").cast("long").alias("cms_estimate"))
+    )

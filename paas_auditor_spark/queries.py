@@ -3364,6 +3364,59 @@ ORDER BY shared_grams DESC, src_a, src_b LIMIT 30
 """
 
 
+def q_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point-frequency estimates for the corpus's
+    top-20 terms, next to their exact counts — estimate ≥ truth always,
+    within 2n/width w.h.p.  The sketch is a deterministic (d, bucket,
+    cnt) relation built from md5-derived buckets, so the DuckDB oracle
+    constructs the bit-identical sketch and the comparison is exact
+    (operators/heavyhitters.py:cms_table)."""
+    from paas_auditor_spark.operators.heavyhitters import cms_estimates
+
+    docs = _th(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tx.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    top = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), "term")
+        .limit(20)
+    )
+    est = cms_estimates(toks, top.select("term"), "term")
+    return (
+        top.join(est, "term")
+        .select("term", "n_exact", "cms_estimate")
+        .orderBy(F.col("n_exact").desc(), "term")
+    )
+
+
+ORACLE_CMS = """
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents),
+top AS (
+  SELECT term, count(*) AS n_exact FROM words
+  GROUP BY term ORDER BY n_exact DESC, term LIMIT 20),
+ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+sk AS (
+  SELECT d,
+         CAST(concat('0x', substr(md5(term || '#' || d), 1, 8))
+              AS BIGINT) % 256 AS bucket,
+         count(*) AS cnt
+  FROM words CROSS JOIN ds GROUP BY 1, 2),
+pr AS (
+  SELECT t.term, t.n_exact, min(sk.cnt) AS cms_estimate
+  FROM top t CROSS JOIN ds
+  JOIN sk ON sk.d = ds.d
+         AND sk.bucket = CAST(concat('0x',
+               substr(md5(t.term || '#' || ds.d), 1, 8)) AS BIGINT) % 256
+  GROUP BY t.term, t.n_exact)
+SELECT term, n_exact, CAST(cms_estimate AS BIGINT) AS cms_estimate
+FROM pr ORDER BY n_exact DESC, term
+"""
+
+
 def q_mmr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity-aware selection: MMR (λ=0.7) picks 5 of the 99
     candidate embeddings against anchor vec_id=0 — relevance pulls
@@ -5937,6 +5990,7 @@ REGISTRY: dict[str, QuerySpec] = {
         q_packing_efficiency, ORACLE_PACKING_EFFICIENCY
     ),
     "mmr_diversity": QuerySpec(q_mmr_diversity, _oracle_mmr()),
+    "cms_estimate": QuerySpec(q_cms_estimate, ORACLE_CMS),
     "source_drift_psi": QuerySpec(q_source_drift_psi, ORACLE_PSI),
     "label_centroid_stats": QuerySpec(
         q_label_centroid_stats, ORACLE_LABEL_CENTROIDS

@@ -204,3 +204,41 @@ def test_fold_counts_invariants(stream, capacity):
     for item, c in true.items():
         if c > n / capacity:
             assert item in summary
+
+
+def test_cms_overestimates_and_merges(spark):
+    """CMS invariants: every estimate ≥ the true count; summing the
+    sketches of two disjoint halves equals the sketch of the union
+    (mergeability — the property that makes per-day sketches roll up)."""
+    from pyspark.sql import functions as F
+
+    from paas_auditor_spark.operators.heavyhitters import (
+        cms_estimates,
+        cms_table,
+    )
+
+    rows = [(f"item{i % 37}",) for i in range(1500)] + [("hot",)] * 300
+    df = spark.createDataFrame(rows, "item string")
+    true = {r["item"]: r["n"] for r in
+            df.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()}
+    items = df.select("item").distinct()
+    est = {
+        r["item"]: r["cms_estimate"]
+        for r in cms_estimates(df, items, "item", depth=4, width=64).collect()
+    }
+    assert set(est) == set(true)
+    for item, n in true.items():
+        assert est[item] >= n, (item, est[item], n)
+
+    half1 = spark.createDataFrame(rows[:900], "item string")
+    half2 = spark.createDataFrame(rows[900:], "item string")
+    merged = (
+        cms_table(half1, "item", depth=4, width=64)
+        .unionByName(cms_table(half2, "item", depth=4, width=64))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_table(df, "item", depth=4, width=64)
+    got = {(r["d"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    want = {(r["d"], r["bucket"]): r["cnt"] for r in whole.collect()}
+    assert got == want
