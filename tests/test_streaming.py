@@ -494,3 +494,78 @@ def test_running_totals_processor_logic():
         (7,), iter([pd.DataFrame({"value": [None, 4.0]})]), None))
     assert out2[0].iloc[0].to_dict() == {
         "user_id": 7, "n_events": 5, "total_value": 10.0}
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
+    """Stream-stream LEFT OUTER with event-time bounds: matched rows emit
+    immediately; unmatched left rows emit with NULL right side once the
+    watermark passes their join window (the eviction-time NULL emission
+    that distinguishes outer from inner state handling).  A second batch
+    far in the future advances the watermark to flush them."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    B = dt.datetime(2024, 3, 1, 12, 0, 0)
+    cdir, bdir = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    schema = "user_id string, ts timestamp"
+    spark.createDataFrame(
+        [("u1", B), ("u2", B)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(cdir)
+    spark.createDataFrame(
+        [("u1", B + dt.timedelta(minutes=5))], schema
+    ).coalesce(1).write.mode("overwrite").parquet(bdir)
+
+    clicks = (
+        spark.readStream.schema(schema).parquet(cdir)
+        .withWatermark("ts", "10 seconds")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    )
+    buys = (
+        spark.readStream.schema(schema).parquet(bdir)
+        .withWatermark("ts", "10 seconds")
+        .select(F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"))
+    )
+    joined = clicks.join(
+        buys,
+        F.expr(
+            "c_user = b_user AND "
+            "b_ts BETWEEN c_ts AND c_ts + interval 10 minutes"
+        ),
+        "leftOuter",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_left_join")
+        .option("checkpointLocation", str(tmp_path / "ckpt_lo"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # u2 is still waiting in state: its join window hasn't closed
+        partial = {
+            r["c_user"]: r["b_user"]
+            for r in spark.sql(
+                "SELECT c_user, b_user FROM ss_left_join"
+            ).collect()
+        }
+        assert partial.get("u1") == "u1"
+        # advance the watermark far past u2's window on both sides
+        late = B + dt.timedelta(hours=2)
+        spark.createDataFrame(
+            [("zz", late)], schema
+        ).coalesce(1).write.mode("append").parquet(cdir)
+        spark.createDataFrame(
+            [("zz2", late)], schema
+        ).coalesce(1).write.mode("append").parquet(bdir)
+        q.processAllAvailable()
+        rows = {
+            r["c_user"]: r["b_user"]
+            for r in spark.sql(
+                "SELECT c_user, b_user FROM ss_left_join"
+            ).collect()
+            if r["c_user"] in ("u1", "u2")
+        }
+    finally:
+        q.stop()
+    assert rows == {"u1": "u1", "u2": None}
