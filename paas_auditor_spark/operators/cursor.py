@@ -94,8 +94,19 @@ def unshipped_events(
     heaps of size k, no global sort); the post-filter and final sort then
     touch ≤ ``batch_cap`` rows.
     """
+    # The cursor literal goes through a STRING, not a datetime object:
+    # PySpark converts naive datetimes to timestamp literals with the
+    # PYTHON process timezone while column casts use the SESSION
+    # timezone — under TZ=America/New_York the two disagree and the
+    # boundary shifts 5 h (caught by a TZ sweep: the batch read 8192
+    # rows, not 8191, and entry() lost 7 rows).  A string cast to the ts
+    # column's own type is pure wall-clock for TIMESTAMP_NTZ and
+    # session-tz-consistent for TIMESTAMP — correct either way.
+    lit_cursor = F.lit(cursor_ts.isoformat(sep=" ")).cast(
+        events_df.schema[ts_col].dataType
+    )
     recent = (
-        events_df.filter(F.col(ts_col) >= F.lit(cursor_ts))
+        events_df.filter(F.col(ts_col) >= lit_cursor)
         .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
         .limit(batch_cap)
     )

@@ -108,3 +108,31 @@ def test_utc_pinned_under_non_utc_caller_session(spark, tmp_path):
         assert fmt["ts_str"] == "2024-01-01T00:00:00Z"
     finally:
         spark.conf.set("spark.sql.session.timeZone", original)
+
+
+def test_unshipped_boundary_immune_to_python_process_tz(spark, sf_dir):
+    """PySpark converts naive-datetime literals with the PYTHON process
+    timezone, while column casts use the session timezone — if the
+    cursor literal crossed as a datetime object, a non-UTC process tz
+    would shift the shipper window 5 h (8192 rows instead of 8191).
+    The literal goes through a wall-clock string instead; flipping the
+    process tz mid-test must not move the boundary."""
+    import os
+    import time
+
+    from paas_auditor_spark.queries import q_unshipped_events
+
+    before = q_unshipped_events(spark, sf_dir).count()
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    time.tzset()
+    try:
+        after = q_unshipped_events(spark, sf_dir).count()
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()
+    # sf0.001 fixture: 1000 events, cursor at the 100th → 900 unshipped
+    assert before == after == 900
