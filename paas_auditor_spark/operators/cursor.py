@@ -38,6 +38,12 @@ import datetime as dt
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from paas_auditor_spark.functions.timecross import (
+    parse_wall,
+    to_ts,
+    ts_string,
+    wall_string,
+)
 from paas_auditor_spark.schemas import EPOCH, SHIPPER_CURSOR
 
 EPOCH_TS = dt.datetime(1970, 1, 1)
@@ -57,16 +63,20 @@ def effective_cursor(
     dropDuplicates for strict parity, SURVEY.md hard-part 4), then top-1 by
     updated_at (J2).  Cardinality is exactly 1 → collect to driver (J3).
     """
+    # updated_at collects as a JVM-rendered wall-clock STRING, never as a
+    # datetime object — object crossings use the Python PROCESS timezone
+    # and shift the cursor by the tz offset on a non-UTC host (see
+    # functions/timecross.py)
     rows = (
         cursors_df.filter(F.col("name") == F.lit(shipper_name))
-        .select("updated_at", "shipped_id")
+        .select(ts_string("updated_at").alias("u"), "shipped_id")
         .collect()
     )
     # UNION with the (epoch, '') default row + ORDER BY updated_at DESC
     # LIMIT 1, resolved driver-side: the relation is at most a handful of
     # rows per shipper, and a distributed sort+dedup here costs two shuffle
     # jobs for nothing (Postgres equally resolves this via an index top-1).
-    candidates = [(r["updated_at"], r["shipped_id"]) for r in rows]
+    candidates = [(parse_wall(r["u"]), r["shipped_id"]) for r in rows]
     candidates.append((EPOCH_TS, ""))
     return max(dict.fromkeys(candidates), key=lambda c: c[0])
 
@@ -94,15 +104,13 @@ def unshipped_events(
     heaps of size k, no global sort); the post-filter and final sort then
     touch ≤ ``batch_cap`` rows.
     """
-    # The cursor literal goes through a STRING, not a datetime object:
-    # PySpark converts naive datetimes to timestamp literals with the
-    # PYTHON process timezone while column casts use the SESSION
-    # timezone — under TZ=America/New_York the two disagree and the
-    # boundary shifts 5 h (caught by a TZ sweep: the batch read 8192
-    # rows, not 8191, and entry() lost 7 rows).  A string cast to the ts
-    # column's own type is pure wall-clock for TIMESTAMP_NTZ and
-    # session-tz-consistent for TIMESTAMP — correct either way.
-    lit_cursor = F.lit(cursor_ts.isoformat(sep=" ")).cast(
+    # The cursor literal crosses as a wall-clock STRING cast to the ts
+    # column's own type — session-tz-consistent for TIMESTAMP, pure wall
+    # clock for TIMESTAMP_NTZ.  A datetime-object literal would be
+    # converted with the Python PROCESS timezone and shift the boundary
+    # on a non-UTC host (caught by a TZ sweep: the batch read 8192 rows,
+    # not 8191; see functions/timecross.py for the invariant).
+    lit_cursor = F.lit(wall_string(cursor_ts)).cast(
         events_df.schema[ts_col].dataType
     )
     recent = (
@@ -130,9 +138,12 @@ def upsert_cursor(
     or Delta MERGE on a real deployment).
     """
     spark = cursors_df.sparkSession
+    # the timestamp crosses as a wall-clock string parsed JVM-side
+    # (session tz) — a datetime object would convert via the process tz
     new_row = spark.createDataFrame(
-        [(shipper_name, updated_at, shipped_id)], schema=SHIPPER_CURSOR
-    )
+        [(shipper_name, wall_string(updated_at), shipped_id)],
+        "name string, updated_at string, shipped_id string",
+    ).withColumn("updated_at", to_ts("updated_at"))
     kept = cursors_df.filter(F.col("name") != F.lit(shipper_name))
     return kept.unionByName(new_row)
 

@@ -69,7 +69,13 @@ def validate_events(
     as an engine we filter on the write path and keep the rejects
     addressable instead of erroring the batch.
     """
-    cond = F.col(ts_col).isNotNull() & (F.col(ts_col) > F.lit(EPOCH_TS))
+    # epoch literal crosses as a string (session-tz parse) — an object
+    # literal converts via the process tz and would misjudge rows within
+    # tz-offset hours of the epoch on a non-UTC host
+    epoch_lit = F.lit("1970-01-01 00:00:00").cast(
+        df.schema[ts_col].dataType
+    )
+    cond = F.col(ts_col).isNotNull() & (F.col(ts_col) > epoch_lit)
     return df.filter(cond), df.filter(~cond | F.col(ts_col).isNull())
 
 
@@ -84,8 +90,12 @@ def ingest_watermark(
     the year<1970 guard (T2).  A single MAX aggregate — parquet footer
     statistics make this a metadata-only scan under AQE.
     """
-    row = target_df.agg(F.max(ts_col).alias("mx")).first()
-    mx = row["mx"]
+    from paas_auditor_spark.functions.timecross import parse_wall, ts_string
+
+    # wall-clock string collect — a datetime-object collect would shift
+    # by the process-tz offset on a non-UTC host (functions/timecross.py)
+    row = target_df.agg(ts_string(F.max(ts_col)).alias("mx")).first()
+    mx = parse_wall(row["mx"])
     if mx is None:
         return EPOCH_TS
     wm = mx - dt.timedelta(seconds=overlap_s)
@@ -121,7 +131,14 @@ def idempotent_merge(
     deduped = batch_df.dropDuplicates([key_col])
     existing = target_df
     if window_floor is not None:
-        existing = existing.filter(F.col(ts_col) >= F.lit(window_floor))
+        from paas_auditor_spark.functions.timecross import wall_string
+
+        existing = existing.filter(
+            F.col(ts_col)
+            >= F.lit(wall_string(window_floor)).cast(
+                existing.schema[ts_col].dataType
+            )
+        )
     existing_keys = F.broadcast(existing.select(key_col).distinct())
     fresh = deduped.join(existing_keys, on=key_col, how="left_anti")
     fresh = fresh.localCheckpoint(eager=False)

@@ -20,9 +20,14 @@ from paas_auditor_spark.operators.cursor import EPOCH_TS
 def latest_event_time(
     df: DataFrame, ts_col: str = "created_at"
 ) -> dt.datetime:
-    """MAX(event time), epoch when the table is empty (A1)."""
-    row = df.agg(F.max(ts_col).alias("mx")).first()
-    return row["mx"] if row["mx"] is not None else EPOCH_TS
+    """MAX(event time), epoch when the table is empty (A1).  Collected
+    as a JVM-rendered wall-clock string (functions/timecross.py) so the
+    result is process-tz-independent."""
+    from paas_auditor_spark.functions.timecross import parse_wall, ts_string
+
+    row = df.agg(ts_string(F.max(ts_col)).alias("mx")).first()
+    mx = parse_wall(row["mx"])
+    return mx if mx is not None else EPOCH_TS
 
 
 def approx_count(parquet_path: str) -> int:

@@ -65,13 +65,21 @@ def q_unshipped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     # top-100 by (ts, event_id) runs as TakeOrderedAndProject (per-partition
     # heaps, no global sort); the 100th row is the simulated cursor
+    from paas_auditor_spark.functions.timecross import to_ts, ts_string
+
     head = (
-        events.select("ts", "event_id").orderBy("ts", "event_id").limit(100).collect()
+        events.select(ts_string("ts").alias("ts_s"), "event_id")
+        .orderBy("ts", "event_id")
+        .limit(100)
+        .collect()
     )
     last = head[-1]
+    # the simulated cursor's timestamp crosses the driver boundary as a
+    # wall-clock string in BOTH directions (functions/timecross.py)
     cursors = spark.createDataFrame(
-        [(SHIPPER_NAME, last["ts"], str(last["event_id"]))], schema=SHIPPER_CURSOR
-    )
+        [(SHIPPER_NAME, last["ts_s"], str(last["event_id"]))],
+        "name string, updated_at string, shipped_id string",
+    ).withColumn("updated_at", to_ts("updated_at"))
     cursor_ts, shipped_id = effective_cursor(cursors, SHIPPER_NAME)
     return unshipped_events(
         events, cursor_ts, shipped_id, batch_cap=8192, ts_col="ts", id_col="event_id"
@@ -110,7 +118,7 @@ def q_latest_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     return events.agg(
         F.coalesce(
-            F.max("ts"), F.lit(dt.datetime(1970, 1, 1)).cast("timestamp")
+            F.max("ts"), F.lit("1970-01-01 00:00:00").cast("timestamp")
         ).alias("latest_ts")
     )
 
@@ -234,7 +242,7 @@ def q_validity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8: event-time CHECK > epoch (reference create_cf_audit_events.sql:26-30)."""
     events = _t(spark, sf_dir, "events")
     return events.filter(
-        F.col("ts") > F.lit(dt.datetime(1970, 1, 1)).cast("timestamp")
+        F.col("ts") > F.lit("1970-01-01 00:00:00").cast("timestamp")
     ).agg(F.count(F.lit(1)).alias("valid_count"))
 
 

@@ -161,9 +161,13 @@ class Service:
             logger=self._loop_logs[self.shipper_tick],
         )
         if last_ok is not None:
-            # W2: cursor advances only to the last success (T4 monotone)
+            from paas_auditor_spark.functions.timecross import parse_wall
+
+            # W2: cursor advances only to the last success (T4 monotone);
+            # the timestamp comes from the wall-clock string twin, not
+            # the process-tz-converted datetime object
             self.store.upsert_cursor(
-                SHIPPER_NAME, last_ok["created_at"], last_ok["guid"]
+                SHIPPER_NAME, parse_wall(last_ok["created_at_s"]), last_ok["guid"]
             )
         from paas_auditor_spark.streaming.ship import _mname
 
@@ -181,9 +185,11 @@ class Service:
         self.metrics.set(
             "informer_cf_audit_events_total", float(self.store.event_count())
         )
+        from paas_auditor_spark.functions.timecross import epoch_utc
+
         self.metrics.set(
             "informer_latest_cf_audit_event_timestamp",
-            self.store.latest_event_time().timestamp(),
+            epoch_utc(self.store.latest_event_time()),
         )
 
     # -- loops / service --------------------------------------------------

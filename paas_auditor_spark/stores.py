@@ -79,13 +79,29 @@ class ParquetStore:
         return self._read(self.paths[EVENTS_TABLE])
 
     def latest_event_time(self) -> dt.datetime:
-        row = self.events_df().agg(F.max("created_at").alias("mx")).first()
-        return row["mx"] or EPOCH_TS
+        from paas_auditor_spark.functions.timecross import (
+            parse_wall,
+            ts_string,
+        )
+
+        row = (
+            self.events_df()
+            .agg(ts_string(F.max("created_at")).alias("mx"))
+            .first()
+        )
+        return parse_wall(row["mx"]) or EPOCH_TS
 
     def overlap_keys_df(self, floor: dt.datetime) -> DataFrame:
+        from paas_auditor_spark.functions.timecross import wall_string
+
         return (
             self.events_df()
-            .filter(F.col("created_at") >= F.lit(floor))
+            .filter(
+                F.col("created_at")
+                >= F.lit(wall_string(floor)).cast(
+                    self.events_df().schema["created_at"].dataType
+                )
+            )
             .select("guid")
             .distinct()
         )

@@ -103,9 +103,11 @@ def informer_tick(
     else:
         n = target_df.count()
     metrics.set("informer_cf_audit_events_total", float(n))
+    from paas_auditor_spark.functions.timecross import epoch_utc
+
     metrics.set(
         "informer_latest_cf_audit_event_timestamp",
-        latest_event_time(target_df, ts_col).timestamp(),
+        epoch_utc(latest_event_time(target_df, ts_col)),
     )
 
 
@@ -176,8 +178,13 @@ def stream_to_bronze(
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         import os
 
+        from paas_auditor_spark.functions.timecross import ts_string
+
         deduped = batch_df.dropDuplicates([key_col])
-        bounds = deduped.agg(F.min(ts_col).alias("lo")).first()
+        # wall-clock string round trip — an object collect+relit only
+        # cancels for TIMESTAMP columns; for TIMESTAMP_NTZ it shifts by
+        # the process-tz offset (functions/timecross.py)
+        bounds = deduped.agg(ts_string(F.min(ts_col)).alias("lo")).first()
         if bounds["lo"] is None:
             return
         # first-batch detection is an explicit existence check, NOT a broad
@@ -191,7 +198,12 @@ def stream_to_bronze(
         ):
             bronze = spark.read.parquet(bronze_dir)
             existing = (
-                bronze.filter(F.col(ts_col) >= F.lit(bounds["lo"]))
+                bronze.filter(
+                    F.col(ts_col)
+                    >= F.lit(bounds["lo"]).cast(
+                        bronze.schema[ts_col].dataType
+                    )
+                )
                 .select(key_col)
                 .distinct()
             )
@@ -273,10 +285,16 @@ def store_sink(
     from pyspark.sql import functions as F
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        from paas_auditor_spark.functions.timecross import (
+            parse_wall,
+            ts_string,
+        )
+
         deduped = batch_df.dropDuplicates([key_col])
-        bounds = deduped.agg(F.min(ts_col).alias("lo")).first()
+        bounds = deduped.agg(ts_string(F.min(ts_col)).alias("lo")).first()
         if bounds["lo"] is None:
             return
+        floor = parse_wall(bounds["lo"])
         # localCheckpoint so the anti-join runs ONCE: the store write and
         # the metrics count both read the materialized micro-batch —
         # O(batch) per tick, never O(history).  (An Observation can't
@@ -284,7 +302,7 @@ def store_sink(
         # is an RDD action, which never completes DataFrame observation
         # metrics — sinks/jdbc.py:216.)
         fresh = deduped.join(
-            F.broadcast(store.overlap_keys_df(bounds["lo"])),
+            F.broadcast(store.overlap_keys_df(floor)),
             on=key_col,
             how="left_anti",
         ).localCheckpoint()

@@ -107,9 +107,15 @@ def build_payloads(
         space_guid=_c("space_guid"),
         metadata=F.col("metadata") if "metadata" in cols else None,
     )
+    from paas_auditor_spark.functions.timecross import ts_string
+
     return batch_df.select(
         F.col(id_col).cast("string").alias("guid"),
         F.col(ts_col).alias("created_at"),
+        # wall-clock string twin: the driver's cursor-advance and metric
+        # code reads THIS, not the datetime object — object collects
+        # convert via the process tz (functions/timecross.py)
+        ts_string(F.col(ts_col)).alias("created_at_s"),
         splunk_envelope(evt, deploy_env).alias("payload"),
     )
 
@@ -149,9 +155,14 @@ def ship_rows(
     if metrics:
         metrics.inc(f"{_mname(shipper_name)}_events_shipped_total", shipped)
         if last_ok is not None:
+            from paas_auditor_spark.functions.timecross import (
+                epoch_utc,
+                parse_wall,
+            )
+
             metrics.set(
                 f"{_mname(shipper_name)}_latest_event_timestamp",
-                last_ok["created_at"].timestamp(),
+                epoch_utc(parse_wall(last_ok["created_at_s"])),
             )
     return shipped, last_ok, failed
 
@@ -193,8 +204,13 @@ def ship_unshipped(
     )
     new_cursors = cursors_df
     if last_ok is not None:
+        from paas_auditor_spark.functions.timecross import parse_wall
+
         new_cursors = upsert_cursor(
-            cursors_df, shipper_name, last_ok["created_at"], last_ok["guid"]
+            cursors_df,
+            shipper_name,
+            parse_wall(last_ok["created_at_s"]),
+            last_ok["guid"],
         )
     if metrics:
         metrics.inc(

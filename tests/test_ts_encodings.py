@@ -136,3 +136,71 @@ def test_unshipped_boundary_immune_to_python_process_tz(spark, sf_dir):
         time.tzset()
     # sf0.001 fixture: 1000 events, cursor at the 100th → 900 unshipped
     assert before == after == 900
+
+
+def test_cursor_roundtrip_immune_to_process_tz_both_directions(spark):
+    """Non-vacuous tz regression: events sit INSIDE the tz-offset window
+    on both sides of the cursor, so any process-tz leak in the
+    cursors-table round trip (effective_cursor collect → literal) moves
+    the boundary and changes the result set.  Run the full
+    upsert → effective_cursor → unshipped_events cycle under UTC,
+    America/New_York (west) and Asia/Kolkata (east, half-hour offset):
+    identical batches required."""
+    import datetime as dt
+    import os
+    import time
+
+    from paas_auditor_spark.operators.cursor import (
+        effective_cursor,
+        empty_cursors,
+        unshipped_events,
+        upsert_cursor,
+    )
+
+    B = dt.datetime(2024, 3, 1, 12, 0, 0)
+    # events every 30 min across ±6 h around the noon cursor
+    events = spark.createDataFrame(
+        [
+            (str(i), B + dt.timedelta(minutes=30 * (i - 12)))
+            for i in range(25)
+        ],
+        "guid string, created_at timestamp",
+    )
+
+    def run_cycle():
+        from paas_auditor_spark.functions.timecross import ts_string
+
+        cursors = upsert_cursor(
+            empty_cursors(spark), "s", B, "12"
+        )
+        ts, sid = effective_cursor(cursors, "s")
+        got = (
+            unshipped_events(events, ts, sid, batch_cap=8192)
+            # compare JVM-rendered wall clocks: collecting the datetime
+            # OBJECTS would re-introduce the process-tz rendering this
+            # test exists to exclude from engine semantics
+            .select("guid", ts_string("created_at").alias("ca"))
+            .collect()
+        )
+        return [(r["guid"], r["ca"]) for r in got]
+
+    old_tz = os.environ.get("TZ")
+    results = {}
+    try:
+        for tz in ("UTC", "America/New_York", "Asia/Kolkata"):
+            os.environ["TZ"] = tz
+            time.tzset()
+            results[tz] = run_cycle()
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()
+
+    # cursor at noon, shipped id '12' excluded: exactly the 12 events
+    # at/after noon minus the shipped one
+    assert len(results["UTC"]) == 12
+    assert "12" not in {g for g, _ in results["UTC"]}
+    assert results["America/New_York"] == results["UTC"]
+    assert results["Asia/Kolkata"] == results["UTC"]
