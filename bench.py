@@ -77,10 +77,9 @@ HEADLINE = [
     "asof_join_tolerance",
     "weighted_sample",
     # pagerank and bpe_merges stay OUT of the headline like kmeans:
-    # power-iteration / merge rounds are inherently stage-serial
-    # rounds are inherently stage-serial (~4 s at sf0.1 is scheduling
-    # barriers, not data volume); correctness is driver-checked via the
-    # registry either way
+    # power-iteration / merge rounds are inherently stage-serial (their
+    # sf0.1 wall time is scheduling barriers, not data volume);
+    # correctness is driver-checked via the registry either way
     "chi2_keywords",
     "source_drift_psi",
     "label_centroid_stats",

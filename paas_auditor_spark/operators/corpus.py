@@ -276,7 +276,7 @@ def _bpe_learn(
         ).alias("syms"),
     ).localCheckpoint(eager=False)
 
-    merge_rows = []
+    merges: list[tuple] = []
     for r in range(1, n_merges + 1):
         pairs = cur.filter(F.size("syms") >= 2).select(
             "freq",
@@ -290,52 +290,50 @@ def _bpe_learn(
                 )
             ).alias("pr"),
         )
-        best = (
+        # the winner is ONE row — collect it (the k-means/MMR bounded-
+        # driver-action convention) so it can ride into the fold as
+        # string literals, and so merge exhaustion is detectable: a
+        # corpus fully merged before n_merges rounds yields an EMPTY
+        # argmax, and a crossJoin against it would wipe the word table
+        best_rows = (
             pairs.groupBy(
                 F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2")
             )
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.col("cnt").desc(), "p1", "p2")
             .limit(1)
-            .localCheckpoint(eager=False)  # pin the winner: 3 consumers
+            .collect()
         )
-        merge_rows.append(
-            best.select(
-                F.lit(r).alias("merge_rank"),
-                F.col("p1").alias("lhs"),
-                F.col("p2").alias("rhs"),
-                F.col("cnt").cast("long").alias("cnt"),
-            )
+        if not best_rows:
+            break
+        p1, p2, cnt = (
+            best_rows[0]["p1"],
+            best_rows[0]["p2"],
+            int(best_rows[0]["cnt"]),
         )
-        b = F.broadcast(
-            best.select(F.col("p1").alias("_p1"), F.col("p2").alias("_p2"))
-        )
-        cur = (
-            cur.crossJoin(b)
-            .select(
-                "w",
-                "freq",
-                F.aggregate(
-                    "syms",
-                    F.array().cast("array<string>"),
-                    lambda acc, s: F.when(
-                        (F.size(acc) > 0)
-                        & (F.element_at(acc, -1) == F.col("_p1"))
-                        & (s == F.col("_p2")),
-                        F.concat(
-                            F.slice(acc, 1, F.size(acc) - 1),
-                            F.array(
-                                F.concat(F.col("_p1"), F.col("_p2"))
-                            ),
-                        ),
-                    ).otherwise(F.concat(acc, F.array(s))),
-                ).alias("syms"),
-            )
-            .localCheckpoint(eager=False)
-        )
-    out = merge_rows[0]
-    for m in merge_rows[1:]:
-        out = out.unionByName(m)
+        merges.append((r, p1, p2, cnt))
+        l1, l2 = F.lit(p1), F.lit(p2)
+        cur = cur.select(
+            "w",
+            "freq",
+            F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == l1)
+                    & (s == l2),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.concat(l1, l2)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            ).alias("syms"),
+        ).localCheckpoint(eager=False)
+    spark = docs_df.sparkSession
+    out = spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, cnt long"
+    )
     return out, cur
 
 
@@ -387,10 +385,25 @@ def dsir_scores(
     raw_toked, raw_tok = doc_buckets(raw_df)
     _, tgt_tok = doc_buckets(target_df)
 
-    tgt_dist = tgt_tok.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
-    raw_dist = raw_tok.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    tgt_total = tgt_tok.agg(F.count(F.lit(1)).alias("nt"))
-    raw_total = raw_tok.agg(F.count(F.lit(1)).alias("nr"))
+    # totals fold out of the ≤buckets-row distribution tables — summing
+    # them is free, while counting the token relations again would be
+    # two more corpus-sized aggregation jobs
+    tgt_dist = (
+        tgt_tok.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .localCheckpoint(eager=False)
+    )
+    raw_dist = (
+        raw_tok.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cr"))
+        .localCheckpoint(eager=False)
+    )
+    tgt_total = tgt_dist.agg(
+        F.coalesce(F.sum("ct"), F.lit(0)).alias("nt")  # empty target → 0
+    )
+    raw_total = raw_dist.agg(
+        F.coalesce(F.sum("cr"), F.lit(0)).alias("nr")
+    )
 
     per_doc_b = raw_tok.groupBy("id", "b").agg(
         F.count(F.lit(1)).alias("c")

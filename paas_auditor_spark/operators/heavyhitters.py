@@ -93,34 +93,46 @@ def cms_table(
     The complement to Misra-Gries: MG answers "which items are
     frequent", CMS answers point frequency queries for ANY item with
     estimate ≥ truth and overestimate ≤ 2n/width with probability
-    1 − 2^−depth.  Each hash row is one map-side-combined groupBy on an
-    md5-derived bucket (engine-portable — the sketch CONTENT is
-    deterministic, so two engines build bit-identical sketches and an
-    exact oracle can check them); the result is mergeable across
-    shards/days by summing counters, and the sketch itself broadcasts
-    anywhere (depth×width rows, independent of vocabulary).
+    1 − 2^−depth.  The build is ONE pass: each input row explodes into
+    its ``depth`` (d, bucket) cells (a narrow ×depth map, no re-scan per
+    hash row) and one map-side-combined groupBy reduces to the
+    ≤ depth×width counter table.  Buckets are md5-derived
+    (engine-portable — the sketch CONTENT is deterministic, so two
+    engines build bit-identical sketches and an exact oracle can check
+    them); the result is mergeable across shards/days by summing
+    counters, and the sketch itself broadcasts anywhere (depth×width
+    rows, independent of vocabulary).
     """
-    parts = []
-    for d in range(depth):
-        bucket = (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.col(item_col), F.lit(f"#{d}"))), 1, 8
+    return (
+        df.select(
+            F.col(item_col).alias("_item"),
+            F.explode(
+                F.array(*[F.lit(d) for d in range(depth)])
+            ).alias("d"),
+        )
+        .select("d", _cms_bucket(F.col("_item"), width).alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _cms_bucket(item: "F.Column", width: int) -> "F.Column":
+    """md5(item || '#' || d) → bucket; identical string input to the
+    per-d literal form ('#0', '#1', …) so the oracle SQL matches."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(item, F.lit("#"), F.col("d").cast("string"))
                 ),
-                16,
-                10,
-            ).cast("long")
-            % width
-        )
-        parts.append(
-            df.groupBy(bucket.alias("bucket"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .select(F.lit(d).alias("d"), "bucket", "cnt")
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
 
 
 def cms_estimates(
@@ -136,28 +148,22 @@ def cms_estimates(
     md5 buckets and joins the broadcast sketch — O(items × depth) work
     regardless of stream size."""
     sketch = cms_table(df, item_col, depth, width)
-    probes = []
-    for d in range(depth):
-        bucket = (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.col(item_col), F.lit(f"#{d}"))), 1, 8
-                ),
-                16,
-                10,
-            ).cast("long")
-            % width
-        )
-        probes.append(
-            items_df.select(
-                item_col, F.lit(d).alias("d"), bucket.alias("bucket")
-            )
-        )
-    probe = probes[0]
-    for p in probes[1:]:
-        probe = probe.unionByName(p)
+    probe = items_df.select(
+        item_col,
+        F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d"),
+    ).select(
+        item_col, "d", _cms_bucket(F.col(item_col), width).alias("bucket")
+    )
+    # LEFT join + coalesce(0): an item hashing to a bucket no stream
+    # element touched has counter 0 — an inner join would drop it from
+    # the output (or min() over only the non-empty counters would
+    # overestimate past the CMS bound)
     return (
-        probe.join(F.broadcast(sketch), ["d", "bucket"])
+        probe.join(F.broadcast(sketch), ["d", "bucket"], "left")
         .groupBy(item_col)
-        .agg(F.min("cnt").cast("long").alias("cms_estimate"))
+        .agg(
+            F.min(F.coalesce("cnt", F.lit(0)))
+            .cast("long")
+            .alias("cms_estimate")
+        )
     )

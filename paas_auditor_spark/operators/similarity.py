@@ -1066,18 +1066,22 @@ def mmr_select(
             score = F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * max_sim
         else:
             score = F.lit(lam) * F.col("rel")
-        row = (
+        rows = (
             base.filter(~F.col("id").isin([p[1] for p in picked]))
             .select("id", "v", F.round(score, 4).alias("score"))
             .orderBy(F.col("score").desc(), F.col("id").asc())
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not rows:  # k exceeds the candidate count: return what exists
+            break
+        row = rows[0]
         picked.append((r, row["id"], float(row["score"]), list(row["v"])))
     spark = cand_df.sparkSession
+    id_type = cand_df.schema[id_col].dataType.simpleString()
     return spark.createDataFrame(
         [(r, i, s) for r, i, s, _ in picked],
-        f"select_rank long, {id_col} long, score double",
+        f"select_rank long, {id_col} {id_type}, score double",
     )
 
 

@@ -81,13 +81,37 @@ def compact_partition(
 
     Returns the number of rows in the compacted partition.
     """
+    return _rewrite_partition(
+        spark,
+        path,
+        partition_value,
+        lambda df: df.coalesce(target_files),
+        "._compacting",
+    )
+
+
+def _rewrite_partition(
+    spark: SparkSession,
+    path: str,
+    partition_value: str,
+    transform,
+    tmp_suffix: str,
+) -> int:
+    """Shared read → transform → write-temp → double-rename → cleanup
+    choreography for partition-scoped rewrites (compaction, targeted
+    deletion).  A concurrent reader sees the old or the new file set,
+    never a partial one; any future change to the swap (rename window,
+    temp-dir naming vs partition discovery) lands in ONE place.
+
+    Returns the row count of the rewritten partition.
+    """
     import os
     import shutil
 
     part_dir = os.path.join(path, f"{PARTITION_COL}={partition_value}")
-    tmp_dir = part_dir + "._compacting"
-    df = spark.read.parquet(part_dir)
-    df.coalesce(target_files).write.mode("overwrite").parquet(tmp_dir)
+    tmp_dir = part_dir + tmp_suffix
+    df = transform(spark.read.parquet(part_dir))
+    df.write.mode("overwrite").parquet(tmp_dir)
     n = spark.read.parquet(tmp_dir).count()
     old_dir = part_dir + "._old"
     os.rename(part_dir, old_dir)
@@ -120,19 +144,21 @@ def delete_keys_from_partition(
     Returns the number of rows deleted.
     """
     import os
-    import shutil
 
     part_dir = os.path.join(path, f"{PARTITION_COL}={partition_value}")
-    tmp_dir = part_dir + "._deleting"
-    df = spark.read.parquet(part_dir)
-    before = df.count()
-    kept = df.filter(~F.col(key_col).isin(list(keys)))
-    kept.write.mode("overwrite").parquet(tmp_dir)
-    after = spark.read.parquet(tmp_dir).count()
-    old_dir = part_dir + "._old"
-    os.rename(part_dir, old_dir)
-    os.rename(tmp_dir, part_dir)
-    shutil.rmtree(old_dir)
+    before = spark.read.parquet(part_dir).count()
+    # NOT IN is three-valued: a NULL key makes `~isin(...)` NULL, which
+    # filter() drops — silently purging every null-key row.  Keep them
+    # explicitly: only listed keys are deleted.
+    after = _rewrite_partition(
+        spark,
+        path,
+        partition_value,
+        lambda df: df.filter(
+            ~F.col(key_col).isin(list(keys)) | F.col(key_col).isNull()
+        ),
+        "._deleting",
+    )
     return before - after
 
 

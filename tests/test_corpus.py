@@ -241,3 +241,26 @@ def test_bpe_segment_final_vocabulary(spark):
                     out.append(c)
             syms[w] = out
     assert got == {w: (wc[w], syms[w]) for w in wc}
+
+
+def test_bpe_stops_when_merges_exhaust(spark):
+    """A corpus fully merged before n_merges rounds returns the merges
+    that exist and the final segmentation — not an empty table
+    (regression: crossJoin against an empty argmax wiped the words)."""
+    from paas_auditor_spark.operators.corpus import (
+        bpe_merge_table,
+        bpe_segment,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ab ab ab")], "doc_id long, text string"
+    )
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["cnt"])
+        for r in bpe_merge_table(df, n_merges=5).orderBy("merge_rank").collect()
+    ]
+    assert got == [(1, "a", "b", 3)]  # one merge, then nothing left
+    seg = bpe_segment(df, n_merges=5).collect()
+    assert [(r["w"], r["freq"], list(r["syms"])) for r in seg] == [
+        ("ab", 3, ["ab"])
+    ]

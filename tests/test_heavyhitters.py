@@ -242,3 +242,24 @@ def test_cms_overestimates_and_merges(spark):
     got = {(r["d"], r["bucket"]): r["cnt"] for r in merged.collect()}
     want = {(r["d"], r["bucket"]): r["cnt"] for r in whole.collect()}
     assert got == want
+
+
+def test_cms_absent_item_estimates_zero_or_low(spark):
+    """An item absent from the stream must still get an estimate (0 when
+    its buckets are untouched) — regression: the inner sketch join
+    dropped absent items entirely."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from paas_auditor_spark.operators.heavyhitters import cms_estimates
+
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "item string")
+    items = spark.createDataFrame(
+        [("a",), ("zzz_absent",)], "item string"
+    )
+    est = {
+        r["item"]: r["cms_estimate"]
+        for r in cms_estimates(df, items, "item", depth=4, width=4096).collect()
+    }
+    assert est["a"] >= 2
+    assert "zzz_absent" in est
+    assert est["zzz_absent"] == 0  # width 4096, 3 elements: no collision

@@ -714,3 +714,29 @@ def test_delete_keys_rewrites_only_target_partition(spark, tmp_path):
         left.filter(F.col("guid").isin([3, 7])).count() == 0
     )
     assert list_partitions(bronze) == ["2024-03-01", "2024-03-02"]
+
+
+def test_delete_keys_keeps_null_key_rows(spark, tmp_path):
+    """NOT IN is three-valued: null-key rows must survive a targeted
+    delete of OTHER keys (regression: `~isin` alone drops them)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from paas_auditor_spark.sources.partitioned import (
+        delete_keys_from_partition,
+        write_partitioned,
+    )
+
+    bronze = str(tmp_path / "bronze")
+    d1 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [(1, d1), (2, d1), (None, d1)],
+        "guid long, created_at timestamp",
+    )
+    write_partitioned(df, bronze)
+    n = delete_keys_from_partition(spark, bronze, "2024-03-01", "guid", [2])
+    assert n == 1
+    left = spark.read.parquet(bronze)
+    assert left.count() == 2
+    assert left.filter(F.col("guid").isNull()).count() == 1
