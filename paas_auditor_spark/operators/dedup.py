@@ -45,7 +45,9 @@ def exact_duplicates(
         )
         .groupBy("text_hash")
         .agg(
-            F.min(id_col).cast("long").alias("keep_id"),
+            # no cast: min() preserves the caller's id type — a long cast
+            # would null out string ids (the engine's own guid keyspace)
+            F.min(id_col).alias("keep_id"),
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
@@ -139,6 +141,22 @@ def _minhash_coeffs(num_hashes: int) -> tuple[list[int], list[int]]:
     return a, b
 
 
+def _rows_per_band(num_hashes: int, num_bands: int) -> int:
+    """Validated ``num_hashes / num_bands``.  Silent misuse is expensive:
+    ``num_bands > num_hashes`` floor-divides to 0 rows per band, every
+    band key folds to the same constant, and the 'candidate' equi-join
+    degenerates to the full O(n²) pair space LSH exists to avoid;
+    a non-divisible split silently ignores the trailing signature
+    positions, changing recall from what the parameters advertise."""
+    if num_bands < 1 or num_hashes % num_bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must be a positive multiple of "
+            f"num_bands={num_bands} (got rows_per_band="
+            f"{num_hashes // num_bands if num_bands else 'inf'})"
+        )
+    return num_hashes // num_bands
+
+
 def _band_keys_sql(
     num_hashes: int, num_bands: int, hset_col: str = "hset"
 ) -> str:
@@ -158,7 +176,7 @@ def _band_keys_sql(
     Built as ONE parsed expression string — no per-element py4j chatter
     (see ``exprs.sql_doubles`` for the measured rationale).
     """
-    rows_per_band = num_hashes // num_bands
+    rows_per_band = _rows_per_band(num_hashes, num_bands)
     a, b = _minhash_coeffs(num_hashes)
 
     def mh(i: int) -> str:
@@ -235,7 +253,7 @@ def _banded(
 ) -> DataFrame:
     """(id, band_id, band_hash) rows: each band's signature slice folded
     to one numeric key (polynomial fold — no string building)."""
-    rows_per_band = num_hashes // num_bands
+    rows_per_band = _rows_per_band(num_hashes, num_bands)
     return sig_df.select(
         F.col(id_col),
         F.posexplode(
@@ -482,8 +500,16 @@ def simhash_near_duplicates(
 
     With 4 bands of 16 bits, any pair within Hamming distance 3 matches on
     at least one band (pigeonhole), so the band equi-join finds all of them
-    without an O(n²) comparison.
+    without an O(n²) comparison.  The guarantee stops at 3: a pair at
+    distance 4 can place one differing bit in each band and never share a
+    key, so ``max_hamming > 3`` would return silently INCOMPLETE results —
+    rejected here (more bands / multi-probe banding is the correct tool).
     """
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} outside the 4×16-bit banding "
+            "guarantee (pigeonhole covers Hamming distance ≤ 3)"
+        )
     # checkpoint: the banded fingerprints feed both sides of the self-join
     # (see minhash_near_duplicates for the localCheckpoint-vs-persist note)
     sh = simhash(df, text_col, id_col).localCheckpoint(eager=False)
@@ -583,6 +609,17 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausting max_iter without a fixpoint means the labels are
+        # WRONG (a component is still split) — failing loudly beats a
+        # silent wrong answer that downstream "keep min-id per cluster"
+        # dedup would act on.  Long-diameter graphs belong on
+        # connected_components_star (O(log² n) rounds).
+        raise RuntimeError(
+            f"min-label propagation did not converge in {max_iter} "
+            "rounds (graph diameter exceeds max_iter); raise max_iter "
+            "or use connected_components_star"
+        )
     return labels
 
 

@@ -61,13 +61,17 @@ def normalize_envelope(raw_df: DataFrame, payload_col: str = "payload") -> DataF
 
 
 def validate_events(
-    df: DataFrame, ts_col: str = "created_at"
+    df: DataFrame, ts_col: str = "created_at", key_col: str = "guid"
 ) -> tuple[DataFrame, DataFrame]:
-    """Split (valid, quarantined) on the event-time CHECK (P8).
+    """Split (valid, quarantined) on the event-time CHECK (P8) AND the
+    key NOT NULL constraint.
 
-    The reference enforces ``created_at > 'epoch'`` as a table constraint;
-    as an engine we filter on the write path and keep the rejects
-    addressable instead of erroring the batch.
+    The reference enforces ``created_at > 'epoch'`` and
+    ``guid uuid NOT NULL`` as table constraints; as an engine we filter
+    on the write path and keep the rejects addressable instead of
+    erroring the batch.  The key check matters downstream: a NULL key
+    can never match a dedup anti-join (NULL ≠ NULL), so an unvalidated
+    null-key row would be re-appended on EVERY overlap re-read.
     """
     # epoch literal crosses as a string (session-tz parse) — an object
     # literal converts via the process tz and would misjudge rows within
@@ -76,7 +80,9 @@ def validate_events(
         df.schema[ts_col].dataType
     )
     cond = F.col(ts_col).isNotNull() & (F.col(ts_col) > epoch_lit)
-    return df.filter(cond), df.filter(~cond | F.col(ts_col).isNull())
+    if key_col in df.columns:
+        cond = cond & F.col(key_col).isNotNull()
+    return df.filter(cond), df.filter(~cond)
 
 
 def ingest_watermark(
@@ -128,7 +134,13 @@ def idempotent_merge(
     O(batch), never a rescan of history (the reference likewise counts only
     the page it just stored, cf_audit_event_collector.go:67-68).
     """
-    deduped = batch_df.dropDuplicates([key_col])
+    # defense in depth behind validate_events' NOT NULL check: a NULL
+    # key never matches the anti-join (NULL ≠ NULL), so a null-key row
+    # would count as "fresh" on every overlap re-read and duplicate
+    # unboundedly — the reference's NOT NULL PK rejects it at the DB
+    deduped = batch_df.filter(F.col(key_col).isNotNull()).dropDuplicates(
+        [key_col]
+    )
     existing = target_df
     if window_floor is not None:
         from paas_auditor_spark.functions.timecross import wall_string

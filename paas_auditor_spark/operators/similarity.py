@@ -25,8 +25,6 @@ from pyspark.sql import functions as F
 
 from paas_auditor_spark.functions.exprs import fan_out
 
-HASH_PRIME = 2147483647
-
 
 def _plane_coeffs(p: int, dim: int = 64) -> list:
     """Coefficients of deterministic pseudo-random hyperplane ``p``.
@@ -1068,12 +1066,15 @@ def mmr_select(
             score = F.lit(lam) * F.col("rel")
         rows = (
             base.filter(~F.col("id").isin([p[1] for p in picked]))
+            # a zero-norm query or candidate divides to NULL cosine —
+            # exclude those rows instead of collecting a NULL score
             .select("id", "v", F.round(score, 4).alias("score"))
+            .filter(F.col("score").isNotNull())
             .orderBy(F.col("score").desc(), F.col("id").asc())
             .limit(1)
             .collect()
         )
-        if not rows:  # k exceeds the candidate count: return what exists
+        if not rows:  # k exceeds the scoreable candidates: return what exists
             break
         row = rows[0]
         picked.append((r, row["id"], float(row["score"]), list(row["v"])))

@@ -37,14 +37,14 @@ class MetricsRegistry:
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
     def inc(self, name: str, amount: float = 1.0) -> None:
-        if name not in self.values:
-            raise KeyError(name)
+        # unknown names register lazily (prometheus-client semantics):
+        # a custom shipper name must not crash the tick AFTER delivery
+        # but BEFORE the cursor commit — that would re-ship the batch
+        # forever.  The 9 reference names stay pre-registered above.
         with self._lock:
-            self.values[name] += amount
+            self.values[name] = self.values.get(name, 0.0) + amount
 
     def set(self, name: str, value: float) -> None:
-        if name not in self.values:
-            raise KeyError(name)
         with self._lock:
             self.values[name] = value
 

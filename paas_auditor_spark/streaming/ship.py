@@ -111,10 +111,10 @@ def build_payloads(
 
     return batch_df.select(
         F.col(id_col).cast("string").alias("guid"),
-        F.col(ts_col).alias("created_at"),
-        # wall-clock string twin: the driver's cursor-advance and metric
-        # code reads THIS, not the datetime object — object collects
-        # convert via the process tz (functions/timecross.py)
+        # the event time travels ONLY as the JVM-rendered wall-clock
+        # string: no driver-side consumer reads a datetime object, and
+        # collecting one would convert via the process tz — the exact
+        # bug functions/timecross.py exists to prevent
         ts_string(F.col(ts_col)).alias("created_at_s"),
         splunk_envelope(evt, deploy_env).alias("payload"),
     )
@@ -179,6 +179,7 @@ def ship_unshipped(
     event_type_col: str = "event_type",
     retry: RetryPolicy | None = None,
     metrics: MetricsRegistry | None = None,
+    logger=None,
 ) -> ShipResult:
     """One shipper tick: query → ordered ship → cursor advance.
 
@@ -200,7 +201,12 @@ def ship_unshipped(
     )
     batch = batch_df.collect()  # ≤ batch_cap rows, ship order preserved
     shipped, last_ok, failed = ship_rows(
-        batch, sender, shipper_name, retry=retry, metrics=metrics
+        batch,
+        sender,
+        shipper_name,
+        retry=retry,
+        metrics=metrics,
+        logger=logger,
     )
     new_cursors = cursors_df
     if last_ok is not None:

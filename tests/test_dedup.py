@@ -240,3 +240,64 @@ def test_duplicate_spans_hand_graph(spark):
     assert got[3] == (18, 18, 1.0)
     assert got[4] == (9, 0, 0.0)
     assert got[5] == (2, 0, 0.0)  # shorter than k → no grams
+
+
+def test_banding_parameter_guards(spark):
+    """num_bands must divide num_hashes: 0 rows per band folds every
+    band key to the same constant (the all-pairs blowup LSH exists to
+    avoid), and a ragged split silently drops trailing hashes."""
+    import pytest
+
+    from paas_auditor_spark.operators.dedup import minhash_candidates
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="multiple of"):
+        minhash_candidates(docs, num_hashes=8, num_bands=16).count()
+    with pytest.raises(ValueError, match="multiple of"):
+        minhash_candidates(docs, num_hashes=32, num_bands=10).count()
+
+
+def test_simhash_max_hamming_guard(spark):
+    """max_hamming beyond the 4×16-bit pigeonhole guarantee (3) must be
+    rejected, not silently under-recall."""
+    import pytest
+
+    from paas_auditor_spark.operators.dedup import simhash_near_duplicates
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_duplicates(docs, max_hamming=5)
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A chain longer than max_iter must fail loudly — a silently split
+    component would make downstream keep-min-id dedup keep duplicates."""
+    import pytest
+
+    from paas_auditor_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=3)
+
+
+def test_exact_duplicates_string_ids(spark):
+    """keep_id preserves the caller's id type — string guids (the
+    engine's own ingest keyspace) must not null out via a long cast."""
+    from paas_auditor_spark.operators.dedup import exact_duplicates
+
+    df = spark.createDataFrame(
+        [("g-b", "same text"), ("g-a", "same text"), ("g-c", "other")],
+        "guid string, text string",
+    )
+    got = {
+        r["keep_id"]: r["n_copies"]
+        for r in exact_duplicates(df, id_col="guid").collect()
+    }
+    assert got == {"g-a": 2, "g-c": 1}

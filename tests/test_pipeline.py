@@ -296,8 +296,13 @@ def test_informer_gauges(spark):
 def test_metric_registry_names():
     m = MetricsRegistry()
     assert len(COUNTERS) + len(GAUGES) == 9  # reference README.md:45-58
-    with pytest.raises(KeyError):
-        m.inc("not_a_metric")
+    # the 9 reference names are pre-registered; unknown names register
+    # lazily (prometheus-client semantics) instead of raising — a custom
+    # shipper name must not crash the tick between delivery and cursor
+    # commit, which would re-ship the batch forever
+    assert set(m.values) == set(COUNTERS + GAUGES)
+    m.inc("custom_sink_shipper_events_shipped_total", 3.0)
+    assert m.get("custom_sink_shipper_events_shipped_total") == 3.0
 
 
 # --- idempotent append window bound (scale hard-part 1) -------------------
@@ -740,3 +745,34 @@ def test_delete_keys_keeps_null_key_rows(spark, tmp_path):
     left = spark.read.parquet(bronze)
     assert left.count() == 2
     assert left.filter(F.col("guid").isNull()).count() == 1
+
+
+def test_null_guid_rows_quarantined_and_never_reappended(spark):
+    """A null-guid event fails validation (reference: guid NOT NULL PK),
+    and even if one reaches the merge, the anti-join guard keeps it from
+    re-appending on every overlap re-read (NULL never equals NULL)."""
+    from pyspark.sql import Row
+
+    from paas_auditor_spark.operators.ingest import idempotent_merge
+
+    schema = "guid string, created_at timestamp, event_type string"
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    batch = spark.createDataFrame(
+        [
+            Row(guid="g1", created_at=base, event_type="a"),
+            Row(guid=None, created_at=base, event_type="x"),
+        ],
+        schema,
+    )
+    valid, quarantined = validate_events(batch, ts_col="created_at")
+    assert valid.count() == 1
+    assert quarantined.count() == 1
+
+    target = spark.createDataFrame([], schema)
+    t1, fresh1 = idempotent_merge(target, batch, key_col="guid",
+                                  ts_col="created_at")
+    t2, fresh2 = idempotent_merge(t1, batch, key_col="guid",
+                                  ts_col="created_at")
+    # the null-guid row lands zero times; g1 exactly once
+    assert t2.count() == 1
+    assert fresh2.count() == 0
