@@ -44,6 +44,17 @@ def asof_join_backward(
     kept), so the tolerance adds zero shuffle — one conditional
     projection over the already-carried struct.
     """
+    if not right_value_cols:
+        raise ValueError(
+            "right_value_cols must name ≥1 column (the matched timestamp "
+            f"is always emitted as asof_{right_time})"
+        )
+    if right_time in right_value_cols:
+        raise ValueError(
+            f"right_time {right_time!r} is emitted automatically as "
+            f"asof_{right_time} — listing it in right_value_cols would "
+            "produce two identically-named output columns"
+        )
     tiebreak = right_tiebreak or right_value_cols[0]
     lcols = [c for c in left_df.columns]
     left_part = left_df.select(

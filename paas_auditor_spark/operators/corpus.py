@@ -86,7 +86,7 @@ def segment_dedup(
         F.countDistinct(id_col).alias("seg_docs")
     )
     marked = segs.join(seg_df, on="seg")
-    return (
+    per_doc = (
         marked.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_segments"),
@@ -111,6 +111,20 @@ def segment_dedup(
             F.round(F.col("n_dup_segments") / F.col("n_segments"), 4),
         )
         .select(id_col, "n_segments", "n_dup_segments", "dup_frac", "clean_text")
+    )
+    # contract: ONE row per input document — docs whose text yields no
+    # segments (empty/whitespace/NULL) would otherwise vanish from the
+    # inner pipeline; left-join them back with an all-clean zero row
+    return (
+        docs_df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+            F.coalesce("n_dup_segments", F.lit(0)).alias("n_dup_segments"),
+            F.coalesce("dup_frac", F.lit(0.0)).alias("dup_frac"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
         .orderBy(id_col)
     )
 
@@ -174,8 +188,12 @@ def bigram_lm_perplexity(
     )
     c2 = occ.groupBy("w1", "w2").agg(F.sum("m").alias("c2"))
     c1 = occ.groupBy("w1").agg(F.sum("m").alias("c1"))
-    vocab = toked.select(F.explode("toks").alias("w")).agg(
-        F.countDistinct("w").alias("v")
+    # split("") yields [""]: exclude the empty pseudo-token so an empty
+    # doc in the corpus cannot inflate V and shift every doc's ppl
+    vocab = (
+        toked.select(F.explode("toks").alias("w"))
+        .filter(F.length("w") >= 1)
+        .agg(F.countDistinct("w").alias("v"))
     )
     scored = (
         occ.join(c2, on=["w1", "w2"])
@@ -378,9 +396,14 @@ def dsir_scores(
             F.col(id_col).alias("id"),
             tokens(F.lower(F.col(text_col))).alias("toks"),
         )
-        return toked, toked.select(
-            "id", F.explode("toks").alias("w")
-        ).select("id", bucket(F.col("w")).alias("b"))
+        return toked, (
+            toked.select("id", F.explode("toks").alias("w"))
+            # split("") yields [""], not []: drop the empty pseudo-token
+            # so an empty doc scores (n_tokens=0, 0.0) instead of
+            # contributing a phantom token to both distributions
+            .filter(F.length("w") >= 1)
+            .select("id", bucket(F.col("w")).alias("b"))
+        )
 
     raw_toked, raw_tok = doc_buckets(raw_df)
     _, tgt_tok = doc_buckets(target_df)
@@ -460,7 +483,11 @@ def temperature_sample(
 
     A document is kept iff its ascending doc_id rank within its source is
     ≤ the source's quota — fully deterministic (re-runs and the oracle
-    agree), and the keep set is stable under appends to OTHER sources.
+    agree).  NOTE: quotas depend on the GLOBAL totals (n_total, Σwᵢ), so
+    appending docs to any source shifts every source's quota and can
+    change which ranked docs survive elsewhere; for an append-stable
+    keep decision use the content-addressed samplers
+    (train_test_split / deterministic_sample) instead.
     Returns (doc_id, source, n_source, quota, src_rank, kept).
 
     Scale shape: the per-source counts are a tiny aggregate (one row per

@@ -61,6 +61,11 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     n = nodes.count()  # one scalar driver action, like k-means' k
+    if n == 0:
+        # empty slice: an empty (node, rank) frame, not ZeroDivisionError
+        return nodes.select(
+            "node", F.lit(0.0).alias("rank")
+        )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # out-edges with degree attached: the per-iteration join's static side
     out_edges = edges.join(deg, "src").localCheckpoint(eager=False)

@@ -36,11 +36,15 @@ def interval_join(
     bin_width_s: int = 3600,
     how: str = "inner",
 ) -> DataFrame:
-    """All (event, interval) pairs with start ≤ ts ≤ end (inclusive).
+    """All (event, interval) pairs with start ≤ ts ≤ end (inclusive);
+    ``how="left"`` additionally keeps events contained in NO interval
+    (NULL interval columns).
 
     Returns the events columns + the intervals columns.  Column names must
     not collide (pre-alias interval columns).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how={how!r}: only 'inner' and 'left' supported")
     ev = events_df.withColumn(
         "__bin", F.floor(F.unix_timestamp(F.col(ts_col)) / bin_width_s)
     )
@@ -53,8 +57,20 @@ def interval_join(
             )
         ),
     )
-    joined = ev.join(iv, "__bin", how).filter(
-        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
+    contained = (F.col(ts_col) >= F.col(start_col)) & (
+        F.col(ts_col) <= F.col(end_col)
+    )
+    if how == "inner":
+        joined = ev.join(iv, "__bin", "inner").filter(contained)
+        return joined.drop("__bin")
+    # left: the containment predicate must live IN the join condition —
+    # a post-join filter would drop the very NULL-extended rows a left
+    # join exists to keep (an event whose bin matched but whose ts falls
+    # outside every candidate interval would otherwise degenerate this
+    # to inner).  An event in >1 matching bin can't duplicate: a pair
+    # only meets in the event's own bin.
+    joined = ev.join(
+        iv, (ev["__bin"] == iv["__bin"]) & contained, "left"
     )
     return joined.drop("__bin")
 

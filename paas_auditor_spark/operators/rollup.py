@@ -82,11 +82,18 @@ def refresh_rollup(
     partitioned = PARTITION_COL in bronze.columns
     if since is not None:
         # date-partitioned bronze: the predicate prunes partitions; flat
-        # bronze: it pushes into row groups via the ts min/max stats.
+        # bronze: a PLAIN column comparison at day floor — wrapping the
+        # column (to_date(ts) >= d) is a function-of-column predicate
+        # parquet cannot push into row-group min/max stats, and the
+        # refresh would re-scan all of history
+        day_floor = dt.datetime.combine(since.date(), dt.time.min)
         cutoff = (
             F.col(PARTITION_COL) >= F.lit(since.date())
             if partitioned
-            else F.to_date(F.col(ts_col)) >= F.lit(since.date())
+            else F.col(ts_col)
+            >= F.lit(day_floor.isoformat(sep=" ")).cast(
+                bronze.schema[ts_col].dataType
+            )
         )
         bronze = bronze.filter(cutoff)
     if partitioned:

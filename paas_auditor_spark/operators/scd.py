@@ -18,6 +18,7 @@ unioned.  No window over the whole dimension, no per-key iteration; at
 
 from __future__ import annotations
 
+import datetime as dt
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -26,6 +27,24 @@ from pyspark.sql import functions as F
 # current-row sentinel: far-future but inside pandas' ns-timestamp range
 # (max 2262-04-11), so Arrow/pandas interchange of dimension frames works
 MAX_TS = "2200-01-01 00:00:00"
+# the sentinel INSTANT, fixed in UTC: building the column from epoch
+# seconds (timestamp_seconds) makes writes and the current-vs-history
+# comparison independent of the session timezone — a string cast would
+# move the sentinel with the session, so a dimension persisted under one
+# tz and folded under another would classify every open row as history
+_MAX_TS_EPOCH = int(
+    dt.datetime.fromisoformat(MAX_TS)
+    .replace(tzinfo=dt.timezone.utc)
+    .timestamp()
+)
+
+
+def sentinel_ts():
+    """The session-tz-independent current-row sentinel column."""
+    return F.timestamp_seconds(F.lit(_MAX_TS_EPOCH))
+
+
+_sentinel = sentinel_ts
 
 
 def scd2_apply(
@@ -59,8 +78,8 @@ def scd2_apply(
             *[F.col(c).alias(f"_u_{c}") for c in attr_cols],
         )
     )
-    history = dim_df.filter(F.col(valid_to) != F.lit(MAX_TS))
-    current = dim_df.filter(F.col(valid_to) == F.lit(MAX_TS))
+    history = dim_df.filter(F.col(valid_to) != _sentinel())
+    current = dim_df.filter(F.col(valid_to) == _sentinel())
 
     joined = current.join(
         upd, current[key_col] == upd["_u_key"], "left"
@@ -83,18 +102,22 @@ def scd2_apply(
         key_col,
         *[F.col(f"_u_{c}").alias(c) for c in attr_cols],
         F.col("_u_ts").cast("timestamp").alias(valid_from),
-        F.lit(MAX_TS).cast("timestamp").alias(valid_to),
+        _sentinel().alias(valid_to),
     )
+    # NO broadcast hint on the dimension side: a left_anti can only
+    # broadcast its right side, and that is the FULL current slice —
+    # at dimension scale that is a driver OOM.  The planner reuses the
+    # same business-key shuffle instead.
     fresh = (
         updates_df.join(
-            F.broadcast(current.select(F.col(key_col).alias("_c_key"))),
+            current.select(F.col(key_col).alias("_c_key")),
             updates_df[key_col] == F.col("_c_key"),
             "left_anti",
         ).select(
             key_col,
             *attr_cols,
             F.col(effective_col).cast("timestamp").alias(valid_from),
-            F.lit(MAX_TS).cast("timestamp").alias(valid_to),
+            _sentinel().alias(valid_to),
         )
     )
     return history.select(*dim_cols).unionByName(untouched).unionByName(
@@ -102,4 +125,4 @@ def scd2_apply(
     ).unionByName(reopened).unionByName(fresh)
 
 
-__all__ = ["MAX_TS", "scd2_apply"]
+__all__ = ["MAX_TS", "scd2_apply", "sentinel_ts"]

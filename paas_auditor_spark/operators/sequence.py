@@ -51,6 +51,15 @@ def assign_ingest_sequence(
     ingest batches are by construction (T5 backpressure).
     """
     counts = df.groupBy(batch_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    if any(r[batch_col] is None for r in counts):
+        # a NULL batch id has no position in the batch order and would
+        # also vanish in the inner offset join — unstamped data is a
+        # pipeline bug, surface it instead of crashing in sort() or
+        # silently dropping rows
+        raise ValueError(
+            f"{batch_col} contains NULL — stamp every row "
+            "(stamp_ingest_batch) before assigning sequences"
+        )
     counts.sort(key=lambda r: r[batch_col])
     offsets: list[tuple[int, int]] = []
     acc = 0

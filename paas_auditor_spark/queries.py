@@ -2290,14 +2290,14 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     update's effective time and reopen as the new current row — the
     operator's one-pass join shape (operators/scd.py), oracle-matched
     against the equivalent UNION-of-slices SQL."""
-    from paas_auditor_spark.operators.scd import MAX_TS, scd2_apply
+    from paas_auditor_spark.operators.scd import scd2_apply, sentinel_ts
 
     cust = _t(spark, sf_dir, "customer")
     dim = cust.select(
         "c_custkey",
         F.round("c_acctbal", 2).alias("acctbal"),
         F.lit("2024-01-01").cast("timestamp").alias("valid_from"),
-        F.lit(MAX_TS).cast("timestamp").alias("valid_to"),
+        sentinel_ts().alias("valid_to"),
     )
     updates = (
         cust.filter(F.col("c_custkey") % 7 == 0)
@@ -2319,7 +2319,7 @@ def q_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     key-cardinality × few versions); the interval predicate rides the
     broadcast hash join on the key, so the fact table never shuffles.
     Summed per balance-era so the result is era-level auditable."""
-    from paas_auditor_spark.operators.scd import MAX_TS, scd2_apply
+    from paas_auditor_spark.operators.scd import scd2_apply, sentinel_ts
 
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
@@ -2327,7 +2327,7 @@ def q_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.round("c_acctbal", 2).alias("acctbal"),
         F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
-        F.lit(MAX_TS).cast("timestamp").alias("valid_to"),
+        sentinel_ts().alias("valid_to"),
     )
     updates = cust.filter(F.col("c_custkey") % 7 == 0).select(
         "c_custkey",
@@ -3207,7 +3207,7 @@ WITH words AS (
 tok AS (
   SELECT doc_id,
          CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 1024 AS b
-  FROM words),
+  FROM words WHERE length(w) >= 1),
 tgt AS (SELECT b, count(*) AS ct FROM tok WHERE doc_id % 17 = 0 GROUP BY b),
 rawd AS (SELECT b, count(*) AS cr FROM tok WHERE doc_id % 17 <> 0 GROUP BY b),
 tot AS (
@@ -5916,16 +5916,25 @@ REGISTRY: dict[str, QuerySpec] = {
           WHERE array_to_string(w[((i - 1) * 8 + 1):(i * 8)], ' ') <> ''),
         counts AS (
           SELECT seg, count(DISTINCT doc_id) AS seg_docs
-          FROM segs GROUP BY seg)
-        SELECT s.doc_id,
-               count(*) AS n_segments,
-               count(*) FILTER (WHERE c.seg_docs > 1) AS n_dup_segments,
-               round(count(*) FILTER (WHERE c.seg_docs > 1) * 1.0 / count(*),
-                     4) AS dup_frac,
-               coalesce(string_agg(s.seg, ' ' ORDER BY s.seg_idx)
-                          FILTER (WHERE c.seg_docs = 1), '') AS clean_text
-        FROM segs s JOIN counts c USING (seg)
-        GROUP BY s.doc_id ORDER BY s.doc_id
+          FROM segs GROUP BY seg),
+        per_doc AS (
+          SELECT s.doc_id,
+                 count(*) AS n_segments,
+                 count(*) FILTER (WHERE c.seg_docs > 1) AS n_dup_segments,
+                 round(count(*) FILTER (WHERE c.seg_docs > 1)
+                       * 1.0 / count(*), 4) AS dup_frac,
+                 coalesce(string_agg(s.seg, ' ' ORDER BY s.seg_idx)
+                            FILTER (WHERE c.seg_docs = 1), '') AS clean_text
+          FROM segs s JOIN counts c USING (seg)
+          GROUP BY s.doc_id)
+        -- one row per input doc: segment-less docs come back all-clean
+        SELECT d.doc_id,
+               coalesce(p.n_segments, 0) AS n_segments,
+               coalesce(p.n_dup_segments, 0) AS n_dup_segments,
+               coalesce(p.dup_frac, 0.0) AS dup_frac,
+               coalesce(p.clean_text, '') AS clean_text
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        ORDER BY d.doc_id
         """,
     ),
     "lm_perplexity": QuerySpec(
@@ -5943,7 +5952,8 @@ REGISTRY: dict[str, QuerySpec] = {
         c2 AS (SELECT w1, w2, sum(m) AS c2 FROM occ GROUP BY w1, w2),
         c1 AS (SELECT w1, sum(m) AS c1 FROM occ GROUP BY w1),
         v AS (SELECT count(DISTINCT tok) AS v
-              FROM (SELECT unnest(w) AS tok FROM toks)),
+              FROM (SELECT unnest(w) AS tok FROM toks)
+              WHERE length(tok) >= 1),
         per_doc AS (
           SELECT occ.doc_id,
                  CAST(sum(m) AS BIGINT) AS n_bigrams,

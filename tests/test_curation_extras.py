@@ -289,3 +289,84 @@ def test_triangle_counts_matches_bruteforce_random_graph(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
     assert got == expected
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    from paas_auditor_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(empty, iterations=3).count() == 0
+
+
+def test_interval_join_left_keeps_unmatched_events(spark):
+    """how='left' must emit NULL-extended rows for events no interval
+    contains (regression: a post-join containment filter dropped them)."""
+    import datetime as dt
+
+    from paas_auditor_spark.operators.rangejoin import interval_join
+
+    B = dt.datetime(2024, 3, 1, 12, 0, 0)
+    events = spark.createDataFrame(
+        [(1, B), (2, B + dt.timedelta(hours=5))], "event_id long, ts timestamp"
+    )
+    ivs = spark.createDataFrame(
+        [("w1", B - dt.timedelta(minutes=5), B + dt.timedelta(minutes=5))],
+        "name string, start timestamp, end timestamp",
+    )
+    got = {
+        r["event_id"]: r["name"]
+        for r in interval_join(
+            events, ivs, "ts", "start", "end", how="left"
+        ).collect()
+    }
+    assert got == {1: "w1", 2: None}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="only 'inner' and 'left'"):
+        interval_join(events, ivs, "ts", "start", "end", how="full")
+
+
+def test_segment_dedup_keeps_empty_docs(spark):
+    """One row per input doc even when the text yields no segments."""
+    from paas_auditor_spark.operators.corpus import segment_dedup
+
+    df = spark.createDataFrame(
+        [(1, "one two three four five six seven eight"),
+         (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in segment_dedup(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[2]["n_segments"] == 0 and got[2]["clean_text"] == ""
+    assert got[3]["n_segments"] == 0
+
+
+def test_scd2_sentinel_survives_session_tz_change(spark):
+    """The current-row sentinel is a fixed UTC instant: folding under a
+    different session timezone still classifies open rows as current
+    (regression: a string-cast sentinel moved with the session tz and
+    every open row became history)."""
+    import datetime as dt
+
+    from paas_auditor_spark.operators.scd import scd2_apply, sentinel_ts
+
+    B = dt.datetime(2024, 3, 1, 12, 0, 0)
+    dim = spark.createDataFrame(
+        [(1, "x", B)], "k long, attr string, valid_from timestamp"
+    ).withColumn("valid_to", sentinel_ts())
+    upd = spark.createDataFrame(
+        [(1, "y", B + dt.timedelta(days=1))],
+        "k long, attr string, effective_ts timestamp",
+    )
+    original = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        out = scd2_apply(dim, upd, "k", ["attr"]).collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)
+    # the open row was recognized as current and closed; the update
+    # reopened — 2 rows, not 3 (dim passthrough + duplicate open row)
+    assert len(out) == 2
+    attrs = sorted((r["attr"], r["valid_to"] is not None) for r in out)
+    assert [a for a, _ in attrs] == ["x", "y"]
