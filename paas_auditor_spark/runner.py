@@ -109,6 +109,8 @@ class Service:
 
     def collector_tick(self) -> int:
         """Fetch since watermark, validate, append ONLY the fresh delta."""
+        if self.transport is None:  # no API wiring: collector disabled,
+            return 0  # same creds-gating posture as the shipper
         watermark = self._watermark()
         pages = list(
             fetch_event_pages(

@@ -77,6 +77,17 @@ def _post_batch(url: str, token: str, payload: bytes, opts: dict) -> None:
             with urllib.request.urlopen(req, timeout=timeout) as resp:
                 resp.read()
             return
+        except urllib.error.HTTPError as exc:
+            # 4xx is permanent (bad token 401/403, malformed batch 400):
+            # fail fast with the status instead of burning the full
+            # backoff budget per partition per batch; 429 and 5xx retry
+            if exc.code < 500 and exc.code != 429:
+                raise RuntimeError(
+                    f"HEC POST rejected with HTTP {exc.code}: {exc.reason}"
+                ) from exc
+            last = exc
+            if attempt == max_retries:
+                break
         except (urllib.error.URLError, OSError) as exc:
             last = exc
             if attempt == max_retries:

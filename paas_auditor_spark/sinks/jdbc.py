@@ -32,6 +32,7 @@ compatible, supports ON CONFLICT) in tests.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable, Mapping
 from dataclasses import dataclass, field
 
@@ -70,7 +71,7 @@ class JdbcTarget:
         return rw
 
 
-_SQL_IDENT = __import__("re").compile(
+_SQL_IDENT = re.compile(
     r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*\Z"
 )
 

@@ -53,9 +53,34 @@ EPOCH_STR = "1970-01-01T00:00:00Z"
 
 
 class _PageRange(InputPartition):
-    def __init__(self, start: int, end: int):
+    def __init__(self, start: int, end: int, preloaded: list | None = None):
         self.start = start
         self.end = end
+        # resources of page `start`, already fetched by the planning
+        # probe — carried into the partition so page 1 is requested
+        # exactly once per load (the streaming reader's discipline)
+        self.preloaded = preloaded
+
+
+def _parse_created(created) -> dt.datetime | None:
+    """Tolerant RFC3339 parse: canonical ``...Z`` fast path, then
+    fromisoformat for fractional-second / numeric-offset variants
+    (normalized to naive UTC).  Unparseable values become None — the
+    row is quarantined by validate_events downstream instead of the
+    whole scan task (and, on retry, the job) dying on one bad record."""
+    if not created:
+        return None
+    try:
+        return dt.datetime.strptime(created, TIME_FORMAT)
+    except ValueError:
+        pass
+    try:
+        parsed = dt.datetime.fromisoformat(created.replace("Z", "+00:00"))
+    except ValueError:
+        return None
+    if parsed.tzinfo is not None:
+        parsed = parsed.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return parsed
 
 
 def _flatten(resource: dict) -> tuple:
@@ -63,10 +88,7 @@ def _flatten(resource: dict) -> tuple:
     as operators/ingest.normalize_envelope; '' → NULL for org/space)."""
     meta = resource.get("metadata") or {}
     ent = resource.get("entity") or {}
-    created = meta.get("created_at")
-    ts = (
-        dt.datetime.strptime(created, TIME_FORMAT) if created else None
-    )
+    ts = _parse_created(meta.get("created_at"))
     return (
         meta.get("guid"),
         ts,
@@ -185,7 +207,11 @@ class CfEventsReader(DataSourceReader):
                     refreshed = True
                     self._acquire_token()
                     continue
-                if e.code < 500 or attempt >= self.max_retries:
+                # 429 backs off and retries like 5xx — a rate-limited
+                # parallel scan must slow down, not abort the job
+                if (
+                    e.code < 500 and e.code != 429
+                ) or attempt >= self.max_retries:
                     raise
             except (urllib.error.URLError, TimeoutError):
                 if attempt >= self.max_retries:
@@ -200,12 +226,21 @@ class CfEventsReader(DataSourceReader):
         total = int(first.get("total_pages") or 1)
         step = self.pages_per_partition
         return [
-            _PageRange(s, min(s + step - 1, total))
+            _PageRange(
+                s,
+                min(s + step - 1, total),
+                preloaded=first.get("resources", []) if s == 1 else None,
+            )
             for s in range(1, total + 1, step)
         ]
 
     def read(self, partition: _PageRange):
-        for page in range(partition.start, partition.end + 1):
+        start = partition.start
+        if partition.preloaded is not None:
+            for resource in partition.preloaded:
+                yield _flatten(resource)
+            start += 1
+        for page in range(start, partition.end + 1):
             if self.wait_s and page != partition.start:
                 time.sleep(self.wait_s)  # reference pacing (S3)
             doc = self._fetch(self._url(page))

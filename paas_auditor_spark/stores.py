@@ -137,6 +137,11 @@ class ParquetStore:
         tmp = path + "._upsert"
         new_df.coalesce(1).write.mode("overwrite").parquet(tmp)
         old = path + "._old"
+        # heal a crash that died between the renames and the cleanup: a
+        # stale ._old would make THIS rename fail forever, freezing the
+        # cursor while the shipper re-ships the same batch every tick
+        if os.path.isdir(old):
+            shutil.rmtree(old)
         os.rename(path, old)
         os.rename(tmp, path)
         shutil.rmtree(old)
@@ -194,7 +199,7 @@ WITH last_shipped_event AS (
     SELECT updated_at, shipped_id FROM shipper_cursors WHERE name = ?
     UNION
     SELECT TIMESTAMP '1970-01-01 00:00:00', ''
-  ) ORDER BY updated_at DESC LIMIT 1
+  ) AS candidates ORDER BY updated_at DESC LIMIT 1
 ),
 recent_cf_audit_events AS (
   SELECT * FROM cf_audit_events
@@ -294,8 +299,17 @@ class DbApiStore:
         """W1 strict parity: partition-wise ``INSERT … ON CONFLICT (guid)
         DO NOTHING`` — one connection + transaction per Spark partition,
         idempotent under task retries."""
+        from paas_auditor_spark.functions.timecross import ts_string
+
+        # created_at crosses the executor boundary as the JVM-rendered
+        # wall-clock string (the DB casts it back): a datetime OBJECT
+        # row would be converted with the executor's process tz and a
+        # non-UTC host would store shifted wall clocks
+        fresh = fresh_df.withColumn(
+            "created_at", ts_string(F.col("created_at"))
+        )
         execute_partitionwise(
-            fresh_df, self._q(INSERT_EVENT), self.conn_factory,
+            fresh, self._q(INSERT_EVENT), self.conn_factory,
             columns=EVENT_COLUMNS, max_partitions=self.write_partitions,
         )
 
@@ -306,7 +320,9 @@ class DbApiStore:
             "SELECT updated_at, shipped_id FROM ("
             " SELECT updated_at, shipped_id FROM shipper_cursors WHERE name = ?"
             " UNION SELECT TIMESTAMP '1970-01-01 00:00:00', ''"
-            ") ORDER BY updated_at DESC LIMIT 1",
+            # Postgres requires the FROM-subquery alias; DuckDB tolerates
+            # its absence, which is why tests alone never caught it
+            ") AS candidates ORDER BY updated_at DESC LIMIT 1",
             (name,),
         )
         return rows[0][0], rows[0][1]
@@ -317,7 +333,23 @@ class DbApiStore:
         and the capped index scan); the bounded result (≤ cap rows) lifts
         into a DataFrame for envelope serialization."""
         rows = self._fetch(UNSHIPPED_SQL, (name, cap))
-        return self.spark.createDataFrame(rows, schema=CF_AUDIT_EVENT)
+        # the DB returns wall-clock naive datetimes; they must NOT cross
+        # into Spark as objects (createDataFrame converts via the
+        # process tz) — render to strings and parse JVM-side instead
+        from paas_auditor_spark.functions.timecross import (
+            to_ts,
+            wall_string,
+        )
+
+        str_rows = [
+            (r[0], wall_string(r[1]), *r[2:]) for r in rows
+        ]
+        schema = ", ".join(
+            f"{f.name} {'string' if f.name == 'created_at' else f.dataType.simpleString()}"
+            for f in CF_AUDIT_EVENT.fields
+        )
+        df = self.spark.createDataFrame(str_rows, schema=schema)
+        return df.withColumn("created_at", to_ts("created_at"))
 
     def upsert_cursor(
         self, name: str, updated_at: dt.datetime, shipped_id: str

@@ -46,7 +46,8 @@ class PagedEventsServer:
         self.n_events = n_events
         self.cap = page_size_cap
         self.queries: list[dict] = []
-        self.fail_next = 0  # serve this many 500s before recovering
+        self.fail_next = 0  # serve this many failures before recovering
+        self.fail_code = 500  # status for those failures
         self.extra: list[tuple] = []  # (guid_int, sec_offset) late arrivals
         self.include_invalid = False  # add one resource w/o created_at
         outer = self
@@ -55,7 +56,7 @@ class PagedEventsServer:
             def do_GET(self):  # noqa: N802
                 if outer.fail_next > 0:
                     outer.fail_next -= 1
-                    self.send_response(500)
+                    self.send_response(outer.fail_code)
                     self.end_headers()
                     return
                 parsed = urllib.parse.urlparse(self.path)
@@ -140,11 +141,12 @@ def test_datasource_partitioned_fetch_and_flatten(registered):
     assert r0["organization_guid"] is None  # '' -> NULL (P3)
     assert r0["space_guid"] == "sp-0"
     assert json.loads(r0["metadata"]) == {"request": "r0"}
-    # bearer token on every request; 3 pages -> 3 single-page partitions
-    # (+1 planning probe)
+    # bearer token on every request; 3 pages -> 3 single-page partitions,
+    # and the planning probe's page-1 payload rides into partition 1 so
+    # page 1 is requested exactly ONCE
     assert all(q["auth"] == "Bearer tok-123" for q in server.queries)
     pages_seen = sorted(int(q.get("page", "1")) for q in server.queries)
-    assert pages_seen == [1, 1, 2, 3]
+    assert pages_seen == [1, 2, 3]
 
 
 def test_datasource_pushes_time_predicate_to_api(registered):
@@ -408,3 +410,42 @@ def test_datasource_uaa_acquires_and_refreshes_token(registered):
     finally:
         server.close()
     assert server.token_posts >= 2  # initial grant + at least one refresh
+
+
+def test_parse_created_tolerates_variants():
+    """Non-canonical timestamps become rows with NULL created_at (to be
+    quarantined downstream), never a task-killing ValueError."""
+    import datetime as dt
+
+    from paas_auditor_spark.sources.datasource import _parse_created
+
+    assert _parse_created("2026-01-01T00:00:00Z") == dt.datetime(2026, 1, 1)
+    assert _parse_created("2026-01-01T00:00:00.123Z") == dt.datetime(
+        2026, 1, 1, 0, 0, 0, 123000
+    )
+    # numeric offset normalizes to UTC wall clock
+    assert _parse_created("2026-01-01T05:30:00+05:30") == dt.datetime(
+        2026, 1, 1
+    )
+    assert _parse_created("not-a-time") is None
+    assert _parse_created("") is None
+    assert _parse_created(None) is None
+
+
+def test_rate_limit_429_retries_then_succeeds(registered):
+    """A 429 backs off and retries like a 5xx — one rate-limit response
+    must not abort the scan (the parallel fetch is the thing being
+    rate-limited)."""
+    server = PagedEventsServer(n_events=5, page_size_cap=10)
+    server.fail_next = 2
+    server.fail_code = 429
+    try:
+        df = (
+            registered.read.format("cf_events")
+            .option("base_url", server.url)
+            .option("retry_backoff_s", "0")
+            .load()
+        )
+        assert df.count() == 5
+    finally:
+        server.close()

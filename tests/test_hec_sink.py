@@ -21,6 +21,7 @@ class HecServer:
         self.bodies: list[bytes] = []
         self.auths: list[str] = []
         self.fail_first = fail_first
+        self.fail_code = 503
         self.requests = 0
         outer = self
 
@@ -30,7 +31,7 @@ class HecServer:
                 length = int(self.headers["Content-Length"])
                 body = self.rfile.read(length)
                 if outer.requests <= outer.fail_first:
-                    self.send_response(503)
+                    self.send_response(outer.fail_code)
                     self.end_headers()
                     return
                 outer.bodies.append(body)
@@ -154,5 +155,26 @@ def test_stream_write_ships_each_microbatch(registered, tmp_path):
         assert {e["event"]["guid"] for e in evs} == set(range(6))
         # timestamps serialize through default=str, stable and readable
         assert "2024-03-01" in evs[0]["event"]["created_at"]
+    finally:
+        server.close()
+
+
+def test_permanent_4xx_fails_fast_without_retries(registered):
+    """A 401 (bad token) is permanent: one request, no backoff burn, and
+    the error names the status."""
+    server = HecServer(fail_first=99)
+    server.fail_code = 401
+    try:
+        df = registered.createDataFrame([(1,)], "guid long").coalesce(1)
+        with pytest.raises(Exception, match="HTTP 401"):
+            (
+                df.write.format("splunk_hec")
+                .option("url", server.url)
+                .option("token", "bad")
+                .option("retry_base_s", "0")
+                .mode("append")
+                .save()
+            )
+        assert server.requests == 1  # no retries on a permanent status
     finally:
         server.close()
