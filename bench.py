@@ -89,6 +89,9 @@ HEADLINE = [
     "source_overlap",
     "packing_efficiency",
     "cms_estimate",
+    "bloom_decontaminate",
+    "token_entropy",
+    "hard_negatives",
     # mmr_diversity and bpe_merges/bpe_vocab stay OUT like kmeans and
     # pagerank: greedy/merge rounds are stage-serial 1-row argmaxes —
     # wall time there is scheduling barriers, not data volume

@@ -1,0 +1,164 @@
+"""Bloom-filter membership sketch, relational build + literal probe.
+
+The scale path for benchmark decontamination (and any other "is this key
+in the reference set" gate): the reference set's n-grams are folded into
+an ``m``-bit Bloom filter (Bloom 1970) ON THE EXECUTORS — k md5-derived
+bit positions per key, packed into 64-bit words — and the resulting
+single-row filter (m/8 bytes: 128 KiB at m=2^20) ships to the corpus
+scan as ONE binary literal, probed with pure column expressions.
+Versus the exact broadcast-set join (`q_decontaminate`): the shipped
+payload is O(m) bits regardless of how many keys went in, so the
+reference set can grow to hundreds of millions of entries (a full
+eval-suite shingle set) while the corpus side stays a single scan with
+zero shuffle.  The price is a deterministic, boundable false-positive
+rate ≈ (1 − e^(−kn/m))^k — flagged docs are re-checked exactly or
+over-excluded, never silently missed (a Bloom filter has NO false
+negatives).
+
+Representation notes (hard-won, see test_bloom.py):
+
+- The filter crosses to the probe side as a SINGLE BinaryType Literal,
+  byte i holding bits 8i..8i+7, so the probe for bit p is
+  ``getbit(conv(hex(substring(blob, p/8+1, 1)), 16, 10), p%8)`` — all
+  leaf-cheap expressions inside whole-stage codegen (~0.4 s for 4 probes
+  × 2M rows warm).  The three obvious alternatives are all slow in
+  PySpark: ``F.lit(list_of_16384_longs)`` builds a CreateArray with one
+  py4j call PER ELEMENT (~10 s to construct, and Catalyst re-walks the
+  16384-child tree on every optimizer rule); a hex STRING literal makes
+  every probe O(m) because UTF8String substring re-scans for char
+  boundaries; and attaching the filter by broadcast join plants the
+  probe in a BroadcastNestedLoopJoin CONDITION, which Spark evaluates
+  interpreted per row (~8× slower at sf0.1).  Binary substring is an
+  O(1) one-byte arraycopy.
+- The one driver action in ``bloom_literal`` fetches exactly one row of
+  m/8 bytes — bounded by the filter geometry, never by the key count;
+  that bound is the entire point of a Bloom filter and the same
+  contract as kmeans' literal-broadcast centroid assign
+  (operators/similarity.py).
+
+Everything is md5-derived and engine-portable, so build and probe are
+exactly reproducible in ANY engine: the DuckDB oracle replays the
+identical bit positions as set membership — the word/byte packing is
+representation, not semantics.
+
+No reference analog (alphagov/paas-auditor ships events, it does not
+decontaminate corpora); this is part of the LLM-training-data surface
+(SURVEY.md "beyond the reference" mandate), sibling to
+operators/heavyhitters.py's CMS (point frequency) and Misra-Gries
+(frequent items) — Bloom answers set membership.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bloom_bit_pos", "bloom_bitmap", "bloom_contains", "bloom_literal"]
+
+
+def bloom_bit_pos(key: Column, j: int, m: int) -> Column:
+    """Bit position of hash ``j`` for ``key``: the first 48 bits of
+    md5(key || '#' || j) mod m.  48 < 63 bits so the conv() result is an
+    exact BIGINT on every engine (the same trick as the dsir and
+    weighted_sample oracles); ``j`` salts the digest input, giving k
+    independent hash functions from one md5."""
+    digest = F.md5(F.concat_ws("#", key, F.lit(str(j))))
+    return F.conv(F.substring(digest, 1, 12), 16, 10).cast("long") % m
+
+
+def bloom_bitmap(
+    keys: DataFrame, key_col: str, m: int = 1 << 20, k: int = 4
+) -> DataFrame:
+    """Build the filter: 1-row DataFrame with column ``bloom`` = m/8
+    bytes of binary, byte i holding bits 8i..8i+7 (bit p ⇒ byte p div 8,
+    bit p mod 8).
+
+    Fully distributed: keys fan out to their k positions (narrow ×k
+    map), positions dedup and pack into ≤ m/64 (word, bits) rows via a
+    map-side-combined bit_or groupBy, and ONE final 1-row aggregate
+    assembles the blob.  The assembly avoids per-element map lookups
+    (element_at on a non-literal map is a linear scan — O(words²) was
+    ~6 s at m=2^20): a zero row is unioned for every word index and
+    re-folded with bit_or so each word appears exactly once, then
+    array_sort on the collected (w, bits) structs makes position i+1 be
+    word i by construction.  Each word renders its 8 bytes as hex pairs
+    in little-endian BYTE order (``sequence(15, 1, -2)`` walks the
+    word's big-endian hex two chars at a time from the low byte), so
+    the concatenation unhex()es straight into the byte layout above.
+    O(words log words), all JVM-side.  Nothing key-shaped ever reaches
+    the driver here; the only driver-adjacent object is the m/8-byte
+    filter row itself, which is the shipped payload by design
+    (``bloom_literal``).
+    """
+    if m % 64:
+        raise ValueError(f"m must be a multiple of 64, got {m}")
+    words = m // 64
+    pos = keys.select(
+        F.explode(
+            F.array(*[bloom_bit_pos(F.col(key_col), j, m) for j in range(k)])
+        ).alias("p")
+    ).distinct()
+    packed = pos.groupBy((F.col("p") / F.lit(64)).cast("long").alias("w")).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))")
+        ).alias("bits")
+    )
+    all_words = keys.sparkSession.range(words).select(
+        F.col("id").alias("w"), F.lit(0).cast("long").alias("bits")
+    )
+    dense = (
+        packed.unionByName(all_words)
+        .groupBy("w")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+
+    def word_le_hex(e: Column) -> Column:
+        # conv(bits, 10, 16) is unsigned-64 hex (bit 63 safe), lpad to
+        # 16 chars big-endian; re-pair from the tail for byte order
+        h = F.lpad(F.conv(e["bits"], 10, 16), 16, "0")
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(15), F.lit(1), F.lit(-2)),
+                lambda i: F.substring(h, i, F.lit(2)),
+            ),
+            "",
+        )
+
+    return dense.agg(
+        F.array_sort(F.collect_list(F.struct("w", "bits"))).alias("_e")
+    ).select(
+        F.unhex(
+            F.array_join(F.transform(F.col("_e"), word_le_hex), "")
+        ).alias("bloom")
+    )
+
+
+def bloom_literal(
+    keys: DataFrame, key_col: str, m: int = 1 << 20, k: int = 4
+) -> Column:
+    """Build the filter and return it as a single BinaryType Literal —
+    the form ``bloom_contains`` wants on the probe side (see module
+    docstring for why a literal, and why binary)."""
+    row = bloom_bitmap(keys, key_col, m=m, k=k).collect()[0]
+    return F.lit(bytes(row["bloom"]))
+
+
+def bloom_contains(
+    key: Column, bitmap: Column, m: int = 1 << 20, k: int = 4
+) -> Column:
+    """True iff every one of ``key``'s k bits is set in ``bitmap`` (the
+    binary form) — the standard Bloom probe, as pure column expressions
+    (JVM-side, whole-stage codegen; no UDF, no join).  Binary substring
+    is an O(1) single-byte slice; hex+conv lifts the byte to a long for
+    getbit."""
+
+    def bit_set(j: int) -> Column:
+        p = bloom_bit_pos(key, j, m)
+        byte = F.substring(
+            bitmap, (p / F.lit(8)).cast("int") + F.lit(1), F.lit(1)
+        )
+        return F.getbit(F.conv(F.hex(byte), 16, 10).cast("long"), p % 8) == 1
+
+    return reduce(lambda a, b: a & b, [bit_set(j) for j in range(k)])

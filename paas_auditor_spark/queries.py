@@ -2136,6 +2136,211 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination, Bloom-filter scale path: the same
+    8-shingle gate as `q_decontaminate`, but the benchmark set is folded
+    into a 2^20-bit / 4-hash Bloom bitmap (128 KiB, built distributed —
+    operators/bloom.py) and broadcast as ONE row; the corpus probes it
+    with pure column expressions in a single scan.  Broadcast payload is
+    O(m bits) regardless of benchmark size — the exact-set join's
+    broadcast grows with |bench| · gram bytes and eventually cannot ship
+    — at the price of a deterministic false-positive rate
+    (≈3.5e-5 at n=20k, m=2^20, k=4; zero false negatives, so nothing
+    contaminated ever slips through).  The oracle replays the identical
+    md5 bit arithmetic as set membership — the engine's word-packing is
+    representation, not semantics."""
+    from paas_auditor_spark.operators.bloom import bloom_contains, bloom_literal
+
+    m, k = 1 << 20, 4
+    docs = _th(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(tx.ngrams(F.col("text"), 8)).alias("g")
+    )
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    bitmap = bloom_literal(bench, "g", m=m, k=k)
+    # probe BEFORE any dedup: the raw gram stream filters map-side
+    # against the literal bitmap (a codegen Filter over the scan — see
+    # bloom_literal's plan rationale), and only the rare bloom-positive
+    # rows reach the per-doc countDistinct — a (doc_id, g) distinct up
+    # front would shuffle every gram string in the corpus
+    hits = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .where(bloom_contains(F.col("g"), bitmap, m=m, k=k))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_bloom_hits"))
+    )
+    return (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bloom_hits", F.lit(0)).alias("n_bloom_hits"),
+            (F.coalesce("n_bloom_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_BLOOM_DECONTAMINATE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest([array_to_string(t[i:i+7], ' ')
+                 for i in range(1, len(t) - 6)]) AS g
+  FROM toks WHERE len(t) >= 8),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+pos AS (
+  SELECT DISTINCT
+         CAST(concat('0x', substr(md5(g || '#' || CAST(j AS VARCHAR)), 1, 12))
+              AS BIGINT) % 1048576 AS p
+  FROM bench CROSS JOIN range(4) r(j)),
+cg AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 97 <> 0),
+probe AS (
+  SELECT doc_id, g,
+         CAST(concat('0x', substr(md5(g || '#' || CAST(j AS VARCHAR)), 1, 12))
+              AS BIGINT) % 1048576 AS p
+  FROM cg CROSS JOIN range(4) r(j)),
+hits AS (
+  SELECT doc_id, g FROM probe JOIN pos USING (p)
+  GROUP BY doc_id, g HAVING count(*) = 4),
+perdoc AS (SELECT doc_id, count(*) AS n_bloom_hits FROM hits GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_bloom_hits, 0) AS BIGINT) AS n_bloom_hits,
+       coalesce(p.n_bloom_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+WHERE d.doc_id % 97 <> 0
+ORDER BY d.doc_id
+"""
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing diagnostics: per-source unigram Shannon entropy and
+    KL(source ‖ corpus) — the standard lens for how diverse each slice
+    is and how far it drifts from the blend it feeds (Xie et al. 2023
+    DoReMi frames mixture reweighting over exactly these quantities).
+    Shape: one (source, term) count (map-side combined), then the
+    corpus marginal re-aggregates those PARTIALS (vocab-sized, never
+    re-reading the corpus), source totals are a few-row broadcast, and
+    the grand total rides in-plan as a 1-row cross join — the token
+    stream is scanned once, everything downstream is vocabulary-scale.
+    Exact closed form, 4dp-rounded on both engines."""
+    docs = _th(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tx.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    sc = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    sc = sc.localCheckpoint(eager=False)  # three consumers below
+    st = sc.groupBy("source").agg(F.sum("c").alias("ns"))
+    ct = sc.groupBy("term").agg(F.sum("c").alias("cc"))
+    tot = sc.agg(F.sum("c").alias("n"))
+    p_s = F.col("c") / F.col("ns")
+    p_c = F.col("cc") / F.col("n")
+    return (
+        sc.join(F.broadcast(st), "source")
+        .join(ct, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.max("ns").cast("long").alias("n_tokens"),
+            F.round(-F.sum(p_s * F.log(p_s)), 4).alias("entropy"),
+            F.round(F.sum(p_s * F.log(p_s / p_c)), 4).alias("kl_vs_corpus"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_TOKEN_ENTROPY = """
+WITH tok AS (
+  SELECT source,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents),
+sc AS (SELECT source, term, count(*) AS c FROM tok GROUP BY source, term),
+st AS (SELECT source, sum(c) AS ns FROM sc GROUP BY source),
+ct AS (SELECT term, sum(c) AS cc FROM sc GROUP BY term),
+tot AS (SELECT sum(c) AS n FROM sc)
+SELECT sc.source, CAST(max(st.ns) AS BIGINT) AS n_tokens,
+       round(-sum((sc.c * 1.0 / st.ns) * ln(sc.c * 1.0 / st.ns)), 4)
+         AS entropy,
+       round(sum((sc.c * 1.0 / st.ns)
+                 * ln((sc.c * 1.0 / st.ns) / (ct.cc * 1.0 / tot.n))), 4)
+         AS kl_vs_corpus
+FROM sc JOIN st USING (source) JOIN ct USING (term) CROSS JOIN tot
+GROUP BY sc.source
+ORDER BY sc.source
+"""
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for embedding-model training: for each query
+    vector, the top-3 most-similar vectors with a DIFFERENT label —
+    the near-miss impostors contrastive losses need (the mining step of
+    every dual-encoder recipe).  Same broadcast-query / per-query top-k
+    window shape as knn_bruteforce; the label inequality rides the join
+    condition so same-label pairs never materialize.  At corpus scale
+    the query side is the (small) batch being trained on and the corpus
+    side streams — swap the exact scan for the IVF/LSH candidate
+    generators (operators/similarity.py) with this same label guard."""
+    emb = _th(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        similarity._to_double(F.col("embedding")).alias("v_q"),
+    ).withColumn("n_q", similarity.l2_norm(F.col("v_q")))
+    c = similarity.fan_out(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            similarity._to_double(F.col("embedding")).alias("v_c"),
+        )
+    ).withColumn("n_c", similarity.l2_norm(F.col("v_c")))
+    # the CORPUS streams; only the (small) query batch broadcasts
+    scored = c.join(
+        F.broadcast(q), F.col("query_label") != F.col("neighbor_label")
+    ).select(
+        "query_id",
+        "query_label",
+        "neighbor_id",
+        "neighbor_label",
+        F.round(
+            similarity.dot(F.col("v_q"), F.col("v_c"))
+            / (F.col("n_q") * F.col("n_c")),
+            4,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("hn_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("hn_rank") <= 3)
+        .orderBy("query_id", "hn_rank")
+    )
+
+
+ORACLE_HARD_NEGATIVES = """
+WITH n AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> x * x))) AS nrm
+  FROM embeddings),
+q AS (SELECT * FROM n WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS query_label,
+         c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cos_sim
+  FROM q, n c WHERE c.label != q.label)
+SELECT query_id, query_label, neighbor_id, neighbor_label, cos_sim,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+       ) AS BIGINT) AS hn_rank
+FROM scored
+QUALIFY hn_rank <= 3
+ORDER BY query_id, hn_rank
+"""
+
+
 def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent table checksum: per-row md5 fold summed across
     the table — equal content ⇒ equal checksum regardless of row order or
@@ -4768,6 +4973,11 @@ REGISTRY: dict[str, QuerySpec] = {
         ORDER BY event_id
         """,
     ),
+    "bloom_decontaminate": QuerySpec(
+        q_bloom_decontaminate, ORACLE_BLOOM_DECONTAMINATE
+    ),
+    "token_entropy": QuerySpec(q_token_entropy, ORACLE_TOKEN_ENTROPY),
+    "hard_negatives": QuerySpec(q_hard_negatives, ORACLE_HARD_NEGATIVES),
     "decontaminate": QuerySpec(
         q_decontaminate,
         """

@@ -1,0 +1,124 @@
+"""Bloom filter guarantees (operators/bloom.py).
+
+The load-bearing properties, each pinned independently of the DuckDB
+oracle (which checks end-to-end equality but can't distinguish "both
+sides wrong the same way"):
+
+- NO false negatives — every inserted key probes True, always (the
+  property decontamination correctness rests on).
+- Bounded false positives — disjoint keys probe True at ≈ the closed
+  form (1 − e^(−kn/m))^k, not 100× it.
+- The packed word/bit representation equals plain position-set
+  membership (the packing is representation, not semantics).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from paas_auditor_spark.operators.bloom import (
+    bloom_bit_pos,
+    bloom_bitmap,
+    bloom_contains,
+)
+
+M, K = 1 << 14, 4
+
+
+def _keys(spark, lo, hi, prefix="key"):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit(prefix), F.col("id").cast("string")).alias("k")
+    )
+
+
+def test_no_false_negatives(spark):
+    members = _keys(spark, 0, 2000)
+    bitmap = bloom_bitmap(members, "k", m=M, k=K)
+    probed = members.join(F.broadcast(bitmap)).where(
+        ~bloom_contains(F.col("k"), F.col("bloom"), m=M, k=K)
+    )
+    assert probed.count() == 0
+
+
+def test_false_positive_rate_bounded(spark):
+    import math
+
+    n = 2000
+    members = _keys(spark, 0, n)
+    bitmap = bloom_bitmap(members, "k", m=M, k=K)
+    outsiders = _keys(spark, 0, 10000, prefix="other")
+    fp = (
+        outsiders.join(F.broadcast(bitmap))
+        .where(bloom_contains(F.col("k"), F.col("bloom"), m=M, k=K))
+        .count()
+    )
+    expected = (1 - math.exp(-K * n / M)) ** K  # ≈ 0.048 at these params
+    # generous ceiling: 3× the closed form catches a broken hash family
+    # (which degrades to orders of magnitude more FPs) without flaking
+    assert fp / 10000 <= 3 * expected
+
+
+def test_packing_equals_position_set(spark):
+    """Unpacking the binary blob == membership of every bloom_bit_pos in
+    the distinct position set — exercises word boundaries, the
+    little-endian byte order, and bit 63."""
+    members = _keys(spark, 0, 500)
+    bitmap_row = bloom_bitmap(members, "k", m=M, k=K).collect()[0]
+    blob = bytes(bitmap_row["bloom"])
+    assert len(blob) == M // 8
+    positions = {
+        r["p"]
+        for j in range(K)
+        for r in members.select(
+            bloom_bit_pos(F.col("k"), j, M).alias("p")
+        ).collect()
+    }
+    unpacked = {
+        i * 8 + b
+        for i, byte in enumerate(blob)
+        for b in range(8)
+        if (byte >> b) & 1
+    }
+    assert unpacked == positions
+
+
+def test_bit63_round_trip(spark):
+    """A hand-planted position on bit 63 of a word must probe back True
+    (sign-bit regression guard for the pack/probe pair)."""
+    # find a key whose j=0 position lands on bit 63 of some word
+    cand = (
+        spark.range(0, 5000)
+        .select(F.concat(F.lit("z"), F.col("id").cast("string")).alias("k"))
+        .where(bloom_bit_pos(F.col("k"), 0, M) % 64 == 63)
+        .limit(1)
+    )
+    assert cand.count() == 1
+    bitmap = bloom_bitmap(cand, "k", m=M, k=K)
+    hit = (
+        cand.join(F.broadcast(bitmap))
+        .where(bloom_contains(F.col("k"), F.col("bloom"), m=M, k=K))
+        .count()
+    )
+    assert hit == 1
+
+
+def test_m_must_be_word_aligned(spark):
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_bitmap(_keys(spark, 0, 1), "k", m=100, k=2)
+
+
+def test_empty_reference_set_flags_nothing(spark):
+    """An empty benchmark builds an all-zero bitmap; every probe is
+    False (the decontamination gate passes everything through)."""
+    empty = _keys(spark, 0, 0)
+    bitmap = bloom_bitmap(empty, "k", m=M, k=K)
+    row = bitmap.collect()[0]
+    assert bytes(row["bloom"]) == bytes(M // 8)
+    probes = _keys(spark, 0, 100)
+    hits = (
+        probes.join(F.broadcast(bitmap))
+        .where(bloom_contains(F.col("k"), F.col("bloom"), m=M, k=K))
+        .count()
+    )
+    assert hits == 0
