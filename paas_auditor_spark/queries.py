@@ -2341,6 +2341,108 @@ ORDER BY query_id, hn_rank
 """
 
 
+def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-shuffle skew diagnostics for a join/agg key: the top-20
+    heaviest keys with their share of the table, plus the global
+    skew factor (max key count / mean key count) — the number that
+    decides between a plain shuffle join, AQE skew splitting, and
+    salting (operators/skew.py).  One map-side-combined count per key,
+    one 1-row stats aggregate attached in-plan (broadcast cross join, no
+    driver collect), one top-k.  This is the audit you run BEFORE the
+    big join: at 100 TB the per-key count is the same single shuffle the
+    join itself would do, and its output is key-cardinality-sized."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n_rows"))
+    stats = counts.agg(
+        F.sum("n_rows").alias("_total"),
+        F.count(F.lit(1)).alias("_nkeys"),
+        F.max("n_rows").alias("_max"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            "l_suppkey",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+            F.round(
+                F.col("_max") * F.col("_nkeys") / F.col("_total"), 4
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.col("n_rows").desc(), "l_suppkey")
+        .limit(20)
+    )
+
+
+ORACLE_SKEW_AUDIT = """
+WITH counts AS (
+  SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY l_suppkey),
+stats AS (
+  SELECT sum(n_rows) AS total, count(*) AS nkeys, max(n_rows) AS mx
+  FROM counts)
+SELECT c.l_suppkey, c.n_rows,
+       round(c.n_rows * 1.0 / s.total, 6) AS share,
+       round(s.mx * s.nkeys * 1.0 / s.total, 4) AS skew_factor
+FROM counts c CROSS JOIN stats s
+ORDER BY c.n_rows DESC, c.l_suppkey LIMIT 20
+"""
+
+
+def q_chat_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation assembly for SFT-style training data: each user's
+    event stream becomes one ordered transcript row —
+    ``type@epoch|type@epoch|...`` — plus turn count and span seconds.
+    The string form (instead of array<struct>) keeps the result
+    hash-comparable across engines; the per-group ordered fold is the
+    same shape as assembling chat turns into a training sample.  One
+    shuffle on the grouping key; the sort is per-group within the
+    aggregation (array_sort on collected structs — no global sort, no
+    window).  Keyed to user_id % 10 == 7 to keep the output bounded;
+    the operator itself is corpus-wide."""
+    events = _t(spark, sf_dir, "events")
+    turn = F.struct(
+        F.col("ts"),
+        F.col("event_id"),
+        F.concat_ws(
+            "@",
+            F.col("event_type"),
+            json_utils.epoch_seconds(F.col("ts")).cast("string"),
+        ).alias("turn"),
+    )
+    return (
+        events.filter(F.col("user_id") % 10 == 7)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(turn)), lambda e: e["turn"]
+                ),
+                "|",
+            ).alias("transcript"),
+            F.count(F.lit(1)).alias("n_turns"),
+            (
+                json_utils.epoch_seconds(F.max("ts"))
+                - json_utils.epoch_seconds(F.min("ts"))
+            ).alias("span_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_CHAT_ASSEMBLY = """
+SELECT user_id,
+       string_agg(event_type || '@' ||
+                  CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR), '|'
+                  ORDER BY ts, event_id) AS transcript,
+       count(*) AS n_turns,
+       CAST(floor(epoch(max(ts))) AS BIGINT)
+         - CAST(floor(epoch(min(ts))) AS BIGINT) AS span_s
+FROM events
+WHERE user_id % 10 = 7
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent table checksum: per-row md5 fold summed across
     the table — equal content ⇒ equal checksum regardless of row order or
@@ -4976,6 +5078,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "bloom_decontaminate": QuerySpec(
         q_bloom_decontaminate, ORACLE_BLOOM_DECONTAMINATE
     ),
+    "skew_audit": QuerySpec(q_skew_audit, ORACLE_SKEW_AUDIT),
+    "chat_assembly": QuerySpec(q_chat_assembly, ORACLE_CHAT_ASSEMBLY),
     "token_entropy": QuerySpec(q_token_entropy, ORACLE_TOKEN_ENTROPY),
     "hard_negatives": QuerySpec(q_hard_negatives, ORACLE_HARD_NEGATIVES),
     "decontaminate": QuerySpec(

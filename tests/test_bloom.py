@@ -122,3 +122,46 @@ def test_empty_reference_set_flags_nothing(spark):
         .count()
     )
     assert hits == 0
+
+
+def test_streaming_bloom_gate_matches_batch(spark, tmp_path):
+    """The literal probe is stateless, so the SAME bloom_contains column
+    works unchanged in Structured Streaming — decontaminating an
+    unbounded document stream against a static benchmark filter with no
+    state store, no stream-static join, no watermark.  Stream result ==
+    batch result on identical input."""
+    src = str(tmp_path / "docs")
+    rows = [(i, f"text piece {i % 7}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, body string")
+    df.coalesce(2).write.mode("overwrite").parquet(src)
+
+    from paas_auditor_spark.operators.bloom import bloom_contains, bloom_literal
+
+    bench = spark.createDataFrame(
+        [("text piece 1",), ("text piece 4",)], "body string"
+    )
+    lit = bloom_literal(bench, "body", m=M, k=K)
+    gate = ~bloom_contains(F.col("body"), lit, m=M, k=K)
+
+    stream = spark.readStream.schema("doc_id long, body string").parquet(src)
+    q = (
+        stream.where(gate)
+        .writeStream.format("memory")
+        .queryName("bloom_gate")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["doc_id"] for r in spark.sql("SELECT doc_id FROM bloom_gate").collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in spark.read.parquet(src).where(gate).select("doc_id").collect()
+    }
+    assert got == want
+    # no false negatives: every doc matching a benchmark body is gone
+    assert all(i % 7 not in (1, 4) for i in got)

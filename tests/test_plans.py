@@ -572,3 +572,22 @@ def test_hard_negatives_streams_corpus_broadcasts_queries(spark, sf_dir):
     df = q_hard_negatives(spark, sf_dir)
     plan = assert_plan_contains(df, "BroadcastNestedLoopJoin")
     assert "BuildRight" in plan
+
+
+def test_skew_audit_single_count_shuffle_topk(spark, sf_dir):
+    """One key-count shuffle, stats attached as a broadcast, bounded
+    top-k (no global sort)."""
+    from paas_auditor_spark.queries import q_skew_audit
+
+    df = q_skew_audit(spark, sf_dir)
+    assert_plan_contains(df, "TakeOrderedAndProject")
+    assert_plan_lacks(df, "BatchEvalPython", "ArrowEvalPython")
+
+
+def test_chat_assembly_sorts_in_group_not_globally(spark, sf_dir):
+    """The transcript ordering is array_sort inside the aggregate; the
+    only Sort node is the bounded final orderBy, and no window runs."""
+    from paas_auditor_spark.queries import q_chat_assembly
+
+    df = q_chat_assembly(spark, sf_dir)
+    assert_plan_lacks(df, "Window", "BatchEvalPython", "ArrowEvalPython")
