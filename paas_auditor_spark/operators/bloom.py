@@ -95,11 +95,19 @@ def bloom_bitmap(
     if m % 64:
         raise ValueError(f"m must be a multiple of 64, got {m}")
     words = m // 64
-    pos = keys.select(
+    # NULL keys are dropped, mirroring SQL set semantics (the DuckDB
+    # oracle's `g || '#' || j` is NULL for NULL g and contributes no
+    # position); without the guard concat_ws would SKIP the null arg and
+    # hash the bare salt, colliding every NULL with nothing real but
+    # diverging from any engine that propagates NULL
+    # no distinct before packing: bit_or is idempotent, so duplicate
+    # positions cost nothing while a distinct would be one more full
+    # shuffle of the position stream
+    pos = keys.where(F.col(key_col).isNotNull()).select(
         F.explode(
             F.array(*[bloom_bit_pos(F.col(key_col), j, m) for j in range(k)])
         ).alias("p")
-    ).distinct()
+    )
     packed = pos.groupBy((F.col("p") / F.lit(64)).cast("long").alias("w")).agg(
         F.bit_or(
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))")
@@ -161,4 +169,8 @@ def bloom_contains(
         )
         return F.getbit(F.conv(F.hex(byte), 16, 10).cast("long"), p % 8) == 1
 
-    return reduce(lambda a, b: a & b, [bit_set(j) for j in range(k)])
+    probe = reduce(lambda a, b: a & b, [bit_set(j) for j in range(k)])
+    # a NULL key is not a member (matches the build side dropping NULLs);
+    # without this, concat_ws skips the null arg and probes the bare
+    # salt's positions — a nonsense, engine-specific answer
+    return key.isNotNull() & probe

@@ -2341,6 +2341,90 @@ ORDER BY query_id, hn_rank
 """
 
 
+def q_bloom_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision audit of the Bloom gate: replay the decontamination
+    probe AND the exact membership join over the same corpus grams and
+    report (grams probed, bloom positives, exact positives, false
+    positives, observed FP rate).  Everything is md5-deterministic, so
+    even the false-positive COUNT is engine-exact — the audit the
+    bloom_decontaminate docstring's FP-rate claim should be (and is)
+    checked by, and the pattern for qualifying any sketch against its
+    exact twin before trusting it at scale.  Costs one extra broadcast
+    join over the gram stream; run it at sample scale, not per-batch."""
+    from paas_auditor_spark.operators.bloom import bloom_contains, bloom_literal
+
+    m, k = 1 << 20, 4
+    docs = _th(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(tx.ngrams(F.col("text"), 8)).alias("g")
+    )
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    bitmap = bloom_literal(bench, "g", m=m, k=k)
+    corpus = grams.filter(F.col("doc_id") % 97 != 0).select("g")
+    probed = corpus.withColumn(
+        "bloom_pos", bloom_contains(F.col("g"), bitmap, m=m, k=k)
+    ).join(
+        F.broadcast(bench.withColumn("exact_pos", F.lit(True))), "g", "left"
+    )
+    return probed.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(F.col("bloom_pos").cast("long")).alias("n_bloom_pos"),
+        F.sum(F.coalesce("exact_pos", F.lit(False)).cast("long")).alias(
+            "n_exact_pos"
+        ),
+        F.sum(
+            (F.col("bloom_pos") & F.coalesce(~F.col("exact_pos"), F.lit(True)))
+            .cast("long")
+        ).alias("n_false_pos"),
+    ).select(
+        "n_probed",
+        "n_bloom_pos",
+        "n_exact_pos",
+        "n_false_pos",
+        F.round(F.col("n_false_pos") / F.col("n_probed"), 6).alias("fp_rate"),
+    )
+
+
+ORACLE_BLOOM_FP_AUDIT = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest([array_to_string(t[i:i+7], ' ')
+                 for i in range(1, len(t) - 6)]) AS g
+  FROM toks WHERE len(t) >= 8),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+pos AS (
+  SELECT DISTINCT
+         CAST(concat('0x', substr(md5(g || '#' || CAST(j AS VARCHAR)), 1, 12))
+              AS BIGINT) % 1048576 AS p
+  FROM bench CROSS JOIN range(4) r(j)),
+cg AS (
+  SELECT g, count(*) AS cnt FROM grams WHERE doc_id % 97 <> 0 GROUP BY g),
+probe AS (
+  SELECT cg.g, cg.cnt,
+         CAST(concat('0x', substr(md5(cg.g || '#' || CAST(j AS VARCHAR)), 1, 12))
+              AS BIGINT) % 1048576 AS p
+  FROM cg CROSS JOIN range(4) r(j)),
+flags AS (
+  SELECT pr.g, max(pr.cnt) AS cnt, count(ps.p) = 4 AS bloom_pos
+  FROM probe pr LEFT JOIN pos ps ON pr.p = ps.p
+  GROUP BY pr.g),
+joined AS (
+  SELECT f.cnt, f.bloom_pos, (b.g IS NOT NULL) AS exact_pos
+  FROM flags f LEFT JOIN bench b ON f.g = b.g)
+SELECT sum(cnt) AS n_probed,
+       sum(CASE WHEN bloom_pos THEN cnt ELSE 0 END) AS n_bloom_pos,
+       sum(CASE WHEN exact_pos THEN cnt ELSE 0 END) AS n_exact_pos,
+       sum(CASE WHEN bloom_pos AND NOT exact_pos THEN cnt ELSE 0 END)
+         AS n_false_pos,
+       round(sum(CASE WHEN bloom_pos AND NOT exact_pos THEN cnt ELSE 0 END)
+             * 1.0 / sum(cnt), 6) AS fp_rate
+FROM joined
+"""
+
+
 def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-shuffle skew diagnostics for a join/agg key: the top-20
     heaviest keys with their share of the table, plus the global
@@ -5078,6 +5162,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "bloom_decontaminate": QuerySpec(
         q_bloom_decontaminate, ORACLE_BLOOM_DECONTAMINATE
     ),
+    "bloom_fp_audit": QuerySpec(q_bloom_fp_audit, ORACLE_BLOOM_FP_AUDIT),
     "skew_audit": QuerySpec(q_skew_audit, ORACLE_SKEW_AUDIT),
     "chat_assembly": QuerySpec(q_chat_assembly, ORACLE_CHAT_ASSEMBLY),
     "token_entropy": QuerySpec(q_token_entropy, ORACLE_TOKEN_ENTROPY),

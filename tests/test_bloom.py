@@ -165,3 +165,22 @@ def test_streaming_bloom_gate_matches_batch(spark, tmp_path):
     assert got == want
     # no false negatives: every doc matching a benchmark body is gone
     assert all(i % 7 not in (1, 4) for i in got)
+
+
+def test_null_keys_dropped_on_build_and_probe(spark):
+    """NULL keys contribute no positions (SQL set semantics: the oracle's
+    ``g || '#' || j`` is NULL for NULL g) and never probe True — without
+    the guards, concat_ws skips the null arg and hashes the bare salt,
+    an engine-specific nonsense answer."""
+    rows = [("a",), (None,), ("b",)]
+    df = spark.createDataFrame(rows, "k string")
+    with_nulls = bloom_bitmap(df, "k", m=M, k=K).collect()[0]["bloom"]
+    without = bloom_bitmap(
+        df.where(F.col("k").isNotNull()), "k", m=M, k=K
+    ).collect()[0]["bloom"]
+    assert bytes(with_nulls) == bytes(without)
+    lit = F.lit(bytes(with_nulls))
+    got = df.select(
+        "k", bloom_contains(F.col("k"), lit, m=M, k=K).alias("hit")
+    ).collect()
+    assert {r["k"]: r["hit"] for r in got} == {"a": True, None: False, "b": True}
