@@ -94,6 +94,7 @@ HEADLINE = [
     "hard_negatives",
     "skew_audit",
     "chat_assembly",
+    "corpus_report",
     # mmr_diversity and bpe_merges/bpe_vocab stay OUT like kmeans and
     # pagerank: greedy/merge rounds are stage-serial 1-row argmaxes —
     # wall time there is scheduling barriers, not data volume

@@ -2341,6 +2341,107 @@ ORDER BY query_id, hn_rank
 """
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source corpus health report — the one-stop table a data
+    curator reads before mixing sources: document and token volume, mean
+    length, a quality-gate pass rate, the exact-duplicate rate, and the
+    dominant language with its share.  A composition showcase: every
+    per-doc signal (token count, stopword ratio, fingerprint) is a pure
+    column expression computed in ONE narrow pass over the text scan,
+    then two source-keyed aggregations (one plain, one distinct-count)
+    and a 2-col lang argmax via max(struct) — no window, no Python, and
+    the lang table joins back broadcast.  At 100 TB this is exactly the
+    shape you want: O(corpus) scan, everything after it
+    source-cardinality-sized."""
+    docs = _th(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tok = tx.token_count(text)
+    stop_ratio = tx.stopword_count(text) / F.greatest(
+        n_tok.cast("double"), F.lit(1.0)
+    )
+    base = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        n_tok.alias("n_tok"),
+        (
+            (n_tok >= 10) & (stop_ratio >= 0.01)
+        ).cast("int").alias("passes"),
+        tx.fingerprint(text).alias("fp"),
+    )
+    per_source = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.round(F.avg("passes"), 4).alias("quality_pass_rate"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("fp") / F.count(F.lit(1)), 4
+        ).alias("dup_rate"),
+    )
+    lang_top = (
+        base.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source")
+        .agg(F.max(F.struct("c", "lang")).alias("m"))
+        .select(
+            "source",
+            F.col("m.lang").alias("top_lang"),
+            F.col("m.c").alias("_c"),
+        )
+    )
+    return (
+        per_source.join(F.broadcast(lang_top), "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "avg_chars",
+            "quality_pass_rate",
+            "dup_rate",
+            "top_lang",
+            F.round(F.col("_c") / F.col("n_docs"), 4).alias("top_lang_share"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_CORPUS_REPORT = """
+WITH base AS (
+  SELECT source, lang, n_chars,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_tok,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+             x -> x IN ('the','a','of','and','to','in','is','on','for',
+                        'with')))
+           AS n_stop,
+         substr(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))),
+                1, 16) AS fp
+  FROM documents),
+per_source AS (
+  SELECT source,
+         count(*) AS n_docs,
+         sum(n_tok) AS n_tokens,
+         round(avg(n_chars), 2) AS avg_chars,
+         round(avg(CASE WHEN n_tok >= 10 AND
+                 n_stop / greatest(CAST(n_tok AS DOUBLE), 1.0) >= 0.01
+                 THEN 1 ELSE 0 END), 4) AS quality_pass_rate,
+         round(1.0 - count(DISTINCT fp) * 1.0 / count(*), 4) AS dup_rate
+  FROM base GROUP BY source),
+lc AS (
+  SELECT source, lang, count(*) AS c FROM base GROUP BY source, lang),
+lt AS (
+  SELECT source, lang AS top_lang, c,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY c DESC, lang DESC) AS rn
+  FROM lc)
+SELECT p.source, p.n_docs, p.n_tokens, p.avg_chars, p.quality_pass_rate,
+       p.dup_rate, lt.top_lang,
+       round(lt.c * 1.0 / p.n_docs, 4) AS top_lang_share
+FROM per_source p JOIN lt ON p.source = lt.source AND lt.rn = 1
+ORDER BY p.source
+"""
+
+
 def q_bloom_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision audit of the Bloom gate: replay the decontamination
     probe AND the exact membership join over the same corpus grams and
@@ -5162,6 +5263,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "bloom_decontaminate": QuerySpec(
         q_bloom_decontaminate, ORACLE_BLOOM_DECONTAMINATE
     ),
+    "corpus_report": QuerySpec(q_corpus_report, ORACLE_CORPUS_REPORT),
     "bloom_fp_audit": QuerySpec(q_bloom_fp_audit, ORACLE_BLOOM_FP_AUDIT),
     "skew_audit": QuerySpec(q_skew_audit, ORACLE_SKEW_AUDIT),
     "chat_assembly": QuerySpec(q_chat_assembly, ORACLE_CHAT_ASSEMBLY),

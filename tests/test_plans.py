@@ -591,3 +591,14 @@ def test_chat_assembly_sorts_in_group_not_globally(spark, sf_dir):
 
     df = q_chat_assembly(spark, sf_dir)
     assert_plan_lacks(df, "Window", "BatchEvalPython", "ArrowEvalPython")
+
+
+def test_corpus_report_no_window_no_python(spark, sf_dir):
+    """All per-doc signals fold in one narrow pass; the lang argmax is
+    max(struct) — no Window node, no Python nodes, lang table joins
+    back broadcast."""
+    from paas_auditor_spark.queries import q_corpus_report
+
+    df = q_corpus_report(spark, sf_dir)
+    assert_plan_lacks(df, "Window", "BatchEvalPython", "ArrowEvalPython")
+    assert_plan_contains(df, "BroadcastHashJoin")
