@@ -459,3 +459,49 @@ def test_triangle_counts_relabel_invariant(spark, offset):
         for r in triangle_counts(df1).collect()
     }
     assert got0 == got1
+
+
+# -- Bloom filter engine portability ---------------------------------------
+# printable-ish unicode incl. multi-byte; the '#' salt separator is allowed
+# INSIDE keys on purpose — position derivation must stay well-defined and
+# engine-agreed even then
+bloom_keys = st.lists(
+    st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",), min_codepoint=32
+        ),
+        min_size=0,
+        max_size=24,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(keys=bloom_keys)
+def test_bloom_positions_match_python_md5(spark, keys):
+    """bloom_bit_pos must equal the closed form any other engine (or the
+    DuckDB oracle) computes: int(md5(utf8(key) + '#' + j)[:12 hex], 16)
+    mod m.  Spark md5 hashes the UTF-8 bytes of the string, so unicode
+    keys agree too — this is the portability contract every bloom oracle
+    rests on."""
+    import hashlib
+
+    from paas_auditor_spark.operators.bloom import bloom_bit_pos
+
+    m, k = 1 << 14, 3
+    df = spark.createDataFrame([(x,) for x in keys], "k string")
+    got = df.select(
+        "k", *[bloom_bit_pos(F.col("k"), j, m).alias(f"p{j}") for j in range(k)]
+    ).collect()
+    for row in got:
+        for j in range(k):
+            digest = hashlib.md5(
+                (row["k"] + "#" + str(j)).encode("utf-8")
+            ).hexdigest()
+            assert row[f"p{j}"] == int(digest[:12], 16) % m
