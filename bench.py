@@ -95,6 +95,7 @@ HEADLINE = [
     "skew_audit",
     "chat_assembly",
     "corpus_report",
+    "epoch_shuffle",
     # mmr_diversity and bpe_merges/bpe_vocab stay OUT like kmeans and
     # pagerank: greedy/merge rounds are stage-serial 1-row argmaxes —
     # wall time there is scheduling barriers, not data volume

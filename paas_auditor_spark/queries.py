@@ -2341,6 +2341,43 @@ ORDER BY query_id, hn_rank
 """
 
 
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training-data permutation: shuffle key =
+    md5(doc_id '#' epoch), rank = position in that order.  Every worker,
+    every rerun, every engine derives the SAME epoch-1 order with zero
+    coordination (the content-addressed determinism of
+    train_test_split applied to ordering), and each epoch is an
+    independent permutation.  Here the head of the permutation
+    materializes via TakeOrderedAndProject (per-partition heaps — no
+    global sort); the full-corpus write path is export_ordered
+    (repartitionByRange on the key + sortWithinPartitions), which scales
+    the same permutation to any corpus size with one range shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    key = F.md5(F.concat_ws("#", F.col("doc_id"), F.lit("1")))
+    # limit FIRST (TakeOrderedAndProject), then rank the surviving 20 —
+    # a row_number window over the full corpus would be a global
+    # single-partition sort
+    head = (
+        docs.select("doc_id", key.alias("shuffle_key"))
+        .orderBy("shuffle_key")
+        .limit(20)
+    )
+    w = Window.orderBy("shuffle_key")
+    return head.withColumn(
+        "shuffle_rank", F.row_number().over(w).cast("long")
+    ).orderBy("shuffle_rank")
+
+
+ORACLE_EPOCH_SHUFFLE = """
+SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '#1') AS shuffle_key,
+       CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || '#1'))
+            AS BIGINT) AS shuffle_rank
+FROM documents
+QUALIFY shuffle_rank <= 20
+ORDER BY shuffle_rank
+"""
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-source corpus health report — the one-stop table a data
     curator reads before mixing sources: document and token volume, mean
@@ -5263,6 +5300,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "bloom_decontaminate": QuerySpec(
         q_bloom_decontaminate, ORACLE_BLOOM_DECONTAMINATE
     ),
+    "epoch_shuffle": QuerySpec(q_epoch_shuffle, ORACLE_EPOCH_SHUFFLE),
     "corpus_report": QuerySpec(q_corpus_report, ORACLE_CORPUS_REPORT),
     "bloom_fp_audit": QuerySpec(q_bloom_fp_audit, ORACLE_BLOOM_FP_AUDIT),
     "skew_audit": QuerySpec(q_skew_audit, ORACLE_SKEW_AUDIT),

@@ -602,3 +602,12 @@ def test_corpus_report_no_window_no_python(spark, sf_dir):
     df = q_corpus_report(spark, sf_dir)
     assert_plan_lacks(df, "Window", "BatchEvalPython", "ArrowEvalPython")
     assert_plan_contains(df, "BroadcastHashJoin")
+
+
+def test_epoch_shuffle_head_is_topk_not_global_sort(spark, sf_dir):
+    """The permutation head materializes as TakeOrderedAndProject; the
+    row_number window runs only over the post-limit 20 rows."""
+    from paas_auditor_spark.queries import q_epoch_shuffle
+
+    df = q_epoch_shuffle(spark, sf_dir)
+    assert_plan_contains(df, "TakeOrderedAndProject")
