@@ -1277,7 +1277,9 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (false candidates are removed); pairs the banding misses are
     invisible to it, so the observed result-identity with 32/16 on this
     corpus at sf0.01/sf0.1 is an empirical recall observation at these
-    scales, not a guarantee."""
+    scales, not a guarantee.  Recall IS pinned against brute-force
+    ground truth (≥0.9 at j≥0.5) by
+    test_dedup.py::test_minhash_recall_floor_vs_exact_jaccard."""
     docs = _th(spark, sf_dir, "documents")
     return dedup.minhash_near_duplicates(
         docs, threshold=0.5, num_hashes=24, num_bands=12
@@ -2313,7 +2315,12 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("hn_rank", F.row_number().over(w).cast("long"))
+        # a zero-norm vector's cosine is NULL; drop it rather than rank
+        # it (Spark desc sorts NULLs last, DuckDB DESC sorts them first —
+        # excluding them keeps the trajectory engine-independent, same
+        # guard as mmr_select)
+        scored.filter(F.col("cos_sim").isNotNull())
+        .withColumn("hn_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("hn_rank") <= 3)
         .orderBy("query_id", "hn_rank")
     )
@@ -2336,6 +2343,7 @@ SELECT query_id, query_label, neighbor_id, neighbor_label, cos_sim,
          PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
        ) AS BIGINT) AS hn_rank
 FROM scored
+WHERE cos_sim IS NOT NULL
 QUALIFY hn_rank <= 3
 ORDER BY query_id, hn_rank
 """

@@ -301,3 +301,41 @@ def test_exact_duplicates_string_ids(spark):
         for r in exact_duplicates(df, id_col="guid").collect()
     }
     assert got == {"g-a": 2, "g-c": 1}
+
+
+def test_minhash_recall_floor_vs_exact_jaccard(spark, sf_dir):
+    """Pin the 24/12 banding's RECALL against ground truth, not just its
+    precision: the exact-verify step only removes false candidates, so a
+    recall regression (e.g. a banding bug folding bands together) is
+    invisible to every other minhash test.  Ground truth = brute-force
+    exact Jaccard over all pairs at sf0.001; theoretical recall at
+    j=0.5 is ~0.97 and rises steeply above it, so 0.9 is a floor that
+    catches breakage without flaking on the corpus."""
+    from pyspark.sql import functions as F
+
+    from paas_auditor_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_near_duplicates(
+            docs, threshold=0.5, num_hashes=24, num_bands=12
+        ).collect()
+    }
+    # brute-force ground truth: every pair, exact hashed-shingle Jaccard
+    sets_df = dedup.hashed_shingle_sets(docs)
+    ids = sets_df.select(F.col("doc_id").alias("id_a"))
+    all_pairs = ids.join(
+        sets_df.select(F.col("doc_id").alias("id_b")),
+        F.col("id_a") < F.col("id_b"),
+    )
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.jaccard_pairs_hashed(sets_df, all_pairs)
+        .filter(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+    assert truth, "fixture must contain at least one true near-dup pair"
+    recovered = len(found & truth)
+    assert found <= truth  # precision 1.0: verify step guarantees it
+    assert recovered / len(truth) >= 0.9
