@@ -55,7 +55,15 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bloom_bit_pos", "bloom_bitmap", "bloom_contains", "bloom_literal"]
+__all__ = [
+    "bloom_assemble",
+    "bloom_bit_pos",
+    "bloom_bitmap",
+    "bloom_contains",
+    "bloom_literal",
+    "bloom_merge",
+    "bloom_words",
+]
 
 
 def bloom_bit_pos(key: Column, j: int, m: int) -> Column:
@@ -68,56 +76,77 @@ def bloom_bit_pos(key: Column, j: int, m: int) -> Column:
     return F.conv(F.substring(digest, 1, 12), 16, 10).cast("long") % m
 
 
-def bloom_bitmap(
+def bloom_words(
     keys: DataFrame, key_col: str, m: int = 1 << 20, k: int = 4
 ) -> DataFrame:
-    """Build the filter: 1-row DataFrame with column ``bloom`` = m/8
-    bytes of binary, byte i holding bits 8i..8i+7 (bit p ⇒ byte p div 8,
-    bit p mod 8).
+    """The MERGEABLE form of the filter: a sparse (w, bits) relation —
+    word index, 64 bits of that word — holding every set bit.
 
-    Fully distributed: keys fan out to their k positions (narrow ×k
-    map), positions dedup and pack into ≤ m/64 (word, bits) rows via a
-    map-side-combined bit_or groupBy, and ONE final 1-row aggregate
-    assembles the blob.  The assembly avoids per-element map lookups
-    (element_at on a non-literal map is a linear scan — O(words²) was
-    ~6 s at m=2^20): a zero row is unioned for every word index and
-    re-folded with bit_or so each word appears exactly once, then
-    array_sort on the collected (w, bits) structs makes position i+1 be
-    word i by construction.  Each word renders its 8 bytes as hex pairs
-    in little-endian BYTE order (``sequence(15, 1, -2)`` walks the
-    word's big-endian hex two chars at a time from the low byte), so
-    the concatenation unhex()es straight into the byte layout above.
-    O(words log words), all JVM-side.  Nothing key-shaped ever reaches
-    the driver here; the only driver-adjacent object is the m/8-byte
-    filter row itself, which is the shipped payload by design
-    (``bloom_literal``).
-    """
+    This is the form to PERSIST for incremental pipelines: filters
+    built from disjoint key batches (daily benchmark drops, per-shard
+    corpora) merge by ``union -> groupBy(w) -> bit_or`` — exactly
+    ``bloom_merge`` — with no rebuild from keys, the same
+    re-aggregation story as the daily HLL sketches and the CMS counter
+    relation.  Fully distributed: keys fan out to their k positions
+    (narrow ×k map) and pack map-side-combined into ≤ m/64 rows.  No
+    distinct first — bit_or is idempotent, so duplicate positions cost
+    nothing while a distinct would be one more full shuffle of the
+    position stream.  NULL keys are dropped, mirroring SQL set
+    semantics (the DuckDB oracle's ``g || '#' || j`` is NULL for NULL g
+    and contributes no position); without the guard concat_ws would
+    SKIP the null arg and hash the bare salt.  Nothing key-shaped ever
+    reaches the driver."""
     if m % 64:
         raise ValueError(f"m must be a multiple of 64, got {m}")
-    words = m // 64
-    # NULL keys are dropped, mirroring SQL set semantics (the DuckDB
-    # oracle's `g || '#' || j` is NULL for NULL g and contributes no
-    # position); without the guard concat_ws would SKIP the null arg and
-    # hash the bare salt, colliding every NULL with nothing real but
-    # diverging from any engine that propagates NULL
-    # no distinct before packing: bit_or is idempotent, so duplicate
-    # positions cost nothing while a distinct would be one more full
-    # shuffle of the position stream
     pos = keys.where(F.col(key_col).isNotNull()).select(
         F.explode(
             F.array(*[bloom_bit_pos(F.col(key_col), j, m) for j in range(k)])
         ).alias("p")
     )
-    packed = pos.groupBy((F.col("p") / F.lit(64)).cast("long").alias("w")).agg(
+    return pos.groupBy((F.col("p") / F.lit(64)).cast("long").alias("w")).agg(
         F.bit_or(
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))")
         ).alias("bits")
     )
-    all_words = keys.sparkSession.range(words).select(
+
+
+def bloom_merge(*word_tables: DataFrame) -> DataFrame:
+    """OR any number of (w, bits) filters built with the SAME (m, k)
+    into one — a Bloom filter's union IS the filter of the union of the
+    key sets, bit-exactly (test-pinned)."""
+    if not word_tables:
+        raise ValueError("bloom_merge needs at least one word table")
+    merged = word_tables[0]
+    for t in word_tables[1:]:
+        merged = merged.unionByName(t)
+    return merged.groupBy("w").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_assemble(words_df: DataFrame, m: int) -> DataFrame:
+    """Densify a sparse (w, bits) relation into the probe form: 1-row
+    DataFrame with column ``bloom`` = m/8 bytes of binary, byte i
+    holding bits 8i..8i+7 (bit p => byte p div 8, bit p mod 8).
+
+    The assembly avoids per-element map lookups (element_at on a
+    non-literal map is a linear scan — O(words²) was ~6 s at m=2^20): a
+    zero row is unioned for every word index and re-folded with bit_or
+    so each word appears exactly once, then array_sort on the collected
+    (w, bits) structs makes position i+1 be word i by construction.
+    Each word renders its 8 bytes as hex pairs in little-endian BYTE
+    order (``sequence(15, 1, -2)`` walks the word's big-endian hex two
+    chars at a time from the low byte), so the concatenation unhex()es
+    straight into the byte layout above.  O(words log words), all
+    JVM-side; the only driver-adjacent object is the m/8-byte filter
+    row itself, which is the shipped payload by design
+    (``bloom_literal``)."""
+    if m % 64:
+        raise ValueError(f"m must be a multiple of 64, got {m}")
+    words = m // 64
+    all_words = words_df.sparkSession.range(words).select(
         F.col("id").alias("w"), F.lit(0).cast("long").alias("bits")
     )
     dense = (
-        packed.unionByName(all_words)
+        words_df.unionByName(all_words)
         .groupBy("w")
         .agg(F.bit_or("bits").alias("bits"))
     )
@@ -141,6 +170,16 @@ def bloom_bitmap(
             F.array_join(F.transform(F.col("_e"), word_le_hex), "")
         ).alias("bloom")
     )
+
+
+def bloom_bitmap(
+    keys: DataFrame, key_col: str, m: int = 1 << 20, k: int = 4
+) -> DataFrame:
+    """Build the probe-form filter straight from keys:
+    ``bloom_assemble(bloom_words(keys))``.  Keep the sparse
+    ``bloom_words`` relation instead when the filter is built
+    incrementally (``bloom_merge``)."""
+    return bloom_assemble(bloom_words(keys, key_col, m=m, k=k), m)
 
 
 def bloom_literal(

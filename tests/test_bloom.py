@@ -184,3 +184,27 @@ def test_null_keys_dropped_on_build_and_probe(spark):
         "k", bloom_contains(F.col("k"), lit, m=M, k=K).alias("hit")
     ).collect()
     assert {r["k"]: r["hit"] for r in got} == {"a": True, None: False, "b": True}
+
+
+def test_merge_equals_build_on_union(spark):
+    """Incremental contract: OR-ing per-batch word tables == building
+    one filter from the unioned keys, bit-exactly — so daily filters
+    roll up with no key rebuild (the HLL/CMS re-aggregation story)."""
+    from paas_auditor_spark.operators.bloom import (
+        bloom_assemble,
+        bloom_merge,
+        bloom_words,
+    )
+
+    b1 = _keys(spark, 0, 300)
+    b2 = _keys(spark, 200, 600)  # overlapping on purpose
+    merged = bloom_assemble(
+        bloom_merge(
+            bloom_words(b1, "k", m=M, k=K), bloom_words(b2, "k", m=M, k=K)
+        ),
+        M,
+    ).collect()[0]["bloom"]
+    direct = bloom_bitmap(b1.unionByName(b2), "k", m=M, k=K).collect()[0][
+        "bloom"
+    ]
+    assert bytes(merged) == bytes(direct)
