@@ -2465,7 +2465,7 @@ WITH base AS (
 per_source AS (
   SELECT source,
          count(*) AS n_docs,
-         sum(n_tok) AS n_tokens,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
          round(avg(n_chars), 2) AS avg_chars,
          round(avg(CASE WHEN n_tok >= 10 AND
                  n_stop / greatest(CAST(n_tok AS DOUBLE), 1.0) >= 0.01
@@ -2560,11 +2560,13 @@ flags AS (
 joined AS (
   SELECT f.cnt, f.bloom_pos, (b.g IS NOT NULL) AS exact_pos
   FROM flags f LEFT JOIN bench b ON f.g = b.g)
-SELECT sum(cnt) AS n_probed,
-       sum(CASE WHEN bloom_pos THEN cnt ELSE 0 END) AS n_bloom_pos,
-       sum(CASE WHEN exact_pos THEN cnt ELSE 0 END) AS n_exact_pos,
-       sum(CASE WHEN bloom_pos AND NOT exact_pos THEN cnt ELSE 0 END)
-         AS n_false_pos,
+SELECT CAST(sum(cnt) AS BIGINT) AS n_probed,
+       CAST(sum(CASE WHEN bloom_pos THEN cnt ELSE 0 END) AS BIGINT)
+         AS n_bloom_pos,
+       CAST(sum(CASE WHEN exact_pos THEN cnt ELSE 0 END) AS BIGINT)
+         AS n_exact_pos,
+       CAST(sum(CASE WHEN bloom_pos AND NOT exact_pos THEN cnt ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
        round(sum(CASE WHEN bloom_pos AND NOT exact_pos THEN cnt ELSE 0 END)
              * 1.0 / sum(cnt), 6) AS fp_rate
 FROM joined
