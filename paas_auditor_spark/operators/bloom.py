@@ -57,6 +57,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "bloom_assemble",
+    "bloom_blob_literal",
     "bloom_bit_pos",
     "bloom_bitmap",
     "bloom_contains",
@@ -188,8 +189,22 @@ def bloom_literal(
     """Build the filter and return it as a single BinaryType Literal —
     the form ``bloom_contains`` wants on the probe side (see module
     docstring for why a literal, and why binary)."""
-    row = bloom_bitmap(keys, key_col, m=m, k=k).collect()[0]
-    return F.lit(bytes(row["bloom"]))
+    return bloom_blob_literal(bloom_bitmap(keys, key_col, m=m, k=k), m)
+
+
+def bloom_blob_literal(bitmap_df: DataFrame, m: int) -> Column:
+    """Collect an assembled 1-row ``bloom`` blob into a probe literal,
+    refusing a blob whose length disagrees with ``m`` — a words table
+    built (or merged) under a DIFFERENT m assembles to the wrong length
+    and would otherwise probe misaligned bytes, i.e. silent FALSE
+    NEGATIVES, the one failure mode a Bloom filter must never have."""
+    blob = bytes(bitmap_df.collect()[0]["bloom"])
+    if len(blob) != m // 8:
+        raise ValueError(
+            f"bloom blob is {len(blob)} bytes but m={m} implies {m // 8}: "
+            "filter built/merged under a different m"
+        )
+    return F.lit(blob)
 
 
 def bloom_contains(

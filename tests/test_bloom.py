@@ -208,3 +208,18 @@ def test_merge_equals_build_on_union(spark):
         "bloom"
     ]
     assert bytes(merged) == bytes(direct)
+
+
+def test_blob_literal_rejects_mismatched_m(spark):
+    """Assembling under one m and probing under another must fail loudly
+    — a misaligned blob would silently produce false negatives."""
+    from paas_auditor_spark.operators.bloom import (
+        bloom_assemble,
+        bloom_blob_literal,
+        bloom_words,
+    )
+
+    words = bloom_words(_keys(spark, 0, 10), "k", m=M, k=K)
+    assembled = bloom_assemble(words, M)
+    with pytest.raises(ValueError, match="different m"):
+        bloom_blob_literal(assembled, M * 2)
