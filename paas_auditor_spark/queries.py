@@ -2629,7 +2629,12 @@ def q_chat_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on the grouping key; the sort is per-group within the
     aggregation (array_sort on collected structs — no global sort, no
     window).  Keyed to user_id % 10 == 7 to keep the output bounded;
-    the operator itself is corpus-wide."""
+    the operator itself is corpus-wide.  Per-group memory is the one
+    scale caveat (collect_list holds a user's full history): at 100 TB
+    the grouping key is (user, session) or (user, day) — compose with
+    session_window_agg / date_trunc, same shape — so no single row
+    outgrows an executor; a training sample wants a bounded context
+    window anyway."""
     events = _t(spark, sf_dir, "events")
     turn = F.struct(
         F.col("ts"),
