@@ -151,6 +151,13 @@ def bloom_assemble(words_df: DataFrame, m: int) -> DataFrame:
         .groupBy("w")
         .agg(F.bit_or("bits").alias("bits"))
     )
+    return _render_blob(dense)
+
+
+def _render_blob(dense: DataFrame) -> DataFrame:
+    """One-row blob from a DENSE (w, bits) relation (every word index
+    present exactly once): array_sort makes position i+1 be word i, each
+    word renders as little-endian hex pairs, unhex packs the bytes."""
 
     def word_le_hex(e: Column) -> Column:
         # conv(bits, 10, 16) is unsigned-64 hex (bit 63 safe), lpad to
@@ -176,11 +183,34 @@ def bloom_assemble(words_df: DataFrame, m: int) -> DataFrame:
 def bloom_bitmap(
     keys: DataFrame, key_col: str, m: int = 1 << 20, k: int = 4
 ) -> DataFrame:
-    """Build the probe-form filter straight from keys:
-    ``bloom_assemble(bloom_words(keys))``.  Keep the sparse
-    ``bloom_words`` relation instead when the filter is built
-    incrementally (``bloom_merge``)."""
-    return bloom_assemble(bloom_words(keys, key_col, m=m, k=k), m)
+    """Build the probe-form filter straight from keys — semantically
+    ``bloom_assemble(bloom_words(keys))``, but fused: the zero row per
+    word index is injected at the POSITION level, so densify folds into
+    the same groupBy that packs bits (two shuffles end-to-end instead
+    of three).  Keep the sparse ``bloom_words`` relation instead when
+    the filter is built incrementally (``bloom_merge``)."""
+    if m % 64:
+        raise ValueError(f"m must be a multiple of 64, got {m}")
+    words = m // 64
+    pos_bits = keys.where(F.col(key_col).isNotNull()).select(
+        F.explode(
+            F.array(*[bloom_bit_pos(F.col(key_col), j, m) for j in range(k)])
+        ).alias("p")
+    ).select(
+        (F.col("p") / F.lit(64)).cast("long").alias("w"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias(
+            "bits"
+        ),
+    )
+    zeros = keys.sparkSession.range(words).select(
+        F.col("id").alias("w"), F.lit(0).cast("long").alias("bits")
+    )
+    dense = (
+        pos_bits.unionByName(zeros)
+        .groupBy("w")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    return _render_blob(dense)
 
 
 def bloom_literal(
