@@ -223,3 +223,28 @@ def test_blob_literal_rejects_mismatched_m(spark):
     assembled = bloom_assemble(words, M)
     with pytest.raises(ValueError, match="different m"):
         bloom_blob_literal(assembled, M * 2)
+
+
+def test_words_persist_roundtrip_then_merge(spark, tmp_path):
+    """The incremental deployment shape end-to-end: per-batch word
+    tables persist as parquet, later read back, merged, assembled —
+    bit-equal to building from all keys at once.  (What a daily
+    benchmark-drop pipeline actually does; nothing is rebuilt from
+    keys.)"""
+    from paas_auditor_spark.operators.bloom import (
+        bloom_assemble,
+        bloom_merge,
+        bloom_words,
+    )
+
+    p1, p2 = str(tmp_path / "day1"), str(tmp_path / "day2")
+    b1, b2 = _keys(spark, 0, 250), _keys(spark, 250, 500)
+    bloom_words(b1, "k", m=M, k=K).write.parquet(p1)
+    bloom_words(b2, "k", m=M, k=K).write.parquet(p2)
+    merged = bloom_assemble(
+        bloom_merge(spark.read.parquet(p1), spark.read.parquet(p2)), M
+    ).collect()[0]["bloom"]
+    direct = bloom_bitmap(b1.unionByName(b2), "k", m=M, k=K).collect()[0][
+        "bloom"
+    ]
+    assert bytes(merged) == bytes(direct)
