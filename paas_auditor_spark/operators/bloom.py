@@ -80,8 +80,14 @@ def bloom_bit_pos(key: Column, j: int, m: int) -> Column:
 def bloom_words(
     keys: DataFrame, key_col: str, m: int = 1 << 20, k: int = 4
 ) -> DataFrame:
-    """The MERGEABLE form of the filter: a sparse (w, bits) relation —
-    word index, 64 bits of that word — holding every set bit.
+    """The MERGEABLE form of the filter: a sparse (w, bits, m, k)
+    relation — word index, 64 bits of that word — holding every set bit,
+    plus the filter GEOMETRY (m, k) as constant columns so a persisted
+    table is self-describing: ``bloom_merge``/``bloom_assemble`` verify
+    every input was built under the same (m, k) instead of inferring
+    from blob length (which only catches a LARGER-m mismatch — a
+    smaller-m words table zero-pads to the right length and probes
+    misaligned bits: silent false negatives).
 
     This is the form to PERSIST for incremental pipelines: filters
     built from disjoint key batches (daily benchmark drops, per-shard
@@ -104,29 +110,73 @@ def bloom_words(
             F.array(*[bloom_bit_pos(F.col(key_col), j, m) for j in range(k)])
         ).alias("p")
     )
-    return pos.groupBy((F.col("p") / F.lit(64)).cast("long").alias("w")).agg(
-        F.bit_or(
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))")
-        ).alias("bits")
+    return (
+        pos.groupBy((F.col("p") / F.lit(64)).cast("long").alias("w"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))")
+            ).alias("bits")
+        )
+        .select(
+            "w",
+            "bits",
+            F.lit(m).cast("long").alias("m"),
+            F.lit(k).cast("int").alias("k"),
+        )
     )
 
 
+def _words_geometry(words_df: DataFrame) -> tuple[int, int]:
+    """Read the (m, k) geometry a words relation was built under,
+    refusing a mixed table.  The collect is bounded by the number of
+    DISTINCT geometries (1 in any valid table), never by filter or key
+    size."""
+    rows = words_df.select("m", "k").distinct().collect()
+    if len(rows) != 1:
+        geos = sorted((int(r["m"]), int(r["k"])) for r in rows)
+        raise ValueError(
+            f"words table mixes filters of different geometry: {geos}; "
+            "merge only filters built under identical (m, k)"
+        )
+    return int(rows[0]["m"]), int(rows[0]["k"])
+
+
 def bloom_merge(*word_tables: DataFrame) -> DataFrame:
-    """OR any number of (w, bits) filters built with the SAME (m, k)
-    into one — a Bloom filter's union IS the filter of the union of the
-    key sets, bit-exactly (test-pinned)."""
+    """OR any number of (w, bits, m, k) filters into one — a Bloom
+    filter's union IS the filter of the union of the key sets,
+    bit-exactly (test-pinned).  Inputs must agree on (m, k): the
+    geometry columns each table carries are validated here (one bounded
+    distinct), because OR-ing words of different-m filters silently
+    yields false negatives — the one failure mode Bloom must never
+    have."""
     if not word_tables:
         raise ValueError("bloom_merge needs at least one word table")
     merged = word_tables[0]
     for t in word_tables[1:]:
         merged = merged.unionByName(t)
-    return merged.groupBy("w").agg(F.bit_or("bits").alias("bits"))
+    m, k = _words_geometry(merged)
+    return (
+        merged.groupBy("w")
+        .agg(F.bit_or("bits").alias("bits"))
+        .select(
+            "w",
+            "bits",
+            F.lit(m).cast("long").alias("m"),
+            F.lit(k).cast("int").alias("k"),
+        )
+    )
 
 
-def bloom_assemble(words_df: DataFrame, m: int) -> DataFrame:
+def bloom_assemble(words_df: DataFrame, m: int | None = None) -> DataFrame:
     """Densify a sparse (w, bits) relation into the probe form: 1-row
     DataFrame with column ``bloom`` = m/8 bytes of binary, byte i
     holding bits 8i..8i+7 (bit p => byte p div 8, bit p mod 8).
+
+    Geometry comes from the words relation itself when it carries
+    (m, k) columns (anything built by ``bloom_words``/``bloom_merge``);
+    a caller-passed ``m`` is then cross-checked, and a mismatch raises
+    instead of zero-padding a smaller-m table to a plausible length
+    (the silent-false-negative hole the old length-only guard missed).
 
     The assembly avoids per-element map lookups (element_at on a
     non-literal map is a linear scan — O(words²) was ~6 s at m=2^20): a
@@ -140,6 +190,18 @@ def bloom_assemble(words_df: DataFrame, m: int) -> DataFrame:
     JVM-side; the only driver-adjacent object is the m/8-byte filter
     row itself, which is the shipped payload by design
     (``bloom_literal``)."""
+    if "m" in words_df.columns:
+        wm, _wk = _words_geometry(words_df)
+        if m is not None and m != wm:
+            raise ValueError(
+                f"words table was built under m={wm} but assemble was "
+                f"asked for m={m}: filter built/merged under a different m"
+            )
+        m = wm
+    elif m is None:
+        raise ValueError(
+            "words table carries no (m, k) geometry columns; pass m"
+        )
     if m % 64:
         raise ValueError(f"m must be a multiple of 64, got {m}")
     words = m // 64
@@ -147,7 +209,8 @@ def bloom_assemble(words_df: DataFrame, m: int) -> DataFrame:
         F.col("id").alias("w"), F.lit(0).cast("long").alias("bits")
     )
     dense = (
-        words_df.unionByName(all_words)
+        words_df.select("w", "bits")
+        .unionByName(all_words)
         .groupBy("w")
         .agg(F.bit_or("bits").alias("bits"))
     )

@@ -102,9 +102,14 @@ def cms_table(
     them); the result is mergeable across shards/days by summing
     counters, and the sketch itself broadcasts anywhere (depth×width
     rows, independent of vocabulary).
+
+    NULL items are dropped, mirroring bloom_words' SQL set semantics:
+    without the filter, the null-propagating concat yields a NULL
+    bucket, accumulating (d, NULL) rows no probe can ever join.
     """
     return (
-        df.select(
+        df.where(F.col(item_col).isNotNull())
+        .select(
             F.col(item_col).alias("_item"),
             F.explode(
                 F.array(*[F.lit(d) for d in range(depth)])
@@ -146,9 +151,11 @@ def cms_estimates(
     of ``df[item_col]``: estimate = min over the depth rows of the
     counter each hash maps the item to.  The probe side derives the same
     md5 buckets and joins the broadcast sketch — O(items × depth) work
-    regardless of stream size."""
+    regardless of stream size.  NULL query items are excluded (their
+    frequency in a NULL-dropping sketch is undefined, and reporting 0
+    for them would be a silent lie)."""
     sketch = cms_table(df, item_col, depth, width)
-    probe = items_df.select(
+    probe = items_df.where(F.col(item_col).isNotNull()).select(
         item_col,
         F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d"),
     ).select(

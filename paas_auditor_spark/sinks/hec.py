@@ -86,17 +86,17 @@ def _post_batch(url: str, token: str, payload: bytes, opts: dict) -> None:
                     f"HEC POST rejected with HTTP {exc.code}: {exc.reason}"
                 ) from exc
             last = exc
-            if attempt == max_retries:
-                break
         except (urllib.error.URLError, OSError) as exc:
             last = exc
-            if attempt == max_retries:
-                break
-            # backoff 100ms → 2s ×2 + jitter (shipper.go:62-86); base 0
-            # (tests) sleeps not at all
-            if delay:
-                time.sleep(delay + random.uniform(0, delay * 0.5))
-            delay = min(delay * 2, cap) if delay else 0.0
+        if attempt == max_retries:
+            break
+        # backoff 100ms → 2s ×2 + jitter (shipper.go:62-86) for EVERY
+        # retryable path — 429/5xx as well as connection errors, so
+        # parallel partitions don't hammer a rate-limited collector;
+        # base 0 (tests) sleeps not at all
+        if delay:
+            time.sleep(delay + random.uniform(0, delay * 0.5))
+        delay = min(delay * 2, cap) if delay else 0.0
     raise RuntimeError(f"HEC POST failed after {max_retries} retries: {last}")
 
 

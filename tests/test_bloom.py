@@ -225,6 +225,43 @@ def test_blob_literal_rejects_mismatched_m(spark):
         bloom_blob_literal(assembled, M * 2)
 
 
+def test_assemble_rejects_smaller_m_words_table(spark):
+    """The r5 advice hole: a words table built under a SMALLER m,
+    assembled under a larger m, zero-pads to exactly m/8 bytes and
+    passes a length-only guard — then probes misaligned bits (silent
+    false negatives).  The geometry columns the words relation now
+    carries must catch it at assemble time."""
+    from paas_auditor_spark.operators.bloom import bloom_assemble, bloom_words
+
+    words_small = bloom_words(_keys(spark, 0, 10), "k", m=M // 2, k=K)
+    with pytest.raises(ValueError, match="different m"):
+        bloom_assemble(words_small, M)
+
+
+def test_merge_rejects_mixed_geometry(spark):
+    """OR-ing word tables built under different (m, k) is meaningless;
+    bloom_merge must refuse rather than produce a mixed filter."""
+    from paas_auditor_spark.operators.bloom import bloom_merge, bloom_words
+
+    a = bloom_words(_keys(spark, 0, 10), "k", m=M, k=K)
+    b = bloom_words(_keys(spark, 0, 10), "k", m=M // 2, k=K)
+    with pytest.raises(ValueError, match="different geometry"):
+        bloom_merge(a, b)
+
+
+def test_assemble_reads_geometry_from_words(spark):
+    """A persisted words table is self-describing: assemble with no m
+    argument reconstructs the same blob as the fused build."""
+    from paas_auditor_spark.operators.bloom import bloom_assemble, bloom_words
+
+    ks = _keys(spark, 0, 123)
+    via_words = bloom_assemble(bloom_words(ks, "k", m=M, k=K)).collect()[0][
+        "bloom"
+    ]
+    direct = bloom_bitmap(ks, "k", m=M, k=K).collect()[0]["bloom"]
+    assert bytes(via_words) == bytes(direct)
+
+
 def test_words_persist_roundtrip_then_merge(spark, tmp_path):
     """The incremental deployment shape end-to-end: per-batch word
     tables persist as parquet, later read back, merged, assembled —

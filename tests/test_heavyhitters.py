@@ -263,3 +263,37 @@ def test_cms_absent_item_estimates_zero_or_low(spark):
     assert est["a"] >= 2
     assert "zzz_absent" in est
     assert est["zzz_absent"] == 0  # width 4096, 3 elements: no collision
+
+
+def test_cms_null_items_dropped_on_build_and_probe(spark):
+    """NULL stream items contribute no counters (the null-propagating
+    md5 concat would otherwise pile them into an unjoinable (d, NULL)
+    bucket), and a NULL query item is excluded rather than reported as
+    0 — mirroring bloom_words/bloom_contains' NULL semantics (the r5
+    advice finding)."""
+    from paas_auditor_spark.operators.heavyhitters import (
+        cms_estimates,
+        cms_table,
+    )
+
+    rows = [("a",), (None,), ("a",), (None,), ("b",)]
+    df = spark.createDataFrame(rows, "item string")
+    with_nulls = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in cms_table(df, "item", depth=4, width=64).collect()
+    }
+    without = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in cms_table(
+            df.where("item IS NOT NULL"), "item", depth=4, width=64
+        ).collect()
+    }
+    assert with_nulls == without
+    assert all(b is not None for (_, b) in with_nulls)
+
+    items = spark.createDataFrame([("a",), (None,)], "item string")
+    est = {
+        r["item"]: r["cms_estimate"]
+        for r in cms_estimates(df, items, "item", depth=4, width=64).collect()
+    }
+    assert est == {"a": 2}

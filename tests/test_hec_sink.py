@@ -159,6 +159,29 @@ def test_stream_write_ships_each_microbatch(registered, tmp_path):
         server.close()
 
 
+def test_http_status_retries_back_off(monkeypatch):
+    """429/5xx retries must sleep with the doubling envelope, same as
+    connection errors — parallel partitions must not hammer a
+    rate-limited collector (the r5 advice finding: backoff previously
+    lived only in the URLError branch)."""
+    import urllib.error
+
+    from paas_auditor_spark.sinks import hec
+
+    sleeps: list[float] = []
+    monkeypatch.setattr(hec.time, "sleep", lambda s: sleeps.append(s))
+    monkeypatch.setattr(hec.random, "uniform", lambda a, b: 0.0)
+
+    def always_503(req, timeout):
+        raise urllib.error.HTTPError(req.full_url, 503, "busy", {}, None)
+
+    monkeypatch.setattr(hec.urllib.request, "urlopen", always_503)
+    with pytest.raises(RuntimeError, match="failed after 3 retries"):
+        hec._post_batch("http://x/", "t", b"{}", {"retry_base_s": "0.1"})
+    # 3 retries → 3 sleeps, doubling 0.1 → 0.2 → 0.4 (jitter zeroed)
+    assert sleeps == pytest.approx([0.1, 0.2, 0.4])
+
+
 def test_permanent_4xx_fails_fast_without_retries(registered):
     """A 401 (bad token) is permanent: one request, no backoff burn, and
     the error names the status."""
