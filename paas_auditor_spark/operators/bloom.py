@@ -57,6 +57,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "bloom_assemble",
+    "bloom_blob_from_words",
     "bloom_blob_literal",
     "bloom_bit_pos",
     "bloom_bitmap",
@@ -69,13 +70,20 @@ __all__ = [
 
 
 def bloom_bit_pos(key: Column, j: int, m: int) -> Column:
-    """Bit position of hash ``j`` for ``key``: the first 48 bits of
-    md5(key || '#' || j) mod m.  48 < 63 bits so the conv() result is an
-    exact BIGINT on every engine (the same trick as the dsir and
-    weighted_sample oracles); ``j`` salts the digest input, giving k
-    independent hash functions from one md5."""
-    digest = F.md5(F.concat_ws("#", key, F.lit(str(j))))
-    return F.conv(F.substring(digest, 1, 12), 16, 10).cast("long") % m
+    """Bit position of hash ``j`` for ``key``: Kirsch–Mitzenmacher
+    double hashing — ONE md5 per key, position_j = (h1 + j·h2) mod m
+    with h1/h2 the digest's first/second 48-bit halves ("Less Hashing,
+    Same Performance", Kirsch & Mitzenmacher 2006: g_j = h1 + j·h2
+    preserves the Bloom FP asymptotics of k independent hashes).
+    Measured ~2× the per-j-salted-md5 scheme on the gram stream (the
+    md5 IS the probe's hot loop — k salted digests hash k× the bytes).
+    48-bit halves keep every intermediate exact: h1 + 3·h2 < 2^50, an
+    exact BIGINT on every engine (the dsir/weighted_sample conv trick),
+    and both halves are non-negative so ``%`` agrees across engines."""
+    digest = F.md5(key)
+    h1 = F.conv(F.substring(digest, 1, 12), 16, 10).cast("long")
+    h2 = F.conv(F.substring(digest, 13, 12), 16, 10).cast("long")
+    return (h1 + F.lit(j) * h2) % m
 
 
 def bloom_words(
@@ -99,11 +107,11 @@ def bloom_words(
     (narrow ×k map) and pack map-side-combined into ≤ m/64 rows.  No
     distinct first — bit_or is idempotent, so duplicate positions cost
     nothing while a distinct would be one more full shuffle of the
-    position stream.  NULL keys are dropped, mirroring SQL set
-    semantics (the DuckDB oracle's ``g || '#' || j`` is NULL for NULL g
-    and contributes no position); without the guard concat_ws would
-    SKIP the null arg and hash the bare salt.  Nothing key-shaped ever
-    reaches the driver."""
+    position stream.  NULL keys are dropped explicitly, mirroring SQL
+    set semantics (md5(NULL) is NULL on both engines, so a NULL key
+    contributes no position either way — the filter keeps the position
+    stream NULL-free and the contract self-documenting).  Nothing
+    key-shaped ever reaches the driver."""
     if m % 64:
         raise ValueError(f"m must be a multiple of 64, got {m}")
     pos = keys.where(F.col(key_col).isNotNull()).select(
@@ -301,6 +309,50 @@ def bloom_blob_literal(bitmap_df: DataFrame, m: int) -> Column:
     return F.lit(blob)
 
 
+def bloom_blob_from_words(
+    words_df: DataFrame, m: int | None = None, k: int | None = None
+) -> Column:
+    """Probe literal straight from a persisted words relation, packed on
+    the DRIVER: one job collects the sparse (w, bits, m, k) rows —
+    bounded at m/64 rows × 16 bytes, the same O(m)-payload contract as
+    ``bloom_literal``'s one-row blob fetch, never key-count-shaped —
+    and Python ORs duplicates (per-batch appends) and renders the m/8
+    bytes directly.  Bit-equal to ``bloom_assemble`` + collect
+    (test-pinned) but with ZERO shuffles and no separate geometry job:
+    the geometry columns ride in the same collect and are validated
+    against the caller's (m, k) expectation here.  This is the hot path
+    for a probe-only decontamination run; keep ``bloom_assemble`` when
+    the blob itself must stay a relation (e.g. written to a table)."""
+    rows = words_df.select("w", "bits", "m", "k").collect()
+    geos = {(int(r["m"]), int(r["k"])) for r in rows}
+    if len(geos) > 1:
+        raise ValueError(
+            f"words table mixes filters of different geometry: {sorted(geos)}; "
+            "merge only filters built under identical (m, k)"
+        )
+    if geos:
+        wm, wk = geos.pop()
+        if m is not None and m != wm:
+            raise ValueError(
+                f"words table was built under m={wm} but probe expects "
+                f"m={m}: filter built/merged under a different m"
+            )
+        if k is not None and k != wk:
+            raise ValueError(
+                f"words table was built under k={wk} but probe expects k={k}"
+            )
+        m = wm
+    elif m is None:
+        raise ValueError("empty words table and no m given")
+    if m % 64:
+        raise ValueError(f"m must be a multiple of 64, got {m}")
+    words = [0] * (m // 64)
+    for r in rows:
+        words[int(r["w"])] |= int(r["bits"]) & 0xFFFFFFFFFFFFFFFF
+    blob = b"".join(wd.to_bytes(8, "little") for wd in words)
+    return F.lit(blob)
+
+
 def bloom_words_collector(key_col: str, path: str, m: int = 1 << 20, k: int = 4):
     """foreachBatch hook for INCREMENTAL filter maintenance: each
     micro-batch of new benchmark keys appends its own (w, bits, m, k)
@@ -339,7 +391,7 @@ def bloom_contains(
         return F.getbit(F.conv(F.hex(byte), 16, 10).cast("long"), p % 8) == 1
 
     probe = reduce(lambda a, b: a & b, [bit_set(j) for j in range(k)])
-    # a NULL key is not a member (matches the build side dropping NULLs);
-    # without this, concat_ws skips the null arg and probes the bare
-    # salt's positions — a nonsense, engine-specific answer
+    # a NULL key is not a member (matches the build side dropping NULLs):
+    # md5(NULL) propagates NULL through the probe, and NULL & ... must
+    # resolve to False, not NULL, for a membership predicate
     return key.isNotNull() & probe

@@ -1087,7 +1087,9 @@ def q_approx_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by normalized-content hash (hash-groupBy; shuffles only
     (hash, id), never the payload)."""
-    docs = _th(spark, sf_dir, "documents")
+    # _t not _th: the dedup operator fans out its own narrow projection
+    # internally; an outer rebalance here would double-shuffle
+    docs = _t(spark, sf_dir, "documents")
     return dedup.exact_duplicates(docs).orderBy("text_hash")
 
 
@@ -1251,7 +1253,9 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for query vectors (vec_id < 10):
     broadcast nested-loop + per-query top-k window."""
-    emb = _th(spark, sf_dir, "embeddings")
+    # _t not _th: the similarity operator fans out its own narrow
+    # projection internally; an outer rebalance here would double-shuffle
+    emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.brute_force_topk(emb, queries, k=5).withColumnRenamed(
         "rank", "knn_rank"
@@ -1280,7 +1284,9 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales, not a guarantee.  Recall IS pinned against brute-force
     ground truth (≥0.9 at j≥0.5) by
     test_dedup.py::test_minhash_recall_floor_vs_exact_jaccard."""
-    docs = _th(spark, sf_dir, "documents")
+    # _t not _th: the dedup operator fans out its own narrow projection
+    # internally; an outer rebalance here would double-shuffle
+    docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_near_duplicates(
         docs, threshold=0.5, num_hashes=24, num_bands=12
     )
@@ -1288,7 +1294,9 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit fingerprints — rows-only check (xxhash64-specific)."""
-    docs = _th(spark, sf_dir, "documents")
+    # _t not _th: the dedup operator fans out its own narrow projection
+    # internally; an outer rebalance here would double-shuffle
+    docs = _t(spark, sf_dir, "documents")
     return dedup.simhash(docs).orderBy("doc_id")
 
 
@@ -1311,14 +1319,18 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, exact all-pairs baseline
     (rounded-cosine >= 0.4 so the boundary is decided identically by the
     oracle)."""
-    emb = _th(spark, sf_dir, "embeddings")
+    # _t not _th: the similarity operator fans out its own narrow
+    # projection internally; an outer rebalance here would double-shuffle
+    emb = _t(spark, sf_dir, "embeddings")
     return similarity.embedding_near_duplicates(emb, threshold=0.4)
 
 
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via hyperplane-LSH bucketed candidates — the
     scale path; approximate by construction → rows-only check."""
-    emb = _th(spark, sf_dir, "embeddings")
+    # _t not _th: the similarity operator fans out its own narrow
+    # projection internally; an outer rebalance here would double-shuffle
+    emb = _t(spark, sf_dir, "embeddings")
     return similarity.embedding_near_duplicates_lsh(emb, threshold=0.4)
 
 
@@ -2195,14 +2207,16 @@ grams AS (
 bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
 pos AS (
   SELECT DISTINCT
-         CAST(concat('0x', substr(md5(g || '#' || CAST(j AS VARCHAR)), 1, 12))
-              AS BIGINT) % 1048576 AS p
+         (CAST(concat('0x', substr(md5(g), 1, 12)) AS BIGINT)
+          + j * CAST(concat('0x', substr(md5(g), 13, 12)) AS BIGINT))
+         % 1048576 AS p
   FROM bench CROSS JOIN range(4) r(j)),
 cg AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 97 <> 0),
 probe AS (
   SELECT doc_id, g,
-         CAST(concat('0x', substr(md5(g || '#' || CAST(j AS VARCHAR)), 1, 12))
-              AS BIGINT) % 1048576 AS p
+         (CAST(concat('0x', substr(md5(g), 1, 12)) AS BIGINT)
+          + j * CAST(concat('0x', substr(md5(g), 13, 12)) AS BIGINT))
+         % 1048576 AS p
   FROM cg CROSS JOIN range(4) r(j)),
 hits AS (
   SELECT doc_id, g FROM probe JOIN pos USING (p)
@@ -2232,7 +2246,9 @@ def _bloom_words_cached(spark: SparkSession, sf_dir: str, m: int, k: int):
     import tempfile
 
     src = os.path.join(sf_dir, "documents.parquet")
-    ident = f"{os.path.abspath(src)}:{os.stat(src).st_mtime_ns}:{m}:{k}"
+    # "km1" = the Kirsch–Mitzenmacher position scheme; bumping the tag
+    # invalidates caches built under a different bit-position formula
+    ident = f"km1:{os.path.abspath(src)}:{os.stat(src).st_mtime_ns}:{m}:{k}"
     tag = hashlib.md5(ident.encode()).hexdigest()[:16]
     path = os.path.join(tempfile.gettempdir(), f"paas_bloom_words_{tag}")
     if not os.path.isdir(path):
@@ -2262,24 +2278,26 @@ def q_bloom_decontaminate_persisted(spark: SparkSession, sf_dir: str) -> DataFra
     relation (parquet, ≤ m/64 rows — the daily-benchmark-drop pipeline's
     artifact, round-trip bit-equality pinned by
     test_bloom.py::test_words_persist_roundtrip_then_merge); every
-    subsequent decontamination run reads those ~16k rows, densifies to
-    the 128 KiB probe literal (bloom_assemble, geometry self-described
-    and validated), and gates the corpus in a single probe-only scan —
-    the benchmark key stream is never re-shingled or re-hashed.  Same
+    subsequent decontamination run reads those ~16k rows in ONE bounded
+    collect (O(m) payload by construction, never key-count-shaped) and
+    packs the 128 KiB probe literal driver-side
+    (bloom_blob_from_words — zero shuffles, geometry self-described and
+    validated in the same collect), then gates the corpus in a single
+    probe-only scan — the benchmark key stream is never re-shingled or
+    re-hashed.  Same
     result as `bloom_decontaminate` (same oracle); what changes is the
     per-run cost: O(m) assembly instead of O(benchmark grams) build,
     which is the difference that matters when the reference set is a
     full eval-suite shingle inventory and decontamination runs per
     corpus shard."""
     from paas_auditor_spark.operators.bloom import (
-        bloom_assemble,
-        bloom_blob_literal,
+        bloom_blob_from_words,
         bloom_contains,
     )
 
     m, k = 1 << 20, 4
     words = _bloom_words_cached(spark, sf_dir, m, k)
-    bitmap = bloom_blob_literal(bloom_assemble(words), m)
+    bitmap = bloom_blob_from_words(words, m=m, k=k)
     docs = _th(spark, sf_dir, "documents")
     grams = docs.select(
         "doc_id", F.explode(tx.ngrams(F.col("text"), 8)).alias("g")
@@ -2628,15 +2646,17 @@ grams AS (
 bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
 pos AS (
   SELECT DISTINCT
-         CAST(concat('0x', substr(md5(g || '#' || CAST(j AS VARCHAR)), 1, 12))
-              AS BIGINT) % 1048576 AS p
+         (CAST(concat('0x', substr(md5(g), 1, 12)) AS BIGINT)
+          + j * CAST(concat('0x', substr(md5(g), 13, 12)) AS BIGINT))
+         % 1048576 AS p
   FROM bench CROSS JOIN range(4) r(j)),
 cg AS (
   SELECT g, count(*) AS cnt FROM grams WHERE doc_id % 97 <> 0 GROUP BY g),
 probe AS (
   SELECT cg.g, cg.cnt,
-         CAST(concat('0x', substr(md5(cg.g || '#' || CAST(j AS VARCHAR)), 1, 12))
-              AS BIGINT) % 1048576 AS p
+         (CAST(concat('0x', substr(md5(cg.g), 1, 12)) AS BIGINT)
+          + j * CAST(concat('0x', substr(md5(cg.g), 13, 12)) AS BIGINT))
+         % 1048576 AS p
   FROM cg CROSS JOIN range(4) r(j)),
 flags AS (
   SELECT pr.g, max(pr.cnt) AS cnt, count(ps.p) = 4 AS bloom_pos
@@ -3835,7 +3855,9 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: coarse-cluster embeddings (centroids = vec_id < 8), prune
     within-cluster near-duplicates (rounded cosine >= 0.4, keep lowest id).
     Fully deterministic → exact oracle."""
-    emb = _th(spark, sf_dir, "embeddings")
+    # _t not _th: the similarity operator fans out its own narrow
+    # projection internally; an outer rebalance here would double-shuffle
+    emb = _t(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup(emb, k=8, threshold=0.4)
 
 
@@ -3843,7 +3865,9 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN top-k: IVF probe -> PQ-reconstruction candidate ranking
     -> exact re-rank of the shortlist.  Approximate by construction →
     rows-only check; recall pinned in test_similarity.py."""
-    emb = _th(spark, sf_dir, "embeddings")
+    # _t not _th: the similarity operator fans out its own narrow
+    # projection internally; an outer rebalance here would double-shuffle
+    emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.ivfpq_topk(
         emb, queries, k=5, n_centroids=8, nprobe=2, m=4, codes=16, rerank=32

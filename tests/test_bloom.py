@@ -339,6 +339,44 @@ def test_assemble_reads_geometry_from_words(spark):
     assert bytes(via_words) == bytes(direct)
 
 
+def test_blob_from_words_bit_equal_to_assemble(spark, tmp_path):
+    """The driver-side packer (bloom_blob_from_words — the probe-only
+    hot path, zero shuffles) must render byte-identical bits to the
+    relational bloom_assemble, including duplicate w rows from per-batch
+    parquet appends and bit 63."""
+    from paas_auditor_spark.operators.bloom import (
+        bloom_assemble,
+        bloom_blob_from_words,
+        bloom_words,
+    )
+
+    p = str(tmp_path / "words")
+    bloom_words(_keys(spark, 0, 300), "k", m=M, k=K).write.parquet(p)
+    bloom_words(_keys(spark, 200, 600), "k", m=M, k=K).write.mode(
+        "append"
+    ).parquet(p)
+    words = spark.read.parquet(p)
+    via_assemble = bytes(bloom_assemble(words).collect()[0]["bloom"])
+    lit_col = bloom_blob_from_words(words, m=M, k=K)
+    via_packer = bytes(
+        spark.range(1).select(lit_col.alias("b")).collect()[0]["b"]
+    )
+    assert via_packer == via_assemble
+
+
+def test_blob_from_words_validates_geometry(spark):
+    from paas_auditor_spark.operators.bloom import (
+        bloom_blob_from_words,
+        bloom_words,
+    )
+
+    words = bloom_words(_keys(spark, 0, 10), "k", m=M // 2, k=K)
+    with pytest.raises(ValueError, match="different m"):
+        bloom_blob_from_words(words, m=M)
+    with pytest.raises(ValueError, match="k="):
+        bloom_blob_from_words(words, m=M // 2, k=K + 1)
+
+
 def test_words_persist_roundtrip_then_merge(spark, tmp_path):
     """The incremental deployment shape end-to-end: per-batch word
     tables persist as parquet, later read back, merged, assembled —

@@ -59,6 +59,36 @@ def test_rows_only_runs(spark, sf_dir, name):
     assert df.count() >= 0
 
 
+def test_certification_window_invariants():
+    """The driver's official CORRECTNESS record hashes the FIRST 50
+    registry entries, so their order is load-bearing: every window entry
+    must be oracle-backed (hash-comparable, never rows-only), the
+    reference-parity core must lead, and the r5-verdict flagships must
+    all sit inside the window.  A registry edit that silently reorders
+    or swaps in a rows-only entry fails here, not in the next round's
+    official record."""
+    from paas_auditor_spark.queries import _CERTIFICATION_WINDOW
+
+    first50 = list(REGISTRY)[:50]
+    assert first50 == _CERTIFICATION_WINDOW
+    rows_only = [n for n in first50 if not REGISTRY[n].oracle]
+    assert rows_only == []
+    assert first50[:13] == [
+        "unshipped_events", "latest_event_time", "count_and_max",
+        "raw_events_page", "null_boundary", "time_format",
+        "epoch_seconds", "props_json", "props_variant",
+        "splunk_envelope", "validity_filter", "idempotent_reingest",
+        "ordered_export",
+    ]
+    flagships = {
+        "bloom_decontaminate", "bloom_decontaminate_persisted",
+        "duplicate_spans", "triangle_count", "dsir_sample",
+        "curation_pipeline", "bm25_search", "semantic_dedup",
+        "chat_assembly", "chat_assembly_sessions",
+    }
+    assert flagships <= set(first50)
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
