@@ -69,6 +69,8 @@ HEADLINE = [
     "lm_perplexity",
     "temperature_sample",
     "knn_ivfpq",
+    "knn_ivf_persisted",
+    "dedup_keep_best",
     "train_test_split",
     "zipf_slope",
     "quality_classifier",

@@ -558,6 +558,149 @@ def ivf_topk(
     )
 
 
+def ivf_index_write(
+    corpus_df: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index ``ivf_topk``'s docstring promises: the
+    corpus assignment is computed ONCE and written as parquet
+    PARTITIONED BY ``list_id`` (one directory per inverted list), with
+    the centroid table alongside.  Every later probe is then partition
+    pruning over ``<path>/lists`` — the corpus is never re-assigned and
+    never fully scanned.  This is the bloom_words pattern applied to
+    ANN: pay the build once per corpus drop, amortize across query
+    batches.
+
+    Same deterministic coarse quantizer as ``ivf_topk`` (centroids = the
+    first ``n_centroids`` corpus vectors; a k-means fit slots in
+    unchanged): nearest centroid by cosine, ties to the lower centroid
+    id.  The ORIGINAL ``vec_col`` values are persisted (not the double
+    cast) so a probe scores bit-identically to the in-memory operator.
+    """
+    import os
+
+    cents = (
+        corpus_df.filter(F.col(id_col) < n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            _to_double(F.col(vec_col)).alias("cv"),
+        )
+        .withColumn("cnorm", l2_norm(F.col("cv")))
+    )
+    v = corpus_df.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    ).withColumn("c_n", l2_norm(_to_double(F.col("c_vec"))))
+    scored = v.join(F.broadcast(cents)).select(
+        "c_id",
+        "c_vec",
+        "c_n",
+        "centroid_id",
+        (
+            dot(_to_double(F.col("c_vec")), F.col("cv"))
+            / (F.col("c_n") * F.col("cnorm"))
+        ).alias("c_sim"),
+    )
+    w = Window.partitionBy("c_id").orderBy(
+        F.col("c_sim").desc(), F.col("centroid_id").asc()
+    )
+    assigned = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("c_id", "c_vec", "c_n", F.col("centroid_id").alias("list_id"))
+    )
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(
+        os.path.join(path, "lists")
+    )
+    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+
+
+def ivf_topk_persisted(
+    spark,
+    index_path: str,
+    queries_df: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Probe-only IVF top-k over an index built by ``ivf_index_write``:
+    read the centroid table (tiny), assign each query to its ``nprobe``
+    closest lists, then scan ONLY those list partitions.
+
+    The probed list ids are collected driver-side before the scan — a
+    bounded collect (≤ n_centroids rows, never corpus- or query-count-
+    shaped) that turns the probe into a STATIC ``isin`` partition filter,
+    so the parquet source prunes at planning time (`PartitionFilters` in
+    the physical plan, plan-asserted in tests) rather than relying on
+    runtime DPP.  At 100 TB with n_centroids ≈ √n lists this reads
+    nprobe/n_centroids of the corpus per query batch.
+
+    Output contract is identical to ``ivf_topk`` (same scoring, rounding
+    and tie-breaks; equality test-pinned), so the two are
+    interchangeable — this one amortizes assignment across query
+    batches."""
+    import os
+
+    cents = spark.read.parquet(os.path.join(index_path, "centroids"))
+    qv = queries_df.select(
+        F.col(id_col).alias("q_id"),
+        _to_double(F.col(vec_col)).alias("q_v"),
+    ).withColumn("q_n", l2_norm(F.col("q_v")))
+    q_scored = qv.join(F.broadcast(cents)).select(
+        "q_id",
+        "q_v",
+        "q_n",
+        "centroid_id",
+        (
+            dot(F.col("q_v"), F.col("cv")) / (F.col("q_n") * F.col("cnorm"))
+        ).alias("c_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("c_sim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        q_scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= nprobe)
+        .select("q_id", "q_v", "q_n", "centroid_id")
+    )
+    # bounded collect: ≤ n_centroids distinct list ids, independent of
+    # corpus and query cardinality — the price of a static partition filter
+    probed_ids = [
+        r["centroid_id"]
+        for r in probes.select("centroid_id").distinct().collect()
+    ]
+    lists = spark.read.parquet(os.path.join(index_path, "lists")).filter(
+        F.col("list_id").isin(probed_ids)
+    )
+    scored = (
+        lists.withColumnRenamed("list_id", "centroid_id")
+        .join(F.broadcast(probes), on="centroid_id")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            F.round(
+                dot(F.col("q_v"), _to_double(F.col("c_vec")))
+                / (F.col("q_n") * F.col("c_n")),
+                round_digits,
+            ).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def semantic_dedup(
     corpus_df: DataFrame,
     k: int = 8,
@@ -1093,7 +1236,9 @@ __all__ = [
     "embedding_near_duplicates",
     "embedding_near_duplicates_lsh",
     "hyperplane_bucket",
+    "ivf_index_write",
     "ivf_topk",
+    "ivf_topk_persisted",
     "ivfpq_topk",
     "kmeans_assign",
     "l2_norm",

@@ -1136,6 +1136,46 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step every real dedup pipeline runs AFTER clustering: pick the
+    survivor.  Near-dup clusters (same Jaccard-edge connected components
+    as q_dedup_clusters) each keep their highest-quality member — here
+    quality = token count, ties to the lower doc_id — via a single
+    max(struct(quality, -id)) aggregate: one shuffle on cluster_id, no
+    window, no second pass over the text.  At 100 TB the clusters come
+    from the minhash path and this winner-selection agg is unchanged
+    (cluster cardinality bounded by near-dup group sizes, and only
+    (cluster_id, quality, id) triples shuffle, never payloads).  Output:
+    one row per cluster with the kept doc and the member count."""
+    docs = _th(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    ids_a = docs.select(F.col("doc_id").alias("id_a"))
+    ids_b = docs.select(F.col("doc_id").alias("id_b"))
+    pairs = ids_a.join(ids_b, F.col("id_a") < F.col("id_b"))
+    sims = dedup.jaccard_pairs(docs, pairs, shingle_k=3)
+    edges = sims.filter(F.col("jaccard") >= 0.7).select("id_a", "id_b")
+    cc = dedup.connected_components(
+        edges, nodes=docs.select("doc_id"), src="id_a", dst="id_b"
+    )
+    quality = docs.select(
+        "doc_id", tx.token_count(F.col("text")).alias("n_tokens")
+    )
+    members = cc.join(quality, cc["node"] == quality["doc_id"])
+    best = members.groupBy(F.col("component").cast("long").alias("cluster_id")).agg(
+        F.max(
+            F.struct(
+                F.col("n_tokens"), (-F.col("doc_id")).alias("neg_id")
+            )
+        ).alias("b"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return best.select(
+        "cluster_id",
+        (-F.col("b.neg_id")).cast("long").alias("best_doc_id"),
+        F.col("b.n_tokens").cast("long").alias("best_n_tokens"),
+        F.col("n_members").cast("long").alias("n_members"),
+    ).orderBy("cluster_id")
+
+
 def q_dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE-PATH twin of q_dedup_clusters: the whole corpus, with
     edges from the banded MinHash pipeline (exact-verified candidates,
@@ -1340,6 +1380,54 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _th(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=2)
+
+
+def _ivf_index_cached(spark: SparkSession, sf_dir: str, n_centroids: int) -> str:
+    """Build-or-reuse the persisted IVF index
+    (operators/similarity.py:ivf_index_write) for this corpus file.
+    Cache keyed by the embeddings file's identity (path + mtime) and the
+    centroid count, built to a temp dir and atomically renamed — the
+    same regenerate-on-staleness contract as _bloom_words_cached."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    ident = f"ivf1:{os.path.abspath(src)}:{os.stat(src).st_mtime_ns}:{n_centroids}"
+    tag = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), f"paas_ivf_index_{tag}")
+    if not os.path.isdir(path):
+        emb = _t(spark, sf_dir, "embeddings")
+        tmp = f"{path}.tmp{os.getpid()}"
+        similarity.ivf_index_write(emb, tmp, n_centroids=n_centroids)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def q_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEPLOYMENT shape of IVF ANN — the materialization of
+    ivf_topk's 100 TB claim: corpus assignment is computed once and
+    persisted as parquet PARTITIONED BY list_id (ivf_index_write), and
+    each query batch probes only its nprobe lists via a STATIC partition
+    filter (probed ids collected driver-side — bounded at n_centroids
+    rows), so the parquet source prunes at planning time
+    (PartitionFilters, plan-asserted in test_similarity.py).  Scoring,
+    rounding and tie-breaks are identical to the in-memory operator
+    (equality test-pinned), and the whole chain is deterministic —
+    centroids are the first n_centroids vectors by id — so unlike the
+    sibling ANN entries this one carries a full exact oracle: the DuckDB
+    SQL replays assignment, probing and ranking end-to-end."""
+    index_path = _ivf_index_cached(spark, sf_dir, n_centroids=8)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.ivf_topk_persisted(
+        spark, index_path, queries, k=5, nprobe=2
+    )
+    return out.withColumnRenamed("rank", "knn_rank")
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3819,9 +3907,10 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# shared by dedup_clusters (min-label CC) and dedup_clusters_star
-# (large-star/small-star CC): both must equal this transitive closure
-_DEDUP_CLUSTERS_ORACLE = """
+# shared by dedup_clusters (min-label CC), dedup_clusters_star
+# (large-star/small-star CC) and dedup_keep_best (winner selection):
+# all must agree with this transitive closure
+_DEDUP_CC_CTES = """
         WITH RECURSIVE t AS (
           SELECT doc_id,
                  string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS toks
@@ -3846,9 +3935,32 @@ _DEDUP_CLUSTERS_ORACLE = """
         reach(src, dst) AS (
           SELECT doc_id, doc_id FROM t
           UNION
-          SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src)
+          SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src)"""
+
+_DEDUP_CLUSTERS_ORACLE = _DEDUP_CC_CTES + """
         SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
         FROM reach GROUP BY src ORDER BY doc_id
+        """
+
+_DEDUP_KEEP_BEST_ORACLE = _DEDUP_CC_CTES + """,
+        clus AS (
+          SELECT src AS doc_id, min(dst) AS cluster_id
+          FROM reach GROUP BY src),
+        tok AS (
+          SELECT doc_id,
+                 len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+          FROM documents WHERE doc_id < 80),
+        ranked AS (
+          SELECT c.cluster_id, tk.doc_id, tk.n_tokens,
+                 row_number() OVER (PARTITION BY c.cluster_id
+                     ORDER BY tk.n_tokens DESC, tk.doc_id) AS r,
+                 count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+          FROM clus c JOIN tok tk USING (doc_id))
+        SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+               CAST(doc_id AS BIGINT) AS best_doc_id,
+               CAST(n_tokens AS BIGINT) AS best_n_tokens,
+               CAST(n_members AS BIGINT) AS n_members
+        FROM ranked WHERE r = 1 ORDER BY cluster_id
         """
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5394,6 +5506,10 @@ REGISTRY: dict[str, QuerySpec] = {
         q_dedup_clusters_star,
         _DEDUP_CLUSTERS_ORACLE,
     ),
+    "dedup_keep_best": QuerySpec(
+        q_dedup_keep_best,
+        _DEDUP_KEEP_BEST_ORACLE,
+    ),
     "doc_fingerprint": QuerySpec(
         q_doc_fingerprint,
         """
@@ -6273,6 +6389,37 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "embedding_near_dup_lsh": QuerySpec(q_embedding_near_dup_lsh, None),
     "knn_ivf": QuerySpec(q_knn_ivf, None),
+    "knn_ivf_persisted": QuerySpec(
+        q_knn_ivf_persisted,
+        """
+        WITH n AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+          FROM embeddings),
+        cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+        c_assign AS (
+          SELECT n.vec_id, n.v, n.nrm, cents.cid,
+                 row_number() OVER (PARTITION BY n.vec_id
+                     ORDER BY list_dot_product(n.v, cents.cv) / (n.nrm * cents.cn) DESC,
+                              cents.cid) AS r
+          FROM n CROSS JOIN cents),
+        lists AS (SELECT vec_id, v, nrm, cid FROM c_assign WHERE r = 1),
+        q_assign AS (
+          SELECT vec_id, v, nrm, cid FROM c_assign WHERE vec_id < 10 AND r <= 2),
+        scored AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cos_sim
+          FROM q_assign q JOIN lists c USING (cid)
+          WHERE q.vec_id <> c.vec_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos_sim DESC, neighbor_id) AS knn_rank
+          FROM scored)
+        SELECT query_id, neighbor_id, cos_sim, CAST(knn_rank AS BIGINT) AS knn_rank
+        FROM ranked WHERE knn_rank <= 5 ORDER BY query_id, knn_rank
+        """,
+    ),
     "multimodal_frames": QuerySpec(q_multimodal_frames, None),
     "multimodal_features": QuerySpec(
         q_multimodal_features,

@@ -486,10 +486,11 @@ bloom_keys = st.lists(
 @given(keys=bloom_keys)
 def test_bloom_positions_match_python_md5(spark, keys):
     """bloom_bit_pos must equal the closed form any other engine (or the
-    DuckDB oracle) computes: int(md5(utf8(key) + '#' + j)[:12 hex], 16)
-    mod m.  Spark md5 hashes the UTF-8 bytes of the string, so unicode
-    keys agree too — this is the portability contract every bloom oracle
-    rests on."""
+    DuckDB oracle) computes: the Kirsch–Mitzenmacher double hash
+    (h1 + j·h2) mod m with h1/h2 the first/second 48-bit halves of
+    md5(utf8(key)).  Spark md5 hashes the UTF-8 bytes of the string, so
+    unicode keys agree too — this is the portability contract every
+    bloom oracle rests on."""
     import hashlib
 
     from paas_auditor_spark.operators.bloom import bloom_bit_pos
@@ -500,8 +501,8 @@ def test_bloom_positions_match_python_md5(spark, keys):
         "k", *[bloom_bit_pos(F.col("k"), j, m).alias(f"p{j}") for j in range(k)]
     ).collect()
     for row in got:
+        digest = hashlib.md5(row["k"].encode("utf-8")).hexdigest()
+        h1 = int(digest[:12], 16)
+        h2 = int(digest[12:24], 16)
         for j in range(k):
-            digest = hashlib.md5(
-                (row["k"] + "#" + str(j)).encode("utf-8")
-            ).hexdigest()
-            assert row[f"p{j}"] == int(digest[:12], 16) % m
+            assert row[f"p{j}"] == (h1 + j * h2) % m

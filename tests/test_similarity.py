@@ -252,6 +252,44 @@ def test_ivf_lists_partition_prune_on_probe(spark, sf_dir, tmp_path):
     assert probe.count() == expected > 0
 
 
+def test_ivf_persisted_equals_in_memory_and_prunes(spark, sf_dir, tmp_path):
+    """ivf_topk_persisted over an ivf_index_write index must (a) return
+    EXACTLY the in-memory ivf_topk frame — same scoring, rounding and
+    tie-breaks, so the persisted index is a drop-in — and (b) probe via
+    a PARTITION filter on list_id (directory pruning at the source), the
+    claim the operator's docstring makes for 100 TB."""
+    import pyspark.sql.functions as F
+
+    from paas_auditor_spark.operators.similarity import (
+        ivf_index_write,
+        ivf_topk,
+        ivf_topk_persisted,
+    )
+    from paas_auditor_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivf_index")
+    ivf_index_write(emb, path, n_centroids=8)
+
+    persisted = ivf_topk_persisted(
+        spark, path, queries, k=5, nprobe=2
+    )
+    plan = persisted._jdf.queryExecution().executedPlan().toString()
+    pf = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "list_id" in ln
+    ]
+    assert pf and "PartitionFilters: []" not in pf[0]
+
+    in_memory = ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=2)
+    got = persisted.toPandas()
+    want = in_memory.toPandas()
+    assert got.values.tolist() == want.values.tolist()
+    assert list(got.columns) == list(want.columns)
+
+
 def test_semantic_dedup_prunes_within_cluster_only(spark):
     """Two tight direction-groups: within each, only the lowest id
     survives; cross-cluster similarity never shadows anything."""
