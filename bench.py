@@ -87,6 +87,7 @@ HEADLINE = [
     "label_centroid_stats",
     "triangle_count",
     "duplicate_spans",
+    "span_removal",
     "dsir_sample",
     "source_overlap",
     "packing_efficiency",

@@ -714,36 +714,16 @@ def connected_components_star(
     return out.distinct()
 
 
-def duplicate_spans(
-    docs_df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 8,
-) -> DataFrame:
-    """Per-document duplicated-substring coverage at k-token granularity —
-    the span-level exact-substring dedup signal of Lee et al. 2022
-    ("Deduplicating Training Data Makes Language Models Better",
-    arXiv:2107.06499), re-expressed relationally instead of via suffix
-    arrays: any k-token gram occurring ≥2 times corpus-wide (across OR
-    within documents) marks its k-token span as duplicated, and per doc
-    we report the union length of marked spans.
-
-    Returns (id, n_tokens, dup_tokens, dup_frac): `dup_tokens` is the
-    number of token positions covered by at least one duplicated gram
-    (interval-union length, NOT the gram count — overlapping grams are
-    not double-counted), `dup_frac` the coverage ratio rounded to 4dp.
-
-    Scale design: grams never carry text past the first map — each
-    (doc, pos) row holds a 64-bit ``xxhash64`` of the gram (collision
-    probability ~m²/2⁶⁵; at 10¹¹ grams ≈ 0.3, so at true 100 TB scale
-    widen to a 128-bit hash pair — the shape is unchanged).  Duplicate
-    gram detection is a map-side-combined groupBy on the hash followed
-    by a LEFT SEMI join back (NOT a count-over-window: a degenerate
-    gram with 10⁸ occurrences would pin one window partition, while
-    AQE's skew-join splitting handles the same key in join form).  Span
-    union is the classic sorted-interval sweep as a per-doc running-max
-    window — per-doc data, never global.  No collect anywhere.
-    """
+def _dup_span_intervals(
+    docs_df: DataFrame, id_col: str, text_col: str, k: int
+):
+    """Shared front half of span-level exact-substring dedup (Lee et al.
+    2022): tokenize, hash every k-gram to 64 bits, find corpus-duplicated
+    grams (map-side-combined groupBy + LEFT SEMI back — AQE-skew-
+    splittable, never a count-over-window), and return
+    (sized, iv): per-doc token counts and the [s, e) duplicated-span
+    intervals.  ``duplicate_spans`` measures the interval union;
+    ``remove_duplicate_spans`` excises it."""
     docs = docs_df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     )
@@ -778,6 +758,40 @@ def duplicate_spans(
     iv = grams.join(dup_gh, "gh", "left_semi").select(
         "id", F.col("pos").alias("s"), (F.col("pos") + k).alias("e")
     )
+    return sized, iv
+
+
+def duplicate_spans(
+    docs_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Per-document duplicated-substring coverage at k-token granularity —
+    the span-level exact-substring dedup signal of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499), re-expressed relationally instead of via suffix
+    arrays: any k-token gram occurring ≥2 times corpus-wide (across OR
+    within documents) marks its k-token span as duplicated, and per doc
+    we report the union length of marked spans.
+
+    Returns (id, n_tokens, dup_tokens, dup_frac): `dup_tokens` is the
+    number of token positions covered by at least one duplicated gram
+    (interval-union length, NOT the gram count — overlapping grams are
+    not double-counted), `dup_frac` the coverage ratio rounded to 4dp.
+
+    Scale design: grams never carry text past the first map — each
+    (doc, pos) row holds a 64-bit ``xxhash64`` of the gram (collision
+    probability ~m²/2⁶⁵; at 10¹¹ grams ≈ 0.3, so at true 100 TB scale
+    widen to a 128-bit hash pair — the shape is unchanged).  Duplicate
+    gram detection is a map-side-combined groupBy on the hash followed
+    by a LEFT SEMI join back (NOT a count-over-window: a degenerate
+    gram with 10⁸ occurrences would pin one window partition, while
+    AQE's skew-join splitting handles the same key in join form).  Span
+    union is the classic sorted-interval sweep as a per-doc running-max
+    window — per-doc data, never global.  No collect anywhere.
+    """
+    sized, iv = _dup_span_intervals(docs_df, id_col, text_col, k)
     # interval union per doc: pos is unique within a doc, so the ORDER BY
     # is total and the ROWS frame deterministic
     prev = (
@@ -813,10 +827,72 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    docs_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """The TRANSFORMATION half of Lee et al. 2022 (arXiv:2107.06499
+    §4, "ExactSubstr" deduplication): ``duplicate_spans`` measures
+    duplicated coverage; this operator actually excises it, re-emitting
+    each document with every token position covered by a corpus-
+    duplicated k-gram removed.
+
+    Output (id, n_tokens, kept_tokens, cleaned_text): the cleaned text
+    is the kept tokens re-joined with single spaces — token-normalized
+    (lowered, whitespace-collapsed), the same normalization the span
+    detection tokenizes under, so removal boundaries and text agree by
+    construction.
+
+    Scale shape: duplicated intervals come from the shared
+    ``_dup_span_intervals`` base (grams travel as 64-bit hashes, dup
+    detection is groupBy + LEFT SEMI — see ``duplicate_spans``).
+    Covered positions are exploded per interval (≤ k rows per duplicated
+    gram instance — proportional to the DUPLICATED stream, not the
+    corpus) and distinct-reduced map-side; kept tokens re-assemble via
+    array_sort(collect_list(struct(pos, tok))) inside the per-doc
+    aggregate — the chat_assembly pattern: no window, no global sort,
+    aggregation buffer bounded by one document's tokens.  Nothing
+    reaches the driver."""
+    sized, iv = _dup_span_intervals(docs_df, id_col, text_col, k)
+    covered = iv.select(
+        "id",
+        F.explode(F.sequence(F.col("s"), F.col("e") - 1)).alias("pos"),
+    ).distinct()
+    toks_pos = sized.select(
+        "id", F.posexplode("t").alias("pos", "tok")
+    )
+    kept = toks_pos.join(covered, ["id", "pos"], "left_anti")
+    agg = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("kept_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("cleaned_text"),
+    )
+    return (
+        sized.select("id", "n_tokens")
+        .join(agg, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.coalesce("kept_tokens", F.lit(0)).cast("long").alias(
+                "kept_tokens"
+            ),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
 __all__ = [
     "connected_components",
     "connected_components_star",
     "duplicate_spans",
+    "remove_duplicate_spans",
     "exact_duplicates",
     "hashed_shingle_sets",
     "jaccard_pairs",

@@ -1374,12 +1374,47 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_duplicates_lsh(emb, threshold=0.4)
 
 
+_IVF_TOPK_ORACLE = """
+        WITH n AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+          FROM embeddings),
+        cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+        c_assign AS (
+          SELECT n.vec_id, n.v, n.nrm, cents.cid,
+                 row_number() OVER (PARTITION BY n.vec_id
+                     ORDER BY list_dot_product(n.v, cents.cv) / (n.nrm * cents.cn) DESC,
+                              cents.cid) AS r
+          FROM n CROSS JOIN cents),
+        lists AS (SELECT vec_id, v, nrm, cid FROM c_assign WHERE r = 1),
+        q_assign AS (
+          SELECT vec_id, v, nrm, cid FROM c_assign WHERE vec_id < 10 AND r <= 2),
+        scored AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cos_sim
+          FROM q_assign q JOIN lists c USING (cid)
+          WHERE q.vec_id <> c.vec_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos_sim DESC, neighbor_id) AS knn_rank
+          FROM scored)
+        SELECT query_id, neighbor_id, cos_sim, CAST(knn_rank AS BIGINT) AS knn_rank
+        FROM ranked WHERE knn_rank <= 5 ORDER BY query_id, knn_rank
+        """
+
+
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN top-k (coarse quantizer + nprobe list probing) —
-    approximate by construction → rows-only check."""
+    """IVF-style ANN top-k (coarse quantizer + nprobe list probing).
+    Approximate as an ANN answer but fully DETERMINISTIC as a
+    computation (centroids are the first n_centroids vectors by id,
+    ties broken by id), so unlike the LSH/PQ siblings it carries a full
+    exact oracle: _IVF_TOPK_ORACLE replays assignment, probing and
+    ranking end-to-end in SQL."""
     emb = _th(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=2)
+    out = similarity.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=2)
+    return out.withColumnRenamed("rank", "knn_rank")
 
 
 def _ivf_index_cached(spark: SparkSession, sf_dir: str, n_centroids: int) -> str:
@@ -4451,6 +4486,56 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(docs, k=8).orderBy("doc_id")
 
 
+def q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRANSFORMATION half of Lee et al. 2022's ExactSubstr dedup —
+    q_duplicate_spans measures, this one rewrites: every token position
+    covered by a corpus-duplicated 8-gram is excised and the cleaned
+    (token-normalized) text re-emitted
+    (operators/dedup.py:remove_duplicate_spans — shared interval base,
+    per-doc reassembly via array_sort inside the aggregate, no window).
+    The oracle excises the same positions over literal gram strings and
+    rebuilds with string_agg ORDER BY pos — exact, including the
+    all-removed and nothing-removed boundaries."""
+    from paas_auditor_spark.operators.dedup import remove_duplicate_spans
+
+    docs = _th(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, k=8).orderBy("doc_id")
+
+
+ORACLE_SPAN_REMOVAL = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest([i - 1 for i in range(1, len(t) - 6)]) AS pos,
+         unnest([array_to_string(t[i:i+7], ' ')
+                 for i in range(1, len(t) - 6)]) AS g
+  FROM toks WHERE len(t) >= 8),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+covered AS (
+  SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS pos2
+  FROM grams SEMI JOIN dup USING (g)),
+tp AS (
+  SELECT doc_id,
+         unnest([i - 1 for i in range(1, len(t) + 1)]) AS pos2,
+         unnest(t) AS tok
+  FROM toks),
+kept AS (
+  SELECT tp.doc_id, tp.pos2, tp.tok
+  FROM tp ANTI JOIN covered USING (doc_id, pos2)),
+agg AS (
+  SELECT doc_id, count(*) AS kept_tokens,
+         string_agg(tok, ' ' ORDER BY pos2) AS cleaned_text
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id, len(t.t) AS n_tokens,
+       CAST(coalesce(a.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       coalesce(a.cleaned_text, '') AS cleaned_text
+FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+ORDER BY t.doc_id
+"""
+
+
 ORACLE_DUPLICATE_SPANS = """
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
@@ -6388,38 +6473,8 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
     ),
     "embedding_near_dup_lsh": QuerySpec(q_embedding_near_dup_lsh, None),
-    "knn_ivf": QuerySpec(q_knn_ivf, None),
-    "knn_ivf_persisted": QuerySpec(
-        q_knn_ivf_persisted,
-        """
-        WITH n AS (
-          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                 sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
-          FROM embeddings),
-        cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
-        c_assign AS (
-          SELECT n.vec_id, n.v, n.nrm, cents.cid,
-                 row_number() OVER (PARTITION BY n.vec_id
-                     ORDER BY list_dot_product(n.v, cents.cv) / (n.nrm * cents.cn) DESC,
-                              cents.cid) AS r
-          FROM n CROSS JOIN cents),
-        lists AS (SELECT vec_id, v, nrm, cid FROM c_assign WHERE r = 1),
-        q_assign AS (
-          SELECT vec_id, v, nrm, cid FROM c_assign WHERE vec_id < 10 AND r <= 2),
-        scored AS (
-          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cos_sim
-          FROM q_assign q JOIN lists c USING (cid)
-          WHERE q.vec_id <> c.vec_id),
-        ranked AS (
-          SELECT query_id, neighbor_id, cos_sim,
-                 row_number() OVER (PARTITION BY query_id
-                     ORDER BY cos_sim DESC, neighbor_id) AS knn_rank
-          FROM scored)
-        SELECT query_id, neighbor_id, cos_sim, CAST(knn_rank AS BIGINT) AS knn_rank
-        FROM ranked WHERE knn_rank <= 5 ORDER BY query_id, knn_rank
-        """,
-    ),
+    "knn_ivf": QuerySpec(q_knn_ivf, _IVF_TOPK_ORACLE),
+    "knn_ivf_persisted": QuerySpec(q_knn_ivf_persisted, _IVF_TOPK_ORACLE),
     "multimodal_frames": QuerySpec(q_multimodal_frames, None),
     "multimodal_features": QuerySpec(
         q_multimodal_features,
@@ -6943,6 +6998,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "pagerank": QuerySpec(q_pagerank, _oracle_pagerank()),
     "triangle_count": QuerySpec(q_triangle_count, ORACLE_TRIANGLE_COUNT),
     "duplicate_spans": QuerySpec(q_duplicate_spans, ORACLE_DUPLICATE_SPANS),
+    "span_removal": QuerySpec(q_span_removal, ORACLE_SPAN_REMOVAL),
     "dsir_sample": QuerySpec(q_dsir_sample, ORACLE_DSIR),
     "bpe_merges": QuerySpec(q_bpe_merges, _oracle_bpe()),
     "source_overlap": QuerySpec(q_source_overlap, ORACLE_SOURCE_OVERLAP),
@@ -7051,13 +7107,16 @@ _CERTIFICATION_WINDOW = [
     "idempotent_reingest", "ordered_export",
     # LLM-pipeline flagships
     "bloom_decontaminate", "bloom_decontaminate_persisted",
-    "duplicate_spans", "triangle_count", "dsir_sample",
+    "duplicate_spans", "span_removal", "triangle_count", "dsir_sample",
     "curation_pipeline", "bm25_search", "semantic_dedup",
     "chat_assembly", "chat_assembly_sessions",
-    # dedup / similarity / ANN
+    # dedup / similarity / ANN (r6: ngram_jaccard→dedup_keep_best and
+    # mmr_diversity/embedding_near_dup→knn_ivf_persisted/span_removal —
+    # the swapped-out entries stay oracle-checked in the full registry;
+    # the swapped-in ones are the r6 flagships)
     "dedup_exact", "dedup_clusters", "dedup_clusters_star",
-    "ngram_jaccard", "embedding_near_dup", "knn_bruteforce",
-    "mmr_diversity", "embedding_quantize",
+    "dedup_keep_best", "knn_bruteforce",
+    "knn_ivf_persisted", "embedding_quantize",
     # text analysis
     "text_quality", "quality_filter", "lang_id", "token_stats",
     "lm_perplexity", "chi2_keywords", "bpe_merges", "quality_classifier",

@@ -242,6 +242,49 @@ def test_duplicate_spans_hand_graph(spark):
     assert got[5] == (2, 0, 0.0)  # shorter than k → no grams
 
 
+def test_remove_duplicate_spans_excises_measured_coverage(spark):
+    """The removal twin must excise EXACTLY the positions the measure
+    counts: kept_tokens == n_tokens - dup_tokens doc-by-doc, the fully
+    duplicated doc comes back empty, untouched docs come back as their
+    normalized token join, and cleaned text preserves original token
+    order across excised gaps."""
+    from paas_auditor_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (1, shared + " one two three"),
+        (2, "x y z " + shared),
+        (3, "p q r s t u v w a p q r s t u v w a"),
+        (4, "Totally Unique Words only nine tokens here right now"),
+        (5, "short text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    measured = {
+        r["doc_id"]: r for r in duplicate_spans(df, k=8).collect()
+    }
+    cleaned = {
+        r["doc_id"]: r for r in remove_duplicate_spans(df, k=8).collect()
+    }
+    for i in measured:
+        assert cleaned[i]["n_tokens"] == measured[i]["n_tokens"]
+        assert (
+            cleaned[i]["kept_tokens"]
+            == measured[i]["n_tokens"] - measured[i]["dup_tokens"]
+        )
+    assert cleaned[1]["cleaned_text"] == "one two three"
+    assert cleaned[2]["cleaned_text"] == "x y z"
+    assert cleaned[3]["cleaned_text"] == ""  # fully duplicated
+    # untouched doc: token-normalized (lowered) original
+    assert (
+        cleaned[4]["cleaned_text"]
+        == "totally unique words only nine tokens here right now"
+    )
+    assert cleaned[5]["cleaned_text"] == "short text"
+
+
 def test_banding_parameter_guards(spark):
     """num_bands must divide num_hashes: 0 rows per band folds every
     band key to the same constant (the all-pairs blowup LSH exists to

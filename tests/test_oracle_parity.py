@@ -82,9 +82,10 @@ def test_certification_window_invariants():
     ]
     flagships = {
         "bloom_decontaminate", "bloom_decontaminate_persisted",
-        "duplicate_spans", "triangle_count", "dsir_sample",
-        "curation_pipeline", "bm25_search", "semantic_dedup",
-        "chat_assembly", "chat_assembly_sessions",
+        "duplicate_spans", "span_removal", "triangle_count",
+        "dsir_sample", "curation_pipeline", "bm25_search",
+        "semantic_dedup", "chat_assembly", "chat_assembly_sessions",
+        "dedup_keep_best", "knn_ivf_persisted",
     }
     assert flagships <= set(first50)
 
