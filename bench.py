@@ -59,6 +59,7 @@ HEADLINE = [
     "embedding_near_dup_lsh",
     "multimodal_features",
     "bm25_search",
+    "hybrid_search_rrf",
     "embedding_quantize",
     "mad_outliers",
     "heavy_hitters",
@@ -72,6 +73,7 @@ HEADLINE = [
     "knn_ivf_persisted",
     "dedup_keep_best",
     "train_test_split",
+    "fim_transform",
     "zipf_slope",
     "quality_classifier",
     "random_projection",

@@ -3421,6 +3421,75 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval fused by Reciprocal Rank Fusion
+    (Cormack, Clarke & Büttcher 2009): the BM25 arm ranks documents for
+    the probe terms, the dense arm ranks by cosine to a query embedding
+    (vec_id 0), and each document's fused score is Σ 1/(60 + rank) over
+    the arms that ranked it — the standard RAG-retrieval merge.
+
+    Scale shape: each arm is cut to its top-50 with orderBy().limit()
+    (TakeOrderedAndProject — per-partition top-k then a 50-row merge,
+    never a global sort), so the rank windows and the fusion join run
+    over two 50-row relations; the corpus-sized work is exactly the two
+    arms' scoring, which reuse the bm25/cosine operators' plans.  Ranks
+    are assigned on rounded scores with id tie-breaks, so the fusion is
+    deterministic and the oracle replays it exactly."""
+    from paas_auditor_spark.operators.ranking import bm25_scores
+
+    docs = _th(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    sparse_top = (
+        bm25_scores(docs, ["table", "hash", "merge"])
+        .select("doc_id", F.round(F.col("score"), 4).alias("s"))
+        .orderBy(F.col("s").desc(), "doc_id")
+        .limit(50)
+    )
+    w_s = Window.orderBy(F.col("s").desc(), "doc_id")
+    sparse = sparse_top.withColumn("r_sparse", F.row_number().over(w_s))
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        similarity._to_double(F.col("embedding")).alias("qv")
+    )
+    dense_all = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                similarity.dot(
+                    similarity._to_double(F.col("embedding")), F.col("qv")
+                )
+                / (
+                    similarity.l2_norm(
+                        similarity._to_double(F.col("embedding"))
+                    )
+                    * similarity.l2_norm(F.col("qv"))
+                ),
+                4,
+            ).alias("d"),
+        )
+    )
+    dense_top = dense_all.orderBy(F.col("d").desc(), "doc_id").limit(50)
+    w_d = Window.orderBy(F.col("d").desc(), "doc_id")
+    dense = dense_top.withColumn("r_dense", F.row_number().over(w_d))
+    fused = (
+        sparse.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(
+                    1.0 / (F.lit(60) + F.col("r_sparse")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    1.0 / (F.lit(60) + F.col("r_dense")), F.lit(0.0)
+                ),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 scalar quantization round-trip quality per label — narrow-map
     HOF quantize/reconstruct, one label-keyed scalar shuffle (see
@@ -4966,6 +5035,44 @@ FROM j WHERE rn = 1 ORDER BY event_id
 """
 
 
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-Middle transformation (Bavarian et al. 2022,
+    arXiv:2207.14255): split each selected document at two
+    content-addressed cut points and emit PSM order —
+    <PRE>prefix<SUF>suffix<MID>middle — teaching a causal LM to infill.
+    The FIM gate (~50%) and both cut fractions are pure functions of
+    md5(doc_id) (the train_test_split idempotence argument: no RNG
+    state, any re-run/re-partition/engine agrees per document), and the
+    whole rewrite is one narrow JVM-side map over a single scan —
+    embarrassingly parallel at 100 TB.  Exact oracle: DuckDB replays
+    the same md5 arithmetic and substrings."""
+    docs = _th(spark, sf_dir, "documents")
+    text = F.col("text")
+    n = F.length(text)
+    digest = F.md5(F.col("doc_id").cast("string"))
+    applied = F.substring(digest, 1, 1) < "8"
+    f1 = F.conv(F.substring(digest, 2, 6), 16, 10).cast("long") % 1000
+    f2 = F.conv(F.substring(digest, 8, 6), 16, 10).cast("long") % 1000
+    a = (F.floor(n * f1 / 1000.0) + 1).cast("int")
+    b = (F.floor(n * f2 / 1000.0) + 1).cast("int")
+    lo = F.least(a, b)
+    hi = F.greatest(a, b)
+    fim = F.concat(
+        F.lit("<PRE>"),
+        F.substring(text, F.lit(1), lo - 1),
+        F.lit("<SUF>"),
+        F.substring(text, hi, n),
+        F.lit("<MID>"),
+        F.substring(text, lo, hi - lo),
+    )
+    return docs.select(
+        "doc_id",
+        applied.alias("fim_applied"),
+        n.cast("long").alias("n_chars"),
+        F.when(applied, fim).otherwise(text).alias("fim_text"),
+    ).orderBy("doc_id")
+
+
 def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-addressed train/val/test split, reported as
     per-(source, split) stratification counts.  The assignment is a pure
@@ -6485,6 +6592,61 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM documents ORDER BY doc_id
         """,
     ),
+    "hybrid_search_rrf": QuerySpec(
+        q_hybrid_search_rrf,
+        """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                   AS term
+          FROM documents),
+        doclen AS (
+          SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (
+          SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT avg(dl) FROM doclen) AS avgdl),
+        q AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM toks WHERE term IN ('table', 'hash', 'merge')
+          GROUP BY doc_id, term),
+        df AS (
+          SELECT term, count(DISTINCT doc_id) AS df FROM q GROUP BY term),
+        bm AS (
+          SELECT doc_id,
+                 round(sum(
+                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                 ), 4) AS s
+          FROM q JOIN df USING (term) JOIN doclen USING (doc_id)
+          CROSS JOIN stats
+          GROUP BY doc_id),
+        sparse AS (
+          SELECT doc_id, s,
+                 row_number() OVER (ORDER BY s DESC, doc_id) AS r_sparse
+          FROM bm ORDER BY s DESC, doc_id LIMIT 50),
+        n AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+          FROM embeddings),
+        qv AS (SELECT v, nrm FROM n WHERE vec_id = 0),
+        dn AS (
+          SELECT n.vec_id AS doc_id,
+                 round(list_dot_product(n.v, qv.v) / (n.nrm * qv.nrm), 4) AS d
+          FROM n CROSS JOIN qv WHERE n.vec_id <> 0),
+        dense AS (
+          SELECT doc_id, d,
+                 row_number() OVER (ORDER BY d DESC, doc_id) AS r_dense
+          FROM dn ORDER BY d DESC, doc_id LIMIT 50),
+        fused AS (
+          SELECT doc_id,
+                 round(coalesce(1.0 / (60 + s.r_sparse), 0)
+                       + coalesce(1.0 / (60 + de.r_dense), 0), 6) AS rrf
+          FROM sparse s FULL OUTER JOIN dense de USING (doc_id))
+        SELECT doc_id, rrf FROM fused
+        ORDER BY rrf DESC, doc_id LIMIT 20
+        """,
+    ),
     "bm25_search": QuerySpec(
         q_bm25_search,
         """
@@ -7011,6 +7173,35 @@ REGISTRY: dict[str, QuerySpec] = {
     "source_drift_psi": QuerySpec(q_source_drift_psi, ORACLE_PSI),
     "label_centroid_stats": QuerySpec(
         q_label_centroid_stats, ORACLE_LABEL_CENTROIDS
+    ),
+    "fim_transform": QuerySpec(
+        q_fim_transform,
+        """
+        WITH base AS (
+          SELECT doc_id, text, length(text) AS n,
+                 md5(CAST(doc_id AS VARCHAR)) AS h
+          FROM documents),
+        cuts AS (
+          SELECT doc_id, text, n,
+                 substr(h, 1, 1) < '8' AS fim_applied,
+                 CAST(concat('0x', substr(h, 2, 6)) AS BIGINT) % 1000 AS f1,
+                 CAST(concat('0x', substr(h, 8, 6)) AS BIGINT) % 1000 AS f2
+          FROM base),
+        pts AS (
+          SELECT doc_id, text, n, fim_applied,
+                 least(CAST(floor(n * f1 / 1000.0) + 1 AS BIGINT),
+                       CAST(floor(n * f2 / 1000.0) + 1 AS BIGINT)) AS lo,
+                 greatest(CAST(floor(n * f1 / 1000.0) + 1 AS BIGINT),
+                          CAST(floor(n * f2 / 1000.0) + 1 AS BIGINT)) AS hi
+          FROM cuts)
+        SELECT doc_id, fim_applied, CAST(n AS BIGINT) AS n_chars,
+               CASE WHEN fim_applied THEN
+                 '<PRE>' || substr(text, 1, CAST(lo - 1 AS BIGINT))
+                 || '<SUF>' || substr(text, hi, n)
+                 || '<MID>' || substr(text, lo, CAST(hi - lo AS BIGINT))
+               ELSE text END AS fim_text
+        FROM pts ORDER BY doc_id
+        """,
     ),
     "train_test_split": QuerySpec(
         q_train_test_split,

@@ -264,3 +264,32 @@ def test_bpe_stops_when_merges_exhaust(spark):
     assert [(r["w"], r["freq"], list(r["syms"])) for r in seg] == [
         ("ab", 3, ["ab"])
     ]
+
+
+def test_fim_transform_reassembles_to_original(spark, sf_dir):
+    """FIM is a permutation, not a lossy rewrite: for every transformed
+    document, prefix + middle + suffix must reconstruct the original
+    text exactly (PSM order carries middle last); untransformed docs
+    pass through verbatim; the gate hits a sane fraction."""
+    import re
+
+    from paas_auditor_spark.queries import q_fim_transform
+    from paas_auditor_spark.sources.tables import load_table
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    out = q_fim_transform(spark, sf_dir).collect()
+    n_applied = 0
+    pat = re.compile(r"\A<PRE>(.*)<SUF>(.*)<MID>(.*)\Z", re.S)
+    for r in out:
+        if not r["fim_applied"]:
+            assert r["fim_text"] == docs[r["doc_id"]]
+            continue
+        n_applied += 1
+        m = pat.match(r["fim_text"])
+        assert m, r["fim_text"][:80]
+        prefix, suffix, middle = m.groups()
+        assert prefix + middle + suffix == docs[r["doc_id"]]
+    assert 0.3 < n_applied / len(out) < 0.7

@@ -611,3 +611,27 @@ def test_epoch_shuffle_head_is_topk_not_global_sort(spark, sf_dir):
 
     df = q_epoch_shuffle(spark, sf_dir)
     assert_plan_contains(df, "TakeOrderedAndProject")
+
+
+def test_span_removal_no_window_in_reassembly(spark, sf_dir):
+    """remove_duplicate_spans reassembles cleaned text with
+    array_sort(collect_list) inside the per-doc aggregate — the
+    chat_assembly pattern — so the whole plan must carry NO Window node
+    (duplicate_spans' interval sweep is the measuring twin; the removal
+    path never needs it) and no Python nodes."""
+    from paas_auditor_spark.queries import q_span_removal
+
+    df = q_span_removal(spark, sf_dir)
+    assert_plan_lacks(df, "Window", "BatchEvalPython", "ArrowEvalPython")
+
+
+def test_hybrid_rrf_arms_are_topk_not_global_sort(spark, sf_dir):
+    """Each retrieval arm cuts to top-50 via TakeOrderedAndProject
+    (per-partition top-k + 50-row merge); the single-partition rank
+    windows and the fusion join then run over 50-row relations, so the
+    corpus never passes through a global sort."""
+    from paas_auditor_spark.queries import q_hybrid_search_rrf
+
+    df = q_hybrid_search_rrf(spark, sf_dir)
+    plan = assert_plan_contains(df, "TakeOrderedAndProject")
+    assert "Sort [s" not in plan  # no full global sort of either arm
