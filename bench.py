@@ -68,6 +68,7 @@ HEADLINE = [
     "semantic_dedup",
     "segment_dedup",
     "lm_perplexity",
+    "lm_perplexity_interp",
     "temperature_sample",
     "knn_ivfpq",
     "knn_ivf_persisted",

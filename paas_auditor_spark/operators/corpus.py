@@ -226,6 +226,108 @@ def bigram_lm_perplexity(
     )
 
 
+def trigram_interp_perplexity(
+    docs_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lambdas: tuple = (0.5, 0.3, 0.2),
+) -> DataFrame:
+    """Per-document perplexity under an INTERPOLATED trigram LM
+    (Jelinek–Mercer linear interpolation, the classic smoothing of
+    Chen & Goodman 1999): at every trigram position,
+
+      p = λ3·(C3(w1w2w3)+1)/(C3ctx(w1w2)+V)
+        + λ2·(B(w2w3)+1)/(Bctx(w2)+V)
+        + λ1·(U(w3)+1)/(N+V)
+
+    with every count derived from the SAME corpus trigram-position
+    stream (contexts are trigram-context marginals, so the three
+    estimates are consistent by construction and the whole model is a
+    closed form any engine reproduces exactly — the oracle replays it).
+    Backing off through bigram and unigram mass is what keeps unseen
+    trigrams from saturating at the Laplace floor — the reason CCNet-
+    style quality filtering uses interpolated models, not raw counts.
+
+    Scale shape mirrors ``bigram_lm_perplexity``: tokenize once
+    (checkpointed), one (doc, w1, w2, w3) occurrence reduce
+    (checkpointed — SIX consumers), then five term-keyed count
+    aggregations that each join back on their own term keys with
+    map-side combine; V and N arrive via 1-row broadcast cross joins.
+    Zipf-head contexts are AQE skew-split like every other term key.
+    Returns (doc_id, n_trigrams, avg_nll, ppl); < 3-token docs keep a
+    row with n_trigrams = 0 and NULL scores."""
+    l3, l2, l1 = lambdas
+
+    def tri_arr(toks):
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+                F.element_at(toks, i + 2).alias("w3"),
+            ),
+        )
+        return F.when(F.size(toks) >= 3, grams).otherwise(
+            F.array().cast("array<struct<w1:string,w2:string,w3:string>>")
+        )
+
+    toked = docs_df.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("toks")
+    ).localCheckpoint(eager=False)
+    occ = (
+        toked.select(id_col, F.explode(tri_arr(F.col("toks"))).alias("g"))
+        .groupBy(
+            id_col,
+            F.col("g.w1").alias("w1"),
+            F.col("g.w2").alias("w2"),
+            F.col("g.w3").alias("w3"),
+        )
+        .agg(F.count(F.lit(1)).alias("m"))
+        .localCheckpoint(eager=False)
+    )
+    c3 = occ.groupBy("w1", "w2", "w3").agg(F.sum("m").alias("c3"))
+    c3ctx = occ.groupBy("w1", "w2").agg(F.sum("m").alias("c3ctx"))
+    b23 = occ.groupBy("w2", "w3").agg(F.sum("m").alias("b23"))
+    b2 = occ.groupBy("w2").agg(F.sum("m").alias("b2"))
+    u3 = occ.groupBy("w3").agg(F.sum("m").alias("u3"))
+    vocab = (
+        toked.select(F.explode("toks").alias("w"))
+        .filter(F.length("w") >= 1)
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    total = occ.agg(F.sum("m").alias("n_total"))
+    p = (
+        F.lit(l3) * (F.col("c3") + 1) / (F.col("c3ctx") + F.col("v"))
+        + F.lit(l2) * (F.col("b23") + 1) / (F.col("b2") + F.col("v"))
+        + F.lit(l1) * (F.col("u3") + 1) / (F.col("n_total") + F.col("v"))
+    )
+    scored = (
+        occ.join(c3, on=["w1", "w2", "w3"])
+        .join(c3ctx, on=["w1", "w2"])
+        .join(b23, on=["w2", "w3"])
+        .join(b2, on="w2")
+        .join(u3, on="w3")
+        .crossJoin(vocab)
+        .crossJoin(total)
+        .select(id_col, "m", (-F.col("m") * F.log(p)).alias("nll"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("m").alias("n_trigrams"),
+        (F.sum("nll") / F.sum("m")).alias("raw_nll"),
+    )
+    return (
+        toked.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_trigrams"), F.lit(0)).alias("n_trigrams"),
+            F.round(F.col("raw_nll"), 4).alias("avg_nll"),
+            F.round(F.exp(F.col("raw_nll")), 4).alias("ppl"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def bpe_merge_table(
     docs_df: DataFrame,
     text_col: str = "text",
@@ -537,4 +639,5 @@ __all__ = [
     "bigram_lm_perplexity",
     "segment_dedup",
     "temperature_sample",
+    "trigram_interp_perplexity",
 ]

@@ -1290,6 +1290,34 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID audit matrix: declared ``lang`` × predicted
+    ``lang_guess`` counts with per-declared-language accuracy — the
+    routing QA a multilingual curation pipeline runs before trusting
+    either label.  One narrow lang-id map (same classifier as q_lang_id)
+    + one (lang, guess)-keyed count shuffle; accuracy is a windowless
+    ratio against the per-lang sum via a second tiny agg joined
+    broadcast."""
+    docs = _th(spark, sf_dir, "documents")
+    pred = docs.select(
+        "lang", tx.lang_id(F.col("text")).alias("lang_guess")
+    )
+    cells = pred.groupBy("lang", "lang_guess").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = cells.groupBy("lang").agg(F.sum("n_docs").alias("n_lang"))
+    return (
+        cells.join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "lang_guess",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("n_lang"), 4).alias("frac"),
+        )
+        .orderBy("lang", "lang_guess")
+    )
+
+
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for query vectors (vec_id < 10):
     broadcast nested-loop + per-query top-k window."""
@@ -2086,6 +2114,37 @@ def q_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regr_count(F.col("value"), x).alias("n_points"),
         )
         .orderBy("event_type")
+    )
+
+
+def q_embedding_energy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation diagnostic (Kusupati et al. 2022,
+    arXiv:2205.13147): per label, the mean fraction of each vector's
+    squared norm captured by its first d dimensions, d ∈ {8, 16, 32} —
+    the curve that says how aggressively stored embeddings can be
+    truncated (the IVF/PQ footprint lever) before retrieval quality
+    falls off.  Everything is a narrow JVM aggregate-HOF map over one
+    scan plus a label-keyed scalar shuffle; the oracle replays the
+    prefix sums with list_transform."""
+    emb = _th(spark, sf_dir, "embeddings")
+
+    def sq_sum(col, d=None):
+        v = F.slice(col, 1, d) if d else col
+        return F.aggregate(
+            v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+
+    full = sq_sum(F.col("embedding"))
+    fracs = [
+        F.round(
+            F.avg(sq_sum(F.col("embedding"), d) / full), 4
+        ).alias(f"energy_{d}")
+        for d in (8, 16, 32)
+    ]
+    return (
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vectors"), *fracs)
+        .orderBy("label")
     )
 
 
@@ -4109,6 +4168,17 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_perplexity(docs)
 
 
+def q_lm_perplexity_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated trigram LM perplexity (Jelinek–Mercer, λ =
+    0.5/0.3/0.2 tri/bi/uni) — the backoff-smoothed upgrade of the
+    bigram CCNet signal; see operators/corpus.py:
+    trigram_interp_perplexity for the model and scale shape."""
+    from paas_auditor_spark.operators.corpus import trigram_interp_perplexity
+
+    docs = _th(spark, sf_dir, "documents")
+    return trigram_interp_perplexity(docs)
+
+
 def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mix balancing: per-source quotas ∝ n^0.5 (temperature
     sampling), deterministic rank-based keep decision."""
@@ -5776,6 +5846,28 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM events GROUP BY event_type ORDER BY event_type
         """,
     ),
+    "embedding_energy_profile": QuerySpec(
+        q_embedding_energy_profile,
+        """
+        WITH v AS (
+          SELECT label, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        f AS (
+          SELECT label,
+                 list_sum(list_transform(e[1:8], x -> x * x))
+                   / list_sum(list_transform(e, x -> x * x)) AS f8,
+                 list_sum(list_transform(e[1:16], x -> x * x))
+                   / list_sum(list_transform(e, x -> x * x)) AS f16,
+                 list_sum(list_transform(e[1:32], x -> x * x))
+                   / list_sum(list_transform(e, x -> x * x)) AS f32
+          FROM v)
+        SELECT label, count(*) AS n_vectors,
+               round(avg(f8), 4) AS energy_8,
+               round(avg(f16), 4) AS energy_16,
+               round(avg(f32), 4) AS energy_32
+        FROM f GROUP BY label ORDER BY label
+        """,
+    ),
     "embedding_stats": QuerySpec(
         q_embedding_stats,
         """
@@ -6306,6 +6398,41 @@ REGISTRY: dict[str, QuerySpec] = {
         QUALIFY row_number() OVER (PARTITION BY doc_id
                                    ORDER BY score DESC, cand DESC) = 1
         ORDER BY doc_id
+        """,
+    ),
+    "langid_confusion": QuerySpec(
+        q_langid_confusion,
+        """
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+          FROM documents),
+        profiles(cand, markers) AS (VALUES
+          ('en', ['the', 'and', 'of', 'is']),
+          ('es', ['el', 'la', 'de', 'que']),
+          ('fr', ['le', 'la', 'et', 'les']),
+          ('de', ['der', 'die', 'und', 'das']),
+          ('zh', ['的', '了', '是', '在'])),
+        scores AS (
+          SELECT doc_id, lang, cand,
+                 len(list_filter(t, x -> list_contains(markers, x)))
+                   AS score
+          FROM toks CROSS JOIN profiles),
+        pred AS (
+          SELECT doc_id, lang,
+                 CASE WHEN score > 0 THEN cand ELSE 'und' END AS lang_guess
+          FROM scores
+          QUALIFY row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, cand DESC) = 1),
+        cells AS (
+          SELECT lang, lang_guess, count(*) AS n_docs
+          FROM pred GROUP BY lang, lang_guess),
+        totals AS (
+          SELECT lang, sum(n_docs) AS n_lang FROM cells GROUP BY lang)
+        SELECT c.lang, c.lang_guess, CAST(c.n_docs AS BIGINT) AS n_docs,
+               round(c.n_docs * 1.0 / t.n_lang, 4) AS frac
+        FROM cells c JOIN totals t USING (lang)
+        ORDER BY c.lang, c.lang_guess
         """,
     ),
     "udtf_ngrams": QuerySpec(
@@ -7093,6 +7220,48 @@ REGISTRY: dict[str, QuerySpec] = {
                coalesce(p.n_dup_segments, 0) AS n_dup_segments,
                coalesce(p.dup_frac, 0.0) AS dup_frac,
                coalesce(p.clean_text, '') AS clean_text
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        ORDER BY d.doc_id
+        """,
+    ),
+    "lm_perplexity_interp": QuerySpec(
+        q_lm_perplexity_interp,
+        """
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+          FROM documents),
+        occ AS (
+          SELECT doc_id, w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3,
+                 count(*) AS m
+          FROM toks, unnest(generate_series(1, len(w) - 2)) AS u(i)
+          WHERE len(w) >= 3
+          GROUP BY doc_id, w1, w2, w3),
+        c3 AS (SELECT w1, w2, w3, sum(m) AS c3 FROM occ GROUP BY w1, w2, w3),
+        c3ctx AS (SELECT w1, w2, sum(m) AS c3ctx FROM occ GROUP BY w1, w2),
+        b23 AS (SELECT w2, w3, sum(m) AS b23 FROM occ GROUP BY w2, w3),
+        b2 AS (SELECT w2, sum(m) AS b2 FROM occ GROUP BY w2),
+        u3 AS (SELECT w3, sum(m) AS u3 FROM occ GROUP BY w3),
+        v AS (SELECT count(DISTINCT tok) AS v
+              FROM (SELECT unnest(w) AS tok FROM toks)
+              WHERE length(tok) >= 1),
+        tot AS (SELECT sum(m) AS n_total FROM occ),
+        per_doc AS (
+          SELECT occ.doc_id,
+                 CAST(sum(m) AS BIGINT) AS n_trigrams,
+                 sum(-m * ln(
+                   0.5 * (c3.c3 + 1) / (c3ctx.c3ctx + v.v)
+                   + 0.3 * (b23.b23 + 1) / (b2.b2 + v.v)
+                   + 0.2 * (u3.u3 + 1) / (tot.n_total + v.v)
+                 )) / sum(m) AS raw_nll
+          FROM occ JOIN c3 USING (w1, w2, w3) JOIN c3ctx USING (w1, w2)
+               JOIN b23 USING (w2, w3) JOIN b2 USING (w2)
+               JOIN u3 USING (w3) CROSS JOIN v CROSS JOIN tot
+          GROUP BY occ.doc_id)
+        SELECT d.doc_id,
+               coalesce(p.n_trigrams, 0) AS n_trigrams,
+               round(p.raw_nll, 4) AS avg_nll,
+               round(exp(p.raw_nll), 4) AS ppl
         FROM documents d LEFT JOIN per_doc p USING (doc_id)
         ORDER BY d.doc_id
         """,
