@@ -38,6 +38,7 @@ HEADLINE = [
     "interval_join",
     "dedup_exact",
     "dedup_clusters",
+    "dedup_pipeline_full",
     "text_quality",
     "token_stats",
     "token_histogram",
@@ -71,6 +72,7 @@ HEADLINE = [
     "lm_perplexity_interp",
     "temperature_sample",
     "knn_ivfpq",
+    "knn_ivfpq_persisted",
     "knn_ivf_persisted",
     "dedup_keep_best",
     "train_test_split",

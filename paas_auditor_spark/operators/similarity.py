@@ -831,6 +831,264 @@ def semantic_dedup(
     )
 
 
+def _pq_sample_rows(corpus_df, n_centroids, id_col, vec_col):
+    """The bounded training collect shared by the in-memory and
+    persisted IVF-PQ paths: first max(256, n_centroids) vectors by id —
+    sample size fixed regardless of corpus cardinality."""
+    sample_n = max(256, n_centroids)
+    return sorted(
+        (
+            (r[0], list(r[1]))
+            for r in corpus_df.select(
+                F.col(id_col), _to_double(F.col(vec_col))
+            )
+            .orderBy(id_col)
+            .limit(sample_n)
+            .collect()
+        ),
+        key=lambda t: t[0],
+    )
+
+
+def _nearest_lists_sql(cent_rows, v: str, n: str, n_lists: int) -> str:
+    """SQL text: array of the n_lists nearest centroid ids, best first.
+    One parsed expression — centroid matrix, norms and ids ride in as
+    embedded literals (see exprs.sql_doubles).  Shared verbatim by
+    ivfpq_topk and the persisted probe so both paths assign
+    bit-identically."""
+    from paas_auditor_spark.functions.exprs import (
+        sql_doubles,
+        sql_doubles_2d,
+        sql_longs,
+    )
+
+    cb = sql_doubles_2d([v_ for _, v_ in cent_rows])
+    cn = sql_doubles(
+        max(math.sqrt(sum(x * x for x in v_)), 1e-12) for _, v_ in cent_rows
+    )
+    cid = sql_longs(i for i, _ in cent_rows)
+    n_cent = len(cent_rows)
+    return f"""
+    slice(transform(array_sort(transform(sequence(1, {n_cent}), c ->
+      struct(
+        -(aggregate(zip_with({v}, element_at({cb}, c), (x, y) -> x * y),
+                    CAST(0.0 AS DOUBLE), (a, x) -> a + x))
+          / ({n} * element_at({cn}, c)) AS negsim,
+        element_at({cid}, c) AS centroid_id))),
+      s -> s.centroid_id), 1, {n_lists})
+    """
+
+
+def _pq_recon_sql(books, m: int) -> str:
+    """Per-subspace codebook-row lookup over a ``pq_codes`` column, one
+    parsed expression; shared by both IVF-PQ paths."""
+    from paas_auditor_spark.functions.exprs import sql_doubles_2d
+
+    return (
+        "flatten(array("
+        + ",".join(
+            f"element_at({sql_doubles_2d(books[j])},"
+            f" element_at(pq_codes, {j + 1}) + 1)"
+            for j in range(m)
+        )
+        + "))"
+    )
+
+
+def ivfpq_index_write(
+    corpus_df: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    m: int = 4,
+    codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the FAISS-style IVF-PQ index ``ivfpq_topk``'s
+    docstring promises: the LISTS table stores only (c_id, c_n,
+    pq_codes) partitioned by list_id — m bytes of code per vector
+    instead of dim×4 of floats — and the full vectors live in a
+    separate id-keyed table touched only by the exact re-rank fetch.
+    Four artifacts under ``path``:
+
+      lists/      (c_id, c_n, pq_codes)  PARTITIONED BY list_id
+      vectors/    (c_id, vec)            the re-rank fetch store
+      centroids/  (centroid_id, cv)      n_centroids rows
+      codebooks/  (j, code, sub)         m × codes rows
+
+    Training (PQ codebooks + IVF centroids) reuses the same bounded
+    256-row sample collect as the in-memory operator, so a probe over
+    this index returns EXACTLY ivfpq_topk's frame (test-pinned)."""
+    import os
+
+    import numpy as np
+
+    from paas_auditor_spark.operators.quantize import (
+        pq_assign,
+        pq_train_arrays,
+    )
+
+    rows = _pq_sample_rows(corpus_df, n_centroids, id_col, vec_col)
+    books = pq_train_arrays(
+        np.array([v for _, v in rows], dtype=np.float64), m=m, k=codes
+    )
+    cent_rows = rows[:n_centroids]
+    spark = corpus_df.sparkSession
+
+    cvec = corpus_df.select(
+        F.col(id_col).alias("c_id"),
+        _to_double(F.col(vec_col)).alias("c_v"),
+    ).withColumn("c_n", l2_norm(F.col("c_v")))
+    assigned = cvec.withColumn(
+        "list_id", F.expr(_nearest_lists_sql(cent_rows, "c_v", "c_n", 1))[0]
+    )
+    encoded = pq_assign(assigned, books, vec_col="c_v")
+    encoded.select("c_id", "c_n", "pq_codes", "list_id").write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(os.path.join(path, "lists"))
+    cvec.select("c_id", F.col("c_v").alias("vec")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "vectors"))
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in cent_rows],
+        "centroid_id long, cv array<double>",
+    ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in books[j][c]])
+            for j in range(m)
+            for c in range(len(books[j]))
+        ],
+        "j int, code int, sub array<double>",
+    ).write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
+
+
+def ivfpq_topk_persisted(
+    spark,
+    index_path: str,
+    queries_df: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    rerank: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Probe-only IVF-PQ top-k over an ``ivfpq_index_write`` index —
+    the 100 TB serving shape made literal: centroids and codebooks come
+    back via two bounded collects (n_centroids and m×codes rows) and
+    re-enter the plan as parsed literals; the code-only LISTS table is
+    scanned with a STATIC list_id partition filter (probed ids are a
+    ≤ n_centroids-row collect, so pruning happens at planning time);
+    PQ reconstruction + ADC ranking are narrow maps over those m-byte
+    codes; and ONLY the per-query ``rerank`` shortlist joins the
+    full-vector store by id for the exact re-score — the scan that
+    reads floats is shortlist-sized, never corpus-sized.  Output is
+    bit-identical to ``ivfpq_topk`` (shared literal builders,
+    test-pinned)."""
+    import os
+
+    cents = sorted(
+        (
+            (int(r["centroid_id"]), list(r["cv"]))
+            for r in spark.read.parquet(
+                os.path.join(index_path, "centroids")
+            ).collect()
+        ),
+        key=lambda t: t[0],
+    )
+    book_rows = spark.read.parquet(
+        os.path.join(index_path, "codebooks")
+    ).collect()
+    m = 1 + max(int(r["j"]) for r in book_rows)
+    books = [
+        [
+            list(r["sub"])
+            for r in sorted(
+                (r for r in book_rows if r["j"] == j),
+                key=lambda r: int(r["code"]),
+            )
+        ]
+        for j in range(m)
+    ]
+
+    probes = (
+        queries_df.select(
+            F.col(id_col).alias("q_id"),
+            _to_double(F.col(vec_col)).alias("q_v"),
+        )
+        .withColumn("q_n", l2_norm(F.col("q_v")))
+        .withColumn(
+            "centroid_id",
+            F.explode(
+                F.expr(_nearest_lists_sql(cents, "q_v", "q_n", nprobe))
+            ),
+        )
+    )
+    # bounded collect: ≤ n_centroids distinct probed lists → static
+    # partition filter on the code-only lists table
+    probed_ids = [
+        r["centroid_id"]
+        for r in probes.select("centroid_id").distinct().collect()
+    ]
+    lists = (
+        spark.read.parquet(os.path.join(index_path, "lists"))
+        .filter(F.col("list_id").isin(probed_ids))
+        .withColumnRenamed("list_id", "centroid_id")
+    )
+    approx = lists.select(
+        "c_id",
+        "c_n",
+        "centroid_id",
+        F.expr(_pq_recon_sql(books, m)).alias("rv"),
+    ).withColumn("rn_norm", l2_norm(F.col("rv")))
+    cand = (
+        approx.join(F.broadcast(probes), on="centroid_id")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "c_n",
+            "q_v",
+            "q_n",
+            (
+                dot(F.col("q_v"), F.col("rv"))
+                / (
+                    F.col("q_n")
+                    * F.greatest(F.col("rn_norm"), F.lit(1e-12))
+                )
+            ).alias("adc_sim"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = cand.withColumn("adc_rank", F.row_number().over(wq)).filter(
+        F.col("adc_rank") <= rerank
+    )
+    # the only touch of full float vectors: an id join sized
+    # rerank × |queries|, never the corpus
+    vectors = spark.read.parquet(os.path.join(index_path, "vectors"))
+    rescored = shortlist.join(
+        vectors.withColumnRenamed("c_id", "neighbor_id"), on="neighbor_id"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot(F.col("q_v"), F.col("vec")) / (F.col("q_n") * F.col("c_n")),
+            round_digits,
+        ).alias("cos_sim"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def ivfpq_topk(
     corpus_df: DataFrame,
     queries_df: DataFrame,
@@ -873,11 +1131,6 @@ def ivfpq_topk(
 
     import numpy as np
 
-    from paas_auditor_spark.functions.exprs import (
-        sql_doubles,
-        sql_doubles_2d,
-        sql_longs,
-    )
     from paas_auditor_spark.operators.quantize import (
         pq_assign,
         pq_train_arrays,
@@ -887,43 +1140,14 @@ def ivfpq_topk(
     # the first 256 vectors by id and the IVF centroids are the first
     # n_centroids — a prefix of the same rows (the documented bounded-
     # sample exception, same convention as the kmeans iteration barrier)
-    sample_n = max(256, n_centroids)
-    rows = sorted(
-        (
-            (r[0], list(r[1]))
-            for r in corpus_df.select(
-                F.col(id_col), _to_double(F.col(vec_col))
-            )
-            .orderBy(id_col)
-            .limit(sample_n)
-            .collect()
-        ),
-        key=lambda t: t[0],
-    )
+    rows = _pq_sample_rows(corpus_df, n_centroids, id_col, vec_col)
     books = pq_train_arrays(
         np.array([v for _, v in rows], dtype=np.float64), m=m, k=codes
     )
     cent_rows = rows[:n_centroids]
-    cb = sql_doubles_2d([v for _, v in cent_rows])
-    cn = sql_doubles(
-        max(math.sqrt(sum(x * x for x in v)), 1e-12) for _, v in cent_rows
-    )
-    cid = sql_longs(i for i, _ in cent_rows)
-    n_cent = len(cent_rows)
 
     def nearest_lists_sql(v: str, n: str, n_lists: int) -> str:
-        """SQL text: array of the n_lists nearest centroid ids, best
-        first.  One parsed expression — centroid matrix, norms and ids
-        ride in as embedded literals (see exprs.sql_doubles)."""
-        return f"""
-        slice(transform(array_sort(transform(sequence(1, {n_cent}), c ->
-          struct(
-            -(aggregate(zip_with({v}, element_at({cb}, c), (x, y) -> x * y),
-                        CAST(0.0 AS DOUBLE), (a, x) -> a + x))
-              / ({n} * element_at({cn}, c)) AS negsim,
-            element_at({cid}, c) AS centroid_id))),
-          s -> s.centroid_id), 1, {n_lists})
-        """
+        return _nearest_lists_sql(cent_rows, v, n, n_lists)
 
     # corpus side: list assignment + PQ codes + reconstruction — all
     # narrow maps over the scan (centroids + codebooks ride in as
@@ -940,15 +1164,7 @@ def ivfpq_topk(
     )
     encoded = pq_assign(assigned, books, vec_col="c_v")
     # decode = per-subspace codebook row lookup, one parsed expression
-    recon_sql = (
-        "flatten(array("
-        + ",".join(
-            f"element_at({sql_doubles_2d(books[j])},"
-            f" element_at(pq_codes, {j + 1}) + 1)"
-            for j in range(m)
-        )
-        + "))"
-    )
+    recon_sql = _pq_recon_sql(books, m)
     approx = encoded.select(
         "c_id", "c_v", "c_n", "centroid_id", F.expr(recon_sql).alias("rv")
     ).withColumn("rn_norm", l2_norm(F.col("rv")))
@@ -1239,7 +1455,9 @@ __all__ = [
     "ivf_index_write",
     "ivf_topk",
     "ivf_topk_persisted",
+    "ivfpq_index_write",
     "ivfpq_topk",
+    "ivfpq_topk_persisted",
     "kmeans_assign",
     "l2_norm",
     "lsh_bucket_keys_udf",

@@ -1199,6 +1199,60 @@ def q_dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete 100 TB near-dup dedup run, end to end in one plan:
+    banded MinHash candidate edges (never all-pairs) → large-star/
+    small-star connected components (diameter-independent rounds) →
+    keep-best survivor per cluster (max token count, ties to lower id,
+    one max(struct) agg) → per-source removal summary.  This is the
+    composition every stage was built for; each stage's semantics are
+    individually oracle-pinned (dedup_clusters, dedup_keep_best) and
+    the composition's invariants — one winner per multi-doc cluster,
+    removed = members − winners, kept + removed = corpus — are asserted
+    in test_dedup.py.  Rows-only here (LSH internals make the edge set
+    engine-specific).  Output: (source, n_docs, n_removed, n_kept)."""
+    docs = _t(spark, sf_dir, "documents")
+    edges = dedup.minhash_near_duplicates(docs, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    cc = dedup.connected_components_star(edges, src="id_a", dst="id_b")
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+    members = cc.join(
+        sizes.filter(F.col("n_members") > 1), on="component"
+    ).select(F.col("node").alias("doc_id"), "component")
+    quality = docs.select(
+        "doc_id", "source", tx.token_count(F.col("text")).alias("n_tokens")
+    )
+    winners = (
+        members.join(quality, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_tokens"), (-F.col("doc_id")).alias("neg_id")
+                )
+            ).alias("b")
+        )
+        .select((-F.col("b.neg_id")).alias("doc_id"))
+    )
+    removed = members.select("doc_id").join(winners, "doc_id", "left_anti")
+    return (
+        quality.join(
+            removed.withColumn("is_removed", F.lit(1)), "doc_id", "left"
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("is_removed", F.lit(0))).alias("n_removed"),
+            (
+                F.count(F.lit(1))
+                - F.sum(F.coalesce("is_removed", F.lit(0)))
+            ).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic document fingerprint (md5-based rolling-hash analog)."""
     docs = _th(spark, sf_dir, "documents")
@@ -1491,6 +1545,53 @@ def q_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, index_path, queries, k=5, nprobe=2
     )
     return out.withColumnRenamed("rank", "knn_rank")
+
+
+def _ivfpq_index_cached(
+    spark: SparkSession, sf_dir: str, n_centroids: int, m: int, codes: int
+) -> str:
+    """Build-or-reuse the persisted IVF-PQ index
+    (operators/similarity.py:ivfpq_index_write); same identity-keyed
+    atomic-rename cache contract as _ivf_index_cached."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    ident = (
+        f"ivfpq1:{os.path.abspath(src)}:{os.stat(src).st_mtime_ns}:"
+        f"{n_centroids}:{m}:{codes}"
+    )
+    tag = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), f"paas_ivfpq_index_{tag}")
+    if not os.path.isdir(path):
+        emb = _t(spark, sf_dir, "embeddings")
+        tmp = f"{path}.tmp{os.getpid()}"
+        similarity.ivfpq_index_write(
+            emb, tmp, n_centroids=n_centroids, m=m, codes=codes
+        )
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def q_knn_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING shape of IVF-PQ ANN: probe an ivfpq_index_write index
+    whose lists table stores only m-byte PQ codes (partitioned by
+    list_id, statically pruned), decode/rank narrowly, and fetch full
+    floats by id for just the rerank shortlist.  Bit-identical to
+    knn_ivfpq (equality + prune plan-asserted in test_similarity.py);
+    rows-only like its in-memory twin (PQ internals are
+    engine-specific)."""
+    index_path = _ivfpq_index_cached(spark, sf_dir, 8, 4, 16)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivfpq_topk_persisted(
+        spark, index_path, queries, k=5, nprobe=2, rerank=32
+    )
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6858,6 +6959,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "table_profile_approx": QuerySpec(q_table_profile_approx, None),
     "minhash_incremental": QuerySpec(q_minhash_incremental, None),
     "dedup_clusters_minhash": QuerySpec(q_dedup_clusters_minhash, None),
+    "dedup_pipeline_full": QuerySpec(q_dedup_pipeline_full, None),
     "bigram_pmi": QuerySpec(
         q_bigram_pmi,
         """
@@ -7187,6 +7289,7 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
     ),
     "knn_ivfpq": QuerySpec(q_knn_ivfpq, None),
+    "knn_ivfpq_persisted": QuerySpec(q_knn_ivfpq_persisted, None),
     "segment_dedup": QuerySpec(
         q_segment_dedup,
         """

@@ -382,3 +382,47 @@ def test_minhash_recall_floor_vs_exact_jaccard(spark, sf_dir):
     recovered = len(found & truth)
     assert found <= truth  # precision 1.0: verify step guarantees it
     assert recovered / len(truth) >= 0.9
+
+
+def test_dedup_pipeline_full_invariants(spark, sf_dir):
+    """The end-to-end minhash→starCC→keep-best composition must keep its
+    accounting exact: kept + removed = corpus per source, every
+    multi-doc cluster loses all but exactly one member, and each
+    survivor is its cluster's max-token (min-id on ties) doc."""
+    import pyspark.sql.functions as F
+
+    from paas_auditor_spark.operators import dedup
+    from paas_auditor_spark.functions import text as tx
+    from paas_auditor_spark.queries import q_dedup_pipeline_full
+    from paas_auditor_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    summary = q_dedup_pipeline_full(spark, sf_dir).collect()
+    per_source = {
+        r["source"]: (r["n_docs"], r["n_removed"], r["n_kept"])
+        for r in summary
+    }
+    true_counts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(per_source) == set(true_counts)
+    for src, (n, rem, kept) in per_source.items():
+        assert n == true_counts[src]
+        assert rem + kept == n and rem >= 0
+
+    # re-derive the clusters and check one-winner-per-cluster accounting
+    edges = dedup.minhash_near_duplicates(docs, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    cc = dedup.connected_components_star(edges, src="id_a", dst="id_b")
+    sizes = cc.groupBy("component").agg(F.count("*").alias("m"))
+    n_multi = sizes.filter(F.col("m") > 1).count()
+    n_members = (
+        sizes.filter(F.col("m") > 1)
+        .agg(F.sum("m").alias("s"))
+        .collect()[0]["s"]
+        or 0
+    )
+    total_removed = sum(rem for _, rem, _ in per_source.values())
+    assert total_removed == n_members - n_multi

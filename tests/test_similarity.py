@@ -290,6 +290,46 @@ def test_ivf_persisted_equals_in_memory_and_prunes(spark, sf_dir, tmp_path):
     assert list(got.columns) == list(want.columns)
 
 
+def test_ivfpq_persisted_equals_in_memory_and_prunes(spark, sf_dir, tmp_path):
+    """The persisted IVF-PQ probe must (a) return EXACTLY ivfpq_topk's
+    frame — shared centroid/codebook literal builders make assignment,
+    ADC ranking and the exact re-rank bit-identical — and (b) scan the
+    code-only lists table through a static list_id PARTITION filter, so
+    the float-vector store is touched only by the shortlist id-join."""
+    import pyspark.sql.functions as F
+
+    from paas_auditor_spark.operators.similarity import (
+        ivfpq_index_write,
+        ivfpq_topk,
+        ivfpq_topk_persisted,
+    )
+    from paas_auditor_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivfpq_index")
+    ivfpq_index_write(emb, path, n_centroids=8, m=4, codes=16)
+
+    persisted = ivfpq_topk_persisted(
+        spark, path, queries, k=5, nprobe=2, rerank=32
+    )
+    plan = persisted._jdf.queryExecution().executedPlan().toString()
+    pf = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "list_id" in ln
+    ]
+    assert pf and "PartitionFilters: []" not in pf[0]
+
+    in_memory = ivfpq_topk(
+        emb, queries, k=5, n_centroids=8, nprobe=2, m=4, codes=16, rerank=32
+    )
+    got = persisted.toPandas()
+    want = in_memory.toPandas()
+    assert list(got.columns) == list(want.columns)
+    assert got.values.tolist() == want.values.tolist()
+
+
 def test_semantic_dedup_prunes_within_cluster_only(spark):
     """Two tight direction-groups: within each, only the lowest id
     survives; cross-cluster similarity never shadows anything."""
