@@ -38,7 +38,11 @@ HEADLINE = [
     "interval_join",
     "dedup_exact",
     "dedup_clusters",
-    "dedup_pipeline_full",
+    # dedup_pipeline_full stays OUT of the headline like pagerank /
+    # bpe_merges / kmeans: its star-CC stage is inherently stage-serial
+    # (fixpoint rounds are scheduling barriers at sf0.1, not data
+    # volume); correctness is driver-checked via the registry and its
+    # accounting invariants are pytest-pinned
     "text_quality",
     "token_stats",
     "token_histogram",
