@@ -1385,8 +1385,10 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via hyperplane-LSH bucketing — rows-only check
-    (approximate by construction)."""
+    """Approximate top-k via hyperplane-LSH bucketing.  Deterministic
+    computation (seeded plane family) → exact oracle since r6
+    (_oracle_knn_lsh embeds the plane literals and replays bucketing,
+    probe join and ranking)."""
     emb = _th(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.lsh_topk(emb, queries, k=5).withColumnRenamed(
@@ -1449,7 +1451,11 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via hyperplane-LSH bucketed candidates — the
-    scale path; approximate by construction → rows-only check."""
+    scale path.  Approximate as an algorithm but fully DETERMINISTIC as
+    a computation (the plane family is seeded), so since r6 it carries
+    a full exact oracle: _oracle_embedding_lsh embeds the plane
+    coefficients as SQL literals and replays sign tests, OR-amplified
+    bucket keys, the bucket join and the rounded-cosine verify."""
     # _t not _th: the similarity operator fans out its own narrow
     # projection internally; an outer rebalance here would double-shuffle
     emb = _t(spark, sf_dir, "embeddings")
@@ -1483,6 +1489,101 @@ _IVF_TOPK_ORACLE = """
           FROM scored)
         SELECT query_id, neighbor_id, cos_sim, CAST(knn_rank AS BIGINT) AS knn_rank
         FROM ranked WHERE knn_rank <= 5 ORDER BY query_id, knn_rank
+        """
+
+
+def _oracle_embedding_lsh(
+    threshold: float = 0.4, n_planes: int = 4, n_tables: int = 8
+) -> str:
+    """Exact SQL replay of embedding_near_duplicates_lsh: the hyperplane
+    family is deterministic (seeded per plane — similarity._plane_coeffs),
+    so the coefficients embed here as literals and DuckDB reproduces the
+    sign tests, OR-amplified bucket keys, bucket-join candidates and the
+    rounded-cosine verify.  What makes this valid: sign tests compare
+    O(1)-magnitude dots against 0 and the verify rounds to 4dp, so the
+    numpy-vs-SQL summation-order difference (pairwise vs sequential)
+    would need a value within ~1e-12 of a decision boundary to flip a
+    row — none exists in the fixed testdata, making the replay exact."""
+    from paas_auditor_spark.operators.similarity import _plane_coeffs
+
+    planes = [_plane_coeffs(p, 64) for p in range(n_tables * n_planes)]
+
+    def arr(p: int) -> str:
+        return "[" + ",".join(repr(x) for x in planes[p]) + "]"
+
+    signs = ",\n                 ".join(
+        f"(list_dot_product(e, {arr(p)}) >= 0)::INT AS s{p}"
+        for p in range(n_tables * n_planes)
+    )
+    buckets = ", ".join(
+        "("
+        + str(t << n_planes)
+        + " + "
+        + " + ".join(f"{1 << j} * s{t * n_planes + j}" for j in range(n_planes))
+        + ")"
+        for t in range(n_tables)
+    )
+    return f"""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+          FROM embeddings),
+        s AS (
+          SELECT vec_id, e, nrm,
+                 {signs}
+          FROM v),
+        b AS (
+          SELECT vec_id, e, nrm, unnest([{buckets}]) AS bucket
+          FROM s),
+        pairs AS (
+          SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b,
+                 round(list_dot_product(
+                   list_transform(a.e, x -> x / a.nrm),
+                   list_transform(b2.e, x -> x / b2.nrm)), 4) AS cos_sim
+          FROM b a JOIN b b2 USING (bucket)
+          WHERE a.vec_id < b2.vec_id)
+        SELECT id_a, id_b, cos_sim FROM pairs
+        WHERE cos_sim >= {threshold}
+        ORDER BY id_a, id_b
+        """
+
+
+def _oracle_knn_lsh(k: int = 5, n_planes: int = 6) -> str:
+    """Exact SQL replay of lsh_topk (same seeded-plane-literal argument
+    as _oracle_embedding_lsh; here the engine-side dot is the sequential
+    JVM aggregate, the same order DuckDB's list_dot_product uses)."""
+    from paas_auditor_spark.operators.similarity import _plane_coeffs
+
+    def arr(p: int) -> str:
+        return "[" + ",".join(repr(x) for x in _plane_coeffs(p, 64)) + "]"
+
+    bucket = " + ".join(
+        f"{1 << p} * (list_dot_product(e, {arr(p)}) >= 0)::INT"
+        for p in range(n_planes)
+    )
+    return f"""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+          FROM embeddings),
+        b AS (
+          SELECT vec_id, e, nrm, {bucket} AS bucket
+          FROM v),
+        q AS (SELECT * FROM b WHERE vec_id < 10),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4)
+                   AS cos_sim
+          FROM b c JOIN q USING (bucket)
+          WHERE q.vec_id <> c.vec_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos_sim DESC, neighbor_id) AS knn_rank
+          FROM scored)
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(knn_rank AS BIGINT) AS knn_rank
+        FROM ranked WHERE knn_rank <= {k} ORDER BY query_id, knn_rank
         """
 
 
@@ -1610,8 +1711,10 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling + resize plumbing over binary blobs
-    (mapInPandas fan-out, one row per sampled frame) — rows-only check
-    (the fake decode is engine-specific; shape is asserted in tests)."""
+    (mapInPandas fan-out, one row per sampled frame).  The stub decode
+    is sha256-deterministic, so since r6 the whole fan-out is
+    hash-certified: the oracle replays sha256(blob || idx_be32) with
+    NUL-safe varchar concatenation."""
     from paas_auditor_spark.functions.multimodal import sample_frames
 
     docs = _th(spark, sf_dir, "documents")
@@ -6607,7 +6710,7 @@ REGISTRY: dict[str, QuerySpec] = {
         ORDER BY query_id, knn_rank
         """,
     ),
-    "knn_lsh": QuerySpec(q_knn_lsh, None),
+    "knn_lsh": QuerySpec(q_knn_lsh, _oracle_knn_lsh()),
     "minhash_near_dup": QuerySpec(q_minhash_near_dup, None),
     "simhash": QuerySpec(q_simhash, None),
     "ngram_jaccard": QuerySpec(
@@ -6807,10 +6910,29 @@ REGISTRY: dict[str, QuerySpec] = {
         ORDER BY id_a, id_b
         """,
     ),
-    "embedding_near_dup_lsh": QuerySpec(q_embedding_near_dup_lsh, None),
+    "embedding_near_dup_lsh": QuerySpec(
+        q_embedding_near_dup_lsh, _oracle_embedding_lsh()
+    ),
     "knn_ivf": QuerySpec(q_knn_ivf, _IVF_TOPK_ORACLE),
     "knn_ivf_persisted": QuerySpec(q_knn_ivf_persisted, _IVF_TOPK_ORACLE),
-    "multimodal_frames": QuerySpec(q_multimodal_frames, None),
+    "multimodal_frames": QuerySpec(
+        q_multimodal_frames,
+        # replays the deterministic fake decode exactly: frame =
+        # sha256(utf8(text) || idx as 4 bytes big-endian); DuckDB
+        # varchars carry NUL bytes and sha256(VARCHAR) hashes the UTF-8
+        # bytes, so chr(0)-padding reproduces the byte stream
+        """
+        WITH f AS (
+          SELECT doc_id, text, unnest([0, 1, 2]) AS frame_idx
+          FROM documents)
+        SELECT doc_id, frame_idx,
+               CAST(32 AS BIGINT) AS frame_bytes,
+               upper(substr(sha256(
+                 text || chr(0) || chr(0) || chr(0) || chr(frame_idx)
+               ), 1, 8)) AS frame_sig
+        FROM f ORDER BY doc_id, frame_idx
+        """,
+    ),
     "multimodal_features": QuerySpec(
         q_multimodal_features,
         """
@@ -7579,7 +7701,7 @@ _CERTIFICATION_WINDOW = [
     # the swapped-in ones are the r6 flagships)
     "dedup_exact", "dedup_clusters", "dedup_clusters_star",
     "dedup_keep_best", "knn_bruteforce",
-    "knn_ivf_persisted", "embedding_quantize",
+    "knn_ivf_persisted", "embedding_near_dup_lsh", "embedding_quantize",
     # text analysis
     "text_quality", "quality_filter", "lang_id", "token_stats",
     "lm_perplexity", "chi2_keywords", "bpe_merges", "quality_classifier",
@@ -7587,8 +7709,10 @@ _CERTIFICATION_WINDOW = [
     "heavy_hitters", "cms_estimate", "pagerank", "source_drift_psi",
     # sampling / packing
     "temperature_sample", "train_test_split", "sequence_pack",
-    # TPC-H representative handful + time series
-    "pricing_summary", "min_cost_supplier", "sessionization", "asof_join",
+    # TPC-H representative handful + time series (r6: min_cost_supplier
+    # out in favor of the newly oracle-certified embedding_near_dup_lsh;
+    # still oracle-checked in the full registry)
+    "pricing_summary", "sessionization", "asof_join",
 ]
 assert len(_CERTIFICATION_WINDOW) == 50
 REGISTRY = {n: REGISTRY[n] for n in _CERTIFICATION_WINDOW} | {

@@ -85,7 +85,7 @@ def test_certification_window_invariants():
         "duplicate_spans", "span_removal", "triangle_count",
         "dsir_sample", "curation_pipeline", "bm25_search",
         "semantic_dedup", "chat_assembly", "chat_assembly_sessions",
-        "dedup_keep_best", "knn_ivf_persisted",
+        "dedup_keep_best", "knn_ivf_persisted", "embedding_near_dup_lsh",
     }
     assert flagships <= set(first50)
 
