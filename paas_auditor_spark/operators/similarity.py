@@ -558,6 +558,35 @@ def ivf_topk(
     )
 
 
+def _ivf_assign(
+    corpus_df: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Nearest-centroid-by-cosine assignment (ties to the lower centroid
+    id) against a given centroid relation — shared by the initial index
+    build and incremental shard appends so both assign identically."""
+    v = corpus_df.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    ).withColumn("c_n", l2_norm(_to_double(F.col("c_vec"))))
+    scored = v.join(F.broadcast(cents)).select(
+        "c_id",
+        "c_vec",
+        "c_n",
+        "centroid_id",
+        (
+            dot(_to_double(F.col("c_vec")), F.col("cv"))
+            / (F.col("c_n") * F.col("cnorm"))
+        ).alias("c_sim"),
+    )
+    w = Window.partitionBy("c_id").orderBy(
+        F.col("c_sim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("c_id", "c_vec", "c_n", F.col("centroid_id").alias("list_id"))
+    )
+
+
 def ivf_index_write(
     corpus_df: DataFrame,
     path: str,
@@ -572,7 +601,7 @@ def ivf_index_write(
     pruning over ``<path>/lists`` — the corpus is never re-assigned and
     never fully scanned.  This is the bloom_words pattern applied to
     ANN: pay the build once per corpus drop, amortize across query
-    batches.
+    batches; grow it per corpus drop with ``ivf_index_append``.
 
     Same deterministic coarse quantizer as ``ivf_topk`` (centroids = the
     first ``n_centroids`` corpus vectors; a k-means fit slots in
@@ -590,31 +619,36 @@ def ivf_index_write(
         )
         .withColumn("cnorm", l2_norm(F.col("cv")))
     )
-    v = corpus_df.select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
-    ).withColumn("c_n", l2_norm(_to_double(F.col("c_vec"))))
-    scored = v.join(F.broadcast(cents)).select(
-        "c_id",
-        "c_vec",
-        "c_n",
-        "centroid_id",
-        (
-            dot(_to_double(F.col("c_vec")), F.col("cv"))
-            / (F.col("c_n") * F.col("cnorm"))
-        ).alias("c_sim"),
-    )
-    w = Window.partitionBy("c_id").orderBy(
-        F.col("c_sim").desc(), F.col("centroid_id").asc()
-    )
-    assigned = (
-        scored.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1)
-        .select("c_id", "c_vec", "c_n", F.col("centroid_id").alias("list_id"))
-    )
+    assigned = _ivf_assign(corpus_df, cents, id_col, vec_col)
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(
         os.path.join(path, "lists")
     )
     cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+
+
+def ivf_index_append(
+    spark,
+    index_path: str,
+    shard_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF maintenance — the bloom_words_collector story
+    applied to ANN: a new corpus drop is assigned against the EXISTING
+    centroid table (read back, broadcast — the quantizer never retrains,
+    so old lists stay valid) and appended into the same
+    list_id-partitioned layout.  Cost is O(shard), not O(corpus): the
+    existing lists are never read, and parquet partition append only
+    touches the directories the shard lands in.  An index grown by any
+    sequence of appends probes identically to one built in a single
+    shot over the union (test-pinned), because ``_ivf_assign`` is a
+    pure per-row function of (vector, centroids)."""
+    import os
+
+    cents = spark.read.parquet(os.path.join(index_path, "centroids"))
+    _ivf_assign(shard_df, cents, id_col, vec_col).write.mode(
+        "append"
+    ).partitionBy("list_id").parquet(os.path.join(index_path, "lists"))
 
 
 def ivf_topk_persisted(
@@ -963,29 +997,9 @@ def ivfpq_index_write(
     ).write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
 
 
-def ivfpq_topk_persisted(
-    spark,
-    index_path: str,
-    queries_df: DataFrame,
-    k: int = 5,
-    nprobe: int = 2,
-    rerank: int = 32,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    round_digits: int = 4,
-) -> DataFrame:
-    """Probe-only IVF-PQ top-k over an ``ivfpq_index_write`` index —
-    the 100 TB serving shape made literal: centroids and codebooks come
-    back via two bounded collects (n_centroids and m×codes rows) and
-    re-enter the plan as parsed literals; the code-only LISTS table is
-    scanned with a STATIC list_id partition filter (probed ids are a
-    ≤ n_centroids-row collect, so pruning happens at planning time);
-    PQ reconstruction + ADC ranking are narrow maps over those m-byte
-    codes; and ONLY the per-query ``rerank`` shortlist joins the
-    full-vector store by id for the exact re-score — the scan that
-    reads floats is shortlist-sized, never corpus-sized.  Output is
-    bit-identical to ``ivfpq_topk`` (shared literal builders,
-    test-pinned)."""
+def _read_ivfpq_model(spark, index_path: str):
+    """Bounded read-back of a persisted IVF-PQ model: (cent_rows, books,
+    m) from two tiny parquet collects (n_centroids and m×codes rows)."""
     import os
 
     cents = sorted(
@@ -1011,6 +1025,70 @@ def ivfpq_topk_persisted(
         ]
         for j in range(m)
     ]
+    return cents, books, m
+
+
+def ivfpq_index_append(
+    spark,
+    index_path: str,
+    shard_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF-PQ maintenance: encode a new corpus drop under
+    the FROZEN model (centroids + codebooks read back from the index —
+    neither retrains, so existing codes stay valid) and partition-append
+    its (c_id, c_n, pq_codes) rows into lists/ plus full vectors into
+    vectors/.  Cost is O(shard); a grown index probes identically to a
+    single-shot build over the union (test-pinned), because assignment
+    and encoding are pure per-row functions of (vector, model)."""
+    import os
+
+    from paas_auditor_spark.operators.quantize import pq_assign
+
+    cents, books, m = _read_ivfpq_model(spark, index_path)
+    cvec = shard_df.select(
+        F.col(id_col).alias("c_id"),
+        _to_double(F.col(vec_col)).alias("c_v"),
+    ).withColumn("c_n", l2_norm(F.col("c_v")))
+    assigned = cvec.withColumn(
+        "list_id", F.expr(_nearest_lists_sql(cents, "c_v", "c_n", 1))[0]
+    )
+    encoded = pq_assign(assigned, books, vec_col="c_v")
+    encoded.select("c_id", "c_n", "pq_codes", "list_id").write.mode(
+        "append"
+    ).partitionBy("list_id").parquet(os.path.join(index_path, "lists"))
+    cvec.select("c_id", F.col("c_v").alias("vec")).write.mode(
+        "append"
+    ).parquet(os.path.join(index_path, "vectors"))
+
+
+def ivfpq_topk_persisted(
+    spark,
+    index_path: str,
+    queries_df: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    rerank: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Probe-only IVF-PQ top-k over an ``ivfpq_index_write`` index —
+    the 100 TB serving shape made literal: centroids and codebooks come
+    back via two bounded collects (n_centroids and m×codes rows) and
+    re-enter the plan as parsed literals; the code-only LISTS table is
+    scanned with a STATIC list_id partition filter (probed ids are a
+    ≤ n_centroids-row collect, so pruning happens at planning time);
+    PQ reconstruction + ADC ranking are narrow maps over those m-byte
+    codes; and ONLY the per-query ``rerank`` shortlist joins the
+    full-vector store by id for the exact re-score — the scan that
+    reads floats is shortlist-sized, never corpus-sized.  Output is
+    bit-identical to ``ivfpq_topk`` (shared literal builders,
+    test-pinned)."""
+    import os
+
+    cents, books, m = _read_ivfpq_model(spark, index_path)
 
     probes = (
         queries_df.select(
@@ -1452,9 +1530,11 @@ __all__ = [
     "embedding_near_duplicates",
     "embedding_near_duplicates_lsh",
     "hyperplane_bucket",
+    "ivf_index_append",
     "ivf_index_write",
     "ivf_topk",
     "ivf_topk_persisted",
+    "ivfpq_index_append",
     "ivfpq_index_write",
     "ivfpq_topk",
     "ivfpq_topk_persisted",

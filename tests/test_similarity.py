@@ -290,6 +290,74 @@ def test_ivf_persisted_equals_in_memory_and_prunes(spark, sf_dir, tmp_path):
     assert list(got.columns) == list(want.columns)
 
 
+def test_ivf_index_append_equals_single_shot_build(spark, sf_dir, tmp_path):
+    """Growing a persisted IVF index shard-by-shard must probe
+    IDENTICALLY to building it in one shot over the union — the
+    quantizer never retrains, so assignment is a pure per-row function
+    and append order cannot matter.  Also checks the append only wrote
+    the shard's rows (incremental cost contract)."""
+    import pyspark.sql.functions as F
+
+    from paas_auditor_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_write,
+        ivf_topk_persisted,
+    )
+    from paas_auditor_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    full_path = str(tmp_path / "ivf_full")
+    grown_path = str(tmp_path / "ivf_grown")
+    ivf_index_write(emb, full_path, n_centroids=8)
+    ivf_index_write(emb.filter(F.col("vec_id") < 300), grown_path, n_centroids=8)
+    before = spark.read.parquet(grown_path + "/lists").count()
+    ivf_index_append(spark, grown_path, emb.filter(F.col("vec_id") >= 300))
+    after = spark.read.parquet(grown_path + "/lists").count()
+    assert after - before == emb.filter(F.col("vec_id") >= 300).count()
+    assert after == emb.count()
+
+    got = ivf_topk_persisted(spark, grown_path, queries, k=5, nprobe=2).toPandas()
+    want = ivf_topk_persisted(spark, full_path, queries, k=5, nprobe=2).toPandas()
+    assert got.values.tolist() == want.values.tolist()
+
+
+def test_ivfpq_index_append_equals_single_shot_build(spark, sf_dir, tmp_path):
+    """IVF-PQ incremental append under the FROZEN model must probe
+    identically to a single-shot build — valid here because the initial
+    shard (vec_id < 300) contains the training prefix (first 256 by
+    id), so both indexes carry the same centroids and codebooks; the
+    shard's codes are then a pure per-row function of the model."""
+    import pyspark.sql.functions as F
+
+    from paas_auditor_spark.operators.similarity import (
+        ivfpq_index_append,
+        ivfpq_index_write,
+        ivfpq_topk_persisted,
+    )
+    from paas_auditor_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    full_path = str(tmp_path / "ivfpq_full")
+    grown_path = str(tmp_path / "ivfpq_grown")
+    ivfpq_index_write(emb, full_path, n_centroids=8, m=4, codes=16)
+    ivfpq_index_write(
+        emb.filter(F.col("vec_id") < 300), grown_path, n_centroids=8, m=4, codes=16
+    )
+    ivfpq_index_append(spark, grown_path, emb.filter(F.col("vec_id") >= 300))
+    assert spark.read.parquet(grown_path + "/lists").count() == emb.count()
+    assert spark.read.parquet(grown_path + "/vectors").count() == emb.count()
+
+    got = ivfpq_topk_persisted(
+        spark, grown_path, queries, k=5, nprobe=2, rerank=32
+    ).toPandas()
+    want = ivfpq_topk_persisted(
+        spark, full_path, queries, k=5, nprobe=2, rerank=32
+    ).toPandas()
+    assert got.values.tolist() == want.values.tolist()
+
+
 def test_ivfpq_persisted_equals_in_memory_and_prunes(spark, sf_dir, tmp_path):
     """The persisted IVF-PQ probe must (a) return EXACTLY ivfpq_topk's
     frame — shared centroid/codebook literal builders make assignment,
