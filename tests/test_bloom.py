@@ -400,3 +400,121 @@ def test_words_persist_roundtrip_then_merge(spark, tmp_path):
         "bloom"
     ]
     assert bytes(merged) == bytes(direct)
+
+
+def test_streaming_gate_composes_with_sessionization(spark, tmp_path):
+    """The full curation-ingest composition (SURVEY §7 r7 carry-over
+    item 5): an unbounded MESSAGE stream is gated in-stream by the
+    incrementally-maintained bloom filter (words table appended by a
+    concurrent benchmark stream via bloom_words_collector; each message
+    micro-batch packs the CURRENT words table with bloom_blob_from_words
+    — zero shuffles), and the landed clean table sessionizes with
+    session_window.  Asserts: the contaminated message never lands, a
+    benchmark drop BETWEEN message batches changes only later batches'
+    gating, and the surviving messages fold into the right sessions."""
+    import datetime as dt
+    import os
+
+    from paas_auditor_spark.operators.bloom import (
+        bloom_blob_from_words,
+        bloom_contains,
+        bloom_words_collector,
+    )
+
+    bench_src = str(tmp_path / "bench_src")
+    msg_src = str(tmp_path / "msg_src")
+    words_path = str(tmp_path / "words")
+    clean_path = str(tmp_path / "clean")
+    os.makedirs(bench_src)
+    os.makedirs(msg_src)
+
+    # benchmark stream, day 1: "bad seed" is contaminated
+    spark.createDataFrame([("bad seed",)], "body string").coalesce(
+        1
+    ).write.mode("append").parquet(bench_src)
+    bq = (
+        spark.readStream.schema("body string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bench_src)
+        .writeStream.foreachBatch(
+            bloom_words_collector("body", words_path, m=M, k=K)
+        )
+        .option("checkpointLocation", str(tmp_path / "bq_ckpt"))
+        .start()
+    )
+
+    def gate_batch(batch_df, batch_id):
+        words = batch_df.sparkSession.read.parquet(words_path)
+        blob = bloom_blob_from_words(words, m=M, k=K)
+        batch_df.where(
+            ~bloom_contains(F.col("text"), blob, m=M, k=K)
+        ).write.mode("append").parquet(clean_path)
+
+    base = dt.datetime(2026, 3, 1, 12, 0, 0)
+
+    def drop_msgs(rows):
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, text string"
+        ).coalesce(1).write.mode("append").parquet(msg_src)
+
+    # message batch 1: one contaminated, two clean in one session,
+    # one clean 2h later (second session)
+    drop_msgs(
+        [
+            (1, base, "hello there"),
+            (1, base + dt.timedelta(minutes=10), "how are you"),
+            (1, base + dt.timedelta(hours=2), "new session msg"),
+            (2, base, "bad seed"),
+        ]
+    )
+    # drain the benchmark stream BEFORE the first message batch runs:
+    # the gate reads the words table at batch time, so the filter must
+    # exist before any message is gated (in production the words table
+    # is seeded at deploy; here day 1's drop plays that role)
+    bq.processAllAvailable()
+    mq = (
+        spark.readStream.schema("user_id long, ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(msg_src)
+        .writeStream.foreachBatch(gate_batch)
+        .option("checkpointLocation", str(tmp_path / "mq_ckpt"))
+        .start()
+    )
+    try:
+        mq.processAllAvailable()
+        # day-2 benchmark drop lands BETWEEN message batches
+        spark.createDataFrame(
+            [("spoiler text",)], "body string"
+        ).coalesce(1).write.mode("append").parquet(bench_src)
+        bq.processAllAvailable()
+        # message batch 2: the newly-benchmarked text must now be gated
+        drop_msgs(
+            [
+                (1, base + dt.timedelta(hours=2, minutes=5), "spoiler text"),
+                (2, base + dt.timedelta(hours=3), "clean follow up"),
+            ]
+        )
+        mq.processAllAvailable()
+    finally:
+        mq.stop()
+        bq.stop()
+
+    clean = spark.read.parquet(clean_path)
+    texts = {r["text"] for r in clean.collect()}
+    assert "bad seed" not in texts and "spoiler text" not in texts
+    assert texts == {"hello there", "how are you", "new session msg",
+                     "clean follow up"}
+    sessions = (
+        clean.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_msgs"))
+        .collect()
+    )
+    per_user = {}
+    for r in sessions:
+        per_user.setdefault(r["user_id"], []).append(r["n_msgs"])
+    # user 1: one 2-message session + one 1-message session; user 2's
+    # only surviving message is its own session
+    assert sorted(per_user[1]) == [1, 2]
+    assert per_user[2] == [1]
