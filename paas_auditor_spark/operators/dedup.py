@@ -715,15 +715,25 @@ def connected_components_star(
 
 
 def _dup_span_intervals(
-    docs_df: DataFrame, id_col: str, text_col: str, k: int
+    docs_df: DataFrame, id_col: str, text_col: str, k: int,
+    hash_bits: int = 64,
 ):
     """Shared front half of span-level exact-substring dedup (Lee et al.
-    2022): tokenize, hash every k-gram to 64 bits, find corpus-duplicated
-    grams (map-side-combined groupBy + LEFT SEMI back — AQE-skew-
-    splittable, never a count-over-window), and return
-    (sized, iv): per-doc token counts and the [s, e) duplicated-span
-    intervals.  ``duplicate_spans`` measures the interval union;
-    ``remove_duplicate_spans`` excises it."""
+    2022): tokenize, hash every k-gram, find corpus-duplicated grams
+    (map-side-combined groupBy + LEFT SEMI back — AQE-skew-splittable,
+    never a count-over-window), and return (sized, iv): per-doc token
+    counts and the [s, e) duplicated-span intervals.
+    ``duplicate_spans`` measures the interval union;
+    ``remove_duplicate_spans`` excises it.
+
+    ``hash_bits=64`` (default) sends one xxhash64 per gram —
+    collision odds ~m²/2⁶⁵, fine to ~10¹⁰ grams.  ``hash_bits=128``
+    sends a STRUCT of two independently-salted xxhash64 values — same
+    plan shape and shuffle keys (struct keys hash/compare natively),
+    16 bytes instead of 8, collision odds ~m²/2¹²⁹ — the true-100 TB
+    setting where the corpus holds 10¹¹+ grams."""
+    if hash_bits not in (64, 128):
+        raise ValueError(f"hash_bits must be 64 or 128, got {hash_bits}")
     docs = docs_df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     )
@@ -731,6 +741,14 @@ def _dup_span_intervals(
         "id", tokens(F.lower(F.col("text"))).alias("t")
     ).localCheckpoint(eager=False)
     sized = toked.select("id", F.size("t").alias("n_tokens"), "t")
+    def gram_hash(gram_str):
+        if hash_bits == 64:
+            return F.xxhash64(gram_str)
+        return F.struct(
+            F.xxhash64(gram_str).alias("h1"),
+            F.xxhash64(gram_str, F.lit(1)).alias("h2"),
+        )
+
     grams = (
         sized.filter(F.col("n_tokens") >= k)
         .select(
@@ -740,7 +758,7 @@ def _dup_span_intervals(
                     F.sequence(F.lit(0), F.col("n_tokens") - k),
                     lambda i: F.struct(
                         i.alias("pos"),
-                        F.xxhash64(
+                        gram_hash(
                             F.concat_ws(" ", F.slice("t", i + 1, F.lit(k)))
                         ).alias("gh"),
                     ),
@@ -766,6 +784,7 @@ def duplicate_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
+    hash_bits: int = 64,
 ) -> DataFrame:
     """Per-document duplicated-substring coverage at k-token granularity —
     the span-level exact-substring dedup signal of Lee et al. 2022
@@ -791,7 +810,7 @@ def duplicate_spans(
     union is the classic sorted-interval sweep as a per-doc running-max
     window — per-doc data, never global.  No collect anywhere.
     """
-    sized, iv = _dup_span_intervals(docs_df, id_col, text_col, k)
+    sized, iv = _dup_span_intervals(docs_df, id_col, text_col, k, hash_bits)
     # interval union per doc: pos is unique within a doc, so the ORDER BY
     # is total and the ROWS frame deterministic
     prev = (
@@ -832,6 +851,7 @@ def remove_duplicate_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
+    hash_bits: int = 64,
 ) -> DataFrame:
     """The TRANSFORMATION half of Lee et al. 2022 (arXiv:2107.06499
     §4, "ExactSubstr" deduplication): ``duplicate_spans`` measures
@@ -855,7 +875,7 @@ def remove_duplicate_spans(
     aggregate — the chat_assembly pattern: no window, no global sort,
     aggregation buffer bounded by one document's tokens.  Nothing
     reaches the driver."""
-    sized, iv = _dup_span_intervals(docs_df, id_col, text_col, k)
+    sized, iv = _dup_span_intervals(docs_df, id_col, text_col, k, hash_bits)
     covered = iv.select(
         "id",
         F.explode(F.sequence(F.col("s"), F.col("e") - 1)).alias("pos"),

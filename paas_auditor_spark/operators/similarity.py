@@ -1390,8 +1390,17 @@ def kmeans_assign(
                 ).alias("cv")
             )
         )
+        # re-centered coordinates are rounded to 9dp at the iteration
+        # barrier: the mean's float summation order is engine-specific
+        # in the last ~1e-13, and over iterations that ulp noise can
+        # flip a near-tie assignment — rounding far above the noise
+        # floor but far below any geometric signal makes every round's
+        # centroids (and therefore the whole trajectory) an exact
+        # cross-engine closed form, which is what lets q_kmeans carry a
+        # full unrolled SQL oracle instead of a rows-only check
         cents = [
-            (r["cluster_id"], list(r["cv"])) for r in new_cents.collect()
+            (r["cluster_id"], [round(x, 9) for x in r["cv"]])
+            for r in new_cents.collect()
         ]
 
     final = assign(cents)

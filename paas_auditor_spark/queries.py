@@ -917,10 +917,12 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means cluster assignment over the embeddings corpus —
-    iterative algorithm (broadcast assign + k×dim re-center per round);
-    rows-only check (float summation order makes exact centroid values
-    engine-specific); convergence pinned by unit tests on constructed
-    clusters."""
+    iterative algorithm (broadcast assign + k×dim re-center per round).
+    Since r6 the operator rounds re-centered coordinates to 9dp at each
+    iteration barrier (far above float noise, far below geometric
+    signal), which makes the whole trajectory a cross-engine closed
+    form — so it carries a full exact oracle: _oracle_kmeans unrolls
+    the 3 Lloyd rounds as a CTE chain (the pagerank convention)."""
     emb = _th(spark, sf_dir, "embeddings")
     return similarity.kmeans_assign(emb, k=8, max_iter=3).orderBy("vec_id")
 
@@ -1546,6 +1548,56 @@ def _oracle_embedding_lsh(
         WHERE cos_sim >= {threshold}
         ORDER BY id_a, id_b
         """
+
+
+def _oracle_kmeans(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Exact SQL replay of kmeans_assign (Lloyd's, ``iters`` rounds
+    unrolled as a CTE chain — the pagerank convention applied to the
+    second iterative operator).  Valid because the operator rounds each
+    re-centered coordinate to 9dp at the iteration barrier: both
+    engines' per-round means agree exactly after the round (summation-
+    order noise is ~1e-13, four orders below the rounding grain), so
+    the full trajectory is a cross-engine closed form."""
+
+    def assign(cents: str, out: str) -> str:
+        return f"""
+        {out} AS (
+          SELECT vec_id, e, cid FROM (
+            SELECT v.vec_id, v.e, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     list_sum(list_transform(c.cv, x -> x * x))
+                       - 2 * list_dot_product(v.e, c.cv) ASC,
+                     c.cid ASC) AS r
+            FROM v CROSS JOIN {cents} c) WHERE r = 1)"""
+
+    def recenter(a: str, out: str) -> str:
+        return f"""
+        {out} AS (
+          SELECT cid, list(mv ORDER BY d) AS cv FROM (
+            SELECT a.cid, d, round(avg(a.e[d]), 9) AS mv
+            FROM {a} a, unnest(generate_series(1, {dim})) AS t(d)
+            GROUP BY a.cid, d) GROUP BY cid)"""
+
+    ctes = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, e AS cv FROM v WHERE vec_id < {k})",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(assign(f"c{i - 1}", f"a{i}"))
+        ctes.append(recenter(f"a{i}", f"c{i}"))
+    ctes.append(assign(f"c{iters}", "af"))
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"""
+        SELECT af.vec_id, CAST(af.cid AS BIGINT) AS cluster_id,
+               round(list_sum(list_transform(c.cv, x -> x * x))
+                     - 2 * list_dot_product(af.e, c.cv)
+                     + list_dot_product(af.e, af.e), 4) AS dist2
+        FROM af JOIN c{iters} c USING (cid)
+        ORDER BY af.vec_id
+        """
+    )
 
 
 def _oracle_knn_lsh(k: int = 5, n_planes: int = 6) -> str:
@@ -6752,7 +6804,7 @@ REGISTRY: dict[str, QuerySpec] = {
         ORDER BY span_user, day
         """,
     ),
-    "kmeans": QuerySpec(q_kmeans, None),
+    "kmeans": QuerySpec(q_kmeans, _oracle_kmeans()),
     "value_stats": QuerySpec(
         q_value_stats,
         """

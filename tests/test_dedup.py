@@ -426,3 +426,30 @@ def test_dedup_pipeline_full_invariants(spark, sf_dir):
     )
     total_removed = sum(rem for _, rem, _ in per_source.values())
     assert total_removed == n_members - n_multi
+
+
+def test_duplicate_spans_128bit_hash_agrees_with_64(spark, sf_dir):
+    """The 128-bit gram-hash setting (true-100 TB collision odds) must
+    change ONLY the key width: coverage and removal results are
+    identical to the 64-bit default wherever neither collides — i.e.
+    everywhere at test scale."""
+    from paas_auditor_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+    from paas_auditor_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = duplicate_spans(docs, k=8).orderBy("doc_id").toPandas()
+    b = duplicate_spans(docs, k=8, hash_bits=128).orderBy("doc_id").toPandas()
+    assert a.values.tolist() == b.values.tolist()
+    ra = remove_duplicate_spans(docs, k=8).orderBy("doc_id").toPandas()
+    rb = remove_duplicate_spans(docs, k=8, hash_bits=128).orderBy(
+        "doc_id"
+    ).toPandas()
+    assert ra.values.tolist() == rb.values.tolist()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="hash_bits"):
+        duplicate_spans(docs, k=8, hash_bits=96).collect()
