@@ -56,6 +56,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "BLOOM_SCHEME",
     "bloom_assemble",
     "bloom_blob_from_words",
     "bloom_blob_literal",
@@ -66,6 +67,7 @@ __all__ = [
     "bloom_merge",
     "bloom_words",
     "bloom_words_collector",
+    "bloom_words_read",
 ]
 
 
@@ -86,11 +88,20 @@ def bloom_bit_pos(key: Column, j: int, m: int) -> Column:
     return (h1 + F.lit(j) * h2) % m
 
 
+# Version tag of the bit-position scheme, carried by every persisted
+# words relation: "km1" = Kirsch-Mitzenmacher double hashing
+# (bloom_bit_pos).  Geometry (m, k) alone cannot distinguish a table
+# built under a DIFFERENT position formula — same length, misaligned
+# bits, silent false negatives — so validators reject any words table
+# whose scheme column is missing (pre-versioning build) or different.
+BLOOM_SCHEME = "km1"
+
+
 def bloom_words(
     keys: DataFrame, key_col: str, m: int = 1 << 20, k: int = 4
 ) -> DataFrame:
-    """The MERGEABLE form of the filter: a sparse (w, bits, m, k)
-    relation — word index, 64 bits of that word — holding every set bit,
+    """The MERGEABLE form of the filter: a sparse (w, bits, m, k,
+    scheme) relation — word index, 64 bits of that word — holding every set bit,
     plus the filter GEOMETRY (m, k) as constant columns so a persisted
     table is self-describing: ``bloom_merge``/``bloom_assemble`` verify
     every input was built under the same (m, k) instead of inferring
@@ -131,15 +142,38 @@ def bloom_words(
             "bits",
             F.lit(m).cast("long").alias("m"),
             F.lit(k).cast("int").alias("k"),
+            F.lit(BLOOM_SCHEME).alias("scheme"),
         )
     )
 
 
+def _check_scheme(words_df: DataFrame) -> None:
+    """Reject a words table built under a different (or unversioned)
+    bit-position scheme — identical geometry under a different formula
+    probes misaligned bits: silent false negatives, the one failure
+    mode Bloom must never have."""
+    if "scheme" not in words_df.columns:
+        raise ValueError(
+            "words table carries no scheme column: it was persisted "
+            f"under a pre-{BLOOM_SCHEME} position scheme and its bits "
+            f"do not align with {BLOOM_SCHEME} probes; rebuild it with "
+            "bloom_words"
+        )
+    schemes = {r["scheme"] for r in words_df.select("scheme").distinct().collect()}
+    if schemes != {BLOOM_SCHEME}:
+        raise ValueError(
+            f"words table was built under position scheme(s) "
+            f"{sorted(schemes)}; this build probes {BLOOM_SCHEME!r} — "
+            "rebuild the table with bloom_words"
+        )
+
+
 def _words_geometry(words_df: DataFrame) -> tuple[int, int]:
     """Read the (m, k) geometry a words relation was built under,
-    refusing a mixed table.  The collect is bounded by the number of
-    DISTINCT geometries (1 in any valid table), never by filter or key
-    size."""
+    refusing a mixed table or a foreign position scheme.  The collects
+    are bounded by the number of DISTINCT geometries/schemes (1 in any
+    valid table), never by filter or key size."""
+    _check_scheme(words_df)
     rows = words_df.select("m", "k").distinct().collect()
     if len(rows) != 1:
         geos = sorted((int(r["m"]), int(r["k"])) for r in rows)
@@ -160,6 +194,11 @@ def bloom_merge(*word_tables: DataFrame) -> DataFrame:
     have."""
     if not word_tables:
         raise ValueError("bloom_merge needs at least one word table")
+    # per-input scheme check BEFORE the union: a legacy table (no scheme
+    # column) would otherwise surface as an opaque union-schema error
+    # instead of the actionable rebuild message
+    for t in word_tables:
+        _check_scheme(t)
     merged = word_tables[0]
     for t in word_tables[1:]:
         merged = merged.unionByName(t)
@@ -172,6 +211,7 @@ def bloom_merge(*word_tables: DataFrame) -> DataFrame:
             "bits",
             F.lit(m).cast("long").alias("m"),
             F.lit(k).cast("int").alias("k"),
+            F.lit(BLOOM_SCHEME).alias("scheme"),
         )
     )
 
@@ -323,7 +363,21 @@ def bloom_blob_from_words(
     against the caller's (m, k) expectation here.  This is the hot path
     for a probe-only decontamination run; keep ``bloom_assemble`` when
     the blob itself must stay a relation (e.g. written to a table)."""
-    rows = words_df.select("w", "bits", "m", "k").collect()
+    if "scheme" not in words_df.columns:
+        raise ValueError(
+            "words table carries no scheme column: it was persisted "
+            f"under a pre-{BLOOM_SCHEME} position scheme and its bits "
+            f"do not align with {BLOOM_SCHEME} probes; rebuild it with "
+            "bloom_words"
+        )
+    rows = words_df.select("w", "bits", "m", "k", "scheme").collect()
+    schemes = {r["scheme"] for r in rows}
+    if schemes and schemes != {BLOOM_SCHEME}:
+        raise ValueError(
+            f"words table was built under position scheme(s) "
+            f"{sorted(schemes)}; this build probes {BLOOM_SCHEME!r} — "
+            "rebuild the table with bloom_words"
+        )
     geos = {(int(r["m"]), int(r["k"])) for r in rows}
     if len(geos) > 1:
         raise ValueError(
@@ -355,23 +409,52 @@ def bloom_blob_from_words(
 
 def bloom_words_collector(key_col: str, path: str, m: int = 1 << 20, k: int = 4):
     """foreachBatch hook for INCREMENTAL filter maintenance: each
-    micro-batch of new benchmark keys appends its own (w, bits, m, k)
-    words relation to ``path`` — nothing is rebuilt from keys, ever.
-    Readers get the merged filter for free: ``bloom_assemble`` on the
-    parquet dir folds the per-batch rows with the same bit_or the
-    explicit ``bloom_merge`` uses (OR is associative), and the carried
-    geometry columns reject a mixed-(m, k) append.  Gate refresh is the
-    reader's choice — re-assemble when the words table grows (cheap:
-    O(m/64) rows), keep probing the old literal otherwise.  Delivery is
-    at-least-once-safe: a replayed batch re-appends identical rows and
-    bit_or absorbs them."""
+    micro-batch of new benchmark keys lands its own (w, bits, m, k,
+    scheme) words relation under ``path`` — nothing is rebuilt from
+    keys, ever.  Readers get the merged filter for free:
+    ``bloom_assemble`` over ``bloom_words_read(path)`` folds the
+    per-batch rows with the same bit_or the explicit ``bloom_merge``
+    uses (OR is associative), and the carried geometry/scheme columns
+    reject a mixed-(m, k) or foreign-scheme append.  Gate refresh is
+    the reader's choice — re-assemble when the table grows (cheap:
+    O(m/64) rows), keep probing the old literal otherwise.
+
+    Concurrency contract: each batch writes to a dot-prefixed tmp
+    directory (invisible to Spark readers) and is atomically RENAMED to
+    ``batch-<id>`` — so a concurrent reader sees whole batches or
+    nothing, never a half-committed file set (a torn read would pack a
+    literal missing some of the batch's bits: false negatives).  Rename
+    is atomic on local/HDFS paths; on object stores swap the rename for
+    a commit-marker ( _SUCCESS-gated read), same contract.  Delivery is
+    at-least-once-safe twice over: a replayed batch finds its committed
+    directory and skips, and even a duplicate append would only re-OR
+    identical bits."""
+    import os
+    import shutil
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        bloom_words(batch_df, key_col, m=m, k=k).write.mode("append").parquet(
-            path
-        )
+        final = os.path.join(path, f"batch-{batch_id}")
+        if os.path.isdir(final):
+            return  # replayed batch: already committed
+        tmp = os.path.join(path, f".batch-{batch_id}.tmp")
+        bloom_words(batch_df, key_col, m=m, k=k).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost a concurrent race
 
     return write_batch
+
+
+def bloom_words_read(spark, path: str) -> DataFrame:
+    """Snapshot-consistent read of a collector-maintained words
+    directory: recursiveFileLookup picks up every committed
+    ``batch-<id>`` subdirectory while Spark's hidden-path rule skips the
+    dot-prefixed tmp dirs still being written — the read half of
+    ``bloom_words_collector``'s whole-batches-or-nothing contract."""
+    return spark.read.option("recursiveFileLookup", "true").parquet(path)
 
 
 def bloom_contains(

@@ -696,11 +696,18 @@ def ivf_topk_persisted(
     w = Window.partitionBy("q_id").orderBy(
         F.col("c_sim").desc(), F.col("centroid_id").asc()
     )
+    # localCheckpoint: TWO consumers read this relation (the probed-ids
+    # collect below and the final broadcast join), and without the cut
+    # the assignment subplan would execute twice — worse, a
+    # nondeterministic queries_df (sample(), unordered limit()) could
+    # assign differently per execution and make the static partition
+    # filter disagree with the in-plan probes, silently dropping
+    # candidates.  The checkpoint pins ONE materialization for both.
     probes = (
         q_scored.withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= nprobe)
         .select("q_id", "q_v", "q_n", "centroid_id")
-    )
+    ).localCheckpoint(eager=False)
     # bounded collect: ≤ n_centroids distinct list ids, independent of
     # corpus and query cardinality — the price of a static partition filter
     probed_ids = [
@@ -1090,6 +1097,11 @@ def ivfpq_topk_persisted(
 
     cents, books, m = _read_ivfpq_model(spark, index_path)
 
+    # localCheckpoint: same dual-consumer contract as ivf_topk_persisted
+    # — the probed-ids collect and the broadcast join must read ONE
+    # materialization of the assignment, or a nondeterministic
+    # queries_df could desynchronize the static partition filter from
+    # the in-plan probes
     probes = (
         queries_df.select(
             F.col(id_col).alias("q_id"),
@@ -1102,7 +1114,7 @@ def ivfpq_topk_persisted(
                 F.expr(_nearest_lists_sql(cents, "q_v", "q_n", nprobe))
             ),
         )
-    )
+    ).localCheckpoint(eager=False)
     # bounded collect: ≤ n_centroids distinct probed lists → static
     # partition filter on the code-only lists table
     probed_ids = [

@@ -1095,6 +1095,20 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_duplicates(docs).orderBy("text_hash")
 
 
+def _jaccard_cc_edges(docs: DataFrame) -> DataFrame:
+    """Shared Jaccard-edge build for the bounded dedup-cluster family
+    (q_dedup_clusters / _star / _keep_best): all-pairs over the
+    doc_id < 80 slice, 3-word shingles, threshold 0.7 — ONE definition
+    so the three consumers can never drift from each other or from the
+    shared recursive-CTE oracle (_DEDUP_CC_CTES), whose constants
+    mirror these."""
+    ids_a = docs.select(F.col("doc_id").alias("id_a"))
+    ids_b = docs.select(F.col("doc_id").alias("id_b"))
+    pairs = ids_a.join(ids_b, F.col("id_a") < F.col("id_b"))
+    sims = dedup.jaccard_pairs(docs, pairs, shingle_k=3)
+    return sims.filter(F.col("jaccard") >= 0.7).select("id_a", "id_b")
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: Jaccard edges → connected components (iterative
     min-label propagation) → (doc_id, cluster_id) with cluster_id = min doc
@@ -1103,11 +1117,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bounded to doc_id < 80 so the exact all-pairs edge build stays small —
     at scale the edge input comes from minhash_near_duplicates instead."""
     docs = _th(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
-    ids_a = docs.select(F.col("doc_id").alias("id_a"))
-    ids_b = docs.select(F.col("doc_id").alias("id_b"))
-    pairs = ids_a.join(ids_b, F.col("id_a") < F.col("id_b"))
-    sims = dedup.jaccard_pairs(docs, pairs, shingle_k=3)
-    edges = sims.filter(F.col("jaccard") >= 0.7).select("id_a", "id_b")
+    edges = _jaccard_cc_edges(docs)
     cc = dedup.connected_components(
         edges, nodes=docs.select("doc_id"), src="id_a", dst="id_b"
     )
@@ -1124,11 +1134,7 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     so adversarially chained near-dup graphs can't stall it.  Identical
     output contract, same recursive-CTE oracle."""
     docs = _th(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
-    ids_a = docs.select(F.col("doc_id").alias("id_a"))
-    ids_b = docs.select(F.col("doc_id").alias("id_b"))
-    pairs = ids_a.join(ids_b, F.col("id_a") < F.col("id_b"))
-    sims = dedup.jaccard_pairs(docs, pairs, shingle_k=3)
-    edges = sims.filter(F.col("jaccard") >= 0.7).select("id_a", "id_b")
+    edges = _jaccard_cc_edges(docs)
     cc = dedup.connected_components_star(
         edges, nodes=docs.select("doc_id"), src="id_a", dst="id_b"
     )
@@ -1150,11 +1156,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cluster_id, quality, id) triples shuffle, never payloads).  Output:
     one row per cluster with the kept doc and the member count."""
     docs = _th(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
-    ids_a = docs.select(F.col("doc_id").alias("id_a"))
-    ids_b = docs.select(F.col("doc_id").alias("id_b"))
-    pairs = ids_a.join(ids_b, F.col("id_a") < F.col("id_b"))
-    sims = dedup.jaccard_pairs(docs, pairs, shingle_k=3)
-    edges = sims.filter(F.col("jaccard") >= 0.7).select("id_a", "id_b")
+    edges = _jaccard_cc_edges(docs)
     cc = dedup.connected_components(
         edges, nodes=docs.select("doc_id"), src="id_a", dst="id_b"
     )
@@ -1652,30 +1654,54 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("rank", "knn_rank")
 
 
-def _ivf_index_cached(spark: SparkSession, sf_dir: str, n_centroids: int) -> str:
-    """Build-or-reuse the persisted IVF index
-    (operators/similarity.py:ivf_index_write) for this corpus file.
-    Cache keyed by the embeddings file's identity (path + mtime) and the
-    centroid count, built to a temp dir and atomically renamed — the
-    same regenerate-on-staleness contract as _bloom_words_cached."""
+def _cached_artifact(ident: str, prefix: str, build) -> str:
+    """Build-once cache shared by every persisted bench artifact (bloom
+    words, IVF/IVF-PQ indexes): ``ident`` keys the cache (source path +
+    mtime + parameters, so regenerated testdata or different parameters
+    rebuild instead of reading stale bits), ``build(tmp_path)`` writes
+    into a fresh tmp dir, and an atomic rename publishes it — a
+    concurrent builder loses the rename and discards its (bit-identical
+    by construction) copy.  The tmp dir is removed on ANY failure, not
+    just the rename race, so an interrupted build can't leak."""
     import hashlib
     import os
     import shutil
     import tempfile
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    ident = f"ivf1:{os.path.abspath(src)}:{os.stat(src).st_mtime_ns}:{n_centroids}"
     tag = hashlib.md5(ident.encode()).hexdigest()[:16]
-    path = os.path.join(tempfile.gettempdir(), f"paas_ivf_index_{tag}")
+    path = os.path.join(tempfile.gettempdir(), f"{prefix}{tag}")
     if not os.path.isdir(path):
-        emb = _t(spark, sf_dir, "embeddings")
         tmp = f"{path}.tmp{os.getpid()}"
-        similarity.ivf_index_write(emb, tmp, n_centroids=n_centroids)
         try:
-            os.rename(tmp, path)
-        except OSError:
+            build(tmp)
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                pass  # lost the publish race; identical copy discarded
+        finally:
             shutil.rmtree(tmp, ignore_errors=True)
     return path
+
+
+def _src_ident(sf_dir: str, table: str, *params) -> str:
+    """Cache-identity string: absolute source path + mtime + parameters."""
+    import os
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    parts = ":".join(str(p) for p in params)
+    return f"{os.path.abspath(src)}:{os.stat(src).st_mtime_ns}:{parts}"
+
+
+def _ivf_index_cached(spark: SparkSession, sf_dir: str, n_centroids: int) -> str:
+    """Build-or-reuse the persisted IVF index
+    (operators/similarity.py:ivf_index_write) for this corpus file."""
+    return _cached_artifact(
+        "ivf1:" + _src_ident(sf_dir, "embeddings", n_centroids),
+        "paas_ivf_index_",
+        lambda tmp: similarity.ivf_index_write(
+            _t(spark, sf_dir, "embeddings"), tmp, n_centroids=n_centroids
+        ),
+    )
 
 
 def q_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1704,31 +1730,19 @@ def _ivfpq_index_cached(
     spark: SparkSession, sf_dir: str, n_centroids: int, m: int, codes: int
 ) -> str:
     """Build-or-reuse the persisted IVF-PQ index
-    (operators/similarity.py:ivfpq_index_write); same identity-keyed
-    atomic-rename cache contract as _ivf_index_cached."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    ident = (
-        f"ivfpq1:{os.path.abspath(src)}:{os.stat(src).st_mtime_ns}:"
-        f"{n_centroids}:{m}:{codes}"
+    (operators/similarity.py:ivfpq_index_write); same _cached_artifact
+    contract as _ivf_index_cached."""
+    return _cached_artifact(
+        "ivfpq1:" + _src_ident(sf_dir, "embeddings", n_centroids, m, codes),
+        "paas_ivfpq_index_",
+        lambda tmp: similarity.ivfpq_index_write(
+            _t(spark, sf_dir, "embeddings"),
+            tmp,
+            n_centroids=n_centroids,
+            m=m,
+            codes=codes,
+        ),
     )
-    tag = hashlib.md5(ident.encode()).hexdigest()[:16]
-    path = os.path.join(tempfile.gettempdir(), f"paas_ivfpq_index_{tag}")
-    if not os.path.isdir(path):
-        emb = _t(spark, sf_dir, "embeddings")
-        tmp = f"{path}.tmp{os.getpid()}"
-        similarity.ivfpq_index_write(
-            emb, tmp, n_centroids=n_centroids, m=m, codes=codes
-        )
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-    return path
 
 
 def q_knn_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2678,18 +2692,8 @@ def _bloom_words_cached(spark: SparkSession, sf_dir: str, m: int, k: int):
     build-to-temp + atomic rename — a concurrent builder loses the
     rename and discards its copy (both copies are bit-identical: the
     build is md5-deterministic)."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    # "km1" = the Kirsch–Mitzenmacher position scheme; bumping the tag
-    # invalidates caches built under a different bit-position formula
-    ident = f"km1:{os.path.abspath(src)}:{os.stat(src).st_mtime_ns}:{m}:{k}"
-    tag = hashlib.md5(ident.encode()).hexdigest()[:16]
-    path = os.path.join(tempfile.gettempdir(), f"paas_bloom_words_{tag}")
-    if not os.path.isdir(path):
+    def build(tmp: str) -> None:
         from paas_auditor_spark.operators.bloom import bloom_words
 
         docs = _th(spark, sf_dir, "documents")
@@ -2699,14 +2703,18 @@ def _bloom_words_cached(spark: SparkSession, sf_dir: str, m: int, k: int):
         # no .distinct(): bit_or is idempotent, duplicate grams cost
         # nothing while a distinct would be one more full gram shuffle
         bench = grams.filter(F.col("doc_id") % 97 == 0).select("g")
-        tmp = f"{path}.tmp{os.getpid()}"
         bloom_words(bench, "g", m=m, k=k).coalesce(1).write.mode(
             "overwrite"
         ).parquet(tmp)
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
+
+    # "km1s" = the Kirsch–Mitzenmacher position scheme + scheme column;
+    # bumping the tag invalidates caches built under a different
+    # bit-position formula or layout
+    path = _cached_artifact(
+        "km1s:" + _src_ident(sf_dir, "documents", m, k),
+        "paas_bloom_words_",
+        build,
+    )
     return spark.read.parquet(path)
 
 
@@ -3762,27 +3770,25 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_s = Window.orderBy(F.col("s").desc(), "doc_id")
     sparse = sparse_top.withColumn("r_sparse", F.row_number().over(w_s))
-    qv = emb.filter(F.col("vec_id") == 0).select(
-        similarity._to_double(F.col("embedding")).alias("qv")
+    # norms precomputed ONCE per relation (the _normed/ivf convention):
+    # the query norm is a constant riding in the 1-row broadcast, and the
+    # corpus cast/norm happen once per row instead of per use
+    qv = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(similarity._to_double(F.col("embedding")).alias("qv"))
+        .withColumn("q_n", similarity.l2_norm(F.col("qv")))
     )
-    dense_all = (
-        emb.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(qv))
-        .select(
-            F.col("vec_id").alias("doc_id"),
-            F.round(
-                similarity.dot(
-                    similarity._to_double(F.col("embedding")), F.col("qv")
-                )
-                / (
-                    similarity.l2_norm(
-                        similarity._to_double(F.col("embedding"))
-                    )
-                    * similarity.l2_norm(F.col("qv"))
-                ),
-                4,
-            ).alias("d"),
-        )
+    corpus = emb.filter(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("doc_id"),
+        similarity._to_double(F.col("embedding")).alias("cv"),
+    ).withColumn("c_n", similarity.l2_norm(F.col("cv")))
+    dense_all = corpus.crossJoin(F.broadcast(qv)).select(
+        "doc_id",
+        F.round(
+            similarity.dot(F.col("cv"), F.col("qv"))
+            / (F.col("c_n") * F.col("q_n")),
+            4,
+        ).alias("d"),
     )
     dense_top = dense_all.orderBy(F.col("d").desc(), "doc_id").limit(50)
     w_d = Window.orderBy(F.col("d").desc(), "doc_id")

@@ -183,6 +183,7 @@ def test_streaming_incremental_decontamination(spark, tmp_path):
         bloom_blob_literal,
         bloom_contains,
         bloom_words_collector,
+        bloom_words_read,
     )
 
     bench_src = str(tmp_path / "bench_stream")
@@ -208,14 +209,14 @@ def test_streaming_incremental_decontamination(spark, tmp_path):
     try:
         q.processAllAvailable()
         gate1 = bloom_blob_literal(
-            bloom_assemble(spark.read.parquet(words_path)), M
+            bloom_assemble(bloom_words_read(spark, words_path)), M
         )
 
         # batch 2: a NEW benchmark body lands in the stream
         drop_bench("day2", ["text piece 6"])
         q.processAllAvailable()
         gate2 = bloom_blob_literal(
-            bloom_assemble(spark.read.parquet(words_path)), M
+            bloom_assemble(bloom_words_read(spark, words_path)), M
         )
     finally:
         q.stop()
@@ -239,8 +240,10 @@ def test_streaming_incremental_decontamination(spark, tmp_path):
     assert new == {i for i in range(70) if i % 7 in (1, 4, 6)}
     # the words table holds per-batch appends (≥2 files' worth of rows),
     # merged at read time — nothing was rebuilt from keys
-    n_word_rows = spark.read.parquet(words_path).count()
-    n_distinct_w = spark.read.parquet(words_path).select("w").distinct().count()
+    n_word_rows = bloom_words_read(spark, words_path).count()
+    n_distinct_w = (
+        bloom_words_read(spark, words_path).select("w").distinct().count()
+    )
     assert n_word_rows >= n_distinct_w  # appends co-exist until assembled
 
 
@@ -419,6 +422,7 @@ def test_streaming_gate_composes_with_sessionization(spark, tmp_path):
         bloom_blob_from_words,
         bloom_contains,
         bloom_words_collector,
+        bloom_words_read,
     )
 
     bench_src = str(tmp_path / "bench_src")
@@ -444,7 +448,7 @@ def test_streaming_gate_composes_with_sessionization(spark, tmp_path):
     )
 
     def gate_batch(batch_df, batch_id):
-        words = batch_df.sparkSession.read.parquet(words_path)
+        words = bloom_words_read(batch_df.sparkSession, words_path)
         blob = bloom_blob_from_words(words, m=M, k=K)
         batch_df.where(
             ~bloom_contains(F.col("text"), blob, m=M, k=K)
@@ -518,3 +522,29 @@ def test_streaming_gate_composes_with_sessionization(spark, tmp_path):
     # only surviving message is its own session
     assert sorted(per_user[1]) == [1, 2]
     assert per_user[2] == [1]
+
+
+def test_scheme_column_rejects_legacy_and_foreign_tables(spark):
+    """Geometry alone can't catch a words table built under a DIFFERENT
+    bit-position formula (same m/k, misaligned bits → silent false
+    negatives), so every validator must reject (a) a legacy table with
+    no scheme column and (b) a table stamped with a foreign scheme."""
+    from paas_auditor_spark.operators.bloom import (
+        bloom_assemble,
+        bloom_blob_from_words,
+        bloom_merge,
+        bloom_words,
+    )
+
+    words = bloom_words(_keys(spark, 0, 50), "k", m=M, k=K)
+    legacy = words.drop("scheme")
+    foreign = words.withColumn("scheme", F.lit("salted-md5-v0"))
+    for bad, pat in ((legacy, "no scheme column"), (foreign, "scheme")):
+        with pytest.raises(ValueError, match=pat):
+            bloom_assemble(bad).collect()
+        with pytest.raises(ValueError, match=pat):
+            bloom_blob_from_words(bad, m=M, k=K)
+        with pytest.raises(ValueError, match=pat):
+            bloom_merge(words, bad).collect()
+    # and the happy path still round-trips
+    assert bloom_assemble(words).count() == 1
