@@ -101,8 +101,10 @@ HEADLINE = [
     "source_overlap",
     "packing_efficiency",
     "cms_estimate",
+    "quantile_sketch",
     "bloom_decontaminate",
     "bloom_decontaminate_persisted",
+    "bloom_pruned_join",
     "token_entropy",
     "hard_negatives",
     "skew_audit",

@@ -60,6 +60,7 @@ __all__ = [
     "bloom_assemble",
     "bloom_blob_from_words",
     "bloom_blob_literal",
+    "bloom_prune",
     "bloom_bit_pos",
     "bloom_bitmap",
     "bloom_contains",
@@ -71,34 +72,62 @@ __all__ = [
 ]
 
 
-def bloom_bit_pos(key: Column, j: int, m: int) -> Column:
+_MASK48 = (1 << 48) - 1
+
+
+def bloom_bit_pos(
+    key: Column, j: int, m: int, scheme: str = "km1"
+) -> Column:
     """Bit position of hash ``j`` for ``key``: Kirsch–Mitzenmacher
-    double hashing — ONE md5 per key, position_j = (h1 + j·h2) mod m
-    with h1/h2 the digest's first/second 48-bit halves ("Less Hashing,
+    double hashing — position_j = (h1 + j·h2) mod m ("Less Hashing,
     Same Performance", Kirsch & Mitzenmacher 2006: g_j = h1 + j·h2
-    preserves the Bloom FP asymptotics of k independent hashes).
-    Measured ~2× the per-j-salted-md5 scheme on the gram stream (the
-    md5 IS the probe's hot loop — k salted digests hash k× the bytes).
-    48-bit halves keep every intermediate exact: h1 + 3·h2 < 2^50, an
-    exact BIGINT on every engine (the dsir/weighted_sample conv trick),
-    and both halves are non-negative so ``%`` agrees across engines."""
-    digest = F.md5(key)
-    h1 = F.conv(F.substring(digest, 1, 12), 16, 10).cast("long")
-    h2 = F.conv(F.substring(digest, 13, 12), 16, 10).cast("long")
+    preserves the Bloom FP asymptotics of k independent hashes) — under
+    one of two h1/h2 derivations:
+
+    - ``km1`` (default): ONE md5 per key, h1/h2 the digest's first and
+      second 48-bit halves lifted via ``conv``.  ENGINE-PORTABLE — the
+      DuckDB oracle replays the identical positions, which is what the
+      decontamination gates need.  Measured ~2× the per-j-salted-md5
+      scheme (the md5 is the probe's hot loop); the two 12-hex-digit
+      ``conv`` lifts remain its own hot spot (~1.5 µs/row each).
+    - ``xx1``: two JVM-native ``xxhash64`` calls (seed-chained for
+      independence), masked to 48 bits — no string digest, no conv;
+      measured ~5× km1 probe throughput.  NOT replayable outside the
+      JVM, so reserve it for operators whose oracle never replays the
+      filter (join pruning, where the downstream exact join already
+      guarantees exactness).
+
+    Both mask to 48 bits so h1 + 3·h2 < 2^50 stays an exact,
+    non-negative BIGINT (``%`` then agrees across engines, and the sum
+    can never hit ANSI overflow)."""
+    if scheme == "km1":
+        digest = F.md5(key)
+        h1 = F.conv(F.substring(digest, 1, 12), 16, 10).cast("long")
+        h2 = F.conv(F.substring(digest, 13, 12), 16, 10).cast("long")
+    elif scheme == "xx1":
+        h1 = F.xxhash64(key).bitwiseAND(F.lit(_MASK48))
+        h2 = F.xxhash64(key, F.lit(1)).bitwiseAND(F.lit(_MASK48))
+    else:
+        raise ValueError(f"unknown bloom position scheme {scheme!r}")
     return (h1 + F.lit(j) * h2) % m
 
 
-# Version tag of the bit-position scheme, carried by every persisted
-# words relation: "km1" = Kirsch-Mitzenmacher double hashing
-# (bloom_bit_pos).  Geometry (m, k) alone cannot distinguish a table
-# built under a DIFFERENT position formula — same length, misaligned
-# bits, silent false negatives — so validators reject any words table
-# whose scheme column is missing (pre-versioning build) or different.
+# Default bit-position scheme, carried as a version tag by every
+# persisted words relation ("km1" = engine-portable md5 double hashing;
+# "xx1" = JVM-native xxhash64, see bloom_bit_pos).  Geometry (m, k)
+# alone cannot distinguish a table built under a DIFFERENT position
+# formula — same length, misaligned bits, silent false negatives — so
+# validators reject any words table whose scheme column is missing
+# (pre-versioning build) or differs from the scheme the probe will use.
 BLOOM_SCHEME = "km1"
 
 
 def bloom_words(
-    keys: DataFrame, key_col: str, m: int = 1 << 20, k: int = 4
+    keys: DataFrame,
+    key_col: str,
+    m: int = 1 << 20,
+    k: int = 4,
+    scheme: str = BLOOM_SCHEME,
 ) -> DataFrame:
     """The MERGEABLE form of the filter: a sparse (w, bits, m, k,
     scheme) relation — word index, 64 bits of that word — holding every set bit,
@@ -127,7 +156,12 @@ def bloom_words(
         raise ValueError(f"m must be a multiple of 64, got {m}")
     pos = keys.where(F.col(key_col).isNotNull()).select(
         F.explode(
-            F.array(*[bloom_bit_pos(F.col(key_col), j, m) for j in range(k)])
+            F.array(
+                *[
+                    bloom_bit_pos(F.col(key_col), j, m, scheme=scheme)
+                    for j in range(k)
+                ]
+            )
         ).alias("p")
     )
     return (
@@ -142,38 +176,41 @@ def bloom_words(
             "bits",
             F.lit(m).cast("long").alias("m"),
             F.lit(k).cast("int").alias("k"),
-            F.lit(BLOOM_SCHEME).alias("scheme"),
+            F.lit(scheme).alias("scheme"),
         )
     )
 
 
-def _check_scheme(words_df: DataFrame) -> None:
+def _check_scheme(words_df: DataFrame, scheme: str = BLOOM_SCHEME) -> None:
     """Reject a words table built under a different (or unversioned)
-    bit-position scheme — identical geometry under a different formula
-    probes misaligned bits: silent false negatives, the one failure
-    mode Bloom must never have."""
+    bit-position scheme than the one the caller will PROBE with —
+    identical geometry under a different formula probes misaligned
+    bits: silent false negatives, the one failure mode Bloom must
+    never have."""
     if "scheme" not in words_df.columns:
         raise ValueError(
             "words table carries no scheme column: it was persisted "
-            f"under a pre-{BLOOM_SCHEME} position scheme and its bits "
-            f"do not align with {BLOOM_SCHEME} probes; rebuild it with "
+            f"under a pre-versioning build and its bits cannot be "
+            f"trusted to align with {scheme!r} probes; rebuild it with "
             "bloom_words"
         )
     schemes = {r["scheme"] for r in words_df.select("scheme").distinct().collect()}
-    if schemes != {BLOOM_SCHEME}:
+    if schemes != {scheme}:
         raise ValueError(
             f"words table was built under position scheme(s) "
-            f"{sorted(schemes)}; this build probes {BLOOM_SCHEME!r} — "
+            f"{sorted(schemes)}; this build probes {scheme!r} — "
             "rebuild the table with bloom_words"
         )
 
 
-def _words_geometry(words_df: DataFrame) -> tuple[int, int]:
+def _words_geometry(
+    words_df: DataFrame, scheme: str = BLOOM_SCHEME
+) -> tuple[int, int]:
     """Read the (m, k) geometry a words relation was built under,
     refusing a mixed table or a foreign position scheme.  The collects
     are bounded by the number of DISTINCT geometries/schemes (1 in any
     valid table), never by filter or key size."""
-    _check_scheme(words_df)
+    _check_scheme(words_df, scheme)
     rows = words_df.select("m", "k").distinct().collect()
     if len(rows) != 1:
         geos = sorted((int(r["m"]), int(r["k"])) for r in rows)
@@ -184,7 +221,9 @@ def _words_geometry(words_df: DataFrame) -> tuple[int, int]:
     return int(rows[0]["m"]), int(rows[0]["k"])
 
 
-def bloom_merge(*word_tables: DataFrame) -> DataFrame:
+def bloom_merge(
+    *word_tables: DataFrame, scheme: str = BLOOM_SCHEME
+) -> DataFrame:
     """OR any number of (w, bits, m, k) filters into one — a Bloom
     filter's union IS the filter of the union of the key sets,
     bit-exactly (test-pinned).  Inputs must agree on (m, k): the
@@ -198,11 +237,11 @@ def bloom_merge(*word_tables: DataFrame) -> DataFrame:
     # column) would otherwise surface as an opaque union-schema error
     # instead of the actionable rebuild message
     for t in word_tables:
-        _check_scheme(t)
+        _check_scheme(t, scheme)
     merged = word_tables[0]
     for t in word_tables[1:]:
         merged = merged.unionByName(t)
-    m, k = _words_geometry(merged)
+    m, k = _words_geometry(merged, scheme)
     return (
         merged.groupBy("w")
         .agg(F.bit_or("bits").alias("bits"))
@@ -211,12 +250,16 @@ def bloom_merge(*word_tables: DataFrame) -> DataFrame:
             "bits",
             F.lit(m).cast("long").alias("m"),
             F.lit(k).cast("int").alias("k"),
-            F.lit(BLOOM_SCHEME).alias("scheme"),
+            F.lit(scheme).alias("scheme"),
         )
     )
 
 
-def bloom_assemble(words_df: DataFrame, m: int | None = None) -> DataFrame:
+def bloom_assemble(
+    words_df: DataFrame,
+    m: int | None = None,
+    scheme: str = BLOOM_SCHEME,
+) -> DataFrame:
     """Densify a sparse (w, bits) relation into the probe form: 1-row
     DataFrame with column ``bloom`` = m/8 bytes of binary, byte i
     holding bits 8i..8i+7 (bit p => byte p div 8, bit p mod 8).
@@ -240,7 +283,7 @@ def bloom_assemble(words_df: DataFrame, m: int | None = None) -> DataFrame:
     row itself, which is the shipped payload by design
     (``bloom_literal``)."""
     if "m" in words_df.columns:
-        wm, _wk = _words_geometry(words_df)
+        wm, _wk = _words_geometry(words_df, scheme)
         if m is not None and m != wm:
             raise ValueError(
                 f"words table was built under m={wm} but assemble was "
@@ -293,7 +336,11 @@ def _render_blob(dense: DataFrame) -> DataFrame:
 
 
 def bloom_bitmap(
-    keys: DataFrame, key_col: str, m: int = 1 << 20, k: int = 4
+    keys: DataFrame,
+    key_col: str,
+    m: int = 1 << 20,
+    k: int = 4,
+    scheme: str = BLOOM_SCHEME,
 ) -> DataFrame:
     """Build the probe-form filter straight from keys — semantically
     ``bloom_assemble(bloom_words(keys))``, but fused: the zero row per
@@ -306,7 +353,12 @@ def bloom_bitmap(
     words = m // 64
     pos_bits = keys.where(F.col(key_col).isNotNull()).select(
         F.explode(
-            F.array(*[bloom_bit_pos(F.col(key_col), j, m) for j in range(k)])
+            F.array(
+                *[
+                    bloom_bit_pos(F.col(key_col), j, m, scheme=scheme)
+                    for j in range(k)
+                ]
+            )
         ).alias("p")
     ).select(
         (F.col("p") / F.lit(64)).cast("long").alias("w"),
@@ -326,12 +378,18 @@ def bloom_bitmap(
 
 
 def bloom_literal(
-    keys: DataFrame, key_col: str, m: int = 1 << 20, k: int = 4
+    keys: DataFrame,
+    key_col: str,
+    m: int = 1 << 20,
+    k: int = 4,
+    scheme: str = BLOOM_SCHEME,
 ) -> Column:
     """Build the filter and return it as a single BinaryType Literal —
     the form ``bloom_contains`` wants on the probe side (see module
     docstring for why a literal, and why binary)."""
-    return bloom_blob_literal(bloom_bitmap(keys, key_col, m=m, k=k), m)
+    return bloom_blob_literal(
+        bloom_bitmap(keys, key_col, m=m, k=k, scheme=scheme), m
+    )
 
 
 def bloom_blob_literal(bitmap_df: DataFrame, m: int) -> Column:
@@ -350,7 +408,10 @@ def bloom_blob_literal(bitmap_df: DataFrame, m: int) -> Column:
 
 
 def bloom_blob_from_words(
-    words_df: DataFrame, m: int | None = None, k: int | None = None
+    words_df: DataFrame,
+    m: int | None = None,
+    k: int | None = None,
+    scheme: str = BLOOM_SCHEME,
 ) -> Column:
     """Probe literal straight from a persisted words relation, packed on
     the DRIVER: one job collects the sparse (w, bits, m, k) rows —
@@ -366,16 +427,16 @@ def bloom_blob_from_words(
     if "scheme" not in words_df.columns:
         raise ValueError(
             "words table carries no scheme column: it was persisted "
-            f"under a pre-{BLOOM_SCHEME} position scheme and its bits "
-            f"do not align with {BLOOM_SCHEME} probes; rebuild it with "
+            f"under a pre-versioning build and its bits cannot be "
+            f"trusted to align with {scheme!r} probes; rebuild it with "
             "bloom_words"
         )
     rows = words_df.select("w", "bits", "m", "k", "scheme").collect()
     schemes = {r["scheme"] for r in rows}
-    if schemes and schemes != {BLOOM_SCHEME}:
+    if schemes and schemes != {scheme}:
         raise ValueError(
             f"words table was built under position scheme(s) "
-            f"{sorted(schemes)}; this build probes {BLOOM_SCHEME!r} — "
+            f"{sorted(schemes)}; this build probes {scheme!r} — "
             "rebuild the table with bloom_words"
         )
     geos = {(int(r["m"]), int(r["k"])) for r in rows}
@@ -407,7 +468,13 @@ def bloom_blob_from_words(
     return F.lit(blob)
 
 
-def bloom_words_collector(key_col: str, path: str, m: int = 1 << 20, k: int = 4):
+def bloom_words_collector(
+    key_col: str,
+    path: str,
+    m: int = 1 << 20,
+    k: int = 4,
+    scheme: str = BLOOM_SCHEME,
+):
     """foreachBatch hook for INCREMENTAL filter maintenance: each
     micro-batch of new benchmark keys lands its own (w, bits, m, k,
     scheme) words relation under ``path`` — nothing is rebuilt from
@@ -437,7 +504,7 @@ def bloom_words_collector(key_col: str, path: str, m: int = 1 << 20, k: int = 4)
         if os.path.isdir(final):
             return  # replayed batch: already committed
         tmp = os.path.join(path, f".batch-{batch_id}.tmp")
-        bloom_words(batch_df, key_col, m=m, k=k).write.mode(
+        bloom_words(batch_df, key_col, m=m, k=k, scheme=scheme).write.mode(
             "overwrite"
         ).parquet(tmp)
         try:
@@ -458,16 +525,22 @@ def bloom_words_read(spark, path: str) -> DataFrame:
 
 
 def bloom_contains(
-    key: Column, bitmap: Column, m: int = 1 << 20, k: int = 4
+    key: Column,
+    bitmap: Column,
+    m: int = 1 << 20,
+    k: int = 4,
+    scheme: str = BLOOM_SCHEME,
 ) -> Column:
     """True iff every one of ``key``'s k bits is set in ``bitmap`` (the
     binary form) — the standard Bloom probe, as pure column expressions
     (JVM-side, whole-stage codegen; no UDF, no join).  Binary substring
     is an O(1) single-byte slice; hex+conv lifts the byte to a long for
-    getbit."""
+    getbit.  ``scheme`` must be the one the bitmap was BUILT under — the
+    builders validate persisted tables, but an assembled blob carries no
+    scheme metadata, so the caller owns this last hop."""
 
     def bit_set(j: int) -> Column:
-        p = bloom_bit_pos(key, j, m)
+        p = bloom_bit_pos(key, j, m, scheme=scheme)
         byte = F.substring(
             bitmap, (p / F.lit(8)).cast("int") + F.lit(1), F.lit(1)
         )
@@ -478,3 +551,63 @@ def bloom_contains(
     # md5(NULL) propagates NULL through the probe, and NULL & ... must
     # resolve to False, not NULL, for a membership predicate
     return key.isNotNull() & probe
+
+
+def bloom_prune(
+    fact: DataFrame,
+    fact_key: str,
+    keys: DataFrame,
+    key_col: str,
+    m: int = 1 << 20,
+    k: int = 4,
+    scheme: str = "xx1",
+) -> DataFrame:
+    """Runtime-filter join pruning — the manual, oracle-checkable analog
+    of Spark's AQE runtime Bloom filter (`spark.sql.optimizer.
+    runtimeFilter.bloomFilter.enabled`, off by default): fold the build
+    side's JOIN KEYS into an O(m)-bit literal and filter the probe
+    (fact) side map-side, BEFORE the join's shuffle ever sees it.
+
+    Returns a SUPERSET of the matching fact rows: zero false negatives
+    (every true match survives — the Bloom guarantee), plus a
+    deterministic ~(1−e^{−kn/m})^k false-positive fraction that the
+    downstream exact join eliminates — so `bloom_prune(...).join(dim)`
+    is EXACTLY `fact.join(dim)`, which is what lets the registered
+    query carry a plain-join oracle with no bloom replay.
+
+    The 100 TB case this exists for: the build side's ROW PAYLOAD is
+    too wide to broadcast (a full dimension table) but its key SET fits
+    a filter — 100 M keys at m = 2^27 is a 16 MiB literal riding the
+    plan, and a 0.1 %-selective prune means the SortMergeJoin shuffles
+    0.1 % of the fact table instead of all of it.  Keys are cast to
+    string before hashing so BIGINT surrogate keys work identically on
+    build and probe sides.
+
+    Defaults to the ``xx1`` position scheme (bloom_bit_pos): the probe
+    runs once per FACT row — the hot loop of the whole operator — and
+    xxhash64 probes measured ~5× the md5+conv km1 probes (0.5 s vs
+    2.8 s over 600 k rows at sf0.1).  km1's engine portability buys
+    nothing here because the oracle replays the plain join, never the
+    filter; pass ``scheme="km1"`` only if the same filter must also be
+    probed by a non-JVM engine.
+
+    Build path: distributed ``bloom_words`` fold (keys fan out on the
+    executors, nothing key-shaped reaches the driver) + the
+    ``bloom_blob_from_words`` driver pack — the sparse words collect is
+    the SAME m/8-byte payload as a rendered-blob fetch but skips the
+    densify/render stages (~1.5 s of fixed per-build latency at any m;
+    a join gate may be rebuilt per batch, so build latency matters here
+    in a way it doesn't for the one-off decontamination gate).
+    """
+    key_strs = keys.select(F.col(key_col).cast("string").alias("k"))
+    bitmap = bloom_blob_from_words(
+        bloom_words(key_strs, "k", m=m, k=k, scheme=scheme),
+        m=m,
+        k=k,
+        scheme=scheme,
+    )
+    return fact.where(
+        bloom_contains(
+            F.col(fact_key).cast("string"), bitmap, m=m, k=k, scheme=scheme
+        )
+    )

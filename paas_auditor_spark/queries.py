@@ -1071,6 +1071,57 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable DETERMINISTIC quantile sketch (operators/quantiles.py):
+    per-day fixed-bin histogram partials folded by hist_merge WITHOUT
+    rescanning raw data, then interpolated P50/P90/P99 read-off — the
+    incremental-rollup quantile lifecycle at 100 TB, complementing the
+    engine-specific rows-only `approx_percentiles` with a sketch whose
+    content is a closed form the DuckDB oracle replays exactly (the
+    daily fold ≡ direct build by count additivity).  Bounds arrive via
+    an in-plan min/max broadcast; every post-build relation is
+    sketch-sized (≤ 64 rows)."""
+    from paas_auditor_spark.operators import quantiles
+
+    events = _t(spark, sf_dir, "events")
+    daily = quantiles.hist_sketch(
+        events.withColumn("day", F.to_date("ts")),
+        "value",
+        n_bins=64,
+        by=["day"],
+    )
+    merged = quantiles.hist_merge(daily)
+    return quantiles.hist_quantiles(merged, [0.5, 0.9, 0.99])
+
+
+ORACLE_QUANTILE_SKETCH = """
+WITH vals AS (SELECT value FROM events WHERE value IS NOT NULL),
+b AS (SELECT CAST(min(value) AS DOUBLE) AS lo,
+             CAST(max(value) AS DOUBLE) AS hi FROM vals),
+binned AS (
+  SELECT CASE WHEN hi = lo THEN 0
+         ELSE least(63, greatest(0,
+              CAST(floor((value - lo) / (hi - lo) * 64) AS INT))) END AS bin
+  FROM vals, b
+),
+sk AS (SELECT bin, count(*) AS cnt FROM binned GROUP BY bin),
+cum AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum FROM sk),
+tot AS (SELECT sum(cnt) AS n FROM sk),
+probs AS (SELECT unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS prob),
+hit AS (
+  SELECT prob, n, min(bin) AS bin
+  FROM probs, tot, cum
+  WHERE cum >= prob * n
+  GROUP BY prob, n
+)
+SELECT h.prob,
+       round(b.lo + (b.hi - b.lo) / 64 *
+             (h.bin + (h.prob * h.n - (c.cum - c.cnt)) / c.cnt), 4) AS est
+FROM hit h JOIN cum c ON h.bin = c.bin, b
+ORDER BY prob
+"""
+
+
 def q_approx_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: approximate row count from storage statistics (reference
     store.go:310-329 pg_class.reltuples) — parquet footer metadata, zero
@@ -2645,6 +2696,65 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join pruning (operators/bloom.py:bloom_prune):
+    the selective dim side's JOIN KEYS fold into an O(m)-bit Bloom
+    literal that filters the fact scan map-side BEFORE the join's
+    shuffle — the admitted fraction (matches + the boundable FP rate)
+    is what the SortMergeJoin shuffles at 100 TB instead of the whole
+    fact table (the case where the dim's ROW payload is too
+    wide to broadcast but its key set fits a filter).  The downstream
+    exact join eliminates Bloom false positives, so the composition is
+    EXACTLY the plain join and the oracle replays no bloom at all —
+    zero false negatives is the Bloom guarantee, test-pinned in
+    test_bloom.py along with the prune-rate assertion.  Dim predicate
+    p_size <= 3 keeps ~7 % of parts (~9 % of lineitem admitted) —
+    selective enough to show the prune, non-empty at every SF."""
+    from paas_auditor_spark.operators.bloom import bloom_prune
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    dim = part.where(F.col("p_size") <= 3)
+    pruned = bloom_prune(
+        lineitem, "l_partkey", dim.select("p_partkey"), "p_partkey",
+        m=1 << 17, k=4,
+    )
+    return (
+        pruned.join(dim, pruned["l_partkey"] == dim["p_partkey"])
+        .groupBy("p_partkey", "p_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            # per-part groups sit on cent boundaries: accumulate in
+            # exact decimal (order-independent) — the volume_shipping
+            # convention
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,6)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+ORACLE_BLOOM_PRUNED_JOIN = """
+SELECT p.p_partkey, p.p_name, count(*) AS n_lineitems,
+       round(sum(l.l_quantity), 2) AS sum_qty,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size <= 3
+GROUP BY p.p_partkey, p.p_name
+ORDER BY p.p_partkey
+"""
 
 
 ORACLE_BLOOM_DECONTAMINATE = """
@@ -6215,6 +6325,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "bloom_decontaminate_persisted": QuerySpec(
         q_bloom_decontaminate_persisted, ORACLE_BLOOM_DECONTAMINATE
     ),
+    "bloom_pruned_join": QuerySpec(
+        q_bloom_pruned_join, ORACLE_BLOOM_PRUNED_JOIN
+    ),
     "epoch_shuffle": QuerySpec(q_epoch_shuffle, ORACLE_EPOCH_SHUFFLE),
     "corpus_report": QuerySpec(q_corpus_report, ORACLE_CORPUS_REPORT),
     "bloom_fp_audit": QuerySpec(q_bloom_fp_audit, ORACLE_BLOOM_FP_AUDIT),
@@ -6632,6 +6745,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "approx_distinct_users": QuerySpec(q_approx_distinct_users, None),
     "approx_percentiles": QuerySpec(q_approx_percentiles, None),
     "hll_mergeable_sketch": QuerySpec(q_hll_mergeable_sketch, None),
+    "quantile_sketch": QuerySpec(q_quantile_sketch, ORACLE_QUANTILE_SKETCH),
     "lang_id": QuerySpec(
         q_lang_id,
         # replicates functions.text.lang_id exactly: per-language marker
@@ -7758,13 +7872,18 @@ _CERTIFICATION_WINDOW = [
     # the swapped-out entries stay oracle-checked in the full registry;
     # the swapped-in ones are the r6 flagships)
     "dedup_exact", "dedup_clusters", "dedup_clusters_star",
-    "dedup_keep_best", "knn_bruteforce",
+    "dedup_keep_best",
     "knn_ivf_persisted", "embedding_near_dup_lsh", "embedding_quantize",
     # text analysis
     "text_quality", "quality_filter", "lang_id", "token_stats",
     "lm_perplexity", "chi2_keywords", "bpe_merges", "quality_classifier",
-    # sketches / graph / drift
-    "heavy_hitters", "cms_estimate", "pagerank", "source_drift_psi",
+    # sketches / graph / drift (r6 late: knn_bruteforce — the ANN
+    # baseline, whose family keeps two stronger in-window reps — makes
+    # room for quantile_sketch, the newly oracle-exact mergeable
+    # histogram completing the sketch family; bruteforce stays
+    # oracle-checked in the full registry)
+    "heavy_hitters", "cms_estimate", "quantile_sketch", "pagerank",
+    "source_drift_psi",
     # sampling / packing
     "temperature_sample", "train_test_split", "sequence_pack",
     # TPC-H representative handful + time series (r6: min_cost_supplier

@@ -548,3 +548,85 @@ def test_scheme_column_rejects_legacy_and_foreign_tables(spark):
             bloom_merge(words, bad).collect()
     # and the happy path still round-trips
     assert bloom_assemble(words).count() == 1
+
+
+def test_bloom_prune_superset_then_join_exact(spark):
+    """bloom_prune admits EVERY true match (zero false negatives — the
+    Bloom guarantee) plus only a small FP fraction, and composing it
+    with the exact join reproduces the plain join bit-for-bit — the
+    contract that lets bloom_pruned_join carry a plain-join oracle."""
+    from paas_auditor_spark.operators.bloom import bloom_prune
+
+    fact = spark.createDataFrame(
+        [(i, i % 100, float(i)) for i in range(5000)],
+        "row_id long, key long, v double",
+    )
+    dim = spark.createDataFrame(
+        [(j, f"dim-{j}") for j in (3, 17, 42)], "key long, payload string"
+    )
+    pruned = bloom_prune(fact, "key", dim.select("key"), "key", m=1 << 12, k=4)
+
+    exact = fact.join(dim.select("key"), "key")
+    n_fact, n_exact, n_pruned = fact.count(), exact.count(), pruned.count()
+    assert n_exact == 150  # 3 keys x 50 rows each
+    # superset: every true match survives the prune
+    assert pruned.join(exact.select("row_id"), "row_id").count() == n_exact
+    # and it actually prunes: far fewer rows reach the join than the scan
+    assert n_exact <= n_pruned < n_fact / 2
+
+    via_bloom = sorted(
+        (r["row_id"], r["payload"])
+        for r in pruned.join(dim, "key").select("row_id", "payload").collect()
+    )
+    plain = sorted(
+        (r["row_id"], r["payload"])
+        for r in fact.join(dim, "key").select("row_id", "payload").collect()
+    )
+    assert via_bloom == plain
+
+
+def test_bloom_prune_null_fact_keys_never_match(spark):
+    from paas_auditor_spark.operators.bloom import bloom_prune
+
+    fact = spark.createDataFrame(
+        [(1, 7), (2, None), (3, 8)], "row_id long, key long"
+    )
+    dim = spark.createDataFrame([(7,), (8,)], "key long")
+    got = {
+        r["row_id"]
+        for r in bloom_prune(fact, "key", dim, "key", m=1 << 10, k=3).collect()
+    }
+    assert got == {1, 3}
+
+
+def test_xx1_scheme_roundtrip_and_cross_scheme_rejection(spark):
+    """The JVM-native xx1 position scheme: a filter built AND probed
+    under xx1 has zero false negatives (same Bloom guarantee, ~5x the
+    probe throughput of md5 km1), and the scheme tag keeps the two
+    worlds apart — an xx1 words table refuses a km1-expecting pack and
+    vice versa, because identical geometry under the other formula
+    probes misaligned bits."""
+    from paas_auditor_spark.operators.bloom import (
+        bloom_blob_from_words,
+        bloom_contains,
+        bloom_words,
+    )
+
+    keys = _keys(spark, 0, 200)
+    words_xx = bloom_words(keys, "k", m=M, k=K, scheme="xx1")
+    blob_xx = bloom_blob_from_words(words_xx, m=M, k=K, scheme="xx1")
+    probe = _keys(spark, 0, 400)
+    hits = {
+        r["k"]
+        for r in probe.where(
+            bloom_contains(F.col("k"), blob_xx, m=M, k=K, scheme="xx1")
+        ).collect()
+    }
+    assert {f"key{i}" for i in range(200)} <= hits  # zero false negatives
+    assert len(hits) < 400  # and it actually filters
+
+    words_km = bloom_words(keys, "k", m=M, k=K)  # default km1
+    with pytest.raises(ValueError, match="scheme"):
+        bloom_blob_from_words(words_km, m=M, k=K, scheme="xx1")
+    with pytest.raises(ValueError, match="scheme"):
+        bloom_blob_from_words(words_xx, m=M, k=K)  # km1 expectation

@@ -86,6 +86,7 @@ def test_certification_window_invariants():
         "dsir_sample", "curation_pipeline", "bm25_search",
         "semantic_dedup", "chat_assembly", "chat_assembly_sessions",
         "dedup_keep_best", "knn_ivf_persisted", "embedding_near_dup_lsh",
+        "quantile_sketch",
     }
     assert flagships <= set(first50)
 

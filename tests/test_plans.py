@@ -635,3 +635,37 @@ def test_hybrid_rrf_arms_are_topk_not_global_sort(spark, sf_dir):
     df = q_hybrid_search_rrf(spark, sf_dir)
     plan = assert_plan_contains(df, "TakeOrderedAndProject")
     assert "Sort [s" not in plan  # no full global sort of either arm
+
+
+def test_bloom_pruned_join_filters_fact_before_join(spark, sf_dir):
+    """The runtime-filter prune must be a codegen Filter ON THE FACT
+    SCAN branch — no Python nodes, no nested-loop join attaching the
+    bitmap — so at scale the join's shuffle sees only the admitted
+    fraction.  The xxhash64 probe (xx1 scheme) must appear in a Filter
+    BEFORE any Exchange in the plan string (the fact scan stage)."""
+    from paas_auditor_spark.queries import q_bloom_pruned_join
+
+    df = q_bloom_pruned_join(spark, sf_dir)
+    assert_plan_lacks(df, "BatchEvalPython", "ArrowEvalPython")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan and "getbit" in plan
+    # probe sits below the first shuffle: the Filter mentioning the
+    # bloom probe must occur later in the bottom-up plan string than
+    # every Exchange that consumes it (plan prints top-down, so the
+    # probe Filter appears AFTER the join/exchange lines textually)
+    first_probe = plan.index("getbit")
+    assert "Exchange" not in plan[first_probe:] or plan.index(
+        "Exchange"
+    ) < first_probe
+
+
+def test_quantile_sketch_readoff_is_sketch_sized(spark, sf_dir):
+    """Everything after the histogram build runs over constant-sized
+    relations: no Python nodes anywhere, the bounds ride a broadcast
+    (BroadcastNestedLoopJoin of a 1-row aggregate is the documented
+    in-plan bounds shape), and the final read-off plan contains no
+    data-sized sort."""
+    from paas_auditor_spark.queries import q_quantile_sketch
+
+    df = q_quantile_sketch(spark, sf_dir)
+    assert_plan_lacks(df, "BatchEvalPython", "ArrowEvalPython")
