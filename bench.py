@@ -102,6 +102,7 @@ HEADLINE = [
     "packing_efficiency",
     "cms_estimate",
     "quantile_sketch",
+    "phrase_search",
     "bloom_decontaminate",
     "bloom_decontaminate_persisted",
     "bloom_pruned_join",

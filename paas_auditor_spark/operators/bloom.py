@@ -181,12 +181,9 @@ def bloom_words(
     )
 
 
-def _check_scheme(words_df: DataFrame, scheme: str = BLOOM_SCHEME) -> None:
-    """Reject a words table built under a different (or unversioned)
-    bit-position scheme than the one the caller will PROBE with —
-    identical geometry under a different formula probes misaligned
-    bits: silent false negatives, the one failure mode Bloom must
-    never have."""
+def _require_scheme_column(words_df: DataFrame, scheme: str) -> None:
+    """A words table without the scheme tag predates versioning — its
+    bit positions cannot be trusted to align with any probe."""
     if "scheme" not in words_df.columns:
         raise ValueError(
             "words table carries no scheme column: it was persisted "
@@ -194,13 +191,26 @@ def _check_scheme(words_df: DataFrame, scheme: str = BLOOM_SCHEME) -> None:
             f"trusted to align with {scheme!r} probes; rebuild it with "
             "bloom_words"
         )
-    schemes = {r["scheme"] for r in words_df.select("scheme").distinct().collect()}
-    if schemes != {scheme}:
+
+
+def _reject_foreign_schemes(schemes: set, scheme: str) -> None:
+    """Identical geometry under a different position formula probes
+    misaligned bits: silent false negatives, the one failure mode
+    Bloom must never have."""
+    if schemes and schemes != {scheme}:
         raise ValueError(
             f"words table was built under position scheme(s) "
             f"{sorted(schemes)}; this build probes {scheme!r} — "
             "rebuild the table with bloom_words"
         )
+
+
+def _check_scheme(words_df: DataFrame, scheme: str = BLOOM_SCHEME) -> None:
+    """Reject a words table built under a different (or unversioned)
+    bit-position scheme than the one the caller will PROBE with."""
+    _require_scheme_column(words_df, scheme)
+    schemes = {r["scheme"] for r in words_df.select("scheme").distinct().collect()}
+    _reject_foreign_schemes(schemes, scheme)
 
 
 def _words_geometry(
@@ -233,6 +243,13 @@ def bloom_merge(
     have."""
     if not word_tables:
         raise ValueError("bloom_merge needs at least one word table")
+    # localCheckpoint before validating: each input is consumed by its
+    # own scheme collect, the merged geometry collect AND the union —
+    # without the cut a freshly-built words relation would re-run its
+    # full key-fold build per consumer.  Words relations are bounded at
+    # m/64 rows, so the checkpoint is O(m), never key-count-shaped
+    # (the hist_merge convention).
+    word_tables = tuple(t.localCheckpoint(eager=False) for t in word_tables)
     # per-input scheme check BEFORE the union: a legacy table (no scheme
     # column) would otherwise surface as an opaque union-schema error
     # instead of the actionable rebuild message
@@ -424,21 +441,9 @@ def bloom_blob_from_words(
     against the caller's (m, k) expectation here.  This is the hot path
     for a probe-only decontamination run; keep ``bloom_assemble`` when
     the blob itself must stay a relation (e.g. written to a table)."""
-    if "scheme" not in words_df.columns:
-        raise ValueError(
-            "words table carries no scheme column: it was persisted "
-            f"under a pre-versioning build and its bits cannot be "
-            f"trusted to align with {scheme!r} probes; rebuild it with "
-            "bloom_words"
-        )
+    _require_scheme_column(words_df, scheme)
     rows = words_df.select("w", "bits", "m", "k", "scheme").collect()
-    schemes = {r["scheme"] for r in rows}
-    if schemes and schemes != {scheme}:
-        raise ValueError(
-            f"words table was built under position scheme(s) "
-            f"{sorted(schemes)}; this build probes {scheme!r} — "
-            "rebuild the table with bloom_words"
-        )
+    _reject_foreign_schemes({r["scheme"] for r in rows}, scheme)
     geos = {(int(r["m"]), int(r["k"])) for r in rows}
     if len(geos) > 1:
         raise ValueError(
@@ -486,31 +491,26 @@ def bloom_words_collector(
     the reader's choice — re-assemble when the table grows (cheap:
     O(m/64) rows), keep probing the old literal otherwise.
 
-    Concurrency contract: each batch writes to a dot-prefixed tmp
-    directory (invisible to Spark readers) and is atomically RENAMED to
-    ``batch-<id>`` — so a concurrent reader sees whole batches or
-    nothing, never a half-committed file set (a torn read would pack a
-    literal missing some of the batch's bits: false negatives).  Rename
-    is atomic on local/HDFS paths; on object stores swap the rename for
-    a commit-marker ( _SUCCESS-gated read), same contract.  Delivery is
-    at-least-once-safe twice over: a replayed batch finds its committed
-    directory and skips, and even a duplicate append would only re-OR
-    identical bits."""
-    import os
-    import shutil
+    Concurrency contract: `operators/atomic.py:commit_batch_dir` — each
+    batch lands in a private hidden tmp dir and one atomic rename
+    publishes it, so a concurrent reader sees whole batches or nothing,
+    never a half-committed file set (a torn read would pack a literal
+    missing some of the batch's bits: false negatives), and a genuine
+    commit failure RAISES instead of silently dropping the batch (see
+    that module for the filesystem contract and the racer/replay
+    semantics).  Delivery is at-least-once-safe twice over: a replayed
+    batch finds its committed directory and skips, and even a duplicate
+    append would only re-OR identical bits."""
+    from paas_auditor_spark.operators.atomic import commit_batch_dir
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        final = os.path.join(path, f"batch-{batch_id}")
-        if os.path.isdir(final):
-            return  # replayed batch: already committed
-        tmp = os.path.join(path, f".batch-{batch_id}.tmp")
-        bloom_words(batch_df, key_col, m=m, k=k, scheme=scheme).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        try:
-            os.rename(tmp, final)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # lost a concurrent race
+        commit_batch_dir(
+            path,
+            batch_id,
+            lambda tmp: bloom_words(batch_df, key_col, m=m, k=k, scheme=scheme)
+            .write.mode("overwrite")
+            .parquet(tmp),
+        )
 
     return write_batch
 
@@ -579,9 +579,16 @@ def bloom_prune(
     too wide to broadcast (a full dimension table) but its key SET fits
     a filter — 100 M keys at m = 2^27 is a 16 MiB literal riding the
     plan, and a 0.1 %-selective prune means the SortMergeJoin shuffles
-    0.1 % of the fact table instead of all of it.  Keys are cast to
-    string before hashing so BIGINT surrogate keys work identically on
-    build and probe sides.
+    0.1 % of the fact table instead of all of it.
+
+    Key typing: both columns are cast to string before hashing (so
+    BIGINT surrogate keys work under ANSI md5/xxhash64 typing), which
+    is only sound when the two sides RENDER identically — an INT 7
+    ("7") and a DOUBLE 7.0 ("7.0") would equi-join after coercion but
+    hash to different bits, and the prune would silently drop true
+    matches, breaking the superset contract.  The guard below therefore
+    requires the two key columns to share one data type; cast them to a
+    common type at the call site first.
 
     Defaults to the ``xx1`` position scheme (bloom_bit_pos): the probe
     runs once per FACT row — the hot loop of the whole operator — and
@@ -599,6 +606,17 @@ def bloom_prune(
     a join gate may be rebuilt per batch, so build latency matters here
     in a way it doesn't for the one-off decontamination gate).
     """
+    fact_t = fact.schema[fact_key].dataType
+    keys_t = keys.schema[key_col].dataType
+    if fact_t != keys_t:
+        raise ValueError(
+            f"bloom_prune key types differ: fact.{fact_key} is "
+            f"{fact_t.simpleString()} but keys.{key_col} is "
+            f"{keys_t.simpleString()} — differently-typed keys can "
+            "render (and hash) differently even where an equi-join "
+            "would coerce and match, silently pruning true matches; "
+            "cast both columns to a common type first"
+        )
     key_strs = keys.select(F.col(key_col).cast("string").alias("k"))
     bitmap = bloom_blob_from_words(
         bloom_words(key_strs, "k", m=m, k=k, scheme=scheme),

@@ -89,6 +89,13 @@ def hist_sketch(
     ``by`` columns (e.g. a day column) produce per-group partials that
     ``hist_merge`` folds into the total without rescanning raw data —
     the incremental-rollup lifecycle."""
+    if (lo is None) != (hi is None):
+        raise ValueError(
+            "hist_sketch bounds must be both explicit or both derived: "
+            f"got lo={lo!r}, hi={hi!r} — silently recomputing the "
+            "missing bound from data would anchor the bins differently "
+            "than the caller asked for"
+        )
     vals = df.where(F.col(value_col).isNotNull())
     if lo is None or hi is None:
         bounds = vals.agg(
@@ -195,24 +202,24 @@ def hist_collector(
     per-batch in-plan bounds would give each partial its own geometry
     and hist_merge would (correctly) refuse to fold them.  Replay
     safety differs from Bloom's: counts are NOT idempotent under
-    re-append (bits OR, counts ADD), so the committed-directory skip is
-    the correctness mechanism, not merely an optimization — a replayed
-    batch finds its ``batch-<id>`` directory and writes nothing."""
-    import os
-    import shutil
+    re-append (bits OR, counts ADD), so the committed-directory skip
+    inside `operators/atomic.py:commit_batch_dir` (the shared commit
+    protocol — see that module for the racer/replay/failure semantics)
+    is the correctness mechanism, not merely an optimization — a
+    replayed batch finds its ``batch-<id>`` directory and writes
+    nothing."""
+    from paas_auditor_spark.operators.atomic import commit_batch_dir
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        final = os.path.join(path, f"batch-{batch_id}")
-        if os.path.isdir(final):
-            return  # replayed batch: counts must not double-add
-        tmp = os.path.join(path, f".batch-{batch_id}.tmp")
-        hist_sketch(batch_df, value_col, n_bins=n_bins, lo=lo, hi=hi).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        try:
-            os.rename(tmp, final)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # lost a concurrent race
+        commit_batch_dir(
+            path,
+            batch_id,
+            lambda tmp: hist_sketch(
+                batch_df, value_col, n_bins=n_bins, lo=lo, hi=hi
+            )
+            .write.mode("overwrite")
+            .parquet(tmp),
+        )
 
     return write_batch
 

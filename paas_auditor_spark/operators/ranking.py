@@ -88,3 +88,60 @@ def bm25_scores(
     return per_term.groupBy(id_col).agg(
         F.sum("term_score").alias("score")
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: Sequence[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-phrase retrieval via positional postings — the capability
+    ``inverted_index``'s term→doc postings can't express (it proves a
+    doc contains every term, not that they are ADJACENT IN ORDER).
+    Classic positional-index query (Manning et al., IIR §2.4): build
+    (doc, term, pos) postings, seed with the first term's positions,
+    and chain one equi-join per remaining term on
+    (doc, pos = seed_pos + offset).  Overlapping occurrences count
+    separately ("a a a" matches "a a" twice).
+
+    Returns one row per matching document: (id_col, n_matches,
+    first_pos), first_pos 0-based.
+
+    Scale posture (100 TB): each join arm filters ``term == phrase[i]``
+    BEFORE joining — with the postings relation term-partitioned on
+    disk (the inverted-index layout) each arm is a pruned scan of one
+    term's postings, so join input is the phrase terms' posting lists,
+    never the corpus; the joins key on (doc, pos) and the final
+    aggregate shuffles only matching (doc, p0) pairs.  Everything is
+    whole-stage codegen — no UDF, no window."""
+    if not phrase:
+        raise ValueError("phrase_search needs at least one term")
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(tx.tokens(F.lower(F.col(text_col)))).alias(
+            "pos", "term"
+        ),
+    )
+    cur = toks.filter(F.col("term") == phrase[0].lower()).select(
+        F.col(id_col).alias("_doc"), F.col("pos").alias("p0")
+    )
+    for offset, term in enumerate(phrase[1:], 1):
+        arm = toks.filter(F.col("term") == term.lower()).select(
+            F.col(id_col).alias("_adoc"), F.col("pos").alias("_apos")
+        )
+        cur = cur.join(
+            arm,
+            (cur["_doc"] == arm["_adoc"])
+            & (arm["_apos"] == cur["p0"] + offset),
+        ).select("_doc", "p0")
+    return (
+        cur.groupBy("_doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("p0").alias("first_pos"),
+        )
+        .select(F.col("_doc").alias(id_col), "n_matches", "first_pos")
+        .orderBy(id_col)
+    )

@@ -3836,6 +3836,35 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry
 # --------------------------------------------------------------------------
 
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval over positional postings
+    (operators/ranking.py:phrase_search, Manning et al. IIR §2.4) —
+    the adjacency capability term→doc postings can't express.  Each
+    join arm is a term-selective filtered scan of the postings (a
+    term-partitioned postings table prunes to the phrase terms' lists
+    at 100 TB); overlapping occurrences count separately.  The oracle
+    replays the position arithmetic with the established
+    regexp_split_to_array + generate_series fragment."""
+    from paas_auditor_spark.operators.ranking import phrase_search
+
+    docs = _th(spark, sf_dir, "documents")
+    return phrase_search(docs, ["table", "value"])
+
+
+ORACLE_PHRASE_SEARCH = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  FROM documents),
+hits AS (
+  SELECT doc_id, i - 1 AS p0
+  FROM toks, unnest(generate_series(1, len(w) - 1)) AS u(i)
+  WHERE w[i] = 'table' AND w[i + 1] = 'value')
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(p0) AS BIGINT) AS first_pos
+FROM hits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval for a fixed probe-term set over the corpus
     (see operators/ranking.py for the scale posture: query-term tf is the
@@ -7169,6 +7198,7 @@ REGISTRY: dict[str, QuerySpec] = {
         ORDER BY rrf DESC, doc_id LIMIT 20
         """,
     ),
+    "phrase_search": QuerySpec(q_phrase_search, ORACLE_PHRASE_SEARCH),
     "bm25_search": QuerySpec(
         q_bm25_search,
         """

@@ -630,3 +630,60 @@ def test_xx1_scheme_roundtrip_and_cross_scheme_rejection(spark):
         bloom_blob_from_words(words_km, m=M, k=K, scheme="xx1")
     with pytest.raises(ValueError, match="scheme"):
         bloom_blob_from_words(words_xx, m=M, k=K)  # km1 expectation
+
+
+def test_bloom_prune_rejects_mismatched_key_types(spark):
+    """Differently-typed keys can render (and hash) differently even
+    where an equi-join would coerce and match — the prune must refuse
+    rather than silently drop true matches."""
+    from paas_auditor_spark.operators.bloom import bloom_prune
+
+    fact = spark.createDataFrame([(1, 7.0)], "row_id long, key double")
+    dim = spark.createDataFrame([(7,)], "key long")
+    with pytest.raises(ValueError, match="key types differ"):
+        bloom_prune(fact, "key", dim, "key", m=1 << 10, k=3)
+
+
+def test_commit_batch_dir_contract(tmp_path):
+    """The shared collector commit protocol: replay skips without
+    writing, a racer's completed commit is absorbed, and a genuine
+    write failure RAISES (never a silently dropped batch) with the
+    private tmp dir cleaned up."""
+    import os
+
+    from paas_auditor_spark.operators.atomic import commit_batch_dir
+
+    path = str(tmp_path)
+
+    def write_ok(tmp):
+        os.makedirs(tmp)
+        open(os.path.join(tmp, "part-0"), "w").write("x")
+
+    assert commit_batch_dir(path, 0, write_ok) is True
+    assert os.path.isfile(os.path.join(path, "batch-0", "part-0"))
+
+    calls = []
+    assert commit_batch_dir(path, 0, lambda t: calls.append(t)) is False
+    assert calls == []  # replay: nothing written
+
+    def write_boom(tmp):
+        os.makedirs(tmp)
+        raise OSError("disk full")
+
+    with pytest.raises(OSError, match="disk full"):
+        commit_batch_dir(path, 1, write_boom)
+    assert not os.path.isdir(os.path.join(path, "batch-1"))
+    # the private tmp was cleaned, no hidden dirs leak
+    assert [d for d in os.listdir(path) if d.startswith(".batch-")] == []
+
+    def write_then_racer_commits(tmp):
+        os.makedirs(tmp)
+        # simulate a racer publishing the identical (non-empty, as any
+        # real parquet batch is) directory before our rename runs —
+        # rename onto a non-empty dir fails ENOTEMPTY, and the protocol
+        # must absorb it as a lost race, not an error
+        os.makedirs(os.path.join(path, "batch-2"))
+        open(os.path.join(path, "batch-2", "part-0"), "w").write("racer")
+
+    assert commit_batch_dir(path, 2, write_then_racer_commits) is False
+    assert os.path.isdir(os.path.join(path, "batch-2"))

@@ -637,35 +637,45 @@ def test_hybrid_rrf_arms_are_topk_not_global_sort(spark, sf_dir):
     assert "Sort [s" not in plan  # no full global sort of either arm
 
 
-def test_bloom_pruned_join_filters_fact_before_join(spark, sf_dir):
-    """The runtime-filter prune must be a codegen Filter ON THE FACT
-    SCAN branch — no Python nodes, no nested-loop join attaching the
-    bitmap — so at scale the join's shuffle sees only the admitted
-    fraction.  The xxhash64 probe (xx1 scheme) must appear in a Filter
-    BEFORE any Exchange in the plan string (the fact scan stage)."""
+def test_bloom_pruned_join_filters_fact_at_the_scan(spark, sf_dir):
+    """The runtime-filter prune must sit DIRECTLY over the fact scan —
+    no Python nodes, and no Exchange between the probe Filter and the
+    lineitem scan it guards — so at scale every join/aggregation
+    shuffle above it sees only the admitted fraction.  Asserted
+    line-by-line on the executed plan: the xxhash64/getbit Filter's
+    subtree reaches the lineitem parquet scan without crossing a
+    shuffle (a hoisted probe would put an Exchange in between)."""
     from paas_auditor_spark.queries import q_bloom_pruned_join
 
     df = q_bloom_pruned_join(spark, sf_dir)
     assert_plan_lacks(df, "BatchEvalPython", "ArrowEvalPython")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "xxhash64" in plan and "getbit" in plan
-    # probe sits below the first shuffle: the Filter mentioning the
-    # bloom probe must occur later in the bottom-up plan string than
-    # every Exchange that consumes it (plan prints top-down, so the
-    # probe Filter appears AFTER the join/exchange lines textually)
-    first_probe = plan.index("getbit")
-    assert "Exchange" not in plan[first_probe:] or plan.index(
-        "Exchange"
-    ) < first_probe
+    lines = plan.splitlines()
+    probe_i = next(i for i, l in enumerate(lines) if "getbit" in l)
+    scan_i = next(
+        i
+        for i, l in enumerate(lines)
+        if i > probe_i and ("Scan parquet" in l or "FileScan" in l)
+    )
+    assert "lineitem" in lines[scan_i]  # it guards the FACT side
+    assert not any(
+        "Exchange" in lines[j] for j in range(probe_i, scan_i)
+    ), "bloom probe was hoisted above a shuffle — no longer a map-side prune"
 
 
 def test_quantile_sketch_readoff_is_sketch_sized(spark, sf_dir):
     """Everything after the histogram build runs over constant-sized
-    relations: no Python nodes anywhere, the bounds ride a broadcast
-    (BroadcastNestedLoopJoin of a 1-row aggregate is the documented
-    in-plan bounds shape), and the final read-off plan contains no
-    data-sized sort."""
+    relations: no Python nodes, the totals/cumulative sides ride
+    broadcasts, and — the load-bearing claim — NO parquet scan appears
+    in the read-off plan at all: the raw events scan lives entirely
+    behind the sketch's localCheckpoint (Scan ExistingRDD), so every
+    relation the read-off touches is ≤ n_bins × n_probs rows."""
     from paas_auditor_spark.queries import q_quantile_sketch
 
     df = q_quantile_sketch(spark, sf_dir)
     assert_plan_lacks(df, "BatchEvalPython", "ArrowEvalPython")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan  # totals/cum broadcasts
+    assert "Scan ExistingRDD" in plan  # the checkpointed sketch
+    assert "Scan parquet" not in plan and "FileScan" not in plan

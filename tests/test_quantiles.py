@@ -178,3 +178,13 @@ def test_out_of_range_values_clamp_to_boundary_bins(spark):
     sk = hist_sketch(df, "v", n_bins=8, lo=0.0, hi=8.0)
     got = {int(r["bin"]): int(r["cnt"]) for r in sk.collect()}
     assert got == {0: 1, 5: 1, 7: 1}
+
+
+def test_partial_explicit_bounds_rejected(spark):
+    """One explicit bound + one derived would silently re-anchor the
+    bins; the builder must refuse instead."""
+    df = _vals(spark, 0, 10)
+    with pytest.raises(ValueError, match="both explicit or both derived"):
+        hist_sketch(df, "v", n_bins=8, lo=0.0)
+    with pytest.raises(ValueError, match="both explicit or both derived"):
+        hist_sketch(df, "v", n_bins=8, hi=9.0)

@@ -137,3 +137,54 @@ def test_pq_error_shrinks_with_k(spark):
         return sum(r["pq_err2"] for r in pq_assign(df, books).collect())
 
     assert total_err(16) < total_err(2) < total_err(1)
+
+
+def test_phrase_search_counts_overlapping_occurrences(spark):
+    """'a a a a' contains 'a a' three times (positions 0,1,2) — the
+    positional join must count sliding occurrences, not disjoint ones."""
+    from paas_auditor_spark.operators.ranking import phrase_search
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b a b a"), (3, "b b b")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search(docs, ["a", "a"]).collect()
+    }
+    assert got == {1: (3, 0)}
+
+
+def test_phrase_search_three_term_chain_and_case(spark):
+    """A 3-term phrase chains two positional joins; matching is
+    case-insensitive on both the corpus and the query phrase."""
+    from paas_auditor_spark.operators.ranking import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the Quick brown fox"),
+            (2, "quick brown dog quick brown fox"),
+            (3, "brown quick fox"),  # right terms, wrong order
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search(docs, ["QUICK", "Brown", "fox"]).collect()
+    }
+    assert got == {1: (1, 1), 2: (1, 3)}
+
+
+def test_phrase_search_absent_and_empty(spark):
+    from paas_auditor_spark.operators.ranking import phrase_search
+    import pytest
+
+    docs = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    assert phrase_search(docs, ["y", "x"]).count() == 0  # reversed order
+    with pytest.raises(ValueError, match="at least one term"):
+        phrase_search(docs, [])
+    # single-term degenerates to term lookup with positions
+    got = phrase_search(docs, ["y"]).collect()
+    assert [(r["doc_id"], r["n_matches"], r["first_pos"]) for r in got] == [
+        (1, 1, 1)
+    ]
