@@ -103,6 +103,12 @@ HEADLINE = [
     "cms_estimate",
     "quantile_sketch",
     "phrase_search",
+    "join_size_estimate",
+    "join_size_sketch",
+    "ewma_daily",
+    "cdc_chunk_stats",
+    "cdc_near_dup",
+    "quality_prune",
     "bloom_decontaminate",
     "bloom_decontaminate_persisted",
     "bloom_pruned_join",

@@ -125,6 +125,40 @@ def fingerprint(text: Column, length: int = 16) -> Column:
     return F.substring(F.md5(normalized_text(text)), 1, length)
 
 
+def logistic_quality_score(text: Column) -> Column:
+    """FineWeb-style logistic quality score over the cheap single-pass
+    features (log token count, stopword ratio, punctuation density,
+    average token length) with fixed public weights — shared by the
+    quality_classifier gate and the per-source percentile prune.
+    Feature ratios are rounded to 4dp BEFORE the linear form so any
+    engine reproducing the rounded features reproduces the score
+    bit-for-bit; the score itself is rounded to 4dp."""
+    n_tok = token_count(text)
+    stop_ratio = F.round(
+        stopword_count(text)
+        / F.greatest(n_tok.cast("double"), F.lit(1.0)),
+        4,
+    )
+    punct_ratio = F.round(
+        punct_count(text)
+        / F.greatest(F.length(text).cast("double"), F.lit(1.0)),
+        4,
+    )
+    avg_len = F.round(
+        F.length(F.regexp_replace(F.trim(text), WS, ""))
+        / F.greatest(n_tok.cast("double"), F.lit(1.0)),
+        4,
+    )
+    z = (
+        F.lit(-3.0)
+        + F.lit(0.9) * F.log(F.lit(1.0) + n_tok.cast("double"))
+        + F.lit(2.5) * stop_ratio
+        - F.lit(4.0) * punct_ratio
+        + F.lit(0.15) * avg_len
+    )
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+
+
 def lang_id_score(text: Column, lang: str) -> Column:
     """Marker-hit count for one language profile."""
     markers = LANG_MARKERS[lang]
@@ -161,6 +195,7 @@ __all__ = [
     "fingerprint",
     "lang_id",
     "lang_id_score",
+    "logistic_quality_score",
     "ngrams",
     "normalized_text",
     "punct_count",

@@ -908,9 +908,111 @@ def remove_duplicate_spans(
     )
 
 
+def content_chunks(
+    docs_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    divisor: int = 16,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Content-defined chunking (CDC): split each document into chunks
+    whose boundaries depend on CONTENT, not position — a boundary falls
+    after every token whose md5-derived bucket is ``0 mod divisor``
+    (average chunk length ≈ divisor tokens).  This is the
+    rsync/LBFS/FastCDC idea applied to token streams: inserting or
+    deleting a token early in a document shifts every FIXED-window
+    segment after it (so ``segment_dedup`` misses the unchanged tail),
+    but CDC boundaries re-synchronize at the next content-defined cut,
+    so all later chunks hash identically — the property that makes
+    chunk-level dedup robust to prepended boilerplate and small edits.
+
+    Returns one row per chunk: (id_col, *keep, chunk_idx, n_chunk_tokens,
+    chunk_text, chunk_hash); documents with no non-empty tokens emit no
+    rows.  Text is lower+whitespace-normalized before chunking (the
+    dedup-family normalization).
+
+    Scale shape: the whole chunker is ONE narrow JVM-side map with zero
+    shuffle; only the downstream chunk_hash aggregation (the caller's
+    dedup groupBy) shuffles, and it shuffles (hash, id) pairs, never
+    text.  The formulation is deliberately NOT a left fold appending to
+    an accumulator array (each append copies the accumulator — O(n²)
+    bytes per document, measured 3.5 s vs 1.x s at sf0.1): instead the
+    boundary POSITIONS are extracted with one filter over the index
+    sequence (one md5 per token), and each chunk is a ``slice`` between
+    consecutive boundaries — O(tokens) total.  The md5-bucket boundary
+    is engine-portable, so an exact oracle replays it positionally
+    (boundary count before position i = chunk index — ORACLE_CDC in
+    queries.py)."""
+    if divisor < 2:
+        raise ValueError(f"divisor must be >= 2, got {divisor}")
+
+    def is_boundary(t: Column) -> Column:
+        return (
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+            % divisor
+            == 0
+        )
+
+    toks = F.filter(
+        tokens(F.lower(F.col(text_col))), lambda t: F.length(t) >= 1
+    )
+
+    def chunks_of(ts: Column) -> Column:
+        n = F.size(ts)
+
+        def cut(ends: Column) -> Column:
+            return F.transform(
+                F.sequence(F.lit(1), F.size(ends)),
+                lambda j: let(
+                    F.when(j == 1, F.lit(1)).otherwise(
+                        F.element_at(ends, j - 1) + 1
+                    ),
+                    lambda start: F.slice(
+                        ts, start, F.element_at(ends, j) - start + 1
+                    ),
+                ),
+            )
+
+        def with_bpos(bpos: Column) -> Column:
+            # chunk end positions: every boundary, plus the final
+            # partial chunk's end (n) unless the last token IS one.
+            # bpos and ends are let-bound: an unbound reference
+            # duplicates the whole md5-filter subtree per use.
+            ends = F.when(
+                (F.size(bpos) > 0) & (F.element_at(bpos, -1) == n), bpos
+            ).otherwise(F.concat(bpos, F.array(n)))
+            return let(ends, cut)
+
+        bpos = F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: is_boundary(F.element_at(ts, i)),
+        )
+        return F.when(n > 0, let(bpos, with_bpos)).otherwise(
+            F.array().cast("array<array<string>>")
+        )
+
+    base = docs_df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        let(toks, chunks_of).alias("_cks"),
+    )
+    text_expr = F.concat_ws(" ", F.col("_ctoks"))
+    return base.select(
+        id_col, *keep, F.posexplode("_cks").alias("_ci", "_ctoks")
+    ).select(
+        id_col,
+        *keep,
+        F.col("_ci").cast("long").alias("chunk_idx"),
+        F.size("_ctoks").cast("long").alias("n_chunk_tokens"),
+        text_expr.alias("chunk_text"),
+        F.md5(text_expr).alias("chunk_hash"),
+    )
+
+
 __all__ = [
     "connected_components",
     "connected_components_star",
+    "content_chunks",
     "duplicate_spans",
     "remove_duplicate_spans",
     "exact_duplicates",

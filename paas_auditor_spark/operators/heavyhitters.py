@@ -174,3 +174,39 @@ def cms_estimates(
             .alias("cms_estimate")
         )
     )
+
+
+def cms_join_size(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str | None = None,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """AMS-style equi-join cardinality estimate from two CMS sketches
+    (Cormode & Muthukrishnan 2005 §4.2, "inner product queries"): for
+    each depth row d, F_d = Σ_bucket cntL(d,b)·cntR(d,b); the estimate
+    is min_d F_d.  Colliding keys only ADD positive cross terms, so the
+    estimate is always ≥ the true join size, with overshoot ≤
+    n_L·n_R/width per depth row w.h.p. — the optimizer's cardinality
+    probe when even counting keys (operators/stats.py:join_size_stats,
+    the exact form) is too expensive or the inputs only exist as
+    PERSISTED per-shard sketches: cms_table relations are mergeable by
+    summing counters, so this estimate runs over yesterday's saved
+    sketches without touching raw data.  The product join itself
+    touches ≤ depth×width rows regardless of input size.
+
+    Returns one row: (est_join_rows bigint).  NULL keys are excluded by
+    the sketch build, matching equi-join semantics.
+    """
+    right_col = left_col if right_col is None else right_col
+    a = cms_table(left, left_col, depth, width)
+    b = cms_table(right, right_col, depth, width)
+    per_d = (
+        a.alias("a")
+        .join(b.alias("b"), ["d", "bucket"])
+        .groupBy("d")
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("fd"))
+    )
+    return per_d.agg(F.min("fd").cast("long").alias("est_join_rows"))

@@ -49,4 +49,60 @@ def count_and_max(df: DataFrame, ts_col: str = "created_at") -> DataFrame:
     )
 
 
-__all__ = ["approx_count", "count_and_max", "latest_event_time"]
+def join_size_stats(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str | None = None,
+) -> DataFrame:
+    """Pre-flight equi-join cardinality + skew audit WITHOUT running
+    the join: for inner equi-joins ``|L ⋈ R| = Σ_k cnt_L(k)·cnt_R(k)``
+    exactly, so the estimate is computed from the two per-key count
+    relations — two map-side-combined aggregations plus one key-sized
+    join, never the (potentially quadratic) join output itself.  This
+    is the planner's dry-run for a many-to-many join: a 100-row sample
+    can hide a 10¹²-row blowup that this one-row relation reveals for
+    the cost of counting keys.
+
+    Returns one row: ``join_rows`` (exact inner-join output size),
+    ``join_keys`` (matching key count), ``max_key_rows`` (largest
+    single key's contribution — the skew ceiling: one Spark task must
+    materialize this many rows unless the join is salted), and
+    ``skew_factor`` (max over mean contribution, 2dp — feed it to
+    ``operators/skew.py:auto_skew_join``'s decision).  NULL keys are
+    excluded on both sides, matching equi-join semantics.  Composes
+    with ``skew_stats`` (single-side audit); this is the two-sided
+    product form.
+    """
+    right_key = left_key if right_key is None else right_key
+    lc = (
+        left.where(F.col(left_key).isNotNull())
+        .groupBy(F.col(left_key).alias("k"))
+        .agg(F.count(F.lit(1)).alias("ln"))
+    )
+    rc = (
+        right.where(F.col(right_key).isNotNull())
+        .groupBy(F.col(right_key).alias("k"))
+        .agg(F.count(F.lit(1)).alias("rn"))
+    )
+    per_key = lc.join(rc, "k").select(
+        (F.col("ln") * F.col("rn")).alias("kn")
+    )
+    return per_key.agg(
+        F.coalesce(F.sum("kn"), F.lit(0)).cast("long").alias("join_rows"),
+        F.count(F.lit(1)).alias("join_keys"),
+        F.coalesce(F.max("kn"), F.lit(0)).cast("long").alias("max_key_rows"),
+        F.round(
+            F.max("kn")
+            / (F.sum("kn") / F.count(F.lit(1)).cast("double")),
+            2,
+        ).alias("skew_factor"),
+    )
+
+
+__all__ = [
+    "approx_count",
+    "count_and_max",
+    "join_size_stats",
+    "latest_event_time",
+]

@@ -3865,6 +3865,398 @@ FROM hits GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight many-to-many join cardinality + skew audit
+    (operators/stats.py:join_size_stats): |L ⋈ R| = Σ_k cntL·cntR from
+    the two per-key count relations — the planner's dry run that
+    reveals a quadratic blowup for the cost of counting keys, never
+    running the join.  Probed on the events×events self-join by
+    user_id (the archetypal hidden-quadratic: per-user event counts
+    square).  Feeds auto_skew_join's strategy pick."""
+    from paas_auditor_spark.operators.stats import join_size_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return join_size_stats(ev, ev, "user_id")
+
+
+ORACLE_JOIN_SIZE = """
+WITH lc AS (SELECT user_id AS k, count(*) AS ln FROM events
+            WHERE user_id IS NOT NULL GROUP BY user_id),
+rc AS (SELECT user_id AS k, count(*) AS rn FROM events
+       WHERE user_id IS NOT NULL GROUP BY user_id),
+per_key AS (SELECT lc.ln * rc.rn AS kn FROM lc JOIN rc USING (k))
+SELECT CAST(coalesce(sum(kn), 0) AS BIGINT) AS join_rows,
+       CAST(count(*) AS BIGINT) AS join_keys,
+       CAST(coalesce(max(kn), 0) AS BIGINT) AS max_key_rows,
+       round(max(kn) / (sum(kn) / CAST(count(*) AS DOUBLE)), 2)
+         AS skew_factor
+FROM per_key
+"""
+
+
+def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type EWMA over the daily count series
+    (operators/timeseries.py:ewma, α=0.3) — the sequentially-dependent
+    smoother a window frame can't express without exponent blowup,
+    folded INSIDE the plan via the aggregate HOF over each key's
+    calendar-bounded series.  The oracle replays the identical
+    multiply-add chain with a recursive CTE stepping rn → rn+1."""
+    from paas_auditor_spark.operators.timeseries import ewma
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = ewma(daily, "event_type", "day", "n_events", alpha=0.3)
+    return out.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.round("ewma", 4).alias("ewma"),
+    ).orderBy("event_type", "day")
+
+
+ORACLE_EWMA_DAILY = """
+WITH RECURSIVE d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM d),
+e AS (
+  SELECT event_type, day, n_events, rn, CAST(n_events AS DOUBLE) AS ewma
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.day, s.n_events, s.rn,
+         0.3 * s.n_events + 0.7 * e.ewma
+  FROM s JOIN e ON s.event_type = e.event_type AND s.rn = e.rn + 1)
+SELECT event_type, day, n_events, round(ewma, 4) AS ewma
+FROM e ORDER BY event_type, day
+"""
+
+
+def q_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup audit
+    (operators/dedup.py:content_chunks): per-source chunk counts,
+    corpus-distinct chunk hashes and the duplicated-chunk ratio.  CDC
+    boundaries depend on token content (md5 bucket ≡ 0 mod 16), so a
+    prepended banner shifts NO downstream chunk hashes — the
+    shift-robustness fixed windows (segment_dedup) lack.  The chunker
+    itself is one narrow fold (zero shuffle); only (hash, source)
+    pairs shuffle for the audit."""
+    from paas_auditor_spark.operators.dedup import content_chunks
+
+    docs = _th(spark, sf_dir, "documents")
+    ch = content_chunks(docs, keep=("source",))
+    # reduce the chunk stream ONCE to per-(source, hash) partials; the
+    # corpus-wide multiplicity ("duplicated anywhere") re-aggregates
+    # those partials, so the chunker runs once and every shuffle after
+    # the first carries hash-level rows, never chunks
+    hs = ch.groupBy("source", "chunk_hash").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n_chunk_tokens").alias("tok"),
+    )
+    tot = hs.groupBy("chunk_hash").agg(F.sum("cnt").alias("n_copies"))
+    return (
+        hs.join(tot, "chunk_hash")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_chunks"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(
+                F.when(F.col("n_copies") > 1, F.col("cnt")).otherwise(0)
+            ).cast("long").alias("n_duplicated"),
+            F.round(
+                F.sum("tok") / F.sum("cnt").cast("double"), 2
+            ).alias("avg_chunk_tokens"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_distinct",
+            "n_duplicated",
+            F.round(
+                F.col("n_duplicated") / F.col("n_chunks").cast("double"), 4
+            ).alias("dup_ratio"),
+            "avg_chunk_tokens",
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_CDC = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  FROM documents),
+pos AS (
+  SELECT doc_id, source, i, w[i] AS tok,
+         CASE WHEN CAST(concat('0x', substr(md5(w[i]), 1, 8)) AS BIGINT)
+                   % 16 = 0 THEN 1 ELSE 0 END AS b
+  FROM toks, unnest(generate_series(1, len(w))) AS u(i)
+  WHERE w[i] <> ''),
+cpos AS (
+  SELECT doc_id, source, i, tok,
+         coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS chunk_idx
+  FROM pos),
+chunks AS (
+  SELECT doc_id, source, chunk_idx,
+         CAST(count(*) AS BIGINT) AS n_chunk_tokens,
+         md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_hash
+  FROM cpos GROUP BY doc_id, source, chunk_idx),
+multi AS (
+  SELECT chunk_hash, count(*) AS n_copies FROM chunks GROUP BY chunk_hash)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(DISTINCT c.chunk_hash) AS BIGINT) AS n_distinct,
+       CAST(sum(CASE WHEN m.n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_duplicated,
+       round(sum(CASE WHEN m.n_copies > 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS dup_ratio,
+       round(avg(n_chunk_tokens), 2) AS avg_chunk_tokens
+FROM chunks c JOIN multi m USING (chunk_hash)
+GROUP BY source ORDER BY source
+"""
+
+
+def q_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percentile quality gate (the FineWeb keep-top-X%-per-
+    dump shape): the shared logistic quality score, a per-source exact
+    p75 threshold (one aggregate — percentile_approx at 100 TB, same
+    plan shape), broadcast back and counted.  No per-source window
+    sort: the gate is aggregate + broadcast-join + filter, so the
+    corpus-sized side stays a single scan."""
+    docs = _th(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source", tx.logistic_quality_score(F.col("text")).alias("score")
+    )
+    thr = scored.groupBy("source").agg(
+        F.round(F.percentile("score", F.lit(0.75)), 4).alias("p75")
+    )
+    return (
+        scored.join(F.broadcast(thr), "source")
+        .groupBy("source", "p75")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("score") >= F.col("p75"), 1).otherwise(0)
+            ).cast("long").alias("n_kept"),
+        )
+        .select(
+            "source",
+            "p75",
+            "n_docs",
+            "n_kept",
+            F.round(
+                F.col("n_kept") / F.col("n_docs").cast("double"), 4
+            ).alias("kept_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_QUALITY_PRUNE = r"""
+WITH f AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens,
+         round(len(list_filter(
+                 regexp_split_to_array(lower(trim(text)), '\s+'),
+                 x -> x IN ('the','a','of','and','to','in','is','on',
+                            'for','with')))
+               / greatest(CAST(len(string_split_regex(trim(text),
+                               '\s+')) AS DOUBLE), 1.0), 4)
+           AS stop_ratio,
+         round(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+               / greatest(CAST(length(text) AS DOUBLE), 1.0), 4)
+           AS punct_ratio,
+         round(length(regexp_replace(trim(text), '\s+', '', 'g'))
+               / greatest(CAST(len(string_split_regex(trim(text),
+                               '\s+')) AS DOUBLE), 1.0), 4)
+           AS avg_len
+  FROM documents),
+scored AS (
+  SELECT source,
+         round(1.0 / (1.0 + exp(-(-3.0 + 0.9 * ln(1.0 + n_tokens)
+               + 2.5 * stop_ratio - 4.0 * punct_ratio
+               + 0.15 * avg_len))), 4) AS score
+  FROM f),
+thr AS (
+  SELECT source, round(quantile_cont(score, 0.75), 4) AS p75
+  FROM scored GROUP BY source)
+SELECT s.source, t.p75,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN s.score >= t.p75 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       round(sum(CASE WHEN s.score >= t.p75 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS kept_ratio
+FROM scored s JOIN thr t USING (source)
+GROUP BY s.source, t.p75 ORDER BY s.source
+"""
+
+
+def q_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based join-size estimate, self-audited: the AMS/CMS
+    inner-product estimate (operators/heavyhitters.py:cms_join_size —
+    min over depth rows of Σ cntL·cntR, always ≥ truth) next to the
+    exact per-key-count form, with the overestimate ratio.  The sketch
+    path is the 100 TB shape: cms_table relations are mergeable
+    (sum counters), so the estimate runs over persisted per-day
+    sketches without re-touching raw data, and the product join sees
+    ≤ depth×width rows.  Keys ride as strings so the md5 bucket
+    arithmetic is engine-portable."""
+    from paas_auditor_spark.operators.heavyhitters import cms_join_size
+    from paas_auditor_spark.operators.stats import join_size_stats
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("uid")
+    )
+    est = cms_join_size(ev, ev, "uid")
+    exact = join_size_stats(ev, ev, "uid").select(
+        F.col("join_rows").alias("true_join_rows")
+    )
+    # two 1-row aggregates: the documented tiny-crossJoin convention
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_join_rows",
+        "true_join_rows",
+        F.round(
+            F.col("est_join_rows") / F.col("true_join_rows").cast("double"),
+            4,
+        ).alias("overestimate"),
+    )
+
+
+ORACLE_JOIN_SIZE_SKETCH = """
+WITH u AS (
+  SELECT CAST(user_id AS VARCHAR) AS uid FROM events
+  WHERE user_id IS NOT NULL),
+ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+sk AS (
+  SELECT d,
+         CAST(concat('0x', substr(md5(uid || '#' || d), 1, 8))
+              AS BIGINT) % 256 AS bucket,
+         count(*) AS cnt
+  FROM u CROSS JOIN ds GROUP BY 1, 2),
+fd AS (
+  SELECT a.d, sum(a.cnt * b.cnt) AS f
+  FROM sk a JOIN sk b ON a.d = b.d AND a.bucket = b.bucket
+  GROUP BY a.d),
+est AS (SELECT min(f) AS est_join_rows FROM fd),
+ex AS (
+  SELECT sum(n * n) AS true_join_rows
+  FROM (SELECT count(*) AS n FROM u GROUP BY uid))
+SELECT CAST(est_join_rows AS BIGINT) AS est_join_rows,
+       CAST(true_join_rows AS BIGINT) AS true_join_rows,
+       round(est_join_rows / CAST(true_join_rows AS DOUBLE), 4)
+         AS overestimate
+FROM est, ex
+"""
+
+
+def q_cdc_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-overlap near-dup pairs: documents sharing ≥ half their
+    content-defined chunks (Jaccard over distinct chunk-hash sets).
+    The CDC composition that makes content_chunks a full dedup path —
+    robust to prepended/edited regions in a way fixed windows are not,
+    and EXACT on the chunk sets it compares (no MinHash estimation).
+    Pair generation joins on chunk_hash, so pair space is Σ copies² per
+    hash, not corpus²; hashes shared by > 50 docs are dropped before
+    pairing (boilerplate guard — the LSH hot-bucket cap convention,
+    replayed by the oracle)."""
+    from paas_auditor_spark.operators.dedup import content_chunks
+
+    docs = _th(spark, sf_dir, "documents")
+    ch = content_chunks(docs).select("doc_id", "chunk_hash").distinct()
+    common = (
+        ch.groupBy("chunk_hash")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .where(F.col("n_copies") <= 50)
+        .select("chunk_hash")
+    )
+    ch = ch.join(common, "chunk_hash")
+    sizes = ch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        ch.alias("a")
+        .join(ch.alias("b"), "chunk_hash")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "a_id"), "a_id")
+        .withColumnRenamed("n", "na")
+        .join(
+            sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed(
+                "n", "nb"
+            ),
+            "b_id",
+        )
+        .select(
+            "a_id",
+            "b_id",
+            "shared",
+            F.round(
+                F.col("shared")
+                / (F.col("na") + F.col("nb") - F.col("shared")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.5)
+        .orderBy("a_id", "b_id")
+    )
+
+
+ORACLE_CDC_NEAR_DUP = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  FROM documents),
+pos AS (
+  SELECT doc_id, i, w[i] AS tok,
+         CASE WHEN CAST(concat('0x', substr(md5(w[i]), 1, 8)) AS BIGINT)
+                   % 16 = 0 THEN 1 ELSE 0 END AS b
+  FROM toks, unnest(generate_series(1, len(w))) AS u(i)
+  WHERE w[i] <> ''),
+cpos AS (
+  SELECT doc_id, i, tok,
+         coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS chunk_idx
+  FROM pos),
+ch AS (
+  SELECT DISTINCT doc_id, md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_hash
+  FROM cpos GROUP BY doc_id, chunk_idx),
+common AS (
+  SELECT chunk_hash FROM ch GROUP BY chunk_hash HAVING count(*) <= 50),
+chf AS (SELECT ch.* FROM ch JOIN common USING (chunk_hash)),
+sizes AS (SELECT doc_id, count(*) AS n FROM chf GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         CAST(count(*) AS BIGINT) AS shared
+  FROM chf a JOIN chf b ON a.chunk_hash = b.chunk_hash
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT p.a_id, p.b_id, p.shared,
+       round(p.shared / CAST(sa.n + sb.n - p.shared AS DOUBLE), 4)
+         AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.a_id
+JOIN sizes sb ON sb.doc_id = p.b_id
+WHERE round(p.shared / CAST(sa.n + sb.n - p.shared AS DOUBLE), 4) >= 0.5
+ORDER BY p.a_id, p.b_id
+"""
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval for a fixed probe-term set over the corpus
     (see operators/ranking.py for the scale posture: query-term tf is the
@@ -5610,32 +6002,10 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sigmoid are single-pass column expressions over one scan: a pure
     narrow map, embarrassingly parallel at 100 TB.  Feature ratios are
     rounded to 4dp BEFORE the linear form so any engine reproducing the
-    rounded features reproduces the score bit-for-bit."""
+    rounded features reproduces the score bit-for-bit (the shared
+    ``tx.logistic_quality_score`` form, also feeding quality_prune)."""
     docs = _th(spark, sf_dir, "documents")
-    text = F.col("text")
-    n_tok = tx.token_count(text)
-    stop_ratio = F.round(
-        tx.stopword_count(text) / F.greatest(n_tok.cast("double"), F.lit(1.0)),
-        4,
-    )
-    punct_ratio = F.round(
-        tx.punct_count(text)
-        / F.greatest(F.length(text).cast("double"), F.lit(1.0)),
-        4,
-    )
-    avg_len = F.round(
-        F.length(F.regexp_replace(F.trim(text), tx.WS, ""))
-        / F.greatest(n_tok.cast("double"), F.lit(1.0)),
-        4,
-    )
-    z = (
-        F.lit(-3.0)
-        + F.lit(0.9) * F.log(F.lit(1.0) + n_tok.cast("double"))
-        + F.lit(2.5) * stop_ratio
-        - F.lit(4.0) * punct_ratio
-        + F.lit(0.15) * avg_len
-    )
-    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+    score = tx.logistic_quality_score(F.col("text"))
     return docs.select(
         "doc_id",
         score.alias("score"),
@@ -7199,6 +7569,14 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
     ),
     "phrase_search": QuerySpec(q_phrase_search, ORACLE_PHRASE_SEARCH),
+    "join_size_estimate": QuerySpec(q_join_size_estimate, ORACLE_JOIN_SIZE),
+    "ewma_daily": QuerySpec(q_ewma_daily, ORACLE_EWMA_DAILY),
+    "cdc_chunk_stats": QuerySpec(q_cdc_chunk_stats, ORACLE_CDC),
+    "cdc_near_dup": QuerySpec(q_cdc_near_dup, ORACLE_CDC_NEAR_DUP),
+    "quality_prune": QuerySpec(q_quality_prune, ORACLE_QUALITY_PRUNE),
+    "join_size_sketch": QuerySpec(
+        q_join_size_sketch, ORACLE_JOIN_SIZE_SKETCH
+    ),
     "bm25_search": QuerySpec(
         q_bm25_search,
         """
@@ -7896,23 +8274,27 @@ _CERTIFICATION_WINDOW = [
     "bloom_decontaminate", "bloom_decontaminate_persisted",
     "duplicate_spans", "span_removal", "triangle_count", "dsir_sample",
     "curation_pipeline", "bm25_search", "semantic_dedup",
-    "chat_assembly", "chat_assembly_sessions",
+    "phrase_search", "chat_assembly_sessions",
     # dedup / similarity / ANN (r6: ngram_jaccard→dedup_keep_best and
     # mmr_diversity/embedding_near_dup→knn_ivf_persisted/span_removal —
     # the swapped-out entries stay oracle-checked in the full registry;
     # the swapped-in ones are the r6 flagships)
     "dedup_exact", "dedup_clusters", "dedup_clusters_star",
-    "dedup_keep_best",
+    "dedup_keep_best", "cdc_chunk_stats",
     "knn_ivf_persisted", "embedding_near_dup_lsh", "embedding_quantize",
-    # text analysis
-    "text_quality", "quality_filter", "lang_id", "token_stats",
-    "lm_perplexity", "chi2_keywords", "bpe_merges", "quality_classifier",
+    # text analysis (r6 late: token_stats/chi2_keywords make room for the
+    # new-capability flagships; both stay oracle-checked in the full
+    # registry, as do chat_assembly and cms_estimate whose window slots
+    # went to their strictly-stronger compositions phrase_search /
+    # chat_assembly_sessions / join_size_sketch / ewma_daily)
+    "text_quality", "quality_filter", "lang_id",
+    "lm_perplexity", "ewma_daily", "bpe_merges", "quality_classifier",
     # sketches / graph / drift (r6 late: knn_bruteforce — the ANN
     # baseline, whose family keeps two stronger in-window reps — makes
     # room for quantile_sketch, the newly oracle-exact mergeable
     # histogram completing the sketch family; bruteforce stays
     # oracle-checked in the full registry)
-    "heavy_hitters", "cms_estimate", "quantile_sketch", "pagerank",
+    "heavy_hitters", "join_size_sketch", "quantile_sketch", "pagerank",
     "source_drift_psi",
     # sampling / packing
     "temperature_sample", "train_test_split", "sequence_pack",

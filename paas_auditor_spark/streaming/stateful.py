@@ -168,6 +168,71 @@ def heavy_hitters_stream(items_df, n_shards: int = 8, capacity: int = 256):
     )
 
 
+EWMA_OUTPUT_SCHEMA = "k string, t double, x double, ewma double"
+EWMA_STATE_SCHEMA = "t double, e double"
+
+
+def track_ewma(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+    alpha: float = 0.3,
+) -> Iterator[pd.DataFrame]:
+    """Streaming per-key EWMA: the sequential smoother
+    s_t = α·x_t + (1−α)·s_{t−1} folded batch-by-batch, the stateful
+    twin of the batch ``operators/timeseries.py:ewma`` fold — state is
+    ONE (last_t, ewma) pair per key, so an unbounded series smooths in
+    O(1) memory instead of re-folding history every refresh.
+
+    Ordering contract: rows fold in ``t`` order within each batch, and
+    a row at or before the key's last folded ``t`` is DROPPED (the
+    late-data discipline — an EWMA folded out of order is a different,
+    wrong series; upstream watermarking bounds how much can be late).
+    The multiply-add is the same expression the batch fold and the
+    recursive-CTE oracle use, so in-order stream == batch, exactly —
+    test-pinned."""
+    last_t, e = state.get if state.exists else (None, None)
+    pdf = pd.concat(list(batches)).sort_values("t")
+    out_t: list[float] = []
+    out_x: list[float] = []
+    out_e: list[float] = []
+    for t, x in zip(pdf["t"], pdf["x"]):
+        if last_t is not None and t <= last_t:
+            continue  # late or replayed row: dropped, state untouched
+        e = float(x) if e is None else alpha * float(x) + (1 - alpha) * e
+        last_t = float(t)
+        out_t.append(last_t)
+        out_x.append(float(x))
+        out_e.append(e)
+    if out_t:
+        state.update((last_t, e))
+    yield pd.DataFrame(
+        {
+            "k": [key[0]] * len(out_t),
+            "t": out_t,
+            "x": out_x,
+            "ewma": out_e,
+        }
+    )
+
+
+def ewma_stream(series_df, alpha: float = 0.3):
+    """Wire ``track_ewma`` onto a streaming (k, t, x) DataFrame.
+    Append-style emission in update mode: each batch emits only the
+    rows it folded (already-final values — EWMA never revises the
+    past), so the downstream union of emissions IS the smoothed
+    series."""
+    from functools import partial as _partial
+
+    return series_df.groupBy("k").applyInPandasWithState(
+        _partial(track_ewma, alpha=alpha),
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 TOTALS_OUTPUT_SCHEMA = (
     "user_id bigint, n_events bigint, total_value double"
 )
@@ -256,8 +321,12 @@ def running_user_totals(
 
 
 __all__ = [
+    "EWMA_OUTPUT_SCHEMA",
+    "EWMA_STATE_SCHEMA",
     "HH_OUTPUT_SCHEMA",
     "HH_STATE_SCHEMA",
+    "ewma_stream",
+    "track_ewma",
     "SESSION_OUTPUT_SCHEMA",
     "SESSION_STATE_SCHEMA",
     "TOTALS_OUTPUT_SCHEMA",

@@ -6,6 +6,8 @@ from __future__ import annotations
 import random
 from collections import Counter
 
+from pyspark.sql import functions as F
+
 from paas_auditor_spark.operators.heavyhitters import (
     heavy_hitters,
     misra_gries_summary,
@@ -297,3 +299,47 @@ def test_cms_null_items_dropped_on_build_and_probe(spark):
         for r in cms_estimates(df, items, "item", depth=4, width=64).collect()
     }
     assert est == {"a": 2}
+
+
+def test_cms_join_size_overestimates_and_merges(spark):
+    """The AMS inner-product estimate is >= the true join size (cross
+    terms are nonnegative), and estimating from MERGED per-shard
+    sketches equals the single-shot estimate (counter addition
+    commutes with the product)."""
+    from paas_auditor_spark.operators.heavyhitters import (
+        cms_join_size,
+        cms_table,
+    )
+
+    left = spark.createDataFrame(
+        [(str(i % 7),) for i in range(200)] + [(None,)], "k string"
+    )
+    right = spark.createDataFrame(
+        [(str(i % 5),) for i in range(100)], "k string"
+    )
+    est = cms_join_size(left, right, "k", width=32).first()["est_join_rows"]
+    truth = (
+        left.where(F.col("k").isNotNull())
+        .join(right, "k")
+        .count()
+    )
+    assert est >= truth
+    # width >> keys: no collisions, the estimate is exact
+    exact_est = cms_join_size(left, right, "k", width=4096).first()[
+        "est_join_rows"
+    ]
+    assert exact_est == truth
+
+    # merge property: sum of two shard sketches == whole-input sketch
+    l1, l2 = left.where("k < '4'"), left.where("k >= '4' OR k IS NULL")
+    merged = (
+        cms_table(l1, "k", 4, 32)
+        .unionByName(cms_table(l2, "k", 4, 32))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    single = cms_table(left, "k", 4, 32)
+    assert (
+        merged.exceptAll(single).count() == 0
+        and single.exceptAll(merged).count() == 0
+    )

@@ -84,9 +84,10 @@ def test_certification_window_invariants():
         "bloom_decontaminate", "bloom_decontaminate_persisted",
         "duplicate_spans", "span_removal", "triangle_count",
         "dsir_sample", "curation_pipeline", "bm25_search",
-        "semantic_dedup", "chat_assembly", "chat_assembly_sessions",
+        "semantic_dedup", "phrase_search", "chat_assembly_sessions",
         "dedup_keep_best", "knn_ivf_persisted", "embedding_near_dup_lsh",
-        "quantile_sketch",
+        "quantile_sketch", "cdc_chunk_stats", "ewma_daily",
+        "join_size_sketch",
     }
     assert flagships <= set(first50)
 

@@ -1,0 +1,325 @@
+"""Unit tests: EWMA in-plan fold (operators/timeseries.py), content-
+defined chunking (operators/dedup.py:content_chunks), and the join-size
+pre-flight (operators/stats.py:join_size_stats)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from paas_auditor_spark.operators.dedup import content_chunks
+from paas_auditor_spark.operators.stats import join_size_stats
+from paas_auditor_spark.operators.timeseries import ewma
+
+
+# --------------------------------------------------------------------------
+# ewma
+# --------------------------------------------------------------------------
+
+
+def test_ewma_known_series(spark):
+    df = spark.createDataFrame(
+        [("a", 3, 30.0), ("a", 1, 10.0), ("a", 2, 20.0)],
+        "k string, t int, x double",
+    )
+    rows = {
+        r["t"]: r["ewma"]
+        for r in ewma(df, "k", "t", "x", alpha=0.5).collect()
+    }
+    # s1 = 10; s2 = .5*20 + .5*10 = 15; s3 = .5*30 + .5*15 = 22.5
+    assert rows == {1: 10.0, 2: 15.0, 3: 22.5}
+
+
+def test_ewma_keys_independent_and_alpha_one(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 1, 100.0), ("a", 2, 20.0), ("b", 2, 0.0)],
+        "k string, t int, x double",
+    )
+    out = {
+        (r["k"], r["t"]): r["ewma"]
+        for r in ewma(df, "k", "t", "x", alpha=1.0).collect()
+    }
+    # alpha=1 degenerates to the raw series, per key
+    assert out == {
+        ("a", 1): 10.0,
+        ("a", 2): 20.0,
+        ("b", 1): 100.0,
+        ("b", 2): 0.0,
+    }
+
+
+def test_ewma_null_value_propagates(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, None), ("a", 3, 30.0)],
+        "k string, t int, x double",
+    )
+    rows = {
+        r["t"]: r["ewma"]
+        for r in ewma(df, "k", "t", "x", alpha=0.5).collect()
+    }
+    # a gap poisons the tail rather than being silently smoothed over —
+    # the documented contract (repair gaps upstream, e.g. daily_gapfill)
+    assert rows[1] == 10.0
+    assert rows[2] is None and rows[3] is None
+
+
+def test_ewma_alpha_validation(spark):
+    df = spark.createDataFrame([("a", 1, 1.0)], "k string, t int, x double")
+    with pytest.raises(ValueError, match="alpha"):
+        ewma(df, "k", "t", "x", alpha=0.0)
+    with pytest.raises(ValueError, match="alpha"):
+        ewma(df, "k", "t", "x", alpha=1.5)
+
+
+def test_ewma_preserves_value_type(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 7), ("a", 2, 9)], "k string, t int, x bigint"
+    )
+    out = ewma(df, "k", "t", "x", alpha=0.3)
+    assert dict(out.dtypes)["x"] == "bigint"
+    assert dict(out.dtypes)["ewma"] == "double"
+
+
+# --------------------------------------------------------------------------
+# content_chunks
+# --------------------------------------------------------------------------
+
+
+def _is_boundary(tok: str, divisor: int = 16) -> bool:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % divisor == 0
+
+
+def _find_tokens(boundary: bool, n: int = 4) -> list[str]:
+    out = []
+    i = 0
+    while len(out) < n:
+        t = f"tok{i}"
+        if _is_boundary(t) == boundary:
+            out.append(t)
+        i += 1
+    return out
+
+
+def test_cdc_chunks_reassemble_to_document(spark, sf_dir):
+    """Concatenating a doc's chunks in chunk_idx order reproduces the
+    normalized token stream exactly — nothing dropped or duplicated."""
+    from paas_auditor_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    ch = content_chunks(docs)
+    joined = ch.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                ),
+                lambda s: s["chunk_text"],
+            ),
+        ).alias("rebuilt"),
+        F.sum("n_chunk_tokens").alias("n_tok"),
+    )
+    base = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.filter(
+                F.split(F.trim(F.lower("text")), r"\s+"),
+                lambda t: F.length(t) >= 1,
+            ),
+        ).alias("orig"),
+    )
+    bad = (
+        joined.join(base, "doc_id")
+        .where(F.col("rebuilt") != F.col("orig"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_cdc_chunks_resync_after_prefix_edit(spark):
+    """The CDC property fixed windows lack: prepending a token changes
+    only the FIRST chunk — every later chunk hash is identical, so
+    chunk-level dedup still matches the unchanged tail."""
+    body = " ".join(
+        _find_tokens(False, 6)
+        + [_find_tokens(True, 1)[0]]
+        + _find_tokens(False, 20)
+        + [_find_tokens(True, 3)[2]]
+        + _find_tokens(False, 9)
+    )
+    docs = spark.createDataFrame(
+        [(1, body), (2, "prefixbanner " + body)], "doc_id long, text string"
+    )
+    ch = {
+        (r["doc_id"], r["chunk_idx"]): r["chunk_hash"]
+        for r in content_chunks(docs).collect()
+    }
+    n1 = max(i for d, i in ch if d == 1) + 1
+    n2 = max(i for d, i in ch if d == 2) + 1
+    assert n1 == n2  # the prefix token lands in chunk 0
+    assert ch[(1, 0)] != ch[(2, 0)]
+    for i in range(1, n1):
+        assert ch[(1, i)] == ch[(2, i)]
+
+
+def test_cdc_boundary_edges(spark):
+    b = _find_tokens(True, 1)[0]
+    nb = _find_tokens(False, 2)
+    docs = spark.createDataFrame(
+        [
+            (1, f"{nb[0]} {b}"),  # boundary at last token: no empty tail
+            (2, f"{b} {nb[0]}"),  # boundary first: chunk0 = [b]
+            (3, "   "),  # whitespace-only doc: no rows
+        ],
+        "doc_id long, text string",
+    )
+    rows = content_chunks(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc.get(1, [])) == 1
+    assert by_doc[1][0]["chunk_text"] == f"{nb[0]} {b}"
+    assert [r["chunk_text"] for r in sorted(by_doc[2], key=lambda r: r["chunk_idx"])] == [b, nb[0]]
+    assert 3 not in by_doc
+
+
+def test_cdc_divisor_validation_and_narrow_plan(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="divisor"):
+        content_chunks(docs, divisor=1)
+    # the chunker is a narrow map: no shuffle before the chunk relation
+    plan = content_chunks(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# --------------------------------------------------------------------------
+# join_size_stats
+# --------------------------------------------------------------------------
+
+
+def test_join_size_stats_exact_and_null_keys(spark):
+    left = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,), (None,)], "k int"
+    )
+    right = spark.createDataFrame(
+        [(1,), (2,), (2,), (2,), (None,), (9,)], "k int"
+    )
+    row = join_size_stats(left, right, "k").first()
+    actual = left.join(right, "k").count()  # inner join drops NULLs
+    assert row["join_rows"] == actual == 2 * 1 + 1 * 3
+    assert row["join_keys"] == 2
+    assert row["max_key_rows"] == 3  # key 2: 1x3
+    # mean contribution = 5/2 = 2.5 -> skew = 3/2.5
+    assert row["skew_factor"] == pytest.approx(1.2)
+
+
+def test_join_size_stats_matches_true_self_join(spark, sf_dir):
+    from paas_auditor_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    est = join_size_stats(ev, ev, "user_id").first()["join_rows"]
+    truth = (
+        ev.where(F.col("user_id").isNotNull())
+        .alias("a")
+        .join(
+            ev.where(F.col("user_id").isNotNull()).alias("b"),
+            F.col("a.user_id") == F.col("b.user_id"),
+        )
+        .count()
+    )
+    assert est == truth
+
+
+def test_cdc_near_dup_planted_pair(spark):
+    """A doc and its lightly-edited copy (one token changed mid-doc)
+    share every chunk except the edited one -> high chunk Jaccard;
+    an unrelated doc pairs with neither."""
+    base_toks = []
+    for i in range(12):
+        base_toks += _find_tokens(False, 5)[:5]
+        base_toks.append(_find_tokens(True, i + 1)[i])  # ~12 chunks
+    body = " ".join(base_toks)
+    edited = base_toks.copy()
+    edited[30] = "EDITEDTOKEN"
+    other = " ".join(f"zz{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, body), (2, " ".join(edited)), (3, other)],
+        "doc_id long, text string",
+    )
+    from paas_auditor_spark.operators.dedup import content_chunks
+
+    ch = content_chunks(docs).select("doc_id", "chunk_hash").distinct()
+    pairs = (
+        ch.alias("a")
+        .join(ch.alias("b"), "chunk_hash")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .count()
+        .collect()
+    )
+    assert len(pairs) == 1
+    p = pairs[0]
+    n1 = ch.where(F.col("doc_id") == 1).count()
+    assert (p["a_id"], p["b_id"]) == (1, 2)
+    # the single edit can break at most the chunk containing it (plus
+    # one neighbour if the edited token WAS a boundary; here it is not)
+    assert p["count"] >= n1 - 1
+
+
+def test_ewma_stream_matches_batch_and_drops_late(spark, tmp_path):
+    """Streaming EWMA (applyInPandasWithState) folded over in-order
+    micro-batches equals the batch fold exactly; a replayed/late row in
+    a later batch is dropped instead of corrupting the series."""
+    from paas_auditor_spark.streaming.stateful import ewma_stream
+    from paas_auditor_spark.operators.timeseries import ewma
+
+    src = str(tmp_path / "ewma_src")
+    schema = "k string, t double, x double"
+    b1 = [("a", 1.0, 10.0), ("a", 2.0, 20.0), ("b", 1.0, 5.0)]
+    b2 = [("a", 3.0, 30.0), ("b", 2.0, 15.0)]
+    b3 = [("a", 2.0, 999.0), ("a", 4.0, 40.0)]  # t=2 is a late replay
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(b3, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        ewma_stream(stream, alpha=0.3)
+        .writeStream.format("memory")
+        .queryName("ewma_out")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["k"], r["t"]): r["ewma"]
+            for r in spark.sql("SELECT * FROM ewma_out").collect()
+        }
+    finally:
+        q.stop()
+
+    in_order = spark.createDataFrame(
+        b1 + b2 + [("a", 4.0, 40.0)], schema
+    )
+    want = {
+        (r["k"], r["t"]): r["ewma"]
+        for r in ewma(in_order, "k", "t", "x", alpha=0.3).collect()
+    }
+    assert got == want  # exact double equality: same multiply-add chain
+    assert ("a", 2.0) in got and got[("a", 2.0)] != 999.0
