@@ -106,6 +106,9 @@ HEADLINE = [
     "join_size_estimate",
     "join_size_sketch",
     "ewma_daily",
+    "ewma_anomaly",
+    "rolling_distinct_users",
+    "hll_overlap",
     "cdc_chunk_stats",
     "cdc_near_dup",
     "quality_prune",

@@ -4106,6 +4106,157 @@ GROUP BY s.source, t.p75 ORDER BY s.source
 """
 
 
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day.  COUNT(DISTINCT) is not
+    supported inside a window frame (in Spark or the standard), so the
+    Spark-first formulation is spine-shaped: pre-reduce events to
+    distinct (day, user) pairs (one map-side-combinable shuffle — the
+    only corpus-sized one), then range-join the tiny day spine
+    (broadcast nested loop over ≤ calendar rows) and re-count.  Work is
+    ≤ 7× the daily-distinct relation, independent of raw event
+    volume."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    du = (
+        ev.where(F.col("user_id").isNotNull())
+        .select(F.to_date("ts").alias("uday"), "user_id")
+        .distinct()
+    )
+    return (
+        du.join(
+            F.broadcast(days),
+            (F.col("uday") <= F.col("day"))
+            & (F.col("uday") >= F.date_sub(F.col("day"), 6)),
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("users_7d"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"), "users_7d"
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_ROLLING_DISTINCT = """
+WITH days AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+du AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS uday, user_id
+  FROM events WHERE user_id IS NOT NULL)
+SELECT CAST(d.day AS VARCHAR) AS day,
+       CAST(count(DISTINCT u.user_id) AS BIGINT) AS users_7d
+FROM days d JOIN du u ON u.uday BETWEEN d.day - 6 AND d.day
+GROUP BY d.day ORDER BY d.day
+"""
+
+
+def q_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly alerting on the audit-event stream (the ops story
+    the reference's informer metrics feed): per event type, a day is
+    anomalous when its count deviates from YESTERDAY's EWMA (the
+    forecast) by more than 3× the per-type residual stddev.  Composes
+    the in-plan EWMA fold with a bounded per-type lag window and a
+    broadcast threshold join; residuals and thresholds are 4dp-rounded
+    before comparison so the flag is engine-exact."""
+    from paas_auditor_spark.operators.timeseries import ewma
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    sm = ewma(daily, "event_type", "day", "n_events", alpha=0.3)
+    w = Window.partitionBy("event_type").orderBy("day")
+    resid = sm.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.round(
+            F.col("n_events") - F.lag("ewma").over(w), 4
+        ).alias("resid"),
+    )
+    thr = resid.groupBy("event_type").agg(
+        F.round(F.lit(3.0) * F.stddev_pop("resid"), 4).alias("thr")
+    )
+    return (
+        resid.join(F.broadcast(thr), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            "resid",
+            F.coalesce(
+                F.abs("resid") > F.col("thr"), F.lit(False)
+            ).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+ORACLE_EWMA_ANOMALY = """
+WITH RECURSIVE d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM d),
+e AS (
+  SELECT event_type, day, n_events, rn, CAST(n_events AS DOUBLE) AS ewma
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.day, s.n_events, s.rn,
+         0.3 * s.n_events + 0.7 * e.ewma
+  FROM s JOIN e ON s.event_type = e.event_type AND s.rn = e.rn + 1),
+r AS (
+  SELECT event_type, day, n_events,
+         round(n_events - lag(ewma) OVER (PARTITION BY event_type
+                                          ORDER BY day), 4) AS resid
+  FROM e),
+t AS (
+  SELECT event_type, round(3.0 * stddev_pop(resid), 4) AS thr
+  FROM r GROUP BY event_type)
+SELECT r.event_type, r.day, r.n_events, r.resid,
+       coalesce(abs(r.resid) > t.thr, FALSE) AS is_anomaly
+FROM r JOIN t USING (event_type)
+ORDER BY r.event_type, r.day
+"""
+
+
+def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types from HLL sketches
+    alone (inclusion–exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B)) —
+    the sketch composition that answers "how much do these segments
+    share?" over persisted per-segment sketches without re-touching raw
+    ids: one sketch per type (mergeable, bounded bytes), a tiny k²
+    pair cross of 5 rows, unions evaluated sketch-side.  Rows-only
+    (Datasketches estimates are engine-specific); accuracy vs exact
+    intersections is pinned by pytest."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg(F.col("user_id")).alias("sk")
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a")
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b")
+    )
+    pairs = a.crossJoin(F.broadcast(b)).where(
+        F.col("type_a") < F.col("type_b")
+    )
+    est_a = F.hll_sketch_estimate("sk_a")
+    est_b = F.hll_sketch_estimate("sk_b")
+    est_u = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    return pairs.select(
+        "type_a",
+        "type_b",
+        est_a.alias("est_a"),
+        est_b.alias("est_b"),
+        (est_a + est_b - est_u).alias("est_overlap"),
+    ).orderBy("type_a", "type_b")
+
+
 def q_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based join-size estimate, self-audited: the AMS/CMS
     inner-product estimate (operators/heavyhitters.py:cms_join_size —
@@ -7587,6 +7738,13 @@ REGISTRY: dict[str, QuerySpec] = {
     "join_size_sketch": QuerySpec(
         q_join_size_sketch, ORACLE_JOIN_SIZE_SKETCH
     ),
+    "rolling_distinct_users": QuerySpec(
+        q_rolling_distinct_users, ORACLE_ROLLING_DISTINCT
+    ),
+    "ewma_anomaly": QuerySpec(q_ewma_anomaly, ORACLE_EWMA_ANOMALY),
+    # Datasketches HLL estimates are engine-specific: rows-only, with
+    # the overlap-accuracy pytest pinning semantics
+    "hll_overlap": QuerySpec(q_hll_overlap, None),
     "bm25_search": QuerySpec(
         q_bm25_search,
         """

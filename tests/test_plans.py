@@ -679,3 +679,51 @@ def test_quantile_sketch_readoff_is_sketch_sized(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan  # totals/cum broadcasts
     assert "Scan ExistingRDD" in plan  # the checkpointed sketch
     assert "Scan parquet" not in plan and "FileScan" not in plan
+
+
+def test_quality_prune_no_window_and_broadcast(spark, sf_dir):
+    """The percentile gate must stay aggregate + broadcast-join: a
+    per-source window sort would funnel each source's whole corpus
+    through one task."""
+    from paas_auditor_spark.queries import q_quality_prune
+
+    df = q_quality_prune(spark, sf_dir)
+    assert_plan_contains(df, "BroadcastHashJoin")
+    assert_plan_lacks(df, "Window")
+
+
+def test_rolling_distinct_users_broadcasts_spine(spark, sf_dir):
+    """The day spine rides as the broadcast side of the range join; the
+    corpus-sized relation is never sorted or nested-loop-probed on the
+    streaming side of anything bigger."""
+    from paas_auditor_spark.queries import q_rolling_distinct_users
+
+    df = q_rolling_distinct_users(spark, sf_dir)
+    assert_plan_contains(df, "BroadcastNestedLoopJoin")
+    assert_plan_lacks(df, "CartesianProduct")
+
+
+def test_ewma_daily_single_key_shuffle(spark, sf_dir):
+    """The EWMA fold is one groupBy(key) over the daily rollup: no
+    window, no per-row Python."""
+    from paas_auditor_spark.queries import q_ewma_daily
+
+    df = q_ewma_daily(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas"):
+        assert node not in plan
+
+
+def test_join_size_estimate_never_joins_fact_rows(spark, sf_dir):
+    """The pre-flight estimator joins per-key COUNT relations — the
+    fact table itself must never reach a join input (that would be the
+    quadratic join we are trying to avoid running)."""
+    from paas_auditor_spark.queries import q_join_size_estimate
+
+    df = q_join_size_estimate(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # every join input is downstream of an aggregate: the plan's joins
+    # appear above (earlier in the tree than) the scans only via
+    # HashAggregate nodes, so a partial agg precedes the first join
+    assert plan.index("HashAggregate") < plan.index("Join")

@@ -323,3 +323,31 @@ def test_ewma_stream_matches_batch_and_drops_late(spark, tmp_path):
     }
     assert got == want  # exact double equality: same multiply-add chain
     assert ("a", 2.0) in got and got[("a", 2.0)] != 999.0
+
+
+def test_hll_overlap_accuracy(spark, sf_dir):
+    """Inclusion-exclusion overlap from HLL sketches tracks the exact
+    pairwise intersection within the sketch's error envelope."""
+    from paas_auditor_spark.queries import REGISTRY
+
+    est = {
+        (r["type_a"], r["type_b"]): r["est_overlap"]
+        for r in REGISTRY["hll_overlap"].fn(spark, sf_dir).collect()
+    }
+    from paas_auditor_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    sets = {
+        r["event_type"]: set(r["users"])
+        for r in ev.groupBy("event_type")
+        .agg(F.collect_set("user_id").alias("users"))
+        .collect()
+    }
+    assert len(est) == len(sets) * (len(sets) - 1) // 2
+    for (a, b), e in est.items():
+        exact = len(sets[a] & sets[b])
+        # lgConfigK=12 default: relative error ~1.6%/sqrt? keep a loose
+        # 10% + absolute-2 envelope so the pin is meaningful but stable
+        assert abs(e - exact) <= max(2.0, 0.10 * exact), (a, b, e, exact)
