@@ -109,6 +109,8 @@ HEADLINE = [
     "ewma_anomaly",
     "rolling_distinct_users",
     "hll_overlap",
+    "embedding_covariance",
+    "pca_projection",
     "cdc_chunk_stats",
     "cdc_near_dup",
     "quality_prune",

@@ -4257,6 +4257,52 @@ def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("type_a", "type_b")
 
 
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance of the 64-dim embedding column as 2080
+    upper-triangle (i, j, cov) rows (operators/pca.py) — one narrow
+    flatten emits each row's product terms, one map-side-combined
+    reduce collapses them to ≤ d² rows, means ride the same reduce as
+    j = 0 rows.  The statistics front-end for PCA/whitening; the oracle
+    replays the index arithmetic with generate_series."""
+    from paas_auditor_spark.operators.pca import covariance_matrix
+
+    emb = _th(spark, sf_dir, "embeddings")
+    return covariance_matrix(emb, dim=64, round_digits=4)
+
+
+ORACLE_EMB_COV = """
+WITH e AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE embedding IS NOT NULL),
+idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+sums AS (
+  SELECT a.i AS i, b.i AS j, sum(e.v[a.i] * e.v[b.i]) AS sxy,
+         count(*) AS n
+  FROM e, idx a, idx b WHERE b.i >= a.i GROUP BY 1, 2),
+means AS (
+  SELECT a.i AS i, sum(e.v[a.i]) / count(*) AS m FROM e, idx a GROUP BY 1)
+SELECT s.i, s.j, round(s.sxy / s.n - mi.m * mj.m, 4) AS cov
+FROM sums s
+JOIN means mi ON mi.i = s.i
+JOIN means mj ON mj.i = s.j
+ORDER BY s.i, s.j
+"""
+
+
+def q_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 principal-component projection of the embeddings
+    (operators/pca.py:pca_project): distributed covariance → bounded
+    d×d driver eigh → literal-matrix narrow projection.  The
+    data-dependent complement to random_projection (JL): same output
+    width, strictly more variance captured.  Rows-only (eigensolver
+    bit-patterns are library-specific); variance-capture and
+    numpy-parity are pytest-pinned."""
+    from paas_auditor_spark.operators.pca import pca_project
+
+    emb = _th(spark, sf_dir, "embeddings")
+    return pca_project(emb, k=8, dim=64)
+
+
 def q_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based join-size estimate, self-audited: the AMS/CMS
     inner-product estimate (operators/heavyhitters.py:cms_join_size —
@@ -7745,6 +7791,12 @@ REGISTRY: dict[str, QuerySpec] = {
     # Datasketches HLL estimates are engine-specific: rows-only, with
     # the overlap-accuracy pytest pinning semantics
     "hll_overlap": QuerySpec(q_hll_overlap, None),
+    "embedding_covariance": QuerySpec(
+        q_embedding_covariance, ORACLE_EMB_COV
+    ),
+    # eigensolver bit-patterns are library-specific: rows-only, with
+    # variance-capture + numpy-parity pytest pins
+    "pca_projection": QuerySpec(q_pca_projection, None),
     "bm25_search": QuerySpec(
         q_bm25_search,
         """

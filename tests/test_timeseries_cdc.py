@@ -351,3 +351,58 @@ def test_hll_overlap_accuracy(spark, sf_dir):
         # lgConfigK=12 default: relative error ~1.6%/sqrt? keep a loose
         # 10% + absolute-2 envelope so the pin is meaningful but stable
         assert abs(e - exact) <= max(2.0, 0.10 * exact), (a, b, e, exact)
+
+
+def test_pca_matches_numpy_and_beats_jl(spark, sf_dir):
+    """The distributed-covariance PCA equals a pure-numpy PCA on the
+    collected vectors (same projection up to the shared 4dp rounding),
+    and its top-8 components capture at least as much variance as the
+    oblivious JL random projection at the same width."""
+    import numpy as np
+
+    from paas_auditor_spark.operators.pca import pca_project
+    from paas_auditor_spark.operators.similarity import random_projection
+    from paas_auditor_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    X = np.array(
+        [
+            r["embedding"]
+            for r in emb.orderBy("vec_id").select("embedding").collect()
+        ],
+        dtype="float64",
+    )
+    got = (
+        pca_project(emb, k=8, dim=64)
+        .orderBy("vec_id")
+        .toPandas()
+        .drop(columns=["vec_id"])
+        .to_numpy()
+    )
+    # numpy reference with the same sign convention
+    Xc = X - X.mean(axis=0)
+    cov = Xc.T @ Xc / len(X)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:8]
+    W = vecs[:, order]
+    for c in range(8):
+        if W[np.argmax(np.abs(W[:, c])), c] < 0:
+            W[:, c] = -W[:, c]
+    want = Xc @ W
+    assert np.abs(got - want).max() < 1e-3  # 4dp rounding + float chain
+
+    pca_var = got.var(axis=0).sum()
+    jl = (
+        random_projection(emb, out_dim=8)
+        .orderBy("vec_id")
+        .toPandas()
+        .drop(columns=["vec_id"])
+        .to_numpy()
+    )
+    # JL preserves scaled distances; compare captured variance per
+    # output dimension in the same units via total-variance fractions
+    total = X.var(axis=0).sum()
+    assert pca_var / total >= (jl.var(axis=0).sum() / 64) / total
+    # top-8 eigenvalues == projected per-component variances
+    ev = np.sort(vals)[::-1][:8]
+    assert np.allclose(got.var(axis=0), ev, rtol=1e-3, atol=1e-3)
