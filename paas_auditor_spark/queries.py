@@ -4030,6 +4030,78 @@ GROUP BY source ORDER BY source
 """
 
 
+def q_cdc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CDC dedup: chunk-overlap pairs (cdc_near_dup's exact
+    Jaccard ≥ 0.5 edges) closed into clusters by large-star/small-star
+    connected components — (doc_id, cluster_id = min member id) for the
+    WHOLE corpus, isolated docs as singletons.  The chunk-level twin of
+    dedup_clusters_minhash: edges come from exact chunk-set overlap
+    instead of MinHash estimation, so the pipeline is deterministic end
+    to end and the oracle replays everything (chunking, pairing, a
+    recursive-CTE closure)."""
+    from paas_auditor_spark.operators.dedup import connected_components_star
+
+    pairs = q_cdc_near_dup(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    cc = connected_components_star(
+        pairs.select("a_id", "b_id"),
+        nodes=docs.select("doc_id"),
+        src="a_id",
+        dst="b_id",
+    )
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+    ).orderBy("doc_id")
+
+
+ORACLE_CDC_CLUSTERS = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  FROM documents),
+pos AS (
+  SELECT doc_id, i, w[i] AS tok,
+         CASE WHEN CAST(concat('0x', substr(md5(w[i]), 1, 8)) AS BIGINT)
+                   % 16 = 0 THEN 1 ELSE 0 END AS b
+  FROM toks, unnest(generate_series(1, len(w))) AS u(i)
+  WHERE w[i] <> ''),
+cpos AS (
+  SELECT doc_id, i, tok,
+         coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS chunk_idx
+  FROM pos),
+ch AS (
+  SELECT DISTINCT doc_id, md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_hash
+  FROM cpos GROUP BY doc_id, chunk_idx),
+common AS (
+  SELECT chunk_hash FROM ch GROUP BY chunk_hash HAVING count(*) <= 50),
+chf AS (SELECT ch.* FROM ch JOIN common USING (chunk_hash)),
+sizes AS (SELECT doc_id, count(*) AS n FROM chf GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+  FROM chf a JOIN chf b ON a.chunk_hash = b.chunk_hash
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+edges AS (
+  SELECT p.a_id, p.b_id
+  FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.a_id
+  JOIN sizes sb ON sb.doc_id = p.b_id
+  WHERE round(p.shared / CAST(sa.n + sb.n - p.shared AS DOUBLE), 4)
+        >= 0.5),
+und AS (
+  SELECT a_id AS src, b_id AS dst FROM edges
+  UNION ALL SELECT b_id, a_id FROM edges),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src)
+SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
+FROM reach GROUP BY src ORDER BY doc_id
+"""
+
+
 def q_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source percentile quality gate (the FineWeb keep-top-X%-per-
     dump shape): the shared logistic quality score, a per-source exact
@@ -7780,6 +7852,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "ewma_daily": QuerySpec(q_ewma_daily, ORACLE_EWMA_DAILY),
     "cdc_chunk_stats": QuerySpec(q_cdc_chunk_stats, ORACLE_CDC),
     "cdc_near_dup": QuerySpec(q_cdc_near_dup, ORACLE_CDC_NEAR_DUP),
+    "cdc_dedup_clusters": QuerySpec(
+        q_cdc_dedup_clusters, ORACLE_CDC_CLUSTERS
+    ),
     "quality_prune": QuerySpec(q_quality_prune, ORACLE_QUALITY_PRUNE),
     "join_size_sketch": QuerySpec(
         q_join_size_sketch, ORACLE_JOIN_SIZE_SKETCH
