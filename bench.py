@@ -114,6 +114,8 @@ HEADLINE = [
     "cdc_chunk_stats",
     "cdc_near_dup",
     "quality_prune",
+    "chunk_quality_prune",
+    "tokenizer_fertility",
     "bloom_decontaminate",
     "bloom_decontaminate_persisted",
     "bloom_pruned_join",

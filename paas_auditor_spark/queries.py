@@ -4102,6 +4102,169 @@ FROM reach GROUP BY src ORDER BY doc_id
 """
 
 
+def q_chunk_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level quality pruning (the RefinedWeb/CCNet line-filtering
+    shape): score every CONTENT-DEFINED chunk with the shared logistic
+    quality score, drop chunks below the classifier's 0.5 gate, and
+    re-emit each document's surviving text — finer-grained than
+    quality_prune's whole-document verdict (a good doc keeps its good
+    spans even when its average is dragged down).  Chunking + scoring
+    are one narrow map; re-assembly is the chat_assembly per-doc
+    aggregate (array_sort inside collect_list, buffer bounded by one
+    document).  Documents with no non-empty tokens emit no row (the
+    content_chunks contract)."""
+    from paas_auditor_spark.operators.dedup import content_chunks
+
+    docs = _th(spark, sf_dir, "documents")
+    scored = content_chunks(docs).select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_text",
+        "n_chunk_tokens",
+        tx.logistic_quality_score(F.col("chunk_text")).alias("score"),
+    )
+    kept = scored.where(F.col("score") >= 0.5)
+    base = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_chunk_tokens").cast("long").alias("n_tokens"),
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("kept_chunks"),
+        F.sum("n_chunk_tokens").cast("long").alias("kept_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                ),
+                lambda s: s["chunk_text"],
+            ),
+        ).alias("cleaned_text"),
+    )
+    return (
+        base.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_tokens",
+            F.coalesce("kept_chunks", F.lit(0)).cast("long").alias(
+                "kept_chunks"
+            ),
+            F.coalesce("kept_tokens", F.lit(0)).cast("long").alias(
+                "kept_tokens"
+            ),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_CHUNK_QUALITY_PRUNE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  FROM documents),
+pos AS (
+  SELECT doc_id, i, w[i] AS tok,
+         CASE WHEN CAST(concat('0x', substr(md5(w[i]), 1, 8)) AS BIGINT)
+                   % 16 = 0 THEN 1 ELSE 0 END AS b
+  FROM toks, unnest(generate_series(1, len(w))) AS u(i)
+  WHERE w[i] <> ''),
+cpos AS (
+  SELECT doc_id, i, tok,
+         coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS chunk_idx
+  FROM pos),
+chunks AS (
+  SELECT doc_id, chunk_idx,
+         CAST(count(*) AS BIGINT) AS n_chunk_tokens,
+         string_agg(tok, ' ' ORDER BY i) AS ctext
+  FROM cpos GROUP BY doc_id, chunk_idx),
+f AS (
+  SELECT doc_id, chunk_idx, n_chunk_tokens, ctext,
+         CAST(len(string_split_regex(trim(ctext), '\s+')) AS BIGINT)
+           AS n_tok,
+         round(len(list_filter(
+                 regexp_split_to_array(lower(trim(ctext)), '\s+'),
+                 x -> x IN ('the','a','of','and','to','in','is','on',
+                            'for','with')))
+               / greatest(CAST(len(string_split_regex(trim(ctext),
+                               '\s+')) AS DOUBLE), 1.0), 4) AS stop_ratio,
+         round(length(regexp_replace(ctext, '[^.!?,;:]', '', 'g'))
+               / greatest(CAST(length(ctext) AS DOUBLE), 1.0), 4)
+           AS punct_ratio,
+         round(length(regexp_replace(trim(ctext), '\s+', '', 'g'))
+               / greatest(CAST(len(string_split_regex(trim(ctext),
+                               '\s+')) AS DOUBLE), 1.0), 4) AS avg_len
+  FROM chunks),
+z AS (
+  SELECT doc_id, chunk_idx, n_chunk_tokens, ctext,
+         round(1.0 / (1.0 + exp(-(-3.0 + 0.9 * ln(1.0 + n_tok)
+               + 2.5 * stop_ratio - 4.0 * punct_ratio
+               + 0.15 * avg_len))), 4) AS score
+  FROM f)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens,
+       CAST(coalesce(sum(CASE WHEN score >= 0.5 THEN 1 END), 0) AS BIGINT)
+         AS kept_chunks,
+       CAST(coalesce(sum(CASE WHEN score >= 0.5 THEN n_chunk_tokens END),
+                     0) AS BIGINT) AS kept_tokens,
+       coalesce(string_agg(ctext, ' ' ORDER BY chunk_idx)
+                  FILTER (WHERE score >= 0.5), '') AS cleaned_text
+FROM z GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: sub-word pieces per whitespace
+    word and bytes per piece — the metric that decides per-language
+    token budgets and flags scripts a tokenizer fragments (high
+    fertility → a doc 'costs' more context window than its words
+    suggest).  One narrow map over one scan; sums reduce per lang."""
+    docs = _th(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.length("text").alias("n_chars"),
+        tx.token_count(F.col("text")).alias("n_ws"),
+        tx.bpe_ish_token_count(F.col("text")).alias("n_bpe"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_ws").cast("long").alias("ws_tokens"),
+            F.sum("n_bpe").cast("long").alias("bpe_tokens"),
+            F.round(
+                F.sum("n_bpe") / F.sum("n_ws").cast("double"), 4
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_chars") / F.sum("n_bpe").cast("double"), 4
+            ).alias("chars_per_piece"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_TOKENIZER_FERTILITY = r"""
+WITH d AS (
+  SELECT lang, length(text) AS n_chars,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_ws,
+         len(list_filter(
+               regexp_extract_all(trim(text),
+                 '[A-Za-z_]+|[0-9]+|[^A-Za-z0-9_]+'),
+               x -> trim(x) <> '')) AS n_bpe
+  FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+       CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+       round(sum(n_bpe) / CAST(sum(n_ws) AS DOUBLE), 4) AS fertility,
+       round(sum(n_chars) / CAST(sum(n_bpe) AS DOUBLE), 4)
+         AS chars_per_piece
+FROM d GROUP BY lang ORDER BY lang
+"""
+
+
 def q_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source percentile quality gate (the FineWeb keep-top-X%-per-
     dump shape): the shared logistic quality score, a per-source exact
@@ -7854,6 +8017,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "cdc_near_dup": QuerySpec(q_cdc_near_dup, ORACLE_CDC_NEAR_DUP),
     "cdc_dedup_clusters": QuerySpec(
         q_cdc_dedup_clusters, ORACLE_CDC_CLUSTERS
+    ),
+    "chunk_quality_prune": QuerySpec(
+        q_chunk_quality_prune, ORACLE_CHUNK_QUALITY_PRUNE
+    ),
+    "tokenizer_fertility": QuerySpec(
+        q_tokenizer_fertility, ORACLE_TOKENIZER_FERTILITY
     ),
     "quality_prune": QuerySpec(q_quality_prune, ORACLE_QUALITY_PRUNE),
     "join_size_sketch": QuerySpec(

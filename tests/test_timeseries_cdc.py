@@ -406,3 +406,28 @@ def test_pca_matches_numpy_and_beats_jl(spark, sf_dir):
     # top-8 eigenvalues == projected per-component variances
     ev = np.sort(vals)[::-1][:8]
     assert np.allclose(got.var(axis=0), ev, rtol=1e-3, atol=1e-3)
+
+
+def test_chunk_quality_prune_identities(spark, sf_dir):
+    """Accounting identities: kept <= total per doc, and the cleaned
+    text's token count equals the kept-token count exactly."""
+    from paas_auditor_spark.queries import REGISTRY
+
+    df = REGISTRY["chunk_quality_prune"].fn(spark, sf_dir)
+    bad = df.where(
+        (F.col("kept_chunks") > F.col("n_chunks"))
+        | (F.col("kept_tokens") > F.col("n_tokens"))
+        | (
+            F.when(
+                F.col("cleaned_text") != "",
+                F.size(F.split("cleaned_text", r"\s+")),
+            ).otherwise(F.lit(0))
+            != F.col("kept_tokens")
+        )
+    ).count()
+    assert bad == 0
+    # the 0.5 gate actually splits: some chunks kept, some dropped
+    tot = df.agg(
+        F.sum("n_chunks").alias("n"), F.sum("kept_chunks").alias("k")
+    ).first()
+    assert 0 < tot["k"] < tot["n"]
