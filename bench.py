@@ -116,6 +116,7 @@ HEADLINE = [
     "quality_prune",
     "chunk_quality_prune",
     "tokenizer_fertility",
+    "mixture_weights_fit",
     "bloom_decontaminate",
     "bloom_decontaminate_persisted",
     "bloom_pruned_join",

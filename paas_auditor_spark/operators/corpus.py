@@ -650,7 +650,80 @@ def temperature_sample(
 
 __all__ = [
     "bigram_lm_perplexity",
+    "mixture_weights",
     "segment_dedup",
     "temperature_sample",
     "trigram_interp_perplexity",
 ]
+
+
+def mixture_weights(
+    docs_df,
+    target_source: str,
+    text_col: str = "text",
+    source_col: str = "source",
+    buckets: int = 64,
+):
+    """Data-mixing weight fit (the DoReMi/DSIR question inverted): what
+    non-negative, sum-to-one weights over the OTHER sources make their
+    blended hashed-unigram distribution closest (L2) to
+    ``target_source``'s?  The answer is the sampling ratio table a
+    training-data pipeline feeds its source mixer when one slice is the
+    quality reference.
+
+    Shape: one (source, bucket) count reduce over the token stream
+    (md5-bucketed like DSIR — engine-portable), normalized per source;
+    the solve runs on the DRIVER over the collected buckets×sources
+    matrix — a bounded O(B·S) collect (64×5 here), the PQ-codebook /
+    PCA bounded-collect convention.  Solver: numpy least squares
+    followed by clip-to-zero + renormalize — the standard deterministic
+    approximation of the simplex-constrained projection (exact NNLS
+    needs an active-set loop; the clipped solution is pinned by the
+    better-than-uniform pytest contract rather than claimed optimal).
+
+    Returns one row per non-target source: (source, weight) with weight
+    rounded to 6dp, descending weight then source order.
+    """
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from paas_auditor_spark.functions.text import tokens
+
+    def bucket(w):
+        return (
+            F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+            % buckets
+        )
+
+    toks = docs_df.select(
+        F.col(source_col).alias("src"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("w"),
+    ).filter(F.length("w") >= 1)
+    counts = (
+        toks.select("src", bucket(F.col("w")).alias("b"))
+        .groupBy("src", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rows = counts.collect()  # bounded: <= sources x buckets rows
+    srcs = sorted({r["src"] for r in rows})
+    if target_source not in srcs:
+        raise ValueError(f"target source {target_source!r} not in corpus")
+    others = [s for s in srcs if s != target_source]
+    mat = {s: np.zeros(buckets) for s in srcs}
+    for r in rows:
+        mat[r["src"]][r["b"]] = r["c"]
+    for s in srcs:
+        tot = mat[s].sum()
+        if tot > 0:
+            mat[s] = mat[s] / tot
+    A = np.stack([mat[s] for s in others], axis=1)  # B x S'
+    y = mat[target_source]
+    w, *_ = np.linalg.lstsq(A, y, rcond=None)
+    w = np.clip(w, 0.0, None)
+    w = w / w.sum() if w.sum() > 0 else np.full(len(others), 1.0 / len(others))
+    spark = docs_df.sparkSession
+    out = spark.createDataFrame(
+        [(s, float(round(wi, 6))) for s, wi in zip(others, w)],
+        "source string, weight double",
+    )
+    return out.orderBy(F.desc("weight"), "source")

@@ -4216,6 +4216,22 @@ FROM z GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing weight fit (operators/corpus.py:mixture_weights):
+    the non-negative sum-to-one weights over src1..src4 whose blended
+    hashed-unigram distribution best L2-matches src0 — the sampling
+    ratio table a source mixer consumes when one slice is the quality
+    reference (DoReMi's question with a least-squares answer).  One
+    token-stream reduce to a bounded B×S matrix, driver lstsq +
+    clip/renormalize.  Rows-only (lstsq bit patterns are
+    library-specific); simplex and better-than-uniform contracts are
+    pytest-pinned."""
+    from paas_auditor_spark.operators.corpus import mixture_weights
+
+    docs = _th(spark, sf_dir, "documents")
+    return mixture_weights(docs, target_source="src0")
+
+
 def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility per language: sub-word pieces per whitespace
     word and bytes per piece — the metric that decides per-language
@@ -8024,6 +8040,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "tokenizer_fertility": QuerySpec(
         q_tokenizer_fertility, ORACLE_TOKENIZER_FERTILITY
     ),
+    # driver lstsq bit-patterns are library-specific: rows-only, with
+    # simplex + better-than-uniform pytest pins
+    "mixture_weights_fit": QuerySpec(q_mixture_weights, None),
     "quality_prune": QuerySpec(q_quality_prune, ORACLE_QUALITY_PRUNE),
     "join_size_sketch": QuerySpec(
         q_join_size_sketch, ORACLE_JOIN_SIZE_SKETCH

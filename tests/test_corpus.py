@@ -293,3 +293,54 @@ def test_fim_transform_reassembles_to_original(spark, sf_dir):
         prefix, suffix, middle = m.groups()
         assert prefix + middle + suffix == docs[r["doc_id"]]
     assert 0.3 < n_applied / len(out) < 0.7
+
+
+def test_mixture_weights_simplex_and_beats_uniform(spark, sf_dir):
+    """Fitted weights live on the simplex and their blend is at least
+    as close (L2 over hashed-unigram buckets) to the target source's
+    distribution as the uniform blend."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from paas_auditor_spark.functions.text import tokens
+    from paas_auditor_spark.operators.corpus import mixture_weights
+    from paas_auditor_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = {r["source"]: r["weight"] for r in mixture_weights(docs, "src0").collect()}
+    assert "src0" not in out and len(out) >= 2
+    assert all(w >= 0 for w in out.values())
+    assert abs(sum(out.values()) - 1.0) < 1e-4
+
+    def bucket_dist(src):
+        rows = (
+            docs.where(F.col("source") == src)
+            .select(F.explode(tokens(F.lower(F.col("text")))).alias("w"))
+            .filter(F.length("w") >= 1)
+            .select(
+                (
+                    F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast(
+                        "long"
+                    )
+                    % 64
+                ).alias("b")
+            )
+            .groupBy("b")
+            .count()
+            .collect()
+        )
+        v = np.zeros(64)
+        for r in rows:
+            v[r["b"]] = r["count"]
+        return v / v.sum()
+
+    target = bucket_dist("src0")
+    dists = {s: bucket_dist(s) for s in out}
+    fitted = sum(out[s] * dists[s] for s in out)
+    uniform = sum(dists[s] for s in out) / len(out)
+    assert np.linalg.norm(fitted - target) <= np.linalg.norm(
+        uniform - target
+    ) + 1e-12
+
+    with __import__("pytest").raises(ValueError, match="target source"):
+        mixture_weights(docs, "no_such_source")
