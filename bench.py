@@ -107,6 +107,8 @@ HEADLINE = [
     "join_size_sketch",
     "ewma_daily",
     "ewma_anomaly",
+    "cusum_drift",
+    "bootstrap_se",
     "rolling_distinct_users",
     "hll_overlap",
     "embedding_covariance",

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ewma"]
+__all__ = ["cusum", "ewma"]
 
 
 def ewma(
@@ -96,4 +96,72 @@ def ewma(
         F.col("_x.o").alias(order_col),
         F.col("_x.v").alias(value_col),
         F.col("_x.e").alias("ewma"),
+    )
+
+
+def cusum(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    *,
+    mu_col: str,
+    slack_col: str,
+) -> DataFrame:
+    """One-sided upper CUSUM (Page 1954): S_1 = max(0, x_1 − μ − k),
+    S_t = max(0, S_{t−1} + x_t − μ − k) — the sequential statistic that
+    detects SUSTAINED level shifts a spike detector (ewma_anomaly)
+    misses, because small persistent exceedances accumulate instead of
+    being absorbed by the smoother.  μ (``mu_col``) and the slack k
+    (``slack_col``) are caller-provided columns, constant per key —
+    typically in-control mean and 0.5σ joined on before the fold.
+
+    Same in-plan fold machinery and contracts as ``ewma``: one shuffle
+    on the key, per-key buffer bounded by the (calendar-bounded) series
+    length, deterministic multiply-add order so a recursive CTE can
+    replay it exactly.  Returns (key, order, value, cusum double),
+    cusum unrounded."""
+    series = df.groupBy(key_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col),
+                    F.col(value_col),
+                    F.col(mu_col),
+                    F.col(slack_col),
+                )
+            )
+        ).alias("_s")
+    )
+    out_t = (
+        "array<struct<o:"
+        + df.schema[order_col].dataType.simpleString()
+        + ",v:"
+        + df.schema[value_col].dataType.simpleString()
+        + ",s:double>>"
+    )
+    step = lambda acc, x: F.concat(  # noqa: E731
+        acc,
+        F.array(
+            F.struct(
+                x[order_col].alias("o"),
+                x[value_col].alias("v"),
+                F.greatest(
+                    F.lit(0.0),
+                    F.when(
+                        F.size(acc) == 0, F.lit(0.0)
+                    ).otherwise(F.element_at(acc, -1)["s"])
+                    + (x[value_col] - x[mu_col] - x[slack_col]),
+                ).alias("s"),
+            )
+        ),
+    )
+    folded = series.select(
+        key_col, F.aggregate("_s", F.array().cast(out_t), step).alias("_f")
+    )
+    return folded.select(key_col, F.explode("_f").alias("_x")).select(
+        key_col,
+        F.col("_x.o").alias(order_col),
+        F.col("_x.v").alias(value_col),
+        F.col("_x.s").alias("cusum"),
     )

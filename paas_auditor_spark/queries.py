@@ -4474,6 +4474,186 @@ ORDER BY r.event_type, r.day
 """
 
 
+_POISSON1_CDF = [
+    (0.367879, 0),
+    (0.735759, 1),
+    (0.919699, 2),
+    (0.981012, 3),
+    (0.996340, 4),
+    (0.999406, 5),
+]
+
+
+def q_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap standard errors for per-type mean value — the
+    error-bar machinery an eval pipeline needs before claiming one
+    variant beats another.  Classic resampling needs coordinated
+    sampling; the ONLINE (Poissonized) bootstrap (Oza & Russell 2001)
+    replaces it with an independent Poisson(1) weight per (row,
+    replicate), here derived from md5(event_id # b) by inverse-CDF
+    lookup — fully deterministic, coordination-free, engine-portable,
+    so the whole procedure has an exact oracle.  Shape: each row
+    explodes into B=32 (type, b, w, w·x) terms, one map-side-combined
+    reduce to B×types cells, replicate means and their stddev in a
+    tiny second aggregate — one corpus scan regardless of B."""
+    B = 32
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("event_id").cast("string"),
+                        F.lit("#"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    ) / 1e6
+    w = F.lit(6)
+    for thr, kk in reversed(_POISSON1_CDF):
+        w = F.when(u < thr, kk).otherwise(w)
+    terms = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.explode(F.array(*[F.lit(b) for b in range(B)])).alias("b"),
+    ).select(
+        "event_type",
+        "b",
+        w.alias("w"),
+        (w * F.col("value")).alias("wx"),
+    )
+    reps = terms.groupBy("event_type", "b").agg(
+        (
+            F.sum("wx") / F.greatest(F.sum("w"), F.lit(1)).cast("double")
+        ).alias("mean_b")
+    )
+    base = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("mean_value"),
+    )
+    return (
+        reps.groupBy("event_type")
+        .agg(F.round(F.stddev_pop("mean_b"), 4).alias("boot_se"))
+        .join(base, "event_type")
+        .select("event_type", "n", "mean_value", "boot_se")
+        .orderBy("event_type")
+    )
+
+
+ORACLE_BOOTSTRAP_SE = """
+WITH ev AS (
+  SELECT event_type, event_id, value FROM events
+  WHERE value IS NOT NULL),
+bs AS (SELECT unnest(generate_series(0, 31)) AS b),
+u AS (
+  SELECT event_type, value, b,
+         (CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)
+              || '#' || b), 1, 8)) AS BIGINT) % 1000000) / 1e6 AS uu
+  FROM ev CROSS JOIN bs),
+wts AS (
+  SELECT event_type, value, b,
+         CASE WHEN uu < 0.367879 THEN 0
+              WHEN uu < 0.735759 THEN 1
+              WHEN uu < 0.919699 THEN 2
+              WHEN uu < 0.981012 THEN 3
+              WHEN uu < 0.996340 THEN 4
+              WHEN uu < 0.999406 THEN 5
+              ELSE 6 END AS w
+  FROM u),
+reps AS (
+  SELECT event_type, b,
+         sum(w * value) / CAST(greatest(sum(w), 1) AS DOUBLE) AS mean_b
+  FROM wts GROUP BY event_type, b),
+base AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         round(avg(value), 4) AS mean_value
+  FROM ev GROUP BY event_type)
+SELECT r.event_type, base.n, base.mean_value,
+       round(stddev_pop(r.mean_b), 4) AS boot_se
+FROM reps r JOIN base USING (event_type)
+GROUP BY r.event_type, base.n, base.mean_value
+ORDER BY r.event_type
+"""
+
+
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sustained-shift detection (Page's CUSUM,
+    operators/timeseries.py:cusum) on the per-type daily counts —
+    complements ewma_anomaly: the smoother flags one-day spikes, CUSUM
+    accumulates small persistent exceedances over the in-control mean
+    (slack k = 0.5σ) and alarms past h = 4σ.  In-control stats are one
+    per-type aggregate broadcast onto the daily series before the
+    fold; flags compare 4dp-rounded statistic to 4dp-rounded threshold
+    so they replay engine-exactly."""
+    from paas_auditor_spark.operators.timeseries import cusum
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.avg("n_events").alias("mu"),
+        F.stddev_pop("n_events").alias("sd"),
+    )
+    base = daily.join(F.broadcast(stats), "event_type").withColumn(
+        "k", F.lit(0.5) * F.col("sd")
+    )
+    out = cusum(
+        base, "event_type", "day", "n_events", mu_col="mu", slack_col="k"
+    )
+    return (
+        out.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            F.round("cusum", 4).alias("cusum"),
+            (
+                F.round("cusum", 4)
+                > F.round(F.lit(4.0) * F.col("sd"), 4)
+            ).alias("alarm"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+ORACLE_CUSUM = """
+WITH RECURSIVE d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2),
+st AS (
+  SELECT event_type, avg(n_events) AS mu, stddev_pop(n_events) AS sd
+  FROM d GROUP BY event_type),
+s AS (
+  SELECT d.event_type, d.day, d.n_events, st.mu, 0.5 * st.sd AS k,
+         row_number() OVER (PARTITION BY d.event_type ORDER BY d.day)
+           AS rn
+  FROM d JOIN st USING (event_type)),
+c AS (
+  SELECT event_type, day, n_events, rn,
+         greatest(0.0, n_events - mu - k) AS cs
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.day, s.n_events, s.rn,
+         greatest(0.0, c.cs + (s.n_events - s.mu - s.k))
+  FROM s JOIN c ON s.event_type = c.event_type AND s.rn = c.rn + 1)
+SELECT c.event_type, c.day, c.n_events, round(c.cs, 4) AS cusum,
+       round(c.cs, 4) > round(4.0 * st.sd, 4) AS alarm
+FROM c JOIN st USING (event_type)
+ORDER BY c.event_type, c.day
+"""
+
+
 def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise audience overlap between event types from HLL sketches
     alone (inclusion–exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B)) —
@@ -8051,6 +8231,8 @@ REGISTRY: dict[str, QuerySpec] = {
         q_rolling_distinct_users, ORACLE_ROLLING_DISTINCT
     ),
     "ewma_anomaly": QuerySpec(q_ewma_anomaly, ORACLE_EWMA_ANOMALY),
+    "cusum_drift": QuerySpec(q_cusum_drift, ORACLE_CUSUM),
+    "bootstrap_se": QuerySpec(q_bootstrap_se, ORACLE_BOOTSTRAP_SE),
     # Datasketches HLL estimates are engine-specific: rows-only, with
     # the overlap-accuracy pytest pinning semantics
     "hll_overlap": QuerySpec(q_hll_overlap, None),

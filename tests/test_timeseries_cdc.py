@@ -431,3 +431,56 @@ def test_chunk_quality_prune_identities(spark, sf_dir):
         F.sum("n_chunks").alias("n"), F.sum("kept_chunks").alias("k")
     ).first()
     assert 0 < tot["k"] < tot["n"]
+
+
+def test_cusum_accumulates_planted_drift(spark):
+    """A sustained level shift accumulates linearly; in-control days
+    hold the statistic at zero (one-sided reset)."""
+    from paas_auditor_spark.operators.timeseries import cusum
+
+    rows = [("a", t, 10.0, 10.0, 1.0) for t in range(1, 6)] + [
+        ("a", t, 20.0, 10.0, 1.0) for t in range(6, 11)
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, t int, x double, mu double, kk double"
+    )
+    out = {
+        r["t"]: r["cusum"]
+        for r in cusum(
+            df, "k", "t", "x", mu_col="mu", slack_col="kk"
+        ).collect()
+    }
+    # in-control: x - mu - k = -1 -> clamped at 0; shifted: +9 per day
+    assert all(out[t] == 0.0 for t in range(1, 6))
+    assert [out[t] for t in range(6, 11)] == [9.0, 18.0, 27.0, 36.0, 45.0]
+
+
+def test_bootstrap_se_tracks_theoretical_se(spark, sf_dir):
+    """The Poissonized bootstrap SE of a mean approximates sd/sqrt(n):
+    within a factor of 2 for every event type (B=32 replicates)."""
+    import math
+
+    from paas_auditor_spark.queries import REGISTRY
+    from paas_auditor_spark.sources.tables import load_table
+
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["bootstrap_se"].fn(spark, sf_dir).collect()
+    }
+    stats = {
+        r["event_type"]: (r["sd"], r["n"])
+        for r in load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(F.stddev_pop("value").alias("sd"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(got) == set(stats) and len(got) > 0
+    for t, row in got.items():
+        sd, n = stats[t]
+        theory = sd / math.sqrt(n)
+        assert theory / 2 <= row["boot_se"] <= theory * 2, (
+            t,
+            row["boot_se"],
+            theory,
+        )
