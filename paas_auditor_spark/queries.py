@@ -4474,14 +4474,14 @@ ORDER BY r.event_type, r.day
 """
 
 
-_POISSON1_CDF = [
-    (0.367879, 0),
-    (0.735759, 1),
-    (0.919699, 2),
-    (0.981012, 3),
-    (0.996340, 4),
-    (0.999406, 5),
-]
+# Poisson(1) inverse CDF quantized to 8-bit uniforms: byte < 94 → 0,
+# < 188 → 1, < 235 → 2, < 251 → 3, < 255 → 4, else 5 (the ≥5 tail is
+# folded into 5).  Quantization makes E[w] = 257/256 ≈ 1.004 — a 0.4%
+# SE bias, negligible against bootstrap noise at B = 32 — and buys an
+# 8-bit extraction: one 48-bit conv yields SIX weights via shift/mask
+# instead of one conv per replicate (the md5+conv per-term form was
+# measured 4-6× slower end to end).
+_POISSON1_BYTE_CDF = [(94, 0), (188, 1), (235, 2), (251, 3), (255, 4)]
 
 
 def q_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4495,36 +4495,64 @@ def q_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the whole procedure has an exact oracle.  Shape: each row
     explodes into B=32 (type, b, w, w·x) terms, one map-side-combined
     reduce to B×types cells, replicate means and their stddev in a
-    tiny second aggregate — one corpus scan regardless of B."""
+    tiny second aggregate — one corpus scan regardless of B.
+
+    Hashing cost: all 32 uniforms come from THREE md5 digests per row,
+    parsed as six 48-bit longs (conv caps at 60 bits of hex), each
+    yielding six 8-bit uniforms by shift/mask — integer ops that are
+    free next to the hashes.  Intermediates are PROJECTION COLUMNS in
+    their own select — not HOF-let-bound — because the optimizer
+    inlines a lambda-bound value into every use and the blown-up tree
+    cost seconds per fresh plan; an attribute reference is free to
+    repeat.  See _POISSON1_BYTE_CDF for the quantized-threshold
+    trade."""
     B = 32
     ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
-    u = (
-        F.conv(
-            F.substring(
+    with_fl = ev.select(
+        "event_type",
+        "value",
+        F.concat(
+            *[
                 F.md5(
                     F.concat(
-                        F.col("event_id").cast("string"),
-                        F.lit("#"),
-                        F.col("b").cast("string"),
+                        F.col("event_id").cast("string"), F.lit(f"#{d}")
                     )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 1000000
-    ) / 1e6
-    w = F.lit(6)
-    for thr, kk in reversed(_POISSON1_CDF):
-        w = F.when(u < thr, kk).otherwise(w)
-    terms = ev.select(
+                )
+                for d in range(3)
+            ]
+        ).alias("fl"),
+    )
+    with_l = with_fl.select(
         "event_type",
-        "event_id",
         "value",
-        F.explode(F.array(*[F.lit(b) for b in range(B)])).alias("b"),
-    ).select(
+        F.array(
+            *[
+                F.conv(F.substring("fl", j * 12 + 1, 12), 16, 10).cast(
+                    "long"
+                )
+                for j in range(6)
+            ]
+        ).alias("ls"),
+    )
+    # explode plain INTS and derive the weight arithmetically from the
+    # carried longs array — NOT an array of 32 pre-built structs: the
+    # per-element struct boxing in Generate was measured ~3 s of pure
+    # execution at sf0.1 (vs ~0.3 s for an int sequence), dwarfing the
+    # hash work this scheme was tuned to avoid
+    ex = with_l.select(
+        "event_type",
+        "value",
+        "ls",
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("b"),
+    )
+    byte = F.expr(
+        "(element_at(ls, CAST(b div 6 AS INT) + 1)"
+        " div shiftleft(1L, (b % 6) * 8)) % 256"
+    )
+    w = F.lit(5)
+    for thr, kk in reversed(_POISSON1_BYTE_CDF):
+        w = F.when(byte < thr, kk).otherwise(w)
+    terms = ex.select(
         "event_type",
         "b",
         w.alias("w"),
@@ -4552,21 +4580,27 @@ ORACLE_BOOTSTRAP_SE = """
 WITH ev AS (
   SELECT event_type, event_id, value FROM events
   WHERE value IS NOT NULL),
+digests AS (
+  SELECT event_type, value,
+         md5(CAST(event_id AS VARCHAR) || '#0')
+           || md5(CAST(event_id AS VARCHAR) || '#1')
+           || md5(CAST(event_id AS VARCHAR) || '#2') AS fl
+  FROM ev),
 bs AS (SELECT unnest(generate_series(0, 31)) AS b),
 u AS (
   SELECT event_type, value, b,
-         (CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)
-              || '#' || b), 1, 8)) AS BIGINT) % 1000000) / 1e6 AS uu
-  FROM ev CROSS JOIN bs),
+         (CAST(concat('0x',
+                substr(fl, (b // 6) * 12 + 1, 12)) AS BIGINT)
+          >> ((b % 6) * 8)) & 255 AS byte
+  FROM digests CROSS JOIN bs),
 wts AS (
   SELECT event_type, value, b,
-         CASE WHEN uu < 0.367879 THEN 0
-              WHEN uu < 0.735759 THEN 1
-              WHEN uu < 0.919699 THEN 2
-              WHEN uu < 0.981012 THEN 3
-              WHEN uu < 0.996340 THEN 4
-              WHEN uu < 0.999406 THEN 5
-              ELSE 6 END AS w
+         CASE WHEN byte < 94 THEN 0
+              WHEN byte < 188 THEN 1
+              WHEN byte < 235 THEN 2
+              WHEN byte < 251 THEN 3
+              WHEN byte < 255 THEN 4
+              ELSE 5 END AS w
   FROM u),
 reps AS (
   SELECT event_type, b,
