@@ -120,7 +120,13 @@ def cusum(
     on the key, per-key buffer bounded by the (calendar-bounded) series
     length, deterministic multiply-add order so a recursive CTE can
     replay it exactly.  Returns (key, order, value, cusum double),
-    cusum unrounded."""
+    cusum unrounded.
+
+    NULL edge (differs from ewma's poison-the-tail): a NULL value /
+    mu / slack makes the increment NULL, and ``greatest`` skips NULLs,
+    so the statistic RESETS to 0 at that point and resumes — feed this
+    operator gap-repaired series (daily_gapfill) when that reset is
+    not the intent; the behavior is test-pinned either way."""
     series = df.groupBy(key_col).agg(
         F.sort_array(
             F.collect_list(

@@ -484,3 +484,42 @@ def test_bootstrap_se_tracks_theoretical_se(spark, sf_dir):
             row["boot_se"],
             theory,
         )
+
+
+def test_cusum_null_resets_and_resumes(spark):
+    """Documented NULL edge: a NULL value makes the increment NULL and
+    greatest() skips it — the statistic resets to 0 and resumes (unlike
+    ewma's poisoned tail); gap-repair upstream when that's not wanted."""
+    from paas_auditor_spark.operators.timeseries import cusum
+
+    rows = [
+        ("a", 1, 20.0, 10.0, 1.0),  # s = 9
+        ("a", 2, None, 10.0, 1.0),  # NULL -> reset to 0
+        ("a", 3, 20.0, 10.0, 1.0),  # resumes: s = 9
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, t int, x double, mu double, kk double"
+    )
+    out = {
+        r["t"]: r["cusum"]
+        for r in cusum(df, "k", "t", "x", mu_col="mu", slack_col="kk").collect()
+    }
+    assert out == {1: 9.0, 2: 0.0, 3: 9.0}
+
+
+def test_bootstrap_and_sequential_plans_stay_jvm_side(spark, sf_dir):
+    """No Python evaluation nodes in the resampling or sequential-fold
+    paths, and the bootstrap's replicate reduce partial-aggregates
+    before its exchange."""
+    from paas_auditor_spark.queries import REGISTRY
+
+    for name in ("bootstrap_se", "cusum_drift", "ewma_daily"):
+        plan = (
+            REGISTRY[name]
+            .fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert node not in plan, (name, node)
