@@ -103,6 +103,8 @@ HEADLINE = [
     "cms_estimate",
     "quantile_sketch",
     "phrase_search",
+    "ql_search",
+    "type_cooccurrence_lift",
     "join_size_estimate",
     "join_size_sketch",
     "ewma_daily",

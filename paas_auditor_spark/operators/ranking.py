@@ -145,3 +145,63 @@ def phrase_search(
         .select(F.col("_doc").alias(id_col), "n_matches", "first_pos")
         .orderBy(id_col)
     )
+
+
+def ql_scores(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mu: float = 100.0,
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty 2001) — the language-modeling counterpart to BM25:
+
+        score(d) = Σ_t log( (tf(t,d) + μ·P(t|C)) / (dl(d) + μ) )
+
+    with the collection model P(t|C) = cf(t)/|C|.  Unlike BM25 a
+    document scores on EVERY query term (absent terms contribute the
+    smoothed collection probability), so ranking covers the whole
+    corpus, and μ trades document evidence against the collection
+    prior (μ ≈ mean doc length here).
+
+    Scale posture mirrors ``bm25_scores``: one checkpointed tokenize,
+    query-term tf is the only corpus-keyed shuffle, cf/|C| ride as
+    |Q|-row / 1-row broadcasts; the per-(doc, term) frame is doclen ×
+    |Q| via a broadcast cross join with tf LEFT-joined on — no UDFs,
+    whole-stage codegen throughout.  Returns (id_col, score) for every
+    document with tokens."""
+    toked = docs.select(
+        F.col(id_col), tx.tokens(F.lower(F.col(text_col))).alias("toks")
+    ).localCheckpoint(eager=False)
+    doclen = toked.filter(F.col("toks").isNotNull()).select(
+        F.col(id_col), F.size("toks").alias("dl")
+    )
+    toks = toked.select(F.col(id_col), F.explode("toks").alias("term"))
+
+    qterms = [t.lower() for t in query_terms]
+    qtoks = toks.filter(F.col("term").isin(qterms))
+    tf = qtoks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    cf = qtoks.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    total = toks.agg(F.count(F.lit(1)).cast("double").alias("_ct"))
+    # every query term must appear in the frame even when cf would be
+    # 0 (log of the pure prior would be -inf; such terms are dropped
+    # with a documented epsilon-free contract: a term absent from the
+    # whole collection contributes no evidence to ANY ranking order)
+    per = (
+        doclen.crossJoin(F.broadcast(cf))
+        .join(tf, [id_col, "term"], "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.log(
+                (
+                    F.coalesce(F.col("tf"), F.lit(0)).cast("double")
+                    + F.lit(mu) * (F.col("cf") / F.col("_ct"))
+                )
+                / (F.col("dl") + F.lit(mu))
+            ).alias("term_score"),
+        )
+    )
+    return per.groupBy(id_col).agg(F.sum("term_score").alias("score"))

@@ -4929,6 +4929,128 @@ ORDER BY p.a_id, p.b_id
 """
 
 
+def q_ql_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood (Dirichlet-smoothed LM) ranked retrieval for
+    the same probe terms as bm25_search — the language-modeling arm of
+    the IR family (operators/ranking.py:ql_scores); absent terms
+    contribute the smoothed collection prior, so the whole corpus
+    ranks.  Rounded score is the ranking key on both engines so the
+    top-20 cut is deterministic."""
+    from paas_auditor_spark.operators.ranking import ql_scores
+
+    docs = _th(spark, sf_dir, "documents")
+    scores = ql_scores(docs, ["table", "hash", "merge"], mu=100.0)
+    return (
+        scores.select("doc_id", F.round("score", 4).alias("ql"))
+        .orderBy(F.desc("ql"), "doc_id")
+        .limit(20)
+    )
+
+
+ORACLE_QL_SEARCH = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+  FROM documents),
+doclen AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+q AS (SELECT unnest(['table', 'hash', 'merge']) AS term),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ('table', 'hash', 'merge') GROUP BY doc_id, term),
+cf AS (
+  SELECT term, count(*) AS cf FROM toks
+  WHERE term IN ('table', 'hash', 'merge') GROUP BY term),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS ct FROM toks),
+per AS (
+  SELECT d.doc_id,
+         ln((coalesce(tf.tf, 0) + 100.0 * (cf.cf / tot.ct))
+            / (d.dl + 100.0)) AS term_score
+  FROM doclen d
+  CROSS JOIN cf
+  LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.term = cf.term
+  CROSS JOIN tot)
+SELECT doc_id, round(sum(term_score), 4) AS ql
+FROM per GROUP BY doc_id
+ORDER BY ql DESC, doc_id LIMIT 20
+"""
+
+
+def q_type_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining over user baskets: for each pair of event
+    types, lift = P(a,b) / (P(a)·P(b)) over the per-user distinct-type
+    sets — the market-basket signal ("users who error also purchase?")
+    behind co-marketing and anomaly triage.  The basket self-join keys
+    on user_id, so pair space is Σ |basket|² with |basket| ≤ 5 types —
+    never users²; type marginals are a 5-row broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    baskets = ev.select("user_id", "event_type").distinct()
+    # user total rides in-plan as a 1-row broadcast (no driver action)
+    nu = baskets.agg(
+        F.count_distinct("user_id").cast("double").alias("_nu")
+    )
+    marg = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    pairs = (
+        baskets.alias("a")
+        .join(baskets.alias("b"), "user_id")
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(marg.withColumnRenamed("event_type", "type_a")),
+            "type_a",
+        )
+        .withColumnRenamed("n_t", "n_a")
+        .join(
+            F.broadcast(marg.withColumnRenamed("event_type", "type_b")),
+            "type_b",
+        )
+        .withColumnRenamed("n_t", "n_b")
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.round(
+                (F.col("n_ab") * F.col("_nu"))
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+ORACLE_TYPE_LIFT = """
+WITH baskets AS (
+  SELECT DISTINCT user_id, event_type FROM events),
+nu AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n FROM baskets),
+marg AS (
+  SELECT event_type, count(*) AS n_t FROM baskets GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM baskets a JOIN baskets b ON a.user_id = b.user_id
+  WHERE a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type)
+SELECT p.type_a, p.type_b, p.n_ab,
+       round((p.n_ab * nu.n) / CAST(ma.n_t * mb.n_t AS DOUBLE), 4)
+         AS lift
+FROM pairs p
+JOIN marg ma ON ma.event_type = p.type_a
+JOIN marg mb ON mb.event_type = p.type_b
+CROSS JOIN nu
+ORDER BY p.type_a, p.type_b
+"""
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval for a fixed probe-term set over the corpus
     (see operators/ranking.py for the scale posture: query-term tf is the
@@ -8241,6 +8363,10 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
     ),
     "phrase_search": QuerySpec(q_phrase_search, ORACLE_PHRASE_SEARCH),
+    "ql_search": QuerySpec(q_ql_search, ORACLE_QL_SEARCH),
+    "type_cooccurrence_lift": QuerySpec(
+        q_type_cooccurrence_lift, ORACLE_TYPE_LIFT
+    ),
     "join_size_estimate": QuerySpec(q_join_size_estimate, ORACLE_JOIN_SIZE),
     "ewma_daily": QuerySpec(q_ewma_daily, ORACLE_EWMA_DAILY),
     "cdc_chunk_stats": QuerySpec(q_cdc_chunk_stats, ORACLE_CDC),

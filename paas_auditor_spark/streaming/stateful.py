@@ -233,6 +233,65 @@ def ewma_stream(series_df, alpha: float = 0.3):
     )
 
 
+CUSUM_OUTPUT_SCHEMA = "k string, t double, x double, cusum double"
+CUSUM_STATE_SCHEMA = "t double, s double"
+
+
+def track_cusum(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+    mu: float,
+    slack: float,
+) -> Iterator[pd.DataFrame]:
+    """Streaming one-sided CUSUM: the stateful twin of
+    ``operators/timeseries.py:cusum`` with FIXED in-control (μ, k) —
+    streaming monitoring knows its control limits up front (from a
+    training window), unlike the batch query which estimates them
+    in-plan.  State is one (last_t, s) pair per key; ordering contract
+    identical to ``track_ewma`` (fold in t order, drop late rows), and
+    the clamped recursion is the same expression the batch fold and
+    recursive-CTE oracle use, so in-order stream == batch with the
+    same (μ, k) — test-pinned."""
+    last_t, s = state.get if state.exists else (None, 0.0)
+    pdf = pd.concat(list(batches)).sort_values("t")
+    out_t: list[float] = []
+    out_x: list[float] = []
+    out_s: list[float] = []
+    for t, x in zip(pdf["t"], pdf["x"]):
+        if last_t is not None and t <= last_t:
+            continue
+        s = max(0.0, s + (float(x) - mu - slack))
+        last_t = float(t)
+        out_t.append(last_t)
+        out_x.append(float(x))
+        out_s.append(s)
+    if out_t:
+        state.update((last_t, s))
+    yield pd.DataFrame(
+        {
+            "k": [key[0]] * len(out_t),
+            "t": out_t,
+            "x": out_x,
+            "cusum": out_s,
+        }
+    )
+
+
+def cusum_stream(series_df, mu: float, slack: float):
+    """Wire ``track_cusum`` onto a streaming (k, t, x) DataFrame —
+    update mode, emissions are final (CUSUM never revises the past)."""
+    from functools import partial as _partial
+
+    return series_df.groupBy("k").applyInPandasWithState(
+        _partial(track_cusum, mu=mu, slack=slack),
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 TOTALS_OUTPUT_SCHEMA = (
     "user_id bigint, n_events bigint, total_value double"
 )
@@ -321,11 +380,15 @@ def running_user_totals(
 
 
 __all__ = [
+    "CUSUM_OUTPUT_SCHEMA",
+    "CUSUM_STATE_SCHEMA",
     "EWMA_OUTPUT_SCHEMA",
     "EWMA_STATE_SCHEMA",
     "HH_OUTPUT_SCHEMA",
     "HH_STATE_SCHEMA",
+    "cusum_stream",
     "ewma_stream",
+    "track_cusum",
     "track_ewma",
     "SESSION_OUTPUT_SCHEMA",
     "SESSION_STATE_SCHEMA",
