@@ -105,6 +105,8 @@ HEADLINE = [
     "phrase_search",
     "ql_search",
     "type_cooccurrence_lift",
+    "skipgram_pairs",
+    "negative_samples",
     "join_size_estimate",
     "join_size_sketch",
     "ewma_daily",

@@ -5051,6 +5051,170 @@ ORDER BY p.type_a, p.type_b
 """
 
 
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) pair extraction with a ±2 window —
+    the word2vec/contrastive training-pair generator.  Pure narrow
+    fan-out: tokens materialize as a projection column (attribute
+    references are free — the bootstrap_se lesson), nested
+    transform/filter emit each position's ≤4 in-window partners with
+    no self-join and no shuffle until the (center, context) count;
+    top-30 via TakeOrderedAndProject.  The oracle replays it as a
+    positional self-join."""
+    docs = _th(spark, sf_dir, "documents")
+    toked = docs.select(
+        F.filter(
+            tx.tokens(F.lower(F.col("text"))),
+            lambda t: F.length(t) >= 1,
+        ).alias("ts")
+    )
+    n = F.size(F.col("ts"))
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.transform(
+                F.filter(
+                    F.sequence(i - 2, i + 2),
+                    lambda j: (j >= 1) & (j <= n) & (j != i),
+                ),
+                lambda j: F.struct(
+                    F.element_at(F.col("ts"), i).alias("center"),
+                    F.element_at(F.col("ts"), j).alias("context"),
+                ),
+            ),
+        )
+    )
+    return (
+        toked.where(n >= 1)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.center").alias("center"),
+            F.col("p.context").alias("context"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "center", "context")
+        .limit(30)
+    )
+
+
+ORACLE_SKIPGRAM = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents),
+pos AS (
+  SELECT doc_id, i, w[i] AS tok
+  FROM toks, unnest(generate_series(1, len(w))) AS u(i))
+SELECT a.tok AS center, b.tok AS context, CAST(count(*) AS BIGINT) AS n
+FROM pos a JOIN pos b
+  ON a.doc_id = b.doc_id AND abs(a.i - b.i) <= 2 AND a.i <> b.i
+GROUP BY a.tok, b.tok
+ORDER BY n DESC, center, context LIMIT 30
+"""
+
+
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling from the unigram^0.75
+    distribution (Mikolov et al. 2013's noise distribution for
+    word2vec/contrastive training): vocabulary weights round to
+    INTEGER mass (w = round(1000·count^0.75)), a window cumsum turns
+    them into disjoint integer ranges, and each (doc, slot) draws
+    u = md5(doc#slot) mod total-mass — so the draw→term lookup is an
+    exact integer range membership with NO float boundary anywhere,
+    fully engine-replayable.  The vocabulary relation is
+    vocabulary-sized (the one window runs over it, not the corpus) and
+    broadcasts to the anchor frame; 2 slots for the first 50 docs keep
+    the demo output bounded."""
+    docs = _th(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tx.tokens(F.lower(F.col("text")))).alias("term")
+    ).filter(F.length("term") >= 1)
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("term").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranged = vocab.select(
+        "term",
+        F.round(F.pow("c", 0.75) * 1000).cast("long").alias("wt"),
+    ).select(
+        "term",
+        (F.sum("wt").over(w) - F.col("wt")).alias("lo"),
+        F.sum("wt").over(w).alias("hi"),
+    )
+    total = ranged.agg(F.max("hi").alias("_w"))
+    anchors = (
+        docs.where(F.col("doc_id") < 50)
+        .select("doc_id")
+        .crossJoin(
+            F.broadcast(
+                spark.range(2).select(F.col("id").alias("slot"))
+            )
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "slot",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("doc_id").cast("string"),
+                                F.lit("#"),
+                                F.col("slot").cast("string"),
+                            )
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("_w")
+            ).alias("u"),
+        )
+    )
+    return (
+        anchors.join(
+            F.broadcast(ranged),
+            (F.col("u") >= F.col("lo")) & (F.col("u") < F.col("hi")),
+        )
+        .select("doc_id", "slot", F.col("term").alias("neg_term"))
+        .orderBy("doc_id", "slot")
+    )
+
+
+ORACLE_NEG_SAMPLES = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(lower(trim(text)), '\s+'),
+           x -> x <> '')) AS term
+  FROM documents),
+vocab AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+ranged AS (
+  SELECT term,
+         sum(CAST(round(pow(c, 0.75) * 1000) AS BIGINT))
+             OVER (ORDER BY term ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+           - CAST(round(pow(c, 0.75) * 1000) AS BIGINT) AS lo,
+         sum(CAST(round(pow(c, 0.75) * 1000) AS BIGINT))
+             OVER (ORDER BY term ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS hi
+  FROM vocab),
+tot AS (SELECT max(hi) AS w FROM ranged),
+anchors AS (
+  SELECT d.doc_id, s.slot,
+         CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR) || '#'
+              || s.slot), 1, 12)) AS BIGINT) % tot.w AS u
+  FROM (SELECT doc_id FROM documents WHERE doc_id < 50) d
+  CROSS JOIN (SELECT unnest([0, 1]) AS slot) s
+  CROSS JOIN tot)
+SELECT a.doc_id, CAST(a.slot AS BIGINT) AS slot, r.term AS neg_term
+FROM anchors a JOIN ranged r ON a.u >= r.lo AND a.u < r.hi
+ORDER BY a.doc_id, a.slot
+"""
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval for a fixed probe-term set over the corpus
     (see operators/ranking.py for the scale posture: query-term tf is the
@@ -8364,6 +8528,8 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "phrase_search": QuerySpec(q_phrase_search, ORACLE_PHRASE_SEARCH),
     "ql_search": QuerySpec(q_ql_search, ORACLE_QL_SEARCH),
+    "skipgram_pairs": QuerySpec(q_skipgram_pairs, ORACLE_SKIPGRAM),
+    "negative_samples": QuerySpec(q_negative_samples, ORACLE_NEG_SAMPLES),
     "type_cooccurrence_lift": QuerySpec(
         q_type_cooccurrence_lift, ORACLE_TYPE_LIFT
     ),

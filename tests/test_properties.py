@@ -506,3 +506,73 @@ def test_bloom_positions_match_python_md5(spark, keys):
         h2 = int(digest[12:24], 16)
         for j in range(k):
             assert row[f"p{j}"] == (h1 + j * h2) % m
+
+
+# ---- round-6 sequential-fold / CDC properties ----------------------------
+
+token_doc = st.lists(
+    st.integers(0, 40).map(lambda i: f"tok{i}"), min_size=0, max_size=60
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(token_doc, min_size=1, max_size=5))
+def test_cdc_chunks_partition_property(spark, docs):
+    """For ANY token stream: chunks partition the document — ordered
+    concatenation reproduces it exactly, token counts add up, and every
+    non-final chunk ends with a boundary token."""
+    import hashlib
+
+    from paas_auditor_spark.operators.dedup import content_chunks
+
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    rows = content_chunks(df).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, d in enumerate(docs):
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r["chunk_idx"])
+        rebuilt = " ".join(c["chunk_text"] for c in chunks)
+        assert rebuilt == " ".join(d)
+        assert sum(c["n_chunk_tokens"] for c in chunks) == len(d)
+        for c in chunks[:-1]:
+            last = c["chunk_text"].split(" ")[-1]
+            h = int(hashlib.md5(last.encode()).hexdigest()[:8], 16)
+            assert h % 16 == 0
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    series=st.lists(
+        st.floats(-1e3, 1e3, allow_nan=False), min_size=1, max_size=25
+    ),
+    alpha=st.floats(0.05, 1.0),
+)
+def test_ewma_matches_python_reference(spark, series, alpha):
+    """The in-plan EWMA fold equals the trivial sequential Python
+    reference bit-for-bit for any series and alpha."""
+    from paas_auditor_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [("k", t, x) for t, x in enumerate(series)],
+        "k string, t int, x double",
+    )
+    got = {
+        r["t"]: r["ewma"]
+        for r in ewma(df, "k", "t", "x", alpha=alpha).collect()
+    }
+    e = None
+    for t, x in enumerate(series):
+        e = x if e is None else alpha * x + (1 - alpha) * e
+        assert got[t] == e
