@@ -117,6 +117,8 @@ HEADLINE = [
     "hll_overlap",
     "embedding_covariance",
     "pca_projection",
+    "embedding_isotropy",
+    "k_anonymity_audit",
     "cdc_chunk_stats",
     "cdc_near_dup",
     "quality_prune",

@@ -3865,6 +3865,149 @@ FROM hits GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotropy diagnostic for the embedding space (Ethayarajh 2019:
+    anisotropic spaces cram vectors into a cone and cosine similarity
+    loses contrast): mean pairwise cosine over ALL n² pairs WITHOUT a
+    pair join, via the sum-vector identity
+
+        mean_{i≠j} cos(v̂_i, v̂_j) = (‖Σ v̂_i‖² − n) / (n(n−1)).
+
+    Shape: normalize per row (narrow), one (dim, component) reduce to
+    64 rows, the rest is arithmetic on two scalar broadcasts — O(n·d)
+    where the naive pair formulation is O(n²·d).  4dp-rounded exact
+    oracle replays the identity."""
+    emb = _th(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    # norm as a projection column FIRST: referenced per element inside
+    # the normalize lambda, and an expression there would re-evaluate
+    # per dim (the bootstrap_se inlining lesson)
+    with_norm = emb.select(
+        F.col("embedding").cast("array<double>").alias("vd"),
+        F.sqrt(
+            F.aggregate(
+                F.col("embedding").cast("array<double>"),
+                F.lit(0.0),
+                lambda a, y: a + y * y,
+            )
+        ).alias("nrm"),
+    )
+    unit = with_norm.select(
+        F.transform("vd", lambda x: x / F.col("nrm")).alias("v")
+    )
+    dims = unit.select(
+        F.posexplode("v").alias("i", "x")
+    ).groupBy("i").agg(F.sum("x").alias("s"))
+    norm2 = dims.agg(F.sum(F.col("s") * F.col("s")).alias("_n2"))
+    n_df = unit.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    return (
+        norm2.crossJoin(F.broadcast(n_df))
+        .select(
+            F.col("_n").cast("long").alias("n"),
+            F.round(
+                (F.col("_n2") - F.col("_n"))
+                / (F.col("_n") * (F.col("_n") - 1)),
+                4,
+            ).alias("mean_pairwise_cosine"),
+        )
+    )
+
+
+ORACLE_ISOTROPY = """
+WITH e AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE embedding IS NOT NULL),
+unitv AS (
+  SELECT list_transform(v, x -> x / sqrt(list_sum(
+           list_transform(v, y -> y * y)))) AS u
+  FROM e),
+dims AS (
+  SELECT i, sum(u[i]) AS s
+  FROM unitv, unnest(generate_series(1, 64)) AS g(i)
+  GROUP BY i),
+n2 AS (SELECT sum(s * s) AS n2 FROM dims),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM unitv)
+SELECT CAST(n.n AS BIGINT) AS n,
+       round((n2.n2 - n.n) / (n.n * (n.n - 1)), 4)
+         AS mean_pairwise_cosine
+FROM n2, n
+"""
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-governance k-anonymity audit: treat (event_type, day,
+    value decile) as the quasi-identifier and report, per k threshold,
+    how much of the table lives in equivalence classes smaller than k
+    — the re-identification exposure measure a release review asks
+    for.  Two aggregations (class sizes, then the k-bucket roll-up
+    over the CLASS relation — class-count-sized, not row-sized); the
+    decile is an exact width bucket so both engines agree."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    classes = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            F.least(
+                F.floor(F.col("value") / 50.0).cast("long"), F.lit(9)
+            ).alias("vbucket"),
+        )
+        .groupBy("event_type", "day", "vbucket")
+        .agg(F.count(F.lit(1)).alias("csize"))
+    )
+    total = classes.agg(F.sum("csize").cast("double").alias("_t"))
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in (2, 5, 10, 20)])).alias(
+            "k"
+        )
+    )
+    return (
+        classes.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(F.col("csize") < F.col("k"), F.col("csize"))
+                .otherwise(0)
+            ).cast("long").alias("rows_below_k"),
+            F.sum(
+                F.when(F.col("csize") < F.col("k"), 1).otherwise(0)
+            ).cast("long").alias("classes_below_k"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            "classes_below_k",
+            "rows_below_k",
+            F.round(F.col("rows_below_k") / F.col("_t"), 4).alias(
+                "exposure_ratio"
+            ),
+        )
+        .orderBy("k")
+    )
+
+
+ORACLE_K_ANON = """
+WITH ev AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         least(CAST(floor(value / 50.0) AS BIGINT), 9) AS vbucket
+  FROM events WHERE value IS NOT NULL),
+classes AS (
+  SELECT event_type, day, vbucket, count(*) AS csize
+  FROM ev GROUP BY 1, 2, 3),
+tot AS (SELECT CAST(sum(csize) AS DOUBLE) AS t FROM classes),
+ks AS (SELECT unnest([2, 5, 10, 20]) AS k)
+SELECT ks.k,
+       CAST(coalesce(sum(CASE WHEN c.csize < ks.k THEN 1 END), 0)
+            AS BIGINT) AS classes_below_k,
+       CAST(coalesce(sum(CASE WHEN c.csize < ks.k THEN c.csize END), 0)
+            AS BIGINT) AS rows_below_k,
+       round(coalesce(sum(CASE WHEN c.csize < ks.k THEN c.csize END), 0)
+             / tot.t, 4) AS exposure_ratio
+FROM classes c CROSS JOIN ks CROSS JOIN tot
+GROUP BY ks.k, tot.t ORDER BY ks.k
+"""
+
+
 def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-flight many-to-many join cardinality + skew audit
     (operators/stats.py:join_size_stats): |L ⋈ R| = Σ_k cntL·cntR from
@@ -8529,6 +8672,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "phrase_search": QuerySpec(q_phrase_search, ORACLE_PHRASE_SEARCH),
     "ql_search": QuerySpec(q_ql_search, ORACLE_QL_SEARCH),
     "skipgram_pairs": QuerySpec(q_skipgram_pairs, ORACLE_SKIPGRAM),
+    "embedding_isotropy": QuerySpec(q_embedding_isotropy, ORACLE_ISOTROPY),
+    "k_anonymity_audit": QuerySpec(q_k_anonymity_audit, ORACLE_K_ANON),
     "negative_samples": QuerySpec(q_negative_samples, ORACLE_NEG_SAMPLES),
     "type_cooccurrence_lift": QuerySpec(
         q_type_cooccurrence_lift, ORACLE_TYPE_LIFT
