@@ -119,6 +119,8 @@ HEADLINE = [
     "pca_projection",
     "embedding_isotropy",
     "k_anonymity_audit",
+    "dp_noisy_counts",
+    "event_transition_matrix",
     "cdc_chunk_stats",
     "cdc_near_dup",
     "quality_prune",

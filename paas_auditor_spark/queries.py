@@ -4008,6 +4008,106 @@ GROUP BY ks.k, tot.t ORDER BY ks.k
 """
 
 
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release (Laplace mechanism,
+    Dwork et al. 2006): per-type event counts + Laplace(Δ/ε) noise
+    with sensitivity 1 and ε = 1 — the k_anonymity_audit's sibling on
+    the release side.  The noise is DERANDOMIZED the engine way: the
+    uniform comes from md5(event_type) (a fixed public seed per cell,
+    as a deployment would persist its draws for reproducible audits),
+    pushed through the Laplace inverse CDF
+    x = −b·sign(u−½)·ln(1 − 2|u−½|) — so the whole mechanism replays
+    in the oracle.  Aggregate is one map-side-combined count; noise is
+    arithmetic on the 5-row result."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("true_n")
+    )
+    u = (
+        F.conv(F.substring(F.md5("event_type"), 1, 12), 16, 10).cast(
+            "long"
+        )
+        / F.lit(float(16**12))
+    )
+    centered = u - F.lit(0.5)
+    noise = (
+        F.lit(-1.0)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )  # b = Δ/ε = 1
+    return counts.select(
+        "event_type",
+        F.round(F.col("true_n") + noise, 2).alias("noisy_n"),
+    ).orderBy("event_type")
+
+
+ORACLE_DP_COUNTS = """
+WITH c AS (
+  SELECT event_type, count(*) AS true_n FROM events GROUP BY event_type),
+u AS (
+  SELECT event_type, true_n,
+         CAST(concat('0x', substr(md5(event_type), 1, 12)) AS BIGINT)
+           / CAST(281474976710656 AS DOUBLE) - 0.5 AS cu
+  FROM c)
+SELECT event_type,
+       round(true_n + (-1.0) * sign(cu) * ln(1.0 - 2.0 * abs(cu)), 2)
+         AS noisy_n
+FROM u ORDER BY event_type
+"""
+
+
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral Markov chain: (from_type → to_type)
+    transition counts and row-normalized probabilities over each
+    user's time-ordered event sequence — the funnel generalization
+    that feeds next-action prediction and anomaly triage.  The lag
+    window partitions by user (bounded per-user history, the
+    sessionization convention); the matrix itself is ≤ types² rows and
+    its row totals broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = trans.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return (
+        trans.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") / F.col("row_n").cast("double"), 4).alias(
+                "p"
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+ORACLE_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type AS to_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type
+  FROM events),
+trans AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE from_type IS NOT NULL GROUP BY from_type, to_type),
+tot AS (SELECT from_type, sum(n) AS row_n FROM trans GROUP BY from_type)
+SELECT t.from_type, t.to_type, t.n,
+       round(t.n / CAST(tt.row_n AS DOUBLE), 4) AS p
+FROM trans t JOIN tot tt USING (from_type)
+ORDER BY t.from_type, t.to_type
+"""
+
+
 def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-flight many-to-many join cardinality + skew audit
     (operators/stats.py:join_size_stats): |L ⋈ R| = Σ_k cntL·cntR from
@@ -8674,6 +8774,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "skipgram_pairs": QuerySpec(q_skipgram_pairs, ORACLE_SKIPGRAM),
     "embedding_isotropy": QuerySpec(q_embedding_isotropy, ORACLE_ISOTROPY),
     "k_anonymity_audit": QuerySpec(q_k_anonymity_audit, ORACLE_K_ANON),
+    "dp_noisy_counts": QuerySpec(q_dp_noisy_counts, ORACLE_DP_COUNTS),
+    "event_transition_matrix": QuerySpec(
+        q_event_transition_matrix, ORACLE_TRANSITIONS
+    ),
     "negative_samples": QuerySpec(q_negative_samples, ORACLE_NEG_SAMPLES),
     "type_cooccurrence_lift": QuerySpec(
         q_type_cooccurrence_lift, ORACLE_TYPE_LIFT
