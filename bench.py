@@ -121,6 +121,8 @@ HEADLINE = [
     "k_anonymity_audit",
     "dp_noisy_counts",
     "event_transition_matrix",
+    "centroid_classifier_eval",
+    "weekday_seasonality",
     "cdc_chunk_stats",
     "cdc_near_dup",
     "quality_prune",

@@ -4008,6 +4008,133 @@ GROUP BY ks.k, tot.t ORDER BY ks.k
 """
 
 
+def q_centroid_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classifier evaluation on the labeled
+    embeddings — the eval twin of centroid_assign: per-label mean
+    centroids, every vector classified by smallest (4dp-rounded)
+    squared euclidean distance (label tie-break), reported as the
+    true×predicted confusion matrix.  Shape: centroids are a
+    (label, dim, mean) reduce (≤ labels×d rows, broadcast); the
+    distance frame is the exploded (vec, dim) stream joined on dim —
+    O(n·d·k) work, the exact cost of nearest-centroid — and argmin is
+    one min(struct) aggregate, no window."""
+    emb = _th(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    vd = emb.select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "i", "x"
+        ),
+    )
+    cent = (
+        vd.groupBy(F.col("true_label").alias("clabel"), "i")
+        .agg(F.avg("x").alias("m"))
+    )
+    dists = (
+        vd.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "true_label", "clabel")
+        .agg(
+            F.round(
+                F.sum((F.col("x") - F.col("m")) * (F.col("x") - F.col("m"))),
+                4,
+            ).alias("d2")
+        )
+    )
+    pred = dists.groupBy("vec_id", "true_label").agg(
+        F.min(F.struct("d2", "clabel")).alias("best")
+    )
+    return (
+        pred.groupBy(
+            "true_label", F.col("best.clabel").alias("pred_label")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("true_label", "pred_label")
+    )
+
+
+ORACLE_CENTROID_EVAL = """
+WITH n AS (
+  SELECT vec_id, label AS true_label, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE embedding IS NOT NULL),
+vd AS (
+  SELECT vec_id, true_label, g.i, v[g.i] AS x
+  FROM n, unnest(generate_series(1, 64)) AS g(i)),
+cent AS (
+  SELECT true_label AS clabel, i, avg(x) AS m
+  FROM vd GROUP BY true_label, i),
+dists AS (
+  SELECT vd.vec_id, vd.true_label, c.clabel,
+         round(sum((vd.x - c.m) * (vd.x - c.m)), 4) AS d2
+  FROM vd JOIN cent c USING (i)
+  GROUP BY vd.vec_id, vd.true_label, c.clabel),
+pred AS (
+  SELECT vec_id, true_label, clabel AS pred_label
+  FROM dists
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d2, clabel) = 1)
+SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n
+FROM pred GROUP BY true_label, pred_label
+ORDER BY true_label, pred_label
+"""
+
+
+def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal indices (STL-lite): per event type and day-of-week,
+    the mean daily count over that weekday divided by the type's
+    overall mean daily count — the multiplicative weekday profile that
+    deseasonalizes volume monitors (feed ewma_anomaly the adjusted
+    series to stop Monday from alarming every week).  Day-of-week
+    follows Spark's 1=Sunday convention (DuckDB's dayofweek is
+    0-based, shifted in the oracle)."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("dow", F.dayofweek("day"))
+    )
+    per_dow = daily.groupBy("event_type", "dow").agg(
+        F.avg("n").alias("dow_mean")
+    )
+    overall = daily.groupBy("event_type").agg(
+        F.avg("n").alias("type_mean")
+    )
+    return (
+        per_dow.join(F.broadcast(overall), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            F.round("dow_mean", 2).alias("dow_mean"),
+            F.round(
+                F.col("dow_mean") / F.col("type_mean"), 4
+            ).alias("seasonal_index"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+ORACLE_WEEKDAY = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+d2 AS (SELECT *, dayofweek(day) + 1 AS dow FROM daily),
+per_dow AS (
+  SELECT event_type, dow, avg(n) AS dow_mean
+  FROM d2 GROUP BY event_type, dow),
+overall AS (
+  SELECT event_type, avg(n) AS type_mean FROM daily GROUP BY event_type)
+SELECT p.event_type, p.dow, round(p.dow_mean, 2) AS dow_mean,
+       round(p.dow_mean / o.type_mean, 4) AS seasonal_index
+FROM per_dow p JOIN overall o USING (event_type)
+ORDER BY p.event_type, p.dow
+"""
+
+
 def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Differentially-private histogram release (Laplace mechanism,
     Dwork et al. 2006): per-type event counts + Laplace(Δ/ε) noise
@@ -8775,6 +8902,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "embedding_isotropy": QuerySpec(q_embedding_isotropy, ORACLE_ISOTROPY),
     "k_anonymity_audit": QuerySpec(q_k_anonymity_audit, ORACLE_K_ANON),
     "dp_noisy_counts": QuerySpec(q_dp_noisy_counts, ORACLE_DP_COUNTS),
+    "centroid_classifier_eval": QuerySpec(
+        q_centroid_classifier_eval, ORACLE_CENTROID_EVAL
+    ),
+    "weekday_seasonality": QuerySpec(
+        q_weekday_seasonality, ORACLE_WEEKDAY
+    ),
     "event_transition_matrix": QuerySpec(
         q_event_transition_matrix, ORACLE_TRANSITIONS
     ),
