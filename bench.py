@@ -123,6 +123,8 @@ HEADLINE = [
     "event_transition_matrix",
     "centroid_classifier_eval",
     "weekday_seasonality",
+    "session_paths",
+    "user_activity_features",
     "cdc_chunk_stats",
     "cdc_near_dup",
     "quality_prune",

@@ -4008,6 +4008,135 @@ GROUP BY ks.k, tot.t ORDER BY ks.k
 """
 
 
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top behavioral paths: the first three event types of every
+    30-min-gap session, counted corpus-wide — the "how do journeys
+    start" question path analysis asks.  Session ids derive from the
+    established lag+cumsum flag (q_sessionization's rule), the path
+    re-assembles with the bounded per-session ordered aggregate
+    (array_sort over collect_list — the chat_assembly pattern, no
+    second window), and the top-20 cut is TakeOrderedAndProject."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_epoch = F.col("ts").cast("timestamp").cast("double")
+    gap = ts_epoch - F.lag(ts_epoch).over(w)
+    sess = events.withColumn(
+        "sid",
+        F.sum(F.when(gap > 1800.0, 1).otherwise(0)).over(w),
+    )
+    paths = sess.groupBy("user_id", "sid").agg(
+        F.concat_ws(
+            ">",
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                1,
+                3,
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
+    )
+
+
+ORACLE_SESSION_PATHS = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) > 1800.0
+              THEN 1 ELSE 0 END AS is_new
+  FROM events),
+sess AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) AS sid
+  FROM flagged),
+ranked AS (
+  SELECT user_id, sid, event_type,
+         row_number() OVER (PARTITION BY user_id, sid
+                            ORDER BY ts, event_id) AS r
+  FROM sess),
+paths AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY r) AS path
+  FROM ranked WHERE r <= 3 GROUP BY user_id, sid)
+SELECT path, CAST(count(*) AS BIGINT) AS n
+FROM paths GROUP BY path ORDER BY n DESC, path LIMIT 20
+"""
+
+
+def q_user_activity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ML feature table — the churn-model feature engineering
+    pass: event volume, active-day count, recency (days from last
+    event to the corpus horizon), mean value, and the activity TREND
+    as the regression slope of daily counts over day index
+    (regr_slope — Spark and DuckDB share the closed form).  One daily
+    rollup + one per-user reduce; the horizon rides as a 1-row
+    broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    # per-day value sums round to 6dp BEFORE the per-user total: both
+    # engines then add identical numbers, so the 4dp mean can't land
+    # on a differing rounding boundary (the sum-order discipline)
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("v"),
+    )
+    horizon = ev.agg(F.max(F.to_date("ts")).alias("_h"))
+    return (
+        daily.crossJoin(F.broadcast(horizon))
+        .groupBy("user_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.count(F.lit(1)).alias("active_days"),
+            F.min(F.datediff(F.col("_h"), F.col("day")))
+            .cast("long")
+            .alias("recency_days"),
+            F.round(F.sum("v") / F.sum("n"), 4).alias("mean_value"),
+            F.round(
+                F.regr_slope(
+                    F.col("n").cast("double"),
+                    F.datediff(F.col("day"), F.lit("2024-01-01")).cast(
+                        "double"
+                    ),
+                ),
+                4,
+            ).alias("activity_slope"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_USER_FEATURES = """
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         count(*) AS n, round(sum(value), 6) AS v
+  FROM events GROUP BY 1, 2),
+h AS (SELECT max(day) AS horizon FROM daily)
+SELECT user_id,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS active_days,
+       CAST(min(h.horizon - day) AS BIGINT) AS recency_days,
+       round(sum(v) / sum(n), 4) AS mean_value,
+       round(regr_slope(CAST(n AS DOUBLE),
+             CAST(day - DATE '2024-01-01' AS DOUBLE)), 4)
+         AS activity_slope
+FROM daily CROSS JOIN h
+GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_centroid_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-centroid classifier evaluation on the labeled
     embeddings — the eval twin of centroid_assign: per-label mean
@@ -8907,6 +9036,10 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "weekday_seasonality": QuerySpec(
         q_weekday_seasonality, ORACLE_WEEKDAY
+    ),
+    "session_paths": QuerySpec(q_session_paths, ORACLE_SESSION_PATHS),
+    "user_activity_features": QuerySpec(
+        q_user_activity_features, ORACLE_USER_FEATURES
     ),
     "event_transition_matrix": QuerySpec(
         q_event_transition_matrix, ORACLE_TRANSITIONS
