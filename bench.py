@@ -125,6 +125,8 @@ HEADLINE = [
     "weekday_seasonality",
     "session_paths",
     "user_activity_features",
+    "kaplan_meier_retention",
+    "ab_test_ztest",
     "cdc_chunk_stats",
     "cdc_near_dup",
     "quality_prune",

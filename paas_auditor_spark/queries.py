@@ -4008,6 +4008,182 @@ GROUP BY ks.k, tot.t ORDER BY ks.k
 """
 
 
+def q_kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier time-to-return curve: for every event, the
+    survival time is the MINUTES until the same user's next event —
+    right-CENSORED at each user's final event (no return observed),
+    exactly the censoring KM was built for (user-lifetime churn is
+    degenerate in this corpus: everyone stays active to the horizon).
+    S(t) = Π_{u ≤ t} (1 − d_u/n_u) via exp(Σ ln(·)) over the ordered
+    gap table; the windows run over the GAP-VALUED relation (distinct
+    observed minute gaps), never events, and the per-user lead is the
+    bounded sessionization window.  Curve reported for t ≤ 120 min
+    (computed over the full table, truncated for display)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_epoch = F.col("ts").cast("timestamp").cast("double")
+    gaps = ev.select(
+        F.floor(
+            (F.lead(ts_epoch).over(w) - ts_epoch) / 60.0
+        ).alias("gap_min")
+    ).select(
+        F.coalesce("gap_min", F.lit(-1)).alias("gap_min"),
+        F.col("gap_min").isNull().alias("censored"),
+    )
+    # censored rows carry no gap: give them +inf standing in the risk
+    # set (they never leave it) by keying them above every real gap
+    big = 10**9
+    lives = gaps.select(
+        F.when(F.col("censored"), F.lit(big))
+        .otherwise(F.col("gap_min"))
+        .alias("t"),
+        "censored",
+    )
+    tbl = lives.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_at"),
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0)).alias("d"),
+    )
+    w_risk = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_surv = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = tbl.withColumn("n_risk", F.sum("n_at").over(w_risk))
+    return (
+        risk.where(F.col("d") > 0)
+        .select(
+            F.col("t").cast("long").alias("t_min"),
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.col("d").cast("long").alias("n_returned"),
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.log(
+                            F.lit(1.0)
+                            - F.col("d") / F.col("n_risk").cast("double")
+                        )
+                    ).over(w_surv)
+                ),
+                4,
+            ).alias("survival"),
+        )
+        .where(F.col("t_min") <= 120)
+        .orderBy("t_min")
+    )
+
+
+ORACLE_KAPLAN_MEIER = """
+WITH gaps AS (
+  SELECT CAST(floor((epoch(lead(ts) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id)) - epoch(ts)) / 60.0) AS BIGINT)
+           AS gap_min
+  FROM events),
+lives AS (
+  SELECT CASE WHEN gap_min IS NULL THEN 1000000000
+              ELSE gap_min END AS t,
+         gap_min IS NULL AS censored
+  FROM gaps),
+tbl AS (
+  SELECT t, count(*) AS n_at,
+         sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS d
+  FROM lives GROUP BY t),
+risk AS (
+  SELECT *, sum(n_at) OVER (ORDER BY t DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+  FROM tbl),
+surv AS (
+  SELECT t, n_risk, d,
+         round(exp(sum(ln(1.0 - d / CAST(n_risk AS DOUBLE)))
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)), 4) AS survival
+  FROM risk WHERE d > 0)
+SELECT CAST(t AS BIGINT) AS t_min, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_returned, survival
+FROM surv WHERE t <= 120 ORDER BY t_min
+"""
+
+
+def q_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample z-test between the content-addressed train/val
+    splits treated as A/B arms (the md5 split IS a uniform random
+    assignment): per event type, mean value difference, pooled
+    standard error, z statistic and the |z| > 1.96 verdict — the
+    experiment-readout machinery that pairs with bootstrap_se.  The
+    arm assignment reuses train_test_split's md5 rule so the whole
+    readout is engine-exact; one scan, one (type, arm) reduce."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    arm = F.when(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1)
+        < F.lit("8"),
+        "A",
+    ).otherwise("B")
+    stats = (
+        ev.select("event_type", arm.alias("arm"), "value")
+        .groupBy("event_type", "arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    a = stats.where(F.col("arm") == "A").select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("m").alias("m_a"),
+        F.col("v").alias("v_a"),
+    )
+    b = stats.where(F.col("arm") == "B").select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("m").alias("m_b"),
+        F.col("v").alias("v_b"),
+    )
+    se = F.sqrt(F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b"))
+    z = F.round((F.col("m_a") - F.col("m_b")) / se, 4)
+    return (
+        a.join(b, "event_type")
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            F.round(F.col("m_a") - F.col("m_b"), 4).alias("mean_diff"),
+            F.round(se, 4).alias("se"),
+            z.alias("z"),
+            (F.abs(z) > 1.96).alias("significant"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_AB_ZTEST = """
+WITH ev AS (
+  SELECT event_type, value,
+         CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '8'
+              THEN 'A' ELSE 'B' END AS arm
+  FROM events WHERE value IS NOT NULL),
+s AS (
+  SELECT event_type, arm, count(*) AS n, avg(value) AS m,
+         var_samp(value) AS v
+  FROM ev GROUP BY event_type, arm),
+a AS (SELECT event_type, n AS n_a, m AS m_a, v AS v_a FROM s
+      WHERE arm = 'A'),
+b AS (SELECT event_type, n AS n_b, m AS m_b, v AS v_b FROM s
+      WHERE arm = 'B')
+SELECT a.event_type, CAST(a.n_a AS BIGINT) AS n_a,
+       CAST(b.n_b AS BIGINT) AS n_b,
+       round(a.m_a - b.m_b, 4) AS mean_diff,
+       round(sqrt(a.v_a / a.n_a + b.v_b / b.n_b), 4) AS se,
+       round((a.m_a - b.m_b) / sqrt(a.v_a / a.n_a + b.v_b / b.n_b), 4)
+         AS z,
+       abs(round((a.m_a - b.m_b)
+           / sqrt(a.v_a / a.n_a + b.v_b / b.n_b), 4)) > 1.96
+         AS significant
+FROM a JOIN b USING (event_type)
+ORDER BY a.event_type
+"""
+
+
 def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top behavioral paths: the first three event types of every
     30-min-gap session, counted corpus-wide — the "how do journeys
@@ -9038,6 +9214,10 @@ REGISTRY: dict[str, QuerySpec] = {
         q_weekday_seasonality, ORACLE_WEEKDAY
     ),
     "session_paths": QuerySpec(q_session_paths, ORACLE_SESSION_PATHS),
+    "kaplan_meier_retention": QuerySpec(
+        q_kaplan_meier_retention, ORACLE_KAPLAN_MEIER
+    ),
+    "ab_test_ztest": QuerySpec(q_ab_test_ztest, ORACLE_AB_ZTEST),
     "user_activity_features": QuerySpec(
         q_user_activity_features, ORACLE_USER_FEATURES
     ),
