@@ -9972,8 +9972,11 @@ _CERTIFICATION_WINDOW = [
     # new-capability flagships; both stay oracle-checked in the full
     # registry, as do chat_assembly and cms_estimate whose window slots
     # went to their strictly-stronger compositions phrase_search /
-    # chat_assembly_sessions / join_size_sketch / ewma_daily)
-    "text_quality", "quality_filter", "lang_id",
+    # chat_assembly_sessions / join_size_sketch / ewma_daily; and
+    # quality_filter, whose gate survives inside curation_pipeline +
+    # quality_classifier, ceded its slot to bootstrap_se — the
+    # final-wave eval-statistics flagship)
+    "text_quality", "bootstrap_se", "lang_id",
     "lm_perplexity", "ewma_daily", "bpe_merges", "quality_classifier",
     # sketches / graph / drift (r6 late: knn_bruteforce — the ANN
     # baseline, whose family keeps two stronger in-window reps — makes

@@ -87,7 +87,7 @@ def test_certification_window_invariants():
         "semantic_dedup", "phrase_search", "chat_assembly_sessions",
         "dedup_keep_best", "knn_ivf_persisted", "embedding_near_dup_lsh",
         "quantile_sketch", "cdc_chunk_stats", "ewma_daily",
-        "join_size_sketch",
+        "join_size_sketch", "bootstrap_se",
     }
     assert flagships <= set(first50)
 
