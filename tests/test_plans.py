@@ -727,3 +727,31 @@ def test_join_size_estimate_never_joins_fact_rows(spark, sf_dir):
     # appear above (earlier in the tree than) the scans only via
     # HashAggregate nodes, so a partial agg precedes the first join
     assert plan.index("HashAggregate") < plan.index("Join")
+
+
+def test_final_wave_plan_shapes(spark, sf_dir):
+    """Plan pins for the late round-6 queries: topk cuts are
+    TakeOrderedAndProject (no global sort) and nothing drops to
+    Python evaluation."""
+    from paas_auditor_spark.queries import REGISTRY
+
+    for name in ("session_paths", "skipgram_pairs", "ql_search"):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, name
+    for name in (
+        "kaplan_meier_retention",
+        "user_activity_features",
+        "negative_samples",
+        "embedding_isotropy",
+        "centroid_classifier_eval",
+    ):
+        plan = (
+            REGISTRY[name]
+            .fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert node not in plan, (name, node)
