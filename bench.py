@@ -127,6 +127,8 @@ HEADLINE = [
     "user_activity_features",
     "kaplan_meier_retention",
     "ab_test_ztest",
+    "silhouette_score",
+    "activity_gini",
     "cdc_chunk_stats",
     "cdc_near_dup",
     "quality_prune",

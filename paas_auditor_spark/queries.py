@@ -4385,6 +4385,143 @@ ORDER BY true_label, pred_label
 """
 
 
+def q_silhouette_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette (Hruschka et al.) per label over the
+    labeled embeddings: a(i) = distance to OWN centroid, b(i) =
+    distance to the nearest OTHER centroid, s(i) = (b−a)/max(a,b) —
+    the cluster-quality readout that says whether labels are
+    geometrically real, at O(n·k·d) instead of the full silhouette's
+    O(n²·d) pair frame.  Reuses the centroid_classifier_eval distance
+    frame shape (labels×d broadcast, min(struct) argmin)."""
+    emb = _th(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    vd = emb.select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "i", "x"
+        ),
+    )
+    cent = vd.groupBy(F.col("true_label").alias("clabel"), "i").agg(
+        F.avg("x").alias("m")
+    )
+    dists = (
+        vd.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "true_label", "clabel")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    (F.col("x") - F.col("m")) * (F.col("x") - F.col("m"))
+                )
+            ).alias("d")
+        )
+    )
+    per_vec = dists.groupBy("vec_id", "true_label").agg(
+        F.max(
+            F.when(F.col("clabel") == F.col("true_label"), F.col("d"))
+        ).alias("a"),
+        F.min(
+            F.when(F.col("clabel") != F.col("true_label"), F.col("d"))
+        ).alias("b"),
+    )
+    sil = per_vec.select(
+        "true_label",
+        F.round(
+            (F.col("b") - F.col("a")) / F.greatest("a", "b"), 4
+        ).alias("s"),
+    )
+    return (
+        sil.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("s"), 4).alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_SILHOUETTE = """
+WITH n AS (
+  SELECT vec_id, label AS true_label, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE embedding IS NOT NULL),
+vd AS (
+  SELECT vec_id, true_label, g.i, v[g.i] AS x
+  FROM n, unnest(generate_series(1, 64)) AS g(i)),
+cent AS (
+  SELECT true_label AS clabel, i, avg(x) AS m
+  FROM vd GROUP BY true_label, i),
+dists AS (
+  SELECT vd.vec_id, vd.true_label, c.clabel,
+         sqrt(sum((vd.x - c.m) * (vd.x - c.m))) AS d
+  FROM vd JOIN cent c USING (i)
+  GROUP BY vd.vec_id, vd.true_label, c.clabel),
+per_vec AS (
+  SELECT vec_id, true_label,
+         max(CASE WHEN clabel = true_label THEN d END) AS a,
+         min(CASE WHEN clabel <> true_label THEN d END) AS b
+  FROM dists GROUP BY vec_id, true_label),
+sil AS (
+  SELECT true_label, round((b - a) / greatest(a, b), 4) AS s
+  FROM per_vec)
+SELECT true_label AS label, CAST(count(*) AS BIGINT) AS n,
+       round(avg(s), 4) AS mean_silhouette
+FROM sil GROUP BY true_label ORDER BY label
+"""
+
+
+def q_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration audit: the Gini coefficient of per-user event
+    counts (0 = perfectly even traffic, →1 = a few users dominate) —
+    the one-number inequality readout that complements skew_audit's
+    per-key table.  Formula: with counts x₁ ≤ … ≤ xₙ,
+    G = Σ(2i − n − 1)xᵢ / (n·Σx); the rank window runs over the
+    PER-USER count relation (users-sized — orders of magnitude below
+    the event stream this audits)."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    w = Window.orderBy("x", "user_id")
+    ranked = per_user.select(
+        "x", F.row_number().over(w).alias("i")
+    )
+    totals = per_user.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("x").alias("_tot")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max("_n").cast("long").alias("n_users"),
+            F.max("_tot").cast("long").alias("n_events"),
+            F.round(
+                F.sum(
+                    (F.lit(2) * F.col("i") - F.col("_n") - 1)
+                    * F.col("x")
+                )
+                / (
+                    F.max("_n").cast("double")
+                    * F.max("_tot").cast("double")
+                ),
+                4,
+            ).alias("gini"),
+        )
+    )
+
+
+ORACLE_GINI = """
+WITH per_user AS (
+  SELECT user_id, count(*) AS x FROM events GROUP BY user_id),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM per_user)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(x) AS BIGINT) AS n_events,
+       round(sum((2 * i - (SELECT count(*) FROM ranked) - 1) * x)
+             / (CAST(count(*) AS DOUBLE) * sum(x)), 4) AS gini
+FROM ranked
+"""
+
+
 def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal indices (STL-lite): per event type and day-of-week,
     the mean daily count over that weekday divided by the type's
@@ -9213,6 +9350,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "weekday_seasonality": QuerySpec(
         q_weekday_seasonality, ORACLE_WEEKDAY
     ),
+    "silhouette_score": QuerySpec(q_silhouette_score, ORACLE_SILHOUETTE),
+    "activity_gini": QuerySpec(q_activity_gini, ORACLE_GINI),
     "session_paths": QuerySpec(q_session_paths, ORACLE_SESSION_PATHS),
     "kaplan_meier_retention": QuerySpec(
         q_kaplan_meier_retention, ORACLE_KAPLAN_MEIER
