@@ -129,6 +129,7 @@ HEADLINE = [
     "ab_test_ztest",
     "silhouette_score",
     "activity_gini",
+    "traffic_pareto",
     "cdc_chunk_stats",
     "cdc_near_dup",
     "quality_prune",

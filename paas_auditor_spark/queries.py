@@ -4385,6 +4385,99 @@ ORDER BY true_label, pred_label
 """
 
 
+def q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE ANN tuning artifact: recall@10 of the IVF probe against the
+    exact brute-force neighbors as nprobe sweeps 1→2→4→8 (all lists) —
+    the curve an operator reads to pick the latency/recall point.
+    Four probe settings run as a driver loop (the documented
+    iteration-barrier convention: each point is an independent job
+    over the SAME deterministic index); recall is an inner join
+    against the exact top-10 set.  Rows-only by the ANN-internals
+    convention; the monotone-recall and terminal-1.0 contracts (probe
+    of all 8 lists IS exact search) are pytest-pinned."""
+    from paas_auditor_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = _th(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = brute_force_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    n_pairs = 10 * 10
+    rows = []
+    for nprobe in (1, 2, 4, 8):
+        ivf = ivf_topk(
+            emb, queries, k=10, n_centroids=8, nprobe=nprobe
+        ).select("query_id", "neighbor_id")
+        hits = ivf.join(truth, ["query_id", "neighbor_id"]).count()
+        rows.append((nprobe, round(hits / n_pairs, 4)))
+    return spark.createDataFrame(
+        rows, "nprobe int, recall_at_10 double"
+    ).orderBy("nprobe")
+
+
+def q_traffic_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration curve: the share of all events generated
+    by the top 1 / 5 / 10 / 25 % most-active users — the "is this an
+    80/20 corpus" readout that complements activity_gini's single
+    number.  Ranking runs over the users-sized count relation
+    (percent_rank with count/id tie-break for determinism); totals
+    broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    w = Window.orderBy(F.desc("x"), "user_id")
+    ranked = per_user.select(
+        "x", F.percent_rank().over(w).alias("pr")
+    )
+    total = per_user.agg(F.sum("x").cast("double").alias("_t"))
+    fracs = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(f) for f in (0.01, 0.05, 0.10, 0.25)])
+        ).alias("top_frac")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(fracs))
+        .groupBy("top_frac")
+        .agg(
+            F.sum(
+                F.when(F.col("pr") <= F.col("top_frac"), F.col("x"))
+                .otherwise(0)
+            ).alias("events_in_top")
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "top_frac",
+            F.col("events_in_top").cast("long").alias("events_in_top"),
+            F.round(F.col("events_in_top") / F.col("_t"), 4).alias(
+                "share"
+            ),
+        )
+        .orderBy("top_frac")
+    )
+
+
+ORACLE_PARETO = """
+WITH per_user AS (
+  SELECT user_id, count(*) AS x FROM events GROUP BY user_id),
+ranked AS (
+  SELECT x, percent_rank() OVER (ORDER BY x DESC, user_id) AS pr
+  FROM per_user),
+tot AS (SELECT CAST(sum(x) AS DOUBLE) AS t FROM per_user),
+fr AS (SELECT unnest([0.01, 0.05, 0.10, 0.25]) AS top_frac)
+SELECT fr.top_frac,
+       CAST(coalesce(sum(CASE WHEN r.pr <= fr.top_frac THEN r.x END), 0)
+            AS BIGINT) AS events_in_top,
+       round(coalesce(sum(CASE WHEN r.pr <= fr.top_frac THEN r.x END), 0)
+             / tot.t, 4) AS share
+FROM ranked r CROSS JOIN fr CROSS JOIN tot
+GROUP BY fr.top_frac, tot.t ORDER BY fr.top_frac
+"""
+
+
 def q_silhouette_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simplified silhouette (Hruschka et al.) per label over the
     labeled embeddings: a(i) = distance to OWN centroid, b(i) =
@@ -9352,6 +9445,10 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "silhouette_score": QuerySpec(q_silhouette_score, ORACLE_SILHOUETTE),
     "activity_gini": QuerySpec(q_activity_gini, ORACLE_GINI),
+    "traffic_pareto": QuerySpec(q_traffic_pareto, ORACLE_PARETO),
+    # ANN-internals convention: rows-only, with monotone-recall and
+    # terminal-1.0 pytest pins
+    "ivf_recall_curve": QuerySpec(q_ivf_recall_curve, None),
     "session_paths": QuerySpec(q_session_paths, ORACLE_SESSION_PATHS),
     "kaplan_meier_retention": QuerySpec(
         q_kaplan_meier_retention, ORACLE_KAPLAN_MEIER

@@ -574,3 +574,19 @@ def test_cusum_stream_matches_batch_fixed_limits(spark, tmp_path):
     }
     assert got == want
     assert got[("b", 2.0)] == 38.0  # 19 + 19: sustained shift accumulates
+
+
+def test_ivf_recall_curve_monotone_terminal_exact(spark, sf_dir):
+    """Recall@10 is non-decreasing in nprobe and reaches exactly 1.0
+    when every list is probed (nprobe = n_centroids IS exact search)."""
+    from paas_auditor_spark.queries import REGISTRY
+
+    rows = sorted(
+        REGISTRY["ivf_recall_curve"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["nprobe"],
+    )
+    recalls = [r["recall_at_10"] for r in rows]
+    assert [r["nprobe"] for r in rows] == [1, 2, 4, 8]
+    assert all(a <= b for a, b in zip(recalls, recalls[1:]))
+    assert recalls[-1] == 1.0
+    assert recalls[0] > 0.3  # even one list finds a meaningful share
