@@ -130,6 +130,11 @@ HEADLINE = [
     "silhouette_score",
     "activity_gini",
     "traffic_pareto",
+    # ivf_recall_curve and cdc_dedup_clusters stay OUT of the headline
+    # by the same stage-serial convention: the recall sweep is a
+    # 4-point driver loop over independent jobs, and the CDC cluster
+    # closure runs star-CC fixpoint rounds; both are driver-checked via
+    # the registry with their contracts pytest-pinned
     "cdc_chunk_stats",
     "cdc_near_dup",
     "quality_prune",
