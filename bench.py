@@ -127,14 +127,16 @@ HEADLINE = [
     "user_activity_features",
     "kaplan_meier_retention",
     "ab_test_ztest",
+    "time_to_convert",
     "silhouette_score",
     "activity_gini",
     "traffic_pareto",
-    # ivf_recall_curve and cdc_dedup_clusters stay OUT of the headline
-    # by the same stage-serial convention: the recall sweep is a
-    # 4-point driver loop over independent jobs, and the CDC cluster
-    # closure runs star-CC fixpoint rounds; both are driver-checked via
-    # the registry with their contracts pytest-pinned
+    # ivf_recall_curve, cdc_dedup_clusters and minhash_quality_audit
+    # stay OUT of the headline: the recall sweep is a 4-point driver
+    # loop, the CDC closure runs star-CC fixpoint rounds, and the
+    # banding audit's ground truth is a deliberate bounded all-pairs
+    # scan (an audit, not a production path); all are driver-checked
+    # via the registry with their contracts pytest-pinned
     "cdc_chunk_stats",
     "cdc_near_dup",
     "quality_prune",

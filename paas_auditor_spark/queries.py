@@ -4385,6 +4385,99 @@ ORDER BY true_label, pred_label
 """
 
 
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency readout: for users whose first purchase
+    follows their first view, the minutes between — count, exact
+    median and p90 (F.percentile, the linear interpolation DuckDB's
+    quantile_cont shares, proven 4dp-stable by quality_prune).  Two
+    per-user min aggregates + one key join; the funnel step and time
+    percentiles a product dashboard pairs together."""
+    ev = _t(spark, sf_dir, "events")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    buys = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .join(views, "user_id")
+        .where(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"), F.first("t_view").alias("tv"))
+    )
+    mins = buys.select(
+        (
+            (
+                F.col("t_buy").cast("timestamp").cast("double")
+                - F.col("tv").cast("timestamp").cast("double")
+            )
+            / 60.0
+        ).alias("m")
+    )
+    return mins.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.percentile("m", F.lit(0.5)), 2).alias("median_min"),
+        F.round(F.percentile("m", F.lit(0.9)), 2).alias("p90_min"),
+    )
+
+
+ORACLE_TIME_TO_CONVERT = """
+WITH views AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+buys AS (
+  SELECT e.user_id, min(e.ts) AS t_buy, min(v.t_view) AS tv
+  FROM events e JOIN views v USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= v.t_view
+  GROUP BY e.user_id),
+mins AS (
+  SELECT (epoch(t_buy) - epoch(tv)) / 60.0 AS m FROM buys)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       round(quantile_cont(m, 0.5), 2) AS median_min,
+       round(quantile_cont(m, 0.9), 2) AS p90_min
+FROM mins
+"""
+
+
+def q_minhash_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Makes the MinHash banding guarantee a registry-visible
+    artifact: on the doc_id < 500 slice (bounded all-pairs ground
+    truth at any SF — 125k exact Jaccard comparisons), report the RAW
+    candidate pairs the 24/12 banding emits against the exact
+    Jaccard ≥ 0.5 pair set: precision, and — the number the banding
+    theory bounds — recall.  Rows-only (the signatures are xxhash64);
+    the recall floor is pytest-pinned elsewhere (test_dedup.py), this
+    query surfaces the measured operating point."""
+    docs = _th(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    ids_a = docs.select(F.col("doc_id").alias("id_a"))
+    ids_b = docs.select(F.col("doc_id").alias("id_b"))
+    all_pairs = ids_a.join(ids_b, F.col("id_a") < F.col("id_b"))
+    truth = (
+        dedup.jaccard_pairs(docs, all_pairs, shingle_k=3)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    sigs = dedup.minhash_signatures(docs, num_hashes=24, shingle_k=3)
+    cands = dedup.minhash_candidates(sigs, num_hashes=24, num_bands=12)
+    n_truth = truth.count()
+    n_cand = cands.count()
+    n_hit = cands.join(truth, ["id_a", "id_b"]).count()
+    return spark.createDataFrame(
+        [
+            (
+                n_truth,
+                n_cand,
+                n_hit,
+                round(n_hit / n_cand, 4) if n_cand else None,
+                round(n_hit / n_truth, 4) if n_truth else None,
+            )
+        ],
+        "n_true_pairs long, n_candidates long, n_hits long, "
+        "precision double, recall double",
+    )
+
+
 def q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE ANN tuning artifact: recall@10 of the IVF probe against the
     exact brute-force neighbors as nprobe sweeps 1→2→4→8 (all lists) —
@@ -9449,6 +9542,11 @@ REGISTRY: dict[str, QuerySpec] = {
     # ANN-internals convention: rows-only, with monotone-recall and
     # terminal-1.0 pytest pins
     "ivf_recall_curve": QuerySpec(q_ivf_recall_curve, None),
+    "time_to_convert": QuerySpec(
+        q_time_to_convert, ORACLE_TIME_TO_CONVERT
+    ),
+    # xxhash64 signatures: rows-only; recall floor pytest-pinned
+    "minhash_quality_audit": QuerySpec(q_minhash_quality_audit, None),
     "session_paths": QuerySpec(q_session_paths, ORACLE_SESSION_PATHS),
     "kaplan_meier_retention": QuerySpec(
         q_kaplan_meier_retention, ORACLE_KAPLAN_MEIER

@@ -590,3 +590,14 @@ def test_ivf_recall_curve_monotone_terminal_exact(spark, sf_dir):
     assert all(a <= b for a, b in zip(recalls, recalls[1:]))
     assert recalls[-1] == 1.0
     assert recalls[0] > 0.3  # even one list finds a meaningful share
+
+
+def test_minhash_quality_audit_consistency(spark, sf_dir):
+    """The banding audit's accounting holds and the measured recall
+    meets the banding floor on the bounded slice."""
+    from paas_auditor_spark.queries import REGISTRY
+
+    r = REGISTRY["minhash_quality_audit"].fn(spark, sf_dir).collect()[0]
+    assert r["n_hits"] <= min(r["n_true_pairs"], r["n_candidates"])
+    assert r["n_true_pairs"] > 0  # the slice genuinely contains pairs
+    assert r["recall"] >= 0.9
