@@ -1,7 +1,15 @@
 """Engine benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+Prints TWO JSON lines to stdout:
+  1. the full record (metric/value/unit/queries/sf) — the complete
+     per-query map, also written verbatim to BENCH_DETAIL.json next to
+     this script so the numbers survive any log-capture truncation;
+  2. LAST, a compact summary (metric/value/unit/n_queries/slowest/sf)
+     small enough (<1 KB) that a bounded tail-capture of stdout always
+     retains one intact, parseable line carrying total_wall.
+The capture window that records official runs keeps the final ~2000
+bytes of stdout; round 6's single 3.5 KB line was cut mid-record
+(parsed: null, first 46 queries lost), hence this layout.
 
 Each query is fully materialized through the noop sink (so limits/projections
 can't short-circuit the measurement) after a small JVM warm-up.
@@ -196,13 +204,37 @@ def main() -> None:
         gc.collect()
 
     total = round(sum(timings.values()), 3)
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    full_line = json.dumps(full)
+    print(full_line)
+    # sidecar: the complete per-query map, immune to tail truncation
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as fh:
+            fh.write(full_line + "\n")
+    except OSError as ex:  # read-only checkout: summary lines still carry totals
+        print(f"# BENCH_DETAIL.json not written: {ex}", file=sys.stderr)
+    # LAST line: compact summary that a 2000-byte stdout tail always
+    # retains intact — this is the line the official record parses.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:8]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "n_queries": len(timings),
+                "slowest": slowest,
+                "detail": "BENCH_DETAIL.json",
                 "sf": sf,
             }
         )

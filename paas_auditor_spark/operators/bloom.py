@@ -213,22 +213,45 @@ def _check_scheme(words_df: DataFrame, scheme: str = BLOOM_SCHEME) -> None:
     _reject_foreign_schemes(schemes, scheme)
 
 
+def _scheme_and_geometry(
+    words_df: DataFrame, scheme: str = BLOOM_SCHEME
+) -> set[tuple[int, int]]:
+    """Scheme check and (m, k) read in ONE bounded distinct+collect
+    (the per-table validation bloom_merge runs on every input — one
+    driver round-trip per table, not two).  Returns the table's
+    geometry set: empty for an empty relation (a collector partial
+    whose micro-batches had zero keys — a legal merge input that
+    merely contributes nothing), a singleton for any valid table;
+    a mixed table raises."""
+    _require_scheme_column(words_df, scheme)
+    rows = words_df.select("scheme", "m", "k").distinct().collect()
+    _reject_foreign_schemes({r["scheme"] for r in rows}, scheme)
+    geos = {(int(r["m"]), int(r["k"])) for r in rows}
+    if len(geos) > 1:
+        raise ValueError(
+            f"words table mixes filters of different geometry: "
+            f"{sorted(geos)}; merge only filters built under identical "
+            "(m, k)"
+        )
+    return geos
+
+
 def _words_geometry(
     words_df: DataFrame, scheme: str = BLOOM_SCHEME
 ) -> tuple[int, int]:
     """Read the (m, k) geometry a words relation was built under,
-    refusing a mixed table or a foreign position scheme.  The collects
-    are bounded by the number of DISTINCT geometries/schemes (1 in any
-    valid table), never by filter or key size."""
-    _check_scheme(words_df, scheme)
-    rows = words_df.select("m", "k").distinct().collect()
-    if len(rows) != 1:
-        geos = sorted((int(r["m"]), int(r["k"])) for r in rows)
+    refusing an empty or mixed table or a foreign position scheme.  The
+    collect is bounded by the number of DISTINCT geometries/schemes
+    (1 in any valid table), never by filter or key size."""
+    geos = _scheme_and_geometry(words_df, scheme)
+    if not geos:
         raise ValueError(
-            f"words table mixes filters of different geometry: {geos}; "
-            "merge only filters built under identical (m, k)"
+            "empty words relation: (m, k) geometry unknown — build with "
+            "bloom_words, or merge it with a non-empty filter and "
+            "assemble that"
         )
-    return int(rows[0]["m"]), int(rows[0]["k"])
+    ((m, k),) = geos
+    return m, k
 
 
 def bloom_merge(
@@ -250,15 +273,31 @@ def bloom_merge(
     # m/64 rows, so the checkpoint is O(m), never key-count-shaped
     # (the hist_merge convention).
     word_tables = tuple(t.localCheckpoint(eager=False) for t in word_tables)
-    # per-input scheme check BEFORE the union: a legacy table (no scheme
-    # column) would otherwise surface as an opaque union-schema error
-    # instead of the actionable rebuild message
+    # per-input scheme AND geometry validation BEFORE the union (one
+    # bounded distinct per table): a legacy table (no scheme column)
+    # would otherwise surface as an opaque union-schema error instead
+    # of the actionable rebuild message, and the merged relation needs
+    # no re-validation — cross-table agreement is checked right here.
+    # Empty partials (collector micro-batches with zero keys) are legal
+    # inputs: they impose no geometry and contribute no bits.
+    geos: set[tuple[int, int]] = set()
     for t in word_tables:
-        _check_scheme(t, scheme)
+        geos |= _scheme_and_geometry(t, scheme)
+    if len(geos) > 1:
+        raise ValueError(
+            f"words tables mix filters of different geometry: "
+            f"{sorted(geos)}; merge only filters built under identical "
+            "(m, k)"
+        )
+    if not geos:
+        raise ValueError(
+            "all words relations are empty: (m, k) geometry unknown — "
+            "include at least one non-empty filter in the merge"
+        )
     merged = word_tables[0]
     for t in word_tables[1:]:
         merged = merged.unionByName(t)
-    m, k = _words_geometry(merged, scheme)
+    ((m, k),) = geos
     return (
         merged.groupBy("w")
         .agg(F.bit_or("bits").alias("bits"))
@@ -479,6 +518,7 @@ def bloom_words_collector(
     m: int = 1 << 20,
     k: int = 4,
     scheme: str = BLOOM_SCHEME,
+    protocol: str = "rename",
 ):
     """foreachBatch hook for INCREMENTAL filter maintenance: each
     micro-batch of new benchmark keys lands its own (w, bits, m, k,
@@ -500,11 +540,24 @@ def bloom_words_collector(
     that module for the filesystem contract and the racer/replay
     semantics).  Delivery is at-least-once-safe twice over: a replayed
     batch finds its committed directory and skips, and even a duplicate
-    append would only re-OR identical bits."""
-    from paas_auditor_spark.operators.atomic import commit_batch_dir
+    append would only re-OR identical bits.
+
+    ``protocol`` picks the publish primitive for the target filesystem:
+    ``"rename"`` (default — local disk/NFS/HDFS, atomic directory
+    rename) or ``"marker"`` (object stores, exclusive-create commit
+    marker: `atomic.commit_batch_dir_marker`).  Read with the SAME
+    protocol (``bloom_words_read``)."""
+    from paas_auditor_spark.operators.atomic import (
+        commit_batch_dir,
+        commit_batch_dir_marker,
+    )
+
+    commit = {"rename": commit_batch_dir, "marker": commit_batch_dir_marker}[
+        protocol
+    ]
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        commit_batch_dir(
+        commit(
             path,
             batch_id,
             lambda tmp: bloom_words(batch_df, key_col, m=m, k=k, scheme=scheme)
@@ -515,12 +568,22 @@ def bloom_words_collector(
     return write_batch
 
 
-def bloom_words_read(spark, path: str) -> DataFrame:
+def bloom_words_read(spark, path: str, protocol: str = "rename") -> DataFrame:
     """Snapshot-consistent read of a collector-maintained words
-    directory: recursiveFileLookup picks up every committed
-    ``batch-<id>`` subdirectory while Spark's hidden-path rule skips the
-    dot-prefixed tmp dirs still being written — the read half of
-    ``bloom_words_collector``'s whole-batches-or-nothing contract."""
+    directory — the read half of ``bloom_words_collector``'s
+    whole-batches-or-nothing contract, per protocol: under ``rename``,
+    recursiveFileLookup picks up every committed ``batch-<id>``
+    subdirectory while Spark's hidden-path rule skips the dot-prefixed
+    tmp dirs still being written; under ``marker``, only attempt
+    directories named by a ``_COMMITTED`` marker are read (unmarked =
+    torn or racing-loser garbage)."""
+    if protocol == "marker":
+        from paas_auditor_spark.operators.atomic import committed_batch_dirs
+
+        dirs = committed_batch_dirs(path)
+        if not dirs:
+            raise ValueError(f"no committed batches under {path!r}")
+        return spark.read.parquet(*dirs)
     return spark.read.option("recursiveFileLookup", "true").parquet(path)
 
 

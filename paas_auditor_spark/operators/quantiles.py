@@ -141,6 +141,11 @@ def _geometry(sketch: DataFrame) -> tuple[float, float, int]:
             "hist_sketch relation"
         )
     rows = sketch.select(*_GEOM).distinct().collect()
+    if not rows:
+        raise ValueError(
+            "empty sketch relation: (lo, hi, n_bins) geometry unknown — "
+            "build with hist_sketch, or merge with a non-empty sketch"
+        )
     if len(rows) != 1:
         geos = sorted(
             (float(r["lo"]), float(r["hi"]), int(r["nb"])) for r in rows
@@ -190,7 +195,12 @@ def hist_merge(*sketches: DataFrame) -> DataFrame:
 
 
 def hist_collector(
-    value_col: str, path: str, n_bins: int, lo: float, hi: float
+    value_col: str,
+    path: str,
+    n_bins: int,
+    lo: float,
+    hi: float,
+    protocol: str = "rename",
 ):
     """foreachBatch hook for INCREMENTAL quantile maintenance — the
     quantile twin of ``bloom.bloom_words_collector``: each micro-batch
@@ -207,11 +217,20 @@ def hist_collector(
     protocol — see that module for the racer/replay/failure semantics)
     is the correctness mechanism, not merely an optimization — a
     replayed batch finds its ``batch-<id>`` directory and writes
-    nothing."""
-    from paas_auditor_spark.operators.atomic import commit_batch_dir
+    nothing.  ``protocol`` as in ``bloom_words_collector``: ``rename``
+    (atomic-rename filesystems) or ``marker`` (object stores,
+    exclusive-create commit marker) — read with the same protocol."""
+    from paas_auditor_spark.operators.atomic import (
+        commit_batch_dir,
+        commit_batch_dir_marker,
+    )
+
+    commit = {"rename": commit_batch_dir, "marker": commit_batch_dir_marker}[
+        protocol
+    ]
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        commit_batch_dir(
+        commit(
             path,
             batch_id,
             lambda tmp: hist_sketch(
@@ -224,11 +243,19 @@ def hist_collector(
     return write_batch
 
 
-def hist_read(spark, path: str) -> DataFrame:
-    """Read a collector-maintained sketch directory: every committed
-    ``batch-<id>`` subdirectory, dot-prefixed tmp dirs skipped by
-    Spark's hidden-path rule (the read half of the commit contract,
-    same as bloom_words_read)."""
+def hist_read(spark, path: str, protocol: str = "rename") -> DataFrame:
+    """Read a collector-maintained sketch directory (the read half of
+    the commit contract, same as bloom_words_read): under ``rename``,
+    every committed ``batch-<id>`` subdirectory with dot-prefixed tmp
+    dirs skipped by Spark's hidden-path rule; under ``marker``, only
+    marker-named attempt directories."""
+    if protocol == "marker":
+        from paas_auditor_spark.operators.atomic import committed_batch_dirs
+
+        dirs = committed_batch_dirs(path)
+        if not dirs:
+            raise ValueError(f"no committed batches under {path!r}")
+        return spark.read.parquet(*dirs)
     return spark.read.option("recursiveFileLookup", "true").parquet(path)
 
 

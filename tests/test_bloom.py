@@ -687,3 +687,29 @@ def test_commit_batch_dir_contract(tmp_path):
 
     assert commit_batch_dir(path, 2, write_then_racer_commits) is False
     assert os.path.isdir(os.path.join(path, "batch-2"))
+
+
+def test_merge_accepts_empty_partial(spark):
+    """A collector partial whose micro-batches had zero keys is a LEGAL
+    merge input (r6 advice): it imposes no geometry and contributes no
+    bits — the merged blob equals the non-empty side's alone.  All-empty
+    merges and direct geometry reads of an empty table fail with the
+    actionable empty-relation message, not a bogus 'mixed geometry: []'."""
+    from paas_auditor_spark.operators.bloom import (
+        _words_geometry,
+        bloom_assemble,
+        bloom_merge,
+        bloom_words,
+    )
+
+    full = bloom_words(_keys(spark, 0, 50), "k", m=M, k=K)
+    empty = full.where(F.lit(False))
+    merged = bloom_merge(full, empty)
+    assert (
+        bytes(bloom_assemble(merged).collect()[0]["bloom"])
+        == bytes(bloom_assemble(full).collect()[0]["bloom"])
+    )
+    with pytest.raises(ValueError, match="all words relations are empty"):
+        bloom_merge(empty, empty)
+    with pytest.raises(ValueError, match="empty words relation"):
+        _words_geometry(empty)

@@ -370,3 +370,62 @@ def test_scd2_sentinel_survives_session_tz_change(spark):
     assert len(out) == 2
     attrs = sorted((r["attr"], r["valid_to"] is not None) for r in out)
     assert [a for a, _ in attrs] == ["x", "y"]
+
+
+def test_cached_artifact_rename_failure_surfaces(monkeypatch, tmp_path):
+    """The r6 advice hole: a genuine rename failure (EXDEV when TMPDIR
+    crosses filesystems, permissions) must raise at build time, not
+    silently return a nonexistent path that later dies as an unrelated
+    parquet read error.  A LOST RACE (destination exists) still
+    publishes quietly."""
+    import os
+
+    from paas_auditor_spark.queries import _cached_artifact
+
+    def build(tmp):
+        os.makedirs(tmp)
+
+    real_rename = os.rename
+
+    def exdev(src, dst):
+        raise OSError(18, "Invalid cross-device link")
+
+    monkeypatch.setattr(os, "rename", exdev)
+    with pytest.raises(OSError, match="cross-device"):
+        _cached_artifact("advice-exdev", "paas_test_exdev_", build)
+
+    # racer case: destination appears before the rename fails — swallowed
+    def racer(src, dst):
+        real_rename(src, dst)  # publish as "the racer" ...
+        raise OSError(18, "Invalid cross-device link")  # ... then lose
+
+    monkeypatch.setattr(os, "rename", racer)
+    path = _cached_artifact("advice-race", "paas_test_race_", build)
+    assert os.path.isdir(path)
+
+
+def test_ivf_recall_denominator_tracks_truth(spark, tmp_path):
+    """The r6 advice hole: with a corpus of <11 vectors, each query has
+    fewer than 10 true neighbors; recall@10 at nprobe = n_centroids
+    (exact search) must still read 1.0 — a hardcoded 10×10 denominator
+    would understate it as truth_pairs/100."""
+    import pandas as pd
+
+    from paas_auditor_spark.queries import q_ivf_recall_curve
+
+    rng = np.random.default_rng(7)
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(9, dtype=np.int64),
+            "embedding": [
+                rng.standard_normal(8).astype(np.float32) for _ in range(9)
+            ],
+            "label": np.zeros(9, dtype=np.int32),
+        }
+    ).to_parquet(str(tmp_path / "embeddings.parquet"))
+    rows = sorted(
+        q_ivf_recall_curve(spark, str(tmp_path)).collect(),
+        key=lambda r: r["nprobe"],
+    )
+    assert rows[-1]["nprobe"] == 8
+    assert rows[-1]["recall_at_10"] == 1.0

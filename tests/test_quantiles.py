@@ -188,3 +188,15 @@ def test_partial_explicit_bounds_rejected(spark):
         hist_sketch(df, "v", n_bins=8, lo=0.0)
     with pytest.raises(ValueError, match="both explicit or both derived"):
         hist_sketch(df, "v", n_bins=8, hi=9.0)
+
+
+def test_empty_sketch_geometry_message(spark):
+    """An empty sketch (zero-key micro-batches) reads as the actionable
+    empty-relation error, not a misleading 'mixed sketch geometries []'
+    (r6 advice)."""
+    from paas_auditor_spark.operators.quantiles import _geometry, hist_sketch
+
+    xs = spark.range(10).select(F.col("id").cast("double").alias("x"))
+    empty = hist_sketch(xs, "x", lo=0.0, hi=10.0, n_bins=4).where(F.lit(False))
+    with pytest.raises(ValueError, match="empty sketch relation"):
+        _geometry(empty)
