@@ -72,6 +72,7 @@ HEADLINE = [
     "embedding_near_dup_lsh",
     "multimodal_features",
     "bm25_search",
+    "bm25_persisted",
     "hybrid_search_rrf",
     "embedding_quantize",
     "mad_outliers",

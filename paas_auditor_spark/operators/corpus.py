@@ -195,9 +195,15 @@ def bigram_lm_perplexity(
         .filter(F.length("w") >= 1)
         .agg(F.countDistinct("w").alias("v"))
     )
+    # c1 is EXPLICITLY broadcast (the same rule as the trigram model's
+    # unigram marginals): it is vocabulary-sized — bounded by Heaps' law,
+    # ≪ corpus at any SF — and leaving it to size stats flips the plan
+    # to a sort-merge join on BARE w1 once the corpus grows (measured in
+    # the sf1 rehearsal: broadcast at sf0.1, SMJ at sf1), which is both
+    # an extra full shuffle of the scored stream and a Zipf-skew magnet.
     scored = (
         occ.join(c2, on=["w1", "w2"])
-        .join(c1, on="w1")
+        .join(F.broadcast(c1), on="w1")
         .crossJoin(vocab)
         .select(
             id_col,
@@ -248,14 +254,24 @@ def trigram_interp_perplexity(
     trigrams from saturating at the Laplace floor — the reason CCNet-
     style quality filtering uses interpolated models, not raw counts.
 
-    Scale shape mirrors ``bigram_lm_perplexity`` with one structural
-    improvement: after the single (doc, w1, w2, w3) occurrence reduce,
+    Scale shape mirrors ``bigram_lm_perplexity`` with two structural
+    improvements: after the single (doc, w1, w2, w3) occurrence reduce,
     all counts aggregate from the CORPUS-level trigram table ``c3``
-    (marginals of marginals — b2 reduces b23, not occ), and the four
+    (marginals of marginals — b2 reduces b23, not occ), and the
     marginals join onto c3 FIRST.  The doc-keyed occurrence stream —
     the big relation — then shuffles exactly once, joining the enriched
     c3 on (w1, w2, w3); the naive formulation re-shuffles it five
     times, once per marginal key (measured 1.9 s vs 1.5 s at sf0.1).
+    Second (the r6-verdict marginal-join fusion): of the four marginal
+    joins onto c3, the two BIGRAM-keyed ones ((w1,w2) and (w2,w3)) ride
+    the very exchanges that build c3ctx/b23 (identical child plans →
+    ReusedExchange, no extra shuffle), while the two UNIGRAM-keyed ones
+    (b2 on w2, u3 on w3) — whose mid-plan exchanges can NOT be reused —
+    are explicit broadcasts: unigram marginals are vocabulary-sized
+    (bounded by Heaps' law, ≪ corpus at any SF), and pre-joining them
+    onto the b23-sized relation removes the two remaining c3-sized
+    shuffles without ever hash-partitioning the trigram table by a
+    bare Zipf-head word (the skew a w2-only repartition would invite).
     V and N arrive via 1-row broadcast cross joins; Zipf-head contexts
     are AQE skew-split like every other term key.  Returns (doc_id,
     n_trigrams, avg_nll, ppl); < 3-token docs keep a row with
@@ -313,11 +329,10 @@ def trigram_interp_perplexity(
         + F.lit(l2) * (F.col("b23") + 1) / (F.col("b2") + F.col("v"))
         + F.lit(l1) * (F.col("u3") + 1) / (F.col("n_total") + F.col("v"))
     )
+    b23e = b23.join(F.broadcast(b2), on="w2").join(F.broadcast(u3), on="w3")
     enriched = (
         c3.join(c3ctx, on=["w1", "w2"])
-        .join(b23, on=["w2", "w3"])
-        .join(b2, on="w2")
-        .join(u3, on="w3")
+        .join(b23e, on=["w2", "w3"])
         .crossJoin(vocab)
         .crossJoin(total)
     )

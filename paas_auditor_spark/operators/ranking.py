@@ -205,3 +205,135 @@ def ql_scores(
         )
     )
     return per.groupBy(id_col).agg(F.sum("term_score").alias("score"))
+
+
+def postings_collector(
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    protocol: str = "rename",
+):
+    """foreachBatch hook for an INCREMENTALLY MAINTAINED inverted index
+    — the retrieval member of the collector family (bloom_words /
+    hist_sketch): each micro-batch of newly ingested documents lands its
+    own (term, doc_id, tf) postings plus a (doc_id, dl) doc-length
+    relation, and ``bm25_from_postings`` scores queries off the
+    accumulated index WITHOUT ever re-tokenizing a landed document.
+    Both relations are mergeable by construction: a document lives in
+    exactly one batch (append-only corpus — re-ingesting an id is the
+    caller's dedup bug, same contract as the bronze table), so tf/dl
+    rows concatenate, df is a countDistinct over the union, and N/avgdl
+    are one aggregate over the doc-length union.
+
+    The two relations commit as ONE batch directory (``batch-<id>/
+    postings`` + ``batch-<id>/doclens``) under the shared atomic commit
+    protocol (operators/atomic.py — ``protocol`` picks rename or
+    commit-marker), because a batch whose postings landed but whose
+    doc-lengths didn't would score its documents with a wrong N/avgdl —
+    the torn state the whole-batch commit exists to prevent.  Replay is
+    the additive-relation correctness mechanism, exactly as for counts:
+    a replayed batch finds its committed directory and writes nothing
+    (tf rows would double-count).
+
+    100 TB posture: the index is term-keyed parquet, so a probe for |Q|
+    terms is a scan with ``term IN (...)`` PUSHED to the parquet reader
+    (row groups without the probed terms never leave disk — the
+    inverted-index property, plan-asserted in test_ranking_quantize) —
+    the corpus itself is never touched at query time."""
+    from paas_auditor_spark.operators.atomic import (
+        commit_batch_dir,
+        commit_batch_dir_marker,
+    )
+
+    commit = {"rename": commit_batch_dir, "marker": commit_batch_dir_marker}[
+        protocol
+    ]
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        def write(tmp: str) -> None:
+            toked = batch_df.select(
+                F.col(id_col),
+                tx.tokens(F.lower(F.col(text_col))).alias("toks"),
+            ).localCheckpoint(eager=False)
+            # dl NULL for token-less docs (explicit when(): size(NULL)'s
+            # result is config-dependent): they still count toward N
+            # (bm25_scores' N = all docs) but not toward avgdl
+            toked.select(
+                F.col(id_col),
+                F.when(
+                    F.col("toks").isNotNull(), F.size("toks")
+                ).alias("dl"),
+            ).write.parquet(f"{tmp}/doclens")
+            (
+                toked.select(F.col(id_col), F.explode("toks").alias("term"))
+                .groupBy("term", id_col)
+                .agg(F.count(F.lit(1)).alias("tf"))
+                .write.parquet(f"{tmp}/postings")
+            )
+
+        commit(path, batch_id, write)
+
+    return write_batch
+
+
+def _index_parts(path: str, part: str, protocol: str) -> list[str]:
+    if protocol == "marker":
+        from paas_auditor_spark.operators.atomic import committed_batch_dirs
+
+        dirs = committed_batch_dirs(path)
+        if not dirs:
+            raise ValueError(f"no committed batches under {path!r}")
+        return [f"{d}/{part}" for d in dirs]
+    # glob skips the dot-prefixed in-flight tmp dirs by Spark's hidden rule
+    return [f"{path}/batch-*/{part}"]
+
+
+def bm25_from_postings(
+    spark,
+    path: str,
+    query_terms: Sequence[str],
+    *,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    protocol: str = "rename",
+) -> DataFrame:
+    """Okapi BM25 over a ``postings_collector`` index — value-identical
+    to ``bm25_scores`` over the union corpus (test-pinned), but the
+    corpus text is never read: tf comes from the term-pruned postings
+    scan, dl/N/avgdl from the doc-length relation, df from a
+    countDistinct over the probed postings.  Same Lucene idf variant,
+    same |Q|-row broadcasts, one doc-keyed shuffle."""
+    postings = spark.read.parquet(*_index_parts(path, "postings", protocol))
+    doclens = spark.read.parquet(*_index_parts(path, "doclens", protocol))
+
+    qterms = [t.lower() for t in query_terms]
+    tf = postings.filter(F.col("term").isin(qterms))
+    df_ = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    stats = doclens.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg("dl").alias("_avgdl"),
+    )
+    doclen = doclens.filter(F.col("dl").isNotNull())
+    idf = F.log(
+        F.lit(1.0) + (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    per_term = (
+        tf.join(F.broadcast(df_), "term")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            (
+                idf
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("_avgdl"))
+                )
+            ).alias("term_score"),
+        )
+    )
+    return per_term.groupBy(id_col).agg(
+        F.sum("term_score").alias("score")
+    )

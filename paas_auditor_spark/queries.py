@@ -1308,6 +1308,61 @@ def q_dedup_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_pipeline_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline COMPOSITION under full oracle check (the r6
+    verdict's rows-only→exact suggestion for dedup_pipeline_full): the
+    same stage chain — candidate edges → star connected components →
+    keep-best survivor → per-source removal summary — but with the
+    bounded exact-Jaccard edge set (_jaccard_cc_edges, doc_id < 80)
+    instead of banded MinHash, so every stage INCLUDING the composition
+    is engine-portable and the whole run hash-matches one recursive-CTE
+    oracle.  dedup_pipeline_full stays the 100 TB shape (LSH edges,
+    rows-only by nature); this twin proves the stage wiring — winner
+    per multi-doc cluster, removed = members − winners, kept + removed
+    = corpus — against SQL, not just pytest invariants.  Output:
+    (source, n_docs, n_removed, n_kept)."""
+    docs = _th(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    edges = _jaccard_cc_edges(docs)
+    cc = dedup.connected_components_star(
+        edges, nodes=docs.select("doc_id"), src="id_a", dst="id_b"
+    )
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+    members = cc.join(
+        sizes.filter(F.col("n_members") > 1), on="component"
+    ).select(F.col("node").alias("doc_id"), "component")
+    quality = docs.select(
+        "doc_id", "source", tx.token_count(F.col("text")).alias("n_tokens")
+    )
+    winners = (
+        members.join(quality, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_tokens"), (-F.col("doc_id")).alias("neg_id")
+                )
+            ).alias("b")
+        )
+        .select((-F.col("b.neg_id")).alias("doc_id"))
+    )
+    removed = members.select("doc_id").join(winners, "doc_id", "left_anti")
+    return (
+        quality.join(
+            removed.withColumn("is_removed", F.lit(1)), "doc_id", "left"
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("is_removed", F.lit(0))).alias("n_removed"),
+            (
+                F.count(F.lit(1))
+                - F.sum(F.coalesce("is_removed", F.lit(0)))
+            ).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic document fingerprint (md5-based rolling-hash analog)."""
     docs = _th(spark, sf_dir, "documents")
@@ -6267,6 +6322,78 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared by bm25_search and its persisted-index twin: identical probe
+# terms, identical Okapi/Lucene-idf arithmetic, so one oracle certifies
+# the in-memory path AND the index lifecycle.
+_BM25_ORACLE = """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                   AS term
+          FROM documents),
+        doclen AS (
+          SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (
+          SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT avg(dl) FROM doclen) AS avgdl),
+        q AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM toks WHERE term IN ('table', 'hash', 'merge')
+          GROUP BY doc_id, term),
+        df AS (
+          SELECT term, count(DISTINCT doc_id) AS df FROM q GROUP BY term)
+        SELECT doc_id,
+               round(sum(
+                 ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * (tf * 2.2)
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               ), 4) AS bm25
+        FROM q JOIN df USING (term) JOIN doclen USING (doc_id)
+        CROSS JOIN stats
+        GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id LIMIT 20
+        """
+
+
+def _postings_index_cached(spark: SparkSession, sf_dir: str) -> str:
+    """Build-or-reuse the persisted inverted index
+    (operators/ranking.py:postings_collector) for this corpus file."""
+    from paas_auditor_spark.operators.ranking import postings_collector
+
+    def build(tmp):
+        hook = postings_collector(tmp)
+        hook(_t(spark, sf_dir, "documents"), 0)
+
+    return _cached_artifact(
+        "postings1:" + _src_ident(sf_dir, "documents"),
+        "paas_postings_",
+        build,
+    )
+
+
+def q_bm25_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEPLOYMENT shape of BM25 retrieval — the inverted-index twin
+    of knn_ivf_persisted / bloom_decontaminate_persisted: the corpus is
+    tokenized ONCE into a persisted (term, doc_id, tf) postings relation
+    plus doc lengths (operators/ranking.py:postings_collector — the same
+    index a streaming ingest maintains batch-by-batch), and the query
+    scores off the index with the corpus text never read: the probe
+    terms prune the postings scan (term IN (...) pushed to parquet),
+    df/N/avgdl aggregate from the index relations.  Value-identical to
+    the in-memory bm25_search — same probe terms, same oracle."""
+    from paas_auditor_spark.operators.ranking import bm25_from_postings
+
+    path = _postings_index_cached(spark, sf_dir)
+    scores = bm25_from_postings(spark, path, ["table", "hash", "merge"])
+    return (
+        scores.select(
+            "doc_id", F.round(F.col("score"), 4).alias("bm25")
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
 def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid sparse+dense retrieval fused by Reciprocal Rank Fusion
     (Cormack, Clarke & Büttcher 2009): the BM25 arm ranks documents for
@@ -9633,37 +9760,8 @@ REGISTRY: dict[str, QuerySpec] = {
     # eigensolver bit-patterns are library-specific: rows-only, with
     # variance-capture + numpy-parity pytest pins
     "pca_projection": QuerySpec(q_pca_projection, None),
-    "bm25_search": QuerySpec(
-        q_bm25_search,
-        """
-        WITH toks AS (
-          SELECT doc_id,
-                 unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
-                   AS term
-          FROM documents),
-        doclen AS (
-          SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-        stats AS (
-          SELECT (SELECT count(*) FROM documents) AS n_docs,
-                 (SELECT avg(dl) FROM doclen) AS avgdl),
-        q AS (
-          SELECT doc_id, term, count(*) AS tf
-          FROM toks WHERE term IN ('table', 'hash', 'merge')
-          GROUP BY doc_id, term),
-        df AS (
-          SELECT term, count(DISTINCT doc_id) AS df FROM q GROUP BY term)
-        SELECT doc_id,
-               round(sum(
-                 ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-                 * (tf * 2.2)
-                 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
-               ), 4) AS bm25
-        FROM q JOIN df USING (term) JOIN doclen USING (doc_id)
-        CROSS JOIN stats
-        GROUP BY doc_id
-        ORDER BY bm25 DESC, doc_id LIMIT 20
-        """,
-    ),
+    "bm25_search": QuerySpec(q_bm25_search, _BM25_ORACLE),
+    "bm25_persisted": QuerySpec(q_bm25_persisted, _BM25_ORACLE),
     "embedding_quantize": QuerySpec(
         q_embedding_quantize,
         """
@@ -9718,6 +9816,48 @@ REGISTRY: dict[str, QuerySpec] = {
     "minhash_incremental": QuerySpec(q_minhash_incremental, None),
     "dedup_clusters_minhash": QuerySpec(q_dedup_clusters_minhash, None),
     "dedup_pipeline_full": QuerySpec(q_dedup_pipeline_full, None),
+    "dedup_pipeline_exact": QuerySpec(
+        q_dedup_pipeline_exact,
+        _DEDUP_CC_CTES
+        + """,
+        clus AS (
+          SELECT src AS doc_id, min(dst) AS cluster_id
+          FROM reach GROUP BY src),
+        csize AS (
+          SELECT cluster_id, count(*) AS n_members
+          FROM clus GROUP BY cluster_id),
+        members AS (
+          SELECT c.doc_id FROM clus c JOIN csize s USING (cluster_id)
+          WHERE s.n_members > 1),
+        tok AS (
+          SELECT doc_id, source,
+                 len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+          FROM documents WHERE doc_id < 80),
+        winners AS (
+          SELECT doc_id FROM (
+            SELECT m.doc_id,
+                   row_number() OVER (
+                     PARTITION BY c.cluster_id
+                     ORDER BY t.n_tokens DESC, m.doc_id) AS r
+            FROM members m
+            JOIN clus c USING (doc_id)
+            JOIN tok t USING (doc_id)) WHERE r = 1),
+        removed AS (
+          SELECT m.doc_id FROM members m
+          LEFT JOIN winners w ON m.doc_id = w.doc_id
+          WHERE w.doc_id IS NULL)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(coalesce(sum(CASE WHEN r.doc_id IS NOT NULL
+                                      THEN 1 END), 0) AS BIGINT)
+                 AS n_removed,
+               CAST(count(*) - coalesce(sum(CASE WHEN r.doc_id IS NOT NULL
+                                            THEN 1 END), 0) AS BIGINT)
+                 AS n_kept
+        FROM tok LEFT JOIN removed r USING (doc_id)
+        GROUP BY source ORDER BY source
+        """,
+    ),
     "bigram_pmi": QuerySpec(
         q_bigram_pmi,
         """
@@ -10326,28 +10466,31 @@ _CERTIFICATION_WINDOW = [
     "raw_events_page", "null_boundary", "time_format", "epoch_seconds",
     "props_json", "props_variant", "splunk_envelope", "validity_filter",
     "idempotent_reingest", "ordered_export",
-    # LLM-pipeline flagships
+    # LLM-pipeline flagships (r7 rotation, verdict task #5: the r6 late
+    # wave gets official rows — hybrid_search_rrf replaces phrase_search
+    # [retrieval keeps bm25 in-window; phrase stays oracle-checked in the
+    # full registry], bloom_pruned_join joins its decontamination family)
     "bloom_decontaminate", "bloom_decontaminate_persisted",
-    "duplicate_spans", "span_removal", "triangle_count", "dsir_sample",
-    "curation_pipeline", "bm25_search", "semantic_dedup",
-    "phrase_search", "chat_assembly_sessions",
-    # dedup / similarity / ANN (r6: ngram_jaccard→dedup_keep_best and
-    # mmr_diversity/embedding_near_dup→knn_ivf_persisted/span_removal —
-    # the swapped-out entries stay oracle-checked in the full registry;
-    # the swapped-in ones are the r6 flagships)
-    "dedup_exact", "dedup_clusters", "dedup_clusters_star",
-    "dedup_keep_best", "cdc_chunk_stats",
+    "bloom_pruned_join", "duplicate_spans", "span_removal",
+    "triangle_count", "dsir_sample", "curation_pipeline", "bm25_search",
+    "semantic_dedup", "hybrid_search_rrf", "chat_assembly_sessions",
+    # dedup / similarity / ANN (r7: cdc_near_dup — the flagship chunk-
+    # level near-dup — takes cdc_chunk_stats' slot; dedup_clusters cedes
+    # to auto_skew_join [the r6 audit→decision operator], its family
+    # keeps dedup_exact/dedup_clusters_star/dedup_keep_best in-window;
+    # both rotated-out entries stay oracle-checked in the full registry)
+    "dedup_exact", "dedup_clusters_star",
+    "dedup_keep_best", "cdc_near_dup", "auto_skew_join",
     "knn_ivf_persisted", "embedding_near_dup_lsh", "embedding_quantize",
-    # text analysis (r6 late: token_stats/chi2_keywords make room for the
-    # new-capability flagships; both stay oracle-checked in the full
-    # registry, as do chat_assembly and cms_estimate whose window slots
-    # went to their strictly-stronger compositions phrase_search /
-    # chat_assembly_sessions / join_size_sketch / ewma_daily; and
-    # quality_filter, whose gate survives inside curation_pipeline +
-    # quality_classifier, ceded its slot to bootstrap_se — the
-    # final-wave eval-statistics flagship)
-    "text_quality", "bootstrap_se", "lang_id",
-    "lm_perplexity", "ewma_daily", "bpe_merges", "quality_classifier",
+    # text analysis (r7: time_to_convert — the r6 ops-analytics late
+    # entry — takes ewma_daily's drift slot [source_drift_psi keeps the
+    # family in-window]; lang_id cedes to the rotation too, its gate
+    # surviving inside curation_pipeline; both stay oracle-checked in
+    # the full registry, as do the earlier rotations' phrase_search /
+    # chat_assembly / cms_estimate / quality_filter / token_stats /
+    # chi2_keywords)
+    "text_quality", "bootstrap_se", "time_to_convert",
+    "lm_perplexity", "bpe_merges", "quality_classifier",
     # sketches / graph / drift (r6 late: knn_bruteforce — the ANN
     # baseline, whose family keeps two stronger in-window reps — makes
     # room for quantile_sketch, the newly oracle-exact mergeable

@@ -84,10 +84,12 @@ def test_certification_window_invariants():
         "bloom_decontaminate", "bloom_decontaminate_persisted",
         "duplicate_spans", "span_removal", "triangle_count",
         "dsir_sample", "curation_pipeline", "bm25_search",
-        "semantic_dedup", "phrase_search", "chat_assembly_sessions",
+        "semantic_dedup", "chat_assembly_sessions",
         "dedup_keep_best", "knn_ivf_persisted", "embedding_near_dup_lsh",
-        "quantile_sketch", "cdc_chunk_stats", "ewma_daily",
-        "join_size_sketch", "bootstrap_se",
+        "quantile_sketch", "join_size_sketch", "bootstrap_se",
+        # r7 rotation (r6 verdict task #5): the r6 late wave
+        "auto_skew_join", "hybrid_search_rrf", "cdc_near_dup",
+        "bloom_pruned_join", "time_to_convert",
     }
     assert flagships <= set(first50)
 

@@ -37,7 +37,7 @@ QUERIES = [
     "activity_gini", "traffic_pareto",
 ]
 
-_NODE = re.compile(r"^\s*[+:*!]*-?\s*([A-Za-z]+[A-Za-z0-9]*)\b")
+_NODE = re.compile(r"^[\s+:*!-]*([A-Za-z]+[A-Za-z0-9]*)\b")
 
 
 def plan_shape(df) -> dict[str, int]:
