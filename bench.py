@@ -42,6 +42,7 @@ HEADLINE = [
     "rolling_daily_value",
     "daily_gapfill",
     "value_stats",
+    "value_percentiles_exact",
     "sessionization",
     "interval_join",
     "dedup_exact",

@@ -623,6 +623,52 @@ def q_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global percentiles of event value by DISTRIBUTED rank
+    (operators/rank.py) — the third member of the quantile family next
+    to percentile_approx (approx_percentiles) and the mergeable
+    histogram sketch (quantile_sketch): when an exact p50/p90/p99 is
+    required (SLA attestation, billing cut-offs), the classic plan is a
+    global sort — this one is the range-partitioned rank instead, so no
+    single-partition stage exists at any scale.  Selection follows the
+    discrete (type-1) definition: the value at row ⌈p·n⌉ of the
+    (value, event_id)-ordered sequence, ties broken by event_id so both
+    engines pick the identical row.  The target-rank relation is 3 rows
+    (broadcast); the rank relation never re-sorts."""
+    from paas_auditor_spark.operators.rank import with_global_order_stats
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    ranked = with_global_order_stats(
+        ev, ["value", "event_id"], rank_col="r"
+    )
+    n_df = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    probs = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(p) for p in (0.5, 0.9, 0.99)])
+        ).alias("p")
+    )
+    targets = probs.crossJoin(F.broadcast(n_df)).select(
+        "p", F.ceil(F.col("p") * F.col("_n")).cast("long").alias("r")
+    )
+    return (
+        ranked.join(F.broadcast(targets), "r")
+        .select("p", F.round("value", 4).alias("value_at_p"))
+        .orderBy("p")
+    )
+
+
+ORACLE_VALUE_PCT_EXACT = """
+WITH ranked AS (
+  SELECT value, row_number() OVER (ORDER BY value, event_id) AS r
+  FROM events),
+n AS (SELECT count(*) AS n FROM ranked),
+p AS (SELECT unnest([0.5, 0.9, 0.99]) AS p)
+SELECT p.p, round(rk.value, 4) AS value_at_p
+FROM p CROSS JOIN n JOIN ranked rk ON rk.r = CAST(ceil(p.p * n.n) AS BIGINT)
+ORDER BY p.p
+"""
+
+
 def q_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap filling: a generated date spine left-joined to a
     sparse daily aggregate, with forward fill via last(ignorenulls) over an
@@ -9262,6 +9308,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "approx_distinct_users": QuerySpec(q_approx_distinct_users, None),
     "approx_percentiles": QuerySpec(q_approx_percentiles, None),
+    "value_percentiles_exact": QuerySpec(
+        q_value_percentiles_exact, ORACLE_VALUE_PCT_EXACT
+    ),
     "hll_mergeable_sketch": QuerySpec(q_hll_mergeable_sketch, None),
     "quantile_sketch": QuerySpec(q_quantile_sketch, ORACLE_QUANTILE_SKETCH),
     "lang_id": QuerySpec(

@@ -72,7 +72,13 @@ def test_rank_empty_input(spark):
 
 
 @pytest.mark.parametrize(
-    "qname", ["activity_gini", "traffic_pareto", "negative_samples"]
+    "qname",
+    [
+        "activity_gini",
+        "traffic_pareto",
+        "negative_samples",
+        "value_percentiles_exact",
+    ],
 )
 def test_flagged_headline_windows_are_partitioned(spark, sf_dir, qname):
     """The r6 verdict's scale-killer finding: these three carried a

@@ -75,7 +75,13 @@ def main() -> None:
     ap.add_argument("--small", default="/root/testdata/sf0.1")
     ap.add_argument("--big", default="/root/repo/.scale/sf1")
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument(
+        "--queries", default=None,
+        help="comma-separated subset of the default query list",
+    )
     args = ap.parse_args()
+    if args.queries:
+        QUERIES[:] = args.queries.split(",")
 
     from paas_auditor_spark.queries import REGISTRY
     from paas_auditor_spark.session import get_spark
@@ -118,8 +124,8 @@ def main() -> None:
     tot_s = round(sum(r["sf0.1_sec"] for r in rows), 1)
     tot_b = round(sum(r["sf1_sec"] for r in rows), 1)
     print(
-        f"\ntotal: sf0.1 {tot_s} s, sf1 {tot_b} s, "
-        f"ratio {round(tot_b / tot_s, 2)} at 10x data"
+        f"\ntotal: {args.small} {tot_s} s, {args.big} {tot_b} s, "
+        f"ratio {round(tot_b / tot_s, 2)}"
     )
 
 
