@@ -7,18 +7,32 @@ Defined``) — fine at 10⁵ rows, the canonical scale-killer at 10⁸⁺: one
 executor core sorts everything while the rest idle.  The reference has
 no such operator (its ORDER BYs are top-k or per-key), but several
 engine analytics (Gini/Pareto concentration audits, the word2vec
-negative-sampling alias table) need a TOTAL-order statistic over an
-unbounded relation.
+negative-sampling alias table, exact global percentiles) need a
+TOTAL-order statistic over an unbounded relation.
 
 This module computes them with the ``export_ordered`` pattern
 (sources/partitioned.py): ``repartitionByRange`` gives every partition
 a contiguous, disjoint key range; a per-partition window (parallel —
-partitioned by ``spark_partition_id()``) ranks locally; a ≤P-row
-driver-side cumulative count/weight table (P = shuffle partitions, a
-CLUSTER constant, never data-sized — the 1-row-cursor collect
-convention) broadcasts back as each partition's offset.  Global rank =
-local rank + offset; global prefix sum likewise.  Two users-relation
-shuffles (range + pid), zero single-partition stages.
+partitioned by ``spark_partition_id()``) ranks locally; each
+partition's offset is the total count/weight of the partitions before
+it.  Global rank = local rank + offset; global prefix sum likewise.
+
+Everything stays IN ONE PLAN — no driver collect, no separate action:
+the per-partition totals are a ≤P-row aggregate (P = shuffle
+partitions, a CLUSTER constant, never data-sized), their exclusive
+prefix is a windowless ≤P²-pair self-join (a partition-less window
+even over P rows would trip the plan tests this module exists to
+satisfy), and the offsets broadcast back onto the ranked rows.  The
+first cut of this operator collected the totals to the driver instead;
+the extra Spark action roughly TRIPLED the small-SF wall time of every
+consumer (bench: traffic_pareto 0.24 s → 1.30 s), so the in-plan form
+is load-bearing for latency, not style.
+
+The range-shuffled base is localCheckpoint'd because partition ids
+must be CONSISTENT between the totals branch and the ranked branch:
+two independently executed range exchanges are only pid-identical as
+long as boundary sampling sees identical data — the checkpoint makes
+consistency structural instead of incidental.
 
 Requires ``order_by`` to be a total order (include a unique tiebreak
 key) — same contract as any deterministic rank.
@@ -42,16 +56,17 @@ def with_global_order_stats(
     rank_col: str = "rank",
     prefix_col: str | None = None,
     num_partitions: int | None = None,
+    n_col: str | None = None,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Add ``rank_col`` (1-based global row_number under ``order_by``)
     and, when ``prefix_col`` is set, the INCLUSIVE global running sum of
     ``weight`` in that order.  ``order_by`` accepts plain names or
-    sort-direction Columns (``F.desc("x")``).
-
-    The input is localCheckpoint'd after the range shuffle so the two
-    consumers (the bounded per-partition totals collect and the final
-    ranked plan) share one materialization and one pid assignment.
-    """
+    sort-direction Columns (``F.desc("x")``).  ``n_col``/``total_col``
+    additionally attach the global row count / global weight sum to
+    every row (a 1-row broadcast off the same ≤P-row totals relation —
+    cheaper than the extra full aggregation pass a caller-side
+    ``.agg`` would spend)."""
     spark = df.sparkSession
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     if num_partitions is None:
@@ -67,22 +82,28 @@ def with_global_order_stats(
         .withColumn("_wt", wt)
         .localCheckpoint(eager=False)
     )
-    # ≤ num_partitions rows: bounded by cluster config, not data size
-    totals = (
+    # ≤ num_partitions rows, checkpointed so its three consumers (the
+    # self-join's two sides and the optional totals) cost one base scan
+    counts = (
         base.groupBy("_pid")
         .agg(F.count(F.lit(1)).alias("_n"), F.sum("_wt").alias("_w"))
-        .collect()
+        .localCheckpoint(eager=False)
     )
-    offsets, cum_n, cum_w = [], 0, 0
-    for r in sorted(totals, key=lambda r: r["_pid"]):
-        offsets.append((r["_pid"], cum_n, cum_w))
-        cum_n += r["_n"]
-        cum_w += r["_w"] or 0
-    off = spark.createDataFrame(
-        offsets or [(0, 0, 0)], "_pid int, _rank_off long, _w_off long"
+    offsets = (
+        counts.alias("a")
+        .join(
+            counts.alias("b"),
+            F.col("b._pid") < F.col("a._pid"),
+            "left",
+        )
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(
+            F.coalesce(F.sum("b._n"), F.lit(0)).alias("_rank_off"),
+            F.coalesce(F.sum("b._w"), F.lit(0)).alias("_w_off"),
+        )
     )
     w = Window.partitionBy("_pid").orderBy(*cols)
-    out = base.join(F.broadcast(off), "_pid").withColumn(
+    out = base.join(F.broadcast(offsets), "_pid").withColumn(
         rank_col, F.row_number().over(w) + F.col("_rank_off")
     )
     if prefix_col is not None:
@@ -93,4 +114,11 @@ def with_global_order_stats(
             )
             + F.col("_w_off"),
         )
+    if n_col is not None or total_col is not None:
+        aggs = []
+        if n_col is not None:
+            aggs.append(F.sum("_n").alias(n_col))
+        if total_col is not None:
+            aggs.append(F.sum("_w").alias(total_col))
+        out = out.crossJoin(F.broadcast(counts.agg(*aggs)))
     return out.drop("_pid", "_wt", "_rank_off", "_w_off")

@@ -4644,16 +4644,16 @@ def q_traffic_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("x")
     )
-    ranked_raw = with_global_order_stats(
-        per_user, [F.desc("x"), "user_id"], rank_col="rnk"
-    )
-    nt = ranked_raw.agg(
-        F.count(F.lit(1)).alias("_nu"),
-        F.sum("x").cast("double").alias("_t"),
-    )
-    ranked = ranked_raw.crossJoin(F.broadcast(nt)).select(
+    ranked = with_global_order_stats(
+        per_user,
+        [F.desc("x"), "user_id"],
+        weight="x",
+        rank_col="rnk",
+        n_col="_nu",
+        total_col="_t",
+    ).select(
         "x",
-        "_t",
+        F.col("_t").cast("double").alias("_t"),
         (
             (F.col("rnk") - 1).cast("double")
             / (F.col("_nu") - 1).cast("double")
