@@ -41,12 +41,51 @@ import uuid
 from collections.abc import Callable
 
 __all__ = [
+    "collector_root",
     "commit_batch_dir",
     "commit_batch_dir_marker",
     "committed_batch_dirs",
+    "compact_batches",
+    "replay_floor",
 ]
 
 _MARKER = "_COMMITTED"
+_CURRENT = "CURRENT"
+# underscore-prefixed like _SUCCESS/_COMMITTED: Spark's hidden-path rule
+# skips it, so a recursiveFileLookup parquet read of a generation dir
+# never trips over the metadata file
+_FLOOR = "_COMPACTED_THROUGH"
+
+
+def collector_root(path: str) -> str:
+    """Resolve the ACTIVE generation directory of a collector dataset.
+
+    A freshly created collector writes ``batch-<id>`` dirs directly
+    under ``path`` (v1 layout).  After ``compact_batches`` the dataset
+    becomes generational: ``path/CURRENT`` (a tiny text file, replaced
+    by atomic rename) names the live ``gen-<n>`` subdirectory, and every
+    reader/writer resolves through it — so a compaction flip is ONE
+    atomic pointer swap and a reader is always snapshot-consistent on
+    exactly one generation.  No CURRENT file → v1 → ``path`` itself."""
+    try:
+        with open(os.path.join(path, _CURRENT)) as fh:
+            gen = fh.read().strip()
+    except OSError:
+        return path
+    return os.path.join(path, gen)
+
+
+def replay_floor(root: str) -> int:
+    """Highest batch id folded into this generation by compaction.
+    Batch dirs for ids ≤ floor were REMOVED by the fold; the commit
+    functions treat such ids as already-committed (a replay of a
+    compacted batch must stay a no-op — re-appending it would
+    double-add counts).  -1 when the generation was never compacted."""
+    try:
+        with open(os.path.join(root, _FLOOR)) as fh:
+            return int(fh.read().strip())
+    except OSError:
+        return -1
 
 
 def commit_batch_dir(
@@ -59,10 +98,11 @@ def commit_batch_dir(
     committed (replay, or a racer won).  Raises on any genuine commit
     failure — a batch is either fully visible or loudly absent, never
     silently dropped."""
-    final = os.path.join(path, f"batch-{batch_id}")
-    if os.path.isdir(final):
-        return False  # replayed batch: already committed
-    tmp = os.path.join(path, f".batch-{batch_id}.tmp{os.getpid()}")
+    root = collector_root(path)
+    final = os.path.join(root, f"batch-{batch_id}")
+    if os.path.isdir(final) or batch_id <= replay_floor(root):
+        return False  # replayed batch: already committed (or compacted)
+    tmp = os.path.join(root, f".batch-{batch_id}.tmp{os.getpid()}")
     try:
         write(tmp)
         try:
@@ -97,10 +137,11 @@ def commit_batch_dir_marker(
     ``committed_batch_dirs`` treats that as not-yet-visible and picks
     the batch up on its next poll (a conditional PUT carries content
     atomically, so the gap does not exist on a real object store)."""
-    final = os.path.join(path, f"batch-{batch_id}")
+    root = collector_root(path)
+    final = os.path.join(root, f"batch-{batch_id}")
     marker = os.path.join(final, _MARKER)
-    if os.path.exists(marker):
-        return False  # replayed batch: already committed
+    if os.path.exists(marker) or batch_id <= replay_floor(root):
+        return False  # replayed batch: already committed (or compacted)
     attempt = f"attempt-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     data = os.path.join(final, attempt)
     os.makedirs(final, exist_ok=True)
@@ -124,20 +165,135 @@ def committed_batch_dirs(path: str) -> list[str]:
     the read half of ``commit_batch_dir_marker``: only attempts named
     by a non-empty ``_COMMITTED`` marker are visible; unmarked attempts
     (torn writes, racing losers) and empty markers (the local
-    creation/content gap) are skipped.  Sorted by batch id for
-    deterministic fold order."""
-    if not os.path.isdir(path):
+    creation/content gap) are skipped.  Resolves the generation pointer
+    first, so a compacted dataset reads its live generation only.
+    Sorted by batch id for deterministic fold order."""
+    root = collector_root(path)
+    if not os.path.isdir(root):
         return []
     out: list[tuple[int, str]] = []
-    for d in os.listdir(path):
+    for d in os.listdir(root):
         if not d.startswith("batch-"):
             continue
         try:
             attempt = (
-                open(os.path.join(path, d, _MARKER)).read().strip()
+                open(os.path.join(root, d, _MARKER)).read().strip()
             )
         except OSError:
             continue  # no marker: batch not committed
         if attempt:
-            out.append((int(d.split("-", 1)[1]), os.path.join(path, d, attempt)))
+            out.append((int(d.split("-", 1)[1]), os.path.join(root, d, attempt)))
     return [p for _, p in sorted(out)]
+
+
+def compact_batches(
+    spark,
+    path: str,
+    parts: tuple[str, ...] = ("",),
+    protocol: str = "rename",
+    target_files: int = 1,
+) -> int:
+    """Fold every committed ``batch-<id>`` of a collector dataset into
+    ONE batch directory of ``target_files`` parquet files — the
+    small-file maintenance job every long-running collector needs: a
+    micro-batch cadence of seconds accumulates ~10⁵ directories/week,
+    and per-file open cost eventually dominates every read
+    (``compact_partition``'s problem, recurring at the batch-dir level).
+
+    Content-neutral by design: all three collector families fold at
+    READ time (bit_or for bloom words, additive counts for histograms
+    and postings), so compaction is purely a row-preserving rewrite —
+    the union of all batch rows lands in a single new batch dir, and
+    read-side results are bit-identical (test-pinned).
+
+    Atomicity and replay:
+    - The new generation is built complete in a hidden tmp dir, renamed
+      into place, and then the ``CURRENT`` pointer file is REPLACED by
+      atomic rename — a reader resolves either the old generation or
+      the new one, never a mix (the double-count a same-directory
+      rewrite would risk).
+    - The new generation records ``COMPACTED_THROUGH = <max folded
+      id>``; the commit functions treat ids ≤ that floor as already
+      committed, so an at-least-once replay of a pre-compaction batch
+      stays a no-op even though its directory is gone.
+
+    Single-writer contract (the compact_partition rule, one level up):
+    run this from the collector's own driver BETWEEN micro-batches — it
+    must not race the appender, because a batch committed to the OLD
+    generation after the fold's file listing would be silently dropped
+    by the pointer flip.  Readers need no quiescence.
+
+    ``parts`` names the sub-relations inside each batch dir ("" for
+    flat datasets like bloom words / histograms; ("postings",
+    "doclens") for the inverted index).  Returns the number of batch
+    dirs folded (0 = nothing to do)."""
+    root = collector_root(path)
+    if protocol == "marker":
+        data_dirs = committed_batch_dirs(path)
+        ids = []
+        if os.path.isdir(root):
+            for d in os.listdir(root):
+                if d.startswith("batch-") and os.path.exists(
+                    os.path.join(root, d, _MARKER)
+                ):
+                    ids.append(int(d.split("-", 1)[1]))
+    else:
+        ids, data_dirs = [], []
+        if os.path.isdir(root):
+            for d in sorted(os.listdir(root)):
+                if d.startswith("batch-") and not d.startswith(".batch-"):
+                    ids.append(int(d.split("-", 1)[1]))
+                    data_dirs.append(os.path.join(root, d))
+    if len(data_dirs) < 2:
+        return 0
+
+    gen_n = 0
+    if root != path:
+        gen_n = int(os.path.basename(root).split("-", 1)[1]) + 1
+    new_gen = f"gen-{gen_n}"
+    tmp = os.path.join(path, f".{new_gen}.tmp{os.getpid()}")
+    try:
+        if protocol == "marker":
+            batch_dir = os.path.join(tmp, "batch-0", "attempt-compact")
+        else:
+            batch_dir = os.path.join(tmp, "batch-0")
+        for part in parts:
+            srcs = [os.path.join(d, part) if part else d for d in data_dirs]
+            dst = os.path.join(batch_dir, part) if part else batch_dir
+            (
+                spark.read.parquet(*srcs)
+                .coalesce(target_files)
+                .write.mode("overwrite")
+                .parquet(dst)
+            )
+        if protocol == "marker":
+            with open(os.path.join(tmp, "batch-0", _MARKER), "w") as fh:
+                fh.write("attempt-compact\n")
+        # never BELOW the previous generation's floor: the compacted
+        # batch-0 artifact carries id 0, which must not reopen replay
+        # protection for ids the prior fold already absorbed
+        with open(os.path.join(tmp, _FLOOR), "w") as fh:
+            fh.write(f"{max(max(ids), replay_floor(root))}\n")
+        os.rename(tmp, os.path.join(path, new_gen))
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    # flip the pointer: write-new + atomic replace
+    ptr_tmp = os.path.join(path, f".{_CURRENT}.tmp{os.getpid()}")
+    with open(ptr_tmp, "w") as fh:
+        fh.write(new_gen + "\n")
+    os.rename(ptr_tmp, os.path.join(path, _CURRENT))
+    # reclaim the previous generation (no reader can resolve it anymore;
+    # an in-flight read that resolved BEFORE the flip may still hold the
+    # old paths — delete is best-effort deferred cleanup, callers on
+    # shared storage can schedule it after their max read duration)
+    if root == path:
+        for d in data_dirs if protocol != "marker" else []:
+            shutil.rmtree(d, ignore_errors=True)
+        if protocol == "marker":
+            for d in os.listdir(path):
+                if d.startswith("batch-"):
+                    shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    else:
+        shutil.rmtree(root, ignore_errors=True)
+    return len(data_dirs)

@@ -256,7 +256,12 @@ def hist_read(spark, path: str, protocol: str = "rename") -> DataFrame:
         if not dirs:
             raise ValueError(f"no committed batches under {path!r}")
         return spark.read.parquet(*dirs)
-    return spark.read.option("recursiveFileLookup", "true").parquet(path)
+    from paas_auditor_spark.operators.atomic import collector_root
+
+    # collector_root: a compacted dataset reads its live generation only
+    return spark.read.option("recursiveFileLookup", "true").parquet(
+        collector_root(path)
+    )
 
 
 def hist_quantiles(sketch: DataFrame, probs: list[float]) -> DataFrame:

@@ -284,8 +284,11 @@ def _index_parts(path: str, part: str, protocol: str) -> list[str]:
         if not dirs:
             raise ValueError(f"no committed batches under {path!r}")
         return [f"{d}/{part}" for d in dirs]
-    # glob skips the dot-prefixed in-flight tmp dirs by Spark's hidden rule
-    return [f"{path}/batch-*/{part}"]
+    from paas_auditor_spark.operators.atomic import collector_root
+
+    # collector_root: a compacted index reads its live generation only;
+    # the glob skips dot-prefixed in-flight tmp dirs by Spark's hidden rule
+    return [f"{collector_root(path)}/batch-*/{part}"]
 
 
 def bm25_from_postings(

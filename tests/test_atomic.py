@@ -120,3 +120,104 @@ def test_bloom_collector_marker_equals_rename(spark, tmp_path):
             bloom_assemble(words).collect()[0]["bloom"]
         )
     assert blobs["marker"] == blobs["rename"]
+
+
+def _assemble(spark, path, protocol="rename"):
+    from paas_auditor_spark.operators.bloom import (
+        bloom_assemble,
+        bloom_words_read,
+    )
+
+    return bytes(
+        bloom_assemble(bloom_words_read(spark, path, protocol=protocol))
+        .collect()[0]["bloom"]
+    )
+
+
+def _parquet_files(path):
+    out = []
+    for root, _dirs, files in os.walk(path):
+        out += [f for f in files if f.endswith(".parquet")]
+    return out
+
+
+def test_compact_batches_preserves_reads_and_replay_floor(spark, tmp_path):
+    """Folding every batch dir into one generation must be invisible to
+    readers (bit-identical assembled filter), shrink the file count,
+    keep replays of FOLDED batch ids no-ops (the floor — their dirs are
+    gone, re-append would double-add), and accept new batches into the
+    live generation."""
+    from pyspark.sql import functions as F
+
+    from paas_auditor_spark.operators.atomic import compact_batches
+    from paas_auditor_spark.operators.bloom import bloom_words_collector
+
+    def keys(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("k"), F.col("id").cast("string")).alias("k")
+        )
+
+    path = str(tmp_path / "words")
+    m, k = 1 << 14, 4
+    hook = bloom_words_collector("k", path, m=m, k=k)
+    for i in range(4):
+        hook(keys(i * 100, (i + 1) * 100), i)
+    before = _assemble(spark, path)
+    n_before = len(_parquet_files(path))
+
+    assert compact_batches(spark, path) == 4
+    assert _assemble(spark, path) == before
+    assert len(_parquet_files(path)) < n_before
+
+    hook(keys(9_000, 9_050), 2)  # replay of a FOLDED id: must be a no-op
+    assert _assemble(spark, path) == before
+    hook(keys(400, 500), 4)  # genuinely new batch: lands in the live gen
+    after = _assemble(spark, path)
+    assert after != before
+
+    # second compaction folds gen-0's batch-0 + the new batch into gen-1
+    assert compact_batches(spark, path) == 2
+    assert _assemble(spark, path) == after
+    assert open(tmp_path / "words" / "CURRENT").read().strip() == "gen-1"
+
+
+def test_compact_batches_marker_protocol_and_postings(spark, tmp_path):
+    """Compaction under the marker protocol, on the two-part inverted
+    index: BM25 scores identical before/after, replay floor honored."""
+    from paas_auditor_spark.operators.atomic import compact_batches
+    from paas_auditor_spark.operators.ranking import (
+        bm25_from_postings,
+        postings_collector,
+    )
+
+    docs1 = spark.createDataFrame(
+        [(1, "table scan"), (2, "merge table hash")],
+        "doc_id long, text string",
+    )
+    docs2 = spark.createDataFrame(
+        [(3, "hash hash scan"), (4, "table sort")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    hook = postings_collector(path, protocol="marker")
+    hook(docs1, 0)
+    hook(docs2, 1)
+
+    def scores():
+        return {
+            (r["doc_id"], round(r["score"], 6))
+            for r in bm25_from_postings(
+                spark, path, ["table", "hash"], protocol="marker"
+            ).collect()
+        }
+
+    before = scores()
+    assert (
+        compact_batches(
+            spark, path, parts=("postings", "doclens"), protocol="marker"
+        )
+        == 2
+    )
+    assert scores() == before
+    hook(docs1, 1)  # replay of a folded id: no-op
+    assert scores() == before
