@@ -41,9 +41,11 @@ import uuid
 from collections.abc import Callable
 
 __all__ = [
+    "batch_data_paths",
     "collector_root",
     "commit_batch_dir",
     "commit_batch_dir_marker",
+    "commit_fn",
     "committed_batch_dirs",
     "compact_batches",
     "replay_floor",
@@ -131,29 +133,44 @@ def commit_batch_dir_marker(
     genuine write/publish failure raises, and the failed attempt stays
     invisible because no marker names it.
 
-    One read-side subtlety the local emulation adds: the marker's
-    content lands a syscall after its creation, so a reader polling at
-    exactly the wrong instant can glimpse an EMPTY marker —
-    ``committed_batch_dirs`` treats that as not-yet-visible and picks
-    the batch up on its next poll (a conditional PUT carries content
-    atomically, so the gap does not exist on a real object store)."""
+    The local publish is an atomic HARD LINK of a fully written private
+    file onto the marker name (``os.link`` fails EEXIST if a racer
+    published first) — the marker carries its content from the instant
+    it exists, exactly like a conditional PUT, so the
+    created-but-empty wedge an O_EXCL-create-then-write sequence could
+    leave behind (crash between the two syscalls → every replay sees
+    "marker exists" and skips, every reader sees "empty" and skips:
+    permanent silent loss) cannot occur.  A marker that IS empty can
+    therefore only be external corruption, and the commit path raises
+    loudly on it instead of treating it as committed."""
     root = collector_root(path)
     final = os.path.join(root, f"batch-{batch_id}")
     marker = os.path.join(final, _MARKER)
-    if os.path.exists(marker) or batch_id <= replay_floor(root):
-        return False  # replayed batch: already committed (or compacted)
+    if batch_id <= replay_floor(root):
+        return False  # replayed batch: folded by compaction
+    if os.path.exists(marker):
+        if os.path.getsize(marker) == 0:
+            raise ValueError(
+                f"wedged empty commit marker {marker!r}: not produced by "
+                "this protocol (publish is an atomic link of a non-empty "
+                "file) — inspect and remove it before recommitting"
+            )
+        return False  # replayed batch: already committed
     attempt = f"attempt-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     data = os.path.join(final, attempt)
     os.makedirs(final, exist_ok=True)
     try:
         write(data)
+        ptr = os.path.join(final, f".{attempt}.marker")
+        with open(ptr, "w") as fh:
+            fh.write(attempt + "\n")
         try:
-            fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(ptr, marker)
         except FileExistsError:
             shutil.rmtree(data, ignore_errors=True)
             return False  # racer committed the identical batch
-        with os.fdopen(fd, "w") as fh:
-            fh.write(attempt + "\n")
+        finally:
+            os.unlink(ptr)
         return True
     except BaseException:
         shutil.rmtree(data, ignore_errors=True)
@@ -192,6 +209,7 @@ def compact_batches(
     parts: tuple[str, ...] = ("",),
     protocol: str = "rename",
     target_files: int = 1,
+    defer_delete: bool = False,
 ) -> int:
     """Fold every committed ``batch-<id>`` of a collector dataset into
     ONE batch directory of ``target_files`` parquet files — the
@@ -221,7 +239,13 @@ def compact_batches(
     run this from the collector's own driver BETWEEN micro-batches — it
     must not race the appender, because a batch committed to the OLD
     generation after the fold's file listing would be silently dropped
-    by the pointer flip.  Readers need no quiescence.
+    by the pointer flip.  Readers never see a torn RESOLUTION (old or
+    new generation, whole), but the old generation's files are deleted
+    immediately after the flip by default — a read that resolved just
+    before the flip can hit FileNotFound mid-scan.  On shared storage
+    pass ``defer_delete=True`` and reap superseded generations after
+    the longest possible read duration (the standard table-format
+    vacuum discipline).
 
     ``parts`` names the sub-relations inside each batch dir ("" for
     flat datasets like bloom words / histograms; ("postings",
@@ -229,14 +253,15 @@ def compact_batches(
     dirs folded (0 = nothing to do)."""
     root = collector_root(path)
     if protocol == "marker":
+        # fold (and floor!) only batches with a COMMITTED (non-empty)
+        # marker — committed_batch_dirs' rule.  Counting a merely
+        # EXISTING marker into the floor would absorb a wedged batch's
+        # id while dropping its data: unrecoverable silent loss.
         data_dirs = committed_batch_dirs(path)
-        ids = []
-        if os.path.isdir(root):
-            for d in os.listdir(root):
-                if d.startswith("batch-") and os.path.exists(
-                    os.path.join(root, d, _MARKER)
-                ):
-                    ids.append(int(d.split("-", 1)[1]))
+        ids = [
+            int(os.path.basename(os.path.dirname(d)).split("-", 1)[1])
+            for d in data_dirs
+        ]
     else:
         ids, data_dirs = [], []
         if os.path.isdir(root):
@@ -250,6 +275,11 @@ def compact_batches(
     gen_n = 0
     if root != path:
         gen_n = int(os.path.basename(root).split("-", 1)[1]) + 1
+    # a crash between a prior run's generation rename and its pointer
+    # flip leaves an orphaned gen-<n> dir: skip over it instead of
+    # failing ENOTEMPTY forever (the orphan is unreferenced garbage)
+    while os.path.exists(os.path.join(path, f"gen-{gen_n}")):
+        gen_n += 1
     new_gen = f"gen-{gen_n}"
     tmp = os.path.join(path, f".{new_gen}.tmp{os.getpid()}")
     try:
@@ -283,17 +313,66 @@ def compact_batches(
     with open(ptr_tmp, "w") as fh:
         fh.write(new_gen + "\n")
     os.rename(ptr_tmp, os.path.join(path, _CURRENT))
-    # reclaim the previous generation (no reader can resolve it anymore;
-    # an in-flight read that resolved BEFORE the flip may still hold the
-    # old paths — delete is best-effort deferred cleanup, callers on
-    # shared storage can schedule it after their max read duration)
+    # reclaim the previous generation: no NEW reader can resolve it, but
+    # a read that resolved before the flip may still be scanning — see
+    # the docstring's defer_delete contract
+    if defer_delete:
+        return len(data_dirs)
     if root == path:
-        for d in data_dirs if protocol != "marker" else []:
+        # v1 layout: delete exactly the batch dirs that were folded
+        # (a wedged marker batch was NOT folded and must stay on disk)
+        folded = (
+            data_dirs
+            if protocol != "marker"
+            else [os.path.dirname(d) for d in data_dirs]
+        )
+        for d in folded:
             shutil.rmtree(d, ignore_errors=True)
-        if protocol == "marker":
-            for d in os.listdir(path):
-                if d.startswith("batch-"):
-                    shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     else:
         shutil.rmtree(root, ignore_errors=True)
     return len(data_dirs)
+
+
+def commit_fn(protocol: str) -> Callable[[str, int, Callable[[str], None]], bool]:
+    """The commit primitive for ``protocol`` — the single dispatch point
+    all collector families share (bloom words, histograms, postings),
+    so the rename/marker semantics live in this module only."""
+    try:
+        return {
+            "rename": commit_batch_dir,
+            "marker": commit_batch_dir_marker,
+        }[protocol]
+    except KeyError:
+        raise ValueError(
+            f"unknown commit protocol {protocol!r}: use 'rename' "
+            "(atomic-rename filesystems) or 'marker' (object stores)"
+        ) from None
+
+
+def batch_data_paths(path: str, protocol: str, part: str = "") -> list[str]:
+    """Read-side paths of every COMMITTED batch of a collector dataset,
+    resolved per protocol and through the generation pointer — the
+    single read-dispatch point shared by all collector families.
+    ``part`` selects a sub-relation inside each batch dir (the inverted
+    index's postings/doclens).  Raises with an actionable message when
+    nothing has been committed yet."""
+    if protocol == "marker":
+        dirs = committed_batch_dirs(path)
+        if not dirs:
+            raise ValueError(f"no committed batches under {path!r}")
+        return [os.path.join(d, part) if part else d for d in dirs]
+    if protocol != "rename":
+        commit_fn(protocol)  # raise the canonical unknown-protocol error
+    root = collector_root(path)
+    has_batches = os.path.isdir(root) and any(
+        d.startswith("batch-") for d in os.listdir(root)
+    )
+    if not has_batches:
+        raise ValueError(f"no committed batches under {path!r}")
+    # one glob per dataset: Spark expands batch-* itself and its hidden-
+    # path rule skips the dot-prefixed in-flight tmp dirs
+    return [
+        os.path.join(root, "batch-*", part)
+        if part
+        else os.path.join(root, "batch-*")
+    ]

@@ -547,14 +547,9 @@ def bloom_words_collector(
     rename) or ``"marker"`` (object stores, exclusive-create commit
     marker: `atomic.commit_batch_dir_marker`).  Read with the SAME
     protocol (``bloom_words_read``)."""
-    from paas_auditor_spark.operators.atomic import (
-        commit_batch_dir,
-        commit_batch_dir_marker,
-    )
+    from paas_auditor_spark.operators.atomic import commit_fn
 
-    commit = {"rename": commit_batch_dir, "marker": commit_batch_dir_marker}[
-        protocol
-    ]
+    commit = commit_fn(protocol)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         commit(
@@ -571,25 +566,13 @@ def bloom_words_collector(
 def bloom_words_read(spark, path: str, protocol: str = "rename") -> DataFrame:
     """Snapshot-consistent read of a collector-maintained words
     directory — the read half of ``bloom_words_collector``'s
-    whole-batches-or-nothing contract, per protocol: under ``rename``,
-    recursiveFileLookup picks up every committed ``batch-<id>``
-    subdirectory while Spark's hidden-path rule skips the dot-prefixed
-    tmp dirs still being written; under ``marker``, only attempt
-    directories named by a ``_COMMITTED`` marker are read (unmarked =
-    torn or racing-loser garbage)."""
-    if protocol == "marker":
-        from paas_auditor_spark.operators.atomic import committed_batch_dirs
+    whole-batches-or-nothing contract, per protocol: only COMMITTED
+    batch directories, resolved through the generation pointer so a
+    compacted dataset reads its live generation only (the path rules
+    live in one place: ``atomic.batch_data_paths``)."""
+    from paas_auditor_spark.operators.atomic import batch_data_paths
 
-        dirs = committed_batch_dirs(path)
-        if not dirs:
-            raise ValueError(f"no committed batches under {path!r}")
-        return spark.read.parquet(*dirs)
-    from paas_auditor_spark.operators.atomic import collector_root
-
-    # collector_root: a compacted dataset reads its live generation only
-    return spark.read.option("recursiveFileLookup", "true").parquet(
-        collector_root(path)
-    )
+    return spark.read.parquet(*batch_data_paths(path, protocol))
 
 
 def bloom_contains(

@@ -220,14 +220,9 @@ def hist_collector(
     nothing.  ``protocol`` as in ``bloom_words_collector``: ``rename``
     (atomic-rename filesystems) or ``marker`` (object stores,
     exclusive-create commit marker) — read with the same protocol."""
-    from paas_auditor_spark.operators.atomic import (
-        commit_batch_dir,
-        commit_batch_dir_marker,
-    )
+    from paas_auditor_spark.operators.atomic import commit_fn
 
-    commit = {"rename": commit_batch_dir, "marker": commit_batch_dir_marker}[
-        protocol
-    ]
+    commit = commit_fn(protocol)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         commit(
@@ -245,23 +240,12 @@ def hist_collector(
 
 def hist_read(spark, path: str, protocol: str = "rename") -> DataFrame:
     """Read a collector-maintained sketch directory (the read half of
-    the commit contract, same as bloom_words_read): under ``rename``,
-    every committed ``batch-<id>`` subdirectory with dot-prefixed tmp
-    dirs skipped by Spark's hidden-path rule; under ``marker``, only
-    marker-named attempt directories."""
-    if protocol == "marker":
-        from paas_auditor_spark.operators.atomic import committed_batch_dirs
+    the commit contract, same as bloom_words_read): only COMMITTED
+    batch directories, resolved through the generation pointer
+    (``atomic.batch_data_paths`` owns the per-protocol path rules)."""
+    from paas_auditor_spark.operators.atomic import batch_data_paths
 
-        dirs = committed_batch_dirs(path)
-        if not dirs:
-            raise ValueError(f"no committed batches under {path!r}")
-        return spark.read.parquet(*dirs)
-    from paas_auditor_spark.operators.atomic import collector_root
-
-    # collector_root: a compacted dataset reads its live generation only
-    return spark.read.option("recursiveFileLookup", "true").parquet(
-        collector_root(path)
-    )
+    return spark.read.parquet(*batch_data_paths(path, protocol))
 
 
 def hist_quantiles(sketch: DataFrame, probs: list[float]) -> DataFrame:

@@ -240,14 +240,9 @@ def postings_collector(
     (row groups without the probed terms never leave disk — the
     inverted-index property, plan-asserted in test_ranking_quantize) —
     the corpus itself is never touched at query time."""
-    from paas_auditor_spark.operators.atomic import (
-        commit_batch_dir,
-        commit_batch_dir_marker,
-    )
+    from paas_auditor_spark.operators.atomic import commit_fn
 
-    commit = {"rename": commit_batch_dir, "marker": commit_batch_dir_marker}[
-        protocol
-    ]
+    commit = commit_fn(protocol)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         def write(tmp: str) -> None:
@@ -276,21 +271,6 @@ def postings_collector(
     return write_batch
 
 
-def _index_parts(path: str, part: str, protocol: str) -> list[str]:
-    if protocol == "marker":
-        from paas_auditor_spark.operators.atomic import committed_batch_dirs
-
-        dirs = committed_batch_dirs(path)
-        if not dirs:
-            raise ValueError(f"no committed batches under {path!r}")
-        return [f"{d}/{part}" for d in dirs]
-    from paas_auditor_spark.operators.atomic import collector_root
-
-    # collector_root: a compacted index reads its live generation only;
-    # the glob skips dot-prefixed in-flight tmp dirs by Spark's hidden rule
-    return [f"{collector_root(path)}/batch-*/{part}"]
-
-
 def bm25_from_postings(
     spark,
     path: str,
@@ -307,8 +287,14 @@ def bm25_from_postings(
     scan, dl/N/avgdl from the doc-length relation, df from a
     countDistinct over the probed postings.  Same Lucene idf variant,
     same |Q|-row broadcasts, one doc-keyed shuffle."""
-    postings = spark.read.parquet(*_index_parts(path, "postings", protocol))
-    doclens = spark.read.parquet(*_index_parts(path, "doclens", protocol))
+    from paas_auditor_spark.operators.atomic import batch_data_paths
+
+    postings = spark.read.parquet(
+        *batch_data_paths(path, protocol, "postings")
+    )
+    doclens = spark.read.parquet(
+        *batch_data_paths(path, protocol, "doclens")
+    )
 
     qterms = [t.lower() for t in query_terms]
     tf = postings.filter(F.col("term").isin(qterms))

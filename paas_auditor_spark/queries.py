@@ -634,14 +634,23 @@ def q_value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     discrete (type-1) definition: the value at row ⌈p·n⌉ of the
     (value, event_id)-ordered sequence, ties broken by event_id so both
     engines pick the identical row.  The target-rank relation is 3 rows
-    (broadcast); the rank relation never re-sorts."""
+    (broadcast); the rank relation never re-sorts.  NULL values are
+    excluded on BOTH sides (they have no rank; Spark orders NULLs first
+    and DuckDB last, so an unguarded NULL would shift every percentile
+    differently per engine); n counts the pre-rank relation — ranking
+    preserves cardinality, so dragging the rank subtree into the count
+    branch would only re-execute it."""
     from paas_auditor_spark.operators.rank import with_global_order_stats
 
-    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "value")
+        .where(F.col("value").isNotNull())
+    )
     ranked = with_global_order_stats(
         ev, ["value", "event_id"], rank_col="r"
     )
-    n_df = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    n_df = ev.agg(F.count(F.lit(1)).alias("_n"))
     probs = spark.range(1).select(
         F.explode(
             F.array(*[F.lit(p) for p in (0.5, 0.9, 0.99)])
@@ -660,7 +669,7 @@ def q_value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_VALUE_PCT_EXACT = """
 WITH ranked AS (
   SELECT value, row_number() OVER (ORDER BY value, event_id) AS r
-  FROM events),
+  FROM events WHERE value IS NOT NULL),
 n AS (SELECT count(*) AS n FROM ranked),
 p AS (SELECT unnest([0.5, 0.9, 0.99]) AS p)
 SELECT p.p, round(rk.value, 4) AS value_at_p
@@ -4654,10 +4663,13 @@ def q_traffic_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "x",
         F.col("_t").cast("double").alias("_t"),
-        (
-            (F.col("rnk") - 1).cast("double")
-            / (F.col("_nu") - 1).cast("double")
-        ).alias("pr"),
+        # n=1 guard: percent_rank of a single row is 0 by definition;
+        # the raw (rnk−1)/(n−1) form would be 0/0 → NaN
+        F.when(F.col("_nu") > 1,
+               (F.col("rnk") - 1).cast("double")
+               / (F.col("_nu") - 1).cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("pr"),
     )
     fracs = spark.range(1).select(
         F.explode(

@@ -68,11 +68,18 @@ def test_marker_racer_loses_quietly(tmp_path):
     assert open(os.path.join(dirs[0], "part-0")).read() == "x"  # winner's
 
 
-def test_empty_marker_treated_as_not_yet_visible(tmp_path):
+def test_empty_marker_invisible_to_readers_loud_to_writers(tmp_path):
+    """An empty marker can't be produced by the protocol (publish is an
+    atomic link of a fully written file); if one appears (external
+    corruption) readers skip it and a recommit FAILS LOUDLY instead of
+    treating the batch as committed — silent loss is the one forbidden
+    outcome."""
     path = str(tmp_path)
     os.makedirs(tmp_path / "batch-0")
-    open(tmp_path / "batch-0" / "_COMMITTED", "w").close()  # content gap
+    open(tmp_path / "batch-0" / "_COMMITTED", "w").close()
     assert committed_batch_dirs(path) == []
+    with pytest.raises(ValueError, match="wedged empty commit marker"):
+        commit_batch_dir_marker(path, 0, _write_file)
 
 
 def test_marker_protocol_survives_broken_rename(monkeypatch, tmp_path):
