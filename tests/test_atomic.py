@@ -228,3 +228,56 @@ def test_compact_batches_marker_protocol_and_postings(spark, tmp_path):
     assert scores() == before
     hook(docs1, 1)  # replay of a folded id: no-op
     assert scores() == before
+
+
+def test_compaction_between_streaming_waves(spark, tmp_path):
+    """The single-writer contract in its real setting: a document
+    stream lands wave 1 through postings_collector, compaction runs
+    BETWEEN micro-batch waves (same driver, stream quiesced — the
+    documented rule), the stream resumes from its checkpoint into the
+    new generation, and the accumulated index still scores exactly like
+    a batch rebuild over everything landed."""
+    import os
+
+    from paas_auditor_spark.operators.atomic import compact_batches
+    from paas_auditor_spark.operators.ranking import (
+        bm25_from_postings,
+        bm25_scores,
+        postings_collector,
+    )
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    os.makedirs(src)
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    wave1 = [(1, "table scan table"), (2, "merge hash")]
+    wave2 = [(3, "table merge merge"), (4, "hash hash table scan")]
+
+    def run_stream():
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(postings_collector(idx))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    mk(wave1[:1]).coalesce(1).write.mode("append").parquet(src)
+    mk(wave1[1:]).coalesce(1).write.mode("append").parquet(src)
+    run_stream()  # two micro-batches landed
+    assert compact_batches(spark, idx, parts=("postings", "doclens")) == 2
+
+    mk(wave2).coalesce(1).write.mode("append").parquet(src)
+    run_stream()  # post-compaction batch lands in the live generation
+
+    def score_set(df):
+        return {
+            (r["doc_id"], round(r["score"], 6)) for r in df.collect()
+        }
+
+    got = score_set(bm25_from_postings(spark, idx, ["table", "hash"]))
+    want = score_set(bm25_scores(mk(wave1 + wave2), ["table", "hash"]))
+    assert got == want
