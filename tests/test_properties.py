@@ -576,3 +576,95 @@ def test_ewma_matches_python_reference(spark, series, alpha):
     for t, x in enumerate(series):
         e = x if e is None else alpha * x + (1 - alpha) * e
         assert got[t] == e
+
+
+# ---- round-7 operators: distributed rank and collector compaction ----
+
+rank_rows = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 50)),  # (x with ties, wt)
+    min_size=1,
+    max_size=60,
+    unique=True,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=rank_rows, parts=st.integers(1, 9))
+def test_global_order_stats_equals_window_form(spark, rows, parts):
+    """with_global_order_stats == the single-partition window form, for
+    any data / tie pattern / partition count: rank, inclusive prefix
+    sum, and the attached global totals."""
+    from pyspark.sql.window import Window
+
+    from paas_auditor_spark.operators.rank import with_global_order_stats
+
+    df = spark.createDataFrame(
+        [(i, x, w) for i, (x, w) in enumerate(rows)], "k long, x long, wt long"
+    )
+    got = {
+        r["k"]: (r["r"], r["cum"], r["n"], r["tot"])
+        for r in with_global_order_stats(
+            df, [F.desc("x"), "k"], weight="wt",
+            rank_col="r", prefix_col="cum", n_col="n", total_col="tot",
+            num_partitions=parts,
+        ).collect()
+    }
+    w = Window.orderBy(F.desc("x"), "k")
+    n, tot = len(rows), sum(wt for _, wt in rows)
+    want = {
+        r["k"]: (r["r"], r["cum"], n, tot)
+        for r in df.select(
+            "k",
+            F.row_number().over(w).alias("r"),
+            F.sum("wt")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("cum"),
+        ).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    splits=st.lists(st.integers(1, 40), min_size=2, max_size=5),
+    data=st.data(),
+)
+def test_compaction_read_equivalence_any_split(spark, tmp_path_factory, splits, data):
+    """For ANY way of splitting a key stream into batches, compacting
+    the collector dataset leaves the assembled Bloom filter
+    bit-identical — compaction is row-preserving regardless of batch
+    boundaries."""
+    from paas_auditor_spark.operators.atomic import compact_batches
+    from paas_auditor_spark.operators.bloom import (
+        bloom_assemble,
+        bloom_words_collector,
+        bloom_words_read,
+    )
+
+    path = str(tmp_path_factory.mktemp("cb") / "words")
+    m, k = 1 << 12, 3
+    hook = bloom_words_collector("k", path, m=m, k=k)
+    lo = 0
+    for i, n in enumerate(splits):
+        batch = spark.range(lo, lo + n).select(
+            F.concat(F.lit("p"), F.col("id").cast("string")).alias("k")
+        )
+        hook(batch, i)
+        lo += n
+
+    def blob():
+        return bytes(
+            bloom_assemble(bloom_words_read(spark, path)).collect()[0]["bloom"]
+        )
+
+    before = blob()
+    assert compact_batches(spark, path) == len(splits)
+    assert blob() == before
