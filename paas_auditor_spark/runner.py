@@ -96,7 +96,11 @@ class Service:
             self.collector_tick: self.logger.session("collector"),
             self.shipper_tick: self.logger.session("shipper"),
             self.informer_tick: self.logger.session("informer"),
+            self.maintenance_tick: self.logger.session("maintenance"),
         }
+        # (path, parts, protocol, min_batches, lock) per registered
+        # collector dataset — see register_collector_dataset
+        self._collector_datasets: list[tuple] = []
 
     # -- ticks ------------------------------------------------------------
 
@@ -194,6 +198,69 @@ class Service:
             epoch_utc(self.store.latest_event_time()),
         )
 
+    def register_collector_dataset(
+        self,
+        path: str,
+        write_hook,
+        parts: tuple[str, ...] = ("",),
+        protocol: str = "rename",
+        min_batches: int = 16,
+    ):
+        """Enroll a collector dataset (bloom words / histograms /
+        postings) in the maintenance loop and return the hook WRAPPED in
+        the dataset's compaction lock.
+
+        compact_batches' single-writer contract says compaction must not
+        race the appender; taking one lock around both the per-batch
+        commit (the returned hook) and the fold (maintenance_tick) makes
+        that structural instead of a calling convention — a micro-batch
+        in flight delays the fold, never interleaves with it.
+        ``min_batches`` is the churn guard: fold only once that many
+        batch directories have accumulated in the live generation."""
+        lock = threading.Lock()
+        self._collector_datasets.append(
+            (path, parts, protocol, min_batches, lock)
+        )
+
+        def locked_hook(batch_df, batch_id):
+            with lock:
+                write_hook(batch_df, batch_id)
+
+        return locked_hook
+
+    def maintenance_tick(self) -> int:
+        """Fold every registered collector dataset whose live generation
+        has accumulated ``min_batches`` batch dirs (the engine's fourth
+        loop — the reference has no per-batch datasets to maintain, the
+        engine's incremental filters/sketches/indexes do).  Error policy
+        is log-and-continue like the shipper: a failed fold leaves the
+        dataset correct (whole-generations-or-nothing) and the next tick
+        retries.  Returns the number of batch dirs folded."""
+        import os
+
+        from paas_auditor_spark.operators.atomic import (
+            collector_root,
+            compact_batches,
+        )
+
+        folded = 0
+        for path, parts, protocol, min_batches, lock in self._collector_datasets:
+            root = collector_root(path)
+            if not os.path.isdir(root):
+                continue
+            n = sum(1 for d in os.listdir(root) if d.startswith("batch-"))
+            if n < min_batches:
+                continue
+            with lock:
+                folded += compact_batches(
+                    self.spark, path, parts=parts, protocol=protocol
+                )
+        if folded:
+            self._loop_logs[self.maintenance_tick].info(
+                "compacted", {"batch_dirs": folded}
+            )
+        return folded
+
     # -- loops / service --------------------------------------------------
 
     def stop(self) -> None:  # T7
@@ -245,6 +312,14 @@ class Service:
             specs.insert(
                 min(1, len(specs)),
                 (self.shipper_tick, self.cfg.shipper_schedule_s, "continue"),
+            )
+        if "maintenance" in loops and self._collector_datasets:
+            specs.append(
+                (
+                    self.maintenance_tick,
+                    self.cfg.maintenance_schedule_s,
+                    "continue",
+                )
             )
         threads = []
         for tick, interval, policy in specs:

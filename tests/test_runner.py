@@ -372,3 +372,48 @@ def test_run_threaded_loop_subset_for_streaming_mode(spark, tmp_path):
         t.join(timeout=10)
     assert all(not t.is_alive() for t in threads)
     assert svc.totals.collected == 0
+
+
+def test_maintenance_loop_compacts_registered_collectors(spark, tmp_path):
+    """The engine's fourth loop: a collector dataset registered with the
+    service gets its batch dirs folded by maintenance_tick once
+    min_batches accumulate — reads bit-identical, the returned hook is
+    the LOCKED one (commit and fold mutually exclusive), and below the
+    churn guard nothing folds."""
+    from pyspark.sql import functions as F
+
+    from paas_auditor_spark.operators.bloom import (
+        bloom_assemble,
+        bloom_words_collector,
+        bloom_words_read,
+    )
+
+    svc = Service(spark, warehouse_dir=str(tmp_path / "wh"))
+    path = str(tmp_path / "words")
+    m, k = 1 << 12, 3
+    hook = svc.register_collector_dataset(
+        path, bloom_words_collector("k", path, m=m, k=k), min_batches=3
+    )
+
+    def keys(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("w"), F.col("id").cast("string")).alias("k")
+        )
+
+    def blob():
+        return bytes(
+            bloom_assemble(bloom_words_read(spark, path)).collect()[0]["bloom"]
+        )
+
+    hook(keys(0, 50), 0)
+    hook(keys(50, 90), 1)
+    assert svc.maintenance_tick() == 0  # churn guard: below min_batches
+    hook(keys(90, 140), 2)
+    before = blob()
+    assert svc.maintenance_tick() == 3
+    assert blob() == before
+    # post-fold appends land in the live generation and the next tick
+    # stays quiet until the guard trips again
+    hook(keys(140, 160), 3)
+    assert svc.maintenance_tick() == 0
+    assert blob() != before
