@@ -189,7 +189,12 @@ def main() -> int:
             metrics=service.metrics,
             extra_options=source_auth or None,
         )
-        threads = service.run_threaded(loops=("shipper", "informer"))
+        # streaming mode is the one that runs foreachBatch collectors, so
+        # the maintenance loop rides along (no-op until a dataset is
+        # registered via service.register_collector_dataset)
+        threads = service.run_threaded(
+            loops=("shipper", "informer", "maintenance")
+        )
     else:
         threads = service.run_threaded()
     try:

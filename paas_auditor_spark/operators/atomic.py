@@ -49,6 +49,7 @@ __all__ = [
     "committed_batch_dirs",
     "compact_batches",
     "replay_floor",
+    "vacuum_superseded",
 ]
 
 _MARKER = "_COMMITTED"
@@ -262,11 +263,28 @@ def compact_batches(
             int(os.path.basename(os.path.dirname(d)).split("-", 1)[1])
             for d in data_dirs
         ]
+        # refuse to compact past a wedged (empty) marker: the fold's
+        # replay floor is max(committed id), so a wedged batch with a
+        # LOWER id would be silently absorbed (replay suppressed, data
+        # deleted with the old generation) — the exact silent loss the
+        # commit path raises on.  Loud here too; repair, then compact.
+        if os.path.isdir(root):
+            for d in os.listdir(root):
+                mk = os.path.join(root, d, _MARKER)
+                if (
+                    d.startswith("batch-")
+                    and os.path.exists(mk)
+                    and os.path.getsize(mk) == 0
+                ):
+                    raise ValueError(
+                        f"wedged empty commit marker {mk!r}: refusing to "
+                        "compact past it — inspect and remove it first"
+                    )
     else:
         ids, data_dirs = [], []
         if os.path.isdir(root):
             for d in sorted(os.listdir(root)):
-                if d.startswith("batch-") and not d.startswith(".batch-"):
+                if d.startswith("batch-"):
                     ids.append(int(d.split("-", 1)[1]))
                     data_dirs.append(os.path.join(root, d))
     if len(data_dirs) < 2:
@@ -376,3 +394,41 @@ def batch_data_paths(path: str, protocol: str, part: str = "") -> list[str]:
         if part
         else os.path.join(root, "batch-*")
     ]
+
+
+def vacuum_superseded(path: str) -> int:
+    """Reclaim everything the CURRENT pointer no longer references —
+    the read half of ``compact_batches(defer_delete=True)`` and the
+    reaper for crash leftovers:
+
+    - superseded ``gen-<n>`` directories (including ORPHANS from a
+      crash between a fold's generation rename and its pointer flip —
+      unreferenced, skipped by later folds, otherwise never reclaimed);
+    - stale v1-layout ``batch-*`` dirs left in ``path`` itself once the
+      dataset went generational with deferred deletes;
+    - dot-prefixed ``.gen-*.tmp*`` build dirs a SIGKILLed fold left.
+
+    Returns the number of directories removed.  Grace discipline is the
+    CALLER's: run this at the START of a maintenance tick and fold with
+    ``defer_delete=True`` afterwards — anything unreferenced at tick
+    start was superseded at least one full maintenance interval ago, so
+    an in-flight read that resolved before the previous flip has had
+    the whole interval to finish (the table-format vacuum pattern).
+    No-op (0) on a v1 dataset that has never been compacted."""
+    current = collector_root(path)
+    if current == path or not os.path.isdir(path):
+        return 0  # never compacted: nothing is superseded
+    removed = 0
+    keep = os.path.basename(current)
+    for d in os.listdir(path):
+        full = os.path.join(path, d)
+        stale = (
+            (d.startswith("gen-") and d != keep)
+            or d.startswith(".gen-")
+            or d.startswith("batch-")
+            or d.startswith(".batch-")
+        )
+        if stale and os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
+            removed += 1
+    return removed

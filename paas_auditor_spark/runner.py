@@ -235,16 +235,28 @@ class Service:
         engine's incremental filters/sketches/indexes do).  Error policy
         is log-and-continue like the shipper: a failed fold leaves the
         dataset correct (whole-generations-or-nothing) and the next tick
-        retries.  Returns the number of batch dirs folded."""
+        retries.
+
+        Reader-safe delete discipline: each tick first VACUUMS
+        generations superseded by an earlier tick, then folds with
+        ``defer_delete=True`` — so a query that resolved the previous
+        generation just before a flip gets one full maintenance interval
+        to finish before its files disappear (the table-format vacuum
+        pattern; compact_batches' docstring names the FileNotFound race
+        an immediate delete would invite).  The vacuum also reaps
+        crash-orphaned generations and tmp build dirs.  Returns the
+        number of batch dirs folded."""
         import os
 
         from paas_auditor_spark.operators.atomic import (
             collector_root,
             compact_batches,
+            vacuum_superseded,
         )
 
         folded = 0
         for path, parts, protocol, min_batches, lock in self._collector_datasets:
+            vacuum_superseded(path)
             root = collector_root(path)
             if not os.path.isdir(root):
                 continue
@@ -253,7 +265,11 @@ class Service:
                 continue
             with lock:
                 folded += compact_batches(
-                    self.spark, path, parts=parts, protocol=protocol
+                    self.spark,
+                    path,
+                    parts=parts,
+                    protocol=protocol,
+                    defer_delete=True,
                 )
         if folded:
             self._loop_logs[self.maintenance_tick].info(
@@ -292,7 +308,12 @@ class Service:
 
     def run_threaded(
         self,
-        loops: tuple[str, ...] = ("collector", "shipper", "informer"),
+        loops: tuple[str, ...] = (
+            "collector",
+            "shipper",
+            "informer",
+            "maintenance",
+        ),
     ) -> list[threading.Thread]:
         """Reference deployment shape: three daemon loops on their own
         cadences (T1), stopped via ``stop()`` (T7).  ``loops`` selects a

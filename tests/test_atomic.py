@@ -281,3 +281,62 @@ def test_compaction_between_streaming_waves(spark, tmp_path):
     got = score_set(bm25_from_postings(spark, idx, ["table", "hash"]))
     want = score_set(bm25_scores(mk(wave1 + wave2), ["table", "hash"]))
     assert got == want
+
+
+def test_vacuum_superseded_reaps_generations_and_orphans(spark, tmp_path):
+    """vacuum_superseded is the deferred-delete reaper: superseded
+    generations, crash-orphaned gen dirs, SIGKILLed tmp build dirs and
+    stale v1 batch dirs all go; the live generation stays readable."""
+    from pyspark.sql import functions as F
+
+    from paas_auditor_spark.operators.atomic import (
+        compact_batches,
+        vacuum_superseded,
+    )
+    from paas_auditor_spark.operators.bloom import bloom_words_collector
+
+    path = str(tmp_path / "words")
+    hook = bloom_words_collector("k", path, m=1 << 12, k=3)
+    for i in range(3):
+        hook(
+            spark.range(i * 30, (i + 1) * 30).select(
+                F.concat(F.lit("v"), F.col("id").cast("string")).alias("k")
+            ),
+            i,
+        )
+    assert vacuum_superseded(path) == 0  # v1, never compacted: no-op
+    before = _assemble(spark, path)
+    assert compact_batches(spark, path, defer_delete=True) == 3
+    # deferred: the stale v1 batch dirs are still on disk
+    stale = [d for d in os.listdir(path) if d.startswith("batch-")]
+    assert len(stale) == 3
+    # plant crash leftovers: an orphaned generation and a tmp build dir
+    os.makedirs(tmp_path / "words" / "gen-7" / "batch-0")
+    os.makedirs(tmp_path / "words" / ".gen-8.tmp999")
+    assert vacuum_superseded(path) == 5  # 3 stale batches + orphan + tmp
+    left = sorted(os.listdir(path))
+    assert left == ["CURRENT", "gen-0"]
+    assert _assemble(spark, path) == before
+
+
+def test_compact_refuses_wedged_marker(spark, tmp_path):
+    """A wedged (empty) marker below the fold's max committed id would
+    be absorbed by the replay floor and its data deleted — compaction
+    must refuse loudly instead, mirroring the commit path's raise."""
+    from paas_auditor_spark.operators.atomic import compact_batches
+    from paas_auditor_spark.operators.ranking import postings_collector
+
+    path = str(tmp_path / "idx")
+    hook = postings_collector(path, protocol="marker")
+    hook(
+        spark.createDataFrame([(1, "a b")], "doc_id long, text string"), 0
+    )
+    hook(
+        spark.createDataFrame([(2, "c d")], "doc_id long, text string"), 2
+    )
+    os.makedirs(tmp_path / "idx" / "batch-1")
+    open(tmp_path / "idx" / "batch-1" / "_COMMITTED", "w").close()
+    with pytest.raises(ValueError, match="refusing to compact"):
+        compact_batches(
+            spark, path, parts=("postings", "doclens"), protocol="marker"
+        )

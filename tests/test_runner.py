@@ -417,3 +417,38 @@ def test_maintenance_loop_compacts_registered_collectors(spark, tmp_path):
     hook(keys(140, 160), 3)
     assert svc.maintenance_tick() == 0
     assert blob() != before
+
+
+def test_maintenance_loop_scheduled_and_vacuums(spark, tmp_path):
+    """run_threaded actually schedules the maintenance loop (the default
+    loops tuple includes it; it arms only when a dataset is registered),
+    and successive ticks vacuum what the previous tick's deferred fold
+    superseded — the one-interval grace discipline."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from paas_auditor_spark.operators.bloom import bloom_words_collector
+
+    svc = Service(spark, warehouse_dir=str(tmp_path / "wh"))
+    # unregistered: the loop doesn't arm
+    assert svc.run_threaded(loops=("maintenance",)) == []
+    path = str(tmp_path / "words")
+    hook = svc.register_collector_dataset(
+        path, bloom_words_collector("k", path, m=1 << 12, k=3), min_batches=2
+    )
+    threads = svc.run_threaded(loops=("maintenance",))
+    assert len(threads) == 1
+    svc.stop()
+
+    for i in range(3):
+        hook(
+            spark.range(i * 20, (i + 1) * 20).select(
+                F.concat(F.lit("m"), F.col("id").cast("string")).alias("k")
+            ),
+            i,
+        )
+    assert svc.maintenance_tick() == 3  # fold, deletes deferred
+    assert [d for d in os.listdir(path) if d.startswith("batch-")]
+    assert svc.maintenance_tick() == 0  # next tick: vacuum, below guard
+    assert not [d for d in os.listdir(path) if d.startswith("batch-")]
