@@ -38,8 +38,8 @@ def _load(name):
 # table instead).
 QUERIES = [
     "unshipped_events", "pricing_summary", "bloom_decontaminate",
-    "cdc_near_dup", "bm25_search", "embedding_near_dup_lsh",
-    "activity_gini",
+    "cdc_near_dup", "bm25_search", "bm25_persisted",
+    "embedding_near_dup_lsh", "activity_gini",
 ]
 
 
