@@ -109,6 +109,7 @@ HEADLINE = [
     "span_removal",
     "dsir_sample",
     "source_overlap",
+    "source_novelty",
     "packing_efficiency",
     "cms_estimate",
     "quantile_sketch",

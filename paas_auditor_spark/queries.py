@@ -7405,6 +7405,66 @@ ORDER BY shared_grams DESC, src_a, src_b LIMIT 30
 """
 
 
+def q_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram NOVELTY — the acquisition-planning twin of
+    q_source_overlap: of each source's distinct 8-token shingles, the
+    fraction found in NO other source ("what does this feed add that
+    the rest of the corpus doesn't have" — the number that prices a new
+    data source before dedup pays for ingesting it).  Scale shape
+    matches source_overlap: grams travel as xxhash64 values, one
+    (source, gram) distinct reduce, a gram-keyed share count, and a
+    source-sized output — every shuffle term-keyed, no pair space at
+    all (novelty needs per-gram source COUNTS, not the pair matrix).
+    The oracle replays it on literal gram strings."""
+    docs = _th(spark, sf_dir, "documents")
+    gs = (
+        docs.select(
+            "source", F.explode(tx.ngrams(F.col("text"), 8)).alias("g")
+        )
+        .select("source", F.xxhash64("g").alias("gh"))
+        .distinct()
+    )
+    freq = gs.groupBy("gh").agg(F.count(F.lit(1)).alias("ns"))
+    return (
+        gs.join(freq, "gh")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("ns") == 1, 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            "source",
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel") / F.col("n_grams").cast("double"), 4
+            ).alias("novelty"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SOURCE_NOVELTY = """
+WITH toks AS (
+  SELECT source, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents),
+gs AS (
+  SELECT DISTINCT source,
+         unnest([array_to_string(t[i:i+7], ' ')
+                 for i in range(1, len(t) - 6)]) AS g
+  FROM toks WHERE len(t) >= 8),
+freq AS (SELECT g, count(*) AS ns FROM gs GROUP BY g)
+SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       round(sum(CASE WHEN ns = 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS novelty
+FROM gs JOIN freq USING (g)
+GROUP BY source ORDER BY source
+"""
+
+
 def q_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch point-frequency estimates for the corpus's
     top-20 terms, next to their exact counts — estimate ≥ truth always,
@@ -10395,6 +10455,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dsir_sample": QuerySpec(q_dsir_sample, ORACLE_DSIR),
     "bpe_merges": QuerySpec(q_bpe_merges, _oracle_bpe()),
     "source_overlap": QuerySpec(q_source_overlap, ORACLE_SOURCE_OVERLAP),
+    "source_novelty": QuerySpec(q_source_novelty, ORACLE_SOURCE_NOVELTY),
     "bpe_vocab": QuerySpec(q_bpe_vocab, _oracle_bpe_vocab()),
     "packing_efficiency": QuerySpec(
         q_packing_efficiency, ORACLE_PACKING_EFFICIENCY
