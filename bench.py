@@ -134,6 +134,7 @@ HEADLINE = [
     "event_transition_matrix",
     "centroid_classifier_eval",
     "weekday_seasonality",
+    "type_correlation",
     "session_paths",
     "user_activity_features",
     "kaplan_meier_retention",

@@ -4855,6 +4855,56 @@ FROM ranked
 """
 
 
+def q_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related-metric discovery: Pearson correlation of every event-type
+    PAIR's daily-count series — the "which metrics move together"
+    similarity search that seeds alert grouping and root-cause hints
+    (a drop in `click` that co-moves with `view` is one incident, not
+    two).  Scale shape: the corpus reduces to a (type, day, n) relation
+    FIRST (days × types rows); the pair join is day-keyed and the pair
+    space is C(|types|, 2) per shared day — bounded by the type-count
+    square, never the event stream.  Correlation pairs only SHARED days
+    (inner join): corr is defined on paired observations, and a day one
+    type is silent on carries no co-movement evidence.  Top-20 by
+    |corr| with a deterministic tie order."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    a = daily.select(
+        F.col("event_type").alias("type_a"), "d", F.col("n").alias("na")
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"), "d", F.col("n").alias("nb")
+    )
+    return (
+        a.join(b, "d")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.corr("na", "nb"), 4).alias("corr"),
+        )
+        .orderBy(F.abs(F.col("corr")).desc(), "type_a", "type_b")
+        .limit(20)
+    )
+
+
+ORACLE_TYPE_CORR = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(corr(a.n, b.n), 4) AS corr
+FROM daily a JOIN daily b
+  ON a.d = b.d AND a.event_type < b.event_type
+GROUP BY 1, 2
+ORDER BY abs(round(corr(a.n, b.n), 4)) DESC, type_a, type_b LIMIT 20
+"""
+
+
 def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal indices (STL-lite): per event type and day-of-week,
     the mean daily count over that weekday divided by the type's
@@ -10456,6 +10506,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "bpe_merges": QuerySpec(q_bpe_merges, _oracle_bpe()),
     "source_overlap": QuerySpec(q_source_overlap, ORACLE_SOURCE_OVERLAP),
     "source_novelty": QuerySpec(q_source_novelty, ORACLE_SOURCE_NOVELTY),
+    "type_correlation": QuerySpec(q_type_correlation, ORACLE_TYPE_CORR),
     "bpe_vocab": QuerySpec(q_bpe_vocab, _oracle_bpe_vocab()),
     "packing_efficiency": QuerySpec(
         q_packing_efficiency, ORACLE_PACKING_EFFICIENCY
