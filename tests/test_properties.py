@@ -668,3 +668,46 @@ def test_compaction_read_equivalence_any_split(spark, tmp_path_factory, splits, 
     before = blob()
     assert compact_batches(spark, path) == len(splits)
     assert blob() == before
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    corpus=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=20),
+        min_size=1,
+        max_size=12,
+    ),
+    cut=st.integers(0, 12),
+)
+def test_postings_index_equals_direct_scores_any_corpus(
+    spark, tmp_path_factory, corpus, cut
+):
+    """For ANY corpus (empty docs, token-less docs, skewed term
+    repetition) and ANY two-batch split point, BM25 off the accumulated
+    postings index equals bm25_scores over the whole corpus."""
+    from paas_auditor_spark.operators.ranking import (
+        bm25_from_postings,
+        bm25_scores,
+        postings_collector,
+    )
+
+    rows = [(i, t if t.strip() else None) for i, t in enumerate(corpus)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cut = min(cut, len(rows))
+    path = str(tmp_path_factory.mktemp("pp") / "idx")
+    hook = postings_collector(path)
+    hook(docs.filter(F.col("doc_id") < cut), 0)
+    hook(docs.filter(F.col("doc_id") >= cut), 1)
+    want = {
+        (r["doc_id"], round(r["score"], 6))
+        for r in bm25_scores(docs, ["a", "ab"]).collect()
+    }
+    got = {
+        (r["doc_id"], round(r["score"], 6))
+        for r in bm25_from_postings(spark, path, ["a", "ab"]).collect()
+    }
+    assert got == want
