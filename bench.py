@@ -3,7 +3,10 @@
 Prints TWO JSON lines to stdout:
   1. the full record (metric/value/unit/queries/sf) — the complete
      per-query map, also written verbatim to BENCH_DETAIL.json next to
-     this script so the numbers survive any log-capture truncation;
+     this script so the numbers survive any log-capture truncation —
+     but ONLY when the run is marked official (``--official`` flag or
+     ``SPARK_GRAFT_BENCH_DETAIL=<path>`` env): an ad-hoc control run
+     must not clobber the committed official record (VERDICT r7 #4);
   2. LAST, a compact summary (metric/value/unit/n_queries/slowest/sf)
      small enough (<1 KB) that a bounded tail-capture of stdout always
      retains one intact, parseable line carrying total_wall.
@@ -217,14 +220,28 @@ def main() -> None:
     }
     full_line = json.dumps(full)
     print(full_line)
-    # sidecar: the complete per-query map, immune to tail truncation
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
-    try:
-        with open(detail_path, "w") as fh:
-            fh.write(full_line + "\n")
-    except OSError as ex:  # read-only checkout: summary lines still carry totals
-        print(f"# BENCH_DETAIL.json not written: {ex}", file=sys.stderr)
+    # sidecar: the complete per-query map, immune to tail truncation.
+    # Written ONLY on runs explicitly marked official — a plain
+    # `python bench.py` control run leaves the committed BENCH_DETAIL.json
+    # untouched (VERDICT r7 #4: an ad-hoc judge run clobbered the driver's
+    # official per-query record in the working tree).
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL")
+    if detail_path is None and "--official" in sys.argv:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+    if detail_path:
+        try:
+            with open(detail_path, "w") as fh:
+                fh.write(full_line + "\n")
+        except OSError as ex:  # read-only checkout: summary lines carry totals
+            print(f"# BENCH_DETAIL not written: {ex}", file=sys.stderr)
+    else:
+        print(
+            "# ad-hoc run: BENCH_DETAIL.json NOT written "
+            "(pass --official or set SPARK_GRAFT_BENCH_DETAIL)",
+            file=sys.stderr,
+        )
     # LAST line: compact summary that a 2000-byte stdout tail always
     # retains intact — this is the line the official record parses.
     slowest = dict(

@@ -41,6 +41,7 @@ import uuid
 from collections.abc import Callable
 
 __all__ = [
+    "GenerationSupersededError",
     "batch_data_paths",
     "collector_root",
     "commit_batch_dir",
@@ -91,6 +92,35 @@ def replay_floor(root: str) -> int:
         return -1
 
 
+class GenerationSupersededError(RuntimeError):
+    """A commit published its batch into a generation that a concurrent
+    compaction superseded between root resolution and publish — the
+    batch landed in a directory ``vacuum_superseded`` will delete.
+    Retrying the commit is SAFE and the correct recovery: the retry
+    re-resolves CURRENT; if the fold absorbed the batch its id is under
+    the new floor (no-op), if the fold missed it the retry re-appends
+    it into the live generation."""
+
+
+def _check_generation_stable(path: str, root: str, batch_id: int) -> None:
+    """Post-publish guard (ADVICE r7): the runner's per-dataset lock
+    makes commit-vs-compact mutual exclusion structural for hooks wired
+    through ``register_collector_dataset``, but a RAW hook racing a
+    manual ``compact_batches`` had only a docstring contract.  One
+    extra pointer read after the publish closes the silent-loss window:
+    if CURRENT moved while we were writing, the publish landed in a
+    superseded generation and we raise instead of reporting success."""
+    live = collector_root(path)
+    if live != root:
+        raise GenerationSupersededError(
+            f"batch-{batch_id} was published into {root!r} but a "
+            f"concurrent compaction moved CURRENT to {live!r}; the "
+            "publish is in a superseded generation — retry the commit "
+            "(replay protection makes the retry a safe no-op if the "
+            "fold already absorbed it)"
+        )
+
+
 def commit_batch_dir(
     path: str, batch_id: int, write: Callable[[str], None]
 ) -> bool:
@@ -114,6 +144,7 @@ def commit_batch_dir(
             if not os.path.isdir(final):
                 raise  # not a race: surface the failure, keep the batch
             return False  # racer committed the identical batch
+        _check_generation_stable(path, root, batch_id)
         return True
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -172,6 +203,7 @@ def commit_batch_dir_marker(
             return False  # racer committed the identical batch
         finally:
             os.unlink(ptr)
+        _check_generation_stable(path, root, batch_id)
         return True
     except BaseException:
         shutil.rmtree(data, ignore_errors=True)
@@ -268,17 +300,38 @@ def compact_batches(
         # LOWER id would be silently absorbed (replay suppressed, data
         # deleted with the old generation) — the exact silent loss the
         # commit path raises on.  Loud here too; repair, then compact.
+        # the fold's replay floor will be max(committed id, old floor):
+        # any batch dir at or below it that is NOT in the committed set
+        # would have its retry suppressed while its data dir vanishes
+        # with the old generation — silent loss.  Two shapes of that
+        # hazard, both refused loudly (repair, then compact):
+        floor = max(ids, default=-1)
+        floor = max(floor, replay_floor(root))
         if os.path.isdir(root):
             for d in os.listdir(root):
+                if not d.startswith("batch-"):
+                    continue
                 mk = os.path.join(root, d, _MARKER)
-                if (
-                    d.startswith("batch-")
-                    and os.path.exists(mk)
-                    and os.path.getsize(mk) == 0
-                ):
+                if os.path.exists(mk) and os.path.getsize(mk) == 0:
+                    # wedged empty marker: externally corrupted publish
                     raise ValueError(
                         f"wedged empty commit marker {mk!r}: refusing to "
                         "compact past it — inspect and remove it first"
+                    )
+                if not os.path.exists(mk) and int(d.split("-", 1)[1]) <= floor:
+                    # torn attempt with NO marker below the floor: its id
+                    # is ≤ the floor this fold would record, so a retry
+                    # after the fold would be silently suppressed while
+                    # the unmarked data dir is deleted with the old
+                    # generation.  Unreachable while Structured Streaming
+                    # commits batch ids strictly in sequence — this
+                    # asserts that invariant at fold time (ADVICE r7)
+                    # instead of assuming it.
+                    raise ValueError(
+                        f"unmarked batch dir {os.path.join(root, d)!r} at or "
+                        f"below the fold's replay floor ({floor}): its retry "
+                        "would be suppressed after compaction — recommit or "
+                        "remove it before compacting"
                     )
     else:
         ids, data_dirs = [], []

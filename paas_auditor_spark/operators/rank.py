@@ -68,6 +68,17 @@ def with_global_order_stats(
     cheaper than the extra full aggregation pass a caller-side
     ``.agg`` would spend)."""
     spark = df.sparkSession
+    # the four working columns are injected and dropped internally; an
+    # input that already carries one would be silently overwritten and
+    # then dropped from the output (ADVICE r7) — refuse loudly instead
+    reserved = {"_pid", "_wt", "_rank_off", "_w_off"}
+    clash = reserved.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with "
+            "with_global_order_stats' reserved working columns "
+            f"{sorted(reserved)}: rename them before ranking"
+        )
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))

@@ -334,7 +334,13 @@ class Service:
                 min(1, len(specs)),
                 (self.shipper_tick, self.cfg.shipper_schedule_s, "continue"),
             )
-        if "maintenance" in loops and self._collector_datasets:
+        if "maintenance" in loops:
+            # ALWAYS armed (maintenance_tick no-ops over an empty dataset
+            # list): the streaming deployment calls run_threaded BEFORE its
+            # collector datasets register their hooks, so gating on
+            # _collector_datasets being non-empty at call time left the
+            # fourth loop permanently dead in the deployed path — batch
+            # dirs of a later-registered dataset accumulated unboundedly.
             specs.append(
                 (
                     self.maintenance_tick,

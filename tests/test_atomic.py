@@ -340,3 +340,73 @@ def test_compact_refuses_wedged_marker(spark, tmp_path):
         compact_batches(
             spark, path, parts=("postings", "doclens"), protocol="marker"
         )
+
+
+def test_compact_refuses_unmarked_batch_below_floor(spark, tmp_path):
+    """ADVICE r7: a torn attempt with NO marker whose id is below the
+    fold's replay floor would have its retry silently suppressed after
+    compaction (unmarked data dir deleted with the old generation) —
+    the same silent-loss shape as the wedged empty marker, previously
+    unguarded.  Compaction must refuse loudly at fold time instead of
+    assuming Structured Streaming's in-sequence batch-id invariant."""
+    from paas_auditor_spark.operators.atomic import compact_batches
+    from paas_auditor_spark.operators.ranking import postings_collector
+
+    path = str(tmp_path / "idx")
+    hook = postings_collector(path, protocol="marker")
+    hook(spark.createDataFrame([(1, "a b")], "doc_id long, text string"), 0)
+    hook(spark.createDataFrame([(2, "c d")], "doc_id long, text string"), 2)
+    # torn attempt at id 1 (< max committed id 2): data dir, no marker
+    _write_file(str(tmp_path / "idx" / "batch-1" / "attempt-torn"))
+    with pytest.raises(ValueError, match="unmarked batch dir"):
+        compact_batches(
+            spark, path, parts=("postings", "doclens"), protocol="marker"
+        )
+    # repair: recommit the torn batch (unmarked → a fresh attempt wins)
+    hook(spark.createDataFrame([(3, "e f")], "doc_id long, text string"), 1)
+    assert (
+        compact_batches(
+            spark, path, parts=("postings", "doclens"), protocol="marker"
+        )
+        == 3
+    )
+
+
+@pytest.mark.parametrize("commit", [commit_batch_dir, commit_batch_dir_marker])
+def test_commit_raises_when_generation_flips_mid_write(tmp_path, commit):
+    """ADVICE r7: commit resolves collector_root once at entry; if a
+    concurrent compaction flips CURRENT between that resolution and the
+    publish, the batch lands in a superseded generation that vacuum
+    later deletes — silent loss.  The post-publish pointer re-check
+    turns that into a loud, retry-safe error."""
+    from paas_auditor_spark.operators.atomic import (
+        GenerationSupersededError,
+        collector_root,
+    )
+
+    path = str(tmp_path)
+    # dataset already generational: CURRENT → gen-0
+    os.makedirs(tmp_path / "gen-0")
+    with open(tmp_path / "CURRENT", "w") as fh:
+        fh.write("gen-0\n")
+
+    def write_and_flip(data_dir):
+        _write_file(data_dir)
+        os.makedirs(tmp_path / "gen-1")
+        os.replace(  # the racing fold flips the pointer mid-write
+            _ptr_tmp(tmp_path, "gen-1"), str(tmp_path / "CURRENT")
+        )
+
+    with pytest.raises(GenerationSupersededError, match="retry"):
+        commit(path, 5, write_and_flip)
+    assert collector_root(path) == str(tmp_path / "gen-1")
+    # the retry re-resolves CURRENT and commits into the live generation
+    assert commit(path, 5, _write_file) is True
+    assert os.path.isdir(tmp_path / "gen-1" / "batch-5")
+
+
+def _ptr_tmp(tmp_path, gen):
+    p = str(tmp_path / ".CURRENT.tmp-test")
+    with open(p, "w") as fh:
+        fh.write(gen + "\n")
+    return p

@@ -87,3 +87,16 @@ def test_flagged_headline_windows_are_partitioned(spark, sf_dir, qname):
     from paas_auditor_spark.queries import REGISTRY
 
     _assert_no_global_window(REGISTRY[qname].fn(spark, sf_dir))
+
+
+def test_rank_refuses_reserved_column_collision(spark):
+    """ADVICE r7: an input already carrying one of the four internal
+    working columns (_pid/_wt/_rank_off/_w_off) was silently overwritten
+    and then dropped from the output — the operator must refuse loudly."""
+    import pytest
+
+    df = spark.range(5).select(
+        F.col("id"), F.lit(1).alias("_pid")
+    )
+    with pytest.raises(ValueError, match="reserved working columns"):
+        with_global_order_stats(df, ["id"])

@@ -154,8 +154,9 @@ def test_shipper_gated_on_missing_creds(spark, tmp_path):
     assert svc.totals.shipped == 0
     # cursor table untouched (no silent epoch ship)
     assert spark.read.parquet(svc.paths[CURSORS_TABLE]).count() == 0
-    # threaded deployment: only collector + informer loops spawn
-    assert len(svc.run_threaded()) == 2
+    # threaded deployment: collector + informer + maintenance loops spawn
+    # (no shipper without creds; maintenance always arms — ADVICE r7)
+    assert len(svc.run_threaded()) == 3
     svc.stop()
 
 
@@ -431,15 +432,18 @@ def test_maintenance_loop_scheduled_and_vacuums(spark, tmp_path):
     from paas_auditor_spark.operators.bloom import bloom_words_collector
 
     svc = Service(spark, warehouse_dir=str(tmp_path / "wh"))
-    # unregistered: the loop doesn't arm
-    assert svc.run_threaded(loops=("maintenance",)) == []
+    # ADVICE r7 (medium): the loop arms even with NO dataset registered
+    # yet — the streaming deployment calls run_threaded before its
+    # collectors register, so a call-time gate left the loop dead.  A
+    # tick over the empty list is a no-op, not an error.
+    threads = svc.run_threaded(loops=("maintenance",))
+    assert len(threads) == 1
+    svc.stop()
+    assert svc.maintenance_tick() == 0  # empty dataset list: no-op
     path = str(tmp_path / "words")
     hook = svc.register_collector_dataset(
         path, bloom_words_collector("k", path, m=1 << 12, k=3), min_batches=2
     )
-    threads = svc.run_threaded(loops=("maintenance",))
-    assert len(threads) == 1
-    svc.stop()
 
     for i in range(3):
         hook(
