@@ -449,39 +449,60 @@ def batch_data_paths(path: str, protocol: str, part: str = "") -> list[str]:
     ]
 
 
-def vacuum_superseded(path: str) -> int:
-    """Reclaim everything the CURRENT pointer no longer references —
-    the read half of ``compact_batches(defer_delete=True)`` and the
-    reaper for crash leftovers:
+def vacuum_superseded(path: str, retain: int = 2) -> int:
+    """Reclaim what the CURRENT pointer no longer references — the read
+    half of ``compact_batches(defer_delete=True)`` and the reaper for
+    crash leftovers:
 
-    - superseded ``gen-<n>`` directories (including ORPHANS from a
-      crash between a fold's generation rename and its pointer flip —
-      unreferenced, skipped by later folds, otherwise never reclaimed);
+    - superseded ``gen-<n>`` directories BELOW the current generation,
+      except the ``retain`` newest (see below);
+    - crash-orphaned ``gen-<n>`` dirs ABOVE the current generation (a
+      fold died between its generation rename and its pointer flip —
+      never referenced, skipped by later folds, reclaimed immediately);
     - stale v1-layout ``batch-*`` dirs left in ``path`` itself once the
       dataset went generational with deferred deletes;
     - dot-prefixed ``.gen-*.tmp*`` build dirs a SIGKILLed fold left.
 
-    Returns the number of directories removed.  Grace discipline is the
-    CALLER's: run this at the START of a maintenance tick and fold with
-    ``defer_delete=True`` afterwards — anything unreferenced at tick
-    start was superseded at least one full maintenance interval ago, so
-    an in-flight read that resolved before the previous flip has had
-    the whole interval to finish (the table-format vacuum pattern).
+    Returns the number of directories removed.
+
+    ``retain`` (VERDICT r7 #5) keeps the newest ``retain`` superseded
+    generations on disk, so a reader's grace window is ``retain``
+    maintenance intervals, not one: with the tick discipline
+    (vacuum-then-fold, ``defer_delete=True``), a query that resolved a
+    generation's file list just before a flip can keep scanning through
+    ``retain`` further ticks before its files disappear — at 100 TB,
+    10-minute readers are routine and one interval was exactly one
+    flip away from FileNotFoundException.  Disk cost is bounded:
+    ``retain`` extra model-sized generations, reclaimed on schedule.
+    ``retain=0`` restores immediate reclamation (the r7 behavior).
     No-op (0) on a v1 dataset that has never been compacted."""
     current = collector_root(path)
     if current == path or not os.path.isdir(path):
         return 0  # never compacted: nothing is superseded
+    cur_n = int(os.path.basename(current).split("-", 1)[1])
     removed = 0
     keep = os.path.basename(current)
+    superseded: list[tuple[int, str]] = []
     for d in os.listdir(path):
         full = os.path.join(path, d)
-        stale = (
-            (d.startswith("gen-") and d != keep)
-            or d.startswith(".gen-")
+        if d == keep or not os.path.isdir(full):
+            continue
+        if d.startswith("gen-"):
+            n = int(d.split("-", 1)[1])
+            if n < cur_n:
+                superseded.append((n, full))
+                continue  # grace-window candidate, judged below
+            # n > cur_n: crash orphan, never referenced by any reader
+        elif not (
+            d.startswith(".gen-")
             or d.startswith("batch-")
             or d.startswith(".batch-")
-        )
-        if stale and os.path.isdir(full):
-            shutil.rmtree(full, ignore_errors=True)
-            removed += 1
+        ):
+            continue
+        shutil.rmtree(full, ignore_errors=True)
+        removed += 1
+    doomed = sorted(superseded)[:-retain] if retain > 0 else sorted(superseded)
+    for _, full in doomed:
+        shutil.rmtree(full, ignore_errors=True)
+        removed += 1
     return removed

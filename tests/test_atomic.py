@@ -410,3 +410,66 @@ def _ptr_tmp(tmp_path, gen):
     with open(p, "w") as fh:
         fh.write(gen + "\n")
     return p
+
+
+def test_vacuum_retains_reader_grace_generations(spark, tmp_path):
+    """VERDICT r7 #5: a reader that resolved generation n keeps its
+    files through TWO further maintenance ticks (vacuum-then-fold), not
+    one — vacuum retains the newest ``retain`` superseded generations,
+    so long scans can't hit FileNotFound one flip after resolving."""
+    from pyspark.sql import functions as F
+
+    from paas_auditor_spark.operators.atomic import (
+        batch_data_paths,
+        collector_root,
+        compact_batches,
+        vacuum_superseded,
+    )
+    from paas_auditor_spark.operators.bloom import bloom_words_collector
+
+    path = str(tmp_path / "words")
+    hook = bloom_words_collector("k", path, m=1 << 12, k=3)
+
+    def add(lo, hi, bid):
+        hook(
+            spark.range(lo, hi).select(
+                F.concat(F.lit("g"), F.col("id").cast("string")).alias("k")
+            ),
+            bid,
+        )
+
+    add(0, 30, 0)
+    add(30, 60, 1)
+    assert compact_batches(spark, path, defer_delete=True) == 2  # → gen-0
+    assert collector_root(path).endswith("gen-0")
+    # a long-running reader resolves gen-0's file list NOW
+    reader = spark.read.parquet(*batch_data_paths(path, "rename"))
+    want = reader.count()
+
+    # tick 1: vacuum (gen-0 is current: nothing), fold → gen-1
+    vacuum_superseded(path)
+    add(60, 90, 2)
+    add(90, 120, 3)
+    # 3 dirs: gen-0's folded batch-0 + the two new batches
+    assert compact_batches(spark, path, defer_delete=True) == 3
+    # tick 2: vacuum retains gen-0 (newest superseded), fold → gen-2
+    vacuum_superseded(path)
+    assert os.path.isdir(tmp_path / "words" / "gen-0")
+    add(120, 150, 4)
+    add(150, 180, 5)
+    assert compact_batches(spark, path, defer_delete=True) == 3
+    # the reader that resolved two flips ago still completes
+    assert reader.count() == want
+    # tick 3: superseded = {gen-0, gen-1}, both inside the 2-generation
+    # grace window — nothing reclaimed yet
+    vacuum_superseded(path)
+    assert os.path.isdir(tmp_path / "words" / "gen-0")
+    # tick 4: one more fold pushes gen-0 to third-newest superseded →
+    # reclaimed; gen-1/gen-2 stay inside the grace window
+    add(180, 210, 6)
+    add(210, 240, 7)
+    assert compact_batches(spark, path, defer_delete=True) == 3
+    vacuum_superseded(path)
+    assert not os.path.isdir(tmp_path / "words" / "gen-0")
+    assert os.path.isdir(tmp_path / "words" / "gen-1")
+    assert os.path.isdir(tmp_path / "words" / "gen-2")
