@@ -87,6 +87,7 @@ HEADLINE = [
     "segment_dedup",
     "lm_perplexity",
     "lm_perplexity_interp",
+    "lm_perplexity_persisted",
     "temperature_sample",
     "knn_ivfpq",
     "knn_ivfpq_persisted",

@@ -83,13 +83,19 @@ def test_certification_window_invariants():
     flagships = {
         "bloom_decontaminate", "bloom_decontaminate_persisted",
         "duplicate_spans", "span_removal", "triangle_count",
-        "dsir_sample", "curation_pipeline", "bm25_search",
+        "dsir_sample", "curation_pipeline",
         "semantic_dedup", "chat_assembly_sessions",
-        "dedup_keep_best", "knn_ivf_persisted", "embedding_near_dup_lsh",
-        "quantile_sketch", "join_size_sketch", "bootstrap_se",
+        "knn_ivf_persisted", "embedding_near_dup_lsh",
+        "join_size_sketch",
         # r7 rotation (r6 verdict task #5): the r6 late wave
         "auto_skew_join", "hybrid_search_rrf", "cdc_near_dup",
         "bloom_pruned_join", "time_to_convert",
+        # r8 rotation (r7 verdict task #2): the r7 wave — persisted
+        # BM25 supersedes bm25_search's slot, the exact dedup pipeline
+        # supersedes dedup_keep_best's, exact percentiles supersede
+        # quantile_sketch's, and the two r7 corpus diagnostics land
+        "bm25_persisted", "dedup_pipeline_exact",
+        "value_percentiles_exact", "source_novelty", "type_correlation",
     }
     assert flagships <= set(first50)
 

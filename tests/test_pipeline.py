@@ -363,8 +363,9 @@ def test_compact_partition_preserves_rows_and_reduces_files(spark, tmp_path):
 
 
 def test_stratified_sample_fractions(spark, sf_dir):
-    """sampleBy honors per-stratum fractions (within Bernoulli tolerance)
-    and is reproducible for a fixed seed."""
+    """Content-addressed stratified sampling honors per-stratum fractions
+    (within Bernoulli tolerance) and is reproducible run-to-run — the
+    md5-threshold keep decision depends only on row content."""
     from paas_auditor_spark.queries import q_stratified_sample
     from paas_auditor_spark.sources.tables import load_table
 
@@ -379,7 +380,7 @@ def test_stratified_sample_fractions(spark, sf_dir):
             for r in q_stratified_sample(spark, sf_dir).collect()}
     got2 = {r["event_type"]: r["n_sampled"]
             for r in q_stratified_sample(spark, sf_dir).collect()}
-    assert got1 == got2  # seeded → reproducible
+    assert got1 == got2  # content-addressed → reproducible
     assert got1["error"] == totals["error"]  # fraction 1.0 keeps everything
     assert got1["purchase"] == totals["purchase"]
     # Bernoulli tolerance: observed rate within ±35% relative of target

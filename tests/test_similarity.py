@@ -511,3 +511,41 @@ def test_mmr_balances_relevance_and_diversity(spark):
     ]
     assert mixed[0] == 1  # best relevance always first
     assert any(v in (4, 5) for v in mixed[:2])  # cluster B enters early
+
+
+def test_ivf_auto_params_integer_exact_and_cross_engine():
+    """VERDICT r7 #1: registry IVF queries size n_centroids/nprobe from
+    the corpus count (≈√n/4 power-of-two lists) instead of a fixed 8 —
+    and the sizing must be INTEGER-EXACT so the DuckDB oracle recomputes
+    the identical parameters from count(*).  Pins (a) the historical 8/2
+    at every committed test SF (n ≤ 4095), (b) the r7-measured best 64/8
+    at the 200k-row 100×-rehearsal corpus, (c) the [8,1024]×[2,8] clamps,
+    and (d) bit-equality with the oracle's p·p ≤ n SQL replay across four
+    decades of n, including the power-of-four boundaries a float-log2
+    formulation could misround."""
+    import duckdb
+
+    from paas_auditor_spark.operators.similarity import ivf_auto_params
+
+    assert ivf_auto_params(500) == (8, 2)      # sf0.001 / sf0.01
+    assert ivf_auto_params(2000) == (8, 2)     # sf0.1
+    assert ivf_auto_params(200_000) == (64, 8) # 100× rehearsal corpus
+    assert ivf_auto_params(1) == (8, 2)        # floor clamp
+    assert ivf_auto_params(10**12) == (1024, 8)  # ceiling clamp
+
+    probe = [1, 2, 3, 500, 2000] + [4**k + d for k in range(2, 10)
+                                    for d in (-1, 0, 1)]
+    for n in probe:
+        if n < 1:
+            continue
+        got = duckdb.sql(f"""
+          WITH pow2 AS (
+            SELECT max(CAST(power(2, g) AS BIGINT)) AS p
+            FROM generate_series(0, 30) t(g), (SELECT {n}::BIGINT AS cnt) c
+            WHERE CAST(power(2, g) AS BIGINT) * CAST(power(2, g) AS BIGINT)
+                    <= c.cnt)
+          SELECT greatest(8, least(1024, p // 4)),
+                 greatest(2, least(8,
+                     greatest(8, least(1024, p // 4)) // 8))
+          FROM pow2""").fetchone()
+        assert ivf_auto_params(n) == tuple(got), n
