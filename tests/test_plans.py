@@ -491,13 +491,17 @@ def test_semantic_dedup_single_shuffle_no_join(spark, sf_dir):
 
 
 def test_ivfpq_decodes_without_join_and_reranks_shortlist(spark, sf_dir):
-    """PQ decode is a narrow map (codebook literals — no join attaches the
-    reconstruction), probes broadcast, and no Python node appears."""
+    """PQ decode is a narrow map (codebook literals — no join attaches
+    the reconstruction), probes broadcast, and the ONLY Python in the
+    plan is the Arrow-batched assignment matmul (nearest_lists_udf, the
+    r8 replacement for the HOF argmin that scaled O(n_centroids·dim)
+    interpreted work per row) — never a row-at-a-time BatchEvalPython."""
     from paas_auditor_spark.queries import q_knn_ivfpq
 
     df = q_knn_ivfpq(spark, sf_dir)
     plan = assert_plan_contains(df, "BroadcastHashJoin")
-    assert_plan_lacks(df, "BatchEvalPython", "ArrowEvalPython")
+    assert_plan_lacks(df, "BatchEvalPython")
+    assert "ArrowEvalPython" in plan  # the vectorized assignment
     # candidate ranking + final re-rank are bounded per-query windows,
     # not global sorts over the corpus
     assert "TakeOrderedAndProject" in plan or "Window" in plan

@@ -79,8 +79,18 @@ def main() -> None:
         "--queries", default=None,
         help="comma-separated subset of the default query list",
     )
+    ap.add_argument(
+        "--headline", action="store_true",
+        help="run bench.py's FULL headline list (r7 verdict task #6: "
+        "every headline query measured at the 10x slice once, not just "
+        "the expensive/flagship subset)",
+    )
     args = ap.parse_args()
-    if args.queries:
+    if args.headline:
+        import bench
+
+        QUERIES[:] = bench.HEADLINE
+    elif args.queries:
         QUERIES[:] = args.queries.split(",")
 
     from paas_auditor_spark.queries import REGISTRY
