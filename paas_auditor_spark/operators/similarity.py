@@ -717,6 +717,91 @@ def ivf_index_append(
     ).partitionBy("list_id").parquet(os.path.join(index_path, "lists"))
 
 
+def ivf_shard_collector(
+    spark,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    protocol: str = "rename",
+):
+    """foreachBatch hook for ATOMIC incremental IVF maintenance — the
+    collector-family treatment (bloom words / histograms / postings /
+    LM counts) applied to the ANN index, closing its last non-atomic
+    writer: ``ivf_index_append``'s bare ``mode("append")`` leaves a
+    torn shard's partial part-files VISIBLE to every reader if the
+    writer dies mid-commit, which is fine for an orchestrated rebuild
+    (external atomicity, quiescent index) but not for continuous
+    ingest.  Here each micro-batch of new vectors is assigned against
+    the index's FROZEN centroid table (read once at hook creation —
+    the quantizer never retrains, so old lists stay valid) and
+    committed as ONE batch dir under ``<index_path>/shards`` via the
+    shared commit protocol: a torn attempt is invisible until the
+    atomic publish, replays are no-ops, and the generic
+    ``compact_batches(parts=("",))`` fold applies unchanged because a
+    shard is a flat additive relation.
+
+    Shards keep ``list_id`` as a DATA column, sorted within the write,
+    so a probe's ``list_id IN (...)`` predicate prunes shard row
+    groups (PushedFilters) while the base build's directory partitions
+    keep planning-time pruning (PartitionFilters) — the hybrid layout
+    every log-structured index uses (small recent deltas + compacted
+    base), with the periodic full rebuild (``ivf_index_write`` over
+    the union) playing the role of major compaction."""
+    import os
+
+    from paas_auditor_spark.operators.atomic import commit_fn
+
+    commit = commit_fn(protocol)
+    cent_rows = sorted(
+        (
+            (int(r["centroid_id"]), list(r["cv"]))
+            for r in spark.read.parquet(
+                os.path.join(index_path, "centroids")
+            ).collect()
+        ),
+        key=lambda t: t[0],
+    )
+    nearest = nearest_lists_udf(cent_rows, 1)
+    shards_root = os.path.join(index_path, "shards")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        def write(tmp: str) -> None:
+            (
+                batch_df.select(
+                    F.col(id_col).alias("c_id"),
+                    F.col(vec_col).alias("c_vec"),
+                )
+                .withColumn("c_n", l2_norm(_to_double(F.col("c_vec"))))
+                .withColumn(
+                    "list_id", nearest(_to_double(F.col("c_vec")))[0]
+                )
+                .sortWithinPartitions("list_id")
+                .write.parquet(tmp)
+            )
+
+        commit(shards_root, batch_id, write)
+
+    return write_batch
+
+
+def _shard_lists(spark, index_path: str, protocol: str):
+    """Committed shard relations of an index (empty DataFrame-less None
+    when the index has no shards) — the read half of
+    ``ivf_shard_collector`` / ``ivfpq_shard_collector``."""
+    import os
+
+    from paas_auditor_spark.operators.atomic import batch_data_paths
+
+    root = os.path.join(index_path, "shards")
+    if not os.path.isdir(root):
+        return None
+    try:
+        paths = batch_data_paths(root, protocol)
+    except ValueError:
+        return None  # dirs exist but nothing committed yet
+    return spark.read.parquet(*paths)
+
+
 def ivf_topk_persisted(
     spark,
     index_path: str,
@@ -726,6 +811,7 @@ def ivf_topk_persisted(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
+    protocol: str = "rename",
 ) -> DataFrame:
     """Probe-only IVF top-k over an index built by ``ivf_index_write``:
     read the centroid table (tiny), assign each query to its ``nprobe``
@@ -776,9 +862,22 @@ def ivf_topk_persisted(
         r["centroid_id"]
         for r in probes.select("centroid_id").distinct().collect()
     ]
-    lists = spark.read.parquet(os.path.join(index_path, "lists")).filter(
-        F.col("list_id").isin(probed_ids)
+    lists = (
+        spark.read.parquet(os.path.join(index_path, "lists"))
+        .withColumn("list_id", F.col("list_id").cast("long"))
+        .filter(F.col("list_id").isin(probed_ids))
     )
+    # committed shards (ivf_shard_collector): same probe filter, pushed
+    # to the shard parquet scan as a row-group predicate on the sorted
+    # list_id DATA column (the base's directory partitions keep
+    # planning-time pruning)
+    shards = _shard_lists(spark, index_path, protocol)
+    if shards is not None:
+        lists = lists.unionByName(
+            shards.withColumn(
+                "list_id", F.col("list_id").cast("long")
+            ).filter(F.col("list_id").isin(probed_ids))
+        )
     scored = (
         lists.withColumnRenamed("list_id", "centroid_id")
         .join(F.broadcast(probes), on="centroid_id")
@@ -1103,6 +1202,75 @@ def ivfpq_index_append(
     ).parquet(os.path.join(index_path, "vectors"))
 
 
+def ivfpq_shard_collector(
+    spark,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    protocol: str = "rename",
+):
+    """``ivf_shard_collector`` for the IVF-PQ index: each micro-batch is
+    assigned and PQ-encoded under the FROZEN model (centroids +
+    codebooks read back once — neither retrains) and committed as ONE
+    two-part batch dir (``lists`` codes + ``vectors`` re-rank store)
+    under ``<index_path>/shards``, because a shard whose codes landed
+    but whose vectors didn't would break the exact re-rank fetch — the
+    torn state the whole-batch commit exists to prevent (the
+    postings_collector argument).  Compaction: the generic
+    ``compact_batches(parts=("lists", "vectors"))`` fold applies
+    unchanged."""
+    import os
+
+    from paas_auditor_spark.operators.atomic import commit_fn
+    from paas_auditor_spark.operators.quantize import pq_assign
+
+    commit = commit_fn(protocol)
+    cents, books, m = _read_ivfpq_model(spark, index_path)
+    nearest = nearest_lists_udf(cents, 1)
+    shards_root = os.path.join(index_path, "shards")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        def write(tmp: str) -> None:
+            cvec = batch_df.select(
+                F.col(id_col).alias("c_id"),
+                _to_double(F.col(vec_col)).alias("c_v"),
+            ).withColumn("c_n", l2_norm(F.col("c_v")))
+            assigned = cvec.withColumn(
+                "list_id", nearest(F.col("c_v"))[0]
+            )
+            encoded = pq_assign(assigned, books, vec_col="c_v")
+            (
+                encoded.select("c_id", "c_n", "pq_codes", "list_id")
+                .sortWithinPartitions("list_id")
+                .write.parquet(os.path.join(tmp, "lists"))
+            )
+            cvec.select("c_id", F.col("c_v").alias("vec")).write.parquet(
+                os.path.join(tmp, "vectors")
+            )
+
+        commit(shards_root, batch_id, write)
+
+    return write_batch
+
+
+def _ivfpq_shard_parts(spark, index_path: str, protocol: str):
+    """(shard_lists, shard_vectors) DataFrames of an IVF-PQ index's
+    committed shards, or (None, None) when there are none."""
+    import os
+
+    from paas_auditor_spark.operators.atomic import batch_data_paths
+
+    root = os.path.join(index_path, "shards")
+    if not os.path.isdir(root):
+        return None, None
+    try:
+        lists = spark.read.parquet(*batch_data_paths(root, protocol, "lists"))
+        vecs = spark.read.parquet(*batch_data_paths(root, protocol, "vectors"))
+    except ValueError:
+        return None, None
+    return lists, vecs
+
+
 def ivfpq_topk_persisted(
     spark,
     index_path: str,
@@ -1113,6 +1281,7 @@ def ivfpq_topk_persisted(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
+    protocol: str = "rename",
 ) -> DataFrame:
     """Probe-only IVF-PQ top-k over an ``ivfpq_index_write`` index —
     the 100 TB serving shape made literal: centroids and codebooks come
@@ -1154,9 +1323,17 @@ def ivfpq_topk_persisted(
     ]
     lists = (
         spark.read.parquet(os.path.join(index_path, "lists"))
+        .withColumn("list_id", F.col("list_id").cast("long"))
         .filter(F.col("list_id").isin(probed_ids))
-        .withColumnRenamed("list_id", "centroid_id")
     )
+    shard_lists, shard_vecs = _ivfpq_shard_parts(spark, index_path, protocol)
+    if shard_lists is not None:
+        lists = lists.unionByName(
+            shard_lists.withColumn(
+                "list_id", F.col("list_id").cast("long")
+            ).filter(F.col("list_id").isin(probed_ids))
+        )
+    lists = lists.withColumnRenamed("list_id", "centroid_id")
     approx = lists.select(
         "c_id",
         "c_n",
@@ -1190,6 +1367,8 @@ def ivfpq_topk_persisted(
     # the only touch of full float vectors: an id join sized
     # rerank × |queries|, never the corpus
     vectors = spark.read.parquet(os.path.join(index_path, "vectors"))
+    if shard_vecs is not None:
+        vectors = vectors.unionByName(shard_vecs)
     rescored = shortlist.join(
         vectors.withColumnRenamed("c_id", "neighbor_id"), on="neighbor_id"
     ).select(
@@ -1579,17 +1758,21 @@ __all__ = [
     "embedding_near_duplicates",
     "embedding_near_duplicates_lsh",
     "hyperplane_bucket",
+    "ivf_auto_params",
     "ivf_index_append",
     "ivf_index_write",
+    "ivf_shard_collector",
     "ivf_topk",
     "ivf_topk_persisted",
     "ivfpq_index_append",
     "ivfpq_index_write",
+    "ivfpq_shard_collector",
     "ivfpq_topk",
     "ivfpq_topk_persisted",
     "kmeans_assign",
     "l2_norm",
     "lsh_bucket_keys_udf",
+    "nearest_lists_udf",
     "lsh_topk",
     "mmr_select",
     "semantic_dedup",

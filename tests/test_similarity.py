@@ -549,3 +549,97 @@ def test_ivf_auto_params_integer_exact_and_cross_engine():
                      greatest(8, least(1024, p // 4)) // 8))
           FROM pow2""").fetchone()
         assert ivf_auto_params(n) == tuple(got), n
+
+
+def test_ivf_shard_collector_atomic_equal_and_compactable(spark, sf_dir, tmp_path):
+    """ATOMIC incremental IVF (r8): shards committed under the shared
+    commit protocol probe identically to a single-shot build over the
+    union, a torn shard write is invisible (the mode('append') failure
+    shape the collector exists to prevent), a replayed batch id is a
+    no-op, and generic compaction of the shard dirs changes nothing."""
+    import pytest
+
+    from paas_auditor_spark.operators.atomic import compact_batches
+    from paas_auditor_spark.operators.similarity import (
+        ivf_index_write,
+        ivf_shard_collector,
+        ivf_topk_persisted,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    full_path = str(tmp_path / "full")
+    ivf_index_write(emb, full_path, n_centroids=8)
+    want = ivf_topk_persisted(spark, full_path, queries, k=5, nprobe=2).collect()
+
+    grown = str(tmp_path / "grown")
+    ivf_index_write(emb.filter(F.col("vec_id") < 200), grown, n_centroids=8)
+    hook = ivf_shard_collector(spark, grown)
+    hook(emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 350)), 0)
+
+    # torn shard: writer dies mid-batch → nothing becomes visible
+    from paas_auditor_spark.operators.atomic import commit_batch_dir
+
+    def die(tmp):
+        raise RuntimeError("executor lost")
+
+    with pytest.raises(RuntimeError):
+        commit_batch_dir(str(tmp_path / "grown" / "shards"), 1, die)
+    hook(emb.filter(F.col("vec_id") >= 350), 1)  # the retry commits
+    hook(emb.filter(F.col("vec_id") >= 350), 1)  # replay: no-op
+    got = ivf_topk_persisted(spark, grown, queries, k=5, nprobe=2).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    # generic compaction folds the flat shard dirs; probe unchanged
+    assert compact_batches(spark, str(tmp_path / "grown" / "shards")) == 2
+    after = ivf_topk_persisted(spark, grown, queries, k=5, nprobe=2).collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in want]
+
+
+def test_ivfpq_shard_collector_two_part_commit(spark, sf_dir, tmp_path):
+    """IVF-PQ shards commit codes + re-rank vectors as ONE batch dir
+    (a codes-without-vectors shard would break the exact re-rank — the
+    postings_collector torn-state argument) and probe identically to a
+    single-shot build over the union, including after compaction."""
+    from paas_auditor_spark.operators.atomic import compact_batches
+    from paas_auditor_spark.operators.similarity import (
+        ivfpq_index_write,
+        ivfpq_shard_collector,
+        ivfpq_topk_persisted,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    full_path = str(tmp_path / "full")
+    ivfpq_index_write(emb, full_path, n_centroids=8, m=4, codes=16)
+    want = ivfpq_topk_persisted(
+        spark, full_path, queries, k=5, nprobe=2, rerank=32
+    ).collect()
+
+    grown = str(tmp_path / "grown")
+    ivfpq_index_write(
+        emb.filter(F.col("vec_id") < 300), grown, n_centroids=8, m=4, codes=16
+    )
+    hook = ivfpq_shard_collector(spark, grown)
+    hook(emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400)), 0)
+    hook(emb.filter(F.col("vec_id") >= 400), 1)
+    hook(emb.filter(F.col("vec_id") >= 400), 1)  # replay: no-op
+    got = ivfpq_topk_persisted(
+        spark, grown, queries, k=5, nprobe=2, rerank=32
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    assert (
+        compact_batches(
+            spark,
+            str(tmp_path / "grown" / "shards"),
+            parts=("lists", "vectors"),
+        )
+        == 2
+    )
+    after = ivfpq_topk_persisted(
+        spark, grown, queries, k=5, nprobe=2, rerank=32
+    ).collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in want]
