@@ -82,6 +82,7 @@ HEADLINE = [
     "mad_outliers",
     "heavy_hitters",
     "zorder_key",
+    "audio_windows",
     "curation_pipeline",
     "semantic_dedup",
     "segment_dedup",

@@ -205,8 +205,130 @@ def sample_frames(
     )
 
 
+def synth_wav(
+    vectors_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    reps: int = 25,
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Deterministic 16-bit PCM WAV synthesis from a float-vector column
+    — the blob SOURCE for the audio path (the multimodal_frames
+    convention: testdata carries no media columns, so blobs derive
+    deterministically from existing tables).  The vector is tiled
+    ``reps`` times and quantized with ``floor(x·32767 + 0.5)``
+    (round-half-up — chosen over numpy's half-even ``round`` precisely
+    because the DuckDB oracle replays the identical ``floor``
+    expression), then written as a REAL RIFF/WAVE container via the
+    stdlib ``wave`` module — real bytes, real header, so the decode
+    side genuinely parses audio instead of trusting a schema."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for vid, vec in zip(pdf[id_col], pdf[vec_col]):
+                x = np.asarray(vec, dtype=np.float64)
+                tiled = np.tile(np.clip(x, -1.0, 1.0), reps)
+                pcm = np.floor(tiled * 32767 + 0.5).astype(np.int16)
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(sample_rate)
+                    w.writeframes(pcm.tobytes())
+                ids.append(vid)
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame({id_col: ids, "wav": blobs})
+
+    id_type = vectors_df.schema[id_col].dataType.simpleString()
+    return vectors_df.mapInPandas(
+        run, schema=f"{id_col} {id_type}, wav binary"
+    )
+
+
+def audio_window_features(
+    blobs_df: DataFrame,
+    id_col: str = "vec_id",
+    blob_col: str = "wav",
+    window: int = 256,
+) -> DataFrame:
+    """Windowed audio features over WAV blobs with a REAL decode — the
+    audio member of the multimodal family, and unlike the PIL-gated
+    image branch this one runs everywhere: the stdlib ``wave`` module
+    parses the RIFF container (mono 16-bit PCM contract) and numpy
+    frombuffer yields the waveform, Arrow batch by Arrow batch.
+
+    Per non-overlapping ``window``-sample window: RMS amplitude
+    (computed from the EXACT int64 sum of squares — 256 samples ≤
+    2.7e11 < 2⁵³, so the oracle's BIGINT arithmetic reproduces it to
+    the ulp), zero-crossing rate ((s≥0) sign flips over window−1 — an
+    exact rational), and the peak |amplitude|.  A trailing partial
+    window is dropped (the standard STFT framing rule).  One narrow
+    mapInPandas fan-out (window-count rows per blob), no shuffle —
+    follow with repartition before heavy downstream per-window work,
+    the sample_frames rule."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, widx, ns, srs, rms, zcr, peak = [], [], [], [], [], [], []
+            for vid, blob in zip(pdf[id_col], pdf[blob_col]):
+                with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
+                    if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                        raise ValueError(
+                            "audio_window_features expects mono 16-bit "
+                            f"PCM, got {w.getnchannels()}ch/"
+                            f"{w.getsampwidth() * 8}-bit"
+                        )
+                    sr = w.getframerate()
+                    pcm = np.frombuffer(
+                        w.readframes(w.getnframes()), dtype="<i2"
+                    )
+                n_win = len(pcm) // window
+                for i in range(n_win):
+                    s = pcm[i * window : (i + 1) * window].astype(np.int64)
+                    sum_sq = int((s * s).sum())
+                    nonneg = s >= 0
+                    flips = int((nonneg[1:] != nonneg[:-1]).sum())
+                    ids.append(vid)
+                    widx.append(i)
+                    ns.append(window)
+                    srs.append(sr)
+                    rms.append(float(np.sqrt(sum_sq / window)))
+                    zcr.append(flips / (window - 1))
+                    peak.append(int(np.abs(s).max()))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "window_idx": widx,
+                    "n_samples": ns,
+                    "sample_rate": srs,
+                    "rms": rms,
+                    "zcr": zcr,
+                    "peak": peak,
+                }
+            )
+
+    id_type = blobs_df.schema[id_col].dataType.simpleString()
+    return blobs_df.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} {id_type}, window_idx int, n_samples long, "
+            "sample_rate int, rms double, zcr double, peak long"
+        ),
+    )
+
+
 __all__ = [
     "BINARY_FEATURES_SCHEMA",
+    "audio_window_features",
     "binary_features",
     "decode_image",
     "fake_image_meta",
@@ -214,4 +336,5 @@ __all__ = [
     "image_meta_features",
     "resize_images",
     "sample_frames",
+    "synth_wav",
 ]

@@ -2053,6 +2053,67 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "frame_idx")
 
 
+def q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-path multimodal plumbing with a REAL decode: embeddings
+    synthesize deterministic 16-bit PCM WAV blobs (stdlib ``wave`` —
+    real RIFF containers, the multimodal_frames derive-from-testdata
+    convention), and audio_window_features genuinely parses them back
+    and computes per-window RMS / zero-crossing-rate / peak.  Fully
+    exact oracle: quantization is floor(x·32767+0.5) on both engines,
+    RMS comes from an exact int64 sum of squares, ZCR is an exact
+    rational — the synth→container→decode round trip is lossless, so
+    DuckDB replays the features straight off the embedding floats
+    without ever seeing a WAV byte."""
+    from paas_auditor_spark.functions.multimodal import (
+        audio_window_features,
+        synth_wav,
+    )
+
+    emb = _th(spark, sf_dir, "embeddings")
+    wavs = synth_wav(emb.select("vec_id", "embedding"), reps=25)
+    # window=250 deliberately does NOT divide the 64-sample tile, so
+    # every window sits at a different phase and the six feature rows
+    # per blob are all distinct — a window that divides the tile (256)
+    # would make them identical and test nothing about the framing
+    feats = audio_window_features(wavs, window=250)
+    return feats.select(
+        "vec_id",
+        F.col("window_idx").cast("long").alias("window_idx"),
+        "n_samples",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.round("rms", 4).alias("rms"),
+        F.round("zcr", 4).alias("zcr"),
+        "peak",
+    ).orderBy("vec_id", "window_idx")
+
+
+ORACLE_AUDIO_WINDOWS = """
+WITH s AS (
+  SELECT vec_id, i - 1 AS idx,
+         floor(greatest(-1.0, least(1.0, e[((i - 1) % 64) + 1]))
+               * 32767 + 0.5) AS smp
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       unnest(generate_series(1, 1600)) AS t(i)),
+w AS (
+  SELECT vec_id, CAST(idx // 250 AS BIGINT) AS window_idx, idx,
+         CAST(smp AS BIGINT) AS smp,
+         lag(smp) OVER (PARTITION BY vec_id, idx // 250 ORDER BY idx)
+           AS prev
+  FROM s
+  WHERE idx < 1500)  -- 6 full 250-sample windows; partial tail dropped
+SELECT vec_id, window_idx,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       round(sqrt(CAST(sum(smp * smp) AS DOUBLE) / 250), 4) AS rms,
+       round(CAST(sum(CASE WHEN prev IS NOT NULL
+                            AND ((smp >= 0) <> (prev >= 0))
+                           THEN 1 ELSE 0 END) AS DOUBLE) / 249, 4) AS zcr,
+       CAST(max(abs(smp)) AS BIGINT) AS peak
+FROM w GROUP BY vec_id, window_idx
+ORDER BY vec_id, window_idx
+"""
+
+
 def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6-style forecasting-revenue filter-aggregate: tight range
     predicates all pushed to the parquet scan (PushedFilters), one
@@ -10045,6 +10106,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "knn_ivf": QuerySpec(q_knn_ivf, _IVF_TOPK_ORACLE),
     "knn_ivf_persisted": QuerySpec(q_knn_ivf_persisted, _IVF_TOPK_ORACLE),
+    "audio_windows": QuerySpec(q_audio_windows, ORACLE_AUDIO_WINDOWS),
     "multimodal_frames": QuerySpec(
         q_multimodal_frames,
         # replays the deterministic fake decode exactly: frame =

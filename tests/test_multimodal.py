@@ -117,3 +117,74 @@ def test_bootstrap_idempotent(spark, tmp_path):
     bootstrap.init_warehouse(spark, wh)
     assert bootstrap.read_table(spark, wh, bootstrap.EVENTS_TABLE).count() == 0
     assert events_path.endswith(bootstrap.EVENTS_TABLE)
+
+
+def test_audio_wav_roundtrip_and_window_features(spark):
+    """synth_wav writes REAL RIFF/WAVE containers (stdlib wave parses
+    them back bit-exactly) and audio_window_features computes windowed
+    RMS/ZCR/peak with the trailing partial window dropped."""
+    import io
+    import math
+    import wave
+
+    from paas_auditor_spark.functions.multimodal import (
+        audio_window_features,
+        synth_wav,
+    )
+
+    # vec 1: constant +0.5 (zero crossings: none); vec 2: alternating
+    # ±0.5 (a crossing at every step)
+    rows = [
+        (1, [0.5] * 8),
+        (2, [0.5, -0.5] * 4),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    wavs = synth_wav(df, reps=4, sample_rate=16000)  # 32 samples each
+
+    blob = bytes(wavs.orderBy("vec_id").collect()[0]["wav"])
+    with wave.open(io.BytesIO(blob), "rb") as w:
+        assert (w.getnchannels(), w.getsampwidth(), w.getframerate()) == (
+            1, 2, 16000,
+        )
+        assert w.getnframes() == 32
+
+    # window=12 → 2 full windows per blob, 8-sample tail dropped
+    feats = {
+        (r["vec_id"], r["window_idx"]): r
+        for r in audio_window_features(wavs, window=12).collect()
+    }
+    assert set(feats) == {(1, 0), (1, 1), (2, 0), (2, 1)}
+    # round-half-up quantization is asymmetric around zero by design
+    # (the floor(x*32767 + 0.5) form the oracle replays):
+    # +0.5 -> 16384, -0.5 -> -16383
+    hi, lo = 16384, 16383
+    for r in feats.values():
+        assert r["n_samples"] == 12 and r["sample_rate"] == 16000
+        assert r["peak"] == hi
+    assert abs(feats[(1, 0)]["rms"] - hi) < 1e-9  # constant |s|
+    expected = math.sqrt((6 * hi * hi + 6 * lo * lo) / 12)
+    assert abs(feats[(2, 0)]["rms"] - expected) < 1e-9
+    assert feats[(1, 0)]["zcr"] == 0.0  # constant signal never crosses
+    assert feats[(2, 0)]["zcr"] == 1.0  # alternating crosses every step
+
+
+def test_audio_window_features_rejects_non_pcm16_mono(spark):
+    """The mono/16-bit PCM contract fails loudly, not silently."""
+    import io
+    import wave
+
+    import pytest
+
+    from paas_auditor_spark.functions.multimodal import audio_window_features
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)  # stereo violates the contract
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00" * 64)
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "vec_id long, wav binary"
+    )
+    with pytest.raises(Exception, match="mono 16-bit"):
+        audio_window_features(df, window=16).collect()
