@@ -106,10 +106,12 @@ def _check_generation_stable(path: str, root: str, batch_id: int) -> None:
     """Post-publish guard (ADVICE r7): the runner's per-dataset lock
     makes commit-vs-compact mutual exclusion structural for hooks wired
     through ``register_collector_dataset``, but a RAW hook racing a
-    manual ``compact_batches`` had only a docstring contract.  One
-    extra pointer read after the publish closes the silent-loss window:
-    if CURRENT moved while we were writing, the publish landed in a
-    superseded generation and we raise instead of reporting success."""
+    manual ``compact_batches`` had only a docstring contract.  This
+    post-publish pointer read covers every publish that completes AFTER
+    the fold's flip; its complement is the fold-side post-flip
+    ``_rescue_unfolded`` sweep, which moves every publish that landed
+    BEFORE the flip into the live generation — together the silent-loss
+    window is closed, not merely narrowed (r8 review)."""
     live = collector_root(path)
     if live != root:
         raise GenerationSupersededError(
@@ -234,6 +236,41 @@ def committed_batch_dirs(path: str) -> list[str]:
         if attempt:
             out.append((int(d.split("-", 1)[1]), os.path.join(root, d, attempt)))
     return [p for _, p in sorted(out)]
+
+
+def _rescue_unfolded(old_root: str, new_root: str) -> int:
+    """Move batch dirs that were committed into ``old_root`` AFTER a
+    fold's directory listing (their id is above the new generation's
+    replay floor, so the fold cannot have absorbed them) into the live
+    generation — the fold-side half of the commit-vs-compact story (r8
+    review): the commit functions' post-publish pointer check catches
+    every publish that lands AFTER the flip, and this sweep (which runs
+    after the flip) catches every publish that landed BEFORE it, so
+    between the two no committed batch can ride a superseded generation
+    to its deletion.  A rename that loses to an id already recommitted
+    into the live generation is skipped (the retry's copy wins; the
+    stale one dies with its generation)."""
+    if not os.path.isdir(old_root) or os.path.realpath(
+        old_root
+    ) == os.path.realpath(new_root):
+        return 0
+    floor = replay_floor(new_root)
+    moved = 0
+    for d in os.listdir(old_root):
+        if not d.startswith("batch-"):
+            continue
+        try:
+            bid = int(d.split("-", 1)[1])
+        except ValueError:
+            continue
+        if bid <= floor:
+            continue  # folded (or floor-absorbed): dies with its gen
+        try:
+            os.rename(os.path.join(old_root, d), os.path.join(new_root, d))
+            moved += 1
+        except OSError:
+            pass  # recommitted into the live gen already: retry's copy wins
+    return moved
 
 
 def compact_batches(
@@ -384,6 +421,13 @@ def compact_batches(
     with open(ptr_tmp, "w") as fh:
         fh.write(new_gen + "\n")
     os.rename(ptr_tmp, os.path.join(path, _CURRENT))
+    # rescue any batch committed into the OLD generation between this
+    # fold's directory listing and the flip (the raw-hook race the
+    # single-writer contract only covers by convention): running the
+    # sweep AFTER the flip makes coverage complete — later publishes
+    # fail the committers' own post-publish pointer check and retry
+    # into the new generation instead
+    _rescue_unfolded(root, os.path.join(path, new_gen))
     # reclaim the previous generation: no NEW reader can resolve it, but
     # a read that resolved before the flip may still be scanning — see
     # the docstring's defer_delete contract
@@ -449,7 +493,9 @@ def batch_data_paths(path: str, protocol: str, part: str = "") -> list[str]:
     ]
 
 
-def vacuum_superseded(path: str, retain: int = 2) -> int:
+def vacuum_superseded(
+    path: str, retain: int = 2, orphan_age_s: float = 600.0
+) -> int:
     """Reclaim what the CURRENT pointer no longer references — the read
     half of ``compact_batches(defer_delete=True)`` and the reaper for
     crash leftovers:
@@ -475,13 +521,42 @@ def vacuum_superseded(path: str, retain: int = 2) -> int:
     flip away from FileNotFoundException.  Disk cost is bounded:
     ``retain`` extra model-sized generations, reclaimed on schedule.
     ``retain=0`` restores immediate reclamation (the r7 behavior).
+
+    Two further safety rules (r8 review):
+    - anything that can hold an IN-FLIGHT fold's work — a ``gen-<n>``
+      dir ABOVE the current generation (renamed into place but not yet
+      pointer-flipped) or a ``.gen-*.tmp*`` build dir — is reclaimed
+      only once older than ``orphan_age_s`` (default one maintenance
+      interval): a vacuum racing a manual fold must not delete the
+      generation the fold is about to flip to, which would point
+      CURRENT at a deleted directory and brick the dataset;
+    - before any deletion, committed batch dirs with ids ABOVE the
+      live generation's replay floor (a commit that raced an earlier
+      fold's listing) are MOVED into the live generation
+      (``_rescue_unfolded``), never deleted — the same
+      no-silent-batch-loss rule the fold itself applies post-flip.
+
     No-op (0) on a v1 dataset that has never been compacted."""
+    import time
+
     current = collector_root(path)
     if current == path or not os.path.isdir(path):
         return 0  # never compacted: nothing is superseded
     cur_n = int(os.path.basename(current).split("-", 1)[1])
     removed = 0
     keep = os.path.basename(current)
+    now = time.time()
+
+    def old_enough(p: str) -> bool:
+        try:
+            return now - os.path.getmtime(p) > orphan_age_s
+        except OSError:
+            return False  # vanished under us: another reaper got it
+
+    # stale v1-layout batch dirs in path itself: rescue unfolded ids
+    # into the live generation, then let the stale remainder fall
+    # through to deletion below
+    _rescue_unfolded(path, current)
     superseded: list[tuple[int, str]] = []
     for d in os.listdir(path):
         full = os.path.join(path, d)
@@ -492,17 +567,20 @@ def vacuum_superseded(path: str, retain: int = 2) -> int:
             if n < cur_n:
                 superseded.append((n, full))
                 continue  # grace-window candidate, judged below
-            # n > cur_n: crash orphan, never referenced by any reader
-        elif not (
-            d.startswith(".gen-")
-            or d.startswith("batch-")
-            or d.startswith(".batch-")
-        ):
+            # n > cur_n: crash orphan — unless it is an in-flight
+            # fold's freshly renamed generation (age-gated)
+            if not old_enough(full):
+                continue
+        elif d.startswith(".gen-"):
+            if not old_enough(full):
+                continue  # possibly an in-flight fold's build dir
+        elif not (d.startswith("batch-") or d.startswith(".batch-")):
             continue
         shutil.rmtree(full, ignore_errors=True)
         removed += 1
     doomed = sorted(superseded)[:-retain] if retain > 0 else sorted(superseded)
     for _, full in doomed:
+        _rescue_unfolded(full, current)
         shutil.rmtree(full, ignore_errors=True)
         removed += 1
     return removed

@@ -209,6 +209,17 @@ def nearest_lists_udf(cent_rows, n_lists: int):
     driver's hash check would catch one loudly."""
     from pyspark.sql.functions import pandas_udf
 
+    if not cent_rows:
+        # empty corpus / just-initialized index: no centroid → no list.
+        # Returning an empty id array per row lets every call site keep
+        # the pre-r8 join+window behavior (zero assignment rows) via
+        # explode, instead of a numpy AxisError at construction.
+        @pandas_udf("array<long>")
+        def nearest_none(vs: pd.Series) -> pd.Series:
+            return pd.Series([[] for _ in range(len(vs))])
+
+        return nearest_none
+
     C = np.array([v_ for _, v_ in cent_rows], dtype=np.float64)
     cn = np.maximum(np.sqrt((C * C).sum(axis=1)), 1e-12)
     cu = (C / cn[:, None]).T  # (dim × n_centroids), unit columns
@@ -236,6 +247,21 @@ def _cent_rows_collect(corpus_df, n_centroids, id_col, vec_col):
             for r in corpus_df.filter(F.col(id_col) < n_centroids)
             .select(F.col(id_col), _to_double(F.col(vec_col)))
             .collect()
+        ),
+        key=lambda t: t[0],
+    )
+
+
+def _cent_rows_from_df(cents_df):
+    """The (centroid_id, cv)-relation form of ``_cent_rows_collect`` —
+    the ONE id/vector extraction + lower-id-first sort every persisted
+    path shares (index builds, shard collectors, persisted probes), so
+    the tie-breaking order that makes "all paths assign identically"
+    true lives in exactly one place."""
+    return sorted(
+        (
+            (int(r["centroid_id"]), list(r["cv"]))
+            for r in cents_df.collect()  # bounded: ≤ n_centroids rows
         ),
         key=lambda t: t[0],
     )
@@ -637,18 +663,14 @@ def _ivf_assign(
     (nearest_lists_udf) — one narrow map over the corpus, no join, no
     window: the r7 join+window form made the 200k-corpus index build
     cost 66 s of wide-row window shuffle."""
-    cent_rows = sorted(
-        ((int(r["centroid_id"]), list(r["cv"])) for r in cents.collect()),
-        key=lambda t: t[0],
-    )
-    nearest = nearest_lists_udf(cent_rows, 1)
+    nearest = nearest_lists_udf(_cent_rows_from_df(cents), 1)
     return (
         corpus_df.select(
             F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
         )
         .withColumn("c_n", l2_norm(_to_double(F.col("c_vec"))))
         .withColumn(
-            "list_id", nearest(_to_double(F.col("c_vec")))[0]
+            "list_id", F.explode(nearest(_to_double(F.col("c_vec"))))
         )
     )
 
@@ -752,16 +774,12 @@ def ivf_shard_collector(
     from paas_auditor_spark.operators.atomic import commit_fn
 
     commit = commit_fn(protocol)
-    cent_rows = sorted(
-        (
-            (int(r["centroid_id"]), list(r["cv"]))
-            for r in spark.read.parquet(
-                os.path.join(index_path, "centroids")
-            ).collect()
+    nearest = nearest_lists_udf(
+        _cent_rows_from_df(
+            spark.read.parquet(os.path.join(index_path, "centroids"))
         ),
-        key=lambda t: t[0],
+        1,
     )
-    nearest = nearest_lists_udf(cent_rows, 1)
     shards_root = os.path.join(index_path, "shards")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -773,7 +791,8 @@ def ivf_shard_collector(
                 )
                 .withColumn("c_n", l2_norm(_to_double(F.col("c_vec"))))
                 .withColumn(
-                    "list_id", nearest(_to_double(F.col("c_vec")))[0]
+                    "list_id",
+                    F.explode(nearest(_to_double(F.col("c_vec")))),
                 )
                 .sortWithinPartitions("list_id")
                 .write.parquet(tmp)
@@ -831,16 +850,12 @@ def ivf_topk_persisted(
     batches."""
     import os
 
-    cent_rows = sorted(
-        (
-            (int(r["centroid_id"]), list(r["cv"]))
-            for r in spark.read.parquet(
-                os.path.join(index_path, "centroids")
-            ).collect()
+    nearest = nearest_lists_udf(
+        _cent_rows_from_df(
+            spark.read.parquet(os.path.join(index_path, "centroids"))
         ),
-        key=lambda t: t[0],
+        nprobe,
     )
-    nearest = nearest_lists_udf(cent_rows, nprobe)
     # localCheckpoint: TWO consumers read this relation (the probed-ids
     # collect below and the final broadcast join), and without the cut
     # the assignment subplan would execute twice — worse, a
@@ -949,15 +964,7 @@ def semantic_dedup(
         sql_longs,
     )
 
-    cent_rows = sorted(
-        (
-            (r[0], list(r[1]))
-            for r in corpus_df.filter(F.col(id_col) < k)
-            .select(F.col(id_col), _to_double(F.col(vec_col)))
-            .collect()  # bounded: at most k rows (ids are < k)
-        ),
-        key=lambda t: t[0],
-    )
+    cent_rows = _cent_rows_collect(corpus_df, k, id_col, vec_col)
     cb = sql_doubles_2d([v for _, v in cent_rows])
     # python sum() is the same sequential left-to-right fold as the
     # aggregate() the relational path used, so norms are bit-identical
@@ -1108,12 +1115,18 @@ def ivfpq_index_write(
     cent_rows = rows[:n_centroids]
     spark = corpus_df.sparkSession
 
-    cvec = corpus_df.select(
-        F.col(id_col).alias("c_id"),
-        _to_double(F.col(vec_col)).alias("c_v"),
-    ).withColumn("c_n", l2_norm(F.col("c_v")))
+    # one materialization for the lists and vectors writes (see the
+    # shard collector's rationale)
+    cvec = (
+        corpus_df.select(
+            F.col(id_col).alias("c_id"),
+            _to_double(F.col(vec_col)).alias("c_v"),
+        )
+        .withColumn("c_n", l2_norm(F.col("c_v")))
+        .localCheckpoint(eager=False)
+    )
     assigned = cvec.withColumn(
-        "list_id", nearest_lists_udf(cent_rows, 1)(F.col("c_v"))[0]
+        "list_id", F.explode(nearest_lists_udf(cent_rows, 1)(F.col("c_v")))
     )
     encoded = pq_assign(assigned, books, vec_col="c_v")
     encoded.select("c_id", "c_n", "pq_codes", "list_id").write.mode(
@@ -1141,14 +1154,8 @@ def _read_ivfpq_model(spark, index_path: str):
     m) from two tiny parquet collects (n_centroids and m×codes rows)."""
     import os
 
-    cents = sorted(
-        (
-            (int(r["centroid_id"]), list(r["cv"]))
-            for r in spark.read.parquet(
-                os.path.join(index_path, "centroids")
-            ).collect()
-        ),
-        key=lambda t: t[0],
+    cents = _cent_rows_from_df(
+        spark.read.parquet(os.path.join(index_path, "centroids"))
     )
     book_rows = spark.read.parquet(
         os.path.join(index_path, "codebooks")
@@ -1186,12 +1193,16 @@ def ivfpq_index_append(
     from paas_auditor_spark.operators.quantize import pq_assign
 
     cents, books, m = _read_ivfpq_model(spark, index_path)
-    cvec = shard_df.select(
-        F.col(id_col).alias("c_id"),
-        _to_double(F.col(vec_col)).alias("c_v"),
-    ).withColumn("c_n", l2_norm(F.col("c_v")))
+    cvec = (
+        shard_df.select(
+            F.col(id_col).alias("c_id"),
+            _to_double(F.col(vec_col)).alias("c_v"),
+        )
+        .withColumn("c_n", l2_norm(F.col("c_v")))
+        .localCheckpoint(eager=False)
+    )
     assigned = cvec.withColumn(
-        "list_id", nearest_lists_udf(cents, 1)(F.col("c_v"))[0]
+        "list_id", F.explode(nearest_lists_udf(cents, 1)(F.col("c_v")))
     )
     encoded = pq_assign(assigned, books, vec_col="c_v")
     encoded.select("c_id", "c_n", "pq_codes", "list_id").write.mode(
@@ -1231,12 +1242,23 @@ def ivfpq_shard_collector(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         def write(tmp: str) -> None:
-            cvec = batch_df.select(
-                F.col(id_col).alias("c_id"),
-                _to_double(F.col(vec_col)).alias("c_v"),
-            ).withColumn("c_n", l2_norm(F.col("c_v")))
+            # ONE materialization feeds both parts: without the cut the
+            # source is scanned twice (2x per-batch ingest I/O) and a
+            # nondeterministic batch source could make the lists and
+            # vectors parts disagree INSIDE the one atomic shard — the
+            # torn state the two-part commit exists to prevent (r8
+            # review finding; the ivf_topk_persisted probes checkpoint
+            # for the same reason)
+            cvec = (
+                batch_df.select(
+                    F.col(id_col).alias("c_id"),
+                    _to_double(F.col(vec_col)).alias("c_v"),
+                )
+                .withColumn("c_n", l2_norm(F.col("c_v")))
+                .localCheckpoint(eager=False)
+            )
             assigned = cvec.withColumn(
-                "list_id", nearest(F.col("c_v"))[0]
+                "list_id", F.explode(nearest(F.col("c_v")))
             )
             encoded = pq_assign(assigned, books, vec_col="c_v")
             (
@@ -1457,7 +1479,7 @@ def ivfpq_topk(
     ).withColumn("c_n", l2_norm(F.col("c_v")))
     assigned = cvec.withColumn(
         "centroid_id",
-        nearest_lists_udf(cent_rows, 1)(F.col("c_v"))[0],
+        F.explode(nearest_lists_udf(cent_rows, 1)(F.col("c_v"))),
     )
     encoded = pq_assign(assigned, books, vec_col="c_v")
     # decode = per-subspace codebook row lookup, one parsed expression

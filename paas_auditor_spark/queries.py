@@ -761,10 +761,15 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double")
         / F.lit(4294967296.0)
     )
+    # unlisted strata keep fraction 0 — sampleBy's semantics for a
+    # missing dict key (r8 review finding: an .otherwise(1.0) silently
+    # flipped every UNLISTED class — sf0.1's 'signup' — from fully
+    # dropped to fully kept, and the oracle replayed the same mistake)
     frac = (
         F.when(F.col("event_type") == "click", 0.5)
         .when(F.col("event_type") == "view", 0.1)
-        .otherwise(1.0)
+        .when(F.col("event_type").isin("error", "purchase"), 1.0)
+        .otherwise(0.0)
     )
     return (
         events.filter(u < frac)
@@ -783,7 +788,10 @@ WITH u AS (
 SELECT event_type, count(*) AS n_sampled
 FROM u
 WHERE u < CASE event_type WHEN 'click' THEN 0.5
-                          WHEN 'view' THEN 0.1 ELSE 1.0 END
+                          WHEN 'view' THEN 0.1
+                          WHEN 'error' THEN 1.0
+                          WHEN 'purchase' THEN 1.0
+                          ELSE 0.0 END
 GROUP BY event_type ORDER BY event_type
 """
 
@@ -8251,11 +8259,23 @@ def q_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = F.col("a"), F.col("df_tot") - F.col("a")
     c = F.col("n_src") - F.col("a")
     d = F.col("n_all") - F.col("n_src") - b
+    # numerator/denominator in DOUBLE: with long arithmetic the square
+    # of (ad−bc) overflows int64 once n_all reaches ~5×10⁵ (found by the
+    # r8 factor-100 headline pass — ANSI mode raises ARITHMETIC_OVERFLOW
+    # mid-query).  At the oracle-checked SF every intermediate stays
+    # under 2⁵³, so each double product is exact and parity with
+    # DuckDB's auto-promoting HUGEINT arithmetic is unchanged.
+    ad_bc = (a * d - b * c).cast("double")
     chi2 = (
-        F.col("n_all")
-        * (a * d - b * c)
-        * (a * d - b * c)
-        / ((a + b) * (c + d) * (a + c) * (b + d))
+        F.col("n_all").cast("double")
+        * ad_bc
+        * ad_bc
+        / (
+            (a + b).cast("double")
+            * (c + d).cast("double")
+            * (a + c).cast("double")
+            * (b + d).cast("double")
+        )
     )
     w = Window.partitionBy("source").orderBy(
         F.col("chi2").desc(), F.col("term").asc()

@@ -310,9 +310,14 @@ def test_vacuum_superseded_reaps_generations_and_orphans(spark, tmp_path):
     # deferred: the stale v1 batch dirs are still on disk
     stale = [d for d in os.listdir(path) if d.startswith("batch-")]
     assert len(stale) == 3
-    # plant crash leftovers: an orphaned generation and a tmp build dir
+    # plant crash leftovers: an orphaned generation and a tmp build dir,
+    # BACKDATED past the orphan age gate (a fresh one could be an
+    # in-flight fold's work — r8 review)
     os.makedirs(tmp_path / "words" / "gen-7" / "batch-0")
     os.makedirs(tmp_path / "words" / ".gen-8.tmp999")
+    past = __import__("time").time() - 3600
+    os.utime(tmp_path / "words" / "gen-7", (past, past))
+    os.utime(tmp_path / "words" / ".gen-8.tmp999", (past, past))
     assert vacuum_superseded(path) == 5  # 3 stale batches + orphan + tmp
     left = sorted(os.listdir(path))
     assert left == ["CURRENT", "gen-0"]
@@ -473,3 +478,109 @@ def test_vacuum_retains_reader_grace_generations(spark, tmp_path):
     assert not os.path.isdir(tmp_path / "words" / "gen-0")
     assert os.path.isdir(tmp_path / "words" / "gen-1")
     assert os.path.isdir(tmp_path / "words" / "gen-2")
+
+
+def test_fold_rescues_batch_committed_during_fold(spark, tmp_path, monkeypatch):
+    """r8 review: a raw hook publishing between a fold's directory
+    listing and its pointer flip was silently lost (absent from the new
+    generation, id above the floor so replays no-op, old generation
+    vacuumed).  The post-flip rescue sweep must move it into the live
+    generation.  Simulated by intercepting the fold's CURRENT rename:
+    the racing commit publishes just before the flip and reports
+    SUCCESS (its own pointer check still sees the old generation)."""
+    from pyspark.sql import functions as F
+
+    from paas_auditor_spark.operators.atomic import compact_batches
+    from paas_auditor_spark.operators.bloom import (
+        bloom_words_collector,
+        bloom_words_read,
+    )
+
+    path = str(tmp_path / "words")
+    hook = bloom_words_collector("k", path, m=1 << 12, k=3)
+    for i in range(2):
+        hook(
+            spark.range(i * 20, (i + 1) * 20).select(
+                F.concat(F.lit("w"), F.col("id").cast("string")).alias("k")
+            ),
+            i,
+        )
+    late = spark.range(900, 930).select(
+        F.concat(F.lit("w"), F.col("id").cast("string")).alias("k")
+    )
+
+    real_rename = os.rename
+    state = {"fired": False}
+
+    def rename_with_race(src, dst):
+        if os.path.basename(dst) == "CURRENT" and not state["fired"]:
+            state["fired"] = True
+            # the racing commit lands in the OLD generation (CURRENT is
+            # not yet flipped) and reports success
+            assert hook(late, 7) is None  # collector hooks return None
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", rename_with_race)
+    assert compact_batches(spark, path) == 2
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert state["fired"]
+    # the late batch survived the fold: its words are readable from the
+    # live generation and its replay is suppressed by directory presence
+    from paas_auditor_spark.operators.atomic import collector_root
+
+    assert os.path.isdir(os.path.join(collector_root(path), "batch-7"))
+    assert bloom_words_read(spark, path).count() > 0
+    before = bloom_words_read(spark, path).count()
+    hook(late, 7)  # replay: directory exists → no-op (no double count)
+    assert bloom_words_read(spark, path).count() == before
+
+
+def test_vacuum_rescues_unfolded_batch_and_spares_fresh_orphans(
+    spark, tmp_path
+):
+    """r8 review: (a) vacuum must MOVE a committed-but-unfolded batch
+    out of a superseded generation instead of deleting it; (b) a
+    gen-<n> ABOVE the current generation is reclaimed only once older
+    than the orphan age gate — a fresh one may be an in-flight fold's
+    renamed-but-not-yet-flipped work."""
+    from pyspark.sql import functions as F
+
+    from paas_auditor_spark.operators.atomic import (
+        collector_root,
+        commit_batch_dir,
+        compact_batches,
+        vacuum_superseded,
+    )
+    from paas_auditor_spark.operators.bloom import bloom_words_collector
+
+    path = str(tmp_path / "words")
+    hook = bloom_words_collector("k", path, m=1 << 12, k=3)
+    for i in range(2):
+        hook(
+            spark.range(i * 10, (i + 1) * 10).select(
+                F.concat(F.lit("v"), F.col("id").cast("string")).alias("k")
+            ),
+            i,
+        )
+    assert compact_batches(spark, path, defer_delete=True) == 2  # → gen-0
+    hook(spark.range(50, 60).select(
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("k")), 2)
+    assert compact_batches(spark, path, defer_delete=True) == 2  # → gen-1
+
+    # plant an unfolded commit inside the superseded gen-0 (id 9 > floor)
+    os.makedirs(tmp_path / "words" / "gen-0" / "batch-9")
+    with open(tmp_path / "words" / "gen-0" / "batch-9" / "part-0", "w") as fh:
+        fh.write("x")
+    # and a FRESH above-current generation (an in-flight fold's rename)
+    os.makedirs(tmp_path / "words" / "gen-5" / "batch-0")
+
+    vacuum_superseded(path, retain=0)
+    cur = collector_root(path)
+    assert cur.endswith("gen-1")
+    assert os.path.isdir(os.path.join(cur, "batch-9"))  # rescued, not lost
+    assert not os.path.isdir(tmp_path / "words" / "gen-0")  # reclaimed
+    assert os.path.isdir(tmp_path / "words" / "gen-5")  # fresh: spared
+    past = __import__("time").time() - 3600
+    os.utime(tmp_path / "words" / "gen-5", (past, past))
+    vacuum_superseded(path, retain=0)
+    assert not os.path.isdir(tmp_path / "words" / "gen-5")  # aged: reaped

@@ -383,6 +383,9 @@ def test_stratified_sample_fractions(spark, sf_dir):
     assert got1 == got2  # content-addressed → reproducible
     assert got1["error"] == totals["error"]  # fraction 1.0 keeps everything
     assert got1["purchase"] == totals["purchase"]
+    # UNLISTED strata are fully dropped (sampleBy's missing-key
+    # semantics — r8 review finding: they were silently kept at 1.0)
+    assert set(got1) <= {"click", "view", "error", "purchase"}
     # Bernoulli tolerance: observed rate within ±35% relative of target
     for etype, frac in [("click", 0.5), ("view", 0.1)]:
         rate = got1[etype] / totals[etype]

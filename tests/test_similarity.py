@@ -643,3 +643,26 @@ def test_ivfpq_shard_collector_two_part_commit(spark, sf_dir, tmp_path):
         spark, grown, queries, k=5, nprobe=2, rerank=32
     ).collect()
     assert [tuple(r) for r in after] == [tuple(r) for r in want]
+
+
+def test_ivf_empty_corpus_returns_empty_not_crash(spark):
+    """r8 review finding: the matmul assignment UDF crashed with a numpy
+    AxisError when the centroid set was empty — the replaced join+window
+    form returned an empty frame.  Empty corpus → empty result, on both
+    the in-memory operator and an index initialized from nothing."""
+    from paas_auditor_spark.operators.similarity import ivf_topk
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(1000001, [0.1] * 4)], "vec_id long, embedding array<double>"
+    )
+    assert ivf_topk(empty, queries, k=5, n_centroids=8, nprobe=2).count() == 0
+    # assignment against an EMPTY centroid relation: zero rows, not a crash
+    from paas_auditor_spark.operators.similarity import _ivf_assign
+
+    cents = spark.createDataFrame(
+        [], "centroid_id long, cv array<double>, cnorm double"
+    )
+    assert _ivf_assign(queries, cents, "vec_id", "embedding").count() == 0
