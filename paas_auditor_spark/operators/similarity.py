@@ -252,6 +252,48 @@ def _cent_rows_collect(corpus_df, n_centroids, id_col, vec_col):
     )
 
 
+def _nearest_rounded_udf(cent_rows, round_digits: int):
+    """Winning centroid id by ROUNDED cosine — semantic_dedup's ranking
+    (round half-up at ``round_digits``, ties to the lower centroid id)
+    as one Arrow-batched matmul per batch.  Ranking happens on the
+    SCALED-INTEGER rounded values (sign·floor(|cos|·10^d + 0.5)), so no
+    re-division noise can reorder equal rounded cosines; the half-up
+    form matches the JVM/DuckDB round the relational path used.  Same
+    near-tie caveat as nearest_lists_udf: numpy's summation order can
+    flip a winner only when a true cosine sits within ~1e-12 of both a
+    rounding boundary AND a tie — absent from every committed corpus,
+    and the driver's hash check fails loudly if it ever appears.
+    Returns a 1-element id array (empty when there are no centroids, so
+    explode restores zero-rows behavior)."""
+    from pyspark.sql.functions import pandas_udf
+
+    if not cent_rows:
+
+        @pandas_udf("array<long>")
+        def none_(vs: pd.Series) -> pd.Series:
+            return pd.Series([[] for _ in range(len(vs))])
+
+        return none_
+
+    C = np.array([v_ for _, v_ in cent_rows], dtype=np.float64)
+    cn = np.maximum(np.sqrt((C * C).sum(axis=1)), 1e-12)
+    cu = (C / cn[:, None]).T
+    cids = np.array([i for i, _ in cent_rows], dtype=np.int64)
+    scale = 10.0 ** round_digits
+
+    @pandas_udf("array<long>")
+    def best(vs: pd.Series) -> pd.Series:
+        mat = np.vstack(vs.to_numpy())
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        nrm[nrm == 0.0] = np.inf  # zero vector: cosine 0 to everything
+        sims = (mat @ cu) / nrm[:, None]
+        ri = np.sign(sims) * np.floor(np.abs(sims) * scale + 0.5)
+        order = np.argsort(-ri, axis=1, kind="stable")
+        return pd.Series(list(cids[order[:, :1]]))
+
+    return best
+
+
 def _cent_rows_from_df(cents_df):
     """The (centroid_id, cv)-relation form of ``_cent_rows_collect`` —
     the ONE id/vector extraction + lower-id-first sort every persisted
@@ -944,9 +986,10 @@ def semantic_dedup(
 
     Returns (vec_id, cluster_id, cos_to_centroid, keep) for every input
     vector.  Scale shape — ONE corpus shuffle total: centroids arrive
-    from a k-row bounded collect and ride into the assignment as parsed
-    SQL literals (narrow map, no join, no window — the ``ivfpq_topk``
-    pattern), then the cluster groupBy feeds a per-cluster
+    from a k-row bounded collect, assignment is the shared Arrow matmul
+    (narrow map, no window; the winning centroid's output cosine is
+    re-computed JVM-side for exact oracle parity), then the cluster
+    groupBy feeds a per-cluster
     ``applyInPandas`` that computes the within-cluster pairwise prune as
     blocked numpy matmuls.  The earlier relational formulation (cluster
     self-join + rounded-cosine filter) shuffles the corpus twice and
@@ -958,32 +1001,26 @@ def semantic_dedup(
     never a full |cluster|² matrix) — raise k for skewed corpora,
     exactly the SemDeDup contract.
     """
-    from paas_auditor_spark.functions.exprs import (
-        sql_doubles,
-        sql_doubles_2d,
-        sql_longs,
-    )
-
     cent_rows = _cent_rows_collect(corpus_df, k, id_col, vec_col)
-    cb = sql_doubles_2d([v for _, v in cent_rows])
-    # python sum() is the same sequential left-to-right fold as the
-    # aggregate() the relational path used, so norms are bit-identical
-    cn = sql_doubles(
-        math.sqrt(sum(x * x for x in v)) for _, v in cent_rows
+    # winner by ROUNDED cosine via the Arrow matmul (the r8 assignment
+    # convention — the HOF argmin this replaces interprets O(k·dim)
+    # work per row, the 138-s-at-64-lists lesson from nearest_lists_udf,
+    # and k now scales with the corpus); the OUTPUT cosine is computed
+    # JVM-side on the winning centroid only, so cos_to_centroid keeps
+    # the exact round()/fold arithmetic the oracle replays — numpy only
+    # RANKS, it never produces a compared value
+    best_cid = _nearest_rounded_udf(cent_rows, round_digits)
+    spark = corpus_df.sparkSession
+    cents_rel = spark.createDataFrame(
+        [
+            # python sum() = the same sequential fold as l2_norm, so
+            # the output expression's cnrm is bit-identical to the
+            # relational path's
+            (int(i), [float(x) for x in v], math.sqrt(sum(x * x for x in v)))
+            for i, v in cent_rows
+        ],
+        "cluster_id long, cv array<double>, cnrm double",
     )
-    cid = sql_longs(i for i, _ in cent_rows)
-    n_cent = len(cent_rows)
-    # best (cluster_id, rounded cosine) per row: k (−sim, id) structs,
-    # array_sort, take the head — ties broken by centroid id ascending,
-    # the same order the window formulation used
-    best_sql = f"""
-    array_sort(transform(sequence(1, {n_cent}), c ->
-      struct(
-        -round((aggregate(zip_with(v, element_at({cb}, c), (x, y) -> x * y),
-                          CAST(0.0 AS DOUBLE), (a, x) -> a + x))
-               / (nrm * element_at({cn}, c)), {round_digits}) AS negsim,
-        element_at({cid}, c) AS cluster_id)))[0]
-    """
     assigned = (
         fan_out(
             corpus_df.select(
@@ -991,13 +1028,18 @@ def semantic_dedup(
             )
         )
         .withColumn("nrm", l2_norm(F.col("v")))
-        .withColumn("b", F.expr(best_sql))
+        .withColumn("cluster_id", F.explode(best_cid(F.col("v"))))
+        .join(F.broadcast(cents_rel), "cluster_id")
         .select(
             id_col,
             "v",
             "nrm",
-            F.col("b")["cluster_id"].alias("cluster_id"),
-            (-F.col("b")["negsim"]).alias("cos_to_centroid"),
+            "cluster_id",
+            F.round(
+                dot(F.col("v"), F.col("cv"))
+                / (F.col("nrm") * F.col("cnrm")),
+                round_digits,
+            ).alias("cos_to_centroid"),
         )
     )
 

@@ -7392,13 +7392,21 @@ _DEDUP_KEEP_BEST_ORACLE = _DEDUP_CC_CTES + """,
         """
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup: coarse-cluster embeddings (centroids = vec_id < 8), prune
-    within-cluster near-duplicates (rounded cosine >= 0.4, keep lowest id).
-    Fully deterministic → exact oracle."""
+    """SemDeDup: coarse-cluster embeddings, prune within-cluster
+    near-duplicates (rounded cosine >= 0.4, keep lowest id).  Fully
+    deterministic → exact oracle.  Cluster count scales with the corpus
+    (ivf_auto_params, the r8 convention — the paper's own guidance:
+    k grows so cluster sizes stay bounded; at a FIXED k=8 the
+    per-cluster quadratic prune read 44.8× at the 100× rehearsal, the
+    (n/k)² growth this removes); the oracle recomputes the identical
+    integer-exact sizing from count(*)."""
     # _t not _th: the similarity operator fans out its own narrow
     # projection internally; an outer rebalance here would double-shuffle
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.semantic_dedup(emb, k=8, threshold=0.4)
+    nc, _ = similarity.ivf_auto_params(
+        _corpus_count(spark, sf_dir, "embeddings")
+    )
+    return similarity.semantic_dedup(emb, k=nc, threshold=0.4)
 
 
 def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10679,13 +10687,22 @@ REGISTRY: dict[str, QuerySpec] = {
     "semantic_dedup": QuerySpec(
         q_semantic_dedup,
         """
-        WITH n AS (
+        WITH pow2 AS (
+          SELECT max(CAST(power(2, g) AS BIGINT)) AS p
+          FROM generate_series(0, 30) t(g),
+               (SELECT count(*) AS cnt FROM embeddings) c
+          WHERE CAST(power(2, g) AS BIGINT) * CAST(power(2, g) AS BIGINT)
+                  <= c.cnt),
+        -- corpus-scaled cluster count: ivf_auto_params' integer-exact
+        -- twin (clamp(p/4, 8, 1024) where p² ≤ count(*))
+        params AS (SELECT greatest(8, least(1024, p // 4)) AS nc FROM pow2),
+        n AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
                                               x -> x * x))) AS nrm
           FROM embeddings),
         c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
-              FROM n WHERE vec_id < 8),
+              FROM n WHERE vec_id < (SELECT nc FROM params)),
         scored AS (
           SELECT n.vec_id, n.v, n.nrm, c.centroid_id,
                  round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 4)

@@ -475,19 +475,22 @@ def test_corpus_ops_stay_jvm_side_with_partial_agg(spark, sf_dir):
 
 
 def test_semantic_dedup_single_shuffle_no_join(spark, sf_dir):
-    """Centroids ride in as parsed literals, so cluster assignment is a
-    pure narrow map — the plan must contain NO join at all; the only
-    corpus shuffle is the cluster groupBy feeding the vectorized
-    per-cluster prune (FlatMapGroupsInPandas — the measured
-    'vectorization beats built-ins' exception, like the LSH verify)."""
+    """Cluster assignment is the Arrow matmul (r8 — one ArrowEvalPython,
+    never a row-at-a-time BatchEvalPython) plus ONE k-row broadcast join
+    that re-computes the winning centroid's cosine JVM-side for exact
+    oracle parity; the only corpus SHUFFLE is still the cluster groupBy
+    feeding the vectorized per-cluster prune (FlatMapGroupsInPandas),
+    and no sort-merge join or window touches the corpus."""
     from paas_auditor_spark.operators import similarity
     from paas_auditor_spark.sources.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
     df = similarity.semantic_dedup(emb, k=8, threshold=0.4)
     plan = assert_plan_contains(df, "FlatMapGroupsInPandas")
-    assert "Join" not in plan, plan
-    assert_plan_lacks(df, "BatchEvalPython", "ArrowEvalPython", "Window")
+    assert "ArrowEvalPython" in plan  # the vectorized assignment
+    assert "BroadcastHashJoin" in plan  # k-row centroid cosine re-join
+    assert "SortMergeJoin" not in plan, plan
+    assert_plan_lacks(df, "BatchEvalPython", "Window")
 
 
 def test_ivfpq_decodes_without_join_and_reranks_shortlist(spark, sf_dir):

@@ -40,6 +40,11 @@ QUERIES = [
     "unshipped_events", "pricing_summary", "bloom_decontaminate",
     "cdc_near_dup", "bm25_search", "bm25_persisted",
     "embedding_near_dup_lsh", "activity_gini",
+    # r8 flagships (both measured plan-invariant at 10× AND 100×);
+    # the adaptive-parameter queries (knn_ivf*, semantic_dedup) are
+    # deliberately NOT pinned — their centroid counts change with
+    # corpus size by design
+    "lm_perplexity_persisted", "audio_windows",
 ]
 
 
