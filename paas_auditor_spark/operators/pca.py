@@ -9,10 +9,10 @@ captures strictly more variance — the standard front-end for whitening,
 visualization, and ANN pre-reduction.
 
 Scale design: the covariance needs O(n·d²) multiplies no matter who
-computes it; here each row emits its d(d+1)/2 upper-triangle product
-terms in ONE narrow flatten (plus d mean terms riding the same
-explode), and one map-side-combined groupBy reduces them to ≤ d² rows —
-the only shuffle, carrying (i, j, partial sums), never vectors.  The
+computes it; here each PARTITION accumulates its partial gram matrix as
+numpy ``Xᵀ·X`` per Arrow batch and emits ≤ d(d+3)/2 sufficient-statistic
+rows, and one groupBy reduces the P·d²-ish partials — the only shuffle,
+carrying (i, j, partial sums), never vectors or per-row terms.  The
 eigendecomposition happens on the DRIVER over the collected d×d matrix:
 a bounded O(d²) collect (d=64 → 2080 rows), the documented
 bounded-collect convention (PQ codebooks, k-means centroids) — the
@@ -23,7 +23,7 @@ per-element round trips) applied in a narrow map.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from paas_auditor_spark.functions.exprs import sql_doubles, sql_doubles_2d
@@ -31,47 +31,57 @@ from paas_auditor_spark.functions.exprs import sql_doubles, sql_doubles_2d
 __all__ = ["covariance_matrix", "pca_project"]
 
 
-def _pair_terms(dim: int) -> Column:
-    """Per-row term array: (i, 0, x_i) mean terms and (i, j, x_i·x_j)
-    upper-triangle product terms, 1-based, over column ``v``."""
-
-    def xi(i: Column) -> Column:
-        return F.element_at(F.col("v"), i)
-
-    return F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(dim)),
-            lambda i: F.concat(
-                F.array(
-                    F.struct(
-                        i.alias("i"), F.lit(0).alias("j"), xi(i).alias("xy")
-                    )
-                ),
-                F.transform(
-                    F.sequence(i, F.lit(dim)),
-                    lambda j: F.struct(
-                        i.alias("i"),
-                        j.alias("j"),
-                        (xi(i) * xi(j)).alias("xy"),
-                    ),
-                ),
-            ),
-        )
-    )
-
-
 def _sums(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
-    """(i, j, Σ term, n) reduce of the per-row term arrays — one scan,
-    one map-side-combined shuffle of ≤ d² rows; j = 0 rows carry the
-    mean sums."""
+    """(i, j, Σ term, n) sufficient statistics for the covariance —
+    j = 0 rows carry the mean sums, j ≥ i the upper-triangle product
+    sums (1-based).
+
+    Shape (r8): each partition accumulates its PARTIAL GRAM MATRIX as
+    one numpy ``Xᵀ·X`` per Arrow batch and emits ≤ d(d+3)/2 rows total
+    (mapInPandas over the whole partition iterator), so the reduce
+    shuffles P·d²-ish rows — a cluster constant.  The previous
+    expression form exploded d(d+3)/2 STRUCTS PER INPUT ROW (2 144 at
+    d=64 — 430M exploded rows at the 100×-rehearsal corpus, measured
+    23.8× wall) — the covariance twin of the IVF-assignment lesson:
+    per-row O(d²) interpreted work belongs in one BLAS call.  Summation
+    regroups (per-batch matmul partials vs one global fold), which is
+    inside the 4dp rounding every consumer applies — the same
+    cross-engine argument the oracle match already relies on."""
+    import numpy as np
+    import pandas as pd
+
     base = df.where(F.col(vec_col).isNotNull()).select(
         F.col(vec_col).cast("array<double>").alias("v")
     )
-    terms = base.select(F.explode(_pair_terms(dim)).alias("t")).select(
-        "t.i", "t.j", "t.xy"
+    iu, ju = np.triu_indices(dim)
+
+    def partial_gram(batches):
+        gram = np.zeros((dim, dim))
+        col = np.zeros(dim)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf["v"].to_numpy())
+            gram += m.T @ m
+            col += m.sum(axis=0)
+            n += len(m)
+        if n == 0:
+            return
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate([np.arange(1, dim + 1), iu + 1]),
+                "j": np.concatenate([np.zeros(dim, dtype=int), ju + 1]),
+                "sxy": np.concatenate([col, gram[iu, ju]]),
+                "n": n,
+            }
+        )
+
+    partials = base.mapInPandas(
+        partial_gram, schema="i int, j int, sxy double, n long"
     )
-    return terms.groupBy("i", "j").agg(
-        F.sum("xy").alias("sxy"), F.count(F.lit(1)).alias("n")
+    return partials.groupBy("i", "j").agg(
+        F.sum("sxy").alias("sxy"), F.sum("n").alias("n")
     )
 
 
