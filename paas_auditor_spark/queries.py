@@ -7206,21 +7206,11 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_report(emb).orderBy("label")
 
 
-def _oracle_pq_report(
-    m: int = 4, k: int = 16, dim: int = 64, iters: int = 4, sample_n: int = 256
-) -> str:
-    """Exact SQL replay of pq_report: per-subspace Lloyd's (init = first
-    k sample subvectors, ``iters`` rounds unrolled — the _oracle_kmeans
-    convention, including the 9dp iteration-barrier rounding that makes
-    the trajectory a cross-engine closed form and the keep-previous rule
-    for empty clusters), then whole-corpus assignment per subspace and
-    the per-label error aggregate.  Assignment ranks by the same
-    ||c||² − 2·x·c partial the kmeans oracle uses (row-constant ||x||²
-    added back for the exact squared error)."""
-    sub = dim // m
-
-    def assign(j: int, src: str, cents: str, out: str) -> str:
-        return f"""
+def _pq_assign_cte(src: str, cents: str, out: str) -> str:
+    """One nearest-centroid CTE over subvectors (ranking by the
+    ||c||² − 2·x·c partial, ties to the lower id — the kmeans-oracle
+    convention shared by PQ training, PQ encoding and the report)."""
+    return f"""
         {out} AS (
           SELECT vec_id, sv, cid, partial FROM (
             SELECT s.vec_id, s.sv, c.cid,
@@ -7232,7 +7222,15 @@ def _oracle_pq_report(
                      c.cid ASC) AS r
             FROM {src} s CROSS JOIN {cents} c) WHERE r = 1)"""
 
-    def recenter(j: int, a: str, prev: str, out: str) -> str:
+
+def _pq_lloyd_ctes(m: int, k: int, sub: int, iters: int) -> list[str]:
+    """The per-subspace Lloyd's training chain (9dp iteration-barrier
+    rounding, keep-previous empty clusters) over a CTE named ``samp``
+    with (vec_id, e) — produces s{j} subvector views and c{j}_{iters}
+    codebooks.  Shared by _oracle_pq_report and the end-to-end IVF-PQ
+    oracle so both replay the IDENTICAL trained model."""
+
+    def recenter(a: str, prev: str, out: str) -> str:
         return f"""
         {out} AS (
           SELECT p.cid, coalesce(mv.cv, p.cv) AS cv
@@ -7242,12 +7240,7 @@ def _oracle_pq_report(
               FROM {a} a, unnest(generate_series(1, {sub})) AS t(d)
               GROUP BY a.cid, d) GROUP BY cid) mv ON mv.cid = p.cid)"""
 
-    ctes = [
-        "v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e"
-        " FROM embeddings)",
-        f"samp AS (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {sample_n})",
-    ]
-    finals = []
+    ctes = []
     for j in range(m):
         lo, hi = j * sub + 1, (j + 1) * sub
         ctes.append(
@@ -7260,13 +7253,38 @@ def _oracle_pq_report(
           FROM (SELECT vec_id, sv FROM s{j} ORDER BY vec_id LIMIT {k}))"""
         )
         for i in range(1, iters + 1):
-            ctes.append(assign(j, f"s{j}", f"c{j}_{i - 1}", f"a{j}_{i}"))
-            ctes.append(recenter(j, f"a{j}_{i}", f"c{j}_{i - 1}", f"c{j}_{i}"))
+            ctes.append(_pq_assign_cte(f"s{j}", f"c{j}_{i - 1}", f"a{j}_{i}"))
+            ctes.append(recenter(f"a{j}_{i}", f"c{j}_{i - 1}", f"c{j}_{i}"))
+    return ctes
+
+
+def _oracle_pq_report(
+    m: int = 4, k: int = 16, dim: int = 64, iters: int = 4, sample_n: int = 256
+) -> str:
+    """Exact SQL replay of pq_report: per-subspace Lloyd's (init = first
+    k sample subvectors, ``iters`` rounds unrolled — the _oracle_kmeans
+    convention, including the 9dp iteration-barrier rounding that makes
+    the trajectory a cross-engine closed form and the keep-previous rule
+    for empty clusters), then whole-corpus assignment per subspace and
+    the per-label error aggregate.  Assignment ranks by the same
+    ||c||² − 2·x·c partial the kmeans oracle uses (row-constant ||x||²
+    added back for the exact squared error).  Training chain shared
+    with the end-to-end IVF-PQ oracle via _pq_lloyd_ctes."""
+    sub = dim // m
+    ctes = [
+        "v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e"
+        " FROM embeddings)",
+        f"samp AS (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {sample_n})",
+    ]
+    ctes += _pq_lloyd_ctes(m, k, sub, iters)
+    finals = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
         ctes.append(
             f"vs{j} AS (SELECT vec_id, list_slice(e, {lo}, {hi}) AS sv"
             " FROM v)"
         )
-        ctes.append(assign(j, f"vs{j}", f"c{j}_{iters}", f"f{j}"))
+        ctes.append(_pq_assign_cte(f"vs{j}", f"c{j}_{iters}", f"f{j}"))
         # raw per-subspace error (may be -1e-16); the clamp applies to
         # the TOTAL only, exactly like pq_assign's greatest(err2, 0)
         finals.append(
@@ -7286,6 +7304,129 @@ def _oracle_pq_report(
                {float(dim * 4) / m} AS compression
         FROM v JOIN errs USING (vec_id)
         GROUP BY v.label ORDER BY v.label
+        """
+    )
+
+
+def _oracle_ivfpq_topk(
+    m: int = 4,
+    codes: int = 16,
+    dim: int = 64,
+    iters: int = 4,
+    k: int = 5,
+    rerank: int = 32,
+) -> str:
+    """END-TO-END exact SQL replay of ivfpq_topk — the r8 upgrade that
+    retires the last 'PQ internals are engine-specific' rows-only pair:
+    every stage is individually closed-form since this round (corpus-
+    scaled nc/np from count(*) = ivf_auto_params' integer twin; PQ
+    codebooks via the 9dp-barrier Lloyd's chain shared with
+    _oracle_pq_report; IVF assignment ranking by raw cosine — the
+    nearest_lists_udf near-tie argument; PQ encoding by the
+    partial-form argmin; ADC ranking dot(q, reconstruction) with the
+    1e-12 norm floor; exact re-rank of the rounded cosine), so their
+    composition is too.  Unrounded RANKING values (assignment, ADC)
+    cross engines on the same sequential-fold arithmetic DuckDB's
+    list_dot_product uses; identical-code candidates tie EXACTLY and
+    break by neighbor id on both sides."""
+    sub = dim // m
+    sample_n = f"greatest(256, (SELECT nc FROM params))"
+    ctes = [
+        """pow2 AS (
+          SELECT max(CAST(power(2, g) AS BIGINT)) AS p
+          FROM generate_series(0, 30) t(g),
+               (SELECT count(*) AS cnt FROM embeddings) c
+          WHERE CAST(power(2, g) AS BIGINT) * CAST(power(2, g) AS BIGINT)
+                  <= c.cnt)""",
+        """params AS (
+          SELECT greatest(8, least(1024, p // 4)) AS nc,
+                 greatest(2, least(8, greatest(8, least(1024, p // 4)) // 8))
+                   AS np
+          FROM pow2)""",
+        """v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                              x -> x * x))) AS nrm
+          FROM embeddings)""",
+        f"""samp AS (
+          SELECT vec_id, e FROM (
+            SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn
+            FROM v)
+          WHERE rn <= {sample_n})""",
+    ]
+    ctes += _pq_lloyd_ctes(m, codes, sub, iters)
+    ctes += [
+        """cents AS (
+          SELECT vec_id AS cid, e AS cv, nrm AS cn FROM v
+          WHERE vec_id < (SELECT nc FROM params))""",
+        """c_assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT v.vec_id, cents.cid,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     list_dot_product(v.e, cents.cv) / (v.nrm * cents.cn)
+                       DESC, cents.cid) AS r
+            FROM v CROSS JOIN cents) WHERE r = 1)""",
+    ]
+    recon_joins = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        ctes.append(
+            f"cs{j} AS (SELECT vec_id, list_slice(e, {lo}, {hi}) AS sv"
+            " FROM v)"
+        )
+        ctes.append(_pq_assign_cte(f"cs{j}", f"c{j}_{iters}", f"e{j}"))
+        recon_joins.append(
+            f"JOIN e{j} ON e{j}.vec_id = v.vec_id "
+            f"JOIN c{j}_{iters} cb{j} ON cb{j}.cid = e{j}.cid"
+        )
+    rv = " || ".join(f"cb{j}.cv" for j in range(m))
+    ctes += [
+        f"""recon AS (
+          SELECT v.vec_id, {rv} AS rv
+          FROM v {' '.join(recon_joins)})""",
+        """lists AS (
+          SELECT v.vec_id, v.e, v.nrm, a.cid, r.rv,
+                 sqrt(list_sum(list_transform(r.rv, x -> x * x))) AS rn
+          FROM v JOIN c_assign a USING (vec_id) JOIN recon r
+            USING (vec_id))""",
+        """qv AS (SELECT * FROM v WHERE vec_id < 10)""",
+        """q_assign AS (
+          SELECT vec_id, e, nrm, cid FROM (
+            SELECT qv.vec_id, qv.e, qv.nrm, cents.cid,
+                   row_number() OVER (PARTITION BY qv.vec_id ORDER BY
+                     list_dot_product(qv.e, cents.cv) / (qv.nrm * cents.cn)
+                       DESC, cents.cid) AS r
+            FROM qv CROSS JOIN cents)
+          WHERE r <= (SELECT np FROM params))""",
+        """cand AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_dot_product(q.e, c.rv)
+                   / (q.nrm * greatest(c.rn, 1e-12)) AS adc,
+                 c.e AS cv_full, c.nrm AS cn, q.e AS qe, q.nrm AS qn
+          FROM q_assign q JOIN lists c USING (cid)
+          WHERE q.vec_id <> c.vec_id)""",
+        f"""short AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY adc DESC, neighbor_id ASC) AS ar
+            FROM cand)
+          WHERE ar <= {rerank})""",
+        """resc AS (
+          SELECT query_id, neighbor_id,
+                 round(list_dot_product(qe, cv_full) / (qn * cn), 4)
+                   AS cos_sim
+          FROM short)""",
+    ]
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"""
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS "rank"
+        FROM resc
+        QUALIFY "rank" <= {k}
+        ORDER BY query_id, "rank"
         """
     )
 
@@ -10725,8 +10866,13 @@ REGISTRY: dict[str, QuerySpec] = {
         ORDER BY a.vec_id
         """,
     ),
-    "knn_ivfpq": QuerySpec(q_knn_ivfpq, None),
-    "knn_ivfpq_persisted": QuerySpec(q_knn_ivfpq_persisted, None),
+    # EXACT since r8 (the composition of this round's closed forms —
+    # see _oracle_ivfpq_topk); the persisted twin probes the identical
+    # frozen model, so it shares the oracle (the bm25_persisted rule)
+    "knn_ivfpq": QuerySpec(q_knn_ivfpq, _oracle_ivfpq_topk()),
+    "knn_ivfpq_persisted": QuerySpec(
+        q_knn_ivfpq_persisted, _oracle_ivfpq_topk()
+    ),
     "segment_dedup": QuerySpec(
         q_segment_dedup,
         """
