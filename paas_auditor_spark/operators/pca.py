@@ -50,8 +50,19 @@ def _sums(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    base = df.where(F.col(vec_col).isNotNull()).select(
-        F.col(vec_col).cast("array<double>").alias("v")
+    # rows with NULL ELEMENTS or off-dimension arrays are excluded up
+    # front (r8 review): Arrow hands a null element to numpy as NaN,
+    # which one gram update would spread into every (i, j) sum — an
+    # all-NaN covariance and a LinAlgError out of eigh — and a ragged
+    # length crashes np.vstack.  The defined contract: the statistics
+    # cover exactly the complete dim-wide vectors.
+    base = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .where(
+            (F.size("v") == dim)
+            & ~F.exists("v", lambda x: x.isNull())
+        )
     )
     iu, ju = np.triu_indices(dim)
 

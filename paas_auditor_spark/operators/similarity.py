@@ -182,6 +182,31 @@ def lsh_bucket_keys_udf(n_planes: int, n_tables: int, dim: int = 64):
     return bucket_keys
 
 
+def _empty_ids_udf():
+    """pandas_udf returning an empty id array per row — the shared
+    no-centroids fallback: explode of an empty array restores the
+    zero-assignment-rows behavior of the replaced join+window forms."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def none_(vs: pd.Series) -> pd.Series:
+        return pd.Series([[] for _ in range(len(vs))])
+
+    return none_
+
+
+def _cent_matrix(cent_rows):
+    """(unit-centroid matrix dim×k, id vector) from (id, vec) rows —
+    the ONE place the 1e-12 norm floor and the sorted-by-id layout
+    (which makes stable ties = lowest centroid id) live, shared by the
+    raw-cosine and rounded-cosine assignment UDFs."""
+    C = np.array([v_ for _, v_ in cent_rows], dtype=np.float64)
+    cn = np.maximum(np.sqrt((C * C).sum(axis=1)), 1e-12)
+    cu = (C / cn[:, None]).T
+    cids = np.array([i for i, _ in cent_rows], dtype=np.int64)
+    return cu, cids
+
+
 def nearest_lists_udf(cent_rows, n_lists: int):
     """Arrow-batched IVF coarse assignment: the ``n_lists`` nearest
     centroid ids per vector (by cosine, ties to the lower centroid id)
@@ -210,20 +235,10 @@ def nearest_lists_udf(cent_rows, n_lists: int):
     from pyspark.sql.functions import pandas_udf
 
     if not cent_rows:
-        # empty corpus / just-initialized index: no centroid → no list.
-        # Returning an empty id array per row lets every call site keep
-        # the pre-r8 join+window behavior (zero assignment rows) via
-        # explode, instead of a numpy AxisError at construction.
-        @pandas_udf("array<long>")
-        def nearest_none(vs: pd.Series) -> pd.Series:
-            return pd.Series([[] for _ in range(len(vs))])
+        # empty corpus / just-initialized index: no centroid → no list
+        return _empty_ids_udf()
 
-        return nearest_none
-
-    C = np.array([v_ for _, v_ in cent_rows], dtype=np.float64)
-    cn = np.maximum(np.sqrt((C * C).sum(axis=1)), 1e-12)
-    cu = (C / cn[:, None]).T  # (dim × n_centroids), unit columns
-    cids = np.array([i for i, _ in cent_rows], dtype=np.int64)
+    cu, cids = _cent_matrix(cent_rows)
 
     @pandas_udf("array<long>")
     def nearest(vs: pd.Series) -> pd.Series:
@@ -268,17 +283,9 @@ def _nearest_rounded_udf(cent_rows, round_digits: int):
     from pyspark.sql.functions import pandas_udf
 
     if not cent_rows:
+        return _empty_ids_udf()
 
-        @pandas_udf("array<long>")
-        def none_(vs: pd.Series) -> pd.Series:
-            return pd.Series([[] for _ in range(len(vs))])
-
-        return none_
-
-    C = np.array([v_ for _, v_ in cent_rows], dtype=np.float64)
-    cn = np.maximum(np.sqrt((C * C).sum(axis=1)), 1e-12)
-    cu = (C / cn[:, None]).T
-    cids = np.array([i for i, _ in cent_rows], dtype=np.int64)
+    cu, cids = _cent_matrix(cent_rows)
     scale = 10.0 ** round_digits
 
     @pandas_udf("array<long>")
@@ -288,8 +295,10 @@ def _nearest_rounded_udf(cent_rows, round_digits: int):
         nrm[nrm == 0.0] = np.inf  # zero vector: cosine 0 to everything
         sims = (mat @ cu) / nrm[:, None]
         ri = np.sign(sims) * np.floor(np.abs(sims) * scale + 0.5)
-        order = np.argsort(-ri, axis=1, kind="stable")
-        return pd.Series(list(cids[order[:, :1]]))
+        # argmax returns the FIRST maximum — lowest centroid id on ties
+        # (cent_rows is id-sorted), at O(k) instead of a full argsort
+        best_idx = np.argmax(ri, axis=1)
+        return pd.Series([[cid] for cid in cids[best_idx]])
 
     return best
 
@@ -1413,12 +1422,19 @@ def ivfpq_topk_persisted(
             "c_n",
             "q_v",
             "q_n",
-            (
+            # ADC rounded to 9dp BEFORE the rerank cut (r8 review):
+            # unrounded ranking makes shortlist membership a cliff — a
+            # 1-ulp cross-engine difference at candidate 32/33 would
+            # rerank different sets; at 9dp near-equal values tie
+            # EXACTLY and break by neighbor id on both engines, and a
+            # 1e-9 ordering grain is far below any recall-relevant gap
+            F.round(
                 dot(F.col("q_v"), F.col("rv"))
                 / (
                     F.col("q_n")
                     * F.greatest(F.col("rn_norm"), F.lit(1e-12))
-                )
+                ),
+                9,
             ).alias("adc_sim"),
         )
     )
@@ -1488,8 +1504,11 @@ def ivfpq_topk(
     the only shuffles in the whole query are the two per-query top-k
     windows (shortlist + final re-rank).
 
-    Approximate by construction (rows-only oracle); recall vs the exact
-    baseline is pinned by test_similarity.py.
+    Approximate as an ANN answer, deterministic as a computation: since
+    r8 the registry entry carries a FULL exact oracle (the pipeline is
+    a composition of closed forms — see queries._oracle_ivfpq_topk);
+    recall vs the exact baseline is additionally pinned by
+    test_similarity.py.
     """
     # math imported at module level
 
@@ -1554,12 +1573,19 @@ def ivfpq_topk(
             "c_n",
             "q_v",
             "q_n",
-            (
+            # ADC rounded to 9dp BEFORE the rerank cut (r8 review):
+            # unrounded ranking makes shortlist membership a cliff — a
+            # 1-ulp cross-engine difference at candidate 32/33 would
+            # rerank different sets; at 9dp near-equal values tie
+            # EXACTLY and break by neighbor id on both engines, and a
+            # 1e-9 ordering grain is far below any recall-relevant gap
+            F.round(
                 dot(F.col("q_v"), F.col("rv"))
                 / (
                     F.col("q_n")
                     * F.greatest(F.col("rn_norm"), F.lit(1e-12))
-                )
+                ),
+                9,
             ).alias("adc_sim"),
         )
     )

@@ -1673,22 +1673,27 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_duplicates_lsh(emb, threshold=0.4)
 
 
-_IVF_TOPK_ORACLE = """
-        WITH pow2 AS (
+_IVF_PARAMS_SQL = """pow2 AS (
           SELECT max(CAST(power(2, g) AS BIGINT)) AS p
           FROM generate_series(0, 30) t(g),
                (SELECT count(*) AS cnt FROM embeddings) c
           WHERE CAST(power(2, g) AS BIGINT) * CAST(power(2, g) AS BIGINT)
                   <= c.cnt),
-        -- corpus-scaled sizing, integer-exact twin of
-        -- operators/similarity.py::ivf_auto_params: nc = clamp(p/4, 8,
-        -- 1024) where p = largest power of two with p² ≤ count(*);
-        -- np = clamp(nc/8, 2, 8)
+        -- corpus-scaled sizing, the ONE integer-exact SQL twin of
+        -- operators/similarity.py::ivf_auto_params (r8 review: this
+        -- block was hand-copied into three oracles; a clamp change
+        -- missed in one would silently break its cross-engine hash):
+        -- nc = clamp(p/4, 8, 1024) where p = largest power of two with
+        -- p² ≤ count(*); np = clamp(nc/8, 2, 8)
         params AS (
           SELECT greatest(8, least(1024, p // 4)) AS nc,
                  greatest(2, least(8, greatest(8, least(1024, p // 4)) // 8))
                    AS np
-          FROM pow2),
+          FROM pow2)"""
+
+
+_IVF_TOPK_ORACLE = f"""
+        WITH {_IVF_PARAMS_SQL},
         n AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
@@ -7332,17 +7337,7 @@ def _oracle_ivfpq_topk(
     sub = dim // m
     sample_n = f"greatest(256, (SELECT nc FROM params))"
     ctes = [
-        """pow2 AS (
-          SELECT max(CAST(power(2, g) AS BIGINT)) AS p
-          FROM generate_series(0, 30) t(g),
-               (SELECT count(*) AS cnt FROM embeddings) c
-          WHERE CAST(power(2, g) AS BIGINT) * CAST(power(2, g) AS BIGINT)
-                  <= c.cnt)""",
-        """params AS (
-          SELECT greatest(8, least(1024, p // 4)) AS nc,
-                 greatest(2, least(8, greatest(8, least(1024, p // 4)) // 8))
-                   AS np
-          FROM pow2)""",
+        _IVF_PARAMS_SQL,
         """v AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
                  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
@@ -7356,9 +7351,15 @@ def _oracle_ivfpq_topk(
     ]
     ctes += _pq_lloyd_ctes(m, codes, sub, iters)
     ctes += [
+        # centroids = the first nc rows of the SAMPLE PREFIX, matching
+        # _pq_sample_rows(...)[:n_centroids] (r8 review: `vec_id < nc`
+        # silently diverges on any corpus whose ids are not 0-based
+        # contiguous; identical on the committed dense-id corpora)
         """cents AS (
-          SELECT vec_id AS cid, e AS cv, nrm AS cn FROM v
-          WHERE vec_id < (SELECT nc FROM params))""",
+          SELECT s.vec_id AS cid, s.e AS cv, v.nrm AS cn FROM (
+            SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn
+            FROM samp) s JOIN v USING (vec_id)
+          WHERE s.rn <= (SELECT nc FROM params))""",
         """c_assign AS (
           SELECT vec_id, cid FROM (
             SELECT v.vec_id, cents.cid,
@@ -7400,8 +7401,8 @@ def _oracle_ivfpq_topk(
           WHERE r <= (SELECT np FROM params))""",
         """cand AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 list_dot_product(q.e, c.rv)
-                   / (q.nrm * greatest(c.rn, 1e-12)) AS adc,
+                 round(list_dot_product(q.e, c.rv)
+                       / (q.nrm * greatest(c.rn, 1e-12)), 9) AS adc,
                  c.e AS cv_full, c.nrm AS cn, q.e AS qe, q.nrm AS qn
           FROM q_assign q JOIN lists c USING (cid)
           WHERE q.vec_id <> c.vec_id)""",
@@ -7552,8 +7553,10 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN top-k: IVF probe -> PQ-reconstruction candidate ranking
-    -> exact re-rank of the shortlist.  Approximate by construction →
-    rows-only check; recall pinned in test_similarity.py.  List count
+    -> exact re-rank of the shortlist.  Approximate as an ANN ANSWER but
+    fully deterministic as a computation — EXACT oracle since r8
+    (_oracle_ivfpq_topk replays the whole pipeline; recall additionally
+    pinned in test_similarity.py).  List count
     scales with the corpus (ivf_auto_params — VERDICT r7 #1: fixed
     n_centroids=8 read 10.45× wall at the 100× rehearsal; the measured
     64-list/8-probe point on the same 200k corpus ran 1.67 s vs 2.12 s)."""
@@ -10827,16 +10830,8 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "semantic_dedup": QuerySpec(
         q_semantic_dedup,
-        """
-        WITH pow2 AS (
-          SELECT max(CAST(power(2, g) AS BIGINT)) AS p
-          FROM generate_series(0, 30) t(g),
-               (SELECT count(*) AS cnt FROM embeddings) c
-          WHERE CAST(power(2, g) AS BIGINT) * CAST(power(2, g) AS BIGINT)
-                  <= c.cnt),
-        -- corpus-scaled cluster count: ivf_auto_params' integer-exact
-        -- twin (clamp(p/4, 8, 1024) where p² ≤ count(*))
-        params AS (SELECT greatest(8, least(1024, p // 4)) AS nc FROM pow2),
+        f"""
+        WITH {_IVF_PARAMS_SQL},
         n AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
