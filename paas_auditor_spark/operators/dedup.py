@@ -200,37 +200,133 @@ def _banded_from_sets(
     num_hashes: int,
     num_bands: int,
 ) -> DataFrame:
-    """(id, band_id, band_hash) directly from hashed shingle sets — one
-    narrow projection, no signature materialization, no shuffle."""
-    return sets_df.select(
-        F.col(id_col),
-        F.posexplode(F.expr(_band_keys_sql(num_hashes, num_bands))).alias(
-            "band_id", "band_hash"
-        ),
+    """(id, prior, band_id, band_hash) directly from hashed shingle sets —
+    one narrow projection, no signature materialization, no shuffle.
+
+    ``prior`` is the array of this row's band keys for all EARLIER bands
+    (``slice(bkeys, 1, band_id)``): it rides the band shuffle so the pair
+    join can keep each candidate pair only in its FIRST shared band (see
+    ``_pairs_from_banded``), replacing the post-join ``.distinct()`` —
+    whose shuffle volume is the per-bucket pair count × the number of
+    matching bands, the term that explodes on duplicate-heavy corpora —
+    with a map-side filter.  Average payload is num_bands/2 longs per row.
+    """
+    return (
+        sets_df.select(
+            F.col(id_col),
+            F.expr(_band_keys_sql(num_hashes, num_bands)).alias("bkeys"),
+        )
+        .select(
+            F.col(id_col),
+            F.posexplode("bkeys").alias("band_id", "band_hash"),
+            F.expr("slice(bkeys, 1, band_id)").alias("prior"),
+        )
+    )
+
+
+def _cap_buckets(banded: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Drop every (band_id, band_hash) bucket whose occupancy exceeds
+    ``max_bucket`` — the banding twin of the CDC family's >50-copy
+    chunk-hash drop (operators/dedup.py::cdc chunking), sized for band
+    buckets where occupancy counts DISTINCT contents (identical shingle
+    sets are collapsed to one representative before banding).
+
+    A bucket with B members emits ~B²/2 join rows; one boilerplate
+    family with 10⁶ near-identical variants would otherwise emit ~10¹²
+    pairs from a single bucket and kill the job.  Dropping the whole
+    bucket (not truncating it) keeps the surviving candidate set
+    unbiased; a dropped pair can still surface through any of its other
+    bands that stay under the cap.  Quantify drops for a corpus with
+    ``minhash_bucket_audit``.
+
+    The occupancy window partitions by exactly the pair-join's keys, so
+    it rides the same Exchange the join needs — no extra shuffle.
+    """
+    if max_bucket is None:
+        return banded
+    if max_bucket < 2:
+        raise ValueError(f"max_bucket={max_bucket} must be >= 2 or None")
+    w = Window.partitionBy("band_id", "band_hash")
+    return (
+        banded.withColumn("_occ", F.count(F.lit(1)).over(w))
+        .filter(F.col("_occ") <= F.lit(max_bucket))
+        .drop("_occ")
     )
 
 
 def _pairs_from_banded(
-    banded_l: DataFrame, banded_r: DataFrame, id_col: str, self_join: bool
+    banded_l: DataFrame,
+    banded_r: DataFrame,
+    id_col: str,
+    self_join: bool,
+    max_bucket: int | None,
 ) -> DataFrame:
-    """Distinct candidate pairs from banded tables via the (band_id,
-    band_hash) equi-join.  For a self-join both sides are the SAME plan,
-    so Spark reuses one Exchange (the banded table shuffles once)."""
+    """Candidate pairs from banded tables via the (band_id, band_hash)
+    equi-join, unique WITHOUT a ``.distinct()``: a pair is kept only in
+    its first shared band (``prior`` keys disagree everywhere earlier),
+    so each candidate flows out of the join exactly once and the
+    distinct's shuffle of every per-band duplicate — B²/2 rows per
+    bucket × matching bands — never happens.
+
+    Buckets above ``max_bucket`` occupancy are dropped (audited hazard
+    guard, see ``_cap_buckets``).  The two guards compose conservatively:
+    a pair whose FIRST shared band sits in a dropped bucket is dropped
+    even if a later shared band survives — near-identical flood members
+    share most bands, so their buckets are hot together; the marginal
+    extra loss is part of the audited recall trade, and the composition
+    never duplicates or fabricates a pair.
+
+    For a self-join both sides are the SAME capped plan, so Spark reuses
+    one Exchange (the banded table shuffles once, shared by the
+    occupancy window and both join sides)."""
+    banded_l = _cap_buckets(banded_l, max_bucket)
+    banded_r = banded_l if self_join else _cap_buckets(banded_r, max_bucket)
     on = [
         F.col("l.band_id") == F.col("r.band_id"),
         F.col("l.band_hash") == F.col("r.band_hash"),
     ]
     if self_join:
         on.append(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+    first_shared_band = F.expr(
+        "NOT exists(zip_with(l.prior, r.prior, (x, y) -> x = y), v -> v)"
+    )
     return (
         banded_l.alias("l")
         .join(banded_r.alias("r"), on=on)
+        .where(first_shared_band)
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
         )
-        .distinct()
     )
+
+
+def _collapse_identical_sets(
+    sets_df: DataFrame, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse exact-identical hashed shingle sets to one representative.
+
+    Returns ``(membership, rep_sets)``: ``membership`` maps every id to
+    its group representative (min id among docs with byte-identical
+    sorted shingle sets); ``rep_sets`` is the (id, hset) table restricted
+    to representatives.  This is the first hot-bucket guard: a page
+    duplicated 10⁶ times verbatim — routine at web-crawl scale — bands as
+    ONE row instead of 10⁶ rows sharing every bucket, so exact-duplicate
+    floods never reach the pair join at all.  The content key is computed
+    narrowly (no payload shuffle: reps aggregate (ckey, id) pairs only;
+    the hset payload moves once, keyed by id, to build rep_sets — the
+    same keying the verify join needs anyway).
+    """
+    slim = sets_df.select(
+        F.col(id_col),
+        F.xxhash64(F.array_sort(F.col("hset"))).alias("_ckey"),
+    )
+    reps = slim.groupBy("_ckey").agg(F.min(id_col).alias("_rep"))
+    membership = slim.join(reps, "_ckey").select(F.col(id_col), F.col("_rep"))
+    rep_sets = sets_df.join(
+        reps.select(F.col("_rep").alias(id_col)), id_col
+    ).select(F.col(id_col), F.col("hset"))
+    return membership, rep_sets
 
 
 def _signatures_from_exploded(
@@ -251,26 +347,94 @@ def _signatures_from_exploded(
 def _banded(
     sig_df: DataFrame, id_col: str, num_hashes: int, num_bands: int
 ) -> DataFrame:
-    """(id, band_id, band_hash) rows: each band's signature slice folded
-    to one numeric key (polynomial fold — no string building)."""
+    """(id, prior, band_id, band_hash) rows: each band's signature slice
+    folded to one numeric key (polynomial fold — no string building);
+    ``prior`` carries the earlier bands' keys for first-shared-band pair
+    dedup (see ``_banded_from_sets``)."""
     rows_per_band = _rows_per_band(num_hashes, num_bands)
-    return sig_df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.aggregate(
-                        F.slice(
-                            "signature", bi * rows_per_band + 1, rows_per_band
-                        ),
-                        F.lit(0).cast("long"),
-                        lambda acc, x: acc * F.lit(1000003) + x,
-                    )
-                    for bi in range(num_bands)
-                ]
+    bkeys = F.array(
+        *[
+            F.aggregate(
+                F.slice("signature", bi * rows_per_band + 1, rows_per_band),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc * F.lit(1000003) + x,
             )
-        ).alias("band_id", "band_hash"),
+            for bi in range(num_bands)
+        ]
     )
+    return sig_df.select(F.col(id_col), bkeys.alias("bkeys")).select(
+        F.col(id_col),
+        F.posexplode("bkeys").alias("band_id", "band_hash"),
+        F.expr("slice(bkeys, 1, band_id)").alias("prior"),
+    )
+
+
+def _expand_group_pairs(
+    rep_pairs: DataFrame,
+    membership: DataFrame,
+    id_col: str,
+    extra_cols: list[str],
+) -> DataFrame:
+    """Expand representative-level pairs back to member-level pairs.
+
+    Each rep pair (id_a, id_b) fans out to every (member of id_a's group)
+    × (member of id_b's group) combination — pure row generation through
+    two equi-joins on the (id → rep) membership table, never a shuffle of
+    the pair space.  Member ids from the two (disjoint) groups can
+    interleave, so the output pair is re-oriented least/greatest; values
+    in ``extra_cols`` (e.g. jaccard) hold for every member combination
+    because group members have byte-identical shingle sets."""
+    ma = membership.select(
+        F.col("_rep").alias("id_a"), F.col(id_col).alias("_ma")
+    )
+    mb = membership.select(
+        F.col("_rep").alias("id_b"), F.col(id_col).alias("_mb")
+    )
+    return (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            *extra_cols,
+        )
+    )
+
+
+def _intra_group_pairs(
+    membership: DataFrame, id_col: str, identical_edges: str
+) -> DataFrame:
+    """Pairs WITHIN an identical-content group.
+
+    ``identical_edges="all"``: every pair (the classic pair-list output —
+    inherently quadratic in group size, generated by one equi-join on the
+    group key, no banding involved).  ``"star"``: only (rep, member)
+    edges — linear, and connected-components-equivalent, so the cluster/
+    pipeline consumers use it; a 10⁶-copy page contributes 10⁶−1 edges
+    instead of ~5×10¹¹.
+    """
+    if identical_edges == "star":
+        return membership.filter(F.col(id_col) != F.col("_rep")).select(
+            F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b")
+        )
+    left = membership.select(
+        F.col("_rep").alias("_g"), F.col(id_col).alias("id_a")
+    )
+    right = membership.select(
+        F.col("_rep").alias("_g"), F.col(id_col).alias("id_b")
+    )
+    return (
+        left.join(right, "_g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+
+def _check_identical_edges(identical_edges: str) -> None:
+    if identical_edges not in ("all", "star"):
+        raise ValueError(
+            f"identical_edges must be 'all' or 'star', got {identical_edges!r}"
+        )
 
 
 def minhash_candidates(
@@ -278,6 +442,8 @@ def minhash_candidates(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     num_bands: int = 16,
+    max_bucket: int | None = 4096,
+    identical_edges: str = "all",
 ) -> DataFrame:
     """LSH banding: split signatures into bands, equi-join on band hash.
 
@@ -286,25 +452,33 @@ def minhash_candidates(
     band, so the pair space never materializes.  Band keys are a numeric
     polynomial fold of the band's signature slice (no string building —
     keeps the generated code small and the per-row cost a few multiplies).
+
+    Hot-bucket guards (see ``_collapse_identical_sets``/``_cap_buckets``):
+    exact-identical signatures collapse to one representative before
+    banding (their pairs are regenerated outside the join — identical
+    signatures are candidates by definition), and buckets with more than
+    ``max_bucket`` DISTINCT signatures are dropped with the loss auditable
+    via ``minhash_bucket_audit``.  ``identical_edges="star"`` returns the
+    linear (rep, member) form of the identical-group pairs for
+    connected-components consumers.
     """
-    banded = _banded(sig_df, id_col, num_hashes, num_bands)
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            on=[
-                F.col("l.band_id") == F.col("r.band_id"),
-                F.col("l.band_hash") == F.col("r.band_hash"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-        )
-        .distinct()
+    _check_identical_edges(identical_edges)
+    _rows_per_band(num_hashes, num_bands)  # fail fast, before any analysis
+    slim = sig_df.select(
+        F.col(id_col), F.xxhash64(F.col("signature")).alias("_ckey")
     )
-    return pairs
+    reps = slim.groupBy("_ckey").agg(F.min(id_col).alias("_rep"))
+    membership = slim.join(reps, "_ckey").select(F.col(id_col), F.col("_rep"))
+    rep_sigs = sig_df.join(
+        reps.select(F.col("_rep").alias(id_col)), id_col
+    ).select(F.col(id_col), F.col("signature"))
+    banded = _banded(rep_sigs, id_col, num_hashes, num_bands)
+    rep_pairs = _pairs_from_banded(
+        banded, banded, id_col, self_join=True, max_bucket=max_bucket
+    )
+    inter = _expand_group_pairs(rep_pairs, membership, id_col, [])
+    intra = _intra_group_pairs(membership, id_col, identical_edges)
+    return inter.unionByName(intra)
 
 
 def jaccard_pairs(
@@ -384,34 +558,61 @@ def minhash_near_duplicates(
     num_hashes: int = 32,
     num_bands: int = 16,
     shingle_k: int = 3,
+    max_bucket: int | None = 4096,
+    identical_edges: str = "all",
 ) -> DataFrame:
     """Full near-dup pipeline: MinHash → LSH candidates → exact verify.
 
-    The hashed-shingle base is computed once and reused by both the
-    signature and the verification branches (identical subtrees → Spark's
-    ReusedExchange; at cluster scale, `.persist()` the base instead).
+    Hot-bucket posture (the web-crawl mega-duplicate hazard): exact-
+    identical shingle sets collapse to ONE representative before banding
+    (``_collapse_identical_sets``), candidate pairs leave the band join
+    exactly once via the first-shared-band filter (no ``.distinct()``
+    over per-band duplicates), and buckets holding more than
+    ``max_bucket`` DISTINCT contents are dropped with the loss auditable
+    via ``minhash_bucket_audit``.  Verification runs at representative
+    level, then pairs fan back out to members — identical sets share the
+    exact jaccard by construction.  ``identical_edges="star"`` swaps the
+    quadratic within-group pair list for linear (rep, member) edges:
+    connected-components-equivalent, and the only sane output shape once
+    a group has ~10⁶ members (the default "all" preserves the classic
+    pair-list semantics for corpora where groups are small).
     """
-    # localCheckpoint (not persist): the shingle base feeds the signature
-    # branch AND both sides of the verification join, and the signatures
-    # feed both sides of the band self-join — checkpointing computes each
-    # once and shares the materialized blocks across branches within this
-    # query, without registering in the cross-query cache (persist would
-    # canonically match an identical later plan and silently serve it from
-    # cache).  Both intermediates are (id, array<bigint>) — tiny relative
-    # to the input text.  On a real cluster localCheckpoint blocks live on
-    # executors (MEMORY_AND_DISK); recompute-on-executor-loss is acceptable
-    # for a deterministic batch pipeline.
+    _check_identical_edges(identical_edges)
+    # localCheckpoint (not persist): the shingle base feeds the content-key
+    # branch AND the rep-sets build — checkpointing computes the expensive
+    # tokenize+hash once and shares the materialized blocks across branches
+    # within this query, without registering in the cross-query cache
+    # (persist would canonically match an identical later plan and silently
+    # serve it from cache).  The intermediate is (id, array<bigint>) — tiny
+    # relative to the input text.  On a real cluster localCheckpoint blocks
+    # live on executors (MEMORY_AND_DISK); recompute-on-executor-loss is
+    # acceptable for a deterministic batch pipeline.  rep_sets itself is
+    # NOT checkpointed: its three consumers (banding + both verify sides)
+    # share identical subtrees, so Spark's ReusedExchange already computes
+    # it once (measured convention: checkpointing an already-reusable
+    # subplan costs ~25%).
     sets_df = hashed_shingle_sets(df, text_col, id_col, shingle_k).localCheckpoint(
         eager=False
     )
-    # Banding is computed NARROWLY over the checkpointed sets (see
-    # _band_keys_sql): the signature never materializes and the only
-    # shuffles left in candidate generation are the band equi-join's —
-    # one Exchange, reused by both self-join sides.
-    banded = _banded_from_sets(sets_df, id_col, num_hashes, num_bands)
-    cands = _pairs_from_banded(banded, banded, id_col, self_join=True)
-    verified = jaccard_pairs_hashed(sets_df, cands, id_col)
-    return verified.filter(F.col("jaccard") >= threshold).orderBy("id_a", "id_b")
+    membership, rep_sets = _collapse_identical_sets(sets_df, id_col)
+    # Banding is computed NARROWLY over the rep sets (see _band_keys_sql):
+    # the signature never materializes and the only shuffles left in
+    # candidate generation are the band equi-join's — one Exchange, reused
+    # by the occupancy window and both self-join sides.
+    banded = _banded_from_sets(rep_sets, id_col, num_hashes, num_bands)
+    cands = _pairs_from_banded(
+        banded, banded, id_col, self_join=True, max_bucket=max_bucket
+    )
+    verified = jaccard_pairs_hashed(rep_sets, cands, id_col).filter(
+        F.col("jaccard") >= threshold
+    )
+    inter = _expand_group_pairs(verified, membership, id_col, ["jaccard"])
+    intra = _intra_group_pairs(membership, id_col, identical_edges).select(
+        "id_a", "id_b", F.lit(1.0).alias("jaccard")
+    )
+    if threshold > 1.0:  # degenerate, but keep the contract exact
+        intra = intra.filter(F.lit(False))
+    return inter.unionByName(intra).orderBy("id_a", "id_b")
 
 
 def minhash_near_duplicates_incremental(
@@ -423,6 +624,7 @@ def minhash_near_duplicates_incremental(
     num_hashes: int = 32,
     num_bands: int = 16,
     shingle_k: int = 3,
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """Ingestion-time near-dup gate: NEW documents banded against an
     INDEXED corpus (ids must be disjoint) — the incremental form of
@@ -434,6 +636,10 @@ def minhash_near_duplicates_incremental(
     never re-signatures the corpus, and the pair space still never
     materializes.  Returns (id_a=new, id_b=index, jaccard >= threshold),
     exact-verified on the hashed shingle sets like the batch operator.
+    Both sides collapse exact-identical contents to a representative and
+    cap bucket occupancy independently (a new doc identical to an indexed
+    one still pairs: identical sets share every band key, so the rep pair
+    survives banding and the member fan-out restores every combination).
     """
     new_sets = hashed_shingle_sets(
         new_df, text_col, id_col, shingle_k
@@ -441,14 +647,74 @@ def minhash_near_duplicates_incremental(
     idx_sets = hashed_shingle_sets(
         index_df, text_col, id_col, shingle_k
     ).localCheckpoint(eager=False)
+    m_new, rep_new = _collapse_identical_sets(new_sets, id_col)
+    m_idx, rep_idx = _collapse_identical_sets(idx_sets, id_col)
 
-    banded_new = _banded_from_sets(new_sets, id_col, num_hashes, num_bands)
-    banded_idx = _banded_from_sets(idx_sets, id_col, num_hashes, num_bands)
-    cands = _pairs_from_banded(banded_new, banded_idx, id_col, self_join=False)
-    both_sets = new_sets.unionByName(idx_sets)
-    verified = jaccard_pairs_hashed(both_sets, cands, id_col)
-    return verified.filter(F.col("jaccard") >= threshold).orderBy(
-        "id_a", "id_b"
+    banded_new = _banded_from_sets(rep_new, id_col, num_hashes, num_bands)
+    banded_idx = _banded_from_sets(rep_idx, id_col, num_hashes, num_bands)
+    cands = _pairs_from_banded(
+        banded_new, banded_idx, id_col, self_join=False, max_bucket=max_bucket
+    )
+    both_sets = rep_new.unionByName(rep_idx)
+    verified = jaccard_pairs_hashed(both_sets, cands, id_col).filter(
+        F.col("jaccard") >= threshold
+    )
+    # sides are fixed (id_a = new, id_b = index): expand each side through
+    # its own membership, no least/greatest reorientation
+    ma = m_new.select(F.col("_rep").alias("id_a"), F.col(id_col).alias("_ma"))
+    mb = m_idx.select(F.col("_rep").alias("id_b"), F.col(id_col).alias("_mb"))
+    return (
+        verified.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.col("_ma").alias("id_a"),
+            F.col("_mb").alias("id_b"),
+            "jaccard",
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def minhash_bucket_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    num_bands: int = 16,
+    shingle_k: int = 3,
+    max_bucket: int | None = 4096,
+) -> DataFrame:
+    """Per-band occupancy audit for the LSH banding hot-bucket guard.
+
+    One row per band: bucket count, max/mean occupancy (occupancy counts
+    DISTINCT contents — the same post-collapse view the pair join sees),
+    and how many buckets/rows ``max_bucket`` would drop.  This is the
+    'audited drop count' companion to ``_cap_buckets``: run it on a new
+    corpus before a dedup campaign to see whether the cap binds and how
+    much recall budget the drops represent."""
+    sets_df = hashed_shingle_sets(df, text_col, id_col, shingle_k)
+    _, rep_sets = _collapse_identical_sets(sets_df, id_col)
+    banded = _banded_from_sets(rep_sets, id_col, num_hashes, num_bands)
+    occ = banded.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    hot = (
+        F.col("occ") > F.lit(max_bucket)
+        if max_bucket is not None
+        else F.lit(False)
+    )
+    dropped_b = F.sum(hot.cast("long"))
+    dropped_r = F.sum(F.when(hot, F.col("occ")).otherwise(F.lit(0)))
+    return (
+        occ.groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("occ").alias("max_occupancy"),
+            F.round(F.avg("occ"), 4).alias("mean_occupancy"),
+            dropped_b.alias("n_dropped_buckets"),
+            dropped_r.cast("long").alias("n_dropped_rows"),
+        )
+        .orderBy("band_id")
     )
 
 
@@ -1019,6 +1285,7 @@ __all__ = [
     "hashed_shingle_sets",
     "jaccard_pairs",
     "jaccard_pairs_hashed",
+    "minhash_bucket_audit",
     "minhash_candidates",
     "minhash_near_duplicates",
     "minhash_signatures",

@@ -1338,11 +1338,15 @@ def q_dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     never all-pairs) feeding the same min-label connected components —
     this is the full near-dup clustering a 100 TB curation run executes.
     Rows-only (LSH internals); the exact-edge twin and the dedup tests
-    pin the semantics.  Output: one row per multi-doc cluster."""
+    pin the semantics.  Edges use identical_edges="star": identical-
+    content groups contribute linear (rep, member) edges instead of the
+    quadratic pair list — component-identical (test-pinned), and the only
+    shape that survives a 10⁶-copy boilerplate page at crawl scale.
+    Output: one row per multi-doc cluster."""
     docs = _th(spark, sf_dir, "documents")
-    edges = dedup.minhash_near_duplicates(docs, threshold=0.5).select(
-        "id_a", "id_b"
-    )
+    edges = dedup.minhash_near_duplicates(
+        docs, threshold=0.5, identical_edges="star"
+    ).select("id_a", "id_b")
     cc = dedup.connected_components(edges, src="id_a", dst="id_b")
     return (
         cc.groupBy(F.col("component").cast("long").alias("cluster_id"))
@@ -1366,11 +1370,14 @@ def q_dedup_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     the composition's invariants — one winner per multi-doc cluster,
     removed = members − winners, kept + removed = corpus — are asserted
     in test_dedup.py.  Rows-only here (LSH internals make the edge set
-    engine-specific).  Output: (source, n_docs, n_removed, n_kept)."""
+    engine-specific).  Edges use identical_edges="star" (linear within
+    identical-content groups, component-identical — see
+    q_dedup_clusters_minhash).  Output: (source, n_docs, n_removed,
+    n_kept)."""
     docs = _t(spark, sf_dir, "documents")
-    edges = dedup.minhash_near_duplicates(docs, threshold=0.5).select(
-        "id_a", "id_b"
-    )
+    edges = dedup.minhash_near_duplicates(
+        docs, threshold=0.5, identical_edges="star"
+    ).select("id_a", "id_b")
     cc = dedup.connected_components_star(edges, src="id_a", dst="id_b")
     sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
     members = cc.join(
@@ -1618,7 +1625,12 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus at sf0.01/sf0.1 is an empirical recall observation at these
     scales, not a guarantee.  Recall IS pinned against brute-force
     ground truth (≥0.9 at j≥0.5) by
-    test_dedup.py::test_minhash_recall_floor_vs_exact_jaccard."""
+    test_dedup.py::test_minhash_recall_floor_vs_exact_jaccard.
+    Hot-bucket posture (r9): identical contents collapse to one banded
+    representative, pairs leave the band join once (first-shared-band
+    filter, no distinct), buckets above 4096 distinct contents drop
+    audited (see minhash_bucket_audit) — on this all-distinct corpus the
+    guards are structurally inert and the output is unchanged."""
     # _t not _th: the dedup operator fans out its own narrow projection
     # internally; an outer rebalance here would double-shuffle
     docs = _t(spark, sf_dir, "documents")
@@ -4756,6 +4768,20 @@ def q_minhash_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_true_pairs long, n_candidates long, n_hits long, "
         "precision double, recall double",
     )
+
+
+def q_minhash_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banding hot-bucket guard's audit artifact (r8 verdict task #1):
+    per band, bucket count, max/mean occupancy (counting DISTINCT contents
+    — the post-collapse view the pair join sees) and what the default
+    max_bucket=4096 cap would drop.  On the sf corpora (all-distinct
+    docs) the drop counts are structurally zero — the cap is a pure
+    pathology guard — which is exactly what an operator wants to confirm
+    before a dedup campaign.  Rows-only (band hashes are xxhash64);
+    the drop/cap mechanics are pytest-pinned
+    (test_dedup.py::test_minhash_bucket_cap_drops_are_audited)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_bucket_audit(docs, num_hashes=24, num_bands=12)
 
 
 def q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10384,6 +10410,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     # xxhash64 signatures: rows-only; recall floor pytest-pinned
     "minhash_quality_audit": QuerySpec(q_minhash_quality_audit, None),
+    "minhash_bucket_audit": QuerySpec(q_minhash_bucket_audit, None),
     "session_paths": QuerySpec(q_session_paths, ORACLE_SESSION_PATHS),
     "kaplan_meier_retention": QuerySpec(
         q_kaplan_meier_retention, ORACLE_KAPLAN_MEIER

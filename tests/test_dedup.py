@@ -453,3 +453,115 @@ def test_duplicate_spans_128bit_hash_agrees_with_64(spark, sf_dir):
 
     with pytest.raises(ValueError, match="hash_bits"):
         duplicate_spans(docs, k=8, hash_bits=96).collect()
+
+
+def test_minhash_mega_duplicate_flood_bounded(spark):
+    """The r8-verdict planted test: one text duplicated 10⁴ times must
+    flow through banding as ONE representative — bounded candidate rows,
+    not ~5×10⁷ within-bucket pairs.  identical_edges='star' keeps the
+    output itself linear: exactly n−1 (rep, member) edges plus the
+    unrelated docs contributing nothing."""
+    n = 10_000
+    boiler = "breaking news boilerplate footer subscribe to our newsletter now"
+    rows = [(i, boiler) for i in range(n)] + [
+        (n, "totally unrelated content about spark shuffle partitions"),
+        (n + 1, "another distinct document mentioning catalyst optimizer"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # candidate stage: the flood collapses to one representative, so the
+    # star-form candidate set is exactly the 9999 intra-group edges
+    sigs = dedup.minhash_signatures(docs, num_hashes=8, shingle_k=3)
+    cands = dedup.minhash_candidates(
+        sigs, num_hashes=8, num_bands=4, identical_edges="star"
+    )
+    assert cands.count() == n - 1
+
+    out = dedup.minhash_near_duplicates(
+        docs, threshold=0.5, num_hashes=8, num_bands=4, identical_edges="star"
+    ).collect()
+    assert len(out) == n - 1
+    assert all(r["id_a"] == 0 and r["jaccard"] == 1.0 for r in out)
+
+
+def test_minhash_star_vs_all_component_equality(docs_df):
+    """identical_edges='star' must yield the same connected components as
+    the quadratic 'all' pair list (what the cluster/pipeline queries rely
+    on when they switch to star edges)."""
+    comp = {}
+    for mode in ("all", "star"):
+        edges = dedup.minhash_near_duplicates(
+            docs_df, threshold=0.5, identical_edges=mode
+        ).select("id_a", "id_b")
+        cc = dedup.connected_components(edges, src="id_a", dst="id_b")
+        comp[mode] = {r["node"]: r["component"] for r in cc.collect()}
+    assert comp["all"] == comp["star"]
+
+
+def test_minhash_bucket_cap_drops_are_audited(spark):
+    """A near-identical flood of DISTINCT contents (the salted-copy crawl
+    shape) overflows band buckets; a low max_bucket drops those buckets —
+    never fabricating pairs (capped ⊆ uncapped) — and minhash_bucket_audit
+    quantifies exactly what the cap would discard."""
+    base = (
+        "the common boilerplate paragraph that every mirror of this page "
+        "shares word for word across the entire crawl snapshot"
+    )
+    rows = [(i, f"{base} variant{i}") for i in range(12)]
+    rows += [(100, "completely different text about something else entirely")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_near_duplicates(
+            docs, threshold=0.5, num_hashes=8, num_bands=4, max_bucket=None
+        ).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_near_duplicates(
+            docs, threshold=0.5, num_hashes=8, num_bands=4, max_bucket=4
+        ).collect()
+    }
+    assert uncapped  # the flood really does produce near-dup pairs
+    assert capped <= uncapped  # the cap only removes, never invents
+    assert len(capped) < len(uncapped)  # at cap=4 the 12-member buckets drop
+
+    audit = dedup.minhash_bucket_audit(
+        docs, num_hashes=8, num_bands=4, max_bucket=4
+    ).collect()
+    assert len(audit) == 4  # one row per band
+    assert sum(r["n_dropped_rows"] for r in audit) > 0
+    assert max(r["max_occupancy"] for r in audit) > 4
+    # with the cap above the flood size nothing is dropped
+    audit_hi = dedup.minhash_bucket_audit(
+        docs, num_hashes=8, num_bands=4, max_bucket=4096
+    ).collect()
+    assert sum(r["n_dropped_buckets"] for r in audit_hi) == 0
+
+
+def test_minhash_collapse_preserves_pair_list(spark):
+    """With groups of exact duplicates present, the default ('all')
+    output must be byte-identical to the semantics before the collapse
+    guard: every within-group pair at jaccard 1.0 plus every cross-group
+    near-dup pair, each exactly once."""
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 0
+        (5, "alpha  BETA gamma delta epsilon zeta eta theta"),  # dup of 0
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),  # near-dup
+        (3, "unrelated words entirely disjoint from the others here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_near_duplicates(
+            docs, threshold=0.4, num_hashes=16, num_bands=8
+        ).collect()
+    }
+    # within-group pairs all present at 1.0, exactly once each
+    assert got[(0, 1)] == 1.0 and got[(0, 5)] == 1.0 and got[(1, 5)] == 1.0
+    # cross-group near-dup expands to every member of the identical group
+    assert (0, 2) in got and (1, 2) in got and (2, 5) in got
+    assert got[(0, 2)] == got[(1, 2)] == got[(2, 5)]
+    assert all(3 not in p for p in got)
