@@ -111,15 +111,48 @@ def _check_generation_stable(path: str, root: str, batch_id: int) -> None:
     the fold's flip; its complement is the fold-side post-flip
     ``_rescue_unfolded`` sweep, which moves every publish that landed
     BEFORE the flip into the live generation — together the silent-loss
-    window is closed, not merely narrowed (r8 review)."""
+    window is closed, not merely narrowed (r8 review).
+
+    SELF-RESCUE first (ADVICE r8): the batch is already durably
+    published, so correctness must not hang on the caller's retry
+    discipline (a one-shot caller — a cache-build hook, a manual script
+    — that treats the exception as failure would leave the batch
+    invisible until a later vacuum/fold sweep happens to run).  The
+    guard re-resolves CURRENT and either (a) finds the fold absorbed the
+    batch (id ≤ the live floor: visible, done), (b) moves the published
+    dir into the live generation itself (the _rescue_unfolded rename,
+    done), or (c) finds a racer already placed that id in the live
+    generation (done).  Only if the pointer moves AGAIN mid-rescue does
+    the retry-safe error surface — the window is now two compactions
+    inside one commit, not one."""
     live = collector_root(path)
-    if live != root:
+    if live == root:
+        return
+    if batch_id <= replay_floor(live):
+        return  # (a) the fold absorbed the batch: visible in live gen
+    src = os.path.join(root, f"batch-{batch_id}")
+    dst = os.path.join(live, f"batch-{batch_id}")
+    try:
+        os.rename(src, dst)  # (b) move our publish into the live gen
+    except OSError:
+        # (c) _rescue_unfolded or a recommit already placed the id —
+        # unless nothing did, in which case the batch truly is stranded
+        if not os.path.isdir(dst) and batch_id > replay_floor(live):
+            raise GenerationSupersededError(
+                f"batch-{batch_id} was published into {root!r}, CURRENT "
+                f"moved to {live!r}, and the self-rescue rename failed "
+                "with the batch visible in neither generation — retry "
+                "the commit (replay protection makes the retry a safe "
+                "no-op if a fold absorbs it meanwhile)"
+            )
+        return
+    live2 = collector_root(path)
+    if live2 != live:
         raise GenerationSupersededError(
-            f"batch-{batch_id} was published into {root!r} but a "
-            f"concurrent compaction moved CURRENT to {live!r}; the "
-            "publish is in a superseded generation — retry the commit "
-            "(replay protection makes the retry a safe no-op if the "
-            "fold already absorbed it)"
+            f"batch-{batch_id} was rescued into {live!r} but a second "
+            f"concurrent compaction moved CURRENT to {live2!r} "
+            "mid-rescue — retry the commit (replay protection makes the "
+            "retry a safe no-op if the fold already absorbed it)"
         )
 
 
@@ -228,13 +261,17 @@ def committed_batch_dirs(path: str) -> list[str]:
         if not d.startswith("batch-"):
             continue
         try:
+            bid = int(d.split("-", 1)[1])
+        except ValueError:
+            continue  # foreign batch-* name: not ours (the vacuum rule)
+        try:
             attempt = (
                 open(os.path.join(root, d, _MARKER)).read().strip()
             )
         except OSError:
             continue  # no marker: batch not committed
         if attempt:
-            out.append((int(d.split("-", 1)[1]), os.path.join(root, d, attempt)))
+            out.append((bid, os.path.join(root, d, attempt)))
     return [p for _, p in sorted(out)]
 
 
@@ -563,7 +600,14 @@ def vacuum_superseded(
         if d == keep or not os.path.isdir(full):
             continue
         if d.startswith("gen-"):
-            n = int(d.split("-", 1)[1])
+            try:
+                n = int(d.split("-", 1)[1])
+            except ValueError:
+                # not one of ours (e.g. an operator-created gen-backup):
+                # tolerate it like _rescue_unfolded tolerates foreign
+                # batch-* names — with the maintenance loop always armed,
+                # raising here would fail EVERY subsequent tick (ADVICE r8)
+                continue
             if n < cur_n:
                 superseded.append((n, full))
                 continue  # grace-window candidate, judged below

@@ -692,7 +692,12 @@ def minhash_bucket_audit(
     'audited drop count' companion to ``_cap_buckets``: run it on a new
     corpus before a dedup campaign to see whether the cap binds and how
     much recall budget the drops represent."""
-    sets_df = hashed_shingle_sets(df, text_col, id_col, shingle_k)
+    # checkpoint: the shingle base feeds both the content-key branch and
+    # the rep-sets join (the minhash_near_duplicates convention) — without
+    # it the tokenize+hash runs once per branch
+    sets_df = hashed_shingle_sets(df, text_col, id_col, shingle_k).localCheckpoint(
+        eager=False
+    )
     _, rep_sets = _collapse_identical_sets(sets_df, id_col)
     banded = _banded_from_sets(rep_sets, id_col, num_hashes, num_bands)
     occ = banded.groupBy("band_id", "band_hash").agg(

