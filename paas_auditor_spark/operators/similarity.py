@@ -195,6 +195,46 @@ def _empty_ids_udf():
     return none_
 
 
+def _assign_matrix(vs: "pd.Series", dim: int) -> "np.ndarray":
+    """Validated (batch × dim) matrix for the assignment UDFs.
+
+    ADVICE r8: ``np.vstack`` on a raw Arrow column turns a NULL or
+    wrong-dimension embedding row into an opaque numpy broadcast error
+    deep in a task — a tolerance regression vs the replaced join+window
+    form (which yielded null sims).  Assignment must produce a list id
+    for EVERY row (silently dropping bad vectors would lose corpus rows
+    from an index build), so unlike pca's pre-filter the contract here
+    is reject-loudly: the good path costs nothing (one try), and on
+    failure the batch is scanned to name the offending row and the
+    contract explicitly."""
+    arr = vs.to_numpy()
+    try:
+        mat = np.vstack(arr)
+        if mat.ndim == 2 and mat.shape[1] == dim:
+            return mat
+    except Exception:
+        pass
+    for i, v in enumerate(arr):
+        if v is None:
+            raise ValueError(
+                f"IVF assignment: NULL embedding at row {i} of an Arrow "
+                "batch — every assigned row needs a vector; filter or "
+                "impute null embeddings upstream (pca's pre-filter "
+                "contract) before index build/probe"
+            )
+        if len(v) != dim:
+            raise ValueError(
+                f"IVF assignment: embedding of dimension {len(v)} at row "
+                f"{i} of an Arrow batch, but the centroid matrix is "
+                f"{dim}-dimensional — the corpus must be "
+                "dimension-homogeneous"
+            )
+    raise ValueError(
+        "IVF assignment: embedding column could not be stacked into a "
+        f"(batch × {dim}) matrix"
+    )
+
+
 def _cent_matrix(cent_rows):
     """(unit-centroid matrix dim×k, id vector) from (id, vec) rows —
     the ONE place the 1e-12 norm floor and the sorted-by-id layout
@@ -242,7 +282,7 @@ def nearest_lists_udf(cent_rows, n_lists: int):
 
     @pandas_udf("array<long>")
     def nearest(vs: pd.Series) -> pd.Series:
-        mat = np.vstack(vs.to_numpy())  # (batch × dim)
+        mat = _assign_matrix(vs, cu.shape[0])  # (batch × dim), validated
         sims = mat @ cu  # (batch × n_centroids)
         # stable argsort on -sims: ties keep ascending row order, and
         # cent_rows is sorted by centroid id → lower id wins ties
@@ -290,7 +330,7 @@ def _nearest_rounded_udf(cent_rows, round_digits: int):
 
     @pandas_udf("array<long>")
     def best(vs: pd.Series) -> pd.Series:
-        mat = np.vstack(vs.to_numpy())
+        mat = _assign_matrix(vs, cu.shape[0])
         nrm = np.sqrt((mat * mat).sum(axis=1))
         nrm[nrm == 0.0] = np.inf  # zero vector: cosine 0 to everything
         sims = (mat @ cu) / nrm[:, None]
@@ -616,25 +656,42 @@ def embedding_near_duplicates_lsh(
     return scored.filter(F.col("cos_sim") >= threshold).orderBy("id_a", "id_b")
 
 
-def ivf_auto_params(n: int) -> tuple[int, int]:
+def ivf_auto_params(
+    n: int, max_centroids: int | None = 1024
+) -> tuple[int, int]:
     """Corpus-scaled IVF sizing (VERDICT r7 #1: a FIXED n_centroids=8
     makes every probed list grow linearly with the corpus — the one
     measured super-drift scaling entry, 10.45× wall at the 100× point).
 
-    ``n_centroids`` = clamp(p/4, 8, 1024) where p is the largest power
-    of two with p² ≤ n, i.e. ≈ √n/4 snapped to a power of two;
-    ``nprobe`` = clamp(n_centroids/8, 2, 8).  Candidate volume per query
-    is then nprobe·n/n_centroids ≈ 32√n — sublinear — while assignment
-    stays one vectorized matmul.  INTEGER-EXACT on purpose (isqrt + bit
-    ops, no float log2), so the DuckDB oracle reproduces the identical
-    sizing from count(*) with p·p ≤ n arithmetic and the cross-engine
-    hash holds at ANY corpus size.  Reproduces the historical 8/2 at
-    every committed test SF (n ≤ 4095) and the r7-measured best 64/8 at
-    the 200k-row 100×-rehearsal corpus (1.67 s vs 2.12 s)."""
+    ``n_centroids`` = clamp(p/4, 8, max_centroids) where p is the
+    largest power of two with p² ≤ n, i.e. ≈ √n/4 snapped to a power of
+    two; ``nprobe`` = clamp(n_centroids/8, 2, 8).  Candidate volume per
+    query is then nprobe·n/n_centroids ≈ 32√n — sublinear — while
+    assignment stays one vectorized matmul.  INTEGER-EXACT on purpose
+    (isqrt + bit ops, no float log2), so the DuckDB oracle reproduces
+    the identical sizing from count(*) with p·p ≤ n arithmetic and the
+    cross-engine hash holds at ANY corpus size.  Reproduces the
+    historical 8/2 at every committed test SF (n ≤ 4095) and the
+    r7-measured best 64/8 at the 200k-row 100×-rehearsal corpus
+    (1.67 s vs 2.12 s).
+
+    ``max_centroids`` (VERDICT r8 #3): the default 1024 cap protects the
+    IN-MEMORY operators, which re-assign the whole corpus every run —
+    beyond it, assignment cost n·nc would grow as n^1.5.  The PERSISTED
+    index paths pass ``max_centroids=None``: there assignment is paid
+    once at build time, so the cap's only defense doesn't apply, and
+    keeping it would make probe candidate volume revert to
+    nprobe·n/1024 — linear again — past n ≈ 16.8M vectors (2·10¹²
+    candidate rows per query batch at the brief's 10¹² corpus; unclamped
+    ≈ 32√n stays sublinear through every scale the brief names).  The
+    driver-side costs the unclamped count implies stay bounded: the
+    centroid collect is nc·dim·8 B ≈ 128 MB at n = 10¹² — the documented
+    boundary where a two-level coarse quantizer (IMI) would take over."""
     import math
 
     p = 1 << (math.isqrt(max(n, 1)).bit_length() - 1)
-    n_centroids = max(8, min(1024, p // 4))
+    hi = p // 4 if max_centroids is None else min(max_centroids, p // 4)
+    n_centroids = max(8, hi)
     return n_centroids, max(2, min(8, n_centroids // 8))
 
 

@@ -1685,27 +1685,46 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_duplicates_lsh(emb, threshold=0.4)
 
 
-_IVF_PARAMS_SQL = """pow2 AS (
+def _ivf_params_sql(max_centroids: int | None = 1024) -> str:
+    """Corpus-scaled IVF sizing — the ONE integer-exact SQL twin of
+    operators/similarity.py::ivf_auto_params (r8 review: this block was
+    hand-copied into three oracles; a clamp change missed in one would
+    silently break its cross-engine hash): nc = clamp(p/4, 8,
+    max_centroids) where p = largest power of two with p² ≤ count(*);
+    np = clamp(nc/8, 2, 8).  ``max_centroids=None`` is the PERSISTED
+    index paths' unclamped form (VERDICT r8 #3) — assignment there is
+    paid once at build time, so nc keeps growing ≈ √n/4 and probe
+    candidate volume stays sublinear past the in-memory operators'
+    16.8M-vector clamp point.  Identical to the clamped form at every
+    committed test SF (clamp binds only above n ≈ 16.8M)."""
+    nc = (
+        "greatest(8, p // 4)"
+        if max_centroids is None
+        else f"greatest(8, least({max_centroids}, p // 4))"
+    )
+    return f"""pow2 AS (
           SELECT max(CAST(power(2, g) AS BIGINT)) AS p
           FROM generate_series(0, 30) t(g),
                (SELECT count(*) AS cnt FROM embeddings) c
           WHERE CAST(power(2, g) AS BIGINT) * CAST(power(2, g) AS BIGINT)
                   <= c.cnt),
-        -- corpus-scaled sizing, the ONE integer-exact SQL twin of
-        -- operators/similarity.py::ivf_auto_params (r8 review: this
-        -- block was hand-copied into three oracles; a clamp change
-        -- missed in one would silently break its cross-engine hash):
-        -- nc = clamp(p/4, 8, 1024) where p = largest power of two with
-        -- p² ≤ count(*); np = clamp(nc/8, 2, 8)
         params AS (
-          SELECT greatest(8, least(1024, p // 4)) AS nc,
-                 greatest(2, least(8, greatest(8, least(1024, p // 4)) // 8))
-                   AS np
+          SELECT {nc} AS nc,
+                 greatest(2, least(8, {nc} // 8)) AS np
           FROM pow2)"""
 
 
-_IVF_TOPK_ORACLE = f"""
-        WITH {_IVF_PARAMS_SQL},
+_IVF_PARAMS_SQL = _ivf_params_sql(1024)
+
+
+def _ivf_topk_oracle(max_centroids: int | None = 1024) -> str:
+    """Exact end-to-end SQL replay of ivf_topk; parameterized on the
+    sizing clamp so the in-memory entry (clamped) and the persisted
+    entry (unclamped build-time sizing) each replay THEIR OWN exact
+    parameter arithmetic (identical below the 16.8M-vector clamp
+    point, where every committed corpus lives)."""
+    return f"""
+        WITH {_ivf_params_sql(max_centroids)},
         n AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
@@ -1951,15 +1970,35 @@ _COUNT_CACHE: dict[str, int] = {}
 
 
 def _corpus_count(spark: SparkSession, sf_dir: str, table: str) -> int:
-    """Row count of a source table, memoized on path+mtime.  Used to
-    size corpus-scaled index parameters (ivf_auto_params).  A parquet
-    ``count(*)`` is a row-group-metadata read, not a data scan, and at
-    100 TB the count is paid once per corpus version — the same cadence
-    as the index build it parameterizes."""
+    """Row count of a source table from parquet FOOTER METADATA,
+    memoized on path+mtime.  Used to size corpus-scaled index parameters
+    (ivf_auto_params).  VERDICT r8 #4: the former Spark ``count(*)``
+    was metadata-only but still scheduled an extra job per fresh
+    process; reading ``num_rows`` from the footers driver-side removes
+    the job from the probe path entirely (at 100 TB this is one footer
+    read per file, the same metadata the planner already lists — and
+    the count is paid once per corpus version, the cadence of the index
+    build it parameterizes).  Values are identical by the parquet spec:
+    num_rows IS the row count Spark's metadata-only count returns."""
     key = _src_ident(sf_dir, table)
     n = _COUNT_CACHE.get(key)
     if n is None:
-        n = _COUNT_CACHE.setdefault(key, _t(spark, sf_dir, table).count())
+        import os
+
+        import pyarrow.parquet as pq
+
+        src = os.path.join(sf_dir, f"{table}.parquet")
+        if os.path.isdir(src):  # multi-file dataset layout
+            total = 0
+            for root, _dirs, files in os.walk(src):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += pq.ParquetFile(
+                            os.path.join(root, f)
+                        ).metadata.num_rows
+        else:
+            total = pq.ParquetFile(src).metadata.num_rows
+        n = _COUNT_CACHE.setdefault(key, total)
     return n
 
 
@@ -1989,9 +2028,13 @@ def q_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     sibling ANN entries this one carries a full exact oracle: the DuckDB
     SQL replays assignment, probing and ranking end-to-end.  Index
     sizing is corpus-scaled (ivf_auto_params, VERDICT r7 #1) and the
-    oracle recomputes the identical sizing from count(*)."""
+    oracle recomputes the identical sizing from count(*).  The build
+    sizes UNCLAMPED (max_centroids=None — VERDICT r8 #3): assignment is
+    paid once at build time, so nc keeps growing ≈ √n/4 past the
+    in-memory clamp point and probe candidate volume stays sublinear at
+    any corpus size; the oracle replays the same unclamped arithmetic."""
     nc, npr = similarity.ivf_auto_params(
-        _corpus_count(spark, sf_dir, "embeddings")
+        _corpus_count(spark, sf_dir, "embeddings"), max_centroids=None
     )
     index_path = _ivf_index_cached(spark, sf_dir, n_centroids=nc)
     emb = _t(spark, sf_dir, "embeddings")
@@ -2029,11 +2072,14 @@ def q_knn_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose lists table stores only m-byte PQ codes (partitioned by
     list_id, statically pruned), decode/rank narrowly, and fetch full
     floats by id for just the rerank shortlist.  Bit-identical to
-    knn_ivfpq (equality + prune plan-asserted in test_similarity.py);
-    rows-only like its in-memory twin (PQ internals are
-    engine-specific).  List count corpus-scaled via ivf_auto_params."""
+    knn_ivfpq at every committed SF (equality + prune plan-asserted in
+    test_similarity.py); EXACT oracle since r8 (_oracle_ivfpq_topk
+    replays the whole pipeline — here with the UNCLAMPED build-time
+    sizing, max_centroids=None, the r8 #3 persisted-path convention:
+    assignment is paid once at build, so nc keeps growing ≈ √n/4 and
+    probe candidate volume stays sublinear past 16.8M vectors)."""
     nc, npr = similarity.ivf_auto_params(
-        _corpus_count(spark, sf_dir, "embeddings")
+        _corpus_count(spark, sf_dir, "embeddings"), max_centroids=None
     )
     index_path = _ivfpq_index_cached(spark, sf_dir, nc, 4, 16)
     emb = _t(spark, sf_dir, "embeddings")
@@ -7346,6 +7392,7 @@ def _oracle_ivfpq_topk(
     iters: int = 4,
     k: int = 5,
     rerank: int = 32,
+    max_centroids: int | None = 1024,
 ) -> str:
     """END-TO-END exact SQL replay of ivfpq_topk — the r8 upgrade that
     retires the last 'PQ internals are engine-specific' rows-only pair:
@@ -7363,7 +7410,7 @@ def _oracle_ivfpq_topk(
     sub = dim // m
     sample_n = f"greatest(256, (SELECT nc FROM params))"
     ctes = [
-        _IVF_PARAMS_SQL,
+        _ivf_params_sql(max_centroids),
         """v AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
                  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
@@ -10302,8 +10349,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "embedding_near_dup_lsh": QuerySpec(
         q_embedding_near_dup_lsh, _oracle_embedding_lsh()
     ),
-    "knn_ivf": QuerySpec(q_knn_ivf, _IVF_TOPK_ORACLE),
-    "knn_ivf_persisted": QuerySpec(q_knn_ivf_persisted, _IVF_TOPK_ORACLE),
+    "knn_ivf": QuerySpec(q_knn_ivf, _ivf_topk_oracle()),
+    # persisted twin replays the UNCLAMPED build-time sizing (r8 #3)
+    "knn_ivf_persisted": QuerySpec(q_knn_ivf_persisted, _ivf_topk_oracle(None)),
     "audio_windows": QuerySpec(q_audio_windows, ORACLE_AUDIO_WINDOWS),
     "multimodal_frames": QuerySpec(
         q_multimodal_frames,
@@ -10893,7 +10941,7 @@ REGISTRY: dict[str, QuerySpec] = {
     # frozen model, so it shares the oracle (the bm25_persisted rule)
     "knn_ivfpq": QuerySpec(q_knn_ivfpq, _oracle_ivfpq_topk()),
     "knn_ivfpq_persisted": QuerySpec(
-        q_knn_ivfpq_persisted, _oracle_ivfpq_topk()
+        q_knn_ivfpq_persisted, _oracle_ivfpq_topk(max_centroids=None)
     ),
     "segment_dedup": QuerySpec(
         q_segment_dedup,
@@ -11151,31 +11199,39 @@ _CERTIFICATION_WINDOW = [
     # all rotated-out entries stay oracle-checked in the full registry)
     "bloom_decontaminate", "bloom_decontaminate_persisted",
     "bloom_pruned_join", "duplicate_spans", "span_removal",
-    "triangle_count", "dsir_sample", "curation_pipeline",
+    "audio_windows", "dsir_sample", "curation_pipeline",
     "bm25_persisted", "semantic_dedup", "hybrid_search_rrf",
     "chat_assembly_sessions",
-    # dedup / similarity / ANN (r8: dedup_pipeline_exact in, see above;
-    # family keeps dedup_exact/dedup_clusters_star in-window)
+    # dedup / similarity / ANN (r9 rotation, r8 verdict task #4: the r8
+    # wave of oracle-exact upgrades gets official rows — knn_ivfpq [the
+    # end-to-end IVF-PQ replay] takes knn_ivf_persisted's ANN slot,
+    # pq_codes [9dp-barrier Lloyd's PQ training] takes
+    # embedding_quantize's quantization slot, audio_windows [the real
+    # binary-decode multimodal path with a lossless synth→WAV oracle]
+    # takes triangle_count's slot above, and lm_perplexity_persisted /
+    # stratified_sample rotate into the corpus/sampling groups below;
+    # every rotated-out entry stays oracle-checked in the full registry)
     "dedup_exact", "dedup_clusters_star",
     "dedup_pipeline_exact", "cdc_near_dup", "auto_skew_join",
-    "knn_ivf_persisted", "embedding_near_dup_lsh", "embedding_quantize",
-    # text analysis / corpus diagnostics (r8: source_novelty — the r7
-    # per-source gram-novelty diagnostic — takes source_drift_psi's
-    # drift slot; type_correlation — the r7 per-type daily-correlation
-    # matrix — takes bootstrap_se's stats slot; both rotated-out
-    # entries stay oracle-checked in the full registry, as do earlier
-    # rotations' phrase_search / ewma_daily / lang_id / cms_estimate /
-    # quality_filter / token_stats / chi2_keywords)
+    "knn_ivfpq", "embedding_near_dup_lsh", "pq_codes",
+    # text analysis / corpus diagnostics (r9: lm_perplexity_persisted —
+    # the train-once/probe-only deployment shape, value-identical to the
+    # in-query form under the same oracle — takes lm_perplexity's slot;
+    # earlier rotations' phrase_search / ewma_daily / lang_id /
+    # cms_estimate / quality_filter / token_stats / chi2_keywords all
+    # stay oracle-checked in the full registry)
     "text_quality", "type_correlation", "time_to_convert",
-    "lm_perplexity", "bpe_merges", "quality_classifier",
+    "lm_perplexity_persisted", "bpe_merges", "quality_classifier",
     # sketches / quantiles / graph / drift (r8: value_percentiles_exact
     # — the distributed-rank exact percentile, the quantile family's
     # third member — takes quantile_sketch's slot [the approx sketch
     # had its official round in r7 and stays oracle-checked])
     "heavy_hitters", "join_size_sketch", "value_percentiles_exact",
     "pagerank", "source_novelty",
-    # sampling / packing
-    "temperature_sample", "train_test_split", "sequence_pack",
+    # sampling / packing (r9: stratified_sample — content-addressed md5
+    # keep decisions, rows-only→exact in r8 — takes temperature_sample's
+    # slot)
+    "stratified_sample", "train_test_split", "sequence_pack",
     # TPC-H representative handful + time series (r6: min_cost_supplier
     # out in favor of the newly oracle-certified embedding_near_dup_lsh;
     # still oracle-checked in the full registry)

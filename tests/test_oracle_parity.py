@@ -82,10 +82,10 @@ def test_certification_window_invariants():
     ]
     flagships = {
         "bloom_decontaminate", "bloom_decontaminate_persisted",
-        "duplicate_spans", "span_removal", "triangle_count",
+        "duplicate_spans", "span_removal",
         "dsir_sample", "curation_pipeline",
         "semantic_dedup", "chat_assembly_sessions",
-        "knn_ivf_persisted", "embedding_near_dup_lsh",
+        "embedding_near_dup_lsh",
         "join_size_sketch",
         # r7 rotation (r6 verdict task #5): the r6 late wave
         "auto_skew_join", "hybrid_search_rrf", "cdc_near_dup",
@@ -96,6 +96,14 @@ def test_certification_window_invariants():
         # quantile_sketch's, and the two r7 corpus diagnostics land
         "bm25_persisted", "dedup_pipeline_exact",
         "value_percentiles_exact", "source_novelty", "type_correlation",
+        # r9 rotation (r8 verdict task #4): the r8 oracle-exact wave —
+        # knn_ivfpq takes knn_ivf_persisted's ANN slot, pq_codes takes
+        # embedding_quantize's, audio_windows takes triangle_count's,
+        # lm_perplexity_persisted takes lm_perplexity's,
+        # stratified_sample takes temperature_sample's (all rotated-out
+        # entries stay oracle-checked in the full registry)
+        "knn_ivfpq", "pq_codes", "audio_windows",
+        "lm_perplexity_persisted", "stratified_sample",
     }
     assert flagships <= set(first50)
 

@@ -549,6 +549,48 @@ def test_ivf_auto_params_integer_exact_and_cross_engine():
                      greatest(8, least(1024, p // 4)) // 8))
           FROM pow2""").fetchone()
         assert ivf_auto_params(n) == tuple(got), n
+        # unclamped (persisted-path) form vs its own SQL twin
+        got_u = duckdb.sql(f"""
+          WITH pow2 AS (
+            SELECT max(CAST(power(2, g) AS BIGINT)) AS p
+            FROM generate_series(0, 30) t(g), (SELECT {n}::BIGINT AS cnt) c
+            WHERE CAST(power(2, g) AS BIGINT) * CAST(power(2, g) AS BIGINT)
+                    <= c.cnt)
+          SELECT greatest(8, p // 4),
+                 greatest(2, least(8, greatest(8, p // 4) // 8))
+          FROM pow2""").fetchone()
+        assert ivf_auto_params(n, max_centroids=None) == tuple(got_u), n
+
+
+def test_ivf_unclamped_sizing_keeps_candidates_sublinear():
+    """VERDICT r8 #3: the persisted index paths size UNCLAMPED
+    (max_centroids=None) because the 1024-centroid clamp makes probe
+    candidate volume nprobe·n/nc revert to LINEAR past n ≈ 16.8M
+    vectors; unclamped it stays ≈ 32√n.  Pins (a) clamped == unclamped
+    below the clamp point (every committed corpus is bit-unchanged),
+    (b) divergence above it, and (c) sublinear growth: +100× data →
+    ~10× candidates for the unclamped form vs ~97× for the clamped."""
+    from paas_auditor_spark.operators.similarity import ivf_auto_params
+
+    for n in (1, 500, 2000, 200_000, 16_000_000):
+        assert ivf_auto_params(n) == ivf_auto_params(n, max_centroids=None)
+
+    def cand_volume(n, max_centroids):
+        nc, npr = ivf_auto_params(n, max_centroids=max_centroids)
+        return npr * n / nc
+
+    # n = 10⁸: clamp binds (p/4 = 2048 > 1024)
+    assert ivf_auto_params(10**8) == (1024, 8)
+    assert ivf_auto_params(10**8, max_centroids=None) == (2048, 8)
+    # two decades up from 10⁸, candidate volume must grow ~√100 = 10×
+    grow_unclamped = cand_volume(10**10, None) / cand_volume(10**8, None)
+    grow_clamped = cand_volume(10**10, 1024) / cand_volume(10**8, 1024)
+    assert grow_unclamped <= 13        # ≈ √100, snapped to powers of two
+    assert grow_clamped >= 90          # the linear regress the lift removes
+    # absolute: at the brief's 10¹²-vector scale the unclamped probe
+    # touches ~6·10⁷ candidates per query, not the clamp's ~8·10⁹
+    assert cand_volume(10**12, None) < 7e7
+    assert cand_volume(10**12, 1024) > 5e9
 
 
 def test_ivf_shard_collector_atomic_equal_and_compactable(spark, sf_dir, tmp_path):
