@@ -79,23 +79,46 @@ def shingles(text_col: str, k: int = 3) -> F.Column:
     return let(tokens(normalized_text(F.col(text_col))), build)
 
 
+def _shingle_hash(s: Column, hash_fn: str) -> Column:
+    """One shingle string → bigint in [0, HASH_PRIME).
+
+    ``"xxhash64"`` (default): the fast JVM hash — engine-specific, so
+    queries built on it are rows-only checked.  ``"md5"``: a CLOSED-FORM
+    twin both engines can compute bit-identically — the first 15 hex
+    digits of md5 parsed as an integer (< 2⁶⁰, no sign issues), mod p;
+    DuckDB replays it as ``CAST('0x' || substr(md5(s), 1, 15) AS
+    BIGINT) % p``.  md5 costs ~2-3× xxhash64 per shingle (the bloom
+    family's km1/xx1 lesson), so the closed form backs the bounded
+    oracle TWIN while the flagship keeps xxhash64 throughput."""
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(s), F.lit(HASH_PRIME))
+    if hash_fn == "md5":
+        return F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+            F.lit(HASH_PRIME),
+        )
+    raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+
+
 def hashed_shingle_sets(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """(id, hset) where hset = distinct xxhash64-mod-p shingle hashes.
+    """(id, hset) where hset = distinct shingle hashes mod p.
 
     The shared base for signatures AND verification: each shingle string is
     hashed exactly once, and every downstream set operation (explode for
     MinHash minima, array_intersect for Jaccard verify) runs on compact
-    bigints instead of re-comparing strings.
+    bigints instead of re-comparing strings.  ``hash_fn`` — see
+    ``_shingle_hash``.
     """
     hset = F.array_distinct(
         F.transform(
             shingles(text_col, shingle_k),
-            lambda s: F.pmod(F.xxhash64(s), F.lit(HASH_PRIME)),
+            lambda s: _shingle_hash(s, hash_fn),
         )
     )
     # fan_out BEFORE the shingle map: a single-row-group parquet scan is one
@@ -560,6 +583,7 @@ def minhash_near_duplicates(
     shingle_k: int = 3,
     max_bucket: int | None = 4096,
     identical_edges: str = "all",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Full near-dup pipeline: MinHash → LSH candidates → exact verify.
 
@@ -591,9 +615,9 @@ def minhash_near_duplicates(
     # share identical subtrees, so Spark's ReusedExchange already computes
     # it once (measured convention: checkpointing an already-reusable
     # subplan costs ~25%).
-    sets_df = hashed_shingle_sets(df, text_col, id_col, shingle_k).localCheckpoint(
-        eager=False
-    )
+    sets_df = hashed_shingle_sets(
+        df, text_col, id_col, shingle_k, hash_fn
+    ).localCheckpoint(eager=False)
     membership, rep_sets = _collapse_identical_sets(sets_df, id_col)
     # Banding is computed NARROWLY over the rep sets (see _band_keys_sql):
     # the signature never materializes and the only shuffles left in

@@ -1639,6 +1639,122 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_near_dup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash pipeline under FULL cross-engine check (r8 verdict
+    task #7: the family's rows-only residual): same operator, same
+    24/12 banding, same exact-Jaccard verify as minhash_near_dup, but
+    with the CLOSED-FORM md5 shingle hash (dedup._shingle_hash: first
+    15 hex digits of md5 as bigint mod p — bit-identical in DuckDB as
+    CAST('0x'||substr(md5(s),1,15) AS BIGint) % p), so the oracle
+    replays tokenize → shingle → hash → 24 affine minima → band fold →
+    band equi-join → exact Jaccard end to end.  Bounded slice
+    md5 costs ~2-3× xxhash64 per shingle (the bloom km1/xx1 lesson), so
+    the closed form certifies the SEMANTICS on a bounded slice while the
+    whole-corpus flagship keeps xxhash64 throughput — recall there stays
+    pinned by test_minhash_recall_floor_vs_exact_jaccard.
+
+    The slice is made near-dup-RICH deterministically (the sf corpora
+    are all-distinct, which would make the check vacuous): each base doc
+    (doc_id < 80) gets one EXACT copy (+2·10⁵ id — puts the
+    identical-content collapse + within/cross-group pair expansion under
+    the oracle, jaccard exactly 1.0) and one SALTED copy (+10⁵ id, one
+    appended token — the crawl-sibling shape, high jaccard), both
+    replayed verbatim in SQL."""
+    base = (
+        _th(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 80)
+        .select("doc_id", "text")
+    )
+    exact = base.select(
+        (F.col("doc_id") + F.lit(200000)).alias("doc_id"), F.col("text")
+    )
+    salted = base.select(
+        (F.col("doc_id") + F.lit(100000)).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" v"), F.col("doc_id").cast("string")
+        ).alias("text"),
+    )
+    docs = base.unionByName(exact).unionByName(salted)
+    return dedup.minhash_near_duplicates(
+        docs, threshold=0.5, num_hashes=24, num_bands=12, hash_fn="md5"
+    )
+
+
+def _oracle_minhash_md5(
+    num_hashes: int = 24, num_bands: int = 12, threshold: float = 0.5
+) -> str:
+    """SQL replay of q_minhash_near_dup_md5 — coefficients from the SAME
+    source as the engine (dedup._minhash_coeffs), band fold identical to
+    dedup._band_keys_sql (polynomial 1000003 fold over each band's
+    minima; values < 2⁵² so bigint arithmetic is exact)."""
+    from paas_auditor_spark.operators.dedup import (
+        HASH_PRIME,
+        _minhash_coeffs,
+        _rows_per_band,
+    )
+
+    rpb = _rows_per_band(num_hashes, num_bands)
+    a, b = _minhash_coeffs(num_hashes)
+
+    def mh(i: int) -> str:
+        return (
+            "list_min(list_transform(hs, h -> "
+            f"(h * {a[i]} + {b[i]}) % {HASH_PRIME}))"
+        )
+
+    band_keys = []
+    for bi in range(num_bands):
+        fold = "0"
+        for r in range(rpb):
+            fold = f"({fold} * 1000003 + {mh(bi * rpb + r)})"
+        band_keys.append(fold)
+    bk = "[" + ", ".join(band_keys) + "]"
+    return f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 80
+          UNION ALL
+          SELECT doc_id + 200000, text FROM documents WHERE doc_id < 80
+          UNION ALL
+          SELECT doc_id + 100000,
+                 text || ' v' || CAST(doc_id AS VARCHAR)
+          FROM documents WHERE doc_id < 80),
+        toks AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+          FROM corpus),
+        sh AS (
+          SELECT doc_id, CASE WHEN len(w) >= 3
+            THEN [w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]
+                  FOR i IN range(1, len(w) - 1)]
+            ELSE [array_to_string(w, ' ')] END AS sg
+          FROM toks),
+        sets AS (
+          SELECT doc_id, list_distinct(list_transform(sg, s ->
+            CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {HASH_PRIME}
+          )) AS hs
+          FROM sh),
+        sigs AS (SELECT doc_id, hs, {bk} AS bk FROM sets),
+        bands AS (
+          SELECT doc_id, bi, bk[bi] AS key
+          FROM sigs, unnest(generate_series(1, {num_bands})) AS t(bi)),
+        cands AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM bands l JOIN bands r
+            ON l.bi = r.bi AND l.key = r.key AND l.doc_id < r.doc_id),
+        verified AS (
+          SELECT id_a, id_b,
+                 round(len(list_intersect(sa.hs, sb.hs)) /
+                       greatest(CAST(len(list_distinct(
+                         list_concat(sa.hs, sb.hs))) AS DOUBLE), 1.0),
+                       4) AS jaccard
+          FROM cands
+          JOIN sets sa ON sa.doc_id = id_a
+          JOIN sets sb ON sb.doc_id = id_b)
+        SELECT id_a, id_b, jaccard FROM verified
+        WHERE jaccard >= {threshold}
+        ORDER BY id_a, id_b
+        """
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit fingerprints — rows-only check (xxhash64-specific)."""
     # _t not _th: the dedup operator fans out its own narrow projection
@@ -10146,6 +10262,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "knn_lsh": QuerySpec(q_knn_lsh, _oracle_knn_lsh()),
     "minhash_near_dup": QuerySpec(q_minhash_near_dup, None),
+    "minhash_near_dup_md5": QuerySpec(
+        q_minhash_near_dup_md5, _oracle_minhash_md5()
+    ),
     "simhash": QuerySpec(q_simhash, None),
     "ngram_jaccard": QuerySpec(
         q_ngram_jaccard,
