@@ -132,20 +132,16 @@ def _check_generation_stable(path: str, root: str, batch_id: int) -> None:
         return  # (a) the fold absorbed the batch: visible in live gen
     src = os.path.join(root, f"batch-{batch_id}")
     dst = os.path.join(live, f"batch-{batch_id}")
-    try:
-        os.rename(src, dst)  # (b) move our publish into the live gen
-    except OSError:
-        # (c) _rescue_unfolded or a recommit already placed the id —
-        # unless nothing did, in which case the batch truly is stranded
-        if not os.path.isdir(dst) and batch_id > replay_floor(live):
-            raise GenerationSupersededError(
-                f"batch-{batch_id} was published into {root!r}, CURRENT "
-                f"moved to {live!r}, and the self-rescue rename failed "
-                "with the batch visible in neither generation — retry "
-                "the commit (replay protection makes the retry a safe "
-                "no-op if a fold absorbs it meanwhile)"
-            )
-        return
+    if _move_published_batch(src, dst) == "absent":
+        # (b)/(c) failed: the batch is committed-visible in NEITHER
+        # generation — stranded; surface the retry-safe error
+        raise GenerationSupersededError(
+            f"batch-{batch_id} was published into {root!r}, CURRENT "
+            f"moved to {live!r}, and the self-rescue could not place a "
+            "COMMITTED copy in the live generation — retry the commit "
+            "(replay protection makes the retry a safe no-op if a fold "
+            "absorbs it meanwhile)"
+        )
     live2 = collector_root(path)
     if live2 != live:
         raise GenerationSupersededError(
@@ -154,6 +150,69 @@ def _check_generation_stable(path: str, root: str, batch_id: int) -> None:
             "mid-rescue — retry the commit (replay protection makes the "
             "retry a safe no-op if the fold already absorbed it)"
         )
+
+
+def _marker_committed(batch_dir: str) -> bool:
+    """True iff ``batch_dir`` holds a COMMITTED marker-protocol publish
+    (non-empty ``_COMMITTED`` — committed_batch_dirs' visibility rule)."""
+    try:
+        return os.path.getsize(os.path.join(batch_dir, _MARKER)) > 0
+    except OSError:
+        return False
+
+
+def _move_published_batch(src: str, dst: str) -> str:
+    """Move a batch dir from a superseded generation into the live one,
+    correct under BOTH publish protocols.  Returns ``"moved"`` (we
+    placed it), ``"present"`` (already committed-visible at dst), or
+    ``"absent"`` (committed-visible in neither place — caller decides
+    how loud to be).
+
+    The hazard this exists to not mis-call (r9 review, reproduced):
+    under the MARKER protocol a bare ``isdir(dst)`` does NOT mean
+    committed — ``commit_batch_dir_marker`` makedirs the batch dir
+    before any data or marker exists, so an in-flight (or dead) racer's
+    scaffolding at dst must not be read as "the batch is safe" while the
+    only COMMITTED copy sits in src awaiting vacuum.  When dst exists
+    but is uncommitted and src IS a committed marker publish, the
+    committed attempt is migrated with the protocol's own primitives:
+    rename the attempt dir in, then hard-link the (already non-empty)
+    marker — EEXIST meaning a racer published the identical batch first.
+    Under the RENAME protocol a visible dst dir IS a committed whole-dir
+    publish (partial writes only ever exist under hidden ``.tmp``
+    names), so the simple existence check stays valid there."""
+    src_marker = os.path.join(src, _MARKER)
+    marker_protocol = os.path.exists(src_marker)
+    if marker_protocol and not _marker_committed(src):
+        # src itself is uncommitted scaffolding: nothing worth moving;
+        # report what dst has
+        return "present" if _marker_committed(dst) else "absent"
+    try:
+        os.rename(src, dst)
+        return "moved"
+    except OSError:
+        pass
+    if not marker_protocol:
+        return "present" if os.path.isdir(dst) else "absent"
+    dst_marker = os.path.join(dst, _MARKER)
+    if _marker_committed(dst):
+        return "present"  # racer/recommit already published the id
+    try:
+        attempt = open(src_marker).read().strip()
+    except OSError:
+        return "absent"
+    try:
+        os.rename(os.path.join(src, attempt), os.path.join(dst, attempt))
+    except OSError:
+        if not os.path.isdir(os.path.join(dst, attempt)):
+            return "present" if _marker_committed(dst) else "absent"
+    try:
+        os.link(src_marker, dst_marker)
+    except FileExistsError:
+        pass  # racer published the identical batch: ours is redundant
+    except OSError:
+        return "present" if _marker_committed(dst) else "absent"
+    return "moved" if _marker_committed(dst) else "absent"
 
 
 def commit_batch_dir(
@@ -302,11 +361,14 @@ def _rescue_unfolded(old_root: str, new_root: str) -> int:
             continue
         if bid <= floor:
             continue  # folded (or floor-absorbed): dies with its gen
-        try:
-            os.rename(os.path.join(old_root, d), os.path.join(new_root, d))
+        # protocol-aware move (r9 review): a bare rename-else-skip would
+        # read an in-flight racer's uncommitted marker-protocol dir in
+        # the live gen as "retry's copy wins" and let the only COMMITTED
+        # copy die with its generation
+        if _move_published_batch(
+            os.path.join(old_root, d), os.path.join(new_root, d)
+        ) == "moved":
             moved += 1
-        except OSError:
-            pass  # recommitted into the live gen already: retry's copy wins
     return moved
 
 
@@ -392,7 +454,14 @@ def compact_batches(
                         f"wedged empty commit marker {mk!r}: refusing to "
                         "compact past it — inspect and remove it first"
                     )
-                if not os.path.exists(mk) and int(d.split("-", 1)[1]) <= floor:
+                try:
+                    bid = int(d.split("-", 1)[1])
+                except ValueError:
+                    # foreign batch-* name (not ours — the vacuum /
+                    # committed_batch_dirs tolerance rule): never folded,
+                    # never floored; it rides the old generation
+                    continue
+                if not os.path.exists(mk) and bid <= floor:
                     # torn attempt with NO marker below the floor: its id
                     # is ≤ the floor this fold would record, so a retry
                     # after the fold would be silently suppressed while
@@ -411,9 +480,13 @@ def compact_batches(
         ids, data_dirs = [], []
         if os.path.isdir(root):
             for d in sorted(os.listdir(root)):
-                if d.startswith("batch-"):
+                if not d.startswith("batch-"):
+                    continue
+                try:
                     ids.append(int(d.split("-", 1)[1]))
-                    data_dirs.append(os.path.join(root, d))
+                except ValueError:
+                    continue  # foreign batch-* name: tolerated, not folded
+                data_dirs.append(os.path.join(root, d))
     if len(data_dirs) < 2:
         return 0
 

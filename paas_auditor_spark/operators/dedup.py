@@ -324,32 +324,54 @@ def _pairs_from_banded(
     )
 
 
+def _content_key(arr: Column, ordered: bool = False) -> Column:
+    """128-bit content key of a bigint array: md5 of the comma-joined
+    canonical form (sorted for SETS, as-is for ordered arrays like
+    signatures).  128 bits on purpose (r9 review): a 64-bit key merges
+    two genuinely DIFFERENT documents at ~n²/2⁶⁵ odds — ~10⁴ false
+    groups at the brief's 10¹²-doc posture, each emitting fabricated
+    jaccard-1.0 pairs that bypass the exact-verify stage; md5 (the
+    ``exact_duplicates`` convention) pushes that to ~n²/2¹²⁹."""
+    canon = arr if ordered else F.array_sort(arr)
+    return F.md5(
+        F.concat_ws(",", F.transform(canon, lambda x: x.cast("string")))
+    )
+
+
+def _collapse_identical(
+    df: DataFrame, id_col: str, key: Column
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse rows with identical content (``key``) to one
+    representative — the shared guard core for the shingle-set AND
+    signature paths (r9 review: the signature path had drifted into an
+    inline copy).
+
+    Returns ``(membership, rep_rows)``: ``membership`` maps every id to
+    its group representative (min id among identical-content rows);
+    ``rep_rows`` is ``df`` restricted to representatives (all columns).
+    This is the first hot-bucket guard: a page duplicated 10⁶ times
+    verbatim — routine at web-crawl scale — bands as ONE row instead of
+    10⁶ rows sharing every bucket, so exact-duplicate floods never reach
+    the pair join at all.  The content key is computed narrowly (no
+    payload shuffle: reps aggregate (ckey, id) pairs only; the payload
+    moves once, keyed by id, to build rep_rows — the same keying the
+    verify join needs anyway).
+    """
+    slim = df.select(F.col(id_col), key.alias("_ckey"))
+    reps = slim.groupBy("_ckey").agg(F.min(id_col).alias("_rep"))
+    membership = slim.join(reps, "_ckey").select(F.col(id_col), F.col("_rep"))
+    rep_rows = df.join(reps.select(F.col("_rep").alias(id_col)), id_col)
+    return membership, rep_rows
+
+
 def _collapse_identical_sets(
     sets_df: DataFrame, id_col: str
 ) -> tuple[DataFrame, DataFrame]:
-    """Collapse exact-identical hashed shingle sets to one representative.
-
-    Returns ``(membership, rep_sets)``: ``membership`` maps every id to
-    its group representative (min id among docs with byte-identical
-    sorted shingle sets); ``rep_sets`` is the (id, hset) table restricted
-    to representatives.  This is the first hot-bucket guard: a page
-    duplicated 10⁶ times verbatim — routine at web-crawl scale — bands as
-    ONE row instead of 10⁶ rows sharing every bucket, so exact-duplicate
-    floods never reach the pair join at all.  The content key is computed
-    narrowly (no payload shuffle: reps aggregate (ckey, id) pairs only;
-    the hset payload moves once, keyed by id, to build rep_sets — the
-    same keying the verify join needs anyway).
-    """
-    slim = sets_df.select(
-        F.col(id_col),
-        F.xxhash64(F.array_sort(F.col("hset"))).alias("_ckey"),
+    """``_collapse_identical`` keyed on the sorted hashed shingle set."""
+    membership, rep_rows = _collapse_identical(
+        sets_df, id_col, _content_key(F.col("hset"))
     )
-    reps = slim.groupBy("_ckey").agg(F.min(id_col).alias("_rep"))
-    membership = slim.join(reps, "_ckey").select(F.col(id_col), F.col("_rep"))
-    rep_sets = sets_df.join(
-        reps.select(F.col("_rep").alias(id_col)), id_col
-    ).select(F.col(id_col), F.col("hset"))
-    return membership, rep_sets
+    return membership, rep_rows.select(F.col(id_col), F.col("hset"))
 
 
 def _signatures_from_exploded(
@@ -487,19 +509,22 @@ def minhash_candidates(
     """
     _check_identical_edges(identical_edges)
     _rows_per_band(num_hashes, num_bands)  # fail fast, before any analysis
-    slim = sig_df.select(
-        F.col(id_col), F.xxhash64(F.col("signature")).alias("_ckey")
+    membership, rep_rows = _collapse_identical(
+        sig_df.select(F.col(id_col), F.col("signature")),
+        id_col,
+        _content_key(F.col("signature"), ordered=True),
     )
-    reps = slim.groupBy("_ckey").agg(F.min(id_col).alias("_rep"))
-    membership = slim.join(reps, "_ckey").select(F.col(id_col), F.col("_rep"))
-    rep_sigs = sig_df.join(
-        reps.select(F.col("_rep").alias(id_col)), id_col
-    ).select(F.col(id_col), F.col("signature"))
-    banded = _banded(rep_sigs, id_col, num_hashes, num_bands)
+    banded = _banded(rep_rows, id_col, num_hashes, num_bands)
     rep_pairs = _pairs_from_banded(
         banded, banded, id_col, self_join=True, max_bucket=max_bucket
     )
-    inter = _expand_group_pairs(rep_pairs, membership, id_col, [])
+    # star: rep-level pairs stand for their groups (each group is already
+    # connected by its star edges) — cross-group output stays LINEAR too
+    inter = (
+        rep_pairs
+        if identical_edges == "star"
+        else _expand_group_pairs(rep_pairs, membership, id_col, [])
+    )
     intra = _intra_group_pairs(membership, id_col, identical_edges)
     return inter.unionByName(intra)
 
@@ -595,11 +620,15 @@ def minhash_near_duplicates(
     ``max_bucket`` DISTINCT contents are dropped with the loss auditable
     via ``minhash_bucket_audit``.  Verification runs at representative
     level, then pairs fan back out to members — identical sets share the
-    exact jaccard by construction.  ``identical_edges="star"`` swaps the
-    quadratic within-group pair list for linear (rep, member) edges:
-    connected-components-equivalent, and the only sane output shape once
-    a group has ~10⁶ members (the default "all" preserves the classic
-    pair-list semantics for corpora where groups are small).
+    exact jaccard by construction.  ``identical_edges="star"`` keeps the
+    output LINEAR in both directions: within a group, (rep, member) star
+    edges instead of the quadratic pair list; ACROSS groups, one
+    (rep_a, rep_b) edge instead of the |A|×|B| member block (two
+    near-identical mega-groups would otherwise re-create the quadratic
+    blowup the banding guards removed).  Connected-components-equivalent
+    either way (test-pinned) — star is the only sane shape once groups
+    reach ~10⁶ members; the default "all" preserves the classic
+    pair-list semantics for corpora where groups are small.
     """
     _check_identical_edges(identical_edges)
     # localCheckpoint (not persist): the shingle base feeds the content-key
@@ -630,7 +659,18 @@ def minhash_near_duplicates(
     verified = jaccard_pairs_hashed(rep_sets, cands, id_col).filter(
         F.col("jaccard") >= threshold
     )
-    inter = _expand_group_pairs(verified, membership, id_col, ["jaccard"])
+    # star: a single verified (rep_a, rep_b) edge stands for the whole
+    # group×group pair block — each group is already connected by its
+    # star edges, so components are identical (test-pinned) and the
+    # cross-group output stays LINEAR (r9 review: expanding members here
+    # would re-create the quadratic blowup for two near-identical — not
+    # byte-identical — mega-groups, e.g. 10⁶ copies of page A × 10⁶
+    # copies of a one-token variant B)
+    inter = (
+        verified
+        if identical_edges == "star"
+        else _expand_group_pairs(verified, membership, id_col, ["jaccard"])
+    )
     intra = _intra_group_pairs(membership, id_col, identical_edges).select(
         "id_a", "id_b", F.lit(1.0).alias("jaccard")
     )

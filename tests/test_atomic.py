@@ -649,3 +649,69 @@ def test_vacuum_tolerates_foreign_generation_names(spark, tmp_path):
     removed = vacuum_superseded(str(tmp_path))
     assert removed == 0
     assert (tmp_path / "gen-backup" / "keep.txt").exists()
+
+
+def test_marker_rescue_migrates_past_racer_scaffolding(tmp_path):
+    """r9 review (reproduced pre-fix): under the marker protocol an
+    in-flight racer's makedirs-only batch dir in the live generation
+    must NOT satisfy the self-rescue's 'already committed there' check —
+    the committed attempt + marker must migrate in, or the only durable
+    copy dies with its generation at the next vacuum."""
+    from paas_auditor_spark.operators.atomic import (
+        commit_batch_dir_marker,
+        committed_batch_dirs,
+        vacuum_superseded,
+    )
+
+    path = str(tmp_path)
+    os.makedirs(tmp_path / "gen-0")
+    with open(tmp_path / "CURRENT", "w") as fh:
+        fh.write("gen-0\n")
+
+    def write_flip_and_scaffold(data_dir):
+        _write_file(data_dir)
+        os.makedirs(tmp_path / "gen-1")
+        os.replace(_ptr_tmp(tmp_path, "gen-1"), str(tmp_path / "CURRENT"))
+        # a racing (then dying) replayer has ONLY created the batch dir
+        # scaffolding in the live generation — no data, no marker
+        os.makedirs(tmp_path / "gen-1" / "batch-5" / "attempt-dead")
+
+    assert commit_batch_dir_marker(path, 5, write_flip_and_scaffold) is True
+    dirs = committed_batch_dirs(path)  # resolves gen-1
+    assert len(dirs) == 1
+    assert os.path.isfile(os.path.join(dirs[0], "part-0"))
+    # vacuum (aging gates off) must not delete the only committed copy
+    vacuum_superseded(path, retain=0, orphan_age_s=0.0)
+    dirs2 = committed_batch_dirs(path)
+    assert len(dirs2) == 1 and os.path.isfile(os.path.join(dirs2[0], "part-0"))
+    # replay of the rescued id is a no-op
+    assert commit_batch_dir_marker(path, 5, _write_file) is False
+
+
+def test_compact_tolerates_foreign_batch_names(spark, tmp_path):
+    """r9 review (reproduced pre-fix): compact_batches crashed with
+    ValueError on an operator-created batch-backup dir, permanently
+    failing the always-armed maintenance tick under both protocols."""
+    from pyspark.sql import functions as F
+
+    from paas_auditor_spark.operators.atomic import compact_batches
+    from paas_auditor_spark.operators.bloom import bloom_words_collector
+
+    for protocol in ("rename", "marker"):
+        path = str(tmp_path / protocol)
+        hook = bloom_words_collector(
+            "k", path, m=1 << 12, k=3, protocol=protocol
+        )
+        for i in range(3):
+            hook(
+                spark.range(i * 10, (i + 1) * 10).select(
+                    F.concat(F.lit("b"), F.col("id").cast("string")).alias("k")
+                ),
+                i,
+            )
+        os.makedirs(os.path.join(path, "batch-backup"))
+        with open(os.path.join(path, "batch-backup", "note.txt"), "w") as fh:
+            fh.write("operator data")
+        assert compact_batches(spark, path, protocol=protocol) == 3
+        before = _assemble(spark, path, protocol=protocol)
+        assert before  # dataset still reads fine after the fold

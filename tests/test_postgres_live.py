@@ -133,6 +133,9 @@ class _PgCluster:
 
 @pytest.fixture(scope="module")
 def pg():
+    """Started cluster, DDL applied, 10 events seeded — every test gets
+    the same baseline regardless of selection/order (r9 review: the
+    first cut seeded inside one test and the rest depended on it)."""
     cluster = _PgCluster()
     try:
         if not cluster.start():
@@ -140,6 +143,7 @@ def pg():
                 "could not start a temporary Postgres cluster "
                 "(sandbox without setuid, or server misconfigured)"
             )
+        _seed(cluster.sql)
         yield cluster
     finally:
         cluster.stop()
@@ -147,11 +151,13 @@ def pg():
 
 @pytest.fixture(scope="module")
 def duck():
-    """DuckDB running the IDENTICAL statements — the always-on stand-in
-    whose parity with real Postgres this module certifies."""
+    """DuckDB running the IDENTICAL statements (same module-level seed)
+    — the always-on stand-in whose parity with real Postgres this
+    module certifies."""
     import duckdb
 
     con = duckdb.connect()
+    _seed(lambda sql, params=(): _duck_rows(con, sql, params))
     yield con
     con.close()
 
@@ -215,8 +221,7 @@ def test_on_conflict_insert_parity(pg, duck):
         return _duck_rows(duck, sql, params)
 
     for run in (pg_run, du_run):
-        _seed(run)
-        # replay the full batch: ON CONFLICT (guid) DO NOTHING
+        # replay the (fixture-seeded) batch: ON CONFLICT (guid) DO NOTHING
         for i in range(10):
             run(INSERT_EVENT, _event(i, T0 + dt.timedelta(seconds=i)))
         # conflicting guid with DIFFERENT payload: first writer wins
@@ -231,12 +236,16 @@ def test_on_conflict_insert_parity(pg, duck):
 
 
 def test_cursor_upsert_parity(pg, duck):
-    """W2: ON CONFLICT (name) DO UPDATE — last writer wins, one row."""
+    """W2: ON CONFLICT (name) DO UPDATE — last writer wins, one row.
+    Own cursor name, so no other test's upserts can interfere."""
     for i, ts in enumerate((T0, T0 + dt.timedelta(minutes=5))):
-        pg.sql(UPSERT_CURSOR, ("splunk-shipper", ts, f"guid-{i}"))
-        duck.execute(UPSERT_CURSOR, ["splunk-shipper", ts, f"guid-{i}"])
-    q = "SELECT name, updated_at, shipped_id FROM shipper_cursors"
-    want = [["splunk-shipper", "2024-03-01 12:05:00", "guid-1"]]
+        pg.sql(UPSERT_CURSOR, ("wtest-cursor", ts, f"guid-{i}"))
+        duck.execute(UPSERT_CURSOR, ["wtest-cursor", ts, f"guid-{i}"])
+    q = (
+        "SELECT name, updated_at, shipped_id FROM shipper_cursors"
+        " WHERE name = 'wtest-cursor'"
+    )
+    want = [["wtest-cursor", "2024-03-01 12:05:00", "guid-1"]]
     assert pg.sql(q) == _duck_rows(duck, q) == want
 
 
@@ -244,9 +253,8 @@ def test_shipper_cte_parity(pg, duck):
     """J1-J4/O3/T5 on the real backend: the verbatim store.go shipper CTE
     — epoch default via UNION, cap INSIDE the recent window, boundary
     guid excluded AFTER — returns identical rows on Postgres and DuckDB.
-    (The cursor row exists from the previous test: updated_at = T0+5min,
-    which is past every event, so first exercise the epoch path by name
-    miss, then the real cursor path.)"""
+    Exercises the epoch path by name miss first, then upserts ITS OWN
+    cursor for the boundary path (order-independent of other tests)."""
     cap = 4
     # unknown shipper name → epoch default row feeds the CTE
     got_pg = pg.sql(UNSHIPPED_SQL, ("no-such-shipper", cap))
