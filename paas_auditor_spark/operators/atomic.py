@@ -164,9 +164,12 @@ def _marker_committed(batch_dir: str) -> bool:
 def _move_published_batch(src: str, dst: str) -> str:
     """Move a batch dir from a superseded generation into the live one,
     correct under BOTH publish protocols.  Returns ``"moved"`` (we
-    placed it), ``"present"`` (already committed-visible at dst), or
-    ``"absent"`` (committed-visible in neither place — caller decides
-    how loud to be).
+    placed it), ``"present"`` (already committed-visible at dst),
+    ``"absent"`` (a COMMITTED src could not be placed — committed-visible
+    in neither place; callers about to delete src must be loud),
+    ``"skipped"`` (src is torn scaffolding, nothing committed to move),
+    or ``"wedged"`` (src carries an empty — externally corrupted —
+    marker and could not be surfaced into the live generation).
 
     The hazard this exists to not mis-call (r9 review, reproduced):
     under the MARKER protocol a bare ``isdir(dst)`` does NOT mean
@@ -184,9 +187,21 @@ def _move_published_batch(src: str, dst: str) -> str:
     src_marker = os.path.join(src, _MARKER)
     marker_protocol = os.path.exists(src_marker)
     if marker_protocol and not _marker_committed(src):
-        # src itself is uncommitted scaffolding: nothing worth moving;
-        # report what dst has
-        return "present" if _marker_committed(dst) else "absent"
+        # an EMPTY marker is external corruption (the protocol links a
+        # fully written file) — the codebase's posture on it is LOUD
+        # (commit and compact both raise).  Try the bare move so the
+        # wedge surfaces in the live generation where those checks run;
+        # if the move is blocked, report "wedged" so the caller can
+        # refuse to delete the dir underneath it (r9 fix-review).
+        try:
+            os.path.getsize(src_marker)  # distinguishes wedged vs race
+        except OSError:
+            return "skipped"  # marker vanished: src is torn scaffolding
+        try:
+            os.rename(src, dst)
+            return "moved"
+        except OSError:
+            return "wedged"
     try:
         os.rename(src, dst)
         return "moved"
@@ -365,10 +380,31 @@ def _rescue_unfolded(old_root: str, new_root: str) -> int:
         # read an in-flight racer's uncommitted marker-protocol dir in
         # the live gen as "retry's copy wins" and let the only COMMITTED
         # copy die with its generation
-        if _move_published_batch(
-            os.path.join(old_root, d), os.path.join(new_root, d)
-        ) == "moved":
+        src = os.path.join(old_root, d)
+        outcome = _move_published_batch(src, os.path.join(new_root, d))
+        if outcome == "moved":
             moved += 1
+        elif outcome == "absent":
+            # a COMMITTED batch could not be placed in the live gen (r9
+            # fix-review: e.g. the marker link failed with ENOSPC after
+            # the attempt dir moved) — every caller of this sweep is
+            # about to delete old_root, so silence here would be
+            # permanent batch loss.  Raise; the maintenance tick logs
+            # and retries, with old_root intact.
+            raise RuntimeError(
+                f"committed batch {src!r} (id {bid} above the live "
+                f"floor {floor}) could not be rescued into "
+                f"{new_root!r}; refusing to let it be deleted with its "
+                "generation — inspect, then re-run maintenance"
+            )
+        elif outcome == "wedged":
+            # empty marker = external corruption: the same loud posture
+            # commit and compact take, here before the dir under it is
+            # vacuumed away
+            raise ValueError(
+                f"wedged empty commit marker under {src!r}: inspect and "
+                "remove it before maintenance can reclaim this generation"
+            )
     return moved
 
 
@@ -589,18 +625,25 @@ def batch_data_paths(path: str, protocol: str, part: str = "") -> list[str]:
     if protocol != "rename":
         commit_fn(protocol)  # raise the canonical unknown-protocol error
     root = collector_root(path)
-    has_batches = os.path.isdir(root) and any(
-        d.startswith("batch-") for d in os.listdir(root)
-    )
-    if not has_batches:
+    # explicit numeric-id listing, not a batch-* glob (r9 fix-review):
+    # the glob also matched foreign batch-* names the fold/vacuum now
+    # tolerate, feeding their non-parquet contents straight into the
+    # read.  Compaction bounds the dir count, so the path list stays
+    # small; Spark's hidden-path rule never saw the dot-prefixed tmp
+    # dirs either way.
+    batches = []
+    if os.path.isdir(root):
+        for d in sorted(os.listdir(root)):
+            if not d.startswith("batch-"):
+                continue
+            try:
+                int(d.split("-", 1)[1])
+            except ValueError:
+                continue  # foreign name: tolerated, never read
+            batches.append(os.path.join(root, d))
+    if not batches:
         raise ValueError(f"no committed batches under {path!r}")
-    # one glob per dataset: Spark expands batch-* itself and its hidden-
-    # path rule skips the dot-prefixed in-flight tmp dirs
-    return [
-        os.path.join(root, "batch-*", part)
-        if part
-        else os.path.join(root, "batch-*")
-    ]
+    return [os.path.join(b, part) if part else b for b in batches]
 
 
 def vacuum_superseded(
@@ -691,7 +734,15 @@ def vacuum_superseded(
         elif d.startswith(".gen-"):
             if not old_enough(full):
                 continue  # possibly an in-flight fold's build dir
-        elif not (d.startswith("batch-") or d.startswith(".batch-")):
+        elif d.startswith("batch-"):
+            try:
+                int(d.split("-", 1)[1])
+            except ValueError:
+                # foreign batch-* name (operator data): spared, like
+                # gen-backup above — tolerance must reach the delete,
+                # not just the parse (r9 fix-review)
+                continue
+        elif not d.startswith(".batch-"):
             continue
         shutil.rmtree(full, ignore_errors=True)
         removed += 1

@@ -325,16 +325,22 @@ def _pairs_from_banded(
 
 
 def _content_key(arr: Column, ordered: bool = False) -> Column:
-    """128-bit content key of a bigint array: md5 of the comma-joined
-    canonical form (sorted for SETS, as-is for ordered arrays like
-    signatures).  128 bits on purpose (r9 review): a 64-bit key merges
-    two genuinely DIFFERENT documents at ~n²/2⁶⁵ odds — ~10⁴ false
-    groups at the brief's 10¹²-doc posture, each emitting fabricated
-    jaccard-1.0 pairs that bypass the exact-verify stage; md5 (the
-    ``exact_duplicates`` convention) pushes that to ~n²/2¹²⁹."""
+    """128-bit content key of a bigint array: a struct of two
+    differently-salted xxhash64 values over the canonical form (sorted
+    for SETS, as-is for ordered arrays like signatures).  128 bits on
+    purpose (r9 review): a 64-bit key merges two genuinely DIFFERENT
+    documents at ~n²/2⁶⁵ odds — ~10⁴ false groups at the brief's
+    10¹²-doc posture, each emitting fabricated jaccard-1.0 pairs that
+    bypass the exact-verify stage; the salted pair pushes that to
+    ~n²/2¹²⁹.  The two-xxhash64 struct is the ``duplicate_spans``
+    hash_bits=128 convention, chosen over md5-of-joined-string (the
+    first cut): no per-row string materialization of the whole set
+    (tens of KB at web-page shingle counts) and a 16-byte native
+    shuffle key instead of a 32-char string."""
     canon = arr if ordered else F.array_sort(arr)
-    return F.md5(
-        F.concat_ws(",", F.transform(canon, lambda x: x.cast("string")))
+    return F.struct(
+        F.xxhash64(canon).alias("h1"),
+        F.xxhash64(F.lit(1), canon).alias("h2"),
     )
 
 
