@@ -71,6 +71,7 @@ HEADLINE = [
     "doc_chunks",
     "inverted_index",
     "minhash_near_dup",
+    "minhash_near_dup_md5",
     "simhash",
     "knn_bruteforce",
     "embedding_near_dup_lsh",
@@ -83,6 +84,8 @@ HEADLINE = [
     "heavy_hitters",
     "zorder_key",
     "audio_windows",
+    "image_tiles",
+    "minhash_bucket_audit",
     "curation_pipeline",
     "semantic_dedup",
     "segment_dedup",

@@ -205,6 +205,161 @@ def sample_frames(
     )
 
 
+def synth_ppm(
+    vectors_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    width: int = 16,
+    height: int = 12,
+) -> DataFrame:
+    """Deterministic binary-PPM (netpbm ``P6``) image synthesis from a
+    float-vector column — the image twin of ``synth_wav`` (r9: it
+    retires the 'real image decode is PIL-gated' residual the same way
+    the WAV path retired audio's in r8).  P6 is a REAL image format —
+    ``P6\\n<w> <h>\\n255\\n`` header + raw big-endian RGB bytes — openable
+    by standard tools, yet dependency-free to read and write.
+
+    Pixel (p, channel c) byte = floor((clip(v, −1, 1) + 1)·127.5 + 0.5)
+    where v = vec[(3p + c) mod dim] — round-half-up ``floor`` form on
+    purpose, so the DuckDB oracle replays the identical expression from
+    the embeddings table without ever seeing a PPM byte (the synth_wav
+    convention)."""
+    import numpy as np
+
+    n_px = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        header = f"P6\n{width} {height}\n255\n".encode()
+        for pdf in batches:
+            ids, blobs = [], []
+            for vid, vec in zip(pdf[id_col], pdf[vec_col]):
+                x = np.asarray(vec, dtype=np.float64)
+                idx = np.arange(3 * n_px) % len(x)
+                v = np.clip(x[idx], -1.0, 1.0)
+                rgb = np.floor((v + 1.0) * 127.5 + 0.5).astype(np.uint8)
+                ids.append(vid)
+                blobs.append(header + rgb.tobytes())
+            yield pd.DataFrame({id_col: ids, "ppm": blobs})
+
+    id_type = vectors_df.schema[id_col].dataType.simpleString()
+    return vectors_df.mapInPandas(
+        run, schema=f"{id_col} {id_type}, ppm binary"
+    )
+
+
+def decode_ppm(blob: bytes):
+    """Strict netpbm ``P6`` decode with NO image library: returns
+    ``(width, height, maxval, flat uint8 array of h·w·3 RGB bytes)``.
+    Parses the real grammar — magic, then three whitespace-separated
+    header tokens with ``#``-comment lines allowed anywhere between
+    them, then ONE whitespace byte, then raw samples — and raises a
+    clear error on anything else (truncated data, maxval > 255's
+    two-byte samples are out of contract)."""
+    import numpy as np
+
+    if not blob.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6 magic missing)")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(blob):
+            raise ValueError("truncated PPM header")
+        ch = blob[pos : pos + 1]
+        if ch == b"#":  # comment runs to end of line
+            nl = blob.find(b"\n", pos)
+            pos = len(blob) if nl < 0 else nl + 1
+        elif ch.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(blob) and not blob[end : end + 1].isspace():
+                end += 1
+            tokens.append(int(blob[pos:end]))
+            pos = end
+    pos += 1  # exactly one whitespace byte separates header from samples
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"P6 maxval {maxval} outside the 8-bit contract")
+    need = w * h * 3
+    data = blob[pos : pos + need]
+    if len(data) != need:
+        raise ValueError(
+            f"truncated PPM samples: want {need} bytes, have {len(data)}"
+        )
+    return w, h, maxval, np.frombuffer(data, dtype=np.uint8)
+
+
+def image_tile_features(
+    blobs_df: DataFrame,
+    id_col: str = "vec_id",
+    blob_col: str = "ppm",
+    tile: int = 4,
+) -> DataFrame:
+    """Per-tile image statistics over PPM blobs with a REAL decode — the
+    image member of the multimodal family that runs everywhere (the
+    audio_window_features posture: parse the actual container, never
+    trust a schema).  Per non-overlapping ``tile``×``tile`` tile:
+    exact int64 channel sums, the peak sample, and mean BT.709-ish luma
+    from integer weights ((2126·R + 7152·G + 722·B)/10⁴ per pixel) —
+    every value an exact rational of byte sums, so a SQL oracle
+    reproduces them to the ulp from the same closed-form synth.  One
+    narrow mapInPandas fan-out (tile-count rows per blob), no shuffle."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, tix, sr, sg, sb, pk, luma = [], [], [], [], [], [], []
+            for vid, blob in zip(pdf[id_col], pdf[blob_col]):
+                w, h, _mx, flat = decode_ppm(bytes(blob))
+                if w % tile or h % tile:
+                    raise ValueError(
+                        f"{w}x{h} image not divisible into {tile}x{tile} "
+                        "tiles (partial tiles are out of contract)"
+                    )
+                img = flat.reshape(h, w, 3).astype(np.int64)
+                tw = w // tile
+                for ty in range(h // tile):
+                    for tx in range(tw):
+                        t = img[
+                            ty * tile : (ty + 1) * tile,
+                            tx * tile : (tx + 1) * tile,
+                        ]
+                        csum = t.sum(axis=(0, 1))  # exact int64 per channel
+                        ids.append(vid)
+                        tix.append(ty * tw + tx)
+                        sr.append(int(csum[0]))
+                        sg.append(int(csum[1]))
+                        sb.append(int(csum[2]))
+                        pk.append(int(t.max()))
+                        luma.append(
+                            (
+                                2126 * int(csum[0])
+                                + 7152 * int(csum[1])
+                                + 722 * int(csum[2])
+                            )
+                            / (10000.0 * tile * tile)
+                        )
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "tile_idx": tix,
+                    "sum_r": sr,
+                    "sum_g": sg,
+                    "sum_b": sb,
+                    "peak": pk,
+                    "mean_luma": luma,
+                }
+            )
+
+    id_type = blobs_df.schema[id_col].dataType.simpleString()
+    return blobs_df.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} {id_type}, tile_idx int, sum_r long, sum_g long, "
+            "sum_b long, peak long, mean_luma double"
+        ),
+    )
+
+
 def synth_wav(
     vectors_df: DataFrame,
     id_col: str = "vec_id",
@@ -331,10 +486,13 @@ __all__ = [
     "audio_window_features",
     "binary_features",
     "decode_image",
+    "decode_ppm",
     "fake_image_meta",
     "have_pil",
     "image_meta_features",
+    "image_tile_features",
     "resize_images",
     "sample_frames",
+    "synth_ppm",
     "synth_wav",
 ]

@@ -2240,6 +2240,73 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "frame_idx")
 
 
+def q_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-path multimodal plumbing with a REAL decode and NO image
+    library (r9 — retires the 'real image decode is PIL-gated' residual
+    the way r8's audio path retired WAV's): embeddings synthesize
+    binary-PPM P6 blobs (real netpbm containers — header + raw RGB,
+    openable by standard tools), and image_tile_features parses the
+    actual bytes back (decode_ppm: magic, comment-tolerant header
+    grammar, sample-count check) and computes per-4×4-tile channel
+    sums / peak / mean luma.  Fully exact oracle: pixel bytes are
+    floor((clip(v,−1,1)+1)·127.5+0.5) on both engines and every feature
+    is an exact rational of int64 byte sums, so DuckDB replays the
+    features straight off the embedding floats without ever seeing a
+    PPM byte.  The PIL-gated decode_image path remains for real-world
+    formats (JPEG/PNG), self-upgrading when the codec appears."""
+    from paas_auditor_spark.functions.multimodal import (
+        image_tile_features,
+        synth_ppm,
+    )
+
+    emb = _th(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
+    ppms = synth_ppm(emb.select("vec_id", "embedding"), width=16, height=12)
+    feats = image_tile_features(ppms, tile=4)
+    return feats.select(
+        "vec_id",
+        F.col("tile_idx").cast("long").alias("tile_idx"),
+        "sum_r",
+        "sum_g",
+        "sum_b",
+        "peak",
+        # NO rounding on purpose: mean_luma = k/160000.0 with k an exact
+        # int64 on both engines → bit-identical doubles; rounding to 4dp
+        # would CREATE mismatches (k ≡ 8 mod 16 lands exactly on .xxxx5,
+        # where Spark's BigDecimal half-up and DuckDB's binary-value
+        # round disagree — observed on 6/480 rows before this note)
+        "mean_luma",
+    ).orderBy("vec_id", "tile_idx")
+
+
+# SQL replay of q_image_tiles: pixel bytes from the same closed-form
+# floor expression over the embedding floats (the synth_ppm contract),
+# tiles via integer index arithmetic (p = y·16 + x; tile = (y//4)·4 +
+# x//4), features as exact BIGINT sums — no PPM byte ever reaches SQL.
+ORACLE_IMAGE_TILES = """
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id < 40),
+px AS (
+  SELECT vec_id, p,
+         ((p // 16) // 4) * 4 + ((p % 16) // 4) AS tile_idx,
+         CAST(floor((least(greatest(e[(3 * p + 0) % len(e) + 1], -1.0), 1.0)
+                     + 1.0) * 127.5 + 0.5) AS BIGINT) AS r,
+         CAST(floor((least(greatest(e[(3 * p + 1) % len(e) + 1], -1.0), 1.0)
+                     + 1.0) * 127.5 + 0.5) AS BIGINT) AS g,
+         CAST(floor((least(greatest(e[(3 * p + 2) % len(e) + 1], -1.0), 1.0)
+                     + 1.0) * 127.5 + 0.5) AS BIGINT) AS b
+  FROM emb, unnest(generate_series(0, 191)) t(p))
+SELECT vec_id, CAST(tile_idx AS BIGINT) AS tile_idx,
+       sum(r) AS sum_r, sum(g) AS sum_g, sum(b) AS sum_b,
+       greatest(max(r), max(g), max(b)) AS peak,
+       (2126 * sum(r) + 7152 * sum(g) + 722 * sum(b))
+         / (10000.0 * 16) AS mean_luma
+FROM px
+GROUP BY vec_id, tile_idx
+ORDER BY vec_id, tile_idx
+"""
+
+
 def q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-path multimodal plumbing with a REAL decode: embeddings
     synthesize deterministic 16-bit PCM WAV blobs (stdlib ``wave`` —
@@ -10472,6 +10539,7 @@ REGISTRY: dict[str, QuerySpec] = {
     # persisted twin replays the UNCLAMPED build-time sizing (r8 #3)
     "knn_ivf_persisted": QuerySpec(q_knn_ivf_persisted, _ivf_topk_oracle(None)),
     "audio_windows": QuerySpec(q_audio_windows, ORACLE_AUDIO_WINDOWS),
+    "image_tiles": QuerySpec(q_image_tiles, ORACLE_IMAGE_TILES),
     "multimodal_frames": QuerySpec(
         q_multimodal_frames,
         # replays the deterministic fake decode exactly: frame =

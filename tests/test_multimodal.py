@@ -188,3 +188,83 @@ def test_audio_window_features_rejects_non_pcm16_mono(spark):
     )
     with pytest.raises(Exception, match="mono 16-bit"):
         audio_window_features(df, window=16).collect()
+
+
+def test_ppm_synth_decode_round_trip(spark):
+    """The image twin of the WAV round trip (r9): synth_ppm writes REAL
+    netpbm P6 containers and decode_ppm parses the actual grammar back;
+    the byte loop must be lossless so the exact oracle stays valid."""
+    import numpy as np
+
+    from paas_auditor_spark.functions.multimodal import (
+        decode_ppm,
+        image_tile_features,
+        synth_ppm,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, [0.0, 1.0, -1.0, 0.5]), (2, [0.25] * 4)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: bytes(r["ppm"]) for r in synth_ppm(
+        vecs, width=4, height=4
+    ).collect()}
+    for vid, blob in rows.items():
+        assert blob.startswith(b"P6\n4 4\n255\n")
+        w, h, mx, flat = decode_ppm(blob)
+        assert (w, h, mx, len(flat)) == (4, 4, 255, 48)
+    # closed-form byte check: v=1.0 -> 255, v=-1.0 -> 0, v=0.0 -> 128
+    # (floor(127.5+0.5)), v=0.5 -> floor(1.5*127.5+0.5)=191
+    _, _, _, f1 = decode_ppm(rows[1])
+    assert [f1[0], f1[1], f1[2], f1[3]] == [128, 255, 0, 191]
+    # pattern repeats with period 4 (vec dim) across the 48 samples
+    assert list(f1[:4]) * 12 == list(f1)
+
+    feats = image_tile_features(
+        synth_ppm(vecs, width=4, height=4), tile=4
+    ).collect()
+    assert len(feats) == 2  # one 4x4 tile per image
+    by_id = {r["vec_id"]: r for r in feats}
+    assert by_id[1]["peak"] == 255
+    # exact channel sums from the repeating [128,255,0,191] byte stream:
+    # R samples are positions 0,3,6,... -> values cycle 128,191,0,255
+    r_vals = [f1[i] for i in range(0, 48, 3)]
+    assert by_id[1]["sum_r"] == sum(r_vals)
+
+
+def test_ppm_parser_grammar_and_errors():
+    """decode_ppm must accept the REAL netpbm grammar (comments between
+    header tokens) and fail loudly on truncation / wrong magic / 16-bit
+    maxval — never return garbage pixels."""
+    import pytest
+
+    from paas_auditor_spark.functions.multimodal import decode_ppm
+
+    body = bytes(range(2 * 1 * 3))
+    ok = b"P6\n# a comment\n2 # inline\n1\n# more\n255\n" + body
+    w, h, mx, flat = decode_ppm(ok)
+    assert (w, h, mx) == (2, 1, 255) and list(flat) == list(body)
+
+    with pytest.raises(ValueError, match="magic"):
+        decode_ppm(b"P5\n2 1\n255\n" + body)
+    with pytest.raises(ValueError, match="truncated PPM samples"):
+        decode_ppm(b"P6\n2 1\n255\n" + body[:-1])
+    with pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n2 1\n65535\n" + body)
+    with pytest.raises(ValueError, match="truncated PPM header"):
+        decode_ppm(b"P6\n2 1")
+
+
+def test_image_tile_features_rejects_partial_tiles(spark):
+    from paas_auditor_spark.functions.multimodal import (
+        image_tile_features,
+        synth_ppm,
+    )
+    import pytest
+
+    vecs = spark.createDataFrame(
+        [(1, [0.1] * 4)], "vec_id long, embedding array<double>"
+    )
+    blobs = synth_ppm(vecs, width=5, height=4)  # 5 % 4 != 0
+    with pytest.raises(Exception, match="not divisible"):
+        image_tile_features(blobs, tile=4).collect()
