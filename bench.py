@@ -72,6 +72,7 @@ HEADLINE = [
     "inverted_index",
     "minhash_near_dup",
     "minhash_near_dup_md5",
+    "simhash_md5",
     "simhash",
     "knn_bruteforce",
     "embedding_near_dup_lsh",

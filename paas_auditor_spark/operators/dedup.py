@@ -794,20 +794,39 @@ def minhash_bucket_audit(
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash fingerprint per document as a BIGINT.
+    """SimHash fingerprint per document as a BIGINT — 64 bits under the
+    default xxhash64 token hash, 60 bits under the CLOSED-FORM ``"md5"``
+    twin (first 15 hex digits of md5 as a bigint — the
+    ``_shingle_hash`` convention, bit-identical in DuckDB, so the md5
+    form backs an exact oracle while the flagship keeps xxhash64
+    throughput; 60 not 64 because 16 hex digits can overflow a signed
+    BIGINT cast on the SQL side).
 
-    Per distinct token: xxhash64; per bit: majority vote across tokens,
+    Per distinct token: the hash; per bit: majority vote across tokens,
     packed with a sum over shifted bit tests.  All array expressions —
     JVM-side.  ``hx`` stays a separate column on purpose: the packer
-    references it 128×, which stops CollapseProject from inlining the
+    references it 2·bits×, which stops CollapseProject from inlining the
     tokenizer into the bit loop (it only inlines once-referenced or cheap
     expressions), so tokenization+hashing runs once per row.  The bit loop
     is one compact ``aggregate`` HOF rather than 64 Python-generated
     branches — the expanded tree blows past codegen method limits and runs
     ~3× slower interpreted.
     """
+    if hash_fn == "xxhash64":
+        hx_sql, bits = "transform(toks, t -> xxhash64(t))", 64
+    elif hash_fn == "md5":
+        hx_sql, bits = (
+            "transform(toks, t ->"
+            " cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))",
+            60,
+        )
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     base = (
         fan_out(df.select(F.col(id_col), F.col(text_col)))
         .select(
@@ -816,13 +835,13 @@ def simhash(
                 "toks"
             ),
         )
-        .withColumn("hx", F.expr("transform(toks, t -> xxhash64(t))"))
+        .withColumn("hx", F.expr(hx_sql))
     )
     # SQL-expression lambdas because the bit index must itself be an
     # expression (the Python shiftright wrapper only takes int shifts)
     packed = F.expr(
         "aggregate("
-        "  transform(sequence(0, 63), b ->"
+        f"  transform(sequence(0, {bits - 1}), b ->"
         "    CASE WHEN 2 * size(filter(hx, h -> (shiftright(h, b) & 1) = 1))"
         "              > size(hx)"
         "         THEN shiftleft(1L, b) ELSE 0L END),"

@@ -1342,12 +1342,16 @@ def q_dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     content groups contribute linear (rep, member) edges instead of the
     quadratic pair list — component-identical (test-pinned), and the only
     shape that survives a 10⁶-copy boilerplate page at crawl scale.
+    Closure via the large/small-star operator (O(log² n) rounds,
+    diameter-independent — the 100 TB shape q_dedup_pipeline_full uses;
+    min-label CC is component-identical, test-pinned, but its round
+    count follows the component diameter).
     Output: one row per multi-doc cluster."""
     docs = _th(spark, sf_dir, "documents")
     edges = dedup.minhash_near_duplicates(
         docs, threshold=0.5, identical_edges="star"
     ).select("id_a", "id_b")
-    cc = dedup.connected_components(edges, src="id_a", dst="id_b")
+    cc = dedup.connected_components_star(edges, src="id_a", dst="id_b")
     return (
         cc.groupBy(F.col("component").cast("long").alias("cluster_id"))
         .agg(
@@ -1756,11 +1760,44 @@ def _oracle_minhash_md5(
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 64-bit fingerprints — rows-only check (xxhash64-specific)."""
+    """SimHash 64-bit fingerprints — rows-only check (xxhash64-specific);
+    the fingerprint SEMANTICS are oracle-certified by simhash_md5."""
     # _t not _th: the dedup operator fans out its own narrow projection
     # internally; an outer rebalance here would double-shuffle
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash(docs).orderBy("doc_id")
+
+
+def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash under FULL cross-engine check (r8 verdict task #7, the
+    same move as minhash_near_dup_md5): identical operator — distinct
+    normalized tokens, per-bit majority vote, shifted-bit packing — with
+    the closed-form md5 token hash (60 bits: 15 md5 hex digits parse as
+    a bigint on both engines without sign overflow), so DuckDB replays
+    tokenize → hash → 60 majority votes → packing bit-for-bit.  Bounded
+    slice; the whole-corpus flagship keeps xxhash64."""
+    docs = _th(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.simhash(docs, hash_fn="md5").orderBy("doc_id")
+
+
+ORACLE_SIMHASH_MD5 = """
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tk
+  FROM documents WHERE doc_id < 200),
+hx AS (
+  SELECT doc_id,
+         list_transform(tk, t ->
+           CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hs
+  FROM toks)
+SELECT doc_id,
+       CAST(list_sum([
+         CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) > len(hs)
+              THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+         FOR b IN range(0, 60)
+       ]) AS BIGINT) AS simhash
+FROM hx ORDER BY doc_id
+"""
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10333,6 +10370,7 @@ REGISTRY: dict[str, QuerySpec] = {
         q_minhash_near_dup_md5, _oracle_minhash_md5()
     ),
     "simhash": QuerySpec(q_simhash, None),
+    "simhash_md5": QuerySpec(q_simhash_md5, ORACLE_SIMHASH_MD5),
     "ngram_jaccard": QuerySpec(
         q_ngram_jaccard,
         """
