@@ -122,6 +122,24 @@ def image_meta_features(
     )
 
 
+def ppm_resize(blob: bytes, w: int, h: int) -> bytes:
+    """REAL image resize with no image library: decode the binary-PPM
+    container, nearest-neighbor resample on the pixel grid (the
+    source-index map ``src = floor((dst + 0.5)·src_dim/dst_dim)`` —
+    OpenCV/PIL's NEAREST convention), re-encode as P6.  Deterministic
+    and dependency-free, so ``resize_images`` has a genuine codec step
+    everywhere (r9, completing the PPM path): pass it as ``resizer``
+    for PPM blobs; PIL's ``Image.resize`` drops in for JPEG/PNG."""
+    import numpy as np
+
+    sw, sh, _mx, flat = decode_ppm(blob)
+    img = flat.reshape(sh, sw, 3)
+    ys = np.minimum(((np.arange(h) + 0.5) * sh / h).astype(np.int64), sh - 1)
+    xs = np.minimum(((np.arange(w) + 0.5) * sw / w).astype(np.int64), sw - 1)
+    out = img[ys[:, None], xs[None, :], :]
+    return f"P6\n{w} {h}\n255\n".encode() + out.tobytes()
+
+
 def resize_images(
     blobs_df: DataFrame,
     target_w: int = 32,
@@ -132,11 +150,13 @@ def resize_images(
 ) -> DataFrame:
     """Resize template: binary in → binary out, same mapInPandas shape.
 
-    ``resizer(blob, w, h) -> bytes`` is the pluggable codec step (PIL
-    ``Image.resize`` on a real cluster).  The default is a deterministic
-    fake — sha256-keyed byte expansion to exactly w*h bytes — so the
-    pipeline (schema binary→binary, Arrow round-trip of bytearrays, batch
-    shape) is exercised without a codec.
+    ``resizer(blob, w, h) -> bytes`` is the pluggable codec step —
+    ``ppm_resize`` is the REAL dependency-free implementation for PPM
+    blobs (r9); PIL ``Image.resize`` slots in for compressed formats on
+    a real cluster.  The default remains the deterministic fake —
+    sha256-keyed byte expansion to exactly w*h bytes — so the pipeline
+    (schema binary→binary, Arrow round-trip of bytearrays, batch shape)
+    is exercised even on blobs that are not images at all.
     """
 
     def fake_resize(blob: bytes, w: int, h: int) -> bytes:
@@ -491,6 +511,7 @@ __all__ = [
     "have_pil",
     "image_meta_features",
     "image_tile_features",
+    "ppm_resize",
     "resize_images",
     "sample_frames",
     "synth_ppm",

@@ -268,3 +268,51 @@ def test_image_tile_features_rejects_partial_tiles(spark):
     blobs = synth_ppm(vecs, width=5, height=4)  # 5 % 4 != 0
     with pytest.raises(Exception, match="not divisible"):
         image_tile_features(blobs, tile=4).collect()
+
+
+def test_ppm_resize_real_codec(spark):
+    """ppm_resize is a REAL nearest-neighbor resample over decoded PPM
+    pixels: identity resize is byte-identical, downsample picks the
+    convention's source pixels, and the output is itself a valid P6 the
+    decoder accepts — the codec step of resize_images, un-faked."""
+    import numpy as np
+
+    from paas_auditor_spark.functions.multimodal import (
+        decode_ppm,
+        ppm_resize,
+        resize_images,
+        synth_ppm,
+    )
+
+    vecs = spark.createDataFrame(
+        [(7, [float(x) / 10 for x in range(-5, 5)])],
+        "vec_id long, embedding array<double>",
+    )
+    blob = bytes(synth_ppm(vecs, width=4, height=4).collect()[0]["ppm"])
+
+    assert ppm_resize(blob, 4, 4) == blob  # identity: exact byte round trip
+
+    small = ppm_resize(blob, 2, 2)
+    w, h, _mx, flat = decode_ppm(small)
+    assert (w, h) == (2, 2)
+    _, _, _, src = decode_ppm(blob)
+    img = src.reshape(4, 4, 3)
+    # NEAREST convention: src index floor((dst+0.5)*4/2) = 1, 3
+    want = img[np.ix_([1, 3], [1, 3])].reshape(-1)
+    assert list(flat) == list(want)
+
+    up = ppm_resize(blob, 8, 8)
+    w, h, _, flat_up = decode_ppm(up)
+    assert (w, h) == (8, 8) and len(flat_up) == 8 * 8 * 3
+
+    # end-to-end through the resize operator with the real codec
+    out = resize_images(
+        synth_ppm(vecs, width=4, height=4).withColumnRenamed(
+            "vec_id", "doc_id"
+        ),
+        target_w=2,
+        target_h=2,
+        blob_col="ppm",
+        resizer=ppm_resize,
+    ).collect()
+    assert decode_ppm(bytes(out[0]["resized"]))[:2] == (2, 2)
