@@ -630,7 +630,12 @@ def batch_data_paths(path: str, protocol: str, part: str = "") -> list[str]:
     # tolerate, feeding their non-parquet contents straight into the
     # read.  Compaction bounds the dir count, so the path list stays
     # small; Spark's hidden-path rule never saw the dot-prefixed tmp
-    # dirs either way.
+    # dirs either way.  Deliberate contract change that rides along: a
+    # NUMERIC batch dir missing a requested part now fails the read
+    # loudly (PATH_NOT_FOUND) where the glob silently skipped it — under
+    # the whole-dir/marker commit protocols every part is written inside
+    # the batch dir before publish, so a missing part is a torn write or
+    # a writer bug, and silence would mean serving partial data.
     batches = []
     if os.path.isdir(root):
         for d in sorted(os.listdir(root)):

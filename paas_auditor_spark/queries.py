@@ -1664,8 +1664,10 @@ def q_minhash_near_dup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle, jaccard exactly 1.0) and one SALTED copy (+10⁵ id, one
     appended token — the crawl-sibling shape, high jaccard), both
     replayed verbatim in SQL."""
+    # _t not _th: the dedup operator fans out its own narrow projection
+    # internally; an outer rebalance here would double-shuffle
     base = (
-        _th(spark, sf_dir, "documents")
+        _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 80)
         .select("doc_id", "text")
     )
@@ -1723,7 +1725,13 @@ def _oracle_minhash_md5(
                  text || ' v' || CAST(doc_id AS VARCHAR)
           FROM documents WHERE doc_id < 80),
         toks AS (
-          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+          -- bit-exact tokenizer twin — Java's ASCII \\s spelled out and
+          -- edge-whitespace empties filtered (see ORACLE_SIMHASH_MD5)
+          SELECT doc_id,
+                 list_filter(
+                   regexp_split_to_array(lower(text),
+                                         '[ \\t\\n\\x0b\\f\\r]+'),
+                   t -> t <> '') AS w
           FROM corpus),
         sh AS (
           SELECT doc_id, CASE WHEN len(w) >= 3
@@ -1776,14 +1784,23 @@ def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     a bigint on both engines without sign overflow), so DuckDB replays
     tokenize → hash → 60 majority votes → packing bit-for-bit.  Bounded
     slice; the whole-corpus flagship keeps xxhash64."""
-    docs = _th(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    # _t not _th: the dedup operator fans out its own narrow projection
+    # internally; an outer rebalance here would double-shuffle
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return dedup.simhash(docs, hash_fn="md5").orderBy("doc_id")
 
 
-ORACLE_SIMHASH_MD5 = """
+ORACLE_SIMHASH_MD5 = r"""
 WITH toks AS (
+  -- bit-exact twin of Spark's normalized_text+tokens (r9 review): the
+  -- char class is Java's ASCII \s = [ \t\n\x0B\f\r] spelled out (RE2's
+  -- \s EXCLUDES \x0B), and empty fields from edge whitespace are
+  -- filtered (DuckDB's trim strips only spaces, so a trailing '\n'
+  -- would otherwise leave an '' token casting a phantom md5 vote)
   SELECT doc_id,
-         list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tk
+         list_distinct(list_filter(
+           regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+           t -> t <> '')) AS tk
   FROM documents WHERE doc_id < 200),
 hx AS (
   SELECT doc_id,
