@@ -565,3 +565,22 @@ def test_minhash_collapse_preserves_pair_list(spark):
     assert (0, 2) in got and (1, 2) in got and (2, 5) in got
     assert got[(0, 2)] == got[(1, 2)] == got[(2, 5)]
     assert all(3 not in p for p in got)
+
+
+def test_banding_pair_plan_has_no_distinct(docs_df):
+    """Pin the first-shared-band claim structurally: the candidate-pair
+    plan must contain NO deduplication node — each pair leaves the band
+    join exactly once via the prior-keys filter, so a reintroduced
+    .distinct() (whose shuffle volume is pairs × matching-bands, the
+    r8 scale-killer) fails here, not in the next 100× rehearsal."""
+    sets_df = dedup.hashed_shingle_sets(docs_df)
+    banded = dedup._banded_from_sets(sets_df, "doc_id", 24, 12)
+    pairs = dedup._pairs_from_banded(
+        banded, banded, "doc_id", self_join=True, max_bucket=4096
+    )
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "Deduplicate" not in plan
+    # and the guards ARE in the plan: one window (occupancy cap) and the
+    # first-shared-band zip_with filter
+    assert "Window" in plan
+    assert "zip_with" in plan
