@@ -72,6 +72,7 @@ HEADLINE = [
     "inverted_index",
     "minhash_near_dup",
     "minhash_near_dup_md5",
+    "minhash_gate_persisted",
     "simhash_md5",
     "simhash",
     "knn_bruteforce",

@@ -798,6 +798,112 @@ def minhash_bucket_audit(
     )
 
 
+def minhash_index_collector(
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    num_bands: int = 16,
+    shingle_k: int = 3,
+    protocol: str = "rename",
+):
+    """foreachBatch hook for an INCREMENTALLY MAINTAINED near-dup gate
+    index — the dedup member of the collector family (bloom_words /
+    postings / lm_counts / ivf shards; r9: minhash was the one family
+    whose deployment shape still re-signatured the corpus per gate).
+    Each micro-batch of newly ingested documents lands TWO relations as
+    ONE atomic batch directory (``batch-<id>/bands`` + ``batch-<id>/
+    sets``) under the shared commit protocol (operators/atomic.py):
+
+    - ``bands``: (id, band_id, band_hash, prior) — the banded rows the
+      candidate equi-join probes, with the earlier-band keys (``prior``)
+      stored so the first-shared-band pair dedup works against the index
+      exactly as in-memory;
+    - ``sets``: (id, hset) — the hashed shingle sets the exact-Jaccard
+      verify touches only for candidate ids.
+
+    Two parts in one commit because a batch whose bands landed without
+    its sets would emit candidates that can never verify (silently
+    dropped pairs) — the torn state the whole-batch commit exists to
+    prevent.  Ids must be append-only across batches (the postings
+    contract); index rows are stored UNCOLLAPSED (every id bands), so
+    probes return real index ids directly and cross-batch duplicate
+    contents are handled by the probe-side occupancy cap, not by a
+    cross-batch build barrier.  Replay of a committed batch id writes
+    nothing.  Compacts with ``compact_batches(parts=("bands",
+    "sets"))``."""
+    from paas_auditor_spark.operators.atomic import commit_fn
+
+    commit = commit_fn(protocol)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        def write(tmp: str) -> None:
+            sets_df = hashed_shingle_sets(
+                batch_df, text_col, id_col, shingle_k
+            ).localCheckpoint(eager=False)  # tokenize+hash once, 2 writes
+            sets_df.write.parquet(f"{tmp}/sets")
+            _banded_from_sets(
+                sets_df, id_col, num_hashes, num_bands
+            ).write.parquet(f"{tmp}/bands")
+
+        commit(path, batch_id, write)
+
+    return write_batch
+
+
+def minhash_incremental_persisted(
+    spark,
+    index_path: str,
+    new_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    num_bands: int = 16,
+    shingle_k: int = 3,
+    max_bucket: int | None = 4096,
+    protocol: str = "rename",
+) -> DataFrame:
+    """Ingestion-time near-dup gate against a PERSISTED band index —
+    the deployment shape of ``minhash_near_duplicates_incremental``:
+    the corpus is never re-shingled at gate time; the new batch's banded
+    rows equi-join the stored (band_id, band_hash) relation and only
+    candidate ids' stored shingle sets are read for the exact verify.
+    The banding/verify parameters MUST match the collector's (they are
+    baked into the stored rows — the persisted-index rule every
+    collector family shares).  Returns (id_a=new, id_b=index, jaccard ≥
+    threshold), value-identical to the in-memory incremental operator
+    over the same corpus (equality test-pinned)."""
+    from paas_auditor_spark.operators.atomic import batch_data_paths
+
+    banded_idx = spark.read.parquet(
+        *batch_data_paths(index_path, protocol, "bands")
+    )
+    idx_sets = spark.read.parquet(
+        *batch_data_paths(index_path, protocol, "sets")
+    )
+    new_sets = hashed_shingle_sets(
+        new_df, text_col, id_col, shingle_k
+    ).localCheckpoint(eager=False)
+    m_new, rep_new = _collapse_identical_sets(new_sets, id_col)
+    banded_new = _banded_from_sets(rep_new, id_col, num_hashes, num_bands)
+    cands = _pairs_from_banded(
+        banded_new, banded_idx, id_col, self_join=False, max_bucket=max_bucket
+    )
+    both_sets = rep_new.unionByName(idx_sets)
+    verified = jaccard_pairs_hashed(both_sets, cands, id_col).filter(
+        F.col("jaccard") >= threshold
+    )
+    # new side fans back out through its membership; index ids are real
+    # (stored uncollapsed), so id_b passes through
+    ma = m_new.select(F.col("_rep").alias("id_a"), F.col(id_col).alias("_ma"))
+    return (
+        verified.join(ma, "id_a")
+        .select(F.col("_ma").alias("id_a"), "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",
@@ -1386,6 +1492,8 @@ __all__ = [
     "jaccard_pairs_hashed",
     "minhash_bucket_audit",
     "minhash_candidates",
+    "minhash_incremental_persisted",
+    "minhash_index_collector",
     "minhash_near_duplicates",
     "minhash_signatures",
     "shingles",

@@ -6935,6 +6935,63 @@ _BM25_ORACLE = """
         """
 
 
+def _minhash_index_cached(spark: SparkSession, sf_dir: str) -> str:
+    """Build-or-reuse the persisted MinHash band index
+    (operators/dedup.py:minhash_index_collector) over the documents with
+    doc_id ≥ 100 — two collector batches, the streaming-ingest shape."""
+    from paas_auditor_spark.operators.dedup import minhash_index_collector
+
+    def build(tmp):
+        hook = minhash_index_collector(tmp, num_hashes=24, num_bands=12)
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") >= 100)
+        half = F.col("doc_id") % 2
+        hook(docs.filter(half == 0), 0)
+        hook(docs.filter(half == 1), 1)
+
+    return _cached_artifact(
+        "mhidx1:" + _src_ident(sf_dir, "documents"),
+        "paas_mh_index_",
+        build,
+    )
+
+
+def q_minhash_gate_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEPLOYMENT shape of ingestion-time near-dup gating — the
+    dedup member of the persisted family (bm25/bloom/LM/IVF convention;
+    r9): the corpus is shingled ONCE into a persisted two-part band
+    index (minhash_index_collector — the same index a streaming ingest
+    maintains batch-by-batch), and gating a new batch joins its banded
+    rows against the stored band relation, reading stored shingle sets
+    only for candidate ids — the corpus text is never touched at gate
+    time.  The new batch is made match-RICH deterministically (salted
+    variants of 30 indexed docs — the crawl-sibling shape), so the gate
+    provably fires.  Rows-only (xxhash64 banding); value-equality with
+    the in-memory incremental operator plus replay/compaction
+    invariance are pytest-pinned
+    (test_dedup.py::test_minhash_persisted_index_gate_equals_inmemory),
+    and the family's SEMANTICS are oracle-certified by
+    minhash_near_dup_md5."""
+    from paas_auditor_spark.operators.dedup import (
+        minhash_incremental_persisted,
+    )
+
+    path = _minhash_index_cached(spark, sf_dir)
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 130))
+        .select("doc_id", "text")
+    )
+    new = base.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" v"), F.col("doc_id").cast("string")
+        ).alias("text"),
+    )
+    return minhash_incremental_persisted(
+        spark, path, new, threshold=0.5, num_hashes=24, num_bands=12
+    )
+
+
 def _postings_index_cached(spark: SparkSession, sf_dir: str) -> str:
     """Build-or-reuse the persisted inverted index
     (operators/ranking.py:postings_collector) for this corpus file."""
@@ -10805,6 +10862,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "table_profile_approx": QuerySpec(q_table_profile_approx, None),
     "minhash_incremental": QuerySpec(q_minhash_incremental, None),
+    "minhash_gate_persisted": QuerySpec(q_minhash_gate_persisted, None),
     "dedup_clusters_minhash": QuerySpec(q_dedup_clusters_minhash, None),
     "dedup_pipeline_full": QuerySpec(q_dedup_pipeline_full, None),
     "dedup_pipeline_exact": QuerySpec(

@@ -584,3 +584,71 @@ def test_banding_pair_plan_has_no_distinct(docs_df):
     # first-shared-band zip_with filter
     assert "Window" in plan
     assert "zip_with" in plan
+
+
+def test_minhash_persisted_index_gate_equals_inmemory(spark, tmp_path):
+    """The persisted band index (minhash_index_collector) must gate a
+    new batch value-identically to the in-memory incremental operator
+    over the same corpus, through batch replay AND generic compaction —
+    the equality pin every persisted family carries (bm25/bloom/LM/IVF
+    convention; r9 adds the dedup member)."""
+    from paas_auditor_spark.operators.atomic import compact_batches
+    from paas_auditor_spark.operators.dedup import (
+        minhash_incremental_persisted,
+        minhash_index_collector,
+        minhash_near_duplicates_incremental,
+    )
+
+    base = [
+        (100 + i, f"the quick brown fox number {i} jumps over the lazy "
+                  f"dog near the river bank today in document {i}")
+        for i in range(12)
+    ]
+    idx1 = spark.createDataFrame(base[:6], ["doc_id", "text"])
+    idx2 = spark.createDataFrame(base[6:], ["doc_id", "text"])
+    # new batch: salted near-dups of indexed docs 100/103/107 + noise
+    new = spark.createDataFrame(
+        [
+            (1, base[0][1] + " extra"),
+            (2, base[3][1] + " extra words appended"),
+            (3, base[7][1].replace("lazy", "sleepy")),
+            (4, "completely unrelated content about query optimizers"),
+        ],
+        ["doc_id", "text"],
+    )
+
+    path = str(tmp_path / "mh_index")
+    hook = minhash_index_collector(path, num_hashes=24, num_bands=12)
+    hook(idx1, 0)
+    hook(idx2, 1)
+    hook(spark.createDataFrame([(999, "junk")], ["doc_id", "text"]), 1)
+    # ^ replayed batch id: must be a no-op (999 never enters the index)
+
+    def rows(df):
+        return [
+            (r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()
+        ]
+
+    want = rows(
+        minhash_near_duplicates_incremental(
+            new, idx1.unionByName(idx2),
+            threshold=0.5, num_hashes=24, num_bands=12,
+        )
+    )
+    assert want  # the salted siblings really gate
+    assert all(b != 999 for _, b, _ in want)
+    got = rows(
+        minhash_incremental_persisted(
+            spark, path, new, threshold=0.5, num_hashes=24, num_bands=12
+        )
+    )
+    assert got == want
+
+    # generic compaction of the two-part batches changes nothing
+    assert compact_batches(spark, path, parts=("bands", "sets")) == 2
+    got2 = rows(
+        minhash_incremental_persisted(
+            spark, path, new, threshold=0.5, num_hashes=24, num_bands=12
+        )
+    )
+    assert got2 == want
