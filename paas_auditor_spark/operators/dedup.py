@@ -577,17 +577,23 @@ def jaccard_pairs_hashed(
     sets_df: DataFrame,
     pairs_df: DataFrame,
     id_col: str = "doc_id",
+    sets_b: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over hashed shingle sets for candidate pairs.
 
     Identical value to string-set Jaccard modulo (rare) 31-bit hash
     collisions; the bigint array_intersect/union is far cheaper than string
     comparison, which matters because verification touches every candidate.
+
+    ``sets_b``: optional separate relation for the id_b side (r9 review:
+    the incremental gates have disjoint sides, and unioning both into one
+    relation made the id_a join scan the whole — at deployment scale,
+    corpus-sized — index sets for zero possible matches).
     """
     a = sets_df.select(
         F.col(id_col).alias("id_a"), F.col("hset").alias("set_a")
     )
-    b = sets_df.select(
+    b = (sets_df if sets_b is None else sets_b).select(
         F.col(id_col).alias("id_b"), F.col("hset").alias("set_b")
     )
     joined = (
@@ -690,50 +696,39 @@ def minhash_near_duplicates(
     return inter.unionByName(intra).orderBy("id_a", "id_b")
 
 
-def minhash_near_duplicates_incremental(
+def _incremental_gate(
     new_df: DataFrame,
-    index_df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    threshold: float = 0.7,
-    num_hashes: int = 32,
-    num_bands: int = 16,
-    shingle_k: int = 3,
-    max_bucket: int | None = 4096,
+    banded_idx: DataFrame,
+    idx_rep_sets: DataFrame,
+    m_idx: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    num_hashes: int,
+    num_bands: int,
+    shingle_k: int,
+    max_bucket: int | None,
 ) -> DataFrame:
-    """Ingestion-time near-dup gate: NEW documents banded against an
-    INDEXED corpus (ids must be disjoint) — the incremental form of
-    ``minhash_near_duplicates``.
-
-    At scale the index side's (band_id, band_hash) rows are precomputed
-    once and STORED partitioned/bucketed by band key, so gating a new
-    batch is an equi-join whose right side is bucket-pruned — the batch
-    never re-signatures the corpus, and the pair space still never
-    materializes.  Returns (id_a=new, id_b=index, jaccard >= threshold),
-    exact-verified on the hashed shingle sets like the batch operator.
-    Both sides collapse exact-identical contents to a representative and
-    cap bucket occupancy independently (a new doc identical to an indexed
-    one still pairs: identical sets share every band key, so the rep pair
-    survives banding and the member fan-out restores every combination).
-    """
+    """The shared gate core (r9 review: the in-memory and persisted
+    gates had drifted into copies): NEW documents collapsed, banded and
+    equi-joined against an index-side REPRESENTATIVE band relation, the
+    candidates exact-verified against the two sides' own sets relations,
+    both sides fanned back out through their memberships.  The index
+    side arrives pre-collapsed (``banded_idx``/``idx_rep_sets`` hold
+    representatives only, ``m_idx`` maps every index id to its rep), so
+    occupancy caps count DISTINCT contents on both sides regardless of
+    where the index came from."""
     new_sets = hashed_shingle_sets(
         new_df, text_col, id_col, shingle_k
     ).localCheckpoint(eager=False)
-    idx_sets = hashed_shingle_sets(
-        index_df, text_col, id_col, shingle_k
-    ).localCheckpoint(eager=False)
     m_new, rep_new = _collapse_identical_sets(new_sets, id_col)
-    m_idx, rep_idx = _collapse_identical_sets(idx_sets, id_col)
-
     banded_new = _banded_from_sets(rep_new, id_col, num_hashes, num_bands)
-    banded_idx = _banded_from_sets(rep_idx, id_col, num_hashes, num_bands)
     cands = _pairs_from_banded(
         banded_new, banded_idx, id_col, self_join=False, max_bucket=max_bucket
     )
-    both_sets = rep_new.unionByName(rep_idx)
-    verified = jaccard_pairs_hashed(both_sets, cands, id_col).filter(
-        F.col("jaccard") >= threshold
-    )
+    verified = jaccard_pairs_hashed(
+        rep_new, cands, id_col, sets_b=idx_rep_sets
+    ).filter(F.col("jaccard") >= threshold)
     # sides are fixed (id_a = new, id_b = index): expand each side through
     # its own membership, no least/greatest reorientation
     ma = m_new.select(F.col("_rep").alias("id_a"), F.col(id_col).alias("_ma"))
@@ -747,6 +742,41 @@ def minhash_near_duplicates_incremental(
             "jaccard",
         )
         .orderBy("id_a", "id_b")
+    )
+
+
+def minhash_near_duplicates_incremental(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    num_bands: int = 16,
+    shingle_k: int = 3,
+    max_bucket: int | None = 4096,
+) -> DataFrame:
+    """Ingestion-time near-dup gate: NEW documents banded against an
+    INDEXED corpus (ids must be disjoint) — the incremental form of
+    ``minhash_near_duplicates``; ``minhash_incremental_persisted`` is
+    its deployment shape over a stored band index.
+
+    Returns (id_a=new, id_b=index, jaccard >= threshold), exact-verified
+    on the hashed shingle sets like the batch operator.  Both sides
+    collapse exact-identical contents to a representative and cap bucket
+    occupancy independently (a new doc identical to an indexed one still
+    pairs: identical sets share every band key, so the rep pair survives
+    banding and the member fan-out restores every combination).
+    """
+    idx_sets = hashed_shingle_sets(
+        index_df, text_col, id_col, shingle_k
+    ).localCheckpoint(eager=False)
+    m_idx, rep_idx = _collapse_identical_sets(idx_sets, id_col)
+    banded_idx = _banded_from_sets(rep_idx, id_col, num_hashes, num_bands)
+    return _incremental_gate(
+        new_df, banded_idx, rep_idx, m_idx,
+        text_col, id_col, threshold, num_hashes, num_bands, shingle_k,
+        max_bucket,
     )
 
 
@@ -815,23 +845,30 @@ def minhash_index_collector(
     ONE atomic batch directory (``batch-<id>/bands`` + ``batch-<id>/
     sets``) under the shared commit protocol (operators/atomic.py):
 
-    - ``bands``: (id, band_id, band_hash, prior) — the banded rows the
-      candidate equi-join probes, with the earlier-band keys (``prior``)
-      stored so the first-shared-band pair dedup works against the index
-      exactly as in-memory;
-    - ``sets``: (id, hset) — the hashed shingle sets the exact-Jaccard
-      verify touches only for candidate ids.
+    - ``bands``: (id, band_id, band_hash, prior, num_hashes, num_bands)
+      — the banded rows the candidate equi-join probes, with the
+      earlier-band keys (``prior``) stored so the first-shared-band pair
+      dedup works against the index exactly as in-memory, and the
+      banding parameters carried per row (the bloom m/k/scheme
+      convention — RLE-compressed to nothing by parquet) so a probe
+      with MISMATCHED parameters fails loudly instead of silently
+      matching almost no band keys (r9 review);
+    - ``sets``: (id, hset, _ckey) — the hashed shingle sets the
+      exact-Jaccard verify touches only for candidate representative
+      ids, plus the 128-bit content key, so the probe rebuilds the
+      GLOBAL identical-content collapse from a column-pruned (id, _ckey)
+      scan — hset bytes never read for it (r9 review: without a stored
+      key, cross-batch duplicate contents would band uncollapsed and the
+      occupancy cap would count copies instead of distinct contents,
+      silently dropping a flooded page's buckets exactly where the
+      in-memory gate keeps them).
 
     Two parts in one commit because a batch whose bands landed without
     its sets would emit candidates that can never verify (silently
     dropped pairs) — the torn state the whole-batch commit exists to
     prevent.  Ids must be append-only across batches (the postings
-    contract); index rows are stored UNCOLLAPSED (every id bands), so
-    probes return real index ids directly and cross-batch duplicate
-    contents are handled by the probe-side occupancy cap, not by a
-    cross-batch build barrier.  Replay of a committed batch id writes
-    nothing.  Compacts with ``compact_batches(parts=("bands",
-    "sets"))``."""
+    contract).  Replay of a committed batch id writes nothing.
+    Compacts with ``compact_batches(parts=("bands", "sets"))``."""
     from paas_auditor_spark.operators.atomic import commit_fn
 
     commit = commit_fn(protocol)
@@ -841,10 +878,17 @@ def minhash_index_collector(
             sets_df = hashed_shingle_sets(
                 batch_df, text_col, id_col, shingle_k
             ).localCheckpoint(eager=False)  # tokenize+hash once, 2 writes
-            sets_df.write.parquet(f"{tmp}/sets")
-            _banded_from_sets(
-                sets_df, id_col, num_hashes, num_bands
-            ).write.parquet(f"{tmp}/bands")
+            sets_df.select(
+                F.col(id_col),
+                F.col("hset"),
+                _content_key(F.col("hset")).alias("_ckey"),
+            ).write.parquet(f"{tmp}/sets")
+            (
+                _banded_from_sets(sets_df, id_col, num_hashes, num_bands)
+                .withColumn("num_hashes", F.lit(num_hashes))
+                .withColumn("num_bands", F.lit(num_bands))
+                .write.parquet(f"{tmp}/bands")
+            )
 
         commit(path, batch_id, write)
 
@@ -866,41 +910,60 @@ def minhash_incremental_persisted(
 ) -> DataFrame:
     """Ingestion-time near-dup gate against a PERSISTED band index —
     the deployment shape of ``minhash_near_duplicates_incremental``:
-    the corpus is never re-shingled at gate time; the new batch's banded
-    rows equi-join the stored (band_id, band_hash) relation and only
-    candidate ids' stored shingle sets are read for the exact verify.
-    The banding/verify parameters MUST match the collector's (they are
-    baked into the stored rows — the persisted-index rule every
-    collector family shares).  Returns (id_a=new, id_b=index, jaccard ≥
+    the corpus is never re-shingled at gate time; the index-side
+    identical-content collapse is rebuilt from the stored 128-bit keys
+    (a column-pruned (id, _ckey) scan — hset bytes untouched), the new
+    batch's banded rows equi-join the stored REPRESENTATIVE band rows,
+    and only candidate representatives' stored shingle sets are read for
+    the exact verify.  Stored banding parameters are validated against
+    the arguments (mismatch raises instead of silently matching no band
+    keys).  An index with no committed batches yet gates everything
+    through (empty result — the streaming loop's normal first-batch
+    state, not an error).  Returns (id_a=new, id_b=index, jaccard ≥
     threshold), value-identical to the in-memory incremental operator
-    over the same corpus (equality test-pinned)."""
+    over the same corpus (equality test-pinned, including through
+    replay and compaction)."""
     from paas_auditor_spark.operators.atomic import batch_data_paths
 
-    banded_idx = spark.read.parquet(
-        *batch_data_paths(index_path, protocol, "bands")
+    try:
+        band_paths = batch_data_paths(index_path, protocol, "bands")
+        set_paths = batch_data_paths(index_path, protocol, "sets")
+    except ValueError:
+        # bootstrap: nothing indexed yet → nothing can gate (the r9
+        # review's first-batch case; the in-memory twin over an empty
+        # index_df returns the same empty relation)
+        return new_df.select(
+            F.col(id_col).alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        ).limit(0)
+    banded_idx = spark.read.parquet(*band_paths)
+    stored = banded_idx.select("num_hashes", "num_bands").first()
+    if stored is not None and (
+        stored["num_hashes"] != num_hashes or stored["num_bands"] != num_bands
+    ):
+        raise ValueError(
+            f"index at {index_path!r} was built with num_hashes="
+            f"{stored['num_hashes']}/num_bands={stored['num_bands']} but "
+            f"the probe asked for {num_hashes}/{num_bands} — band keys "
+            "would silently never match; rebuild or re-parameterize"
+        )
+    banded_idx = banded_idx.drop("num_hashes", "num_bands")
+    idx_sets = spark.read.parquet(*set_paths)
+    # GLOBAL collapse from the stored content keys: cross-batch duplicate
+    # contents fold to one representative exactly as in-memory
+    slim = idx_sets.select(F.col(id_col), F.col("_ckey"))
+    reps = slim.groupBy("_ckey").agg(F.min(id_col).alias("_rep"))
+    m_idx = slim.join(reps, "_ckey").select(F.col(id_col), F.col("_rep"))
+    rep_ids = reps.select(F.col("_rep").alias(id_col))
+    banded_idx_reps = banded_idx.join(rep_ids, id_col)
+    idx_rep_sets = idx_sets.join(rep_ids, id_col).select(
+        F.col(id_col), F.col("hset")
     )
-    idx_sets = spark.read.parquet(
-        *batch_data_paths(index_path, protocol, "sets")
-    )
-    new_sets = hashed_shingle_sets(
-        new_df, text_col, id_col, shingle_k
-    ).localCheckpoint(eager=False)
-    m_new, rep_new = _collapse_identical_sets(new_sets, id_col)
-    banded_new = _banded_from_sets(rep_new, id_col, num_hashes, num_bands)
-    cands = _pairs_from_banded(
-        banded_new, banded_idx, id_col, self_join=False, max_bucket=max_bucket
-    )
-    both_sets = rep_new.unionByName(idx_sets)
-    verified = jaccard_pairs_hashed(both_sets, cands, id_col).filter(
-        F.col("jaccard") >= threshold
-    )
-    # new side fans back out through its membership; index ids are real
-    # (stored uncollapsed), so id_b passes through
-    ma = m_new.select(F.col("_rep").alias("id_a"), F.col(id_col).alias("_ma"))
-    return (
-        verified.join(ma, "id_a")
-        .select(F.col("_ma").alias("id_a"), "id_b", "jaccard")
-        .orderBy("id_a", "id_b")
+    return _incremental_gate(
+        new_df, banded_idx_reps, idx_rep_sets, m_idx,
+        text_col, id_col, threshold, num_hashes, num_bands, shingle_k,
+        max_bucket,
     )
 
 

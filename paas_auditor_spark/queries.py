@@ -6949,7 +6949,10 @@ def _minhash_index_cached(spark: SparkSession, sf_dir: str) -> str:
         hook(docs.filter(half == 1), 1)
 
     return _cached_artifact(
-        "mhidx1:" + _src_ident(sf_dir, "documents"),
+        # mhidx2: cache-key bump — r9 review added stored content keys
+        # and banding parameters to the index format; stale mhidx1
+        # artifacts lack the columns the probe now reads/validates
+        "mhidx2:" + _src_ident(sf_dir, "documents"),
         "paas_mh_index_",
         build,
     )
@@ -6981,8 +6984,12 @@ def q_minhash_gate_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 130))
         .select("doc_id", "text")
     )
+    # +10¹³ id salt: categorically beyond any real or scale-slice id
+    # (slices shift by 10⁹ per copy, ≤ ~10¹¹ total), so the gate's
+    # disjoint-ids precondition can never collide (r9 review: +10⁶
+    # could alias a real doc_id once the corpus passes ~1M rows)
     new = base.select(
-        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        (F.col("doc_id") + F.lit(10_000_000_000_000)).alias("doc_id"),
         F.concat(
             F.col("text"), F.lit(" v"), F.col("doc_id").cast("string")
         ).alias("text"),

@@ -652,3 +652,75 @@ def test_minhash_persisted_index_gate_equals_inmemory(spark, tmp_path):
         )
     )
     assert got2 == want
+
+    # mismatched banding parameters must raise, not silently miss
+    with pytest.raises(ValueError, match="num_hashes"):
+        minhash_incremental_persisted(
+            spark, path, new, threshold=0.5, num_hashes=32, num_bands=16
+        ).collect()
+
+
+def test_minhash_persisted_gate_bootstrap_and_crossbatch_dups(
+    spark, tmp_path
+):
+    """r9 fix-review: (a) gating against a NOT-YET-CREATED index is the
+    streaming loop's normal first-batch state — empty result, not a
+    crash; (b) identical content ingested into DIFFERENT index batches
+    must collapse GLOBALLY at probe time (via the stored content keys),
+    so the result still matches the in-memory operator, which collapses
+    the whole corpus at once — without the stored-key collapse the
+    occupancy cap would count copies, not contents."""
+    from paas_auditor_spark.operators.dedup import (
+        minhash_incremental_persisted,
+        minhash_index_collector,
+        minhash_near_duplicates_incremental,
+    )
+
+    path = str(tmp_path / "mh_boot")
+    new = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota new")],
+        ["doc_id", "text"],
+    )
+    # (a) bootstrap: no index committed yet
+    out = minhash_incremental_persisted(
+        spark, path, new, threshold=0.5, num_hashes=24, num_bands=12
+    )
+    assert out.count() == 0
+    assert out.columns == ["id_a", "id_b", "jaccard"]
+
+    # (b) the SAME boilerplate text lands in three different batches
+    # (+ a filler so buckets have company), with a tiny cap that would
+    # drop the copies' buckets if occupancy counted rows, not contents
+    boiler = "alpha beta gamma delta epsilon zeta eta theta iota shared"
+    for bid, ids in enumerate(([100, 101], [102, 103], [104])):
+        batch = spark.createDataFrame(
+            [(i, boiler) for i in ids]
+            + [(i + 50, f"unrelated filler text number {i} entirely")
+               for i in ids],
+            ["doc_id", "text"],
+        )
+        minhash_index_collector(path, num_hashes=24, num_bands=12)(
+            batch, bid
+        )
+    idx_df = spark.createDataFrame(
+        [(i, boiler) for i in (100, 101, 102, 103, 104)]
+        + [(i + 50, f"unrelated filler text number {i} entirely")
+           for i in (100, 101, 102, 103, 104)],
+        ["doc_id", "text"],
+    )
+    want = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_near_duplicates_incremental(
+            new, idx_df, threshold=0.5, num_hashes=24, num_bands=12,
+            max_bucket=3,
+        ).collect()
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_incremental_persisted(
+            spark, path, new, threshold=0.5, num_hashes=24, num_bands=12,
+            max_bucket=3,
+        ).collect()
+    )
+    assert len(want) == 5  # the new doc gates against all 5 copies
+    assert got == want

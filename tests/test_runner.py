@@ -8,6 +8,8 @@ import json
 import urllib.request
 import uuid
 
+import pytest
+
 from paas_auditor_spark.runner import SHIPPER_NAME, Service
 from paas_auditor_spark.config import EngineConfig
 from paas_auditor_spark.sources.bootstrap import CURSORS_TABLE
@@ -456,9 +458,6 @@ def test_maintenance_loop_scheduled_and_vacuums(spark, tmp_path):
     assert [d for d in os.listdir(path) if d.startswith("batch-")]
     assert svc.maintenance_tick() == 0  # next tick: vacuum, below guard
     assert not [d for d in os.listdir(path) if d.startswith("batch-")]
-
-
-import pytest
 
 
 @pytest.mark.parametrize("protocol,n_ticks", [("rename", 24), ("marker", 12)])
