@@ -72,6 +72,12 @@ HEADLINE = [
     "inverted_index",
     "minhash_near_dup",
     "minhash_near_dup_md5",
+    "minhash_gate_md5",
+    "minhash_bucket_audit_md5",
+    # dedup_clusters_minhash_md5 / dedup_pipeline_md5 stay OUT like
+    # dedup_pipeline_full: their star-CC closure is stage-serial
+    # (fixpoint rounds); the edge stage's cost is already measured via
+    # minhash_near_dup_md5
     "minhash_gate_persisted",
     "simhash_md5",
     "simhash",

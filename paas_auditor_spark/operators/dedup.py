@@ -708,6 +708,7 @@ def _incremental_gate(
     num_bands: int,
     shingle_k: int,
     max_bucket: int | None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """The shared gate core (r9 review: the in-memory and persisted
     gates had drifted into copies): NEW documents collapsed, banded and
@@ -717,9 +718,11 @@ def _incremental_gate(
     side arrives pre-collapsed (``banded_idx``/``idx_rep_sets`` hold
     representatives only, ``m_idx`` maps every index id to its rep), so
     occupancy caps count DISTINCT contents on both sides regardless of
-    where the index came from."""
+    where the index came from.  ``hash_fn`` MUST match the hash the
+    index side was shingled with (band keys from different hash
+    families would silently never match)."""
     new_sets = hashed_shingle_sets(
-        new_df, text_col, id_col, shingle_k
+        new_df, text_col, id_col, shingle_k, hash_fn
     ).localCheckpoint(eager=False)
     m_new, rep_new = _collapse_identical_sets(new_sets, id_col)
     banded_new = _banded_from_sets(rep_new, id_col, num_hashes, num_bands)
@@ -755,6 +758,7 @@ def minhash_near_duplicates_incremental(
     num_bands: int = 16,
     shingle_k: int = 3,
     max_bucket: int | None = 4096,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Ingestion-time near-dup gate: NEW documents banded against an
     INDEXED corpus (ids must be disjoint) — the incremental form of
@@ -767,16 +771,18 @@ def minhash_near_duplicates_incremental(
     occupancy independently (a new doc identical to an indexed one still
     pairs: identical sets share every band key, so the rep pair survives
     banding and the member fan-out restores every combination).
+    ``hash_fn`` — see ``_shingle_hash``; ``"md5"`` is the closed form
+    the cross-engine oracle (minhash_gate_md5) replays.
     """
     idx_sets = hashed_shingle_sets(
-        index_df, text_col, id_col, shingle_k
+        index_df, text_col, id_col, shingle_k, hash_fn
     ).localCheckpoint(eager=False)
     m_idx, rep_idx = _collapse_identical_sets(idx_sets, id_col)
     banded_idx = _banded_from_sets(rep_idx, id_col, num_hashes, num_bands)
     return _incremental_gate(
         new_df, banded_idx, rep_idx, m_idx,
         text_col, id_col, threshold, num_hashes, num_bands, shingle_k,
-        max_bucket,
+        max_bucket, hash_fn,
     )
 
 
@@ -788,6 +794,7 @@ def minhash_bucket_audit(
     num_bands: int = 16,
     shingle_k: int = 3,
     max_bucket: int | None = 4096,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Per-band occupancy audit for the LSH banding hot-bucket guard.
 
@@ -796,13 +803,16 @@ def minhash_bucket_audit(
     and how many buckets/rows ``max_bucket`` would drop.  This is the
     'audited drop count' companion to ``_cap_buckets``: run it on a new
     corpus before a dedup campaign to see whether the cap binds and how
-    much recall budget the drops represent."""
+    much recall budget the drops represent.  ``hash_fn`` — see
+    ``_shingle_hash``; ``"md5"`` backs the cross-engine oracle twin
+    (minhash_bucket_audit_md5) that certifies the occupancy/drop
+    arithmetic itself."""
     # checkpoint: the shingle base feeds both the content-key branch and
     # the rep-sets join (the minhash_near_duplicates convention) — without
     # it the tokenize+hash runs once per branch
-    sets_df = hashed_shingle_sets(df, text_col, id_col, shingle_k).localCheckpoint(
-        eager=False
-    )
+    sets_df = hashed_shingle_sets(
+        df, text_col, id_col, shingle_k, hash_fn
+    ).localCheckpoint(eager=False)
     _, rep_sets = _collapse_identical_sets(sets_df, id_col)
     banded = _banded_from_sets(rep_sets, id_col, num_hashes, num_bands)
     occ = banded.groupBy("band_id", "band_hash").agg(

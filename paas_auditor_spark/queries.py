@@ -1664,8 +1664,19 @@ def q_minhash_near_dup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle, jaccard exactly 1.0) and one SALTED copy (+10⁵ id, one
     appended token — the crawl-sibling shape, high jaccard), both
     replayed verbatim in SQL."""
-    # _t not _th: the dedup operator fans out its own narrow projection
-    # internally; an outer rebalance here would double-shuffle
+    docs = _md5_rich_slice(spark, sf_dir)
+    return dedup.minhash_near_duplicates(
+        docs, threshold=0.5, num_hashes=24, num_bands=12, hash_fn="md5"
+    )
+
+
+def _md5_rich_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic near-dup-RICH slice the md5 MinHash oracles
+    replay (_MD5_RICH_SLICE_SQL is its verbatim SQL twin): each base doc
+    (doc_id < 80) plus one EXACT copy (+2·10⁵) and one SALTED copy
+    (+10⁵, one appended token)."""
+    # _t not _th: the dedup operators fan out their own narrow
+    # projection internally; an outer rebalance would double-shuffle
     base = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 80)
@@ -1680,19 +1691,27 @@ def q_minhash_near_dup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text"), F.lit(" v"), F.col("doc_id").cast("string")
         ).alias("text"),
     )
-    docs = base.unionByName(exact).unionByName(salted)
-    return dedup.minhash_near_duplicates(
-        docs, threshold=0.5, num_hashes=24, num_bands=12, hash_fn="md5"
-    )
+    return base.unionByName(exact).unionByName(salted)
 
 
-def _oracle_minhash_md5(
-    num_hashes: int = 24, num_bands: int = 12, threshold: float = 0.5
-) -> str:
-    """SQL replay of q_minhash_near_dup_md5 — coefficients from the SAME
-    source as the engine (dedup._minhash_coeffs), band fold identical to
-    dedup._band_keys_sql (polynomial 1000003 fold over each band's
-    minima; values < 2⁵² so bigint arithmetic is exact)."""
+_MD5_RICH_SLICE_SQL = """
+          SELECT doc_id, text FROM documents WHERE doc_id < 80
+          UNION ALL
+          SELECT doc_id + 200000, text FROM documents WHERE doc_id < 80
+          UNION ALL
+          SELECT doc_id + 100000,
+                 text || ' v' || CAST(doc_id AS VARCHAR)
+          FROM documents WHERE doc_id < 80"""
+
+
+def _md5_band_ctes(num_hashes: int = 24, num_bands: int = 12) -> str:
+    """The shared toks → shingles → hashed sets → band keys CTE chain of
+    the md5 closed-form MinHash oracles (near-dup pairs, clusters, the
+    ingestion gate) — ONE SQL text so the three replays can never drift.
+    Expects a ``corpus(doc_id, text)`` CTE in scope.  Coefficients come
+    from the SAME source as the engine (dedup._minhash_coeffs); the band
+    fold is identical to dedup._band_keys_sql (polynomial 1000003 fold
+    over each band's minima; values < 2⁵² so bigint math is exact)."""
     from paas_auditor_spark.operators.dedup import (
         HASH_PRIME,
         _minhash_coeffs,
@@ -1715,16 +1734,7 @@ def _oracle_minhash_md5(
             fold = f"({fold} * 1000003 + {mh(bi * rpb + r)})"
         band_keys.append(fold)
     bk = "[" + ", ".join(band_keys) + "]"
-    return f"""
-        WITH corpus AS (
-          SELECT doc_id, text FROM documents WHERE doc_id < 80
-          UNION ALL
-          SELECT doc_id + 200000, text FROM documents WHERE doc_id < 80
-          UNION ALL
-          SELECT doc_id + 100000,
-                 text || ' v' || CAST(doc_id AS VARCHAR)
-          FROM documents WHERE doc_id < 80),
-        toks AS (
+    return f"""toks AS (
           -- bit-exact tokenizer twin — Java's ASCII \\s spelled out and
           -- edge-whitespace empties filtered (see ORACLE_SIMHASH_MD5)
           SELECT doc_id,
@@ -1747,11 +1757,23 @@ def _oracle_minhash_md5(
         sigs AS (SELECT doc_id, hs, {bk} AS bk FROM sets),
         bands AS (
           SELECT doc_id, bi, bk[bi] AS key
-          FROM sigs, unnest(generate_series(1, {num_bands})) AS t(bi)),
-        cands AS (
+          FROM sigs, unnest(generate_series(1, {num_bands})) AS t(bi))"""
+
+
+def _md5_cands_verified(pair_cond: str) -> str:
+    """Candidate + exact-Jaccard-verify CTEs over the ``bands``/``sets``
+    relations of _md5_band_ctes.  ``pair_cond`` selects which (l, r)
+    band-join rows form candidates (self-join orientation for the batch
+    pipeline, new-side × index-side ranges for the gate).  Banding runs
+    UNCOLLAPSED here on purpose: identical sets share every band key, so
+    member-level banding emits a pair exactly when the engine's
+    rep-level banding + membership fan-out does — the collapse machinery
+    itself is certified by value-equality (and the occupancy cap never
+    binds on these bounded slices)."""
+    return f"""cands AS (
           SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
           FROM bands l JOIN bands r
-            ON l.bi = r.bi AND l.key = r.key AND l.doc_id < r.doc_id),
+            ON l.bi = r.bi AND l.key = r.key AND {pair_cond}),
         verified AS (
           SELECT id_a, id_b,
                  round(len(list_intersect(sa.hs, sb.hs)) /
@@ -1760,10 +1782,361 @@ def _oracle_minhash_md5(
                        4) AS jaccard
           FROM cands
           JOIN sets sa ON sa.doc_id = id_a
-          JOIN sets sb ON sb.doc_id = id_b)
+          JOIN sets sb ON sb.doc_id = id_b)"""
+
+
+def _oracle_minhash_md5(
+    num_hashes: int = 24, num_bands: int = 12, threshold: float = 0.5
+) -> str:
+    """SQL replay of q_minhash_near_dup_md5: tokenize → shingle → md5
+    hash → affine minima → band fold → band equi-join → exact Jaccard,
+    end to end."""
+    return f"""
+        WITH corpus AS ({_MD5_RICH_SLICE_SQL}),
+        {_md5_band_ctes(num_hashes, num_bands)},
+        {_md5_cands_verified("l.doc_id < r.doc_id")}
         SELECT id_a, id_b, jaccard FROM verified
         WHERE jaccard >= {threshold}
         ORDER BY id_a, id_b
+        """
+
+
+def q_dedup_clusters_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-path near-dup CLUSTERING pipeline under FULL cross-engine
+    check — banded MinHash edges → large/small-star connected components
+    → per-cluster summary, i.e. q_dedup_clusters_minhash's exact-oracle
+    twin the way q_minhash_near_dup_md5 twins the pair pipeline: same
+    operators, same star identical-content edges, same O(log² n) closure,
+    but the closed-form md5 shingle hash on the deterministic rich slice,
+    so DuckDB replays banding + exact Jaccard for the EDGES and a
+    recursive CTE for the transitive closure.  Star edges are
+    component-identical to the full pair list (test-pinned), so the
+    oracle closes over the plain verified pairs.  Output matches
+    q_dedup_clusters_minhash's contract: one row per multi-doc cluster,
+    cluster_id = min member id."""
+    docs = _md5_rich_slice(spark, sf_dir)
+    edges = dedup.minhash_near_duplicates(
+        docs,
+        threshold=0.5,
+        num_hashes=24,
+        num_bands=12,
+        hash_fn="md5",
+        identical_edges="star",
+    ).select("id_a", "id_b")
+    cc = dedup.connected_components_star(edges, src="id_a", dst="id_b")
+    return (
+        cc.groupBy(F.col("component").cast("long").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("node").cast("long").alias("keep_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("cluster_id")
+    )
+
+
+def _oracle_clusters_minhash_md5(threshold: float = 0.5) -> str:
+    """SQL replay of q_dedup_clusters_minhash_md5: the md5 banding +
+    verify CTEs produce the edge set, a recursive CTE computes the
+    min-label transitive closure (the same closure _DEDUP_CC_CTES pins
+    for the bounded exact-edge family), and the summary groups members
+    by component."""
+    return f"""
+        WITH RECURSIVE corpus AS ({_MD5_RICH_SLICE_SQL}),
+        {_md5_band_ctes()},
+        {_md5_cands_verified("l.doc_id < r.doc_id")},
+        pairs AS (
+          SELECT id_a, id_b FROM verified WHERE jaccard >= {threshold}),
+        und AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, src FROM und
+          UNION
+          SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+        clus AS (
+          SELECT src AS node, min(dst) AS component FROM reach GROUP BY src)
+        SELECT CAST(component AS BIGINT) AS cluster_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(node) AS BIGINT) AS keep_id
+        FROM clus GROUP BY component HAVING count(*) > 1
+        ORDER BY cluster_id
+        """
+
+
+_MD5_GATE_SLICE_SQL = """
+          SELECT doc_id, text FROM documents WHERE doc_id < 80
+          UNION ALL
+          SELECT doc_id + 200000, text FROM documents WHERE doc_id < 80
+          UNION ALL
+          SELECT doc_id + 100000,
+                 text || ' v' || CAST(doc_id AS VARCHAR)
+          FROM documents WHERE doc_id < 80
+          UNION ALL
+          SELECT doc_id + 300000,
+                 text || ' v' || CAST(doc_id AS VARCHAR)
+          FROM documents WHERE doc_id < 80"""
+
+# new side = the two salted-copy id ranges; index side = base + exact copy
+_MD5_GATE_PAIR_COND = (
+    "((l.doc_id >= 100000 AND l.doc_id < 200000) OR l.doc_id >= 300000) "
+    "AND (r.doc_id < 80 OR (r.doc_id >= 200000 AND r.doc_id < 300000))"
+)
+
+
+def q_minhash_gate_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingestion-time near-dup GATE under FULL cross-engine check —
+    minhash_near_duplicates_incremental's exact-oracle twin (the gate
+    family was rows-only: xxhash64 banding internals; its persisted
+    shape stays pinned by pytest equality).  Index side: each base doc
+    (doc_id < 80) plus one EXACT copy (+2·10⁵ — the index-side
+    identical-content collapse under the oracle).  New side: TWO salted
+    copies per base doc (+10⁵ and +3·10⁵, identical salted text — the
+    new-side collapse under the oracle).  Every gate mechanism — both
+    collapses, rep-level banding, the fixed-side candidate join, exact
+    verify, fan-out through both memberships — lands in the replayed
+    result: 4 pairs per base doc, (salted × {{base, exact}}) each way."""
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 80)
+        .select("doc_id", "text")
+    )
+    exact = base.select(
+        (F.col("doc_id") + F.lit(200000)).alias("doc_id"), F.col("text")
+    )
+    index_df = base.unionByName(exact)
+    salt_text = F.concat(
+        F.col("text"), F.lit(" v"), F.col("doc_id").cast("string")
+    ).alias("text")
+    new_df = base.select(
+        (F.col("doc_id") + F.lit(100000)).alias("doc_id"), salt_text
+    ).unionByName(
+        base.select(
+            (F.col("doc_id") + F.lit(300000)).alias("doc_id"), salt_text
+        )
+    )
+    return dedup.minhash_near_duplicates_incremental(
+        new_df,
+        index_df,
+        threshold=0.5,
+        num_hashes=24,
+        num_bands=12,
+        hash_fn="md5",
+    )
+
+
+def _oracle_minhash_gate_md5(threshold: float = 0.5) -> str:
+    """SQL replay of q_minhash_gate_md5: the shared md5 banding CTEs
+    over the four-part gate slice, with the candidate join restricted to
+    new-side × index-side id ranges (the gate's fixed orientation —
+    id_a is always the new document, id_b always the indexed one)."""
+    return f"""
+        WITH corpus AS ({_MD5_GATE_SLICE_SQL}),
+        {_md5_band_ctes()},
+        {_md5_cands_verified(_MD5_GATE_PAIR_COND)}
+        SELECT id_a, id_b, jaccard FROM verified
+        WHERE jaccard >= {threshold}
+        ORDER BY id_a, id_b
+        """
+
+
+def q_minhash_bucket_audit_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-bucket guard's AUDIT ARITHMETIC under full cross-engine
+    check: per-band bucket counts, max occupancy and the n_dropped_*
+    counts a BINDING cap produces, replayed in SQL.  The flagship audit
+    (minhash_bucket_audit) is rows-only (xxhash64 band hashes) and its
+    drop counts are structurally zero on the all-distinct sf corpora;
+    this twin uses the closed-form md5 hash on a slice built so the cap
+    BINDS — each base doc (doc_id < 80) plus two one-token salted
+    variants (' v'/' w'), three near-identical contents that co-occupy
+    most band buckets, against max_bucket=2 — so nonzero drop counts
+    land under the oracle.  All contents are DISTINCT (no exact copies),
+    so the identical-content collapse is structurally the identity and
+    the SQL replays member-level banding verbatim.  The rounded
+    mean_occupancy column is dropped from the twin: occupancy means are
+    rationals that can land on the half-at-4dp boundary where Spark's
+    BigDecimal half-up and DuckDB's binary round disagree (the
+    image_tiles lesson); every shipped column is an exact integer."""
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 80)
+        .select("doc_id", "text")
+    )
+
+    def variant(offset: int, tag: str) -> DataFrame:
+        return base.select(
+            (F.col("doc_id") + F.lit(offset)).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(f" {tag}"), F.col("doc_id").cast("string")
+            ).alias("text"),
+        )
+
+    docs = base.unionByName(variant(100000, "v")).unionByName(
+        variant(300000, "w")
+    )
+    return dedup.minhash_bucket_audit(
+        docs, num_hashes=24, num_bands=12, max_bucket=2, hash_fn="md5"
+    ).select(
+        "band_id",
+        "n_buckets",
+        "max_occupancy",
+        "n_dropped_buckets",
+        "n_dropped_rows",
+    )
+
+
+def _oracle_bucket_audit_md5(max_bucket: int = 2) -> str:
+    """SQL replay of q_minhash_bucket_audit_md5: the shared md5 banding
+    CTEs, occupancy per (band, key) bucket, and the cap's drop counts.
+    Engine band_id is 0-based posexplode position; DuckDB's generate
+    series is 1-based, hence bi - 1."""
+    return f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 80
+          UNION ALL
+          SELECT doc_id + 100000,
+                 text || ' v' || CAST(doc_id AS VARCHAR)
+          FROM documents WHERE doc_id < 80
+          UNION ALL
+          SELECT doc_id + 300000,
+                 text || ' w' || CAST(doc_id AS VARCHAR)
+          FROM documents WHERE doc_id < 80),
+        {_md5_band_ctes()},
+        occ AS (
+          SELECT bi, key, count(*) AS occ FROM bands GROUP BY bi, key)
+        SELECT bi - 1 AS band_id,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(max(occ) AS BIGINT) AS max_occupancy,
+               CAST(sum(CASE WHEN occ > {max_bucket} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dropped_buckets,
+               CAST(sum(CASE WHEN occ > {max_bucket} THEN occ ELSE 0 END)
+                    AS BIGINT) AS n_dropped_rows
+        FROM occ GROUP BY bi ORDER BY band_id
+        """
+
+
+def q_dedup_pipeline_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE scale-path dedup pipeline under full cross-engine
+    check — banded MinHash edges → star connected components → keep-best
+    survivor → per-source removal summary, i.e. dedup_pipeline_full's
+    exact-oracle twin on the md5 rich slice (dedup_pipeline_exact twins
+    the composition with exact-Jaccard edges; this one keeps the REAL
+    edge stage — banding, collapse, first-shared-band, verify — and
+    certifies the whole chain in one hash).  Copies inherit the base
+    doc's source, so removals split across sources in the summary.
+    Winner per cluster = max token count, ties to lower id — the salted
+    copy's appended token makes it the deterministic winner of every
+    3-doc group."""
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 80)
+        .select("doc_id", "text", "source")
+    )
+    exact = base.select(
+        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
+        F.col("text"),
+        F.col("source"),
+    )
+    salted = base.select(
+        (F.col("doc_id") + F.lit(100000)).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" v"), F.col("doc_id").cast("string")
+        ).alias("text"),
+        F.col("source"),
+    )
+    docs = base.unionByName(exact).unionByName(salted)
+    edges = dedup.minhash_near_duplicates(
+        docs,
+        threshold=0.5,
+        num_hashes=24,
+        num_bands=12,
+        hash_fn="md5",
+        identical_edges="star",
+    ).select("id_a", "id_b")
+    cc = dedup.connected_components_star(edges, src="id_a", dst="id_b")
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+    members = cc.join(
+        sizes.filter(F.col("n_members") > 1), on="component"
+    ).select(F.col("node").alias("doc_id"), "component")
+    quality = docs.select(
+        "doc_id", "source", tx.token_count(F.col("text")).alias("n_tokens")
+    )
+    winners = (
+        members.join(quality, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_tokens"), (-F.col("doc_id")).alias("neg_id")
+                )
+            ).alias("b")
+        )
+        .select((-F.col("b.neg_id")).alias("doc_id"))
+    )
+    removed = members.select("doc_id").join(winners, "doc_id", "left_anti")
+    return (
+        quality.join(
+            removed.withColumn("is_removed", F.lit(1)), "doc_id", "left"
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("is_removed", F.lit(0))).alias("n_removed"),
+            (
+                F.count(F.lit(1))
+                - F.sum(F.coalesce("is_removed", F.lit(0)))
+            ).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+def _oracle_pipeline_md5(threshold: float = 0.5) -> str:
+    """SQL replay of q_dedup_pipeline_md5: md5 banding edges, recursive
+    min-label closure, keep-best ranking (n_tokens DESC, doc_id — the
+    max(struct) twin), per-source accounting.  The token counter is the
+    _DEDUP_KEEP_BEST_ORACLE twin of functions/text.py::token_count."""
+    return f"""
+        WITH RECURSIVE corpus AS (
+          SELECT doc_id, text, source FROM documents WHERE doc_id < 80
+          UNION ALL
+          SELECT doc_id + 200000, text, source
+          FROM documents WHERE doc_id < 80
+          UNION ALL
+          SELECT doc_id + 100000,
+                 text || ' v' || CAST(doc_id AS VARCHAR), source
+          FROM documents WHERE doc_id < 80),
+        {_md5_band_ctes()},
+        {_md5_cands_verified("l.doc_id < r.doc_id")},
+        pairs AS (
+          SELECT id_a, id_b FROM verified WHERE jaccard >= {threshold}),
+        und AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, src FROM und
+          UNION
+          SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+        clus AS (
+          SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src),
+        tok AS (
+          SELECT doc_id, source,
+                 len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+          FROM corpus),
+        ranked AS (
+          SELECT c.component, t.doc_id,
+                 row_number() OVER (PARTITION BY c.component
+                     ORDER BY t.n_tokens DESC, t.doc_id) AS r
+          FROM clus c JOIN tok t USING (doc_id)),
+        removed AS (SELECT doc_id FROM ranked WHERE r > 1)
+        SELECT t.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN rm.doc_id IS NULL THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_removed,
+               CAST(count(*) - sum(CASE WHEN rm.doc_id IS NULL THEN 0 ELSE 1
+                    END) AS BIGINT) AS n_kept
+        FROM tok t LEFT JOIN removed rm USING (doc_id)
+        GROUP BY t.source ORDER BY t.source
         """
 
 
@@ -10449,6 +10822,18 @@ REGISTRY: dict[str, QuerySpec] = {
     "minhash_near_dup": QuerySpec(q_minhash_near_dup, None),
     "minhash_near_dup_md5": QuerySpec(
         q_minhash_near_dup_md5, _oracle_minhash_md5()
+    ),
+    "dedup_clusters_minhash_md5": QuerySpec(
+        q_dedup_clusters_minhash_md5, _oracle_clusters_minhash_md5()
+    ),
+    "minhash_gate_md5": QuerySpec(
+        q_minhash_gate_md5, _oracle_minhash_gate_md5()
+    ),
+    "minhash_bucket_audit_md5": QuerySpec(
+        q_minhash_bucket_audit_md5, _oracle_bucket_audit_md5()
+    ),
+    "dedup_pipeline_md5": QuerySpec(
+        q_dedup_pipeline_md5, _oracle_pipeline_md5()
     ),
     "simhash": QuerySpec(q_simhash, None),
     "simhash_md5": QuerySpec(q_simhash_md5, ORACLE_SIMHASH_MD5),

@@ -213,6 +213,44 @@ def test_incremental_minhash_gates_new_batch(spark):
     assert flagged == cross
 
 
+def test_incremental_minhash_gate_md5_hash_threading(spark):
+    """hash_fn reaches BOTH sides of the incremental gate: under the
+    closed-form md5 shingle hash the gate finds the same cross-pairs the
+    md5 batch pipeline finds over the union (a side defaulting back to
+    xxhash64 would band-match nothing and return empty)."""
+    from paas_auditor_spark.operators.dedup import (
+        minhash_near_duplicates,
+        minhash_near_duplicates_incremental,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog "
+            "while the rain in spain falls mainly on the plain")
+    index = spark.createDataFrame(
+        [(1, base), (2, "unrelated text about columnar storage formats "
+                        "and vectorized execution in analytic engines")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(101, base + " extra"), (102, base)], ["doc_id", "text"]
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates_incremental(
+            new, index, threshold=0.5, hash_fn="md5"
+        ).collect()
+    }
+    assert (101, 1) in got and (102, 1) in got
+    batch = minhash_near_duplicates(
+        index.unionByName(new), threshold=0.5, hash_fn="md5"
+    ).collect()
+    cross = {
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"]))
+        for r in batch
+        if (r["id_a"] >= 100) != (r["id_b"] >= 100)
+    }
+    assert got == cross
+
+
 def test_duplicate_spans_hand_graph(spark):
     """Two docs sharing one 8-token sentence: exactly those 8 positions
     are covered in each; a doc with an internal repeat marks both
