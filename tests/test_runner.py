@@ -460,6 +460,146 @@ def test_maintenance_loop_scheduled_and_vacuums(spark, tmp_path):
     assert not [d for d in os.listdir(path) if d.startswith("batch-")]
 
 
+@pytest.mark.parametrize(
+    "crash_point", ["gen_renamed_no_flip", "flipped_no_cleanup"]
+)
+def test_service_restart_after_kill_during_fold(
+    spark, tmp_path, monkeypatch, crash_point
+):
+    """Round-10 soak variant pulled forward: the soak test kills the
+    service BETWEEN ticks; this one kills it IN THE MIDDLE of a
+    maintenance fold, at both kill windows a real SIGKILL can hit —
+    (a) after the new generation dir is renamed into place but before
+    the CURRENT pointer flips (readers must keep resolving the OLD
+    generation; the orphan gen must not wedge later folds), and
+    (b) after the flip but before the post-flip rescue/cleanup sweep
+    (readers resolve the NEW generation; stale v1 batch dirs must be
+    vacuumed, not double-counted).  After restart: reads bit-identical
+    to a one-shot filter, the next fold succeeds, and pre-kill batch
+    ids stay replay-suppressed."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from paas_auditor_spark.operators import atomic
+    from paas_auditor_spark.operators.bloom import (
+        bloom_assemble,
+        bloom_words,
+        bloom_words_collector,
+        bloom_words_read,
+    )
+
+    m, k = 1 << 13, 3
+    path = str(tmp_path / "words")
+
+    def make_service():
+        svc = Service(spark, warehouse_dir=str(tmp_path / "wh"))
+        hook = svc.register_collector_dataset(
+            path, bloom_words_collector("k", path, m=m, k=k), min_batches=3
+        )
+        return svc, hook
+
+    def keys(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("w"), F.col("id").cast("string")).alias("k")
+        )
+
+    def assembled():
+        return bytes(
+            bloom_assemble(bloom_words_read(spark, path)).collect()[0]["bloom"]
+        )
+
+    def one_shot(hi):
+        return bytes(
+            bloom_assemble(bloom_words(keys(0, hi), "k", m=m, k=k))
+            .collect()[0]["bloom"]
+        )
+
+    svc, hook = make_service()
+    for i in range(3):
+        hook(keys(i * 40, (i + 1) * 40), i)
+
+    class SimKill(BaseException):
+        """Simulated SIGKILL: BaseException so no except-Exception
+        policy in the stack can swallow it."""
+
+    if crash_point == "gen_renamed_no_flip":
+        real_rename = os.rename
+
+        def killer(src, dst):
+            if os.path.basename(dst) == atomic._CURRENT:
+                raise SimKill()  # gen dir landed; pointer never flips
+            return real_rename(src, dst)
+
+        monkeypatch.setattr(atomic.os, "rename", killer)
+    else:
+
+        def killer_rescue(old_root, new_root):
+            raise SimKill()  # flip landed; rescue/cleanup never ran
+
+        monkeypatch.setattr(atomic, "_rescue_unfolded", killer_rescue)
+
+    with pytest.raises(SimKill):
+        svc.maintenance_tick()
+    monkeypatch.undo()
+
+    if crash_point == "gen_renamed_no_flip":
+        # pointer never flipped: readers resolve the pre-fold layout and
+        # the orphaned generation is invisible
+        assert not os.path.exists(os.path.join(path, atomic._CURRENT))
+        assert os.path.isdir(os.path.join(path, "gen-0"))
+    else:
+        assert atomic.collector_root(path).endswith("gen-0")
+    assert assembled() == one_shot(120)  # reads correct immediately
+
+    # restart: same disk, fresh process state
+    svc, hook = make_service()
+    assert assembled() == one_shot(120)
+
+    # pre-kill ids stay replay-suppressed across the kill + restart in
+    # the flipped case (the fold's floor landed with the flip); in the
+    # no-flip case the fold never became visible, so the replay re-lands
+    # harmlessly identical bits (idempotent OR) — either way the filter
+    # is unchanged
+    hook(keys(0, 40), 0)
+    assert assembled() == one_shot(120)
+
+    # accumulate to the churn guard again; the next fold must succeed,
+    # skipping over / superseding whatever the kill left behind
+    next_id = 3
+    while (
+        sum(
+            1
+            for d in os.listdir(atomic.collector_root(path))
+            if d.startswith("batch-")
+        )
+        < 3
+    ):
+        hook(keys(next_id * 40, (next_id + 1) * 40), next_id)
+        next_id += 1
+    folded = svc.maintenance_tick()
+    assert folded >= 3
+    hi = next_id * 40
+    assert assembled() == one_shot(hi)
+    assert os.path.exists(os.path.join(path, atomic._CURRENT))
+
+    # replay of a folded id is suppressed by the new floor
+    hook(keys(0, 40), 1)
+    assert assembled() == one_shot(hi)
+
+    # a later vacuum (past the in-flight grace window) reaps the kill's
+    # leftovers without touching the live generation
+    atomic.vacuum_superseded(path, retain=0, orphan_age_s=0.0)
+    live = os.path.basename(atomic.collector_root(path))
+    leftovers = [
+        d
+        for d in os.listdir(path)
+        if d != live and d != atomic._CURRENT and not d.startswith(".CURRENT")
+    ]
+    assert leftovers == []
+    assert assembled() == one_shot(hi)
+
+
 @pytest.mark.parametrize("protocol,n_ticks", [("rename", 24), ("marker", 12)])
 def test_service_soak_ticks_compaction_restart(
     spark, tmp_path, protocol, n_ticks
