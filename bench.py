@@ -73,6 +73,7 @@ HEADLINE = [
     "minhash_near_dup",
     "minhash_near_dup_md5",
     "minhash_gate_md5",
+    "minhash_gate_tombstoned_md5",
     "minhash_bucket_audit_md5",
     # dedup_clusters_minhash_md5 / dedup_pipeline_md5 stay OUT like
     # dedup_pipeline_full: their star-CC closure is stage-serial
@@ -86,6 +87,7 @@ HEADLINE = [
     "multimodal_features",
     "bm25_search",
     "bm25_persisted",
+    "bm25_tombstoned",
     "hybrid_search_rrf",
     "embedding_quantize",
     "mad_outliers",

@@ -415,6 +415,7 @@ def compact_batches(
     protocol: str = "rename",
     target_files: int = 1,
     defer_delete: bool = False,
+    transform=None,
 ) -> int:
     """Fold every committed ``batch-<id>`` of a collector dataset into
     ONE batch directory of ``target_files`` parquet files — the
@@ -455,7 +456,20 @@ def compact_batches(
     ``parts`` names the sub-relations inside each batch dir ("" for
     flat datasets like bloom words / histograms; ("postings",
     "doclens") for the inverted index).  Returns the number of batch
-    dirs folded (0 = nothing to do)."""
+    dirs folded (0 = nothing to do).
+
+    ``transform`` (optional, ``fn(part_name, df) -> df``) maps each
+    part's unioned rows before the rewrite — the hook the tombstone
+    machinery uses to PHYSICALLY drop deleted rows at fold time
+    (``apply_tombstones_fold``).  Two contract points: the transform
+    must be deterministic and row-filtering only (never fabricate
+    rows — replay floors still suppress re-commits of FOLDED ids, so
+    an invented row has no batch to belong to), and correctness must
+    NEVER depend on it having run: a batch rescued by
+    ``_rescue_unfolded`` after the pointer flip rides into the new
+    generation UNTRANSFORMED, so read paths keep applying the same
+    filter read-time (for tombstones: the anti-join, idempotent over
+    already-removed rows)."""
     root = collector_root(path)
     if protocol == "marker":
         # fold (and floor!) only batches with a COMMITTED (non-empty)
@@ -523,7 +537,9 @@ def compact_batches(
                 except ValueError:
                     continue  # foreign batch-* name: tolerated, not folded
                 data_dirs.append(os.path.join(root, d))
-    if len(data_dirs) < 2:
+    # a plain fold of one batch dir is a no-op rewrite; a TRANSFORMING
+    # fold of one batch dir is real work (tombstones must still apply)
+    if len(data_dirs) < (1 if transform is not None else 2):
         return 0
 
     gen_n = 0
@@ -544,9 +560,11 @@ def compact_batches(
         for part in parts:
             srcs = [os.path.join(d, part) if part else d for d in data_dirs]
             dst = os.path.join(batch_dir, part) if part else batch_dir
+            df = spark.read.parquet(*srcs)
+            if transform is not None:
+                df = transform(part, df)
             (
-                spark.read.parquet(*srcs)
-                .coalesce(target_files)
+                df.coalesce(target_files)
                 .write.mode("overwrite")
                 .parquet(dst)
             )
@@ -757,3 +775,96 @@ def vacuum_superseded(
         shutil.rmtree(full, ignore_errors=True)
         removed += 1
     return removed
+
+
+def tombstones_collector(path: str, id_col: str = "doc_id",
+                         protocol: str = "rename"):
+    """foreachBatch hook for a DELETION (tombstone) dataset — the
+    takedown/opt-out path every long-lived persisted index needs: a
+    100 TB curation corpus is not append-only in practice (GDPR
+    erasure, licensing takedowns, opt-outs), but the collector-family
+    indexes are, so deletions land as their OWN tiny collector dataset
+    of doomed ids under the SAME atomic commit protocol (replay of a
+    committed tombstone batch writes nothing; folds and vacuums work
+    unchanged because tombstones are a plain flat relation).
+
+    Consumption is two-tier, each independently correct:
+    - READ-TIME: index readers anti-join the tombstone ids
+      (``tombstone_ids``) — deletions take effect at the next query,
+      O(|deletes|) extra input, no index rewrite;
+    - FOLD-TIME: ``apply_tombstones_fold`` physically drops tombstoned
+      rows during compaction, so the index's disk/scan cost stops
+      paying for deleted documents.  The read-time anti-join stays on
+      (idempotent over already-removed rows) — correctness never
+      depends on a fold having run (a rescued batch rides into the new
+      generation untransformed; see ``compact_batches``).
+
+    Tombstone ids are never reclaimed: the corpus id contract is
+    append-only (an id is never reused), so a tombstone can never
+    match future rows, and keeping it costs 8-16 bytes.  Duplicate ids
+    across tombstone batches are harmless (anti-join semantics)."""
+    commit = commit_fn(protocol)
+
+    def write_batch(ids_df, batch_id: int) -> None:
+        def write(tmp: str) -> None:
+            # stored under the FIXED name "id" so every reader renames
+            # to its own key deterministically, whatever the writer's
+            # column was called
+            ids_df.select(id_col).withColumnRenamed(id_col, "id").write.parquet(
+                tmp
+            )
+
+        commit(path, batch_id, write)
+
+    return write_batch
+
+
+def tombstone_ids(spark, path: str, protocol: str = "rename"):
+    """The accumulated tombstone relation (one ``id`` column, distinct
+    doomed ids), or ``None`` when nothing has been tombstoned yet — the
+    bootstrap convention index readers branch on (no anti-join at all
+    on the common no-deletes path, so the probe plan is unchanged until
+    the first takedown lands)."""
+    try:
+        paths = batch_data_paths(path, protocol)
+    except ValueError:
+        return None
+    return spark.read.parquet(*paths).distinct()
+
+
+def apply_tombstones_fold(
+    spark,
+    path: str,
+    tomb_path: str,
+    parts: tuple[str, ...] = ("",),
+    id_col: str = "doc_id",
+    protocol: str = "rename",
+    defer_delete: bool = True,
+) -> int:
+    """Compact a collector dataset AND physically drop tombstoned rows
+    — the maintenance job that reclaims deleted documents' index space.
+    Every part is anti-joined on ``id_col`` against the tombstone
+    dataset at ``tomb_path``; parts without that column (none of the
+    current families) would fail loudly rather than silently keep
+    doomed rows.  No-op (0) when nothing is tombstoned.  Runs under the
+    fold's single-writer contract like any compaction; the default
+    ``defer_delete=True`` keeps the reader grace window."""
+    doomed = tombstone_ids(spark, tomb_path, protocol)
+    if doomed is None:
+        return 0
+    # no forced broadcast hint: tombstone sets are tiny in the common
+    # case (AQE broadcasts them on its own) but a bulk-erasure campaign
+    # can be arbitrarily large — let the planner pick the join strategy
+    dead = doomed.withColumnRenamed("id", id_col)
+
+    def drop_doomed(part, df):
+        return df.join(dead, id_col, "left_anti")
+
+    return compact_batches(
+        spark,
+        path,
+        parts=parts,
+        protocol=protocol,
+        defer_delete=defer_delete,
+        transform=drop_doomed,
+    )

@@ -846,6 +846,7 @@ def minhash_index_collector(
     num_bands: int = 16,
     shingle_k: int = 3,
     protocol: str = "rename",
+    hash_fn: str = "xxhash64",
 ):
     """foreachBatch hook for an INCREMENTALLY MAINTAINED near-dup gate
     index — the dedup member of the collector family (bloom_words /
@@ -886,7 +887,7 @@ def minhash_index_collector(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         def write(tmp: str) -> None:
             sets_df = hashed_shingle_sets(
-                batch_df, text_col, id_col, shingle_k
+                batch_df, text_col, id_col, shingle_k, hash_fn
             ).localCheckpoint(eager=False)  # tokenize+hash once, 2 writes
             sets_df.select(
                 F.col(id_col),
@@ -897,6 +898,7 @@ def minhash_index_collector(
                 _banded_from_sets(sets_df, id_col, num_hashes, num_bands)
                 .withColumn("num_hashes", F.lit(num_hashes))
                 .withColumn("num_bands", F.lit(num_bands))
+                .withColumn("hash_fn", F.lit(hash_fn))
                 .write.parquet(f"{tmp}/bands")
             )
 
@@ -917,6 +919,8 @@ def minhash_incremental_persisted(
     shingle_k: int = 3,
     max_bucket: int | None = 4096,
     protocol: str = "rename",
+    tombstone_path: str | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Ingestion-time near-dup gate against a PERSISTED band index —
     the deployment shape of ``minhash_near_duplicates_incremental``:
@@ -932,8 +936,23 @@ def minhash_incremental_persisted(
     state, not an error).  Returns (id_a=new, id_b=index, jaccard ≥
     threshold), value-identical to the in-memory incremental operator
     over the same corpus (equality test-pinned, including through
-    replay and compaction)."""
-    from paas_auditor_spark.operators.atomic import batch_data_paths
+    replay and compaction).
+
+    ``tombstone_path`` (optional) points at a ``tombstones_collector``
+    dataset of deleted index ids: tombstoned documents are anti-joined
+    out of the (id, _ckey) relation BEFORE the global collapse, so a
+    deleted doc can neither appear as a gate partner nor remain a
+    group representative — when the min-id member of an
+    identical-content group is deleted, representation shifts to the
+    surviving min id and the group keeps gating (the stored bands
+    cover every id, so the new rep's band rows are already on disk;
+    equality with an index built without the deleted docs is
+    test-pinned).  No-deletes probes keep the anti-join out of the
+    plan entirely."""
+    from paas_auditor_spark.operators.atomic import (
+        batch_data_paths,
+        tombstone_ids,
+    )
 
     try:
         band_paths = batch_data_paths(index_path, protocol, "bands")
@@ -948,18 +967,31 @@ def minhash_incremental_persisted(
             F.lit(1.0).alias("jaccard"),
         ).limit(0)
     banded_idx = spark.read.parquet(*band_paths)
-    stored = banded_idx.select("num_hashes", "num_bands").first()
+    # a pre-hash_fn index (the column landed with the md5 gate twin) is
+    # by construction an xxhash64 build
+    has_hf = "hash_fn" in banded_idx.columns
+    probe_cols = ["num_hashes", "num_bands"] + (["hash_fn"] if has_hf else [])
+    stored = banded_idx.select(*probe_cols).first()
+    stored_hf = stored["hash_fn"] if (stored is not None and has_hf) else "xxhash64"
     if stored is not None and (
-        stored["num_hashes"] != num_hashes or stored["num_bands"] != num_bands
+        stored["num_hashes"] != num_hashes
+        or stored["num_bands"] != num_bands
+        or stored_hf != hash_fn
     ):
         raise ValueError(
             f"index at {index_path!r} was built with num_hashes="
-            f"{stored['num_hashes']}/num_bands={stored['num_bands']} but "
-            f"the probe asked for {num_hashes}/{num_bands} — band keys "
-            "would silently never match; rebuild or re-parameterize"
+            f"{stored['num_hashes']}/num_bands={stored['num_bands']}/"
+            f"hash_fn={stored_hf!r} but the probe asked for "
+            f"{num_hashes}/{num_bands}/{hash_fn!r} — band keys would "
+            "silently never match; rebuild or re-parameterize"
         )
-    banded_idx = banded_idx.drop("num_hashes", "num_bands")
+    banded_idx = banded_idx.drop("num_hashes", "num_bands", "hash_fn")
     idx_sets = spark.read.parquet(*set_paths)
+    if tombstone_path is not None:
+        doomed = tombstone_ids(spark, tombstone_path, protocol)
+        if doomed is not None:
+            dead = doomed.withColumnRenamed("id", id_col)
+            idx_sets = idx_sets.join(dead, id_col, "left_anti")
     # GLOBAL collapse from the stored content keys: cross-batch duplicate
     # contents fold to one representative exactly as in-memory
     slim = idx_sets.select(F.col(id_col), F.col("_ckey"))
@@ -973,7 +1005,7 @@ def minhash_incremental_persisted(
     return _incremental_gate(
         new_df, banded_idx_reps, idx_rep_sets, m_idx,
         text_col, id_col, threshold, num_hashes, num_bands, shingle_k,
-        max_bucket,
+        max_bucket, hash_fn,
     )
 
 

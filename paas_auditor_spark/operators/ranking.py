@@ -280,14 +280,25 @@ def bm25_from_postings(
     k1: float = 1.2,
     b: float = 0.75,
     protocol: str = "rename",
+    tombstone_path: str | None = None,
 ) -> DataFrame:
     """Okapi BM25 over a ``postings_collector`` index — value-identical
     to ``bm25_scores`` over the union corpus (test-pinned), but the
     corpus text is never read: tf comes from the term-pruned postings
     scan, dl/N/avgdl from the doc-length relation, df from a
     countDistinct over the probed postings.  Same Lucene idf variant,
-    same |Q|-row broadcasts, one doc-keyed shuffle."""
-    from paas_auditor_spark.operators.atomic import batch_data_paths
+    same |Q|-row broadcasts, one doc-keyed shuffle.
+
+    ``tombstone_path`` (optional) points at a ``tombstones_collector``
+    dataset of deleted doc ids: both index relations are anti-joined
+    before ANY statistic, so a takedown leaves scores value-identical
+    to an index that never held the document — N, avgdl, df and tf all
+    exclude it (test-pinned), not just the result rows.  The no-deletes
+    path is branch-free (no anti-join in the plan at all)."""
+    from paas_auditor_spark.operators.atomic import (
+        batch_data_paths,
+        tombstone_ids,
+    )
 
     postings = spark.read.parquet(
         *batch_data_paths(path, protocol, "postings")
@@ -295,6 +306,12 @@ def bm25_from_postings(
     doclens = spark.read.parquet(
         *batch_data_paths(path, protocol, "doclens")
     )
+    if tombstone_path is not None:
+        doomed = tombstone_ids(spark, tombstone_path, protocol)
+        if doomed is not None:
+            dead = doomed.withColumnRenamed("id", id_col)
+            postings = postings.join(dead, id_col, "left_anti")
+            doclens = doclens.join(dead, id_col, "left_anti")
 
     qterms = [t.lower() for t in query_terms]
     tf = postings.filter(F.col("term").isin(qterms))

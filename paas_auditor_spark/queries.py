@@ -7278,16 +7278,20 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared by bm25_search and its persisted-index twin: identical probe
 # terms, identical Okapi/Lucene-idf arithmetic, so one oracle certifies
 # the in-memory path AND the index lifecycle.
-_BM25_ORACLE = """
+def _bm25_oracle(where: str = "") -> str:
+    """The BM25 replay, parameterized by a corpus predicate so the
+    tombstoned variant replays deletion as never-indexed (``where`` =
+    '' for the full corpus; a ``" WHERE ..."`` suffix for survivors)."""
+    return f"""
         WITH toks AS (
           SELECT doc_id,
                  unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
                    AS term
-          FROM documents),
+          FROM documents{where}),
         doclen AS (
           SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
         stats AS (
-          SELECT (SELECT count(*) FROM documents) AS n_docs,
+          SELECT (SELECT count(*) FROM documents{where}) AS n_docs,
                  (SELECT avg(dl) FROM doclen) AS avgdl),
         q AS (
           SELECT doc_id, term, count(*) AS tf
@@ -7306,6 +7310,9 @@ _BM25_ORACLE = """
         GROUP BY doc_id
         ORDER BY bm25 DESC, doc_id LIMIT 20
         """
+
+
+_BM25_ORACLE = _bm25_oracle()
 
 
 def _minhash_index_cached(spark: SparkSession, sf_dir: str) -> str:
@@ -7372,6 +7379,140 @@ def q_minhash_gate_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_md5_index_cached(spark: SparkSession, sf_dir: str) -> str:
+    """Build-or-reuse the md5-keyed persisted MinHash band index over
+    the gate slice's INDEX side (base docs < 80 + one exact copy each,
+    two collector batches) — the closed-form twin of
+    _minhash_index_cached that lets the persisted gate path run under a
+    FULL cross-engine oracle."""
+    from paas_auditor_spark.operators.dedup import minhash_index_collector
+
+    def build(tmp):
+        hook = minhash_index_collector(
+            tmp, num_hashes=24, num_bands=12, hash_fn="md5"
+        )
+        base = (
+            _t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 80)
+            .select("doc_id", "text")
+        )
+        hook(base, 0)
+        hook(
+            base.select(
+                (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
+                F.col("text"),
+            ),
+            1,
+        )
+
+    return _cached_artifact(
+        "mhidxmd5_1:" + _src_ident(sf_dir, "documents"),
+        "paas_mh_md5_idx_",
+        build,
+    )
+
+
+def _md5_gate_tombs_cached(spark: SparkSession, sf_dir: str) -> str:
+    """Tombstones for the md5 gate index: the BASE member of every
+    identical-content group with doc_id < 40 (forcing the collapse
+    representative to shift to the surviving exact copy) plus the exact
+    copies of docs 60-69 (leaving only the base member) — both deletion
+    shapes under the oracle."""
+    from paas_auditor_spark.operators.atomic import tombstones_collector
+
+    def build(tmp):
+        docs = _t(spark, sf_dir, "documents")
+        base_ids = docs.filter(F.col("doc_id") < 40).select("doc_id")
+        exact_ids = docs.filter(
+            (F.col("doc_id") >= 60) & (F.col("doc_id") < 70)
+        ).select((F.col("doc_id") + F.lit(200000)).alias("doc_id"))
+        tombstones_collector(tmp)(base_ids.unionByName(exact_ids), 0)
+
+    return _cached_artifact(
+        "mhtombmd5_1:" + _src_ident(sf_dir, "documents"),
+        "paas_mh_md5_tomb_",
+        build,
+    )
+
+
+def q_minhash_gate_tombstoned_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION support for the persisted near-dup gate, under FULL
+    cross-engine check — the md5 persisted index (built once by the
+    collector, probed with the corpus text never read) minus a
+    tombstone dataset covering BOTH deletion shapes: deleting a
+    group's min-id REPRESENTATIVE (docs < 40 — representation must
+    shift to the surviving exact copy and the group must keep gating)
+    and deleting the non-rep copy (exact copies of 60-69).  The oracle
+    replays deletion as NEVER-INDEXED — the gate slice's index parts
+    carry the surviving-id predicates — so the hash certifies the
+    strong contract (read-time anti-join ≡ an index that never held
+    the docs) and, transitively, the persisted read path itself: this
+    is the persisted gate family's first oracle-exact member (the
+    xxhash64 flagship stays rows-only with pytest equality pins).
+    Expected shape: 2 pairs per rep-deleted or copy-deleted group, 4
+    per intact group — 220 rows."""
+    from paas_auditor_spark.operators.dedup import (
+        minhash_incremental_persisted,
+    )
+
+    path = _minhash_md5_index_cached(spark, sf_dir)
+    tomb = _md5_gate_tombs_cached(spark, sf_dir)
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 80)
+        .select("doc_id", "text")
+    )
+    salt_text = F.concat(
+        F.col("text"), F.lit(" v"), F.col("doc_id").cast("string")
+    ).alias("text")
+    new_df = base.select(
+        (F.col("doc_id") + F.lit(100000)).alias("doc_id"), salt_text
+    ).unionByName(
+        base.select(
+            (F.col("doc_id") + F.lit(300000)).alias("doc_id"), salt_text
+        )
+    )
+    return minhash_incremental_persisted(
+        spark,
+        path,
+        new_df,
+        threshold=0.5,
+        num_hashes=24,
+        num_bands=12,
+        tombstone_path=tomb,
+        hash_fn="md5",
+    )
+
+
+def _oracle_minhash_gate_tombstoned_md5(threshold: float = 0.5) -> str:
+    """SQL replay of q_minhash_gate_tombstoned_md5: the gate slice with
+    the tombstoned index rows REMOVED FROM THE CORPUS (deletion ≡
+    never-indexed), then the shared md5 banding + fixed-side candidate
+    join + exact verify."""
+    slice_sql = """
+          SELECT doc_id, text FROM documents
+          WHERE doc_id >= 40 AND doc_id < 80
+          UNION ALL
+          SELECT doc_id + 200000, text FROM documents
+          WHERE doc_id < 80 AND NOT (doc_id >= 60 AND doc_id < 70)
+          UNION ALL
+          SELECT doc_id + 100000,
+                 text || ' v' || CAST(doc_id AS VARCHAR)
+          FROM documents WHERE doc_id < 80
+          UNION ALL
+          SELECT doc_id + 300000,
+                 text || ' v' || CAST(doc_id AS VARCHAR)
+          FROM documents WHERE doc_id < 80"""
+    return f"""
+        WITH corpus AS ({slice_sql}),
+        {_md5_band_ctes()},
+        {_md5_cands_verified(_MD5_GATE_PAIR_COND)}
+        SELECT id_a, id_b, jaccard FROM verified
+        WHERE jaccard >= {threshold}
+        ORDER BY id_a, id_b
+        """
+
+
 def _postings_index_cached(spark: SparkSession, sf_dir: str) -> str:
     """Build-or-reuse the persisted inverted index
     (operators/ranking.py:postings_collector) for this corpus file."""
@@ -7402,6 +7543,58 @@ def q_bm25_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _postings_index_cached(spark, sf_dir)
     scores = bm25_from_postings(spark, path, ["table", "hash", "merge"])
+    return (
+        scores.select(
+            "doc_id", F.round(F.col("score"), 4).alias("bm25")
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+def _postings_tombs_cached(spark: SparkSession, sf_dir: str) -> str:
+    """Build-or-reuse the tombstone dataset for the postings index:
+    every doc_id ≡ 0 (mod 5) is deleted — a deterministic ~20% takedown
+    slice the oracle replays as a corpus predicate."""
+    from paas_auditor_spark.operators.atomic import tombstones_collector
+
+    def build(tmp):
+        hook = tombstones_collector(tmp)
+        hook(
+            _t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 5 == 0)
+            .select("doc_id"),
+            0,
+        )
+
+    return _cached_artifact(
+        "ptomb1:" + _src_ident(sf_dir, "documents"),
+        "paas_postings_tomb_",
+        build,
+    )
+
+
+def q_bm25_tombstoned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION support for the persisted index family, the retrieval
+    member: the same postings index as bm25_persisted plus a tombstone
+    dataset (operators/atomic.py:tombstones_collector — takedowns/
+    opt-outs landing under the same atomic commit protocol), scored
+    with the tombstoned ids anti-joined out of BOTH index relations
+    before any statistic.  The oracle replays deletion as
+    NEVER-INDEXED — BM25 over the surviving corpus — so the check
+    certifies the strong contract: a deleted document doesn't just
+    vanish from results, it stops influencing N, avgdl and df (scores
+    of surviving docs shift, and the shifted values are what must
+    hash-match).  Physical removal at fold time
+    (apply_tombstones_fold) is pytest-pinned; this query exercises the
+    read-time path every probe between folds uses."""
+    from paas_auditor_spark.operators.ranking import bm25_from_postings
+
+    path = _postings_index_cached(spark, sf_dir)
+    tomb = _postings_tombs_cached(spark, sf_dir)
+    scores = bm25_from_postings(
+        spark, path, ["table", "hash", "merge"], tombstone_path=tomb
+    )
     return (
         scores.select(
             "doc_id", F.round(F.col("score"), 4).alias("bm25")
@@ -11202,6 +11395,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "pca_projection": QuerySpec(q_pca_projection, None),
     "bm25_search": QuerySpec(q_bm25_search, _BM25_ORACLE),
     "bm25_persisted": QuerySpec(q_bm25_persisted, _BM25_ORACLE),
+    "bm25_tombstoned": QuerySpec(
+        q_bm25_tombstoned, _bm25_oracle(" WHERE doc_id % 5 <> 0")
+    ),
     "embedding_quantize": QuerySpec(
         q_embedding_quantize,
         """
@@ -11255,6 +11451,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "table_profile_approx": QuerySpec(q_table_profile_approx, None),
     "minhash_incremental": QuerySpec(q_minhash_incremental, None),
     "minhash_gate_persisted": QuerySpec(q_minhash_gate_persisted, None),
+    "minhash_gate_tombstoned_md5": QuerySpec(
+        q_minhash_gate_tombstoned_md5, _oracle_minhash_gate_tombstoned_md5()
+    ),
     "dedup_clusters_minhash": QuerySpec(q_dedup_clusters_minhash, None),
     "dedup_pipeline_full": QuerySpec(q_dedup_pipeline_full, None),
     "dedup_pipeline_exact": QuerySpec(

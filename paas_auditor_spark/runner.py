@@ -205,6 +205,8 @@ class Service:
         parts: tuple[str, ...] = ("",),
         protocol: str = "rename",
         min_batches: int = 16,
+        tombstone_path: str | None = None,
+        tombstone_id_col: str = "doc_id",
     ):
         """Enroll a collector dataset (bloom words / histograms /
         postings) in the maintenance loop and return the hook WRAPPED in
@@ -216,10 +218,20 @@ class Service:
         that structural instead of a calling convention — a micro-batch
         in flight delays the fold, never interleaves with it.
         ``min_batches`` is the churn guard: fold only once that many
-        batch directories have accumulated in the live generation."""
+        batch directories have accumulated in the live generation.
+
+        ``tombstone_path`` (doc-keyed indexes only — postings, the
+        MinHash band index) enrolls the dataset's DELETION relation:
+        every maintenance fold then also physically drops rows whose
+        ``tombstone_id_col`` is tombstoned (``apply_tombstones_fold``'s
+        transform).  No extra fold is scheduled for deletions — between
+        folds the readers' read-time anti-join already makes takedowns
+        effective, so fold-time application riding the regular churn
+        cadence is exactly the reclamation policy a 100 TB index wants."""
         lock = threading.Lock()
         self._collector_datasets.append(
-            (path, parts, protocol, min_batches, lock)
+            (path, parts, protocol, min_batches, lock,
+             tombstone_path, tombstone_id_col)
         )
 
         def locked_hook(batch_df, batch_id):
@@ -251,11 +263,13 @@ class Service:
         from paas_auditor_spark.operators.atomic import (
             collector_root,
             compact_batches,
+            tombstone_ids,
             vacuum_superseded,
         )
 
         folded = 0
-        for path, parts, protocol, min_batches, lock in self._collector_datasets:
+        for (path, parts, protocol, min_batches, lock,
+             tomb_path, tomb_id_col) in self._collector_datasets:
             vacuum_superseded(path)
             root = collector_root(path)
             if not os.path.isdir(root):
@@ -263,6 +277,15 @@ class Service:
             n = sum(1 for d in os.listdir(root) if d.startswith("batch-"))
             if n < min_batches:
                 continue
+            transform = None
+            if tomb_path is not None:
+                doomed = tombstone_ids(self.spark, tomb_path, protocol)
+                if doomed is not None:
+                    dead = doomed.withColumnRenamed("id", tomb_id_col)
+                    transform = (
+                        lambda part, df, _dead=dead, _c=tomb_id_col:
+                        df.join(_dead, _c, "left_anti")
+                    )
             with lock:
                 folded += compact_batches(
                     self.spark,
@@ -270,6 +293,7 @@ class Service:
                     parts=parts,
                     protocol=protocol,
                     defer_delete=True,
+                    transform=transform,
                 )
         if folded:
             self._loop_logs[self.maintenance_tick].info(

@@ -698,6 +698,97 @@ def test_minhash_persisted_index_gate_equals_inmemory(spark, tmp_path):
         ).collect()
 
 
+def test_minhash_gate_tombstones_and_rep_shift(spark, tmp_path):
+    """Deletion support for the persisted near-dup gate: tombstoned ids
+    are anti-joined out of the stored sets BEFORE the global collapse,
+    so a gated batch matches an index that never held the deleted docs
+    (the in-memory operator over the surviving corpus is the truth).
+    The adversarial case is pinned explicitly: deleting the MIN-ID
+    member of an identical-content group — the group's collapse
+    REPRESENTATIVE — must shift representation to the surviving min id
+    and keep the group gating (the stored bands cover every id, so the
+    new rep's band rows are already on disk).  apply_tombstones_fold
+    then physically removes the rows; results are unchanged and the
+    raw parquet no longer holds the deleted ids."""
+    from paas_auditor_spark.operators.atomic import (
+        apply_tombstones_fold,
+        batch_data_paths,
+        tombstones_collector,
+    )
+    from paas_auditor_spark.operators.dedup import (
+        minhash_incremental_persisted,
+        minhash_index_collector,
+        minhash_near_duplicates_incremental,
+    )
+
+    boiler = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+              "lambda mu nu xi omicron pi rho sigma tau upsilon shared")
+    fox = ("the quick brown fox jumps over the lazy dog near the river "
+           "bank today while the rain in spain falls mainly on the plain")
+    idx_rows = [
+        (100, boiler), (101, boiler), (102, boiler),  # identical group
+        (200, fox),
+        (201, "completely unrelated content about columnar storage and "
+              "vectorized execution in modern analytic database engines"),
+    ]
+    new = spark.createDataFrame(
+        [(1, boiler + " extra"), (2, fox + " extra")], ["doc_id", "text"]
+    )
+    path = str(tmp_path / "mh_idx")
+    tomb = str(tmp_path / "mh_tomb")
+    hook = minhash_index_collector(path, num_hashes=24, num_bands=12)
+    hook(spark.createDataFrame(idx_rows[:3], ["doc_id", "text"]), 0)
+    hook(spark.createDataFrame(idx_rows[3:], ["doc_id", "text"]), 1)
+
+    def gate(**kw):
+        return sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in minhash_incremental_persisted(
+                spark, path, new, threshold=0.5,
+                num_hashes=24, num_bands=12, **kw
+            ).collect()
+        )
+
+    def want(rows):
+        idx = spark.createDataFrame(rows, ["doc_id", "text"])
+        return sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in minhash_near_duplicates_incremental(
+                new, idx, threshold=0.5, num_hashes=24, num_bands=12
+            ).collect()
+        )
+
+    full = want(idx_rows)
+    assert {b for _, b, _ in full} == {100, 101, 102, 200}
+    assert gate(tombstone_path=tomb) == full  # empty tombstones: no-op
+
+    # delete the group REP (100) and the fox doc (200)
+    tombstones_collector(tomb)(
+        spark.createDataFrame([(100,), (200,)], "doc_id long"), 0
+    )
+    survivors = [r for r in idx_rows if r[0] not in (100, 200)]
+    pruned = want(survivors)
+    # rep shift: the group still gates through 101/102; fox is gone
+    assert {b for _, b, _ in pruned} == {101, 102}
+    assert gate(tombstone_path=tomb) == pruned
+
+    # physical removal at fold time: raw sets no longer hold 100/200,
+    # the gate result is unchanged, and a read WITHOUT the tombstone
+    # path now matches too
+    assert apply_tombstones_fold(
+        spark, path, tomb, parts=("bands", "sets")
+    ) == 2
+    stored = {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            *batch_data_paths(path, "rename", "sets")
+        ).collect()
+    }
+    assert stored == {101, 102, 201}
+    assert gate(tombstone_path=tomb) == pruned
+    assert gate() == pruned
+
+
 def test_minhash_persisted_gate_bootstrap_and_crossbatch_dups(
     spark, tmp_path
 ):

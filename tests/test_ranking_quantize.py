@@ -231,6 +231,92 @@ def test_postings_index_incremental_equals_batch(spark, tmp_path):
         assert "IN (table,hash)" in plan  # index-pruned probe scan
 
 
+def test_bm25_tombstones_rescore_and_fold(spark, tmp_path):
+    """Deletion support for the persisted index family (takedowns /
+    opt-outs): tombstoned doc ids are anti-joined out of BOTH index
+    relations before any statistic, so scores are value-identical to an
+    index that never held the documents — N, avgdl, df, tf all shift,
+    not just the result rows.  apply_tombstones_fold then PHYSICALLY
+    drops the rows at compaction: the raw parquet no longer contains
+    them, scores are unchanged, and even a read WITHOUT the tombstone
+    path now matches (the fold applied everything).  Replays of data
+    and tombstone batches stay no-ops throughout."""
+    from paas_auditor_spark.operators.atomic import (
+        apply_tombstones_fold,
+        batch_data_paths,
+        tombstones_collector,
+    )
+    from paas_auditor_spark.operators.ranking import (
+        bm25_from_postings,
+        postings_collector,
+    )
+
+    rows = [
+        (1, "table table scan"),
+        (2, "merge sort table"),
+        (3, "hash join hash"),
+        (4, None),  # token-less doc: counts toward N, not avgdl
+        (5, "scan scan merge hash table"),
+        (6, "window frame sort"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    tomb = str(tmp_path / "tomb")
+    hook = postings_collector(path)
+    hook(docs.filter("doc_id <= 3"), 0)
+    hook(docs.filter("doc_id > 3"), 1)
+
+    def scores(**kw):
+        return {
+            (r["doc_id"], round(r["score"], 6))
+            for r in bm25_from_postings(
+                spark, path, ["table", "hash"], **kw
+            ).collect()
+        }
+
+    def want(surviving):
+        return {
+            (r["doc_id"], round(r["score"], 6))
+            for r in bm25_scores(surviving, ["table", "hash"]).collect()
+        }
+
+    # an empty/absent tombstone dataset is the branch-free common path
+    assert scores(tombstone_path=tomb) == want(docs)
+
+    # delete doc 5 (a matching doc: tf/df/N/avgdl all change) and doc 4
+    # (the token-less doc: N changes) — plus a never-indexed id (noise)
+    thook = tombstones_collector(tomb)
+    thook(spark.createDataFrame([(5,), (4,)], "doc_id long"), 0)
+    thook(spark.createDataFrame([(999,)], "doc_id long"), 1)
+    thook(spark.createDataFrame([(1,)], "doc_id long"), 1)  # replay: no-op
+    survivors = docs.filter("doc_id not in (4, 5)")
+    after = scores(tombstone_path=tomb)
+    assert after == want(survivors)
+    assert after != want(docs)  # the deletion actually moved statistics
+    # without the tombstone path the deleted rows still score (nothing
+    # was rewritten yet)
+    assert scores() == want(docs)
+
+    # physical removal at fold time
+    assert apply_tombstones_fold(
+        spark, path, tomb, parts=("postings", "doclens")
+    ) == 2
+    stored = {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            *batch_data_paths(path, "rename", "doclens")
+        ).collect()
+    }
+    assert stored == {1, 2, 3, 6}
+    assert scores(tombstone_path=tomb) == want(survivors)
+    assert scores() == want(survivors)  # fold applied everything
+
+    # a replayed data batch after the fold is floor-suppressed: the
+    # deleted docs cannot resurrect through at-least-once delivery
+    hook(docs.filter("doc_id > 3"), 1)
+    assert scores() == want(survivors)
+
+
 def test_postings_collector_under_real_stream(spark, tmp_path):
     """postings_collector as an actual Structured Streaming sink: a
     document stream lands batch-by-batch (maxFilesPerTrigger=1) through

@@ -460,6 +460,67 @@ def test_maintenance_loop_scheduled_and_vacuums(spark, tmp_path):
     assert not [d for d in os.listdir(path) if d.startswith("batch-")]
 
 
+def test_maintenance_fold_applies_tombstones(spark, tmp_path):
+    """A collector dataset registered WITH a tombstone relation gets its
+    deleted rows physically dropped by the regular maintenance fold —
+    no extra fold scheduling, the read-time anti-join covers the gap
+    between folds.  After the tick: the raw index holds only survivors,
+    and a tombstone-blind read scores exactly like an index that never
+    held the deleted docs."""
+    from paas_auditor_spark.operators.atomic import (
+        batch_data_paths,
+        tombstones_collector,
+    )
+    from paas_auditor_spark.operators.ranking import (
+        bm25_from_postings,
+        bm25_scores,
+        postings_collector,
+    )
+
+    rows = [
+        (1, "table table scan"),
+        (2, "merge sort table"),
+        (3, "hash join hash"),
+        (4, "scan scan merge hash table"),
+        (5, "window frame sort"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    tomb = str(tmp_path / "tomb")
+    svc = Service(spark, warehouse_dir=str(tmp_path / "wh"))
+    hook = svc.register_collector_dataset(
+        idx,
+        postings_collector(idx),
+        parts=("postings", "doclens"),
+        min_batches=2,
+        tombstone_path=tomb,
+    )
+    hook(docs.filter("doc_id <= 3"), 0)
+    hook(docs.filter("doc_id > 3"), 1)
+    tombstones_collector(tomb)(
+        spark.createDataFrame([(4,)], "doc_id long"), 0
+    )
+
+    assert svc.maintenance_tick() == 2
+    stored = {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            *batch_data_paths(idx, "rename", "doclens")
+        ).collect()
+    }
+    assert stored == {1, 2, 3, 5}
+    survivors = docs.filter("doc_id != 4")
+    want = {
+        (r["doc_id"], round(r["score"], 6))
+        for r in bm25_scores(survivors, ["table", "hash"]).collect()
+    }
+    got = {
+        (r["doc_id"], round(r["score"], 6))
+        for r in bm25_from_postings(spark, idx, ["table", "hash"]).collect()
+    }
+    assert got == want
+
+
 @pytest.mark.parametrize(
     "crash_point", ["gen_renamed_no_flip", "flipped_no_cleanup"]
 )
