@@ -102,10 +102,12 @@ HEADLINE = [
     "lm_perplexity",
     "lm_perplexity_interp",
     "lm_perplexity_persisted",
+    "lm_perplexity_retracted",
     "temperature_sample",
     "knn_ivfpq",
     "knn_ivfpq_persisted",
     "knn_ivf_persisted",
+    "knn_ivf_tombstoned",
     "dedup_keep_best",
     "train_test_split",
     "fim_transform",

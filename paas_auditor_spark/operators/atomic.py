@@ -802,7 +802,21 @@ def tombstones_collector(path: str, id_col: str = "doc_id",
     Tombstone ids are never reclaimed: the corpus id contract is
     append-only (an id is never reused), so a tombstone can never
     match future rows, and keeping it costs 8-16 bytes.  Duplicate ids
-    across tombstone batches are harmless (anti-join semantics)."""
+    across tombstone batches are harmless (anti-join semantics).
+
+    Deletion taxonomy across the persisted families — each store kind
+    gets the mechanism its algebra allows:
+    - per-ROW doc-keyed indexes (postings, MinHash bands+sets, IVF
+      lists/shards): THIS machinery — tombstone anti-join + fold-time
+      physical drop;
+    - ADDITIVE aggregates (LM trigram counts, histograms): retraction
+      batches — the same collector computation with negated counts,
+      netting out at finalize (``lm_counts_collector(retract=True)``;
+      negative nets raise);
+    - IRREVERSIBLE sketches (bloom filters, HLL, CMS): no per-item
+      deletion exists by construction — the deployment answer is
+      rebuild-from-survivors at maintenance cadence (or a counting
+      variant, which trades 8-16× space; not implemented)."""
     commit = commit_fn(protocol)
 
     def write_batch(ids_df, batch_id: int) -> None:

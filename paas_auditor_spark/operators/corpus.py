@@ -366,6 +366,7 @@ def lm_counts_collector(
     text_col: str = "text",
     id_col: str = "doc_id",
     protocol: str = "rename",
+    retract: bool = False,
 ):
     """foreachBatch hook for an INCREMENTALLY MAINTAINED trigram-LM
     count store — the language-model member of the collector family
@@ -384,10 +385,25 @@ def lm_counts_collector(
     ``lm_index_finalize`` turns the accumulated counts into the scoring
     model (the "train once" step — at 100 TB a maintenance-cadence job,
     like compaction); ``trigram_interp_perplexity_from_model`` scores
-    new documents off it without ever re-counting the corpus."""
+    new documents off it without ever re-counting the corpus.
+
+    ``retract=True`` makes the hook a DELETION writer — the additive
+    families' answer to takedowns (the tombstone machinery handles
+    per-ROW indexes; an aggregate store deletes by SUBTRACTION): the
+    batch's trigram and vocab-occurrence counts land NEGATED, and the
+    finalize's sums net them out, leaving a model value-identical to
+    one trained without the retracted documents (oracle-checked by
+    lm_perplexity_retracted).  The caller must retract only documents
+    it actually ingested, exactly once — finalize validates (any
+    negative net count raises loudly).  Batch ids share the dataset's
+    replay protection, so ingest and retraction streams must use
+    disjoint id ranges (or one unified stream).  Vocab is stored as
+    (w, c) occurrence counts — presence is c > 0 — so token
+    disappearance is exact, not monotone."""
     from paas_auditor_spark.operators.atomic import commit_fn
 
     commit = commit_fn(protocol)
+    sign = -1 if retract else 1
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         def write(tmp: str) -> None:
@@ -401,13 +417,14 @@ def lm_counts_collector(
                     F.col("g.w2").alias("w2"),
                     F.col("g.w3").alias("w3"),
                 )
-                .agg(F.count(F.lit(1)).alias("c3"))
+                .agg((F.count(F.lit(1)) * F.lit(sign)).alias("c3"))
                 .write.parquet(f"{tmp}/trigrams")
             )
             (
                 toked.select(F.explode("toks").alias("w"))
                 .filter(F.length("w") >= 1)
-                .distinct()
+                .groupBy("w")
+                .agg((F.count(F.lit(1)) * F.lit(sign)).alias("c"))
                 .write.parquet(f"{tmp}/vocab")
             )
 
@@ -448,12 +465,28 @@ def lm_index_finalize(
     atomic rename)."""
     from paas_auditor_spark.operators.atomic import batch_data_paths
 
-    c3 = (
+    summed = (
         spark.read.parquet(*batch_data_paths(counts_path, protocol, "trigrams"))
         .groupBy("w1", "w2", "w3")
         .agg(F.sum("c3").alias("c3"))
         .localCheckpoint(eager=False)
     )
+    # retraction contract (lm_counts_collector retract=True): net counts
+    # must stay non-negative — a negative means a document was retracted
+    # that was never ingested (or retracted twice), which would silently
+    # corrupt every marginal.  One bounded driver check per finalize
+    # (maintenance cadence, distinct-gram-bounded input).
+    n_neg = summed.filter(F.col("c3") < 0).count()
+    if n_neg:
+        raise ValueError(
+            f"{n_neg} trigram(s) have negative net counts under "
+            f"{counts_path!r}: a retraction batch does not match any "
+            "ingested content — fix the retraction stream before "
+            "finalizing"
+        )
+    # fully retracted trigrams net to zero: drop them so the model is
+    # row-identical to one trained on the surviving corpus
+    c3 = summed.filter(F.col("c3") > 0)
     c3ctx = c3.groupBy("w1", "w2").agg(F.sum("c3").alias("c3ctx"))
     b23 = c3.groupBy("w2", "w3").agg(F.sum("c3").alias("b23"))
     (
@@ -469,12 +502,31 @@ def lm_index_finalize(
     b23_cp.groupBy("w3").agg(F.sum("b23").alias("u3")).write.parquet(
         f"{model_path}/u3"
     )
-    vocab = (
-        spark.read.parquet(*batch_data_paths(counts_path, protocol, "vocab"))
-        .select("w")
-        .distinct()
-        .agg(F.count(F.lit(1)).alias("v"))
+    vdf = spark.read.parquet(
+        *batch_data_paths(counts_path, protocol, "vocab")
     )
+    if "c" in vdf.columns:
+        # counted vocab (retraction-capable format): presence = net
+        # occurrence count > 0; the same non-negativity contract as the
+        # trigram sums (short retracted docs can violate vocab without
+        # ever touching a trigram, so check here too)
+        vsum = vdf.groupBy("w").agg(F.sum("c").alias("c")).localCheckpoint(
+            eager=False
+        )
+        v_neg = vsum.filter(F.col("c") < 0).count()
+        if v_neg:
+            raise ValueError(
+                f"{v_neg} vocab token(s) have negative net counts under "
+                f"{counts_path!r}: a retraction batch does not match any "
+                "ingested content — fix the retraction stream before "
+                "finalizing"
+            )
+        vocab = vsum.filter(F.col("c") > 0).agg(
+            F.count(F.lit(1)).alias("v")
+        )
+    else:
+        # legacy distinct-presence vocab (pre-retraction datasets)
+        vocab = vdf.select("w").distinct().agg(F.count(F.lit(1)).alias("v"))
     total = c3.agg(F.sum("c3").alias("n_total"))
     vocab.crossJoin(total).write.parquet(f"{model_path}/meta")
 

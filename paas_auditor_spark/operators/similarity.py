@@ -939,10 +939,23 @@ def ivf_topk_persisted(
     vec_col: str = "embedding",
     round_digits: int = 4,
     protocol: str = "rename",
+    tombstone_path: str | None = None,
 ) -> DataFrame:
     """Probe-only IVF top-k over an index built by ``ivf_index_write``:
     read the centroid table (tiny), assign each query to its ``nprobe``
     closest lists, then scan ONLY those list partitions.
+
+    ``tombstone_path`` (optional) points at a ``tombstones_collector``
+    dataset of deleted vector ids: the candidate relation (base lists +
+    committed shards) is anti-joined before scoring, so a deleted
+    vector can never be returned as a neighbor.  The CENTROID table is
+    deliberately untouched — centroids are a frozen quantizer, not
+    data; a deleted vector that seeded a centroid keeps partitioning
+    space correctly (the standard IVF deletion semantics), and the
+    periodic full rebuild (``ivf_index_write`` over the surviving
+    corpus) is the major compaction that eventually retrains.  Physical
+    removal from shards rides ``apply_tombstones_fold(id_col="c_id")``;
+    the base lists table is rewritten only by rebuild.
 
     The probed list ids are collected driver-side before the scan — a
     bounded collect (≤ n_centroids rows, never corpus- or query-count-
@@ -1001,6 +1014,14 @@ def ivf_topk_persisted(
                 "list_id", F.col("list_id").cast("long")
             ).filter(F.col("list_id").isin(probed_ids))
         )
+    if tombstone_path is not None:
+        from paas_auditor_spark.operators.atomic import tombstone_ids
+
+        doomed = tombstone_ids(spark, tombstone_path, protocol)
+        if doomed is not None:
+            lists = lists.join(
+                doomed.withColumnRenamed("id", "c_id"), "c_id", "left_anti"
+            )
     scored = (
         lists.withColumnRenamed("list_id", "centroid_id")
         .join(F.broadcast(probes), on="centroid_id")
@@ -1412,6 +1433,7 @@ def ivfpq_topk_persisted(
     vec_col: str = "embedding",
     round_digits: int = 4,
     protocol: str = "rename",
+    tombstone_path: str | None = None,
 ) -> DataFrame:
     """Probe-only IVF-PQ top-k over an ``ivfpq_index_write`` index —
     the 100 TB serving shape made literal: centroids and codebooks come
@@ -1463,6 +1485,18 @@ def ivfpq_topk_persisted(
                 "list_id", F.col("list_id").cast("long")
             ).filter(F.col("list_id").isin(probed_ids))
         )
+    if tombstone_path is not None:
+        # same deletion contract as ivf_topk_persisted: candidates
+        # anti-joined, frozen quantizer/codebooks untouched; an excluded
+        # candidate can never reach the rerank shortlist, so the single
+        # anti-join covers both tiers
+        from paas_auditor_spark.operators.atomic import tombstone_ids
+
+        doomed = tombstone_ids(spark, tombstone_path, protocol)
+        if doomed is not None:
+            lists = lists.join(
+                doomed.withColumnRenamed("id", "c_id"), "c_id", "left_anti"
+            )
     lists = lists.withColumnRenamed("list_id", "centroid_id")
     approx = lists.select(
         "c_id",

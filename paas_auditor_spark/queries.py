@@ -2260,12 +2260,19 @@ def _ivf_params_sql(max_centroids: int | None = 1024) -> str:
 _IVF_PARAMS_SQL = _ivf_params_sql(1024)
 
 
-def _ivf_topk_oracle(max_centroids: int | None = 1024) -> str:
+def _ivf_topk_oracle(
+    max_centroids: int | None = 1024, exclude: str = "FALSE"
+) -> str:
     """Exact end-to-end SQL replay of ivf_topk; parameterized on the
     sizing clamp so the in-memory entry (clamped) and the persisted
     entry (unclamped build-time sizing) each replay THEIR OWN exact
     parameter arithmetic (identical below the 16.8M-vector clamp
-    point, where every committed corpus lives)."""
+    point, where every committed corpus lives).  ``exclude`` is a
+    boolean SQL predicate naming TOMBSTONED candidate vectors — applied
+    to the candidate lists ONLY, never to sizing, centroids or
+    assignment (the index was built before the deletion; the frozen
+    quantizer keeps partitioning space — the engine-side contract
+    ivf_topk_persisted's tombstone_path implements)."""
     return f"""
         WITH {_ivf_params_sql(max_centroids)},
         n AS (
@@ -2280,7 +2287,8 @@ def _ivf_topk_oracle(max_centroids: int | None = 1024) -> str:
                      ORDER BY list_dot_product(n.v, cents.cv) / (n.nrm * cents.cn) DESC,
                               cents.cid) AS r
           FROM n CROSS JOIN cents),
-        lists AS (SELECT vec_id, v, nrm, cid FROM c_assign WHERE r = 1),
+        lists AS (SELECT vec_id, v, nrm, cid FROM c_assign
+                  WHERE r = 1 AND NOT ({exclude})),
         q_assign AS (
           SELECT vec_id, v, nrm, cid FROM c_assign
           WHERE vec_id < 10 AND r <= (SELECT np FROM params)),
@@ -2584,6 +2592,58 @@ def q_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     out = similarity.ivf_topk_persisted(
         spark, index_path, queries, k=5, nprobe=npr
+    )
+    return out.withColumnRenamed("rank", "knn_rank")
+
+
+_EMB_TOMB_PRED = "vec_id >= 100 AND vec_id % 7 = 0"
+
+
+def _emb_tombs_cached(spark: SparkSession, sf_dir: str) -> str:
+    """Tombstones for the IVF index: every vector with vec_id ≥ 100 and
+    vec_id ≡ 0 (mod 7) is deleted — deterministic, replayed by the
+    oracle as a candidate predicate, and disjoint from the probe
+    queries (vec_id < 10) and from the centroid sources (the first nc
+    vectors; nc ≤ 64 at every committed SF)."""
+    from paas_auditor_spark.operators.atomic import tombstones_collector
+
+    def build(tmp):
+        hook = tombstones_collector(tmp, id_col="vec_id")
+        hook(
+            _t(spark, sf_dir, "embeddings")
+            .filter(F.expr(_EMB_TOMB_PRED))
+            .select("vec_id"),
+            0,
+        )
+
+    return _cached_artifact(
+        "etomb1:" + _src_ident(sf_dir, "embeddings"),
+        "paas_emb_tomb_",
+        build,
+    )
+
+
+def q_knn_ivf_tombstoned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION support for the ANN member of the persisted family: the
+    same IVF index as knn_ivf_persisted probed with a tombstone dataset
+    — deleted vectors are anti-joined out of the candidate lists (base
+    + shards) before scoring, while the frozen centroid quantizer and
+    the build-time sizing stay untouched (the index predates the
+    deletion; retraining happens at the periodic full rebuild, IVF's
+    major compaction).  The oracle replays exactly that contract: same
+    sizing and assignment over the FULL corpus, tombstone predicate on
+    the candidate lists only — so a deleted vector provably cannot be
+    returned as a neighbor and the vacated top-k slots backfill with
+    the next-ranked survivors, hash-checked."""
+    nc, npr = similarity.ivf_auto_params(
+        _corpus_count(spark, sf_dir, "embeddings"), max_centroids=None
+    )
+    index_path = _ivf_index_cached(spark, sf_dir, n_centroids=nc)
+    tomb = _emb_tombs_cached(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.ivf_topk_persisted(
+        spark, index_path, queries, k=5, nprobe=npr, tombstone_path=tomb
     )
     return out.withColumnRenamed("rank", "knn_rank")
 
@@ -8532,11 +8592,16 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_perplexity(docs)
 
 
-_LM_INTERP_ORACLE = """
+def _lm_interp_oracle(where: str = "") -> str:
+    """The interpolated-trigram-LM replay, parameterized by a corpus
+    predicate (``" WHERE ..."``) applied to BOTH the training stream
+    and the scored set — the retracted variant replays retraction as
+    never-ingested."""
+    return f"""
         WITH toks AS (
           SELECT doc_id,
                  regexp_split_to_array(lower(trim(text)), '\\s+') AS w
-          FROM documents),
+          FROM documents{where}),
         occ AS (
           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3,
                  count(*) AS m
@@ -8568,9 +8633,13 @@ _LM_INTERP_ORACLE = """
                coalesce(p.n_trigrams, 0) AS n_trigrams,
                round(p.raw_nll, 4) AS avg_nll,
                round(exp(p.raw_nll), 4) AS ppl
-        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        FROM (SELECT doc_id FROM documents{where}) d
+        LEFT JOIN per_doc p USING (doc_id)
         ORDER BY d.doc_id
         """
+
+
+_LM_INTERP_ORACLE = _lm_interp_oracle()
 
 
 def q_lm_perplexity_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8624,6 +8693,65 @@ def q_lm_perplexity_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     model = _lm_model_cached(spark, sf_dir)
     docs = _th(spark, sf_dir, "documents")
+    return trigram_interp_perplexity_from_model(spark, model, docs)
+
+
+# SQL-text predicate (not a Column: building one at import time needs an
+# active SparkContext) — identical text on the engine (F.expr) and in the
+# oracle's WHERE NOT
+_LM_RETRACT_PRED = "doc_id % 4 = 1"
+
+
+def _lm_retracted_model_cached(spark: SparkSession, sf_dir: str) -> str:
+    """Build-or-reuse the RETRACTED persisted LM: the full corpus lands
+    in two ingest batches, then every doc_id ≡ 1 (mod 4) is retracted
+    (lm_counts_collector retract=True — negated counts netting out at
+    finalize), and the finalize materializes the surviving model."""
+    import os
+
+    def build(tmp: str) -> None:
+        from paas_auditor_spark.operators.corpus import (
+            lm_counts_collector,
+            lm_index_finalize,
+        )
+
+        counts = os.path.join(tmp, "counts")
+        docs = _t(spark, sf_dir, "documents")
+        ingest = lm_counts_collector(counts)
+        ingest(docs.filter(F.col("doc_id") % 2 == 0), 0)
+        ingest(docs.filter(F.col("doc_id") % 2 == 1), 1)
+        lm_counts_collector(counts, retract=True)(
+            docs.filter(F.expr(_LM_RETRACT_PRED)), 2
+        )
+        lm_index_finalize(spark, counts, os.path.join(tmp, "lm"))
+
+    root = _cached_artifact(
+        "lmret1:" + _src_ident(sf_dir, "documents"),
+        "paas_lm_retracted_",
+        build,
+    )
+    return os.path.join(root, "lm")
+
+
+def q_lm_perplexity_retracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION support for the ADDITIVE member of the persisted
+    family: aggregate stores can't tombstone rows (a trigram count is
+    not doc-keyed), so takedowns land as RETRACTION batches — the same
+    collector computation with negated counts — and the finalize's sums
+    net them out (negative nets raise loudly: retracting never-ingested
+    content).  This query scores the surviving documents against a
+    model built as ingest-everything-then-retract-a-quarter; the oracle
+    trains on the survivors directly, so the hash certifies the
+    additive-deletion contract — retraction ≡ never-ingested — for
+    every count, marginal, vocab size and total the model carries."""
+    from paas_auditor_spark.operators.corpus import (
+        trigram_interp_perplexity_from_model,
+    )
+
+    model = _lm_retracted_model_cached(spark, sf_dir)
+    docs = _th(spark, sf_dir, "documents").filter(
+        ~F.expr(_LM_RETRACT_PRED)
+    )
     return trigram_interp_perplexity_from_model(spark, model, docs)
 
 
@@ -11235,6 +11363,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "knn_ivf": QuerySpec(q_knn_ivf, _ivf_topk_oracle()),
     # persisted twin replays the UNCLAMPED build-time sizing (r8 #3)
     "knn_ivf_persisted": QuerySpec(q_knn_ivf_persisted, _ivf_topk_oracle(None)),
+    "knn_ivf_tombstoned": QuerySpec(
+        q_knn_ivf_tombstoned, _ivf_topk_oracle(None, exclude=_EMB_TOMB_PRED)
+    ),
     "audio_windows": QuerySpec(q_audio_windows, ORACLE_AUDIO_WINDOWS),
     "image_tiles": QuerySpec(q_image_tiles, ORACLE_IMAGE_TILES),
     "multimodal_frames": QuerySpec(
@@ -11879,6 +12010,10 @@ REGISTRY: dict[str, QuerySpec] = {
     # bm25_persisted convention)
     "lm_perplexity_persisted": QuerySpec(
         q_lm_perplexity_persisted, _LM_INTERP_ORACLE
+    ),
+    "lm_perplexity_retracted": QuerySpec(
+        q_lm_perplexity_retracted,
+        _lm_interp_oracle(" WHERE doc_id % 4 <> 1"),
     ),
     "lm_perplexity": QuerySpec(
         q_lm_perplexity,

@@ -394,6 +394,116 @@ def test_persisted_lm_equals_in_query_and_handles_oov(spark, tmp_path, sf_dir):
     assert row.ppl is not None and math.isfinite(row.ppl) and row.ppl > 0
 
 
+def test_lm_retraction_equals_never_ingested(spark, tmp_path, sf_dir):
+    """Additive deletion: ingest everything, retract a subset
+    (lm_counts_collector retract=True), finalize — the model must score
+    EVERY document identically to a model trained only on the
+    survivors (counts, marginals, vocab size and total all net out)."""
+    from pyspark.sql import functions as F
+
+    from paas_auditor_spark.operators.corpus import (
+        lm_counts_collector,
+        lm_index_finalize,
+        trigram_interp_perplexity_from_model,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(80)
+    )
+    doomed = F.col("doc_id") % 3 == 1
+    counts = str(tmp_path / "counts")
+    hook = lm_counts_collector(counts)
+    hook(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    hook(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    lm_counts_collector(counts, retract=True)(docs.filter(doomed), 2)
+    lm_counts_collector(counts, retract=True)(docs.filter(doomed), 2)
+    # ^ replayed retraction batch: replay protection must keep it a
+    # no-op (a double-subtract would push counts negative)
+    model = str(tmp_path / "model")
+    lm_index_finalize(spark, counts, model)
+
+    clean_counts = str(tmp_path / "clean_counts")
+    lm_counts_collector(clean_counts)(docs.filter(~doomed), 0)
+    clean_model = str(tmp_path / "clean_model")
+    lm_index_finalize(spark, clean_counts, clean_model)
+
+    got = trigram_interp_perplexity_from_model(
+        spark, model, docs
+    ).orderBy("doc_id").collect()
+    want = trigram_interp_perplexity_from_model(
+        spark, clean_model, docs
+    ).orderBy("doc_id").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_lm_retraction_of_never_ingested_raises(spark, tmp_path):
+    """The retraction contract is loud: retracting content that was
+    never ingested (or retracting twice under distinct batch ids) nets
+    a count negative, and finalize refuses to build a silently
+    corrupted model."""
+    import pytest
+
+    from paas_auditor_spark.operators.corpus import (
+        lm_counts_collector,
+        lm_index_finalize,
+    )
+
+    counts = str(tmp_path / "counts")
+    ingested = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    foreign = spark.createDataFrame(
+        [(2, "completely different words entirely here")],
+        "doc_id long, text string",
+    )
+    lm_counts_collector(counts)(ingested, 0)
+    lm_counts_collector(counts, retract=True)(foreign, 1)
+    with pytest.raises(ValueError, match="negative net counts"):
+        lm_index_finalize(spark, counts, str(tmp_path / "model"))
+
+
+def test_lm_finalize_reads_legacy_distinct_vocab(spark, tmp_path):
+    """Pre-retraction datasets stored vocab as distinct (w) rows; the
+    finalize's legacy branch must still count them correctly."""
+    from paas_auditor_spark.operators.atomic import commit_batch_dir
+    from paas_auditor_spark.operators.corpus import (
+        lm_counts_collector,
+        lm_index_finalize,
+        trigram_interp_perplexity_from_model,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    counts = str(tmp_path / "counts")
+    lm_counts_collector(counts)(docs, 0)
+    # rewrite the vocab part into the LEGACY (w)-only format
+    import shutil
+
+    legacy = spark.read.parquet(f"{counts}/batch-0/vocab").select("w")
+    legacy_pdf = legacy.toPandas()
+    shutil.rmtree(f"{counts}/batch-0")
+
+    def write(tmp):
+        spark.createDataFrame(legacy_pdf).write.parquet(f"{tmp}/vocab")
+        spark.createDataFrame(
+            [("alpha", "beta", "gamma", 2), ("beta", "gamma", "alpha", 1),
+             ("gamma", "alpha", "beta", 1), ("beta", "gamma", "delta", 1)],
+            "w1 string, w2 string, w3 string, c3 long",
+        ).write.parquet(f"{tmp}/trigrams")
+
+    commit_batch_dir(counts, 0, write)
+    model = str(tmp_path / "model")
+    lm_index_finalize(spark, counts, model)
+    meta = spark.read.parquet(f"{model}/meta").collect()[0]
+    assert meta["v"] == 4  # alpha beta gamma delta
+    row = trigram_interp_perplexity_from_model(spark, model, docs).collect()[0]
+    assert row["n_trigrams"] == 5
+
+
 def test_lm_counts_compaction_invisible_to_finalize(spark, tmp_path, sf_dir):
     """The LM counts dataset is a collector-family member: generational
     compaction (a row-preserving rewrite) must leave the finalized model

@@ -290,6 +290,117 @@ def test_ivf_persisted_equals_in_memory_and_prunes(spark, sf_dir, tmp_path):
     assert list(got.columns) == list(want.columns)
 
 
+def test_ivf_tombstones_equal_never_indexed_and_fold(spark, sf_dir, tmp_path):
+    """IVF deletion contract: probing a full index with a tombstone
+    dataset must return EXACTLY what an index built WITHOUT the deleted
+    vectors returns (both share the frozen centroid prefix — the
+    deleted ids are all ≥ n_centroids, so the quantizers are identical
+    and the comparison is airtight).  Shard-resident deleted rows are
+    physically dropped by apply_tombstones_fold; the probe result is
+    unchanged and the raw shard parquet no longer holds the ids."""
+    import pyspark.sql.functions as F
+
+    from paas_auditor_spark.operators.atomic import (
+        apply_tombstones_fold,
+        batch_data_paths,
+        tombstones_collector,
+    )
+    from paas_auditor_spark.operators.similarity import (
+        ivf_index_write,
+        ivf_shard_collector,
+        ivf_topk_persisted,
+    )
+    from paas_auditor_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    dead_pred = (F.col("vec_id") >= 100) & (F.col("vec_id") % 7 == 0)
+
+    # full index: base build over vec_id < 300, one collector shard for
+    # the rest (so deletion covers BOTH storage tiers)
+    full = str(tmp_path / "ivf_full")
+    ivf_index_write(emb.filter(F.col("vec_id") < 300), full, n_centroids=8)
+    ivf_shard_collector(spark, full)(emb.filter(F.col("vec_id") >= 300), 0)
+    # survivor index: same base/shard split, deleted vectors never enter
+    surv = str(tmp_path / "ivf_surv")
+    alive = emb.filter(~dead_pred)
+    ivf_index_write(alive.filter(F.col("vec_id") < 300), surv, n_centroids=8)
+    ivf_shard_collector(spark, surv)(alive.filter(F.col("vec_id") >= 300), 0)
+
+    tomb = str(tmp_path / "tomb")
+    tombstones_collector(tomb, id_col="vec_id")(
+        emb.filter(dead_pred).select("vec_id"), 0
+    )
+
+    got = ivf_topk_persisted(
+        spark, full, queries, k=5, nprobe=2, tombstone_path=tomb
+    ).toPandas()
+    want = ivf_topk_persisted(spark, surv, queries, k=5, nprobe=2).toPandas()
+    assert got.values.tolist() == want.values.tolist()
+    # and the deletion is not vacuous: the unfiltered probe differs
+    noto = ivf_topk_persisted(spark, full, queries, k=5, nprobe=2).toPandas()
+    assert noto.values.tolist() != want.values.tolist()
+
+    # physical removal from the shard tier
+    import os
+
+    assert apply_tombstones_fold(
+        spark, os.path.join(full, "shards"), tomb, id_col="c_id"
+    ) == 1
+    shard_ids = {
+        r["c_id"]
+        for r in spark.read.parquet(
+            *batch_data_paths(os.path.join(full, "shards"), "rename")
+        ).collect()
+    }
+    assert not any(i >= 300 and i % 7 == 0 for i in shard_ids)
+    got2 = ivf_topk_persisted(
+        spark, full, queries, k=5, nprobe=2, tombstone_path=tomb
+    ).toPandas()
+    assert got2.values.tolist() == want.values.tolist()
+
+
+def test_ivfpq_tombstones_equal_never_indexed(spark, sf_dir, tmp_path):
+    """The IVF-PQ serving path honors the same deletion contract as
+    IVF: probing with tombstones equals probing an index built without
+    the deleted vectors (codebooks/centroids identical — the deleted
+    ids are all ≥ the training prefix)."""
+    import pyspark.sql.functions as F
+
+    from paas_auditor_spark.operators.atomic import tombstones_collector
+    from paas_auditor_spark.operators.similarity import (
+        ivfpq_index_write,
+        ivfpq_topk_persisted,
+    )
+    from paas_auditor_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    dead_pred = (F.col("vec_id") >= 300) & (F.col("vec_id") % 5 == 0)
+
+    full = str(tmp_path / "full")
+    surv = str(tmp_path / "surv")
+    ivfpq_index_write(emb, full, n_centroids=8, m=4, codes=16)
+    ivfpq_index_write(
+        emb.filter(~dead_pred), surv, n_centroids=8, m=4, codes=16
+    )
+    tomb = str(tmp_path / "tomb")
+    tombstones_collector(tomb, id_col="vec_id")(
+        emb.filter(dead_pred).select("vec_id"), 0
+    )
+    got = ivfpq_topk_persisted(
+        spark, full, queries, k=5, nprobe=2, rerank=32, tombstone_path=tomb
+    ).toPandas()
+    want = ivfpq_topk_persisted(
+        spark, surv, queries, k=5, nprobe=2, rerank=32
+    ).toPandas()
+    assert got.values.tolist() == want.values.tolist()
+    noto = ivfpq_topk_persisted(
+        spark, full, queries, k=5, nprobe=2, rerank=32
+    ).toPandas()
+    assert noto.values.tolist() != want.values.tolist()
+
+
 def test_ivf_index_append_equals_single_shot_build(spark, sf_dir, tmp_path):
     """Growing a persisted IVF index shard-by-shard must probe
     IDENTICALLY to building it in one shot over the union — the
