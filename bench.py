@@ -133,6 +133,7 @@ HEADLINE = [
     "packing_efficiency",
     "cms_estimate",
     "quantile_sketch",
+    "quantile_sketch_retracted",
     "phrase_search",
     "ql_search",
     "type_cooccurrence_lift",

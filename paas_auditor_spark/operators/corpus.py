@@ -399,7 +399,11 @@ def lm_counts_collector(
     replay protection, so ingest and retraction streams must use
     disjoint id ranges (or one unified stream).  Vocab is stored as
     (w, c) occurrence counts — presence is c > 0 — so token
-    disappearance is exact, not monotone."""
+    disappearance is exact, not monotone.  Retraction therefore
+    requires a dataset written entirely in the counted format: on a
+    pre-upgrade dataset (legacy distinct-(w) vocab) re-collect before
+    retraction batches land — finalize detects the mix and refuses
+    rather than undercounting silently."""
     from paas_auditor_spark.operators.atomic import commit_fn
 
     commit = commit_fn(protocol)
@@ -509,7 +513,18 @@ def lm_index_finalize(
         # counted vocab (retraction-capable format): presence = net
         # occurrence count > 0; the same non-negativity contract as the
         # trigram sums (short retracted docs can violate vocab without
-        # ever touching a trigram, so check here too)
+        # ever touching a trigram, so check here too).  A NULL c means
+        # the dataset MIXES legacy (w)-only batches with counted ones
+        # (parquet schema union nulls the missing column) — sums would
+        # silently skip the legacy rows, so refuse loudly: re-collect
+        # or compact the dataset to one format before finalizing.
+        n_mixed = vdf.filter(F.col("c").isNull()).count()
+        if n_mixed:
+            raise ValueError(
+                f"vocab under {counts_path!r} mixes legacy (w)-only and "
+                f"counted (w, c) batches ({n_mixed} legacy row(s)) — "
+                "re-collect the legacy batches before finalizing"
+            )
         vsum = vdf.groupBy("w").agg(F.sum("c").alias("c")).localCheckpoint(
             eager=False
         )

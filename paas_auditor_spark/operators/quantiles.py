@@ -181,16 +181,31 @@ def hist_merge(*sketches: DataFrame) -> DataFrame:
     for s in sketches[1:]:
         merged = merged.unionByName(s.select(*cols))
     lo, hi, nb = _geometry(merged)
-    return (
+    net = (
         merged.groupBy("bin")
         .agg(F.sum("cnt").alias("cnt"))
-        .select(
-            "bin",
-            "cnt",
-            F.lit(lo).alias("lo"),
-            F.lit(hi).alias("hi"),
-            F.lit(nb).alias("nb"),
+        .localCheckpoint(eager=False)
+    )
+    # retraction contract (hist_collector retract=True): net bin counts
+    # must stay non-negative — a negative means values were retracted
+    # that were never ingested (or retracted twice), which would
+    # silently corrupt every quantile.  The check is one bounded action
+    # over ≤ n_bins already-checkpointed rows (the lm_index_finalize
+    # convention, at merge time because a sketch has no finalize step).
+    n_neg = net.filter(F.col("cnt") < 0).count()
+    if n_neg:
+        raise ValueError(
+            f"{n_neg} bin(s) have negative net counts after merge: a "
+            "retraction sketch does not match any ingested values — fix "
+            "the retraction stream before reading quantiles off this "
+            "sketch"
         )
+    return net.filter(F.col("cnt") > 0).select(
+        "bin",
+        "cnt",
+        F.lit(lo).alias("lo"),
+        F.lit(hi).alias("hi"),
+        F.lit(nb).alias("nb"),
     )
 
 
@@ -201,6 +216,7 @@ def hist_collector(
     lo: float,
     hi: float,
     protocol: str = "rename",
+    retract: bool = False,
 ):
     """foreachBatch hook for INCREMENTAL quantile maintenance — the
     quantile twin of ``bloom.bloom_words_collector``: each micro-batch
@@ -219,10 +235,20 @@ def hist_collector(
     replayed batch finds its ``batch-<id>`` directory and writes
     nothing.  ``protocol`` as in ``bloom_words_collector``: ``rename``
     (atomic-rename filesystems) or ``marker`` (object stores,
-    exclusive-create commit marker) — read with the same protocol."""
+    exclusive-create commit marker) — read with the same protocol.
+
+    ``retract=True`` makes the hook a DELETION writer (the additive
+    families' takedown answer, shared with
+    ``corpus.lm_counts_collector``): the batch's bin counts land
+    NEGATED and ``hist_merge``'s sums net them out, leaving the sketch
+    bit-identical to one built without the retracted values
+    (oracle-checked by quantile_sketch_retracted).  Retract only values
+    actually ingested, exactly once, under the SAME geometry —
+    ``hist_merge`` validates (negative net bins raise loudly)."""
     from paas_auditor_spark.operators.atomic import commit_fn
 
     commit = commit_fn(protocol)
+    sign = -1 if retract else 1
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         commit(
@@ -231,6 +257,7 @@ def hist_collector(
             lambda tmp: hist_sketch(
                 batch_df, value_col, n_bins=n_bins, lo=lo, hi=hi
             )
+            .withColumn("cnt", F.col("cnt") * F.lit(sign))
             .write.mode("overwrite")
             .parquet(tmp),
         )

@@ -1223,6 +1223,83 @@ ORDER BY prob
 """
 
 
+_HIST_RETRACT_PRED = "event_id % 5 = 0"
+
+
+def _hist_retracted_cached(spark: SparkSession, sf_dir: str) -> str:
+    """Build-or-reuse the RETRACTED persisted histogram sketch: all
+    events land in two ingest batches under a geometry fixed at ingest
+    time (min/max of the FULL corpus — bounds are chosen before any
+    deletion exists, the realistic lifecycle), then every event_id ≡ 0
+    (mod 5) is retracted (hist_collector retract=True)."""
+    from paas_auditor_spark.operators.quantiles import hist_collector
+
+    def build(tmp):
+        events = _t(spark, sf_dir, "events").select("event_id", "value")
+        b = events.filter(F.col("value").isNotNull()).agg(
+            F.min("value").cast("double").alias("lo"),
+            F.max("value").cast("double").alias("hi"),
+        ).collect()[0]
+        ingest = hist_collector("value", tmp, 64, b["lo"], b["hi"])
+        ingest(events.filter(F.col("event_id") % 2 == 0), 0)
+        ingest(events.filter(F.col("event_id") % 2 == 1), 1)
+        hist_collector("value", tmp, 64, b["lo"], b["hi"], retract=True)(
+            events.filter(F.expr(_HIST_RETRACT_PRED)), 2
+        )
+
+    return _cached_artifact(
+        "histret1:" + _src_ident(sf_dir, "events"),
+        "paas_hist_retracted_",
+        build,
+    )
+
+
+def q_quantile_sketch_retracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION support for the quantile member of the additive
+    persisted family: retraction batches (negated bin counts) net out
+    at merge, so quantiles read off the sketch as if the retracted
+    values were never ingested — under the geometry fixed at ingest
+    time (the oracle derives bounds from the FULL corpus but counts
+    only survivors, exactly the deployed lifecycle).  Negative nets
+    raise at merge (retracting never-ingested values cannot silently
+    corrupt the distribution — test-pinned)."""
+    from paas_auditor_spark.operators import quantiles
+
+    path = _hist_retracted_cached(spark, sf_dir)
+    merged = quantiles.hist_merge(quantiles.hist_read(spark, path))
+    return quantiles.hist_quantiles(merged, [0.5, 0.9, 0.99])
+
+
+ORACLE_QUANTILE_SKETCH_RETRACTED = f"""
+WITH b AS (SELECT CAST(min(value) AS DOUBLE) AS lo,
+                  CAST(max(value) AS DOUBLE) AS hi
+           FROM events WHERE value IS NOT NULL),
+vals AS (SELECT value FROM events
+         WHERE value IS NOT NULL AND NOT ({_HIST_RETRACT_PRED})),
+binned AS (
+  SELECT CASE WHEN hi = lo THEN 0
+         ELSE least(63, greatest(0,
+              CAST(floor((value - lo) / (hi - lo) * 64) AS INT))) END AS bin
+  FROM vals, b
+),
+sk AS (SELECT bin, count(*) AS cnt FROM binned GROUP BY bin),
+cum AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum FROM sk),
+tot AS (SELECT sum(cnt) AS n FROM sk),
+probs AS (SELECT unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS prob),
+hit AS (
+  SELECT prob, n, min(bin) AS bin
+  FROM probs, tot, cum
+  WHERE cum >= prob * n
+  GROUP BY prob, n
+)
+SELECT h.prob,
+       round(b.lo + (b.hi - b.lo) / 64 *
+             (h.bin + (h.prob * h.n - (c.cum - c.cnt)) / c.cnt), 4) AS est
+FROM hit h JOIN cum c ON h.bin = c.bin, b
+ORDER BY prob
+"""
+
+
 def q_approx_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: approximate row count from storage statistics (reference
     store.go:310-329 pg_class.reltuples) — parquet footer metadata, zero
@@ -11003,6 +11080,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "hll_mergeable_sketch": QuerySpec(q_hll_mergeable_sketch, None),
     "quantile_sketch": QuerySpec(q_quantile_sketch, ORACLE_QUANTILE_SKETCH),
+    "quantile_sketch_retracted": QuerySpec(
+        q_quantile_sketch_retracted, ORACLE_QUANTILE_SKETCH_RETRACTED
+    ),
     "lang_id": QuerySpec(
         q_lang_id,
         # replicates functions.text.lang_id exactly: per-language marker

@@ -504,6 +504,41 @@ def test_lm_finalize_reads_legacy_distinct_vocab(spark, tmp_path):
     assert row["n_trigrams"] == 5
 
 
+def test_lm_finalize_refuses_mixed_vocab_formats(spark, tmp_path):
+    """A dataset mixing legacy (w)-only and counted (w, c) vocab
+    batches nulls the c column for the legacy rows at read time — sums
+    would silently skip them, so finalize must refuse loudly."""
+    import pytest
+
+    from paas_auditor_spark.operators.atomic import commit_batch_dir
+    from paas_auditor_spark.operators.corpus import (
+        lm_counts_collector,
+        lm_index_finalize,
+    )
+
+    counts = str(tmp_path / "counts")
+    lm_counts_collector(counts)(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon")],
+            "doc_id long, text string",
+        ),
+        0,
+    )
+
+    def write_legacy(tmp):
+        spark.createDataFrame([("zeta",), ("eta",)], "w string").write.parquet(
+            f"{tmp}/vocab"
+        )
+        spark.createDataFrame(
+            [("zeta", "eta", "zeta", 1)],
+            "w1 string, w2 string, w3 string, c3 long",
+        ).write.parquet(f"{tmp}/trigrams")
+
+    commit_batch_dir(counts, 1, write_legacy)
+    with pytest.raises(ValueError, match="mixes legacy"):
+        lm_index_finalize(spark, counts, str(tmp_path / "model"))
+
+
 def test_lm_counts_compaction_invisible_to_finalize(spark, tmp_path, sf_dir):
     """The LM counts dataset is a collector-family member: generational
     compaction (a row-preserving rewrite) must leave the finalized model

@@ -169,6 +169,47 @@ def test_streaming_collector_maintains_quantiles(spark, tmp_path):
     assert _rows(hist_merge(hist_read(spark, sk_path))) == _rows(direct)
 
 
+def test_hist_retraction_equals_never_ingested(spark, tmp_path):
+    """Additive deletion for the quantile sketch: ingest everything,
+    retract a subset (hist_collector retract=True), merge — the sketch
+    must be bit-equal to one built only over the survivors, and
+    quantiles match.  A replayed retraction batch stays a no-op."""
+    from paas_auditor_spark.operators.quantiles import (
+        hist_collector,
+        hist_read,
+    )
+
+    all_vals = _vals(spark, 0, 1000)
+    doomed = all_vals.filter(F.col("v") % 10 < 3)
+    surviving = all_vals.filter(~(F.col("v") % 10 < 3))
+
+    path = str(tmp_path / "sk")
+    ingest = hist_collector("v", path, NB, 0.0, 999.0)
+    ingest(all_vals.filter(F.col("v") < 500), 0)
+    ingest(all_vals.filter(F.col("v") >= 500), 1)
+    retract = hist_collector("v", path, NB, 0.0, 999.0, retract=True)
+    retract(doomed, 2)
+    retract(doomed, 2)  # replay: must not double-subtract
+
+    merged = hist_merge(hist_read(spark, path))
+    want = hist_merge(hist_sketch(surviving, "v", n_bins=NB, lo=0.0, hi=999.0))
+    assert _rows(merged) == _rows(want)
+    got_q = hist_quantiles(merged, [0.5, 0.9]).collect()
+    want_q = hist_quantiles(want, [0.5, 0.9]).collect()
+    assert [tuple(r) for r in got_q] == [tuple(r) for r in want_q]
+
+
+def test_hist_retraction_of_never_ingested_raises(spark):
+    """Retracting values that were never ingested nets a bin negative;
+    the merge refuses loudly instead of serving corrupted quantiles."""
+    ingested = hist_sketch(_vals(spark, 0, 100), "v", n_bins=NB, lo=0.0, hi=999.0)
+    foreign = hist_sketch(
+        _vals(spark, 900, 50), "v", n_bins=NB, lo=0.0, hi=999.0
+    ).withColumn("cnt", -F.col("cnt"))
+    with pytest.raises(ValueError, match="negative net counts"):
+        hist_merge(ingested, foreign)
+
+
 def test_out_of_range_values_clamp_to_boundary_bins(spark):
     """Values outside the declared [lo, hi] land in the boundary bins
     (the fixed-range histogram contract) instead of erroring."""
