@@ -506,7 +506,17 @@ def lm_index_finalize(
     b23_cp.groupBy("w3").agg(F.sum("b23").alias("u3")).write.parquet(
         f"{model_path}/u3"
     )
-    vdf = spark.read.parquet(
+    # mergeSchema is LOAD-BEARING here, not an optimization: without it
+    # Spark infers the schema from ONE arbitrary data file, so a dataset
+    # mixing legacy (w)-only and counted (w, c) vocab batches can come
+    # back as (w)-only — the c column silently vanishes, the mixed-format
+    # guard below never sees a NULL, and finalize walks the legacy branch
+    # where a retraction batch's rows count as PRESENCE (measured: legacy
+    # batch sorted first → guard bypassed).  The merged union schema
+    # always carries c when any counted batch exists, making the guard
+    # deterministic; the read is maintenance-cadence, footer-merge cost
+    # is bounded by the compaction-bounded batch count.
+    vdf = spark.read.option("mergeSchema", "true").parquet(
         *batch_data_paths(counts_path, protocol, "vocab")
     )
     if "c" in vdf.columns:
@@ -515,9 +525,10 @@ def lm_index_finalize(
         # trigram sums (short retracted docs can violate vocab without
         # ever touching a trigram, so check here too).  A NULL c means
         # the dataset MIXES legacy (w)-only batches with counted ones
-        # (parquet schema union nulls the missing column) — sums would
-        # silently skip the legacy rows, so refuse loudly: re-collect
-        # or compact the dataset to one format before finalizing.
+        # (the merged schema unions the column in, nulling legacy rows)
+        # — sums would silently skip the legacy rows, so refuse loudly:
+        # re-collect or compact the dataset to one format before
+        # finalizing.
         n_mixed = vdf.filter(F.col("c").isNull()).count()
         if n_mixed:
             raise ValueError(

@@ -879,13 +879,56 @@ def minhash_index_collector(
     dropped pairs) — the torn state the whole-batch commit exists to
     prevent.  Ids must be append-only across batches (the postings
     contract).  Replay of a committed batch id writes nothing.
-    Compacts with ``compact_batches(parts=("bands", "sets"))``."""
-    from paas_auditor_spark.operators.atomic import commit_fn
+    Compacts with ``compact_batches(parts=("bands", "sets"))``.
+
+    Parameter drift is refused at WRITE time: before a new batch lands,
+    the hook probes the existing index's stored (num_hashes, num_bands,
+    hash_fn) and raises on mismatch — so every committed batch shares
+    one parameter set by induction, which is what makes the probe
+    side's one-row parameter sample sound (a read-time scan of every
+    row would be a full-index shuffle per probe; a write-time check is
+    one bounded read per NEW batch, and replays skip it entirely)."""
+    from paas_auditor_spark.operators.atomic import (
+        batch_data_paths,
+        commit_fn,
+    )
 
     commit = commit_fn(protocol)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         def write(tmp: str) -> None:
+            try:
+                band_paths = batch_data_paths(path, protocol, "bands")
+            except ValueError:
+                band_paths = None  # first batch: nothing to agree with
+            if band_paths:
+                spark = batch_df.sparkSession
+                old = spark.read.option("mergeSchema", "true").parquet(
+                    *band_paths
+                )
+                cols = ["num_hashes", "num_bands"] + (
+                    ["hash_fn"] if "hash_fn" in old.columns else []
+                )
+                stored = old.select(*cols).first()
+                if stored is not None:
+                    s_hf = (
+                        stored["hash_fn"] if "hash_fn" in cols else None
+                    ) or "xxhash64"
+                    if (
+                        stored["num_hashes"] != num_hashes
+                        or stored["num_bands"] != num_bands
+                        or s_hf != hash_fn
+                    ):
+                        raise ValueError(
+                            f"index at {path!r} holds batches built with "
+                            f"num_hashes={stored['num_hashes']}/num_bands="
+                            f"{stored['num_bands']}/hash_fn={s_hf!r} but "
+                            f"this collector writes {num_hashes}/"
+                            f"{num_bands}/{hash_fn!r} — mixed parameters "
+                            "would silently never match at probe time; "
+                            "rebuild the index or fix the hook's "
+                            "parameters"
+                        )
             sets_df = hashed_shingle_sets(
                 batch_df, text_col, id_col, shingle_k, hash_fn
             ).localCheckpoint(eager=False)  # tokenize+hash once, 2 writes
@@ -966,13 +1009,23 @@ def minhash_incremental_persisted(
             F.col(id_col).alias("id_b"),
             F.lit(1.0).alias("jaccard"),
         ).limit(0)
-    banded_idx = spark.read.parquet(*band_paths)
-    # a pre-hash_fn index (the column landed with the md5 gate twin) is
-    # by construction an xxhash64 build
+    # mergeSchema: a pre-hash_fn index EXTENDED by post-upgrade batches
+    # mixes band schemas, and without it Spark infers from one arbitrary
+    # file — picking an old file silently drops the hash_fn column (an
+    # md5-tagged batch would probe as 'xxhash64').  The merged schema
+    # always surfaces the column; old batches' rows read as NULL, which
+    # means pre-upgrade and therefore xxhash64 by construction (the
+    # coalesce below) — so a homogeneous pre+post xxhash64 index probes
+    # fine and a genuine mismatch still refuses.
+    banded_idx = spark.read.option("mergeSchema", "true").parquet(*band_paths)
     has_hf = "hash_fn" in banded_idx.columns
     probe_cols = ["num_hashes", "num_bands"] + (["hash_fn"] if has_hf else [])
     stored = banded_idx.select(*probe_cols).first()
-    stored_hf = stored["hash_fn"] if (stored is not None and has_hf) else "xxhash64"
+    stored_hf = (
+        (stored["hash_fn"] or "xxhash64")
+        if (stored is not None and has_hf)
+        else "xxhash64"
+    )
     if stored is not None and (
         stored["num_hashes"] != num_hashes
         or stored["num_bands"] != num_bands

@@ -504,10 +504,18 @@ def test_lm_finalize_reads_legacy_distinct_vocab(spark, tmp_path):
     assert row["n_trigrams"] == 5
 
 
-def test_lm_finalize_refuses_mixed_vocab_formats(spark, tmp_path):
+@pytest.mark.parametrize("legacy_first", [False, True])
+def test_lm_finalize_refuses_mixed_vocab_formats(
+    spark, tmp_path, legacy_first
+):
     """A dataset mixing legacy (w)-only and counted (w, c) vocab
     batches nulls the c column for the legacy rows at read time — sums
-    would silently skip them, so finalize must refuse loudly."""
+    would silently skip them, so finalize must refuse loudly.  BOTH
+    batch orders: without mergeSchema Spark infers the vocab schema
+    from one arbitrary file, and a legacy batch sorting first came back
+    (w)-only — the c column vanished and the guard was silently
+    bypassed (measured before the fix), the order this parametrization
+    pins."""
     import pytest
 
     from paas_auditor_spark.operators.atomic import commit_batch_dir
@@ -517,12 +525,13 @@ def test_lm_finalize_refuses_mixed_vocab_formats(spark, tmp_path):
     )
 
     counts = str(tmp_path / "counts")
+    legacy_id, counted_id = (0, 1) if legacy_first else (1, 0)
     lm_counts_collector(counts)(
         spark.createDataFrame(
             [(1, "alpha beta gamma delta epsilon")],
             "doc_id long, text string",
         ),
-        0,
+        counted_id,
     )
 
     def write_legacy(tmp):
@@ -534,7 +543,7 @@ def test_lm_finalize_refuses_mixed_vocab_formats(spark, tmp_path):
             "w1 string, w2 string, w3 string, c3 long",
         ).write.parquet(f"{tmp}/trigrams")
 
-    commit_batch_dir(counts, 1, write_legacy)
+    commit_batch_dir(counts, legacy_id, write_legacy)
     with pytest.raises(ValueError, match="mixes legacy"):
         lm_index_finalize(spark, counts, str(tmp_path / "model"))
 

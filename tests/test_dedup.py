@@ -853,3 +853,99 @@ def test_minhash_persisted_gate_bootstrap_and_crossbatch_dups(
     )
     assert len(want) == 5  # the new doc gates against all 5 copies
     assert got == want
+
+
+def test_minhash_collector_refuses_parameter_drift(spark, tmp_path):
+    """Write-time parameter validation: a hook configured with different
+    banding parameters (or hash family) than the batches already
+    committed must refuse BEFORE writing — mixed-parameter batches
+    would make the probe side's one-row parameter sample unsound and
+    band keys silently never match across the drifted boundary."""
+    from paas_auditor_spark.operators.dedup import minhash_index_collector
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "mh_index")
+    minhash_index_collector(path, num_hashes=24, num_bands=12)(docs, 0)
+
+    docs2 = docs.selectExpr("doc_id + 10 AS doc_id", "text")
+    drifted = minhash_index_collector(path, num_hashes=32, num_bands=16)
+    with pytest.raises(ValueError, match="mixed parameters"):
+        drifted(docs2, 1)
+
+    hashed = minhash_index_collector(
+        path, num_hashes=24, num_bands=12, hash_fn="md5"
+    )
+    with pytest.raises(ValueError, match="mixed parameters"):
+        hashed(docs2, 1)
+
+    # same parameters extend fine; replay of the refused ids still works
+    minhash_index_collector(path, num_hashes=24, num_bands=12)(docs2, 1)
+    from paas_auditor_spark.operators.atomic import batch_data_paths
+
+    assert len(batch_data_paths(path, "rename", "bands")) == 2
+
+
+def test_minhash_gate_pre_upgrade_index_extended(spark, tmp_path):
+    """A pre-hash_fn index (bands committed without the hash_fn column)
+    extended by post-upgrade batches mixes band schemas: the probe must
+    still (a) read the column through the merged schema regardless of
+    which file Spark would otherwise sample, (b) treat the legacy
+    batch's NULL hash_fn as the xxhash64 it is by construction, and
+    (c) refuse an md5 probe against it."""
+    from paas_auditor_spark.operators.dedup import (
+        minhash_incremental_persisted,
+        minhash_index_collector,
+        minhash_near_duplicates_incremental,
+    )
+
+    base = [
+        (100 + i, f"the quick brown fox number {i} jumps over the lazy "
+                  f"dog near the river bank today in document {i}")
+        for i in range(8)
+    ]
+    idx1 = spark.createDataFrame(base[:4], ["doc_id", "text"])
+    idx2 = spark.createDataFrame(base[4:], ["doc_id", "text"])
+    path = str(tmp_path / "mh_index")
+    hook = minhash_index_collector(path, num_hashes=24, num_bands=12)
+    hook(idx1, 0)
+    # simulate the pre-upgrade batch: strip hash_fn from its bands
+    # (fresh collectors use the v1 layout: batch dirs directly under path)
+    import shutil
+
+    batch0 = f"{path}/batch-0"
+    legacy = (
+        spark.read.parquet(f"{batch0}/bands").drop("hash_fn").toPandas()
+    )
+    shutil.rmtree(f"{batch0}/bands")
+    spark.createDataFrame(legacy).write.parquet(f"{batch0}/bands")
+    hook(idx2, 1)  # post-upgrade batch carries hash_fn='xxhash64'
+
+    new = spark.createDataFrame(
+        [(1, base[0][1] + " extra"), (2, base[5][1] + " extra")],
+        ["doc_id", "text"],
+    )
+    want = [
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_near_duplicates_incremental(
+            new, idx1.unionByName(idx2),
+            threshold=0.5, num_hashes=24, num_bands=12,
+        ).collect()
+    ]
+    assert want  # pairs on both sides of the schema boundary
+    assert {b for _, b, _ in want} & {100, 105}
+    got = [
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_incremental_persisted(
+            spark, path, new, threshold=0.5, num_hashes=24, num_bands=12
+        ).collect()
+    ]
+    assert got == want
+
+    with pytest.raises(ValueError, match="hash_fn"):
+        minhash_incremental_persisted(
+            spark, path, new,
+            threshold=0.5, num_hashes=24, num_bands=12, hash_fn="md5",
+        ).collect()
