@@ -95,6 +95,7 @@ HEADLINE = [
     "zorder_key",
     "audio_windows",
     "image_tiles",
+    "avro_bronze_roundtrip",
     "minhash_bucket_audit",
     "curation_pipeline",
     "semantic_dedup",

@@ -2861,7 +2861,12 @@ px AS (
                      + 1.0) * 127.5 + 0.5) AS BIGINT) AS b
   FROM emb, unnest(generate_series(0, 191)) t(p))
 SELECT vec_id, CAST(tile_idx AS BIGINT) AS tile_idx,
-       sum(r) AS sum_r, sum(g) AS sum_g, sum(b) AS sum_b,
+       -- CAST: sum(BIGINT) is HUGEINT in DuckDB, which pandas renders
+       -- float64 — a dtype-kind (and therefore value-hash) drift against
+       -- the engine's int64 even when every value agrees
+       CAST(sum(r) AS BIGINT) AS sum_r,
+       CAST(sum(g) AS BIGINT) AS sum_g,
+       CAST(sum(b) AS BIGINT) AS sum_b,
        greatest(max(r), max(g), max(b)) AS peak,
        (2126 * sum(r) + 7152 * sum(g) + 722 * sum(b))
          / (10000.0 * 16) AS mean_luma
@@ -4578,6 +4583,106 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(row_hash).alias("checksum"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+_AVRO_EVENT_COLS = "event_id", "ts", "user_id", "event_type", "value"
+
+
+def _avro_bronze_cached(spark: SparkSession, sf_dir: str) -> str:
+    """Build-or-reuse the Avro bronze landing zone: the events table
+    written once as deflate-coded object-container files (one per
+    partition) by the dependency-free codec
+    (sources/avro_io.py) — deflate so the official gate exercises the
+    compressed path end-to-end."""
+    from paas_auditor_spark.sources.avro_io import avro_write
+
+    def build(tmp):
+        # 8 landing files: a bronze zone is many-file by construction
+        # (one per producer flush), and file count IS the scan's
+        # parallelism (binaryFile does not split inside a container)
+        avro_write(
+            _t(spark, sf_dir, "events")
+            .select(*_AVRO_EVENT_COLS)
+            .repartition(8),
+            tmp,
+            codec="deflate",
+        )
+
+    return _cached_artifact(
+        "avrobronze1:" + _src_ident(sf_dir, "events"),
+        "paas_avro_bronze_",
+        build,
+    )
+
+
+def q_avro_bronze_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro bronze round-trip under a FULL exact oracle: the events
+    table lands as spec-compliant Avro container files (deflate codec,
+    written by the pure-Python encoder, cross-validated against the
+    canonical JVM Avro library in tests), is scanned back distributed
+    (binaryFile → Arrow-batched mapInPandas block decode), and the
+    round-tripped rows are digested per event type — row-content md5
+    fold over the exact-typed columns (ids, type, microsecond-formatted
+    timestamp) plus the value sum.  The oracle computes the SAME digest
+    straight off the parquet events table, so the hash certifies
+    round-trip ≡ identity: every id, type, timestamp microsecond and
+    value that went into the Avro bytes came back out (DuckDB never
+    sees an Avro byte — the WAV-audio certification pattern).  Bronze
+    motivation: the reference's envelope dump/replay surface
+    (cf_audit_event_fetcher.go:22-35, sources/jsonl.py) widened to the
+    Avro landing-zone format CDC/Kafka pipelines actually ship."""
+    from paas_auditor_spark.sources.avro_io import avro_scan
+
+    path = _avro_bronze_cached(spark, sf_dir)
+    back = avro_scan(
+        spark,
+        path,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double",
+    )
+    row_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("event_id").cast("string"),
+                    "event_type",
+                    F.col("user_id").cast("string"),
+                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(row_hash).alias("content_sum"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_AVRO_BRONZE_ROUNDTRIP = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(concat('0x',
+             substr(md5(concat_ws('|', CAST(event_id AS VARCHAR),
+                                  event_type,
+                                  CAST(user_id AS VARCHAR),
+                                  strftime(CAST(ts AS TIMESTAMP),
+                                           '%Y-%m-%d %H:%M:%S.%f'))),
+                    1, 8)) AS BIGINT)) AS BIGINT) AS content_sum,
+       round(sum(value), 2) AS value_sum
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
 
 
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10706,6 +10811,9 @@ REGISTRY: dict[str, QuerySpec] = {
                count(*) AS n_rows
         FROM events
         """,
+    ),
+    "avro_bronze_roundtrip": QuerySpec(
+        q_avro_bronze_roundtrip, ORACLE_AVRO_BRONZE_ROUNDTRIP
     ),
     "incremental_dedup": QuerySpec(
         q_incremental_dedup,
