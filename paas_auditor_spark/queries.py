@@ -4597,13 +4597,18 @@ def _avro_bronze_cached(spark: SparkSession, sf_dir: str) -> str:
     from paas_auditor_spark.sources.avro_io import avro_write
 
     def build(tmp):
-        # 8 landing files: a bronze zone is many-file by construction
-        # (one per producer flush), and file count IS the scan's
-        # parallelism (binaryFile does not split inside a container)
+        # corpus-scaled landing-file count: a bronze zone is many-file
+        # by construction (one per producer flush), growing in FILE
+        # COUNT with traffic, not file size — and file count IS the
+        # scan's parallelism (binaryFile does not split inside a
+        # container).  ~25k events per file, floor 8 (measured: 8 fixed
+        # files read 3.4x at the 10x slice because each file grew 10x;
+        # count-scaled files keep per-task work constant).
+        n_files = max(8, _corpus_count(spark, sf_dir, "events") // 25_000)
         avro_write(
             _t(spark, sf_dir, "events")
             .select(*_AVRO_EVENT_COLS)
-            .repartition(8),
+            .repartition(n_files),
             tmp,
             codec="deflate",
         )

@@ -385,16 +385,52 @@ def avro_scan(spark, path: str, spark_schema: str):
     granularity), and an Arrow-batched ``mapInPandas`` decodes each
     container's blocks into typed rows.  ``spark_schema`` is the DDL
     the caller expects; timestamp columns are rebuilt from the
-    ``timestamp-micros`` longs.  Dot-prefixed attempt files are
-    invisible to the listing by Spark's hidden-path rule, so a torn
-    ``avro_write`` can never feed a partial file into the scan."""
-    import pandas as pd
-
+    ``timestamp-micros`` longs.  Writer/reader schema RESOLUTION per
+    the spec: files carrying extra fields decode (matched by name,
+    extras dropped), reader fields the writer lacks null-fill when
+    nullable, and only a missing non-nullable field refuses — the
+    tolerance an evolving bronze zone needs.  Dot-prefixed attempt
+    files are invisible to the listing by Spark's hidden-path rule, so
+    a torn ``avro_write`` can never feed a partial file into the
+    scan."""
     files = (
         spark.read.format("binaryFile")
         .load(os.path.join(path, "*.avro"))
         .select("content")
     )
+    return _decode_files(spark, files, spark_schema)
+
+
+def avro_stream(
+    spark,
+    path: str,
+    spark_schema: str,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming Avro bronze ingestion: the same block decode as
+    ``avro_scan`` over an UNBOUNDED binaryFile source — drop container
+    files into the landing zone and each micro-batch picks up at most
+    ``max_files_per_trigger`` of them (the jsonl replay source's
+    file-count rate limiting, S3/T5).  Pair with the collector
+    choreography (``stream_to_bronze``/``foreachBatch`` hooks) for the
+    sink; file-source checkpointing makes replays exactly the committed
+    batches the atomic commit protocol already suppresses."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .load(os.path.join(path, "*.avro"))
+        .select("content")
+    )
+    return _decode_files(spark, files, spark_schema)
+
+
+def _decode_files(spark, files, spark_schema: str):
+    import pandas as pd
+
     target = spark.createDataFrame([], spark_schema).schema
     ts_cols = [
         f.name
@@ -403,19 +439,36 @@ def avro_scan(spark, path: str, spark_schema: str):
     ]
     names = [f.name for f in target.fields]
 
+    nullable = {f.name: f.nullable for f in target.fields}
+
     def decode(pdfs):
         for pdf in pdfs:
             for blob in pdf["content"]:
                 schema, rows = read_container(bytes(blob))
                 got = [f["name"] for f in schema["fields"]]
-                if got != names:
+                # Avro schema RESOLUTION (spec: writer vs reader): a
+                # bronze zone evolves, so files written with EXTRA
+                # fields decode fine (matched by name, extras dropped),
+                # and a reader field the writer lacks null-fills when
+                # nullable — only a missing NON-nullable field refuses.
+                missing = [n for n in names if n not in got]
+                hard = [n for n in missing if not nullable[n]]
+                if hard:
                     raise ValueError(
-                        f"Avro file fields {got} != expected {names}"
+                        f"Avro writer schema lacks non-nullable reader "
+                        f"field(s) {hard} (writer fields: {got})"
                     )
-                out = pd.DataFrame(rows, columns=names)
-                if out.empty:  # zero-block container: keep dtypes honest
-                    out = pd.DataFrame({n: pd.Series(dtype=object)
-                                        for n in names})
+                data = list(rows)
+                by_writer = dict(zip(got, zip(*data))) if data else {}
+                out = pd.DataFrame(
+                    {
+                        n: pd.Series(
+                            by_writer.get(n, [None] * len(data)),
+                            dtype=object,
+                        )
+                        for n in names
+                    }
+                )
                 for c in ts_cols:
                     out[c] = pd.to_datetime(out[c], unit="us")
                 yield out

@@ -182,3 +182,78 @@ def test_empty_partitions_write_valid_containers(spark, tmp_path):
     assert avro_write(df, out) == 1
     back = avro_scan(spark, out, "id long, s string")
     assert [(r["id"], r["s"]) for r in back.collect()] == [(7, "x")]
+
+
+def test_scan_schema_resolution(spark, tmp_path):
+    """Writer/reader schema resolution: a bronze zone evolves — files
+    with EXTRA writer fields decode (extras dropped), reader fields the
+    writer lacks null-fill when nullable, and a missing non-nullable
+    field refuses loudly."""
+    out = str(tmp_path / "bronze")
+    os.makedirs(out)
+    wide = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "extra", "type": "string"},
+            {"name": "s", "type": ["null", "string"]},
+        ],
+    }
+    with open(os.path.join(out, "a.avro"), "wb") as fh:
+        write_container(fh, wide, iter([(1, "drop-me", "x")]))
+    narrow = {
+        "type": "record", "name": "r",
+        "fields": [{"name": "id", "type": "long"}],
+    }
+    with open(os.path.join(out, "b.avro"), "wb") as fh:
+        write_container(fh, narrow, iter([(2,)]))
+
+    back = avro_scan(spark, out, "id long, s string")
+    got = sorted((r["id"], r["s"]) for r in back.collect())
+    assert got == [(1, "x"), (2, None)]  # extra dropped, missing nulled
+
+    strict = avro_scan(spark, out, "id long, s string not null")
+    with pytest.raises(Exception, match="non-nullable reader field"):
+        strict.collect()
+
+
+def test_avro_stream_ingests_landing_zone(spark, tmp_path):
+    """Streaming bronze ingestion e2e: Avro container files dropped
+    into the landing zone flow through avro_stream (binaryFile file
+    source, one file per trigger) into a foreachBatch parquet sink —
+    per-file micro-batches, all rows landed exactly once."""
+    from paas_auditor_spark.sources.avro_io import avro_stream
+
+    zone = str(tmp_path / "zone")
+    os.makedirs(zone)
+    schema = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+        ],
+    }
+    for i, batch in enumerate([[(1, "a"), (2, "b")], [(3, None)]]):
+        with open(os.path.join(zone, f"f{i}.avro"), "wb") as fh:
+            write_container(fh, schema, iter(batch))
+
+    out = str(tmp_path / "silver")
+    seen_batches = []
+
+    def sink(batch_df, epoch_id):
+        seen_batches.append(batch_df.count())
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        avro_stream(spark, zone, "id long, s string")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["id"], r["s"]) for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(1, "a"), (2, "b"), (3, None)]
+    assert sorted(seen_batches) == [1, 2]  # one micro-batch per file
