@@ -257,3 +257,71 @@ def test_avro_stream_ingests_landing_zone(spark, tmp_path):
     )
     assert got == [(1, "a"), (2, "b"), (3, None)]
     assert sorted(seen_batches) == [1, 2]  # one micro-batch per file
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_split_scan_equals_whole_file_scan(spark, tmp_path, codec):
+    """Sync-marker split scan: every byte range decodes exactly the
+    blocks whose leading sync marker starts inside it, so the union
+    over ranges of ONE big container equals the whole-file scan — at a
+    split size smaller than a block (most ranges own nothing), around
+    block size, and bigger than the file (single range)."""
+    from paas_auditor_spark.sources.avro_io import avro_scan_split
+
+    schema = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "b", "type": ["null", "bytes"]},
+        ],
+    }
+    rows = [
+        (i, f"row {i}" if i % 3 else None, bytes([i % 256]) * (i % 7))
+        for i in range(5000)
+    ]
+    zone = str(tmp_path / "zone")
+    os.makedirs(zone)
+    with open(os.path.join(zone, "one.avro"), "wb") as fh:
+        write_container(fh, schema, iter(rows), codec=codec, block_rows=97)
+
+    ddl = "id long, s string, b binary"
+    key = lambda r: r[0]
+
+    def norm(df):
+        return sorted(
+            (
+                r["id"],
+                r["s"],
+                bytes(r["b"]) if r["b"] is not None else None,
+            )
+            for r in df.collect()
+        )
+
+    want = norm(avro_scan(spark, zone, ddl))
+    assert len(want) == 5000
+    for split in (150, 2048, 10**9):
+        got = norm(avro_scan_split(spark, zone, ddl, split_bytes=split))
+        assert got == want, f"split={split}"
+
+
+def test_split_scan_parallelizes_one_big_file(spark, tmp_path):
+    """The whole point of the splitter: ONE container becomes many
+    tasks.  Partition count equals the range count, and ranges cover
+    the file exactly once."""
+    from paas_auditor_spark.sources.avro_io import avro_scan_split
+
+    schema = {
+        "type": "record", "name": "r",
+        "fields": [{"name": "id", "type": "long"}],
+    }
+    zone = str(tmp_path / "zone")
+    os.makedirs(zone)
+    with open(os.path.join(zone, "big.avro"), "wb") as fh:
+        write_container(
+            fh, schema, iter([(i,) for i in range(20000)]), block_rows=256
+        )
+    df = avro_scan_split(spark, zone, "id long", split_bytes=8192)
+    n_parts = df.rdd.getNumPartitions()
+    assert n_parts > 4  # one straggler file became many tasks
+    assert sorted(r["id"] for r in df.collect()) == list(range(20000))
