@@ -838,6 +838,30 @@ def minhash_bucket_audit(
     )
 
 
+def _stored_band_params(spark, band_paths) -> tuple[int, int, str] | None:
+    """The (num_hashes, num_bands, hash_fn) a persisted band relation
+    was built with, or None when it holds no rows — the ONE parameter
+    reader shared by the collector's write-time drift check and the
+    probe's mismatch refusal, so the two validations cannot drift
+    apart.  mergeSchema is load-bearing: a pre-hash_fn index EXTENDED
+    by post-upgrade batches mixes band schemas, and without it Spark
+    infers from one arbitrary file — picking an old file silently drops
+    the hash_fn column (an md5-tagged batch would probe as 'xxhash64').
+    The merged schema always surfaces the column; a NULL value (or a
+    wholly pre-upgrade relation without the column) means pre-upgrade
+    and therefore xxhash64 by construction.  One-row sample: sound
+    because the write-time check enforces one parameter set per
+    dataset by induction."""
+    banded = spark.read.option("mergeSchema", "true").parquet(*band_paths)
+    has_hf = "hash_fn" in banded.columns
+    cols = ["num_hashes", "num_bands"] + (["hash_fn"] if has_hf else [])
+    row = banded.select(*cols).first()
+    if row is None:
+        return None
+    hf = (row["hash_fn"] if has_hf else None) or "xxhash64"
+    return row["num_hashes"], row["num_bands"], hf
+
+
 def minhash_index_collector(
     path: str,
     text_col: str = "text",
@@ -902,33 +926,21 @@ def minhash_index_collector(
             except ValueError:
                 band_paths = None  # first batch: nothing to agree with
             if band_paths:
-                spark = batch_df.sparkSession
-                old = spark.read.option("mergeSchema", "true").parquet(
-                    *band_paths
+                stored = _stored_band_params(
+                    batch_df.sparkSession, band_paths
                 )
-                cols = ["num_hashes", "num_bands"] + (
-                    ["hash_fn"] if "hash_fn" in old.columns else []
-                )
-                stored = old.select(*cols).first()
-                if stored is not None:
-                    s_hf = (
-                        stored["hash_fn"] if "hash_fn" in cols else None
-                    ) or "xxhash64"
-                    if (
-                        stored["num_hashes"] != num_hashes
-                        or stored["num_bands"] != num_bands
-                        or s_hf != hash_fn
-                    ):
-                        raise ValueError(
-                            f"index at {path!r} holds batches built with "
-                            f"num_hashes={stored['num_hashes']}/num_bands="
-                            f"{stored['num_bands']}/hash_fn={s_hf!r} but "
-                            f"this collector writes {num_hashes}/"
-                            f"{num_bands}/{hash_fn!r} — mixed parameters "
-                            "would silently never match at probe time; "
-                            "rebuild the index or fix the hook's "
-                            "parameters"
-                        )
+                if stored is not None and stored != (
+                    num_hashes, num_bands, hash_fn
+                ):
+                    raise ValueError(
+                        f"index at {path!r} holds batches built with "
+                        f"num_hashes={stored[0]}/num_bands={stored[1]}/"
+                        f"hash_fn={stored[2]!r} but this collector "
+                        f"writes {num_hashes}/{num_bands}/{hash_fn!r} — "
+                        "mixed parameters would silently never match at "
+                        "probe time; rebuild the index or fix the "
+                        "hook's parameters"
+                    )
             sets_df = hashed_shingle_sets(
                 batch_df, text_col, id_col, shingle_k, hash_fn
             ).localCheckpoint(eager=False)  # tokenize+hash once, 2 writes
@@ -1009,36 +1021,20 @@ def minhash_incremental_persisted(
             F.col(id_col).alias("id_b"),
             F.lit(1.0).alias("jaccard"),
         ).limit(0)
-    # mergeSchema: a pre-hash_fn index EXTENDED by post-upgrade batches
-    # mixes band schemas, and without it Spark infers from one arbitrary
-    # file — picking an old file silently drops the hash_fn column (an
-    # md5-tagged batch would probe as 'xxhash64').  The merged schema
-    # always surfaces the column; old batches' rows read as NULL, which
-    # means pre-upgrade and therefore xxhash64 by construction (the
-    # coalesce below) — so a homogeneous pre+post xxhash64 index probes
-    # fine and a genuine mismatch still refuses.
-    banded_idx = spark.read.option("mergeSchema", "true").parquet(*band_paths)
-    has_hf = "hash_fn" in banded_idx.columns
-    probe_cols = ["num_hashes", "num_bands"] + (["hash_fn"] if has_hf else [])
-    stored = banded_idx.select(*probe_cols).first()
-    stored_hf = (
-        (stored["hash_fn"] or "xxhash64")
-        if (stored is not None and has_hf)
-        else "xxhash64"
-    )
-    if stored is not None and (
-        stored["num_hashes"] != num_hashes
-        or stored["num_bands"] != num_bands
-        or stored_hf != hash_fn
-    ):
+    stored = _stored_band_params(spark, band_paths)
+    if stored is not None and stored != (num_hashes, num_bands, hash_fn):
         raise ValueError(
             f"index at {index_path!r} was built with num_hashes="
-            f"{stored['num_hashes']}/num_bands={stored['num_bands']}/"
-            f"hash_fn={stored_hf!r} but the probe asked for "
-            f"{num_hashes}/{num_bands}/{hash_fn!r} — band keys would "
-            "silently never match; rebuild or re-parameterize"
+            f"{stored[0]}/num_bands={stored[1]}/hash_fn={stored[2]!r} "
+            f"but the probe asked for {num_hashes}/{num_bands}/"
+            f"{hash_fn!r} — band keys would silently never match; "
+            "rebuild or re-parameterize"
         )
-    banded_idx = banded_idx.drop("num_hashes", "num_bands", "hash_fn")
+    banded_idx = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*band_paths)
+        .drop("num_hashes", "num_bands", "hash_fn")
+    )
     idx_sets = spark.read.parquet(*set_paths)
     if tombstone_path is not None:
         doomed = tombstone_ids(spark, tombstone_path, protocol)

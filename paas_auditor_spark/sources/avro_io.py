@@ -325,45 +325,101 @@ def _is_ts(avro_t) -> bool:
     )
 
 
+def _field_converter(avro_t, tz: str):
+    """Raw-pandas-scalar → encode-ready-scalar-or-None for one field.
+
+    The pandas exchange mangles three things this normalizer must undo
+    or refuse:
+    - nullable long columns widen to float64 (NaN padding): values are
+      converted back with an EXACTNESS guard — a float64 cannot hold
+      integers at or beyond 2^53, so a widened id up there would
+      silently land off-by-one; refuse loudly instead of corrupting;
+    - INSTANT timestamps arrive as session-tz-naive wall clock: the
+      ``timestamp-micros`` logical type is a UTC instant, so the value
+      is localized back through the session timezone before taking
+      epoch micros (under a non-UTC session the naive micros would be
+      wall clock mislabeled as UTC — a multi-hour shift the canonical
+      JVM reader would faithfully reproduce);
+    - NaN in a NULLABLE float/double is INDISTINGUISHABLE from NULL
+      after the exchange (Arrow null → NaN is lossy): policy is null —
+      documented, and the honest upgrade is mapInArrow.  In a
+      NON-nullable float/double, NaN is unambiguous and round-trips as
+      NaN."""
+    import math
+
+    import pandas as pd
+
+    nullable = isinstance(avro_t, list)
+    base = avro_t
+    if nullable:
+        base = next(t for t in base if t != "null")
+    is_ts = _is_ts(base)
+    is_instant = (
+        isinstance(base, dict)
+        and base.get("logicalType") == "timestamp-micros"
+    )
+    if isinstance(base, dict):
+        base = base["type"]
+
+    def conv(v):
+        if v is None:
+            return None
+        if is_ts:
+            if pd.isna(v):  # NaT
+                return None
+            if is_instant:
+                return v.tz_localize(tz).value // 1000  # UTC epoch µs
+            return v.value // 1000  # local-timestamp-micros: wall µs
+        if base in ("float", "double"):
+            f = float(v)
+            if math.isnan(f):
+                return None if nullable else f
+            return f
+        if pd.isna(v):
+            return None
+        if base in ("int", "long"):
+            if isinstance(v, float):  # NaN-padded widened column
+                iv = int(v)
+                if iv != v or abs(v) >= 2.0**53:
+                    raise ValueError(
+                        f"integer value {v!r} arrived float64-widened "
+                        "beyond exact range (|v| >= 2^53): writing it "
+                        "would silently corrupt the id — repartition so "
+                        "the column has no NULLs in this batch, or "
+                        "write the column as string"
+                    )
+                return iv
+            return int(v)
+        return {"boolean": bool, "string": str, "bytes": bytes}[base](v)
+
+    return conv
+
+
 def avro_write(df, out_dir: str, codec: str = "null") -> int:
     """Distributed Avro sink: every partition's task encodes its rows
     into ONE container file in a hidden attempt directory (task-owned
     file, no cross-task coordination — the Hadoop FileOutputCommitter
-    shape), then the DRIVER publishes the attempt by moving the files
-    up and writing ``_SUCCESS`` — a torn job leaves only dot-prefixed
-    paths every Spark/Hadoop reader already ignores.  Returns the
-    total row count written."""
+    shape), then the DRIVER publishes with ONE atomic rename of the
+    attempt dir to a visible ``job-<id>`` subdirectory.  Readers list
+    recursively, so there is no window where some of a job's files are
+    visible and others are not: a crash before the rename leaves only
+    the dot-prefixed attempt (invisible by Spark's hidden-path rule),
+    and after the rename the whole job is visible at once.  ``_SUCCESS``
+    inside the job dir is observability, not the correctness mechanism.
+    Returns the total row count written."""
     import uuid
 
     import pandas as pd
 
     schema = avro_schema_for(df.schema)
     names = [f["name"] for f in schema["fields"]]
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    job = uuid.uuid4().hex
     os.makedirs(out_dir, exist_ok=True)
-    attempt = os.path.join(out_dir, f".attempt-{uuid.uuid4().hex}")
+    attempt = os.path.join(out_dir, f".attempt-{job}")
     os.makedirs(attempt)
     schema_json = json.dumps(schema)
-
-    def _converter(avro_t):
-        """Python-scalar normalizer per field: pandas widens nullable
-        long columns to float64 (NaN padding) and hands timestamps over
-        as pd.Timestamp — both must be rebuilt into the exact scalar
-        the Avro writer needs, and NaN/NaT must become None BEFORE any
-        integer cast (NaT.astype(int64) is a garbage sentinel)."""
-        if _is_ts(avro_t):
-            return lambda v: v.value // 1000  # pd.Timestamp ns → us
-        base = avro_t
-        if isinstance(base, list):
-            base = next(t for t in base if t != "null")
-        if isinstance(base, dict):
-            base = base["type"]
-        return {
-            "int": int, "long": int,
-            "float": float, "double": float,
-            "boolean": bool, "string": str, "bytes": bytes,
-        }[base]
-
-    convs = [_converter(f["type"]) for f in schema["fields"]]
+    convs = [_field_converter(f["type"], tz) for f in schema["fields"]]
 
     def encode_partition(pdfs):
         sch = json.loads(schema_json)
@@ -372,10 +428,7 @@ def avro_write(df, out_dir: str, codec: str = "null") -> int:
         def rows():
             for pdf in pdfs:
                 for tup in pdf[names].itertuples(index=False, name=None):
-                    yield tuple(
-                        None if pd.isna(v) else c(v)
-                        for v, c in zip(tup, convs)
-                    )
+                    yield tuple(c(v) for v, c in zip(tup, convs))
 
         with open(path, "wb") as fh:
             n = write_container(fh, sch, rows(), codec=codec)
@@ -384,16 +437,10 @@ def avro_write(df, out_dir: str, codec: str = "null") -> int:
     results = df.mapInPandas(
         encode_partition, schema="path string, n long"
     ).collect()  # bounded: one row per partition
-    total = 0
-    for r in results:
-        os.replace(
-            r["path"], os.path.join(out_dir, os.path.basename(r["path"]))
-        )
-        total += r["n"]
-    os.rmdir(attempt)
-    with open(os.path.join(out_dir, "_SUCCESS"), "w"):
+    with open(os.path.join(attempt, "_SUCCESS"), "w"):
         pass
-    return total
+    os.rename(attempt, os.path.join(out_dir, f"job-{job}"))  # the commit
+    return sum(r["n"] for r in results)
 
 
 def avro_scan(spark, path: str, spark_schema: str):
@@ -406,13 +453,17 @@ def avro_scan(spark, path: str, spark_schema: str):
     the spec: files carrying extra fields decode (matched by name,
     extras dropped), reader fields the writer lacks null-fill when
     nullable, and only a missing non-nullable field refuses — the
-    tolerance an evolving bronze zone needs.  Dot-prefixed attempt
-    files are invisible to the listing by Spark's hidden-path rule, so
-    a torn ``avro_write`` can never feed a partial file into the
-    scan."""
+    tolerance an evolving bronze zone needs.  The listing is RECURSIVE
+    with a ``*.avro`` name filter: ``avro_write`` publishes whole
+    ``job-<id>`` directories by one atomic rename, hand-dropped flat
+    files work too, and a torn job's dot-prefixed attempt dir is
+    invisible by Spark's hidden-path rule — so a reader can never see
+    a partial job."""
     files = (
         spark.read.format("binaryFile")
-        .load(os.path.join(path, "*.avro"))
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.avro")
+        .load(path)
         .select("content")
     )
     return _decode_files(spark, files, spark_schema)
@@ -435,28 +486,65 @@ def avro_stream(
     files = (
         spark.readStream.format("binaryFile")
         .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.avro")
         .schema(
             "path string, modificationTime timestamp, "
             "length long, content binary"
         )
-        .load(os.path.join(path, "*.avro"))
+        .load(path)
         .select("content")
     )
     return _decode_files(spark, files, spark_schema)
 
 
-def _decode_files(spark, files, spark_schema: str):
+def _target_info(spark, spark_schema: str):
+    """Reader-side plan-time introspection shared by every scan shape:
+    (names, instant ts columns, ntz ts columns, nullability map,
+    session timezone)."""
+    target = spark.createDataFrame([], spark_schema).schema
+    names = [f.name for f in target.fields]
+    instant = [
+        f.name for f in target.fields
+        if f.dataType.typeName() == "timestamp"
+    ]
+    ntz = [
+        f.name for f in target.fields
+        if f.dataType.typeName() == "timestamp_ntz"
+    ]
+    nullable = {f.name: f.nullable for f in target.fields}
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    return names, instant, ntz, nullable, tz
+
+
+def _assemble_pdf(columns: dict, n_rows: int, names, instant, ntz, tz):
+    """Shared rows→pandas assembler for both scan shapes: object-dtype
+    Series per reader column (missing ones null-filled), then the
+    timestamp rebuild — ``timestamp-micros`` longs are UTC instants,
+    converted to the session timezone's naive wall clock (what Arrow
+    expects for TimestampType); ``local-timestamp-micros`` longs are
+    wall clock already (timestamp_ntz)."""
     import pandas as pd
 
-    target = spark.createDataFrame([], spark_schema).schema
-    ts_cols = [
-        f.name
-        for f in target.fields
-        if f.dataType.typeName() in ("timestamp", "timestamp_ntz")
-    ]
-    names = [f.name for f in target.fields]
+    out = pd.DataFrame(
+        {
+            n: pd.Series(columns.get(n, [None] * n_rows), dtype=object)
+            for n in names
+        }
+    )
+    for c in instant:
+        out[c] = (
+            pd.to_datetime(out[c], unit="us", utc=True)
+            .dt.tz_convert(tz)
+            .dt.tz_localize(None)
+        )
+    for c in ntz:
+        out[c] = pd.to_datetime(out[c], unit="us")
+    return out
 
-    nullable = {f.name: f.nullable for f in target.fields}
+
+def _decode_files(spark, files, spark_schema: str):
+    names, instant, ntz, nullable, tz = _target_info(spark, spark_schema)
 
     def decode(pdfs):
         for pdf in pdfs:
@@ -477,20 +565,30 @@ def _decode_files(spark, files, spark_schema: str):
                     )
                 data = list(rows)
                 by_writer = dict(zip(got, zip(*data))) if data else {}
-                out = pd.DataFrame(
-                    {
-                        n: pd.Series(
-                            by_writer.get(n, [None] * len(data)),
-                            dtype=object,
-                        )
-                        for n in names
-                    }
+                yield _assemble_pdf(
+                    by_writer, len(data), names, instant, ntz, tz
                 )
-                for c in ts_cols:
-                    out[c] = pd.to_datetime(out[c], unit="us")
-                yield out
 
     return files.mapInPandas(decode, schema=spark_schema)
+
+
+def _stream_varint(fh, eof_ok: bool = False) -> int | None:
+    """Zigzag varint off a byte stream — the single stream-side decoder
+    shared by the header parser and the range scanner (the memoryview
+    twin ``_read_long`` stays separate: it is the per-row hot loop).
+    ``eof_ok`` permits a clean EOF BEFORE the first byte (a container
+    ending right after a sync marker); mid-varint EOF always raises."""
+    acc = shift = 0
+    while True:
+        b = fh.read(1)
+        if not b:
+            if eof_ok and shift == 0:
+                return None
+            raise ValueError("truncated Avro varint")
+        acc |= (b[0] & 0x7F) << shift
+        if not b[0] & 0x80:
+            return _unzigzag(acc)
+        shift += 7
 
 
 def _read_header(fh) -> tuple[dict, str, bytes, int]:
@@ -499,57 +597,33 @@ def _read_header(fh) -> tuple[dict, str, bytes, int]:
     afford one per file at planning time."""
     if fh.read(4) != MAGIC:
         raise ValueError("not an Avro object container (bad magic)")
-    buf = b""
-
-    def need(n: int) -> None:
-        nonlocal buf
-        while len(buf) < n:
-            chunk = fh.read(max(4096, n - len(buf)))
-            if not chunk:
-                raise ValueError("truncated Avro header")
-            buf += chunk
-
-    pos = 0
-
-    def read_long() -> int:
-        nonlocal pos
-        shift = acc = 0
-        while True:
-            need(pos + 1)
-            b = buf[pos]
-            pos += 1
-            acc |= (b & 0x7F) << shift
-            if not b & 0x80:
-                return _unzigzag(acc)
-            shift += 7
 
     def read_bytes() -> bytes:
-        nonlocal pos
-        n = read_long()
-        need(pos + n)
-        out = buf[pos:pos + n]
-        pos += n
+        n = _stream_varint(fh)
+        out = fh.read(n)
+        if len(out) != n:
+            raise ValueError("truncated Avro header")
         return out
 
     meta: dict[str, bytes] = {}
     while True:
-        n = read_long()
+        n = _stream_varint(fh)
         if n == 0:
             break
         if n < 0:
-            read_long()  # spec: byte size follows a negative map count
+            _stream_varint(fh)  # spec: byte size follows a negative count
             n = -n
         for _ in range(n):
             k = read_bytes()
             meta[k.decode()] = read_bytes()
-    need(pos + 16)
-    sync = bytes(buf[pos:pos + 16])
-    pos += 16
+    sync = fh.read(16)
+    if len(sync) != 16:
+        raise ValueError("truncated Avro header")
     schema = json.loads(meta["avro.schema"].decode())
     codec = meta.get("avro.codec", b"null").decode()
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported Avro codec {codec!r}")
-    return schema, codec, sync, 4 + pos
+    return schema, codec, sync, fh.tell()
 
 
 def _range_rows(
@@ -561,35 +635,40 @@ def _range_rows(
     reads past ``end`` to finish a block it owns).  ``start`` must sit
     at or before a sync boundary region; the scanner seeks forward to
     the first marker at/after ``start``."""
-    def read_varint(fh) -> int | None:
-        acc = shift = 0
-        while True:
-            b = fh.read(1)
-            if not b:
-                if shift == 0 and acc == 0:
-                    return None  # clean EOF (file ends after a sync)
-                raise ValueError("truncated Avro block header")
-            acc |= (b[0] & 0x7F) << shift
-            if not b[0] & 0x80:
-                return _unzigzag(acc)
-            shift += 7
-
     with open(path, "rb") as fh:
-        fh.seek(start)
-        # a marker starting just before `end` extends up to 15 bytes past
-        window = fh.read(end - start + 15)
-        idx = window.find(sync)
-        if idx == -1 or start + idx >= end:
+        # Find the first sync marker whose START is in [start, end) in
+        # BOUNDED chunks (1 MiB with a 15-byte overlap carry) instead of
+        # slurping the whole range — at the default 128 MB split a
+        # whole-range read would double per-task memory just to locate
+        # one marker that in the common case sits within the first
+        # block's length of the range start.
+        chunk_size = 1 << 20
+        at = start
+        found = -1
+        while at < end + 15:
+            fh.seek(at)
+            chunk = fh.read(min(chunk_size, end + 15 - at))
+            if not chunk:
+                break
+            idx = chunk.find(sync)
+            if idx != -1 and at + idx < end:
+                found = at + idx
+                break
+            if idx != -1:
+                break  # marker found but owned by the next range
+            # overlap carry: a marker can straddle the chunk boundary
+            at += len(chunk) - 15 if len(chunk) > 15 else len(chunk)
+        if found == -1:
             return  # no block begins in this range
-        fh.seek(start + idx + 16)
+        fh.seek(found + 16)
         while True:
             block_at = fh.tell() - 16  # the owning sync marker's start
             if block_at >= end:
                 return  # the next range owns this block
-            n_rows = read_varint(fh)
+            n_rows = _stream_varint(fh, eof_ok=True)
             if n_rows is None:
                 return  # clean EOF after the final sync
-            n_bytes = read_varint(fh)
+            n_bytes = _stream_varint(fh)
             data = fh.read(n_bytes)
             if len(data) != n_bytes or fh.read(16) != sync:
                 raise ValueError(
@@ -630,17 +709,13 @@ def avro_scan_split(
 
     listing = (
         spark.read.format("binaryFile")
-        .load(os.path.join(path, "*.avro"))
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.avro")
+        .load(path)
         .select("path", "length")
         .collect()
     )  # bounded: one row per landing file, content never loaded
-    target = spark.createDataFrame([], spark_schema).schema
-    names = [f.name for f in target.fields]
-    ts_cols = [
-        f.name
-        for f in target.fields
-        if f.dataType.typeName() in ("timestamp", "timestamp_ntz")
-    ]
+    names, instant, ntz, _nullable, tz = _target_info(spark, spark_schema)
     tasks = []
     from urllib.parse import unquote, urlparse
 
@@ -682,16 +757,11 @@ def avro_scan_split(
                         json.loads(t.ftypes), t.codec, bytes(t.sync),
                     )
                 )
-                out = pd.DataFrame(
-                    {
-                        n: pd.Series(
-                            [r[i] for r in rows], dtype=object
-                        )
-                        for i, n in enumerate(names)
-                    }
+                columns = {
+                    n: [r[i] for r in rows] for i, n in enumerate(names)
+                }
+                yield _assemble_pdf(
+                    columns, len(rows), names, instant, ntz, tz
                 )
-                for c in ts_cols:
-                    out[c] = pd.to_datetime(out[c], unit="us")
-                yield out
 
     return splits.mapInPandas(decode, schema=spark_schema)

@@ -143,9 +143,12 @@ def test_spark_roundtrip_events_slice(spark, sf_dir, tmp_path, codec):
     out = str(tmp_path / "bronze")
     n = avro_write(src, out, codec=codec)
     assert n == src.count()
-    files = [f for f in os.listdir(out) if f.endswith(".avro")]
+    jobs = [d for d in os.listdir(out) if d.startswith("job-")]
+    assert len(jobs) == 1  # ONE atomic publish per write job
+    job = os.path.join(out, jobs[0])
+    files = [f for f in os.listdir(job) if f.endswith(".avro")]
     assert len(files) == 4  # one task-owned file per partition
-    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert os.path.exists(os.path.join(job, "_SUCCESS"))
 
     back = avro_scan(
         spark, out,
@@ -161,15 +164,27 @@ def test_spark_roundtrip_events_slice(spark, sf_dir, tmp_path, codec):
 
 def test_torn_attempt_invisible_to_scan(spark, tmp_path):
     """A crashed writer's dot-prefixed attempt dir (and its files) must
-    never feed the scan — Spark's hidden-path rule is the isolation."""
+    never feed the scan — publish is ONE atomic rename of the attempt
+    to a visible job dir, so there is no some-files-visible window;
+    Spark's hidden-path rule isolates everything before the rename."""
     df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
     out = str(tmp_path / "bronze")
     avro_write(df, out)
-    # simulate a torn concurrent writer: attempt dir with a half file
+    # simulate a writer that died BEFORE its atomic publish rename:
+    # attempt dir holding one complete and one torn container
     torn = os.path.join(out, ".attempt-dead")
     os.makedirs(torn)
     with open(os.path.join(torn, "part-zzz.avro"), "wb") as fh:
         fh.write(b"Obj\x01partial-garbage")
+    schema = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+        ],
+    }
+    with open(os.path.join(torn, "part-ok.avro"), "wb") as fh:
+        write_container(fh, schema, iter([(99, "ghost")]))
     back = avro_scan(spark, out, "id long, s string")
     assert sorted(r["id"] for r in back.collect()) == [1, 2]
 
@@ -325,3 +340,53 @@ def test_split_scan_parallelizes_one_big_file(spark, tmp_path):
     n_parts = df.rdd.getNumPartitions()
     assert n_parts > 4  # one straggler file became many tasks
     assert sorted(r["id"] for r in df.collect()) == list(range(20000))
+
+
+def test_instant_timestamps_survive_non_utc_session(spark, tmp_path):
+    """TimestampType is an INSTANT: under a non-UTC session the naive
+    wall-clock pandas hands over must be localized back through the
+    session timezone before taking epoch micros, or the file stores
+    wall clock mislabeled as UTC (a multi-hour shift any spec-correct
+    reader reproduces).  Asserts the RAW stored long is true UTC epoch
+    micros and the engine round-trip returns the same instant."""
+    from paas_auditor_spark.sources.avro_io import read_container
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        out = str(tmp_path / "bronze")
+        # 2026-01-01 05:00:00 UTC == 2026-01-01 00:00:00 EST
+        df = spark.sql(
+            "SELECT 1L AS id, "
+            "timestamp'2026-01-01 00:00:00' AS ts"  # session-local EST
+        )
+        avro_write(df, out)
+        job = [d for d in os.listdir(out) if d.startswith("job-")][0]
+        avro_f = [
+            f
+            for f in os.listdir(os.path.join(out, job))
+            if f.endswith(".avro")
+        ][0]
+        with open(os.path.join(out, job, avro_f), "rb") as fh:
+            _, rows = read_container(fh.read())
+        (row,) = rows
+        utc_micros = row[1]
+        assert utc_micros == 1767243600_000000  # 05:00 UTC, not 00:00
+        back = avro_scan(spark, out, "id long, ts timestamp")
+        got = back.collect()[0]["ts"]
+        want = df.collect()[0]["ts"]
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_widened_long_beyond_2_53_refuses(spark, tmp_path):
+    """A nullable long column with NULLs arrives in pandas as float64;
+    beyond 2^53 the float cannot hold the integer exactly, so writing
+    would silently corrupt ids — the sink must refuse loudly."""
+    big = (1 << 53) + 1
+    df = spark.createDataFrame(
+        [(big,), (None,)], "id long"
+    ).coalesce(1)  # same partition: the NULL forces float64 widening
+    with pytest.raises(Exception, match="float64-widened"):
+        avro_write(df, str(tmp_path / "bronze"))
