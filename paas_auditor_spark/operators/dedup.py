@@ -838,12 +838,14 @@ def minhash_bucket_audit(
     )
 
 
-def _stored_band_params(spark, band_paths) -> tuple[int, int, str] | None:
-    """The (num_hashes, num_bands, hash_fn) a persisted band relation
-    was built with, or None when it holds no rows — the ONE parameter
-    reader shared by the collector's write-time drift check and the
-    probe's mismatch refusal, so the two validations cannot drift
-    apart.  mergeSchema is load-bearing: a pre-hash_fn index EXTENDED
+def _stored_band_params(spark, band_paths):
+    """((num_hashes, num_bands, hash_fn) | None, band DataFrame) for a
+    persisted band relation (params None when it holds no rows) — the
+    ONE parameter reader shared by the collector's write-time drift
+    check and the probe's mismatch refusal, so the two validations
+    cannot drift apart; the DataFrame rides along so the probe reuses
+    the single mergeSchema read instead of listing/merging the band
+    footers twice per gate invocation.  mergeSchema is load-bearing: a pre-hash_fn index EXTENDED
     by post-upgrade batches mixes band schemas, and without it Spark
     infers from one arbitrary file — picking an old file silently drops
     the hash_fn column (an md5-tagged batch would probe as 'xxhash64').
@@ -857,9 +859,9 @@ def _stored_band_params(spark, band_paths) -> tuple[int, int, str] | None:
     cols = ["num_hashes", "num_bands"] + (["hash_fn"] if has_hf else [])
     row = banded.select(*cols).first()
     if row is None:
-        return None
+        return None, banded
     hf = (row["hash_fn"] if has_hf else None) or "xxhash64"
-    return row["num_hashes"], row["num_bands"], hf
+    return (row["num_hashes"], row["num_bands"], hf), banded
 
 
 def minhash_index_collector(
@@ -926,7 +928,7 @@ def minhash_index_collector(
             except ValueError:
                 band_paths = None  # first batch: nothing to agree with
             if band_paths:
-                stored = _stored_band_params(
+                stored, _banded = _stored_band_params(
                     batch_df.sparkSession, band_paths
                 )
                 if stored is not None and stored != (
@@ -1021,7 +1023,7 @@ def minhash_incremental_persisted(
             F.col(id_col).alias("id_b"),
             F.lit(1.0).alias("jaccard"),
         ).limit(0)
-    stored = _stored_band_params(spark, band_paths)
+    stored, banded_idx = _stored_band_params(spark, band_paths)
     if stored is not None and stored != (num_hashes, num_bands, hash_fn):
         raise ValueError(
             f"index at {index_path!r} was built with num_hashes="
@@ -1030,11 +1032,7 @@ def minhash_incremental_persisted(
             f"{hash_fn!r} — band keys would silently never match; "
             "rebuild or re-parameterize"
         )
-    banded_idx = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*band_paths)
-        .drop("num_hashes", "num_bands", "hash_fn")
-    )
+    banded_idx = banded_idx.drop("num_hashes", "num_bands", "hash_fn")
     idx_sets = spark.read.parquet(*set_paths)
     if tombstone_path is not None:
         doomed = tombstone_ids(spark, tombstone_path, protocol)

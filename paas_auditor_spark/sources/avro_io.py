@@ -325,7 +325,7 @@ def _is_ts(avro_t) -> bool:
     )
 
 
-def _field_converter(avro_t, tz: str):
+def _field_converter(avro_t):
     """Raw-pandas-scalar → encode-ready-scalar-or-None for one field.
 
     The pandas exchange mangles three things this normalizer must undo
@@ -334,12 +334,14 @@ def _field_converter(avro_t, tz: str):
       converted back with an EXACTNESS guard — a float64 cannot hold
       integers at or beyond 2^53, so a widened id up there would
       silently land off-by-one; refuse loudly instead of corrupting;
-    - INSTANT timestamps arrive as session-tz-naive wall clock: the
-      ``timestamp-micros`` logical type is a UTC instant, so the value
-      is localized back through the session timezone before taking
-      epoch micros (under a non-UTC session the naive micros would be
-      wall clock mislabeled as UTC — a multi-hour shift the canonical
-      JVM reader would faithfully reproduce);
+    - INSTANT timestamps never reach this layer at all: ``avro_write``
+      converts them to epoch micros JVM-SIDE (``unix_micros``) before
+      the exchange, because the naive session wall clock pandas would
+      receive is LOSSY — a DST fall-back hour maps two distinct
+      instants to one wall time, so no pandas-side conversion can be
+      both total and correct (``tz_localize`` raises AmbiguousTimeError
+      on them).  Only timestamp_ntz — wall clock by definition,
+      ambiguity-free — converts here;
     - NaN in a NULLABLE float/double is INDISTINGUISHABLE from NULL
       after the exchange (Arrow null → NaN is lossy): policy is null —
       documented, and the honest upgrade is mapInArrow.  In a
@@ -353,10 +355,12 @@ def _field_converter(avro_t, tz: str):
     base = avro_t
     if nullable:
         base = next(t for t in base if t != "null")
-    is_ts = _is_ts(base)
-    is_instant = (
+    # only ntz converts from a pandas Timestamp here; INSTANT fields
+    # were already turned into plain epoch-micros longs JVM-side, so
+    # they take the guarded int path below like any long column
+    is_ntz = (
         isinstance(base, dict)
-        and base.get("logicalType") == "timestamp-micros"
+        and base.get("logicalType") == "local-timestamp-micros"
     )
     if isinstance(base, dict):
         base = base["type"]
@@ -364,11 +368,9 @@ def _field_converter(avro_t, tz: str):
     def conv(v):
         if v is None:
             return None
-        if is_ts:
+        if is_ntz:
             if pd.isna(v):  # NaT
                 return None
-            if is_instant:
-                return v.tz_localize(tz).value // 1000  # UTC epoch µs
             return v.value // 1000  # local-timestamp-micros: wall µs
         if base in ("float", "double"):
             f = float(v)
@@ -411,15 +413,30 @@ def avro_write(df, out_dir: str, codec: str = "null") -> int:
 
     import pandas as pd
 
+    from pyspark.sql import functions as F
+
     schema = avro_schema_for(df.schema)
     names = [f["name"] for f in schema["fields"]]
-    tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    # INSTANT columns become exact UTC epoch micros JVM-SIDE before the
+    # pandas exchange: the session-naive wall clock pandas would get is
+    # lossy (a DST fall-back hour maps two instants to one wall time —
+    # tz_localize can only raise or guess there), while unix_micros is
+    # total and exact for every instant.  timestamp_ntz stays a wall
+    # clock (no ambiguity by definition) and converts pandas-side.
+    df = df.select(
+        *[
+            F.unix_micros(F.col(f.name)).alias(f.name)
+            if f.dataType.typeName() == "timestamp"
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )
     job = uuid.uuid4().hex
     os.makedirs(out_dir, exist_ok=True)
     attempt = os.path.join(out_dir, f".attempt-{job}")
     os.makedirs(attempt)
     schema_json = json.dumps(schema)
-    convs = [_field_converter(f["type"], tz) for f in schema["fields"]]
+    convs = [_field_converter(f["type"]) for f in schema["fields"]]
 
     def encode_partition(pdfs):
         sch = json.loads(schema_json)
@@ -500,8 +517,15 @@ def avro_stream(
 
 def _target_info(spark, spark_schema: str):
     """Reader-side plan-time introspection shared by every scan shape:
-    (names, instant ts columns, ntz ts columns, nullability map,
-    session timezone)."""
+    (target StructType, names, instant ts columns, ntz ts columns,
+    nullability map, and the INTERNAL mapInPandas schema — identical to
+    the target except instant columns stay LongType: instants travel as
+    exact UTC epoch micros through the pandas exchange and become
+    TimestampType JVM-SIDE afterwards (``timestamp_micros``), because a
+    pandas-side naive-wall-clock rebuild is lossy — a DST fall-back hour
+    maps two distinct instants to one wall time."""
+    from pyspark.sql import types as T
+
     target = spark.createDataFrame([], spark_schema).schema
     names = [f.name for f in target.fields]
     instant = [
@@ -513,17 +537,66 @@ def _target_info(spark, spark_schema: str):
         if f.dataType.typeName() == "timestamp_ntz"
     ]
     nullable = {f.name: f.nullable for f in target.fields}
-    tz = spark.conf.get("spark.sql.session.timeZone")
-    return names, instant, ntz, nullable, tz
+    internal = T.StructType(
+        [
+            T.StructField(f.name, T.LongType(), f.nullable)
+            if f.name in instant
+            else f
+            for f in target.fields
+        ]
+    )
+    return target, names, instant, ntz, nullable, internal
 
 
-def _assemble_pdf(columns: dict, n_rows: int, names, instant, ntz, tz):
+def _writer_ts_kind(avro_t):
+    """'instant' / 'ntz' / None for a writer field type (unions
+    unwrapped) — the reader validates this against its own declared
+    kind, because the two decode DIFFERENTLY (UTC epoch micros vs wall
+    micros): silently reading one as the other shifts every value by
+    the session offset."""
+    if isinstance(avro_t, list):
+        for t in avro_t:
+            if t != "null":
+                return _writer_ts_kind(t)
+        return None
+    if isinstance(avro_t, dict):
+        lt = avro_t.get("logicalType")
+        if lt == "timestamp-micros":
+            return "instant"
+        if lt == "local-timestamp-micros":
+            return "ntz"
+    return None
+
+
+def _check_ts_kinds(writer_fields, instant, ntz):
+    """Refuse an instant/ntz mixup between the writer schema and the
+    reader declaration (a writer field with NO ts logical type read as
+    a timestamp is allowed — underlying-type resolution per the spec,
+    the caller asserts the semantics)."""
+    for f in writer_fields:
+        wk = _writer_ts_kind(f["type"])
+        if wk is None:
+            continue
+        rk = (
+            "instant" if f["name"] in instant
+            else "ntz" if f["name"] in ntz
+            else None
+        )
+        if rk is not None and rk != wk:
+            raise ValueError(
+                f"timestamp kind mismatch on field {f['name']!r}: the "
+                f"file stores {wk} micros but the reader declared "
+                f"{'timestamp' if rk == 'instant' else 'timestamp_ntz'}"
+                " — reading one as the other shifts every value by the "
+                "session offset; fix the declared schema"
+            )
+
+
+def _assemble_pdf(columns: dict, n_rows: int, names, ntz):
     """Shared rows→pandas assembler for both scan shapes: object-dtype
-    Series per reader column (missing ones null-filled), then the
-    timestamp rebuild — ``timestamp-micros`` longs are UTC instants,
-    converted to the session timezone's naive wall clock (what Arrow
-    expects for TimestampType); ``local-timestamp-micros`` longs are
-    wall clock already (timestamp_ntz)."""
+    Series per reader column (missing ones null-filled).  Only ntz
+    columns convert here (wall micros → naive datetime); INSTANT
+    columns stay micros longs and become TimestampType JVM-side."""
     import pandas as pd
 
     out = pd.DataFrame(
@@ -532,19 +605,17 @@ def _assemble_pdf(columns: dict, n_rows: int, names, instant, ntz, tz):
             for n in names
         }
     )
-    for c in instant:
-        out[c] = (
-            pd.to_datetime(out[c], unit="us", utc=True)
-            .dt.tz_convert(tz)
-            .dt.tz_localize(None)
-        )
     for c in ntz:
         out[c] = pd.to_datetime(out[c], unit="us")
     return out
 
 
 def _decode_files(spark, files, spark_schema: str):
-    names, instant, ntz, nullable, tz = _target_info(spark, spark_schema)
+    from pyspark.sql import functions as F
+
+    target, names, instant, ntz, nullable, internal = _target_info(
+        spark, spark_schema
+    )
 
     def decode(pdfs):
         for pdf in pdfs:
@@ -563,13 +634,20 @@ def _decode_files(spark, files, spark_schema: str):
                         f"Avro writer schema lacks non-nullable reader "
                         f"field(s) {hard} (writer fields: {got})"
                     )
+                _check_ts_kinds(schema["fields"], instant, ntz)
                 data = list(rows)
                 by_writer = dict(zip(got, zip(*data))) if data else {}
-                yield _assemble_pdf(
-                    by_writer, len(data), names, instant, ntz, tz
-                )
+                yield _assemble_pdf(by_writer, len(data), names, ntz)
 
-    return files.mapInPandas(decode, schema=spark_schema)
+    decoded = files.mapInPandas(decode, schema=internal)
+    return decoded.select(
+        *[
+            F.timestamp_micros(F.col(n)).alias(n)
+            if n in instant
+            else F.col(n)
+            for n in names
+        ]
+    )
 
 
 def _stream_varint(fh, eof_ok: bool = False) -> int | None:
@@ -705,7 +783,7 @@ def avro_scan_split(
     file at planning time (driver, header bytes only).  Local/shared
     filesystem paths; on a real cluster the same ownership rule rides
     the storage client instead of ``open()``."""
-    import pandas as pd
+    from pyspark.sql import functions as F
 
     listing = (
         spark.read.format("binaryFile")
@@ -715,7 +793,9 @@ def avro_scan_split(
         .select("path", "length")
         .collect()
     )  # bounded: one row per landing file, content never loaded
-    names, instant, ntz, _nullable, tz = _target_info(spark, spark_schema)
+    _target, names, instant, ntz, _nullable, internal = _target_info(
+        spark, spark_schema
+    )
     tasks = []
     from urllib.parse import unquote, urlparse
 
@@ -731,6 +811,7 @@ def avro_scan_split(
                 f"Avro file fields {got} != expected {names} "
                 f"({local!r}; use avro_scan for schema resolution)"
             )
+        _check_ts_kinds(schema["fields"], instant, ntz)
         ftypes = json.dumps([f["type"] for f in schema["fields"]])
         # ranges cover [header_end - 16, file_end): the first block's
         # sync marker IS the header's trailing marker, so range 0 must
@@ -760,8 +841,14 @@ def avro_scan_split(
                 columns = {
                     n: [r[i] for r in rows] for i, n in enumerate(names)
                 }
-                yield _assemble_pdf(
-                    columns, len(rows), names, instant, ntz, tz
-                )
+                yield _assemble_pdf(columns, len(rows), names, ntz)
 
-    return splits.mapInPandas(decode, schema=spark_schema)
+    decoded = splits.mapInPandas(decode, schema=internal)
+    return decoded.select(
+        *[
+            F.timestamp_micros(F.col(n)).alias(n)
+            if n in instant
+            else F.col(n)
+            for n in names
+        ]
+    )

@@ -390,3 +390,52 @@ def test_widened_long_beyond_2_53_refuses(spark, tmp_path):
     ).coalesce(1)  # same partition: the NULL forces float64 widening
     with pytest.raises(Exception, match="float64-widened"):
         avro_write(df, str(tmp_path / "bronze"))
+
+
+def test_dst_fallback_instants_roundtrip_exactly(spark, tmp_path):
+    """The reason instants travel as JVM-side epoch micros: a DST
+    fall-back hour maps TWO distinct instants to ONE naive wall clock
+    (01:30 EDT and 01:30 EST), so any pandas-side wall-clock conversion
+    either crashes (tz_localize raises AmbiguousTimeError) or silently
+    shifts one of them by an hour.  Both instants must round-trip
+    exactly under the DST session timezone."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        out = str(tmp_path / "bronze")
+        # 2025-11-02 05:30 UTC = 01:30 EDT; 06:30 UTC = 01:30 EST —
+        # the ambiguous pair
+        df = spark.sql(
+            "SELECT * FROM VALUES "
+            "(1L, timestamp'2025-11-02 05:30:00 UTC'), "
+            "(2L, timestamp'2025-11-02 06:30:00 UTC') AS t(id, ts)"
+        )
+        avro_write(df, out)
+        back = avro_scan(spark, out, "id long, ts timestamp")
+        got = {r["id"]: r["ts"] for r in back.collect()}
+        want = {r["id"]: r["ts"] for r in df.collect()}
+        assert got == want  # both instants distinct and exact
+        micros = {
+            r["id"]: r["us"]
+            for r in back.selectExpr(
+                "id", "unix_micros(ts) AS us"
+            ).collect()
+        }
+        assert micros[2] - micros[1] == 3600_000000  # one true hour
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_ts_kind_mismatch_refuses(spark, tmp_path):
+    """Reading instant (timestamp-micros) data as timestamp_ntz — or
+    wall-clock data as an instant — shifts every value by the session
+    offset; the scans must refuse the mixup instead."""
+    from paas_auditor_spark.sources.avro_io import avro_scan_split
+
+    out = str(tmp_path / "bronze")
+    df = spark.sql("SELECT 1L AS id, timestamp'2026-01-01' AS ts")
+    avro_write(df, out)
+    with pytest.raises(Exception, match="timestamp kind mismatch"):
+        avro_scan(spark, out, "id long, ts timestamp_ntz").collect()
+    with pytest.raises(Exception, match="timestamp kind mismatch"):
+        avro_scan_split(spark, out, "id long, ts timestamp_ntz")
