@@ -439,3 +439,147 @@ def test_ts_kind_mismatch_refuses(spark, tmp_path):
         avro_scan(spark, out, "id long, ts timestamp_ntz").collect()
     with pytest.raises(Exception, match="timestamp kind mismatch"):
         avro_scan_split(spark, out, "id long, ts timestamp_ntz")
+
+
+# ---- property tests: the codec is hand-rolled, so fuzz it -----------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ROW = st.tuples(
+    st.one_of(
+        st.none(),
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    ),
+    st.text(max_size=40),
+    st.one_of(
+        st.none(),
+        st.floats(allow_nan=False),  # NaN-vs-NULL policy tested above
+    ),
+    st.booleans(),
+    st.one_of(st.none(), st.binary(max_size=24)),
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    rows=st.lists(_ROW, max_size=50),
+    codec=st.sampled_from(["null", "deflate"]),
+    block_rows=st.integers(min_value=1, max_value=7),
+)
+def test_property_container_roundtrip(rows, codec, block_rows):
+    """∀ rows, codec, blocking: decode(encode(rows)) == rows — full
+    64-bit long range, unicode, infinities/subnormals, empty/None
+    bytes, every block boundary."""
+    buf = io.BytesIO()
+    n = write_container(
+        buf, SCHEMA, iter(rows), codec=codec, block_rows=block_rows
+    )
+    assert n == len(rows)
+    _, it = read_container(buf.getvalue())
+    assert list(it) == rows
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    rows=st.lists(_ROW, min_size=1, max_size=60),
+    block_rows=st.integers(min_value=1, max_value=9),
+    split=st.integers(min_value=40, max_value=5000),
+)
+def test_property_split_union_equals_file(tmp_path_factory, rows,
+                                          block_rows, split):
+    """∀ blocking and split size: the union of per-range decodes equals
+    the whole file, each row exactly once — the input-split ownership
+    invariant, fuzzed without Spark."""
+    from paas_auditor_spark.sources.avro_io import (
+        _range_rows,
+        _read_header,
+    )
+
+    d = tmp_path_factory.mktemp("avrofuzz")
+    p = os.path.join(str(d), "f.avro")
+    with open(p, "wb") as fh:
+        write_container(fh, SCHEMA, iter(rows), block_rows=block_rows)
+    with open(p, "rb") as fh:
+        schema, codec, sync, first = _read_header(fh)
+    ftypes = [f["type"] for f in schema["fields"]]
+    size = os.path.getsize(p)
+    got = []
+    lo = first - 16
+    while lo < size:
+        hi = min(lo + split, size)
+        got.extend(_range_rows(p, lo, hi, ftypes, codec, sync))
+        lo = hi
+    assert got == rows  # in order, exactly once
+
+
+def test_our_reader_reads_jvm_written_containers(spark, tmp_path):
+    """Interop BOTH directions: the earlier cross-read proves the JVM
+    library reads our files; this proves our reader decodes canonical
+    JVM-WRITTEN containers — including their RANDOM sync markers (ours
+    are md5-derived, so this also pins that no reader path assumes our
+    marker scheme) and their deflate framing.  Records are built
+    JVM-side via Avro's own JSON decoder because py4j auto-unboxes
+    java.lang.Long back to a Python int (which the union then
+    rejects)."""
+    import json as _json
+
+    jvm = spark._jvm
+    schema_json = _json.dumps(
+        {
+            "type": "record", "name": "r",
+            "fields": [
+                {"name": "a", "type": ["null", "long"]},
+                {"name": "b", "type": "string"},
+                {"name": "c", "type": ["null", "double"]},
+            ],
+        }
+    )
+    sch = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(sch)
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(sch)
+    )
+    writer.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    zone = tmp_path / "zone"
+    zone.mkdir()
+    path = str(zone / "jvm.avro")
+    writer.create(sch, jvm.java.io.File(path))
+    for j in (
+        '{"a":{"long":7},"b":"hello","c":{"double":1.25}}',
+        '{"a":null,"b":"unicode \\u2713","c":null}',
+    ):
+        dec = jvm.org.apache.avro.io.DecoderFactory.get().jsonDecoder(
+            sch, j
+        )
+        writer.append(reader.read(None, dec))
+    writer.close()
+
+    with open(path, "rb") as fh:
+        _, rows = read_container(fh.read())
+    assert list(rows) == [(7, "hello", 1.25), (None, "unicode ✓", None)]
+
+    # and through the full Spark scan + the split scan
+    key = lambda t: (t[0] is None, t)
+    got = sorted(
+        (
+            (r["a"], r["b"], r["c"])
+            for r in avro_scan(
+                spark, str(zone), "a long, b string, c double"
+            ).collect()
+        ),
+        key=key,
+    )
+    assert got == [(7, "hello", 1.25), (None, "unicode ✓", None)]
+    from paas_auditor_spark.sources.avro_io import avro_scan_split
+
+    got2 = sorted(
+        (
+            (r["a"], r["b"], r["c"])
+            for r in avro_scan_split(
+                spark, str(zone), "a long, b string, c double"
+            ).collect()
+        ),
+        key=key,
+    )
+    assert got2 == got
