@@ -9,9 +9,13 @@ surface is the same envelope-file shape its JSONL replay path covers
 PPM-image / WAV-audio convention — the CODEC is implemented here from
 the public Apache Avro 1.12 specification (binary encoding + object
 container files), dependency-free, while the Spark side (binaryFile
-scan → Arrow-batched mapInPandas decode; mapInPandas per-partition
-encode → task-owned files + driver publish) is real and is exactly the
-plan shape the jar-backed source would produce.
+scan → Arrow-batched mapInArrow decode; mapInArrow per-partition
+encode → task-owned files + atomic driver publish) is real and is
+exactly the plan shape the jar-backed source would produce.  The
+exchange is Arrow, NOT pandas, on purpose: Arrow carries an explicit
+null mask, so NULL stays distinct from NaN in doubles and a nullable
+long never float64-widens — the two silent-corruption hazards a pandas
+exchange is structurally unable to avoid.
 
 Scope: record schemas over the primitive types (null, boolean, int,
 long, float, double, string, bytes) and the nullable union
@@ -325,78 +329,6 @@ def _is_ts(avro_t) -> bool:
     )
 
 
-def _field_converter(avro_t):
-    """Raw-pandas-scalar → encode-ready-scalar-or-None for one field.
-
-    The pandas exchange mangles three things this normalizer must undo
-    or refuse:
-    - nullable long columns widen to float64 (NaN padding): values are
-      converted back with an EXACTNESS guard — a float64 cannot hold
-      integers at or beyond 2^53, so a widened id up there would
-      silently land off-by-one; refuse loudly instead of corrupting;
-    - INSTANT timestamps never reach this layer at all: ``avro_write``
-      converts them to epoch micros JVM-SIDE (``unix_micros``) before
-      the exchange, because the naive session wall clock pandas would
-      receive is LOSSY — a DST fall-back hour maps two distinct
-      instants to one wall time, so no pandas-side conversion can be
-      both total and correct (``tz_localize`` raises AmbiguousTimeError
-      on them).  Only timestamp_ntz — wall clock by definition,
-      ambiguity-free — converts here;
-    - NaN in a NULLABLE float/double is INDISTINGUISHABLE from NULL
-      after the exchange (Arrow null → NaN is lossy): policy is null —
-      documented, and the honest upgrade is mapInArrow.  In a
-      NON-nullable float/double, NaN is unambiguous and round-trips as
-      NaN."""
-    import math
-
-    import pandas as pd
-
-    nullable = isinstance(avro_t, list)
-    base = avro_t
-    if nullable:
-        base = next(t for t in base if t != "null")
-    # only ntz converts from a pandas Timestamp here; INSTANT fields
-    # were already turned into plain epoch-micros longs JVM-side, so
-    # they take the guarded int path below like any long column
-    is_ntz = (
-        isinstance(base, dict)
-        and base.get("logicalType") == "local-timestamp-micros"
-    )
-    if isinstance(base, dict):
-        base = base["type"]
-
-    def conv(v):
-        if v is None:
-            return None
-        if is_ntz:
-            if pd.isna(v):  # NaT
-                return None
-            return v.value // 1000  # local-timestamp-micros: wall µs
-        if base in ("float", "double"):
-            f = float(v)
-            if math.isnan(f):
-                return None if nullable else f
-            return f
-        if pd.isna(v):
-            return None
-        if base in ("int", "long"):
-            if isinstance(v, float):  # NaN-padded widened column
-                iv = int(v)
-                if iv != v or abs(v) >= 2.0**53:
-                    raise ValueError(
-                        f"integer value {v!r} arrived float64-widened "
-                        "beyond exact range (|v| >= 2^53): writing it "
-                        "would silently corrupt the id — repartition so "
-                        "the column has no NULLs in this batch, or "
-                        "write the column as string"
-                    )
-                return iv
-            return int(v)
-        return {"boolean": bool, "string": str, "bytes": bytes}[base](v)
-
-    return conv
-
-
 def avro_write(df, out_dir: str, codec: str = "null") -> int:
     """Distributed Avro sink: every partition's task encodes its rows
     into ONE container file in a hidden attempt directory (task-owned
@@ -408,21 +340,27 @@ def avro_write(df, out_dir: str, codec: str = "null") -> int:
     the dot-prefixed attempt (invisible by Spark's hidden-path rule),
     and after the rename the whole job is visible at once.  ``_SUCCESS``
     inside the job dir is observability, not the correctness mechanism.
-    Returns the total row count written."""
+    Returns the total row count written.
+
+    The exchange is ``mapInArrow``, not pandas: Arrow carries an
+    explicit null mask, so NULL stays distinct from NaN in doubles and
+    a nullable long column never float64-widens — ``to_pylist`` hands
+    back exact Python ints/floats/None with nothing to guard or
+    coerce.  (The pandas predecessor needed a 2^53 exactness refusal
+    and conflated NaN with NULL; both hazards are structural to the
+    pandas exchange and simply absent here.)"""
     import uuid
 
-    import pandas as pd
+    import pyarrow as pa
 
     from pyspark.sql import functions as F
 
     schema = avro_schema_for(df.schema)
-    names = [f["name"] for f in schema["fields"]]
     # INSTANT columns become exact UTC epoch micros JVM-SIDE before the
-    # pandas exchange: the session-naive wall clock pandas would get is
-    # lossy (a DST fall-back hour maps two instants to one wall time —
-    # tz_localize can only raise or guess there), while unix_micros is
-    # total and exact for every instant.  timestamp_ntz stays a wall
-    # clock (no ambiguity by definition) and converts pandas-side.
+    # exchange: a naive wall clock is lossy (a DST fall-back hour maps
+    # two instants to one wall time), while unix_micros is total and
+    # exact for every instant.  timestamp_ntz arrives as Arrow
+    # timestamp('us') whose phys storage IS the wall micros — one cast.
     df = df.select(
         *[
             F.unix_micros(F.col(f.name)).alias(f.name)
@@ -436,22 +374,25 @@ def avro_write(df, out_dir: str, codec: str = "null") -> int:
     attempt = os.path.join(out_dir, f".attempt-{job}")
     os.makedirs(attempt)
     schema_json = json.dumps(schema)
-    convs = [_field_converter(f["type"]) for f in schema["fields"]]
 
-    def encode_partition(pdfs):
+    def encode_partition(batches):
         sch = json.loads(schema_json)
         path = os.path.join(attempt, f"part-{uuid.uuid4().hex}.avro")
 
         def rows():
-            for pdf in pdfs:
-                for tup in pdf[names].itertuples(index=False, name=None):
-                    yield tuple(c(v) for v, c in zip(tup, convs))
+            for batch in batches:
+                cols = []
+                for arr in batch.columns:
+                    if pa.types.is_timestamp(arr.type):
+                        arr = arr.cast(pa.int64())  # ntz wall micros
+                    cols.append(arr.to_pylist())
+                yield from zip(*cols)
 
         with open(path, "wb") as fh:
             n = write_container(fh, sch, rows(), codec=codec)
-        yield pd.DataFrame({"path": [path], "n": [n]})
+        yield pa.RecordBatch.from_pydict({"path": [path], "n": [n]})
 
-    results = df.mapInPandas(
+    results = df.mapInArrow(
         encode_partition, schema="path string, n long"
     ).collect()  # bounded: one row per partition
     with open(os.path.join(attempt, "_SUCCESS"), "w"):
@@ -463,7 +404,7 @@ def avro_write(df, out_dir: str, codec: str = "null") -> int:
 def avro_scan(spark, path: str, spark_schema: str):
     """Distributed Avro scan: ``binaryFile`` lists and reads the
     ``*.avro`` landing files (one task per file — the bronze-zone
-    granularity), and an Arrow-batched ``mapInPandas`` decodes each
+    granularity), and an Arrow-batched ``mapInArrow`` decodes each
     container's blocks into typed rows.  ``spark_schema`` is the DDL
     the caller expects; timestamp columns are rebuilt from the
     ``timestamp-micros`` longs.  Writer/reader schema RESOLUTION per
@@ -518,7 +459,7 @@ def avro_stream(
 def _target_info(spark, spark_schema: str):
     """Reader-side plan-time introspection shared by every scan shape:
     (target StructType, names, instant ts columns, ntz ts columns,
-    nullability map, and the INTERNAL mapInPandas schema — identical to
+    nullability map, and the INTERNAL exchange schema — identical to
     the target except instant columns stay LongType: instants travel as
     exact UTC epoch micros through the pandas exchange and become
     TimestampType JVM-SIDE afterwards (``timestamp_micros``), because a
@@ -592,34 +533,39 @@ def _check_ts_kinds(writer_fields, instant, ntz):
             )
 
 
-def _assemble_pdf(columns: dict, n_rows: int, names, ntz):
-    """Shared rows→pandas assembler for both scan shapes: object-dtype
-    Series per reader column (missing ones null-filled).  Only ntz
-    columns convert here (wall micros → naive datetime); INSTANT
-    columns stay micros longs and become TimestampType JVM-side."""
-    import pandas as pd
+def _assemble_batch(columns: dict, n_rows: int, arrow_schema):
+    """Shared rows→Arrow assembler for both scan shapes: one typed
+    pa.array per reader column (missing ones null-filled).  Explicit
+    types straight from the internal Arrow schema — ints stay ints
+    (never float64-widened), NaN stays distinct from null in doubles,
+    and ntz wall micros become timestamp('us') by unit interpretation;
+    INSTANT columns are micros longs here and become TimestampType
+    JVM-side."""
+    import pyarrow as pa
 
-    out = pd.DataFrame(
-        {
-            n: pd.Series(columns.get(n, [None] * n_rows), dtype=object)
-            for n in names
-        }
+    arrays = [
+        pa.array(
+            columns.get(f.name, [None] * n_rows), type=f.type
+        )
+        for f in arrow_schema
+    ]
+    return pa.RecordBatch.from_arrays(
+        arrays, names=[f.name for f in arrow_schema]
     )
-    for c in ntz:
-        out[c] = pd.to_datetime(out[c], unit="us")
-    return out
 
 
 def _decode_files(spark, files, spark_schema: str):
     from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import to_arrow_schema
 
     target, names, instant, ntz, nullable, internal = _target_info(
         spark, spark_schema
     )
+    arrow_schema = to_arrow_schema(internal)
 
-    def decode(pdfs):
-        for pdf in pdfs:
-            for blob in pdf["content"]:
+    def decode(batches):
+        for batch in batches:
+            for blob in batch.column(0).to_pylist():
                 schema, rows = read_container(bytes(blob))
                 got = [f["name"] for f in schema["fields"]]
                 # Avro schema RESOLUTION (spec: writer vs reader): a
@@ -637,9 +583,9 @@ def _decode_files(spark, files, spark_schema: str):
                 _check_ts_kinds(schema["fields"], instant, ntz)
                 data = list(rows)
                 by_writer = dict(zip(got, zip(*data))) if data else {}
-                yield _assemble_pdf(by_writer, len(data), names, ntz)
+                yield _assemble_batch(by_writer, len(data), arrow_schema)
 
-    decoded = files.mapInPandas(decode, schema=internal)
+    decoded = files.mapInArrow(decode, schema=internal)
     return decoded.select(
         *[
             F.timestamp_micros(F.col(n)).alias(n)
@@ -793,9 +739,12 @@ def avro_scan_split(
         .select("path", "length")
         .collect()
     )  # bounded: one row per landing file, content never loaded
+    from pyspark.sql.pandas.types import to_arrow_schema
+
     _target, names, instant, ntz, _nullable, internal = _target_info(
         spark, spark_schema
     )
+    arrow_schema = to_arrow_schema(internal)
     tasks = []
     from urllib.parse import unquote, urlparse
 
@@ -829,21 +778,22 @@ def avro_scan_split(
         "codec string, sync binary",
     ).repartition(len(tasks))
 
-    def decode(pdfs):
-        for pdf in pdfs:
-            for t in pdf.itertuples(index=False):
+    def decode(batches):
+        for batch in batches:
+            for t in zip(*[c.to_pylist() for c in batch.columns]):
+                path_, start_, end_, ftypes_, codec_, sync_ = t
                 rows = list(
                     _range_rows(
-                        t.path, int(t.start), int(t.end),
-                        json.loads(t.ftypes), t.codec, bytes(t.sync),
+                        path_, int(start_), int(end_),
+                        json.loads(ftypes_), codec_, bytes(sync_),
                     )
                 )
                 columns = {
                     n: [r[i] for r in rows] for i, n in enumerate(names)
                 }
-                yield _assemble_pdf(columns, len(rows), names, ntz)
+                yield _assemble_batch(columns, len(rows), arrow_schema)
 
-    decoded = splits.mapInPandas(decode, schema=internal)
+    decoded = splits.mapInArrow(decode, schema=internal)
     return decoded.select(
         *[
             F.timestamp_micros(F.col(n)).alias(n)

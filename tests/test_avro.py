@@ -380,16 +380,29 @@ def test_instant_timestamps_survive_non_utc_session(spark, tmp_path):
         spark.conf.set("spark.sql.session.timeZone", prev)
 
 
-def test_widened_long_beyond_2_53_refuses(spark, tmp_path):
-    """A nullable long column with NULLs arrives in pandas as float64;
-    beyond 2^53 the float cannot hold the integer exactly, so writing
-    would silently corrupt ids — the sink must refuse loudly."""
+def test_arrow_exchange_preserves_exactness_and_nan(spark, tmp_path):
+    """The two silent hazards a pandas exchange cannot avoid, absent by
+    construction on the Arrow exchange: a nullable long at 2^53+1 next
+    to a NULL round-trips EXACTLY (pandas would float64-widen and
+    truncate it), and NaN in a nullable double stays NaN while NULL
+    stays NULL (pandas conflates them)."""
+    import math
+
     big = (1 << 53) + 1
     df = spark.createDataFrame(
-        [(big,), (None,)], "id long"
-    ).coalesce(1)  # same partition: the NULL forces float64 widening
-    with pytest.raises(Exception, match="float64-widened"):
-        avro_write(df, str(tmp_path / "bronze"))
+        [(1, big, float("nan")), (2, None, None), (3, -big, 0.5)],
+        "k long, id long, v double",
+    ).coalesce(1)  # same partition: nulls beside the big values
+    out = str(tmp_path / "bronze")
+    assert avro_write(df, out) == 3
+    got = {
+        r["k"]: (r["id"], r["v"])
+        for r in avro_scan(spark, out, "k long, id long, v double")
+        .collect()
+    }
+    assert got[1][0] == big and math.isnan(got[1][1])
+    assert got[2] == (None, None)
+    assert got[3] == (-big, 0.5)
 
 
 def test_dst_fallback_instants_roundtrip_exactly(spark, tmp_path):
