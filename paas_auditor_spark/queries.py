@@ -4628,14 +4628,22 @@ def q_avro_bronze_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (binaryFile → Arrow-batched mapInPandas block decode), and the
     round-tripped rows are digested per event type — row-content md5
     fold over the exact-typed columns (ids, type, microsecond-formatted
-    timestamp) plus the value sum.  The oracle computes the SAME digest
-    straight off the parquet events table, so the hash certifies
-    round-trip ≡ identity: every id, type, timestamp microsecond and
-    value that went into the Avro bytes came back out (DuckDB never
-    sees an Avro byte — the WAV-audio certification pattern).  Bronze
-    motivation: the reference's envelope dump/replay surface
-    (cf_audit_event_fetcher.go:22-35, sources/jsonl.py) widened to the
-    Avro landing-zone format CDC/Kafka pipelines actually ship."""
+    timestamp) AND the double ``value``'s exact IEEE-754 content,
+    captured as three floor-scaled integer channels (v·2²⁰, then two
+    ·2⁴⁰ refinements of the remainder: every step is a power-of-two
+    scale, a floor, or a fractional-part subtraction — all EXACT in
+    IEEE-754 and engine-independent, resolving the value down to 2⁻¹⁰⁰
+    absolute, far below one ulp anywhere in the data's range — a text
+    format can't do this cross-engine: Java's %.17e zero-pads past the
+    shortest repr while C's prints true digits; r9 advice).  The oracle
+    computes the SAME digest straight off the parquet events table, so
+    the hash certifies round-trip ≡ identity: every id, type, timestamp
+    microsecond and value BIT that went into the Avro bytes came back
+    out (DuckDB never sees an Avro byte — the WAV-audio certification
+    pattern).  Bronze motivation: the reference's envelope dump/replay
+    surface (cf_audit_event_fetcher.go:22-35, sources/jsonl.py) widened
+    to the Avro landing-zone format CDC/Kafka pipelines actually
+    ship."""
     from paas_auditor_spark.sources.avro_io import avro_scan
 
     path = _avro_bronze_cached(spark, sf_dir)
@@ -4645,6 +4653,14 @@ def q_avro_bronze_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id long, ts timestamp_ntz, user_id long, "
         "event_type string, value double",
     )
+    # exact IEEE-754 channels: floor(v·2^20) + two 2^40 refinements —
+    # every op exact, so the channels ARE the double's bits in range
+    v = F.col("value")
+    a = F.floor(v * F.lit(1048576.0))
+    r1 = v * F.lit(1048576.0) - a
+    b = F.floor(r1 * F.lit(1099511627776.0))
+    r2 = r1 * F.lit(1099511627776.0) - b
+    c = F.floor(r2 * F.lit(1099511627776.0))
     row_hash = F.conv(
         F.substring(
             F.md5(
@@ -4654,6 +4670,9 @@ def q_avro_bronze_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "event_type",
                     F.col("user_id").cast("string"),
                     F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+                    a.cast("string"),
+                    b.cast("string"),
+                    c.cast("string"),
                 )
             ),
             1,
@@ -4674,6 +4693,17 @@ def q_avro_bronze_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_AVRO_BRONZE_ROUNDTRIP = """
+WITH chan AS (
+  SELECT *,
+         floor(value * 1048576.0) AS a,
+         value * 1048576.0 - floor(value * 1048576.0) AS r1
+  FROM events
+), chan2 AS (
+  SELECT *,
+         floor(r1 * 1099511627776.0) AS b,
+         r1 * 1099511627776.0 - floor(r1 * 1099511627776.0) AS r2
+  FROM chan
+)
 SELECT event_type,
        count(*) AS n,
        CAST(sum(CAST(concat('0x',
@@ -4681,10 +4711,14 @@ SELECT event_type,
                                   event_type,
                                   CAST(user_id AS VARCHAR),
                                   strftime(CAST(ts AS TIMESTAMP),
-                                           '%Y-%m-%d %H:%M:%S.%f'))),
+                                           '%Y-%m-%d %H:%M:%S.%f'),
+                                  CAST(CAST(a AS BIGINT) AS VARCHAR),
+                                  CAST(CAST(b AS BIGINT) AS VARCHAR),
+                                  CAST(CAST(floor(r2 * 1099511627776.0)
+                                            AS BIGINT) AS VARCHAR))),
                     1, 8)) AS BIGINT)) AS BIGINT) AS content_sum,
        round(sum(value), 2) AS value_sum
-FROM events
+FROM chan2
 GROUP BY event_type
 ORDER BY event_type
 """

@@ -46,18 +46,24 @@ from typing import Iterable, Iterator
 MAGIC = b"Obj\x01"
 
 
-def _sync_marker(schema: dict) -> bytes:
-    """Per-schema 16-byte sync marker.  The spec suggests a RANDOM
-    marker; we derive it (md5 of the schema JSON) so containers are
-    REPRODUCIBLE byte-for-byte while staying as unguessable-by-data as
-    random for non-adversarial payloads — which is what makes the
-    split scanner's marker search sound (a trivially predictable
-    constant like 00..0f could plausibly appear inside a bytes
-    column; a 128-bit digest cannot, except adversarially)."""
+def _sync_marker(schema: dict, salt: bytes = b"") -> bytes:
+    """16-byte sync marker: md5 over the schema JSON plus ``salt``.
+    The spec suggests a RANDOM marker; deriving it keeps a bare
+    ``write_container`` call byte-reproducible, but a schema-only
+    marker is shared by EVERY same-schema file — so a bronze zone
+    re-ingesting its own containers into a bytes column reproduces the
+    marker inside a payload non-adversarially and misleads the split
+    scanner's marker search (r9 advice).  ``avro_write`` therefore
+    salts with the per-file part uuid: each landing file gets its own
+    128-bit marker (stored in the header, so readers are unaffected),
+    and embedded bytes of ANY other file can no longer collide except
+    adversarially."""
     import hashlib
 
     return hashlib.md5(
-        b"paas-avro-sync:" + json.dumps(schema, sort_keys=True).encode()
+        b"paas-avro-sync:"
+        + salt
+        + json.dumps(schema, sort_keys=True).encode()
     ).digest()
 
 
@@ -94,6 +100,10 @@ def _read_long(view: memoryview, pos: int) -> tuple[int, int]:
         if not b & 0x80:
             return _unzigzag(acc), pos
         shift += 7
+        if shift > 63:  # canonical readers cap varints at 10 bytes —
+            # fail fast on corruption instead of growing an unbounded
+            # Python int until some later length check trips (r9 advice)
+            raise ValueError("Avro varint longer than 10 bytes (corrupt)")
 
 
 def _write_bytes(buf: io.BytesIO, b: bytes) -> None:
@@ -173,13 +183,16 @@ def write_container(
     rows: Iterable[tuple],
     codec: str = "null",
     block_rows: int = 4096,
+    sync_salt: bytes = b"",
 ) -> int:
     """Write an Avro object-container file: magic, metadata map
     (avro.schema + avro.codec), sync marker, then self-delimiting
     blocks of ``block_rows`` records.  ``rows`` yields tuples in the
     schema's field order.  Returns the number of records written.  An
     EMPTY input still writes a valid zero-block container (a bronze
-    flush interval with no traffic must stay readable)."""
+    flush interval with no traffic must stay readable).  ``sync_salt``
+    mixes per-file entropy into the sync marker (see ``_sync_marker``);
+    the default keeps a bare call byte-reproducible."""
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported Avro codec {codec!r}")
     field_types = [f["type"] for f in schema["fields"]]
@@ -194,7 +207,7 @@ def write_container(
         _write_bytes(header, k.encode())
         _write_bytes(header, v)
     _write_long(header, 0)  # end of metadata map
-    sync = _sync_marker(schema)
+    sync = _sync_marker(schema, sync_salt)
     header.write(sync)
     out.write(header.getvalue())
 
@@ -377,7 +390,8 @@ def avro_write(df, out_dir: str, codec: str = "null") -> int:
 
     def encode_partition(batches):
         sch = json.loads(schema_json)
-        path = os.path.join(attempt, f"part-{uuid.uuid4().hex}.avro")
+        part = uuid.uuid4().hex
+        path = os.path.join(attempt, f"part-{part}.avro")
 
         def rows():
             for batch in batches:
@@ -389,7 +403,12 @@ def avro_write(df, out_dir: str, codec: str = "null") -> int:
                 yield from zip(*cols)
 
         with open(path, "wb") as fh:
-            n = write_container(fh, sch, rows(), codec=codec)
+            # per-file marker entropy: the part uuid (r9 advice — a
+            # schema-only marker recurs in any same-schema container
+            # bytes a payload might embed, confusing the split scan)
+            n = write_container(
+                fh, sch, rows(), codec=codec, sync_salt=part.encode()
+            )
         yield pa.RecordBatch.from_pydict({"path": [path], "n": [n]})
 
     results = df.mapInArrow(
@@ -540,15 +559,25 @@ def _assemble_batch(columns: dict, n_rows: int, arrow_schema):
     (never float64-widened), NaN stays distinct from null in doubles,
     and ntz wall micros become timestamp('us') by unit interpretation;
     INSTANT columns are micros longs here and become TimestampType
-    JVM-side."""
+    JVM-side.
+
+    Reader nullability is enforced on VALUES here, not just on missing
+    fields (r9 advice): a writer field that exists but carries NULLs
+    would otherwise flow into a NOT NULL reader column unchecked —
+    Spark does not re-validate an Arrow batch against the declared
+    schema, and null-aware optimizations can then miscompute."""
     import pyarrow as pa
 
-    arrays = [
-        pa.array(
-            columns.get(f.name, [None] * n_rows), type=f.type
-        )
-        for f in arrow_schema
-    ]
+    arrays = []
+    for f in arrow_schema:
+        arr = pa.array(columns.get(f.name, [None] * n_rows), type=f.type)
+        if not f.nullable and arr.null_count:
+            raise ValueError(
+                f"Avro data carries NULL in field {f.name!r} declared "
+                "NOT NULL by the reader schema — fix the declaration or "
+                "quarantine the file"
+            )
+        arrays.append(arr)
     return pa.RecordBatch.from_arrays(
         arrays, names=[f.name for f in arrow_schema]
     )
@@ -613,6 +642,8 @@ def _stream_varint(fh, eof_ok: bool = False) -> int | None:
         if not b[0] & 0x80:
             return _unzigzag(acc)
         shift += 7
+        if shift > 63:  # the _read_long 10-byte cap, stream-side
+            raise ValueError("Avro varint longer than 10 bytes (corrupt)")
 
 
 def _read_header(fh) -> tuple[dict, str, bytes, int]:
@@ -726,9 +757,13 @@ def avro_scan_split(
     ranges is exactly the file — same rows as ``avro_scan``
     (test-pinned equality), but a single 10 GB container becomes ~80
     parallel tasks instead of one straggler.  Headers are read once per
-    file at planning time (driver, header bytes only).  Local/shared
-    filesystem paths; on a real cluster the same ownership rule rides
-    the storage client instead of ``open()``."""
+    file at planning time (driver, header bytes only).  Writer/reader
+    schema RESOLUTION matches the whole-file scan (extra writer fields
+    dropped, nullable reader fields the writer lacks null-filled, a
+    missing non-nullable field refused at planning time) — an evolving
+    bronze zone keeps split scanning.  Local/shared filesystem paths;
+    on a real cluster the same ownership rule rides the storage client
+    instead of ``open()``."""
     from pyspark.sql import functions as F
 
     listing = (
@@ -741,7 +776,7 @@ def avro_scan_split(
     )  # bounded: one row per landing file, content never loaded
     from pyspark.sql.pandas.types import to_arrow_schema
 
-    _target, names, instant, ntz, _nullable, internal = _target_info(
+    _target, names, instant, ntz, nullable, internal = _target_info(
         spark, spark_schema
     )
     arrow_schema = to_arrow_schema(internal)
@@ -755,41 +790,53 @@ def avro_scan_split(
         with open(local, "rb") as fh:
             schema, codec, sync, first = _read_header(fh)
         got = [f["name"] for f in schema["fields"]]
-        if got != names:
+        # the same writer/reader RESOLUTION as the whole-file scan (r9
+        # verdict residual #1: an evolving bronze zone must not lose
+        # split scanning): extra writer fields decode and drop, reader
+        # fields the writer lacks null-fill when nullable, a missing
+        # NON-nullable field refuses — validated per file at planning
+        # time so the job fails before any task runs
+        hard = [n for n in names if n not in got and not nullable[n]]
+        if hard:
             raise ValueError(
-                f"Avro file fields {got} != expected {names} "
-                f"({local!r}; use avro_scan for schema resolution)"
+                f"Avro writer schema lacks non-nullable reader "
+                f"field(s) {hard} (writer fields: {got}; {local!r})"
             )
         _check_ts_kinds(schema["fields"], instant, ntz)
         ftypes = json.dumps([f["type"] for f in schema["fields"]])
+        fnames = json.dumps(got)
         # ranges cover [header_end - 16, file_end): the first block's
         # sync marker IS the header's trailing marker, so range 0 must
         # own it
         lo = first - 16
         while lo < row["length"]:
             hi = min(lo + split_bytes, row["length"])
-            tasks.append((local, lo, hi, ftypes, codec, sync))
+            tasks.append((local, lo, hi, ftypes, fnames, codec, sync))
             lo = hi
     if not tasks:
         return spark.createDataFrame([], spark_schema)
     splits = spark.createDataFrame(
         tasks,
         "path string, start long, end long, ftypes string, "
-        "codec string, sync binary",
+        "fnames string, codec string, sync binary",
     ).repartition(len(tasks))
 
     def decode(batches):
         for batch in batches:
             for t in zip(*[c.to_pylist() for c in batch.columns]):
-                path_, start_, end_, ftypes_, codec_, sync_ = t
+                path_, start_, end_, ftypes_, fnames_, codec_, sync_ = t
                 rows = list(
                     _range_rows(
                         path_, int(start_), int(end_),
                         json.loads(ftypes_), codec_, bytes(sync_),
                     )
                 )
+                # columns keyed by WRITER names: the assembler resolves
+                # (extras dropped, nullable missing null-filled) exactly
+                # as the whole-file scan's decode does
                 columns = {
-                    n: [r[i] for r in rows] for i, n in enumerate(names)
+                    n: [r[i] for r in rows]
+                    for i, n in enumerate(json.loads(fnames_))
                 }
                 yield _assemble_batch(columns, len(rows), arrow_schema)
 

@@ -232,6 +232,139 @@ def test_scan_schema_resolution(spark, tmp_path):
         strict.collect()
 
 
+def test_split_scan_schema_resolution(spark, tmp_path):
+    """The split scanner resolves writer vs reader schemas exactly like
+    the whole-file scan (r9 verdict residual: an evolving bronze zone
+    must not lose split scanning) — at sub-block, block-ish and
+    whole-file split sizes; a missing non-nullable field refuses at
+    PLANNING time (before any task runs)."""
+    from paas_auditor_spark.sources.avro_io import avro_scan_split
+
+    out = str(tmp_path / "bronze")
+    os.makedirs(out)
+    wide = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "extra", "type": "string"},
+            {"name": "s", "type": ["null", "string"]},
+        ],
+    }
+    with open(os.path.join(out, "a.avro"), "wb") as fh:
+        write_container(
+            fh, wide,
+            iter([(i, f"drop-{i}", f"x{i}") for i in range(500)]),
+            block_rows=37,
+        )
+    narrow = {
+        "type": "record", "name": "r",
+        "fields": [{"name": "id", "type": "long"}],
+    }
+    with open(os.path.join(out, "b.avro"), "wb") as fh:
+        write_container(
+            fh, narrow, iter([(i,) for i in range(500, 600)]),
+            block_rows=37,
+        )
+
+    want = sorted(
+        [(i, f"x{i}") for i in range(500)]
+        + [(i, None) for i in range(500, 600)]
+    )
+    for split in (200, 2048, 10**9):
+        back = avro_scan_split(
+            spark, out, "id long, s string", split_bytes=split
+        )
+        got = sorted((r["id"], r["s"]) for r in back.collect())
+        assert got == want, f"split={split}"
+
+    with pytest.raises(Exception, match="non-nullable reader field"):
+        # planning-time refusal: no .collect() needed
+        avro_scan_split(spark, out, "id long, s string not null")
+
+
+def test_null_values_refused_for_not_null_reader(spark, tmp_path):
+    """A writer field that EXISTS but carries NULLs must not flow into
+    a NOT NULL reader column (r9 advice: Spark does not re-validate an
+    Arrow batch against the declared schema) — both scan shapes."""
+    from paas_auditor_spark.sources.avro_io import avro_scan_split
+
+    out = str(tmp_path / "bronze")
+    os.makedirs(out)
+    schema = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+        ],
+    }
+    with open(os.path.join(out, "a.avro"), "wb") as fh:
+        write_container(fh, schema, iter([(1, "x"), (2, None)]))
+
+    for df in (
+        avro_scan(spark, out, "id long, s string not null"),
+        avro_scan_split(spark, out, "id long, s string not null"),
+    ):
+        with pytest.raises(Exception, match="declared\\s+NOT NULL"):
+            df.collect()
+
+
+def test_varint_cap_fails_fast():
+    """Corrupt continuation bytes must raise at the 10-byte varint cap
+    (r9 advice), not grow an unbounded Python int until a later length
+    check trips."""
+    import io as _io
+
+    from paas_auditor_spark.sources.avro_io import (
+        _read_long,
+        _stream_varint,
+    )
+
+    corrupt = b"\xff" * 64
+    with pytest.raises(ValueError, match="10 bytes"):
+        _read_long(memoryview(corrupt), 0)
+    with pytest.raises(ValueError, match="10 bytes"):
+        _stream_varint(_io.BytesIO(corrupt))
+
+
+def test_per_file_sync_markers(spark, tmp_path):
+    """avro_write salts each part file's sync marker with its uuid (r9
+    advice): same-schema files carry DISTINCT markers, so a bronze zone
+    re-ingesting its own container bytes into a bytes column can no
+    longer reproduce a file's own marker non-adversarially.  The split
+    scan must still read the salted files (marker comes from the
+    header) — including a file whose payload EMBEDS a whole same-schema
+    container."""
+    from paas_auditor_spark.sources.avro_io import (
+        _read_header,
+        avro_scan_split,
+    )
+
+    zone_a = str(tmp_path / "a")
+    df = spark.createDataFrame(
+        [(i, bytes([i % 7]) * 3) for i in range(100)], "id long, b binary"
+    ).repartition(3)
+    avro_write(df, zone_a)
+    job = os.path.join(zone_a, [d for d in os.listdir(zone_a)][0])
+    markers = set()
+    for f in os.listdir(job):
+        if f.endswith(".avro"):
+            with open(os.path.join(job, f), "rb") as fh:
+                markers.add(_read_header(fh)[2])
+    assert len(markers) == 3  # one distinct marker per part file
+
+    # re-ingest one whole container as a payload of a same-schema zone
+    inner = sorted(os.listdir(job))[0]
+    with open(os.path.join(job, inner), "rb") as fh:
+        blob = fh.read()
+    zone_b = str(tmp_path / "b")
+    df2 = spark.createDataFrame([(999, blob)], "id long, b binary")
+    avro_write(df2, zone_b)
+    back = avro_scan_split(spark, zone_b, "id long, b binary",
+                           split_bytes=512)
+    got = back.collect()
+    assert len(got) == 1 and bytes(got[0]["b"]) == blob
+
+
 def test_avro_stream_ingests_landing_zone(spark, tmp_path):
     """Streaming bronze ingestion e2e: Avro container files dropped
     into the landing zone flow through avro_stream (binaryFile file
