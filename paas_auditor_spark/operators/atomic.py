@@ -461,15 +461,18 @@ def compact_batches(
     ``transform`` (optional, ``fn(part_name, df) -> df``) maps each
     part's unioned rows before the rewrite — the hook the tombstone
     machinery uses to PHYSICALLY drop deleted rows at fold time
-    (``apply_tombstones_fold``).  Two contract points: the transform
-    must be deterministic and row-filtering only (never fabricate
-    rows — replay floors still suppress re-commits of FOLDED ids, so
-    an invented row has no batch to belong to), and correctness must
+    (``apply_tombstones_fold``) and the MinHash gate uses to
+    materialize its global collapse (``minhash_fold``).  Two contract
+    points: the transform must be deterministic and must never
+    FABRICATE rows (replay floors still suppress re-commits of FOLDED
+    ids, so an invented row has no batch to belong to — dropping rows
+    and rewriting/adding COLUMNS are both fine), and correctness must
     NEVER depend on it having run: a batch rescued by
     ``_rescue_unfolded`` after the pointer flip rides into the new
     generation UNTRANSFORMED, so read paths keep applying the same
     filter read-time (for tombstones: the anti-join, idempotent over
-    already-removed rows)."""
+    already-removed rows; for fold-added columns: treat absent/NULL as
+    not-yet-folded)."""
     root = collector_root(path)
     if protocol == "marker":
         # fold (and floor!) only batches with a COMMITTED (non-empty)
@@ -560,7 +563,13 @@ def compact_batches(
         for part in parts:
             srcs = [os.path.join(d, part) if part else d for d in data_dirs]
             dst = os.path.join(batch_dir, part) if part else batch_dir
-            df = spark.read.parquet(*srcs)
+            # mergeSchema: folding a TRANSFORMED generation (which may
+            # carry fold-added columns) together with raw later batches
+            # mixes schemas — without the merge Spark infers from one
+            # arbitrary file and silently drops the other shape's
+            # columns; on uniform-schema families the option is an
+            # identity
+            df = spark.read.option("mergeSchema", "true").parquet(*srcs)
             if transform is not None:
                 df = transform(part, df)
             (

@@ -288,6 +288,7 @@ def _pairs_from_banded(
     id_col: str,
     self_join: bool,
     max_bucket: int | None,
+    cap_r: bool = True,
 ) -> DataFrame:
     """Candidate pairs from banded tables via the (band_id, band_hash)
     equi-join, unique WITHOUT a ``.distinct()``: a pair is kept only in
@@ -306,9 +307,20 @@ def _pairs_from_banded(
 
     For a self-join both sides are the SAME capped plan, so Spark reuses
     one Exchange (the banded table shuffles once, shared by the
-    occupancy window and both join sides)."""
+    occupancy window and both join sides).
+
+    ``cap_r=False`` means the right side arrives PRE-capped (the
+    persisted gate's materialized-occupancy path: a window over an
+    index-sized relation per probe is exactly what the fold-time
+    ``_occ`` column exists to avoid) — the occupancy semantics are the
+    caller's responsibility there, equality-pinned against this
+    window."""
     banded_l = _cap_buckets(banded_l, max_bucket)
-    banded_r = banded_l if self_join else _cap_buckets(banded_r, max_bucket)
+    banded_r = (
+        banded_l
+        if self_join
+        else (_cap_buckets(banded_r, max_bucket) if cap_r else banded_r)
+    )
     on = [
         F.col("l.band_id") == F.col("r.band_id"),
         F.col("l.band_hash") == F.col("r.band_hash"),
@@ -709,6 +721,7 @@ def _incremental_gate(
     shingle_k: int,
     max_bucket: int | None,
     hash_fn: str = "xxhash64",
+    idx_precapped: bool = False,
 ) -> DataFrame:
     """The shared gate core (r9 review: the in-memory and persisted
     gates had drifted into copies): NEW documents collapsed, banded and
@@ -716,18 +729,22 @@ def _incremental_gate(
     candidates exact-verified against the two sides' own sets relations,
     both sides fanned back out through their memberships.  The index
     side arrives pre-collapsed (``banded_idx``/``idx_rep_sets`` hold
-    representatives only, ``m_idx`` maps every index id to its rep), so
-    occupancy caps count DISTINCT contents on both sides regardless of
-    where the index came from.  ``hash_fn`` MUST match the hash the
-    index side was shingled with (band keys from different hash
-    families would silently never match)."""
+    representatives only — or a superset keyed so only representatives
+    can be candidate partners, ``m_idx`` maps every index id to its
+    rep), so occupancy caps count DISTINCT contents on both sides
+    regardless of where the index came from.  ``idx_precapped`` skips
+    the index-side occupancy window (the materialized-``_occ`` probe
+    path).  ``hash_fn`` MUST match the hash the index side was shingled
+    with (band keys from different hash families would silently never
+    match)."""
     new_sets = hashed_shingle_sets(
         new_df, text_col, id_col, shingle_k, hash_fn
     ).localCheckpoint(eager=False)
     m_new, rep_new = _collapse_identical_sets(new_sets, id_col)
     banded_new = _banded_from_sets(rep_new, id_col, num_hashes, num_bands)
     cands = _pairs_from_banded(
-        banded_new, banded_idx, id_col, self_join=False, max_bucket=max_bucket
+        banded_new, banded_idx, id_col, self_join=False,
+        max_bucket=max_bucket, cap_r=not idx_precapped,
     )
     verified = jaccard_pairs_hashed(
         rep_new, cands, id_col, sets_b=idx_rep_sets
@@ -892,20 +909,29 @@ def minhash_index_collector(
       matching almost no band keys (r9 review);
     - ``sets``: (id, hset, _ckey) — the hashed shingle sets the
       exact-Jaccard verify touches only for candidate representative
-      ids, plus the 128-bit content key, so the probe rebuilds the
-      GLOBAL identical-content collapse from a column-pruned (id, _ckey)
-      scan — hset bytes never read for it (r9 review: without a stored
+      ids, plus the 128-bit content key (r9 review: without a stored
       key, cross-batch duplicate contents would band uncollapsed and the
       occupancy cap would count copies instead of distinct contents,
       silently dropping a flooded page's buckets exactly where the
-      in-memory gate keeps them).
+      in-memory gate keeps them);
+    - ``collapse``: (id, _ckey, _rep, _global=false) — the identical-
+      content membership relation, batch-LOCAL at write time
+      (``_rep`` = min id within the batch's own rows) and rewritten to
+      the GLOBAL collapse by ``minhash_fold`` (``_global=true``), so a
+      probe never re-aggregates the whole index per gate call (r9
+      verdict: the per-probe index-wide ``groupBy(_ckey)`` was the
+      gate's scale ceiling at the reference's 15 s shipper cadence);
+      the probe reconciles only the DELTA — batches committed since the
+      last fold — plus tombstone-touched groups, both O(delta).
 
-    Two parts in one commit because a batch whose bands landed without
+    Three parts in one commit because a batch whose bands landed without
     its sets would emit candidates that can never verify (silently
     dropped pairs) — the torn state the whole-batch commit exists to
     prevent.  Ids must be append-only across batches (the postings
     contract).  Replay of a committed batch id writes nothing.
-    Compacts with ``compact_batches(parts=("bands", "sets"))``.
+    Compacts with ``minhash_fold`` (the collapse-materializing fold);
+    a generic ``compact_batches(parts=("collapse", "bands", "sets"))``
+    also stays correct — the probe treats un-rewritten rows as delta.
 
     Parameter drift is refused at WRITE time: before a new batch lands,
     the hook probes the existing index's stored (num_hashes, num_bands,
@@ -945,12 +971,28 @@ def minhash_index_collector(
                     )
             sets_df = hashed_shingle_sets(
                 batch_df, text_col, id_col, shingle_k, hash_fn
-            ).localCheckpoint(eager=False)  # tokenize+hash once, 2 writes
+            ).localCheckpoint(eager=False)  # tokenize+hash once, 3 writes
             sets_df.select(
                 F.col(id_col),
                 F.col("hset"),
                 _content_key(F.col("hset")).alias("_ckey"),
             ).write.parquet(f"{tmp}/sets")
+            # batch-LOCAL collapse: one batch-sized groupBy at WRITE
+            # time (amortized over ingestion) so the probe never pays it
+            slim = sets_df.select(
+                F.col(id_col), _content_key(F.col("hset")).alias("_ckey")
+            )
+            reps = slim.groupBy("_ckey").agg(F.min(id_col).alias("_rep"))
+            (
+                slim.join(reps, "_ckey")
+                .select(
+                    F.col(id_col),
+                    F.col("_ckey"),
+                    F.col("_rep"),
+                    F.lit(False).alias("_global"),
+                )
+                .write.parquet(f"{tmp}/collapse")
+            )
             (
                 _banded_from_sets(sets_df, id_col, num_hashes, num_bands)
                 .withColumn("num_hashes", F.lit(num_hashes))
@@ -962,6 +1004,109 @@ def minhash_index_collector(
         commit(path, batch_id, write)
 
     return write_batch
+
+
+def minhash_fold(
+    spark,
+    path: str,
+    id_col: str = "doc_id",
+    tombstone_path: str | None = None,
+    protocol: str = "rename",
+    target_files: int = 1,
+    defer_delete: bool = False,
+) -> int:
+    """The MinHash gate index's maintenance fold: generic compaction
+    PLUS materialization of the probe's two global artifacts (r9
+    verdict task #1 — the per-probe index-wide ``groupBy(_ckey)`` was
+    the gate's scale ceiling at the reference's 15 s shipper cadence,
+    ``pkg/shippers/cf_audit_events_to_splunk_shipper.go:104``):
+
+    - ``collapse``: ``_rep`` rewritten from batch-local to the GLOBAL
+      min id per content key and ``_global`` set true — the probe reads
+      membership instead of re-aggregating it;
+    - ``bands``: ``_is_rep`` (this row's id is its group's global rep —
+      the probe's representative restriction becomes a parquet FILTER,
+      not a join) and ``_occ`` (the bucket's representative occupancy —
+      the probe's hot-bucket cap becomes a per-row comparison, not an
+      index-wide window).
+
+    ``tombstone_path`` additionally drops doomed rows physically (the
+    ``apply_tombstones_fold`` semantics) BEFORE the collapse, so
+    representation shifts to surviving members on disk.  Correctness
+    never depends on this fold having run: un-rewritten rows (new
+    batches, rescued batches) read as DELTA and the probe reconciles
+    them in O(delta) — the fold only moves work from every probe to
+    one maintenance job.  Single-writer contract as ``compact_batches``.
+    Returns the number of batch dirs folded."""
+    from paas_auditor_spark.operators.atomic import (
+        compact_batches,
+        tombstone_ids,
+    )
+
+    dead = None
+    if tombstone_path is not None:
+        doomed = tombstone_ids(spark, tombstone_path, protocol)
+        if doomed is not None:
+            dead = doomed.withColumnRenamed("id", id_col)
+    state: dict[str, DataFrame] = {}
+
+    def tf(part: str, df: DataFrame) -> DataFrame:
+        if dead is not None:
+            df = df.join(dead, id_col, "left_anti")
+        if part == "collapse":
+            slim = df.select(F.col(id_col), F.col("_ckey"))
+            reps = slim.groupBy("_ckey").agg(F.min(id_col).alias("_rep"))
+            out = (
+                slim.join(reps, "_ckey")
+                .select(
+                    F.col(id_col),
+                    F.col("_ckey"),
+                    F.col("_rep"),
+                    F.lit(True).alias("_global"),
+                )
+                .localCheckpoint(eager=False)  # collapse write + bands flag
+            )
+            state["rep_ids"] = out.filter(
+                F.col(id_col) == F.col("_rep")
+            ).select(id_col)
+            return out
+        if part == "bands":
+            rep_ids = state.get("rep_ids")
+            if rep_ids is None:
+                raise ValueError(
+                    "minhash_fold: parts must fold 'collapse' before "
+                    "'bands' (the band flags derive from the collapse)"
+                )
+            # drop any prior fold's columns before re-deriving: a
+            # re-fold over gen-N's batch-0 plus raw later batches sees
+            # both shapes through the mergeSchema read
+            df = df.drop("_is_rep", "_occ")
+            flagged = (
+                df.join(rep_ids.withColumn("_r", F.lit(True)), id_col, "left")
+                .withColumn("_is_rep", F.coalesce(F.col("_r"), F.lit(False)))
+                .drop("_r")
+            )
+            occ = (
+                flagged.filter(F.col("_is_rep"))
+                .groupBy("band_id", "band_hash")
+                .agg(F.count(F.lit(1)).alias("_bocc"))
+            )
+            return (
+                flagged.join(occ, ["band_id", "band_hash"], "left")
+                .withColumn("_occ", F.coalesce(F.col("_bocc"), F.lit(0)))
+                .drop("_bocc")
+            )
+        return df  # sets: tombstone drop only
+
+    return compact_batches(
+        spark,
+        path,
+        parts=("collapse", "bands", "sets"),
+        protocol=protocol,
+        target_files=target_files,
+        defer_delete=defer_delete,
+        transform=tf,
+    )
 
 
 def minhash_incremental_persisted(
@@ -981,31 +1126,39 @@ def minhash_incremental_persisted(
 ) -> DataFrame:
     """Ingestion-time near-dup gate against a PERSISTED band index —
     the deployment shape of ``minhash_near_duplicates_incremental``:
-    the corpus is never re-shingled at gate time; the index-side
-    identical-content collapse is rebuilt from the stored 128-bit keys
-    (a column-pruned (id, _ckey) scan — hset bytes untouched), the new
-    batch's banded rows equi-join the stored REPRESENTATIVE band rows,
-    and only candidate representatives' stored shingle sets are read for
-    the exact verify.  Stored banding parameters are validated against
-    the arguments (mismatch raises instead of silently matching no band
-    keys).  An index with no committed batches yet gates everything
-    through (empty result — the streaming loop's normal first-batch
-    state, not an error).  Returns (id_a=new, id_b=index, jaccard ≥
-    threshold), value-identical to the in-memory incremental operator
-    over the same corpus (equality test-pinned, including through
-    replay and compaction).
+    the corpus is never re-shingled at gate time, and after a
+    ``minhash_fold`` it is never re-AGGREGATED either (r9 verdict: the
+    per-probe global collapse rebuild was an index-sized shuffle per
+    gate call at the reference's 15 s shipper cadence).  The fold
+    materializes the global collapse (``collapse._rep``/``_global``)
+    and the band-side representative flag + bucket occupancy
+    (``bands._is_rep``/``_occ``); the probe then reconciles only the
+    DELTA — batches committed since the last fold, plus tombstone-
+    touched groups — in O(delta) work: delta-keyed aggregations,
+    broadcast-pruned scans of the folded relations, and per-row filter
+    columns where the legacy path paid a global groupBy and an
+    index-wide occupancy window.  Pre-collapse-layout indexes (no
+    ``collapse`` part) keep the legacy full-rebuild path.  Stored
+    banding parameters are validated against the arguments (mismatch
+    raises instead of silently matching no band keys).  An index with
+    no committed batches yet gates everything through (empty result —
+    the streaming loop's normal first-batch state, not an error).
+    Returns (id_a=new, id_b=index, jaccard ≥ threshold),
+    value-identical to the in-memory incremental operator over the
+    same corpus (equality test-pinned, including through replay,
+    folding, and tombstones).
 
     ``tombstone_path`` (optional) points at a ``tombstones_collector``
-    dataset of deleted index ids: tombstoned documents are anti-joined
-    out of the (id, _ckey) relation BEFORE the global collapse, so a
-    deleted doc can neither appear as a gate partner nor remain a
-    group representative — when the min-id member of an
-    identical-content group is deleted, representation shifts to the
-    surviving min id and the group keeps gating (the stored bands
-    cover every id, so the new rep's band rows are already on disk;
-    equality with an index built without the deleted docs is
-    test-pinned).  No-deletes probes keep the anti-join out of the
-    plan entirely."""
+    dataset of deleted index ids: tombstoned documents can neither
+    appear as a gate partner nor remain a group representative — when
+    the min-id member of an identical-content group is deleted,
+    representation shifts to the surviving min id and the group keeps
+    gating (the stored bands cover every id, so the new rep's band
+    rows are already on disk; equality with an index built without
+    the deleted docs is test-pinned).  No-deletes probes keep the
+    anti-join out of the plan entirely."""
+    import os
+
     from paas_auditor_spark.operators.atomic import (
         batch_data_paths,
         tombstone_ids,
@@ -1034,13 +1187,26 @@ def minhash_incremental_persisted(
         )
     banded_idx = banded_idx.drop("num_hashes", "num_bands", "hash_fn")
     idx_sets = spark.read.parquet(*set_paths)
+    dead = None
     if tombstone_path is not None:
         doomed = tombstone_ids(spark, tombstone_path, protocol)
         if doomed is not None:
             dead = doomed.withColumnRenamed("id", id_col)
-            idx_sets = idx_sets.join(dead, id_col, "left_anti")
-    # GLOBAL collapse from the stored content keys: cross-batch duplicate
-    # contents fold to one representative exactly as in-memory
+
+    collapse_paths = batch_data_paths(index_path, protocol, "collapse")
+    if all(os.path.isdir(p) for p in collapse_paths):
+        return _gate_persisted_materialized(
+            spark, collapse_paths, banded_idx, idx_sets, dead, new_df,
+            text_col, id_col, threshold, num_hashes, num_bands,
+            shingle_k, max_bucket, hash_fn,
+        )
+
+    # legacy layout (pre-collapse indexes, or a generic compaction that
+    # folded only bands+sets): rebuild the GLOBAL collapse from the
+    # stored content keys per probe — correct, but index-sized work
+    banded_idx = banded_idx.drop("_is_rep", "_occ")
+    if dead is not None:
+        idx_sets = idx_sets.join(dead, id_col, "left_anti")
     slim = idx_sets.select(F.col(id_col), F.col("_ckey"))
     reps = slim.groupBy("_ckey").agg(F.min(id_col).alias("_rep"))
     m_idx = slim.join(reps, "_ckey").select(F.col(id_col), F.col("_rep"))
@@ -1053,6 +1219,176 @@ def minhash_incremental_persisted(
         new_df, banded_idx_reps, idx_rep_sets, m_idx,
         text_col, id_col, threshold, num_hashes, num_bands, shingle_k,
         max_bucket, hash_fn,
+    )
+
+
+def _gate_persisted_materialized(
+    spark,
+    collapse_paths: list[str],
+    banded_idx: DataFrame,
+    idx_sets: DataFrame,
+    dead: DataFrame | None,
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    num_hashes: int,
+    num_bands: int,
+    shingle_k: int,
+    max_bucket: int | None,
+    hash_fn: str,
+) -> DataFrame:
+    """The post-``minhash_fold`` probe: every index-wide computation the
+    legacy path did per gate call is replaced by the fold's stored
+    columns plus O(delta) reconciliation.
+
+    Definitions: FOLDED rows carry ``_global=true`` (collapse) /
+    non-NULL ``_is_rep``+``_occ`` (bands); everything else is DELTA
+    (new batches since the fold, rescued batches — and the whole index
+    before its first fold, which simply degenerates to legacy-sized
+    work until maintenance runs).  The reconciliation computes, all on
+    delta/tombstone-sized relations:
+
+    - the AFFECTED key set (delta keys ∪ keys of folded groups holding
+      a tombstoned id);
+    - per affected key, the new effective representative (min surviving
+      id across folded members pruned by a broadcast key join and all
+      delta members) vs the folded one → ``rep_added``/``rep_removed``
+      id sets;
+    - the effective representative band relation: folded ``_is_rep``
+      rows minus removed plus added — ONE broadcast left join, a
+      map-side filter over the band scan;
+    - the occupancy cap: untouched buckets compare the stored ``_occ``
+      per row; buckets touched by added/removed reps get an exact
+      corrected total (stored base for those buckets via one broadcast-
+      semi-pruned scan + the signed change count), replacing the
+      index-wide occupancy window (equality with ``_cap_buckets``
+      pinned by the in-memory-twin tests, cap-binding cases included).
+
+    The verify side reads the FULL stored sets relation un-prefiltered:
+    only effective representatives can appear as candidates, so joining
+    candidates by id is value-identical to a rep-only relation and
+    skips the index-wide rep semi-join the legacy path paid.
+    Membership (fan-out) is the stored ``_rep`` with a broadcast
+    override for affected keys — no aggregation."""
+    collapse = spark.read.parquet(*collapse_paths)
+    for col, typ in (("_is_rep", "boolean"), ("_occ", "long")):
+        if col not in banded_idx.columns:  # no fold has run yet
+            banded_idx = banded_idx.withColumn(col, F.lit(None).cast(typ))
+
+    folded = collapse.filter(F.col("_global"))
+    delta = collapse.filter(~F.col("_global"))
+    if dead is not None:
+        delta = delta.join(dead, id_col, "left_anti")
+    delta = delta.localCheckpoint(eager=False)  # keys + members + m_idx
+
+    delta_keys = delta.select("_ckey").distinct()
+    if dead is not None:
+        doomed_keys = (
+            folded.join(dead, id_col, "left_semi").select("_ckey").distinct()
+        )
+        k_aff = delta_keys.unionByName(doomed_keys).distinct()
+    else:
+        k_aff = delta_keys
+    k_aff = k_aff.localCheckpoint(eager=False)
+
+    # folded rows of affected keys only — broadcast-pruned scan
+    folded_aff = folded.join(F.broadcast(k_aff), "_ckey").localCheckpoint(
+        eager=False
+    )
+    old_reps = folded_aff.filter(F.col(id_col) == F.col("_rep")).select(
+        "_ckey", F.col("_rep").alias("_old")
+    )
+    surv = folded_aff
+    if dead is not None:
+        surv = surv.join(dead, id_col, "left_anti")
+    members_aff = surv.select("_ckey", F.col(id_col)).unionByName(
+        delta.select("_ckey", F.col(id_col))
+    )
+    new_reps = members_aff.groupBy("_ckey").agg(
+        F.min(id_col).alias("_new")
+    ).localCheckpoint(eager=False)
+    chg = new_reps.join(old_reps, "_ckey", "full")
+    rep_added = chg.filter(
+        F.col("_new").isNotNull()
+        & (F.col("_old").isNull() | (F.col("_new") != F.col("_old")))
+    ).select(F.col("_new").alias(id_col))
+    rep_removed = chg.filter(
+        F.col("_old").isNotNull()
+        & (F.col("_new").isNull() | (F.col("_new") != F.col("_old")))
+    ).select(F.col("_old").alias(id_col))
+    changes = (
+        rep_added.withColumn("_chg", F.lit(1))
+        .unionByName(rep_removed.withColumn("_chg", F.lit(-1)))
+        .localCheckpoint(eager=False)  # R + occupancy corrections
+    )
+
+    # effective representative band rows: one broadcast left join
+    bands_flagged = banded_idx.join(F.broadcast(changes), id_col, "left")
+    is_rep_now = F.when(
+        F.col("_chg").isNotNull(), F.col("_chg") == 1
+    ).otherwise(F.coalesce(F.col("_is_rep"), F.lit(False)))
+    r_bands = bands_flagged.filter(is_rep_now)
+
+    if max_bucket is not None:
+        if max_bucket < 2:
+            raise ValueError(
+                f"max_bucket={max_bucket} must be >= 2 or None"
+            )
+        # exact corrected occupancy for buckets touched by rep changes
+        chg_rows = banded_idx.join(F.broadcast(changes), id_col)
+        docc = chg_rows.groupBy("band_id", "band_hash").agg(
+            F.sum("_chg").alias("_docc")
+        ).localCheckpoint(eager=False)
+        base = (
+            banded_idx.join(
+                F.broadcast(docc.select("band_id", "band_hash")),
+                ["band_id", "band_hash"],
+                "left_semi",
+            )
+            .filter(F.coalesce(F.col("_is_rep"), F.lit(False)))
+            .groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_base"))
+        )
+        verdict = docc.join(base, ["band_id", "band_hash"], "left").select(
+            "band_id",
+            "band_hash",
+            (
+                (F.coalesce(F.col("_base"), F.lit(0)) + F.col("_docc"))
+                <= F.lit(max_bucket)
+            ).alias("_ok"),
+        )
+        r_bands = r_bands.join(
+            F.broadcast(verdict), ["band_id", "band_hash"], "left"
+        ).filter(
+            F.when(F.col("_ok").isNotNull(), F.col("_ok")).otherwise(
+                F.coalesce(F.col("_occ"), F.lit(0)) <= F.lit(max_bucket)
+            )
+        )
+    r_bands = r_bands.select(
+        F.col(id_col), F.col("band_id"), F.col("band_hash"), F.col("prior")
+    )
+
+    # membership: stored _rep, overridden for affected keys — no agg
+    m_src = folded
+    if dead is not None:
+        m_src = m_src.join(dead, id_col, "left_anti")
+    m_idx = (
+        m_src.unionByName(delta)
+        .join(F.broadcast(new_reps), "_ckey", "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_new"), F.col("_rep")).alias("_rep"),
+        )
+    )
+    return _incremental_gate(
+        new_df,
+        r_bands,
+        idx_sets.select(F.col(id_col), F.col("hset")),
+        m_idx,
+        text_col, id_col, threshold, num_hashes, num_bands, shingle_k,
+        max_bucket, hash_fn,
+        idx_precapped=True,
     )
 
 

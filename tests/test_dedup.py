@@ -682,14 +682,65 @@ def test_minhash_persisted_index_gate_equals_inmemory(spark, tmp_path):
     )
     assert got == want
 
-    # generic compaction of the two-part batches changes nothing
-    assert compact_batches(spark, path, parts=("bands", "sets")) == 2
+    # generic compaction of the three-part batches changes nothing
+    assert compact_batches(
+        spark, path, parts=("collapse", "bands", "sets")
+    ) == 2
     got2 = rows(
         minhash_incremental_persisted(
             spark, path, new, threshold=0.5, num_hashes=24, num_bands=12
         )
     )
     assert got2 == want
+
+    # the MATERIALIZING fold (r10): same values, probe now reads the
+    # stored collapse/flags instead of re-aggregating the index
+    from paas_auditor_spark.operators.dedup import minhash_fold
+
+    assert minhash_fold(spark, path) == 1
+    got3 = rows(
+        minhash_incremental_persisted(
+            spark, path, new, threshold=0.5, num_hashes=24, num_bands=12
+        )
+    )
+    assert got3 == want
+
+    # append MORE batches after the fold: the probe reconciles the
+    # unfolded delta against the folded artifacts — still exact
+    more = [
+        (300 + i, f"entirely fresh subject matter piece {i} about "
+                  f"distributed query engines and storage layers {i}")
+        for i in range(3)
+    ] + [(310, base[0][1])]  # exact copy of doc 100: cross-fold dup group
+    hook(spark.createDataFrame(more, ["doc_id", "text"]), 2)
+    want_after = rows(
+        minhash_near_duplicates_incremental(
+            new,
+            idx1.unionByName(idx2).unionByName(
+                spark.createDataFrame(more, ["doc_id", "text"])
+            ),
+            threshold=0.5, num_hashes=24, num_bands=12,
+        )
+    )
+    got4 = rows(
+        minhash_incremental_persisted(
+            spark, path, new, threshold=0.5, num_hashes=24, num_bands=12
+        )
+    )
+    assert got4 == want_after
+    # 310 is an exact copy of 100 (folded rep): the delta member joins
+    # the folded group and the fan-out covers BOTH members
+    partners_of_1 = {b for a, b, _ in got4 if a == 1}
+    assert {100, 310} <= partners_of_1
+
+    # fold again (fold-over-fold + raw delta through mergeSchema)
+    assert minhash_fold(spark, path) == 2
+    got5 = rows(
+        minhash_incremental_persisted(
+            spark, path, new, threshold=0.5, num_hashes=24, num_bands=12
+        )
+    )
+    assert got5 == want_after
 
     # mismatched banding parameters must raise, not silently miss
     with pytest.raises(ValueError, match="num_hashes"):
@@ -707,15 +758,20 @@ def test_minhash_gate_tombstones_and_rep_shift(spark, tmp_path):
     member of an identical-content group — the group's collapse
     REPRESENTATIVE — must shift representation to the surviving min id
     and keep the group gating (the stored bands cover every id, so the
-    new rep's band rows are already on disk).  apply_tombstones_fold
-    then physically removes the rows; results are unchanged and the
-    raw parquet no longer holds the deleted ids."""
+    new rep's band rows are already on disk).  minhash_fold with the
+    tombstone path then physically removes the rows AND re-materializes
+    the collapse over survivors; results are unchanged and the raw
+    parquet no longer holds the deleted ids.  Run twice: tombstones
+    landing BEFORE any fold (delta-only reconciliation) and AFTER a
+    fold (the folded-rep kill path — the adversarial case for the
+    materialized probe, which must shift representation off the stored
+    _is_rep flags in O(|deletes|))."""
     from paas_auditor_spark.operators.atomic import (
-        apply_tombstones_fold,
         batch_data_paths,
         tombstones_collector,
     )
     from paas_auditor_spark.operators.dedup import (
+        minhash_fold,
         minhash_incremental_persisted,
         minhash_index_collector,
         minhash_near_duplicates_incremental,
@@ -762,6 +818,11 @@ def test_minhash_gate_tombstones_and_rep_shift(spark, tmp_path):
     assert {b for _, b, _ in full} == {100, 101, 102, 200}
     assert gate(tombstone_path=tomb) == full  # empty tombstones: no-op
 
+    # FOLD FIRST, then delete: the folded-rep kill path — the probe
+    # must shift representation off the stored _is_rep flags
+    assert minhash_fold(spark, path) == 2
+    assert gate(tombstone_path=tomb) == full  # fold alone: no change
+
     # delete the group REP (100) and the fox doc (200)
     tombstones_collector(tomb)(
         spark.createDataFrame([(100,), (200,)], "doc_id long"), 0
@@ -774,10 +835,9 @@ def test_minhash_gate_tombstones_and_rep_shift(spark, tmp_path):
 
     # physical removal at fold time: raw sets no longer hold 100/200,
     # the gate result is unchanged, and a read WITHOUT the tombstone
-    # path now matches too
-    assert apply_tombstones_fold(
-        spark, path, tomb, parts=("bands", "sets")
-    ) == 2
+    # path now matches too (the collapse was re-materialized over
+    # survivors, so 101 is now the stored representative)
+    assert minhash_fold(spark, path, tombstone_path=tomb) == 1
     stored = {
         r["doc_id"]
         for r in spark.read.parquet(
@@ -785,6 +845,12 @@ def test_minhash_gate_tombstones_and_rep_shift(spark, tmp_path):
         ).collect()
     }
     assert stored == {101, 102, 201}
+    collapse = spark.read.parquet(
+        *batch_data_paths(path, "rename", "collapse")
+    ).collect()
+    reps = {r["doc_id"]: r["_rep"] for r in collapse}
+    assert reps[101] == 101 and reps[102] == 101  # shifted on disk
+    assert all(r["_global"] for r in collapse)
     assert gate(tombstone_path=tomb) == pruned
     assert gate() == pruned
 
@@ -949,3 +1015,137 @@ def test_minhash_gate_pre_upgrade_index_extended(spark, tmp_path):
             spark, path, new,
             threshold=0.5, num_hashes=24, num_bands=12, hash_fn="md5",
         ).collect()
+
+
+def _walk_logical(node):
+    yield node
+    for i in range(node.children().size()):
+        yield from _walk_logical(node.children().apply(i))
+
+
+def _index_scan_violations(node, index_path, have_join=False):
+    """Index-file LogicalRelations reachable from ``node`` WITHOUT
+    passing a Join — the shape of an index-wide aggregation (the fix's
+    'done' criterion: every aggregate touching index files must sit
+    above a pruning join, never directly over the bare relation)."""
+    name = node.getClass().getSimpleName()
+    if name == "LogicalRelation" and not have_join:
+        try:
+            paths = node.relation().location().rootPaths().mkString(",")
+        except Exception:
+            paths = ""
+        if index_path in paths:
+            yield paths
+    if "Join" in name:
+        have_join = True
+    for i in range(node.children().size()):
+        yield from _index_scan_violations(
+            node.children().apply(i), index_path, have_join
+        )
+
+
+def test_minhash_folded_probe_has_no_indexwide_aggregation(
+    spark, tmp_path
+):
+    """r9 verdict task #1's DONE criterion, plan-asserted: after
+    minhash_fold, the persisted gate's probe plan contains (a) NO
+    Window over the index relations at all — the occupancy cap reads
+    the stored _occ column instead of re-windowing the bands — and
+    (b) no Aggregate DIRECTLY over a bare index relation: every
+    aggregate whose subtree reads index files sits above a
+    (broadcast-pruned) Join, so its input is delta/tombstone-sized,
+    never index-sized.  (Delta-side aggregations behind lazy
+    localCheckpoints are delta-sized by construction — the checkpoint
+    inputs are the _global=false filter or pruning joins.)"""
+    from paas_auditor_spark.operators.dedup import (
+        minhash_fold,
+        minhash_incremental_persisted,
+        minhash_index_collector,
+    )
+
+    path = str(tmp_path / "mh_idx")
+    docs = spark.createDataFrame(
+        [
+            (100 + i,
+             f"the quick brown fox number {i} jumps over the lazy dog "
+             f"near the river bank today in document {i}")
+            for i in range(20)
+        ],
+        ["doc_id", "text"],
+    )
+    hook = minhash_index_collector(path, num_hashes=24, num_bands=12)
+    hook(docs, 0)
+    assert minhash_fold(spark, path) == 1
+    new = spark.createDataFrame(
+        [(1, docs.collect()[0]["text"] + " extra")], ["doc_id", "text"]
+    )
+    df = minhash_incremental_persisted(
+        spark, path, new, threshold=0.5, num_hashes=24, num_bands=12
+    )
+    assert df.count() > 0  # the probe really gates
+
+    plan = df._jdf.queryExecution().optimizedPlan()
+    for node in _walk_logical(plan):
+        name = node.getClass().getSimpleName()
+        if name == "Window":
+            # ANY index relation under a Window is the banned
+            # occupancy window, join-pruned or not
+            bad = [
+                p
+                for n2 in _walk_logical(node)
+                if n2.getClass().getSimpleName() == "LogicalRelation"
+                for p in [n2.relation().location().rootPaths().mkString(",")]
+                if path in p
+            ]
+            assert not bad, f"Window over index relation(s): {bad}"
+        if name == "Aggregate":
+            bad = list(_index_scan_violations(node, path))
+            assert not bad, (
+                f"Aggregate directly over bare index relation(s): {bad}"
+            )
+
+
+def test_minhash_gate_legacy_layout_without_collapse(spark, tmp_path):
+    """Indexes written BEFORE the collapse part existed (r10) must keep
+    probing through the legacy full-rebuild path — simulated by
+    deleting the collapse dirs from a fresh index."""
+    import shutil
+
+    from paas_auditor_spark.operators.dedup import (
+        minhash_incremental_persisted,
+        minhash_index_collector,
+        minhash_near_duplicates_incremental,
+    )
+
+    path = str(tmp_path / "mh_idx")
+    docs = spark.createDataFrame(
+        [
+            (100 + i,
+             f"the quick brown fox number {i} jumps over the lazy dog "
+             f"near the river bank today in document {i}")
+            for i in range(6)
+        ] + [(200, "the quick brown fox number 0 jumps over the lazy dog "
+                   "near the river bank today in document 0")],
+        ["doc_id", "text"],  # 200 = exact copy of 100: collapse matters
+    )
+    hook = minhash_index_collector(path, num_hashes=24, num_bands=12)
+    hook(docs, 0)
+    shutil.rmtree(f"{path}/batch-0/collapse")
+
+    new = spark.createDataFrame(
+        [(1, docs.collect()[0]["text"] + " extra")], ["doc_id", "text"]
+    )
+    want = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_near_duplicates_incremental(
+            new, docs, threshold=0.5, num_hashes=24, num_bands=12
+        ).collect()
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_incremental_persisted(
+            spark, path, new, threshold=0.5, num_hashes=24, num_bands=12
+        ).collect()
+    )
+    assert got == want
+    assert {100, 200} <= {b for _, b, _ in got}  # legacy collapse fan-out
