@@ -148,6 +148,7 @@ HEADLINE = [
     "bootstrap_se",
     "rolling_distinct_users",
     "hll_overlap",
+    "hll_overlap_md5",
     "embedding_covariance",
     "pca_projection",
     "embedding_isotropy",

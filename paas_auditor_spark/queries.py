@@ -7043,6 +7043,74 @@ def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("type_a", "type_b")
 
 
+def q_hll_overlap_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The overlap composition's CLOSED-FORM twin (r9 verdict task #6 —
+    the minhash_md5 convention applied to the sketch family): the same
+    pipeline shape as ``hll_overlap`` — per-segment bounded mergeable
+    summary, k² pair cross, union evaluated summary-side, inclusion–
+    exclusion |A∩B| = |A| + |B| − |A∪B| — but the summary is a
+    DETERMINISTIC fixed-rate hash sample (a bottom-sketch: the sorted
+    set of user ids whose md5 falls in 1/8 of the hash space) instead
+    of a Datasketches HLL, so every byte is engine-independent and the
+    oracle replays the merge and the inclusion–exclusion arithmetic
+    EXACTLY.  The flagship keeps HLL (estimates are engine-specific,
+    accuracy pytest-pinned); this twin certifies the composition."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    sampled = ev.where(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        % 8
+        == 0
+    )
+    sk = sampled.groupBy("event_type").agg(
+        F.array_sort(F.collect_set("user_id")).alias("sk")
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a")
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b")
+    )
+    pairs = a.crossJoin(F.broadcast(b)).where(
+        F.col("type_a") < F.col("type_b")
+    )
+    est_a = F.size("sk_a").cast("long")
+    est_b = F.size("sk_b").cast("long")
+    est_u = F.size(F.array_union("sk_a", "sk_b")).cast("long")
+    return pairs.select(
+        "type_a",
+        "type_b",
+        est_a.alias("est_a"),
+        est_b.alias("est_b"),
+        (est_a + est_b - est_u).alias("est_overlap"),
+    ).orderBy("type_a", "type_b")
+
+
+ORACLE_HLL_OVERLAP_MD5 = """
+WITH s AS (
+  SELECT DISTINCT event_type, user_id FROM events
+  WHERE user_id IS NOT NULL
+    AND CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
+             AS BIGINT) % 8 = 0),
+c AS (SELECT event_type, count(*) AS n FROM s GROUP BY event_type),
+i AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS ov
+  FROM s a JOIN s b USING (user_id)
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+       ca.n AS est_a, cb.n AS est_b,
+       coalesce(i.ov, 0) AS est_overlap
+FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type
+ORDER BY type_a, type_b
+"""
+
+
 def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population covariance of the 64-dim embedding column as 2080
     upper-triangle (i, j, cov) rows (operators/pca.py) — one narrow
@@ -7599,8 +7667,14 @@ _BM25_ORACLE = _bm25_oracle()
 def _minhash_index_cached(spark: SparkSession, sf_dir: str) -> str:
     """Build-or-reuse the persisted MinHash band index
     (operators/dedup.py:minhash_index_collector) over the documents with
-    doc_id ≥ 100 — two collector batches, the streaming-ingest shape."""
-    from paas_auditor_spark.operators.dedup import minhash_index_collector
+    doc_id ≥ 100 — two collector batches, the streaming-ingest shape,
+    then ``minhash_fold``: the official probe measures the DEPLOYMENT
+    plan (stored collapse + band flags, no index-wide aggregation per
+    gate call — r9 verdict task #1)."""
+    from paas_auditor_spark.operators.dedup import (
+        minhash_fold,
+        minhash_index_collector,
+    )
 
     def build(tmp):
         hook = minhash_index_collector(tmp, num_hashes=24, num_bands=12)
@@ -7608,12 +7682,13 @@ def _minhash_index_cached(spark: SparkSession, sf_dir: str) -> str:
         half = F.col("doc_id") % 2
         hook(docs.filter(half == 0), 0)
         hook(docs.filter(half == 1), 1)
+        minhash_fold(spark, tmp)
 
     return _cached_artifact(
-        # mhidx2: cache-key bump — r9 review added stored content keys
-        # and banding parameters to the index format; stale mhidx1
-        # artifacts lack the columns the probe now reads/validates
-        "mhidx2:" + _src_ident(sf_dir, "documents"),
+        # mhidx3: cache-key bump — r10 adds the collapse part and the
+        # fold-materialized _rep/_is_rep/_occ artifacts; stale mhidx2
+        # artifacts would silently probe through the legacy path
+        "mhidx3:" + _src_ident(sf_dir, "documents"),
         "paas_mh_index_",
         build,
     )
@@ -7669,6 +7744,8 @@ def _minhash_md5_index_cached(spark: SparkSession, sf_dir: str) -> str:
     from paas_auditor_spark.operators.dedup import minhash_index_collector
 
     def build(tmp):
+        from paas_auditor_spark.operators.dedup import minhash_fold
+
         hook = minhash_index_collector(
             tmp, num_hashes=24, num_bands=12, hash_fn="md5"
         )
@@ -7685,9 +7762,14 @@ def _minhash_md5_index_cached(spark: SparkSession, sf_dir: str) -> str:
             ),
             1,
         )
+        # fold WITHOUT the tombstones: the tombstoned query then
+        # exercises the adversarial folded-rep-kill reconciliation —
+        # read-time deletion against materialized _is_rep flags —
+        # under the full cross-engine oracle
+        minhash_fold(spark, tmp)
 
     return _cached_artifact(
-        "mhidxmd5_1:" + _src_ident(sf_dir, "documents"),
+        "mhidxmd5_2:" + _src_ident(sf_dir, "documents"),
         "paas_mh_md5_idx_",
         build,
     )
@@ -11745,6 +11827,7 @@ REGISTRY: dict[str, QuerySpec] = {
     # Datasketches HLL estimates are engine-specific: rows-only, with
     # the overlap-accuracy pytest pinning semantics
     "hll_overlap": QuerySpec(q_hll_overlap, None),
+    "hll_overlap_md5": QuerySpec(q_hll_overlap_md5, ORACLE_HLL_OVERLAP_MD5),
     "embedding_covariance": QuerySpec(
         q_embedding_covariance, ORACLE_EMB_COV
     ),
@@ -12443,29 +12526,30 @@ _CERTIFICATION_WINDOW = [
     "raw_events_page", "null_boundary", "time_format", "epoch_seconds",
     "props_json", "props_variant", "splunk_envelope", "validity_filter",
     "idempotent_reingest", "ordered_export",
-    # LLM-pipeline flagships (r8 rotation, r7 verdict task #2: the r7
-    # wave gets official rows — bm25_persisted [the production-shape
-    # inverted-index probe, value-identical to bm25_search under the
-    # same oracle] replaces bm25_search; dedup_pipeline_exact [the
-    # edges→CC→keep-best→summary composition with a recursive-CTE
-    # oracle] replaces dedup_keep_best, whose semantics it contains;
-    # all rotated-out entries stay oracle-checked in the full registry)
-    "bloom_decontaminate", "bloom_decontaminate_persisted",
-    "bloom_pruned_join", "duplicate_spans", "span_removal",
-    "audio_windows", "dsir_sample", "curation_pipeline",
-    "bm25_persisted", "semantic_dedup", "hybrid_search_rrf",
-    "chat_assembly_sessions",
-    # dedup / similarity / ANN (r9 rotation, r8 verdict task #4: the r8
-    # wave of oracle-exact upgrades gets official rows — knn_ivfpq [the
-    # end-to-end IVF-PQ replay] takes knn_ivf_persisted's ANN slot,
-    # pq_codes [9dp-barrier Lloyd's PQ training] takes
-    # embedding_quantize's quantization slot, audio_windows [the real
-    # binary-decode multimodal path with a lossless synth→WAV oracle]
-    # takes triangle_count's slot above, and lm_perplexity_persisted /
-    # stratified_sample rotate into the corpus/sampling groups below;
-    # every rotated-out entry stays oracle-checked in the full registry)
+    # LLM-pipeline flagships (r10 rotation, r9 verdict task #2: the r9
+    # oracle-exact wave gets official rows — avro_bronze_roundtrip [the
+    # full-bit bronze round-trip digest] takes bloom_decontaminate's
+    # slot [bloom keeps its persisted + pruned-join members],
+    # image_tiles [the real PPM-decode multimodal path] takes
+    # hybrid_search_rrf's, and the dedup md5 twins below take
+    # duplicate_spans' / dsir_sample's / semantic_dedup's /
+    # chat_assembly_sessions' — every rotated-out entry stays
+    # oracle-checked in the full registry)
+    "avro_bronze_roundtrip", "bloom_decontaminate_persisted",
+    "bloom_pruned_join", "span_removal",
+    "audio_windows", "image_tiles", "curation_pipeline",
+    "bm25_persisted",
+    # dedup / similarity / ANN (r10: minhash_near_dup_md5 [the LSH
+    # flagship's closed-form twin — banding arithmetic itself under the
+    # cross-engine oracle], simhash_md5 [the 60-bit closed-form
+    # fingerprint], minhash_gate_tombstoned_md5 [the persisted gate's
+    # deletion semantics against the FOLDED index — read-time rep-shift
+    # reconciliation under oracle] and knn_ivf_tombstoned [ANN
+    # deletion] join; r9's knn_ivfpq/pq_codes keep their rows)
     "dedup_exact", "dedup_clusters_star",
     "dedup_pipeline_exact", "cdc_near_dup", "auto_skew_join",
+    "minhash_near_dup_md5", "simhash_md5",
+    "minhash_gate_tombstoned_md5", "knn_ivf_tombstoned",
     "knn_ivfpq", "embedding_near_dup_lsh", "pq_codes",
     # text analysis / corpus diagnostics (r9: lm_perplexity_persisted —
     # the train-once/probe-only deployment shape, value-identical to the

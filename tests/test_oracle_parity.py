@@ -81,14 +81,13 @@ def test_certification_window_invariants():
         "ordered_export",
     ]
     flagships = {
-        "bloom_decontaminate", "bloom_decontaminate_persisted",
-        "duplicate_spans", "span_removal",
-        "dsir_sample", "curation_pipeline",
-        "semantic_dedup", "chat_assembly_sessions",
+        "bloom_decontaminate_persisted",
+        "span_removal",
+        "curation_pipeline",
         "embedding_near_dup_lsh",
         "join_size_sketch",
         # r7 rotation (r6 verdict task #5): the r6 late wave
-        "auto_skew_join", "hybrid_search_rrf", "cdc_near_dup",
+        "auto_skew_join", "cdc_near_dup",
         "bloom_pruned_join", "time_to_convert",
         # r8 rotation (r7 verdict task #2): the r7 wave — persisted
         # BM25 supersedes bm25_search's slot, the exact dedup pipeline
@@ -104,6 +103,15 @@ def test_certification_window_invariants():
         # entries stay oracle-checked in the full registry)
         "knn_ivfpq", "pq_codes", "audio_windows",
         "lm_perplexity_persisted", "stratified_sample",
+        # r10 rotation (r9 verdict task #2): the r9 oracle-exact wave —
+        # avro_bronze_roundtrip takes bloom_decontaminate's slot,
+        # image_tiles takes hybrid_search_rrf's, and the dedup md5
+        # twins + ANN deletion take duplicate_spans' / dsir_sample's /
+        # semantic_dedup's / chat_assembly_sessions' (all rotated-out
+        # entries stay oracle-checked in the full registry)
+        "avro_bronze_roundtrip", "image_tiles",
+        "minhash_near_dup_md5", "simhash_md5",
+        "minhash_gate_tombstoned_md5", "knn_ivf_tombstoned",
     }
     assert flagships <= set(first50)
 
