@@ -1278,6 +1278,35 @@ def _gate_persisted_materialized(
 
     folded = collapse.filter(F.col("_global"))
     delta = collapse.filter(~F.col("_global"))
+    if dead is None and delta.isEmpty():
+        # the common post-fold probe (no appends since maintenance, no
+        # tombstones): the whole reconciliation is vacuous — skip its
+        # stages entirely.  The isEmpty action reads only the _global
+        # column, and folded files' row-group stats (all-true) prune to
+        # nothing.  The probe plan is then: band filter on the stored
+        # flags + occupancy comparison + stored membership — no
+        # aggregation, no window, no extra joins.
+        r_bands = banded_idx.filter(F.coalesce(F.col("_is_rep"), F.lit(False)))
+        if max_bucket is not None:
+            if max_bucket < 2:
+                raise ValueError(
+                    f"max_bucket={max_bucket} must be >= 2 or None"
+                )
+            r_bands = r_bands.filter(
+                F.coalesce(F.col("_occ"), F.lit(0)) <= F.lit(max_bucket)
+            )
+        return _incremental_gate(
+            new_df,
+            r_bands.select(
+                F.col(id_col), F.col("band_id"), F.col("band_hash"),
+                F.col("prior"),
+            ),
+            idx_sets.select(F.col(id_col), F.col("hset")),
+            folded.select(F.col(id_col), F.col("_rep")),
+            text_col, id_col, threshold, num_hashes, num_bands,
+            shingle_k, max_bucket, hash_fn,
+            idx_precapped=True,
+        )
     if dead is not None:
         delta = delta.join(dead, id_col, "left_anti")
     delta = delta.localCheckpoint(eager=False)  # keys + members + m_idx
