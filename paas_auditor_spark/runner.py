@@ -207,6 +207,7 @@ class Service:
         min_batches: int = 16,
         tombstone_path: str | None = None,
         tombstone_id_col: str = "doc_id",
+        fold=None,
     ):
         """Enroll a collector dataset (bloom words / histograms /
         postings) in the maintenance loop and return the hook WRAPPED in
@@ -227,11 +228,21 @@ class Service:
         transform).  No extra fold is scheduled for deletions — between
         folds the readers' read-time anti-join already makes takedowns
         effective, so fold-time application riding the regular churn
-        cadence is exactly the reclamation policy a 100 TB index wants."""
+        cadence is exactly the reclamation policy a 100 TB index wants.
+
+        ``fold`` (optional, ``fn(spark) -> int``) replaces the generic
+        ``compact_batches`` call for datasets whose fold MATERIALIZES
+        read-side artifacts — the MinHash gate index passes
+        ``minhash_fold`` here so every maintenance tick also rewrites
+        the global collapse and band flags (the r10 probe reads them
+        instead of re-aggregating the index).  The callable owns its
+        transform and tombstone handling; it runs under the dataset
+        lock and must use ``defer_delete=True`` to keep the
+        reader-grace discipline."""
         lock = threading.Lock()
         self._collector_datasets.append(
             (path, parts, protocol, min_batches, lock,
-             tombstone_path, tombstone_id_col)
+             tombstone_path, tombstone_id_col, fold)
         )
 
         def locked_hook(batch_df, batch_id):
@@ -269,13 +280,17 @@ class Service:
 
         folded = 0
         for (path, parts, protocol, min_batches, lock,
-             tomb_path, tomb_id_col) in self._collector_datasets:
+             tomb_path, tomb_id_col, fold) in self._collector_datasets:
             vacuum_superseded(path)
             root = collector_root(path)
             if not os.path.isdir(root):
                 continue
             n = sum(1 for d in os.listdir(root) if d.startswith("batch-"))
             if n < min_batches:
+                continue
+            if fold is not None:
+                with lock:
+                    folded += fold(self.spark)
                 continue
             transform = None
             if tomb_path is not None:

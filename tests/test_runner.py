@@ -422,6 +422,58 @@ def test_maintenance_loop_compacts_registered_collectors(spark, tmp_path):
     assert blob() != before
 
 
+def test_maintenance_fold_materializes_minhash_collapse(spark, tmp_path):
+    """A MinHash gate dataset enrolled with the custom ``fold`` hook
+    (r10): the maintenance tick runs minhash_fold instead of the
+    generic compaction, so after the tick the stored collapse is GLOBAL
+    (_global=true, cross-batch duplicate groups share one _rep) and the
+    probe result is unchanged — the deployment wiring for the
+    materialized probe."""
+    from paas_auditor_spark.operators.atomic import batch_data_paths
+    from paas_auditor_spark.operators.dedup import (
+        minhash_fold,
+        minhash_incremental_persisted,
+        minhash_index_collector,
+    )
+
+    svc = Service(spark, warehouse_dir=str(tmp_path / "wh"))
+    path = str(tmp_path / "mh")
+    hook = svc.register_collector_dataset(
+        path,
+        minhash_index_collector(path, num_hashes=24, num_bands=12),
+        parts=("collapse", "bands", "sets"),
+        min_batches=2,
+        fold=lambda sp: minhash_fold(sp, path, defer_delete=True),
+    )
+    boiler = ("alpha beta gamma delta epsilon zeta eta theta iota "
+              "kappa lambda mu nu xi omicron pi rho sigma tau shared")
+    hook(spark.createDataFrame([(1, boiler)], ["doc_id", "text"]), 0)
+    hook(spark.createDataFrame([(2, boiler)], ["doc_id", "text"]), 1)
+
+    new = spark.createDataFrame(
+        [(900, boiler + " extra")], ["doc_id", "text"]
+    )
+
+    def gate():
+        return sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in minhash_incremental_persisted(
+                spark, path, new,
+                threshold=0.5, num_hashes=24, num_bands=12,
+            ).collect()
+        )
+
+    before = gate()
+    assert {b for _, b, _ in before} == {1, 2}
+    assert svc.maintenance_tick() == 2
+    collapse = spark.read.parquet(
+        *batch_data_paths(path, "rename", "collapse")
+    ).collect()
+    assert all(r["_global"] for r in collapse)
+    assert {r["_rep"] for r in collapse} == {1}  # cross-batch group folded
+    assert gate() == before
+
+
 def test_maintenance_loop_scheduled_and_vacuums(spark, tmp_path):
     """run_threaded actually schedules the maintenance loop (the default
     loops tuple includes it; it arms only when a dataset is registered),
