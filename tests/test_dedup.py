@@ -1149,3 +1149,78 @@ def test_minhash_gate_legacy_layout_without_collapse(spark, tmp_path):
     )
     assert got == want
     assert {100, 200} <= {b for _, b, _ in got}  # legacy collapse fan-out
+
+
+def test_minhash_folded_probe_cap_corrections_exact(spark, tmp_path):
+    """The materialized probe's corrected occupancy (stored _occ base +
+    signed rep-change counts) must reproduce _cap_buckets EXACTLY when
+    the cap BINDS across the fold boundary: a near-identical family
+    split between folded and delta batches crosses max_bucket only
+    with the delta counted, and a tombstone pulls it back under.  The
+    in-memory gate over the same survivors is ground truth at every
+    step."""
+    from paas_auditor_spark.operators.atomic import tombstones_collector
+    from paas_auditor_spark.operators.dedup import (
+        minhash_fold,
+        minhash_incremental_persisted,
+        minhash_index_collector,
+        minhash_near_duplicates_incremental,
+    )
+
+    boiler = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+              "lambda mu nu xi omicron pi rho sigma tau upsilon phi")
+    # near-identical variants: one token differs → they share most band
+    # keys, so their common buckets hold N DISTINCT contents
+    fam = [(100 + i, boiler + f" variant{i}") for i in range(4)]
+    filler = [(300 + i, f"wholly unrelated filler text number {i} about "
+                        f"storage engines and shuffles {i}")
+              for i in range(3)]
+    path = str(tmp_path / "mh_idx")
+    tomb = str(tmp_path / "mh_tomb")
+    hook = minhash_index_collector(path, num_hashes=24, num_bands=12)
+    # fold 3 family members + filler; the 4th family member is DELTA
+    hook(spark.createDataFrame(fam[:3] + filler, ["doc_id", "text"]), 0)
+    assert minhash_fold(spark, path) == 1
+    hook(spark.createDataFrame([fam[3]], ["doc_id", "text"]), 1)
+
+    new = spark.createDataFrame(
+        [(1, boiler + " variant0 probe")], ["doc_id", "text"]
+    )
+
+    def gate(cap, **kw):
+        return sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in minhash_incremental_persisted(
+                spark, path, new, threshold=0.5,
+                num_hashes=24, num_bands=12, max_bucket=cap, **kw
+            ).collect()
+        )
+
+    def want(rows, cap):
+        idx = spark.createDataFrame(rows, ["doc_id", "text"])
+        return sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in minhash_near_duplicates_incremental(
+                new, idx, threshold=0.5, num_hashes=24, num_bands=12,
+                max_bucket=cap,
+            ).collect()
+        )
+
+    all_rows = fam + filler
+    # cap=3: the family's shared buckets hold 4 distinct contents →
+    # dropped (the cap binds THROUGH the fold boundary); cap=None keeps
+    # everything.  Equality at both settings pins the corrected
+    # arithmetic in both directions.
+    for cap in (None, 3):
+        w = want(all_rows, cap)
+        assert gate(cap) == w, f"cap={cap}"
+    assert len(want(all_rows, None)) > len(want(all_rows, 3))
+
+    # tombstone one folded family member: occupancy falls back to 3 ≤
+    # cap, the buckets come back, and the probe must agree again
+    tombstones_collector(tomb)(
+        spark.createDataFrame([(101,)], "doc_id long"), 0
+    )
+    survivors = [r for r in all_rows if r[0] != 101]
+    for cap in (None, 3):
+        assert gate(cap, tombstone_path=tomb) == want(survivors, cap), cap

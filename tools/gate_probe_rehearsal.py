@@ -27,6 +27,9 @@ SLICE_DIRS = {
     "sf0.1": "/root/testdata/sf0.1",
     "sf1": "/root/repo/.scale/sf1",
     "sf10": "/root/repo/.scale/sf10",
+    # documents-only factor-1000 slice (tools/make_scale_slice.py
+    # --factor 1000 --tables documents) — the gate only reads documents
+    "sf100": "/root/repo/.scale/sf100_docs",
 }
 
 

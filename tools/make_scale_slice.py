@@ -46,6 +46,33 @@ def _copies(df: DataFrame, factor: int, remap) -> DataFrame:
     return out
 
 
+def _documents_cross(df: DataFrame, factor: int) -> DataFrame:
+    """Cross-join replication for the documents table — the large-factor
+    path (a factor-1000 union would be a 1000-branch plan; the cross
+    join with a range relation is one narrow op).  Same per-copy key
+    shift and text salt as the union path."""
+    copies = df.sparkSession.range(factor).select(
+        F.col("id").cast("int").alias("_c")
+    )
+    return (
+        df.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("doc_id") + F.col("_c").cast("long") * F.lit(SHIFT))
+            .alias("doc_id"),
+            F.concat(
+                F.col("text"),
+                F.lit(" sc"),
+                F.col("_c").cast("string"),
+                F.lit(" d"),
+                F.col("doc_id").cast("string"),
+            ).alias("text"),
+            "lang",
+            "source",
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )
+
+
 def replicate_table(name: str, df: DataFrame, factor: int) -> DataFrame:
     def shift(col: str, c: int):
         return (F.col(col) + F.lit(c * SHIFT)).alias(col)
@@ -60,6 +87,8 @@ def replicate_table(name: str, df: DataFrame, factor: int) -> DataFrame:
             ),
         )
     if name == "documents":
+        if factor > 50:
+            return _documents_cross(df, factor)
         return _copies(
             df,
             factor,
@@ -107,15 +136,19 @@ def replicate_table(name: str, df: DataFrame, factor: int) -> DataFrame:
     return df  # dimension tables: verbatim
 
 
-def make_slice(spark, src: str, out: str, factor: int) -> None:
+def make_slice(
+    spark, src: str, out: str, factor: int, tables: list[str] | None = None
+) -> None:
     os.makedirs(out, exist_ok=True)
-    tables = [
+    tables = tables or [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     ]
     from paas_auditor_spark.sources.tables import load_table
 
     files = {"lineitem": 8, "events": 4, "documents": 2, "embeddings": 2}
+    if factor > 50:  # keep per-file row counts sane at large factors
+        files = {t: max(8, n * factor // 25) for t, n in files.items()}
     for t in tables:
         src_path = os.path.join(src, f"{t}.parquet")
         if not os.path.exists(src_path):
@@ -135,9 +168,17 @@ if __name__ == "__main__":
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/root/repo/.scale/sf1")
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--tables", default=None,
+        help="comma-separated subset (e.g. documents) for targeted "
+             "large-factor slices",
+    )
     args = ap.parse_args()
     from paas_auditor_spark.session import get_spark
 
     spark = get_spark(app_name="make-scale-slice")
     spark.sparkContext.setLogLevel("ERROR")
-    make_slice(spark, args.src, args.out, args.factor)
+    make_slice(
+        spark, args.src, args.out, args.factor,
+        tables=args.tables.split(",") if args.tables else None,
+    )
