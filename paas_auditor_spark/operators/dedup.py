@@ -1194,7 +1194,17 @@ def minhash_incremental_persisted(
             dead = doomed.withColumnRenamed("id", id_col)
 
     collapse_paths = batch_data_paths(index_path, protocol, "collapse")
-    if all(os.path.isdir(p) for p in collapse_paths):
+    if (
+        all(os.path.isdir(p) for p in collapse_paths)
+        # schema-only fold detector (zero cost): no bands file carries
+        # _is_rep until the first minhash_fold.  A never-folded index
+        # routes to the legacy global rebuild below — the same work the
+        # all-delta reconciliation would degenerate to, WITHOUT
+        # broadcast-hinting index-sized change sets (rep_added would be
+        # every representative — a driver hazard at deployment scale;
+        # fold cadence, not probe heroics, is the scale answer there)
+        and "_is_rep" in banded_idx.columns
+    ):
         return _gate_persisted_materialized(
             spark, collapse_paths, banded_idx, idx_sets, dead, new_df,
             text_col, id_col, threshold, num_hashes, num_bands,
@@ -1244,9 +1254,10 @@ def _gate_persisted_materialized(
 
     Definitions: FOLDED rows carry ``_global=true`` (collapse) /
     non-NULL ``_is_rep``+``_occ`` (bands); everything else is DELTA
-    (new batches since the fold, rescued batches — and the whole index
-    before its first fold, which simply degenerates to legacy-sized
-    work until maintenance runs).  The reconciliation computes, all on
+    (new batches since the fold, rescued batches — a never-folded
+    index never reaches here: the dispatcher routes it to the legacy
+    rebuild, which does the same work without broadcast-hinting
+    index-sized change sets).  The reconciliation computes, all on
     delta/tombstone-sized relations:
 
     - the AFFECTED key set (delta keys ∪ keys of folded groups holding
@@ -1272,10 +1283,6 @@ def _gate_persisted_materialized(
     Membership (fan-out) is the stored ``_rep`` with a broadcast
     override for affected keys — no aggregation."""
     collapse = spark.read.parquet(*collapse_paths)
-    for col, typ in (("_is_rep", "boolean"), ("_occ", "long")):
-        if col not in banded_idx.columns:  # no fold has run yet
-            banded_idx = banded_idx.withColumn(col, F.lit(None).cast(typ))
-
     folded = collapse.filter(F.col("_global"))
     delta = collapse.filter(~F.col("_global"))
     # one cheap plan-time action: reads only the _global column, and
