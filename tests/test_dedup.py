@@ -742,6 +742,38 @@ def test_minhash_persisted_index_gate_equals_inmemory(spark, tmp_path):
     )
     assert got5 == want_after
 
+    # GENERIC compaction after a materializing fold (r10 review pass):
+    # one more raw batch, then compact_batches WITHOUT the minhash
+    # transform — the new batch-0 mixes folded rows (flags, _global)
+    # with raw rows (NULL flags, _global=false); the probe must treat
+    # the raw rows as delta and stay exact
+    hook(
+        spark.createDataFrame(
+            [(400, base[1][1])], ["doc_id", "text"]  # copy of doc 101
+        ),
+        3,
+    )
+    assert compact_batches(
+        spark, path, parts=("collapse", "bands", "sets")
+    ) == 2
+    want_mixed = rows(
+        minhash_near_duplicates_incremental(
+            new,
+            idx1.unionByName(idx2)
+            .unionByName(spark.createDataFrame(more, ["doc_id", "text"]))
+            .unionByName(
+                spark.createDataFrame([(400, base[1][1])], ["doc_id", "text"])
+            ),
+            threshold=0.5, num_hashes=24, num_bands=12,
+        )
+    )
+    got6 = rows(
+        minhash_incremental_persisted(
+            spark, path, new, threshold=0.5, num_hashes=24, num_bands=12
+        )
+    )
+    assert got6 == want_mixed
+
     # mismatched banding parameters must raise, not silently miss
     with pytest.raises(ValueError, match="num_hashes"):
         minhash_incremental_persisted(
