@@ -104,6 +104,19 @@ def replicate_table(name: str, df: DataFrame, factor: int) -> DataFrame:
             ).withColumn("n_chars", F.length("text").cast("long")),
         )
     if name == "embeddings":
+        if factor > 50:
+            copies = df.sparkSession.range(factor).select(
+                F.col("id").cast("int").alias("_c")
+            )
+            return df.crossJoin(F.broadcast(copies)).select(
+                (F.col("vec_id") + F.col("_c").cast("long") * F.lit(SHIFT))
+                .alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x: (x + F.col("_c") * F.lit(1e-4)).cast("float"),
+                ).alias("embedding"),
+                "label",
+            )
         return _copies(
             df,
             factor,
