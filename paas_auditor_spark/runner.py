@@ -208,6 +208,7 @@ class Service:
         tombstone_path: str | None = None,
         tombstone_id_col: str = "doc_id",
         fold=None,
+        max_delta_fraction: float | None = None,
     ):
         """Enroll a collector dataset (bloom words / histograms /
         postings) in the maintenance loop and return the hook WRAPPED in
@@ -238,11 +239,24 @@ class Service:
         instead of re-aggregating the index).  The callable owns its
         transform and tombstone handling; it runs under the dataset
         lock and must use ``defer_delete=True`` to keep the
-        reader-grace discipline."""
+        reader-grace discipline.
+
+        ``max_delta_fraction`` (optional) adds a DATA-VOLUME churn
+        guard alongside the batch-count one: once a folded generation
+        exists, fold as soon as the unfolded batch dirs' on-disk bytes
+        exceed this fraction of the fold artifact's — so fold cadence
+        follows ingest volume, not tick count.  Motivated by the
+        measured probe-cost-vs-delta curve of the MinHash gate
+        (SURVEY §6: ~0.7 s per 1% unfolded at the 100× index): a
+        volume guard keeps read-side reconciliation cost bounded even
+        when batches are few but large.  The count guard still applies
+        (whichever trips first); the FIRST fold always goes through
+        ``min_batches`` (before a generation exists there is no folded
+        baseline to compare against)."""
         lock = threading.Lock()
         self._collector_datasets.append(
             (path, parts, protocol, min_batches, lock,
-             tombstone_path, tombstone_id_col, fold)
+             tombstone_path, tombstone_id_col, fold, max_delta_fraction)
         )
 
         def locked_hook(batch_df, batch_id):
@@ -278,15 +292,44 @@ class Service:
             vacuum_superseded,
         )
 
+        def _dir_bytes(d: str) -> int:
+            total = 0
+            for r, _dirs, files in os.walk(d):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(r, f))
+                    except OSError:
+                        pass  # racing a writer/vacuum: size is advisory
+            return total
+
         folded = 0
         for (path, parts, protocol, min_batches, lock,
-             tomb_path, tomb_id_col, fold) in self._collector_datasets:
+             tomb_path, tomb_id_col, fold,
+             max_delta_fraction) in self._collector_datasets:
             vacuum_superseded(path)
             root = collector_root(path)
             if not os.path.isdir(root):
                 continue
-            n = sum(1 for d in os.listdir(root) if d.startswith("batch-"))
-            if n < min_batches:
+            batch_dirs = [
+                d for d in os.listdir(root) if d.startswith("batch-")
+            ]
+            trip = len(batch_dirs) >= min_batches
+            if (
+                not trip
+                and max_delta_fraction is not None
+                and root != path  # a folded generation exists
+                and len(batch_dirs) >= 2  # something beyond the artifact
+            ):
+                art = os.path.join(root, "batch-0")
+                if os.path.isdir(art):
+                    base = _dir_bytes(art)
+                    delta = sum(
+                        _dir_bytes(os.path.join(root, d))
+                        for d in batch_dirs
+                        if d != "batch-0"
+                    )
+                    trip = base > 0 and delta > max_delta_fraction * base
+            if not trip:
                 continue
             if fold is not None:
                 with lock:

@@ -474,6 +474,48 @@ def test_maintenance_fold_materializes_minhash_collapse(spark, tmp_path):
     assert gate() == before
 
 
+def test_maintenance_delta_volume_guard(spark, tmp_path):
+    """max_delta_fraction (r10): once a folded generation exists, the
+    maintenance tick folds as soon as the UNFOLDED batch dirs' bytes
+    exceed the fraction of the fold artifact's — fold cadence follows
+    ingest volume, not tick count.  The first fold still goes through
+    min_batches (no folded baseline before it)."""
+    from paas_auditor_spark.operators.dedup import (
+        minhash_fold,
+        minhash_index_collector,
+    )
+
+    svc = Service(spark, warehouse_dir=str(tmp_path / "wh"))
+    path = str(tmp_path / "mh")
+    hook = svc.register_collector_dataset(
+        path,
+        minhash_index_collector(path, num_hashes=24, num_bands=12),
+        parts=("collapse", "bands", "sets"),
+        min_batches=3,
+        max_delta_fraction=0.5,
+        fold=lambda sp: minhash_fold(sp, path, defer_delete=True),
+    )
+
+    def docs(lo, hi):
+        return spark.createDataFrame(
+            [(i, f"document number {i} about storage engines and "
+                 f"columnar formats and shuffles {i}")
+             for i in range(lo, hi)],
+            ["doc_id", "text"],
+        )
+
+    hook(docs(0, 20), 0)
+    assert svc.maintenance_tick() == 0  # no generation, 1 < min_batches
+    hook(docs(20, 40), 1)
+    hook(docs(40, 60), 2)
+    assert svc.maintenance_tick() == 3  # count guard: the FIRST fold
+
+    # one comparable-size delta batch: count guard quiet (2 < 3), but
+    # the volume guard trips (delta bytes ≈ artifact bytes > 0.5×)
+    hook(docs(60, 90), 3)
+    assert svc.maintenance_tick() == 2
+
+
 def test_maintenance_loop_scheduled_and_vacuums(spark, tmp_path):
     """run_threaded actually schedules the maintenance loop (the default
     loops tuple includes it; it arms only when a dataset is registered),
