@@ -110,7 +110,7 @@ def resolve_sender(environ):
 def main() -> int:
     cfg = EngineConfig()
     spark = get_spark(app_name="paas-auditor-spark")
-    base_url = os.environ.get("CF_API_ADDRESS", "http://cc.internal")
+    base_url = os.environ.get("CF_API_ADDRESS", "http://cc.example.invalid")
     transport = resolve_transport(os.environ, base_url)
     sender = resolve_sender(os.environ)
 

@@ -61,7 +61,7 @@ class Service:
         transport: Transport | None = None,
         sender: Sender | None = None,
         cfg: EngineConfig | None = None,
-        base_url: str = "http://cc.internal",
+        base_url: str = "http://cc.example.invalid",
         store=None,
         logger: JsonLogger | None = None,
     ) -> None:

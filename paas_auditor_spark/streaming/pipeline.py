@@ -50,7 +50,7 @@ def collect_once(
     spark: SparkSession,
     target_df: DataFrame,
     transport: Transport,
-    base_url: str = "http://cc.internal",
+    base_url: str = "http://cc.example.invalid",
     page_size: int = 100,
     wait_s: float = 0.0,
     overlap_s: float = 5.0,
