@@ -73,7 +73,13 @@ HEADLINE = [
     "minhash_near_dup",
     "minhash_near_dup_md5",
     "minhash_gate_md5",
-    "minhash_gate_tombstoned_md5",
+    # minhash_gate_folded_md5 supersedes minhash_gate_tombstoned_md5 in
+    # the headline (r10 verdict task #1): a probe-per-ingest-tick
+    # deployment measures the post-fold zero-reconciliation plan — the
+    # adversarial read-time reconciliation stays oracle-registered as
+    # minhash_gate_tombstoned_md5 (same oracle) and equality-pinned in
+    # tests/test_dedup.py, just not charged to the headline
+    "minhash_gate_folded_md5",
     "minhash_bucket_audit_md5",
     # dedup_clusters_minhash_md5 / dedup_pipeline_md5 stay OUT like
     # dedup_pipeline_full: their star-CC closure is stage-serial
@@ -194,6 +200,17 @@ HEADLINE = [
 ]
 
 
+# Paired drift controls (r10 verdict task #6): three stable, plan-simple
+# queries re-timed at the END of the run, emitted alongside their
+# in-sequence headline timings plus loadavg — so a cross-round record
+# carries its own contention calibration (r10 needed a separate
+# tools/drift_control.py session to explain a 164 s vs 148 s face-value
+# gap whose per-query median was 0.998).  The verdict can read the
+# inflation factor directly: controls_end/controls_headline ≈ 1 means a
+# quiet box; a prior round's control block normalizes cross-round totals.
+CONTROLS = ["unshipped_events", "pricing_summary", "dedup_exact"]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -230,12 +247,42 @@ def main() -> None:
         df = None
         gc.collect()
 
+    # end-of-run control re-time: same code, same session, measured
+    # AFTER the full headline sweep — the spread vs each control's
+    # in-sequence number is pure box/scheduler contention
+    controls_end: dict[str, float] = {}
+    for name in CONTROLS:
+        fn = REGISTRY[name].fn
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        controls_end[name] = round(min(runs), 3)
+        df = None
+        gc.collect()
+    try:
+        loadavg = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        loadavg = []
+    ctl_headline = round(sum(timings[c] for c in CONTROLS), 3)
+    ctl_end = round(sum(controls_end.values()), 3)
+    control_block = {
+        "queries": controls_end,
+        "headline_total": ctl_headline,
+        "end_total": ctl_end,
+        "inflation": round(ctl_headline / ctl_end, 3) if ctl_end else None,
+        "loadavg": loadavg,
+    }
+
     total = round(sum(timings.values()), 3)
     full = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "controls": control_block,
         "sf": sf,
     }
     full_line = json.dumps(full)
@@ -265,8 +312,8 @@ def main() -> None:
     # LAST line: compact summary that a 2000-byte stdout tail always
     # retains intact — this is the line the official record parses.
     slowest = dict(
-        sorted(timings.items(), key=lambda kv: -kv[1])[:8]
-    )
+        sorted(timings.items(), key=lambda kv: -kv[1])[:6]
+    )  # 6 (was 8): the control block joined the summary; stay <1 KB
     print(
         json.dumps(
             {
@@ -275,6 +322,7 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "slowest": slowest,
+                "controls": control_block,
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf,
             }

@@ -7043,31 +7043,80 @@ def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("type_a", "type_b")
 
 
+HLL_MD5_BOTTOM_K = 64  # binding at sf0.01+ (150+ distinct users/segment)
+
+
+def hll_md5_bottom_k_sketches(
+    ev: DataFrame, k: int = HLL_MD5_BOTTOM_K
+) -> DataFrame:
+    """Per-segment BOTTOM-K summary (a KMV sketch with md5 as the hash):
+    the k smallest md5 values' identities per event_type, as one sorted
+    array<struct<h,ident>> row per segment.  The identity is the ACTIVE
+    USER-DAY (``user_id:yyyy-MM-dd``) — the synthetic corpus has every
+    user in every segment, so plain user audiences are degenerate
+    (every pairwise overlap = k); user-days differ per segment and the
+    twin's overlap arithmetic is exercised for real.  O(k) summary
+    bytes at ANY corpus size (r10 verdict task #3 — the previous
+    fixed-rate sample's collect_set grew linearly with distinct users),
+    and exact bottom-k computed in two balanced stages: a
+    per-(segment, salt) rank prunes each of 32 content-addressed salt
+    buckets to its own bottom-k (every global bottom-k element is in
+    its bucket's — no single task ever ranks a whole segment), then the
+    final rank runs over ≤ 32·k survivors per segment."""
+    d = (
+        ev.select(
+            "event_type",
+            F.concat_ws(
+                ":",
+                F.col("user_id").cast("string"),
+                F.date_format("ts", "yyyy-MM-dd"),
+            ).alias("ident"),
+        )
+        .distinct()
+        .withColumn("h", F.md5(F.col("ident")))
+        .withColumn(
+            "_salt",
+            F.pmod(
+                F.conv(F.substring("h", 5, 4), 16, 10).cast("long"),
+                F.lit(32),
+            ),
+        )
+    )
+    w1 = Window.partitionBy("event_type", "_salt").orderBy("h")
+    w2 = Window.partitionBy("event_type").orderBy("h")
+    bot = (
+        d.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= k)
+        .withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") <= k)
+    )
+    return bot.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("h"), F.col("ident")))
+        ).alias("sk")
+    )
+
+
 def q_hll_overlap_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The overlap composition's CLOSED-FORM twin (r9 verdict task #6 —
     the minhash_md5 convention applied to the sketch family): the same
     pipeline shape as ``hll_overlap`` — per-segment bounded mergeable
     summary, k² pair cross, union evaluated summary-side, inclusion–
-    exclusion |A∩B| = |A| + |B| − |A∪B| — but the summary is a
-    DETERMINISTIC fixed-rate hash sample (a bottom-sketch: the sorted
-    set of user ids whose md5 falls in 1/8 of the hash space) instead
-    of a Datasketches HLL, so every byte is engine-independent and the
-    oracle replays the merge and the inclusion–exclusion arithmetic
-    EXACTLY.  The flagship keeps HLL (estimates are engine-specific,
-    accuracy pytest-pinned); this twin certifies the composition."""
+    exclusion overlap = |A∩M| + |B∩M| − |M| — but the summary is a
+    DETERMINISTIC true bottom-k (KMV with md5 as the hash: the k
+    smallest hash values' ids per segment, r10 verdict task #3 — the
+    r10 twin's fixed-rate sample grew with distinct users; this one is
+    O(k) at any corpus size, the scale contract the flagship's HLL
+    registers already have), so every byte is engine-independent and
+    the oracle replays the rank, the sketch merge (M = bottom-k of
+    A ∪ B, the KMV union rule) and the inclusion–exclusion arithmetic
+    EXACTLY via a ranked window.  The flagship keeps HLL (estimates
+    are engine-specific, accuracy pytest-pinned); this twin certifies
+    the composition.  Summary-size bound and binding-k behavior are
+    pinned by tests/test_timeseries_cdc.py::test_hll_md5_bottom_k_bound."""
+    k = HLL_MD5_BOTTOM_K
     ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
-    sampled = ev.where(
-        F.conv(
-            F.substring(F.md5(F.col("user_id").cast("string")), 1, 4),
-            16,
-            10,
-        ).cast("long")
-        % 8
-        == 0
-    )
-    sk = sampled.groupBy("event_type").agg(
-        F.array_sort(F.collect_set("user_id")).alias("sk")
-    )
+    sk = hll_md5_bottom_k_sketches(ev, k)
     a = sk.select(
         F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a")
     )
@@ -7077,37 +7126,61 @@ def q_hll_overlap_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.crossJoin(F.broadcast(b)).where(
         F.col("type_a") < F.col("type_b")
     )
+    # KMV union: the merged sketch is the bottom-k of the two sketches'
+    # union (identical (h, user) structs dedup in array_union; distinct
+    # users have distinct md5, so the sort is total)
+    merged = pairs.withColumn(
+        "m", F.slice(F.array_sort(F.array_union("sk_a", "sk_b")), 1, k)
+    )
     est_a = F.size("sk_a").cast("long")
     est_b = F.size("sk_b").cast("long")
-    est_u = F.size(F.array_union("sk_a", "sk_b")).cast("long")
-    return pairs.select(
+    in_a = F.size(F.array_intersect("m", "sk_a")).cast("long")
+    in_b = F.size(F.array_intersect("m", "sk_b")).cast("long")
+    return merged.select(
         "type_a",
         "type_b",
         est_a.alias("est_a"),
         est_b.alias("est_b"),
-        (est_a + est_b - est_u).alias("est_overlap"),
+        (in_a + in_b - F.size("m").cast("long")).alias("est_overlap"),
     ).orderBy("type_a", "type_b")
 
 
-ORACLE_HLL_OVERLAP_MD5 = """
-WITH s AS (
-  SELECT DISTINCT event_type, user_id FROM events
-  WHERE user_id IS NOT NULL
-    AND CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
-             AS BIGINT) % 8 = 0),
-c AS (SELECT event_type, count(*) AS n FROM s GROUP BY event_type),
-i AS (
-  SELECT a.event_type AS type_a, b.event_type AS type_b,
-         count(*) AS ov
-  FROM s a JOIN s b USING (user_id)
-  WHERE a.event_type < b.event_type
-  GROUP BY 1, 2)
-SELECT ca.event_type AS type_a, cb.event_type AS type_b,
-       ca.n AS est_a, cb.n AS est_b,
-       coalesce(i.ov, 0) AS est_overlap
-FROM c ca JOIN c cb ON ca.event_type < cb.event_type
-LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type
-ORDER BY type_a, type_b
+ORACLE_HLL_OVERLAP_MD5 = f"""
+WITH ids AS (
+  SELECT DISTINCT event_type,
+         CAST(user_id AS VARCHAR) || ':' || strftime(ts, '%Y-%m-%d')
+           AS ident
+  FROM events WHERE user_id IS NOT NULL),
+s AS (SELECT event_type, ident, md5(ident) AS h FROM ids),
+r AS (
+  SELECT event_type, ident, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM s),
+k AS (SELECT event_type, ident, h FROM r
+      WHERE rn <= {HLL_MD5_BOTTOM_K}),
+c AS (SELECT event_type, count(*) AS n FROM k GROUP BY event_type),
+p AS (
+  SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+         ca.n AS est_a, cb.n AS est_b
+  FROM c ca JOIN c cb ON ca.event_type < cb.event_type),
+mu AS (
+  SELECT p.type_a, p.type_b, k.ident, k.h,
+         max(CASE WHEN k.event_type = p.type_a THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN k.event_type = p.type_b THEN 1 ELSE 0 END) AS in_b
+  FROM p JOIN k ON k.event_type IN (p.type_a, p.type_b)
+  GROUP BY 1, 2, 3, 4),
+mm AS (
+  SELECT type_a, type_b, in_a, in_b,
+         row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+  FROM mu)
+SELECT p.type_a, p.type_b, p.est_a, p.est_b,
+       CAST(coalesce(sum(mm.in_a) + sum(mm.in_b) - count(mm.rn), 0)
+            AS BIGINT) AS est_overlap
+FROM p LEFT JOIN mm
+  ON mm.type_a = p.type_a AND mm.type_b = p.type_b
+  AND mm.rn <= {HLL_MD5_BOTTOM_K}
+GROUP BY 1, 2, 3, 4
+ORDER BY p.type_a, p.type_b
 """
 
 
@@ -7874,6 +7947,98 @@ def _oracle_minhash_gate_tombstoned_md5(threshold: float = 0.5) -> str:
         WHERE jaccard >= {threshold}
         ORDER BY id_a, id_b
         """
+
+
+def _minhash_md5_folded_index_cached(spark: SparkSession, sf_dir: str) -> str:
+    """The md5 gate index AFTER maintenance has applied the takedowns:
+    same collector batches as _minhash_md5_index_cached, but the fold
+    runs WITH the tombstone relation (minhash_fold(tombstone_path=…) —
+    the exact wiring Service.maintenance_tick uses for a dataset
+    registered with both a fold and a tombstone_path), so the stored
+    parts hold only survivors and representation has shifted on disk.
+    This is the deployment steady state at the reference's 15 s shipper
+    cadence (pkg/shippers/cf_audit_events_to_splunk_shipper.go:104):
+    takedowns are reclaimed by the next maintenance fold, and every
+    probe after that pays ZERO reconciliation."""
+    from paas_auditor_spark.operators.dedup import (
+        minhash_fold,
+        minhash_index_collector,
+    )
+
+    tomb = _md5_gate_tombs_cached(spark, sf_dir)
+
+    def build(tmp):
+        hook = minhash_index_collector(
+            tmp, num_hashes=24, num_bands=12, hash_fn="md5"
+        )
+        base = (
+            _t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 80)
+            .select("doc_id", "text")
+        )
+        hook(base, 0)
+        hook(
+            base.select(
+                (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
+                F.col("text"),
+            ),
+            1,
+        )
+        minhash_fold(spark, tmp, tombstone_path=tomb)
+
+    return _cached_artifact(
+        "mhidxmd5fold_1:" + _src_ident(sf_dir, "documents"),
+        "paas_mh_md5_fidx_",
+        build,
+    )
+
+
+def q_minhash_gate_folded_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION support for the persisted near-dup gate in its
+    DEPLOYMENT STEADY STATE (r10 verdict task #1): the tombstones were
+    applied by the maintenance fold (minhash_fold(tombstone_path=…) —
+    the Service.maintenance_tick wiring), so the probe sees a clean
+    folded index and takes the zero-reconciliation short circuit: band
+    filter on the stored _is_rep/_occ flags + stored membership, no
+    aggregation, no window, no anti-join, no delta stages.  Same gate
+    slice and same oracle as minhash_gate_tombstoned_md5 (deletion ≡
+    never-indexed), which certifies that fold-time physical application
+    and read-time reconciliation agree exactly — the adversarial
+    read-time path stays oracle-registered as
+    minhash_gate_tombstoned_md5 and equality-pinned in
+    tests/test_dedup.py; THIS entry is the bench headline because a
+    probe-per-ingest-tick deployment measures the post-fold plan, not
+    the between-folds reconciliation.  Expected shape: 2 pairs per
+    rep-deleted or copy-deleted group, 4 per intact group — 220 rows."""
+    from paas_auditor_spark.operators.dedup import (
+        minhash_incremental_persisted,
+    )
+
+    path = _minhash_md5_folded_index_cached(spark, sf_dir)
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 80)
+        .select("doc_id", "text")
+    )
+    salt_text = F.concat(
+        F.col("text"), F.lit(" v"), F.col("doc_id").cast("string")
+    ).alias("text")
+    new_df = base.select(
+        (F.col("doc_id") + F.lit(100000)).alias("doc_id"), salt_text
+    ).unionByName(
+        base.select(
+            (F.col("doc_id") + F.lit(300000)).alias("doc_id"), salt_text
+        )
+    )
+    return minhash_incremental_persisted(
+        spark,
+        path,
+        new_df,
+        threshold=0.5,
+        num_hashes=24,
+        num_bands=12,
+        hash_fn="md5",
+    )
 
 
 def _postings_index_cached(spark: SparkSession, sf_dir: str) -> str:
@@ -11895,6 +12060,14 @@ REGISTRY: dict[str, QuerySpec] = {
     "minhash_gate_tombstoned_md5": QuerySpec(
         q_minhash_gate_tombstoned_md5, _oracle_minhash_gate_tombstoned_md5()
     ),
+    # same slice + same oracle, but the tombstones were applied by the
+    # maintenance FOLD — the probe measures the zero-reconciliation
+    # deployment steady state (r10 verdict task #1); agreement of the
+    # two entries under one oracle certifies fold-time application ≡
+    # read-time reconciliation ≡ never-indexed
+    "minhash_gate_folded_md5": QuerySpec(
+        q_minhash_gate_folded_md5, _oracle_minhash_gate_tombstoned_md5()
+    ),
     "dedup_clusters_minhash": QuerySpec(q_dedup_clusters_minhash, None),
     "dedup_pipeline_full": QuerySpec(q_dedup_pipeline_full, None),
     "dedup_pipeline_exact": QuerySpec(
@@ -12562,8 +12735,12 @@ _CERTIFICATION_WINDOW = [
     # sketches / quantiles / graph / drift (r8: value_percentiles_exact
     # — the distributed-rank exact percentile, the quantile family's
     # third member — takes quantile_sketch's slot [the approx sketch
-    # had its official round in r7 and stays oracle-checked])
-    "heavy_hitters", "join_size_sketch", "value_percentiles_exact",
+    # had its official round in r7 and stays oracle-checked]; r11
+    # rotation, r10 verdict task #2: hll_overlap_md5 — the sketch
+    # family's overlap composition, now a true bottom-k/KMV twin with
+    # O(k) per-segment state — takes heavy_hitters' slot [long-
+    # certified since r7; stays oracle-checked in the full registry])
+    "hll_overlap_md5", "join_size_sketch", "value_percentiles_exact",
     "pagerank", "source_novelty",
     # sampling / packing (r9: stratified_sample — content-addressed md5
     # keep decisions, rows-only→exact in r8 — takes temperature_sample's

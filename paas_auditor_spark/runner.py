@@ -101,6 +101,10 @@ class Service:
         # (path, parts, protocol, min_batches, lock) per registered
         # collector dataset — see register_collector_dataset
         self._collector_datasets: list[tuple] = []
+        # fold-artifact on-disk size per generation batch-0 (immutable
+        # once committed) — saves the volume guard an O(files) walk of
+        # the artifact every maintenance tick
+        self._fold_base_bytes: dict[str, int] = {}
 
     # -- ticks ------------------------------------------------------------
 
@@ -231,13 +235,19 @@ class Service:
         effective, so fold-time application riding the regular churn
         cadence is exactly the reclamation policy a 100 TB index wants.
 
-        ``fold`` (optional, ``fn(spark) -> int``) replaces the generic
-        ``compact_batches`` call for datasets whose fold MATERIALIZES
-        read-side artifacts — the MinHash gate index passes
-        ``minhash_fold`` here so every maintenance tick also rewrites
-        the global collapse and band flags (the r10 probe reads them
-        instead of re-aggregating the index).  The callable owns its
-        transform and tombstone handling; it runs under the dataset
+        ``fold`` (optional, ``fn(spark, tombstone_path) -> int``)
+        replaces the generic ``compact_batches`` call for datasets
+        whose fold MATERIALIZES read-side artifacts — the MinHash gate
+        index passes ``minhash_fold`` here so every maintenance tick
+        also rewrites the global collapse and band flags (the r10
+        probe reads them instead of re-aggregating the index).  The
+        callable receives this dataset's ``tombstone_path`` (or None)
+        as its second argument, so the physical-reclamation promise
+        above holds BY CONSTRUCTION for custom folds too — a fold that
+        ignored a registered tombstone relation would silently leave
+        takedown data on disk forever (r10 advice; results would stay
+        correct via the read-time anti-join, but reclamation is the
+        point of fold-time application).  It runs under the dataset
         lock and must use ``defer_delete=True`` to keep the
         reader-grace discipline.
 
@@ -313,27 +323,41 @@ class Service:
             batch_dirs = [
                 d for d in os.listdir(root) if d.startswith("batch-")
             ]
-            trip = len(batch_dirs) >= min_batches
+            # once a folded generation exists its batch-0 is the fold
+            # ARTIFACT, not ingest churn — counting it toward
+            # min_batches would make every post-fold count trip one
+            # delta batch early (r10 advice)
+            delta_dirs = (
+                [d for d in batch_dirs if d != "batch-0"]
+                if root != path
+                else batch_dirs
+            )
+            trip = len(delta_dirs) >= min_batches
             if (
                 not trip
                 and max_delta_fraction is not None
                 and root != path  # a folded generation exists
-                and len(batch_dirs) >= 2  # something beyond the artifact
+                and delta_dirs  # something beyond the artifact
             ):
                 art = os.path.join(root, "batch-0")
                 if os.path.isdir(art):
-                    base = _dir_bytes(art)
+                    # the artifact is immutable once committed (a new
+                    # fold lands in a NEW generation dir), so its size
+                    # is walked once per generation, not per tick
+                    base = self._fold_base_bytes.get(art)
+                    if base is None:
+                        base = _dir_bytes(art)
+                        self._fold_base_bytes[art] = base
                     delta = sum(
                         _dir_bytes(os.path.join(root, d))
-                        for d in batch_dirs
-                        if d != "batch-0"
+                        for d in delta_dirs
                     )
                     trip = base > 0 and delta > max_delta_fraction * base
             if not trip:
                 continue
             if fold is not None:
                 with lock:
-                    folded += fold(self.spark)
+                    folded += fold(self.spark, tomb_path)
                 continue
             transform = None
             if tomb_path is not None:
@@ -353,6 +377,12 @@ class Service:
                     defer_delete=True,
                     transform=transform,
                 )
+        if self._fold_base_bytes:
+            # drop cache entries for generations the vacuum reclaimed
+            self._fold_base_bytes = {
+                k: v for k, v in self._fold_base_bytes.items()
+                if os.path.isdir(k)
+            }
         if folded:
             self._loop_logs[self.maintenance_tick].info(
                 "compacted", {"batch_dirs": folded}

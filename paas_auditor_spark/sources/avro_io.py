@@ -420,30 +420,65 @@ def avro_write(df, out_dir: str, codec: str = "null") -> int:
     return sum(r["n"] for r in results)
 
 
-def avro_scan(spark, path: str, spark_schema: str):
-    """Distributed Avro scan: ``binaryFile`` lists and reads the
-    ``*.avro`` landing files (one task per file — the bronze-zone
-    granularity), and an Arrow-batched ``mapInArrow`` decodes each
-    container's blocks into typed rows.  ``spark_schema`` is the DDL
-    the caller expects; timestamp columns are rebuilt from the
+def avro_scan(
+    spark,
+    path: str,
+    spark_schema: str,
+    split_threshold_bytes: int = 256 * 1024 * 1024,
+    split_bytes: int = 128 * 1024 * 1024,
+):
+    """Distributed Avro scan with SIZE-BASED ROUTING (r10 verdict task
+    #4): files at or under ``split_threshold_bytes`` decode one task
+    per file via ``binaryFile`` + an Arrow-batched ``mapInArrow`` (the
+    bronze-zone granularity — a landing file is one writer's commit),
+    and files ABOVE it route to the sync-marker split scanner
+    (``avro_scan_split``), which carves each into ``split_bytes``
+    ranges — so one multi-GB container becomes many parallel tasks
+    instead of a single task-memory hazard.  The routing decision reads
+    binaryFile METADATA only (one ``length > threshold`` existence
+    probe; content bytes are never touched), and a mixed-size zone
+    unions the two shapes — equality with a pure whole-file scan is
+    test-pinned (test_avro.py::test_split_scan_equals_whole_file_scan,
+    mixed-size case included).  ``spark_schema`` is the DDL the caller
+    expects; timestamp columns are rebuilt from the
     ``timestamp-micros`` longs.  Writer/reader schema RESOLUTION per
-    the spec: files carrying extra fields decode (matched by name,
-    extras dropped), reader fields the writer lacks null-fill when
-    nullable, and only a missing non-nullable field refuses — the
-    tolerance an evolving bronze zone needs.  The listing is RECURSIVE
-    with a ``*.avro`` name filter: ``avro_write`` publishes whole
-    ``job-<id>`` directories by one atomic rename, hand-dropped flat
-    files work too, and a torn job's dot-prefixed attempt dir is
-    invisible by Spark's hidden-path rule — so a reader can never see
-    a partial job."""
-    files = (
+    the spec on BOTH routes: files carrying extra fields decode
+    (matched by name, extras dropped), reader fields the writer lacks
+    null-fill when nullable, and only a missing non-nullable field
+    refuses — the tolerance an evolving bronze zone needs.  The listing
+    is RECURSIVE with a ``*.avro`` name filter: ``avro_write``
+    publishes whole ``job-<id>`` directories by one atomic rename,
+    hand-dropped flat files work too, and a torn job's dot-prefixed
+    attempt dir is invisible by Spark's hidden-path rule — so a reader
+    can never see a partial job."""
+    from pyspark.sql import functions as F
+
+    listing = (
         spark.read.format("binaryFile")
         .option("recursiveFileLookup", "true")
         .option("pathGlobFilter", "*.avro")
         .load(path)
-        .select("content")
     )
-    return _decode_files(spark, files, spark_schema)
+    has_big = bool(
+        listing.select("length")
+        .where(F.col("length") > F.lit(split_threshold_bytes))
+        .limit(1)
+        .collect()
+    )  # metadata-only existence probe: content column pruned
+    whole = listing
+    if has_big:
+        whole = whole.where(F.col("length") <= F.lit(split_threshold_bytes))
+    small = _decode_files(spark, whole.select("content"), spark_schema)
+    if not has_big:
+        return small
+    big = avro_scan_split(
+        spark,
+        path,
+        spark_schema,
+        split_bytes=split_bytes,
+        min_file_bytes=split_threshold_bytes + 1,
+    )
+    return small.unionByName(big)
 
 
 def avro_stream(
@@ -746,6 +781,7 @@ def avro_scan_split(
     path: str,
     spark_schema: str,
     split_bytes: int = 128 * 1024 * 1024,
+    min_file_bytes: int = 0,
 ):
     """Sync-marker SPLIT scan — the past-multi-GB upgrade path
     ``avro_scan`` documents, made real: instead of one task per file,
@@ -763,17 +799,24 @@ def avro_scan_split(
     missing non-nullable field refused at planning time) — an evolving
     bronze zone keeps split scanning.  Local/shared filesystem paths;
     on a real cluster the same ownership rule rides the storage client
-    instead of ``open()``."""
+    instead of ``open()``.  ``min_file_bytes`` restricts the listing to
+    files at least that large — the router's filter when ``avro_scan``
+    sends only the oversized files here and decodes the rest whole."""
     from pyspark.sql import functions as F
 
-    listing = (
+    listing_df = (
         spark.read.format("binaryFile")
         .option("recursiveFileLookup", "true")
         .option("pathGlobFilter", "*.avro")
         .load(path)
         .select("path", "length")
-        .collect()
-    )  # bounded: one row per landing file, content never loaded
+    )
+    if min_file_bytes > 0:
+        listing_df = listing_df.where(
+            F.col("length") >= F.lit(min_file_bytes)
+        )
+    # bounded: one row per landing file, content never loaded
+    listing = listing_df.collect()
     from pyspark.sql.pandas.types import to_arrow_schema
 
     _target, names, instant, ntz, nullable, internal = _target_info(

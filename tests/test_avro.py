@@ -452,6 +452,38 @@ def test_split_scan_equals_whole_file_scan(spark, tmp_path, codec):
         got = norm(avro_scan_split(spark, zone, ddl, split_bytes=split))
         assert got == want, f"split={split}"
 
+    # r11 (r10 verdict task #4) MIXED-SIZE auto-routing: drop a second,
+    # much smaller container into the zone and scan with a threshold
+    # between the two sizes — the big file routes to the split scanner,
+    # the small one decodes whole, and the union equals a pure
+    # whole-file scan of the same zone.
+    extra = [(10_000 + i, f"extra {i}", b"x") for i in range(50)]
+    with open(os.path.join(zone, "two.avro"), "wb") as fh:
+        write_container(fh, schema, iter(extra), codec=codec, block_rows=25)
+    sizes = sorted(
+        os.path.getsize(os.path.join(zone, f))
+        for f in ("one.avro", "two.avro")
+    )
+    assert sizes[0] < sizes[1]
+    threshold = (sizes[0] + sizes[1]) // 2
+    want_all = norm(avro_scan(spark, zone, ddl, split_threshold_bytes=10**12))
+    assert len(want_all) == 5050
+    routed = norm(
+        avro_scan(
+            spark, zone, ddl,
+            split_threshold_bytes=threshold, split_bytes=2048,
+        )
+    )
+    assert routed == want_all
+    # threshold below BOTH sizes: everything routes to the splitter
+    all_split = norm(
+        avro_scan(
+            spark, zone, ddl,
+            split_threshold_bytes=1, split_bytes=2048,
+        )
+    )
+    assert all_split == want_all
+
 
 def test_split_scan_parallelizes_one_big_file(spark, tmp_path):
     """The whole point of the splitter: ONE container becomes many

@@ -112,6 +112,12 @@ def test_certification_window_invariants():
         "avro_bronze_roundtrip", "image_tiles",
         "minhash_near_dup_md5", "simhash_md5",
         "minhash_gate_tombstoned_md5", "knn_ivf_tombstoned",
+        # r11 rotation (r10 verdict task #2): hll_overlap_md5 — the
+        # sketch family's overlap composition, rebuilt this round as a
+        # true bottom-k/KMV twin with O(k) per-segment state — takes
+        # heavy_hitters' slot (long-certified since r7; stays
+        # oracle-checked in the full registry)
+        "hll_overlap_md5",
     }
     assert flagships <= set(first50)
 

@@ -443,7 +443,9 @@ def test_maintenance_fold_materializes_minhash_collapse(spark, tmp_path):
         minhash_index_collector(path, num_hashes=24, num_bands=12),
         parts=("collapse", "bands", "sets"),
         min_batches=2,
-        fold=lambda sp: minhash_fold(sp, path, defer_delete=True),
+        fold=lambda sp, tomb: minhash_fold(
+            sp, path, tombstone_path=tomb, defer_delete=True
+        ),
     )
     boiler = ("alpha beta gamma delta epsilon zeta eta theta iota "
               "kappa lambda mu nu xi omicron pi rho sigma tau shared")
@@ -493,7 +495,9 @@ def test_maintenance_delta_volume_guard(spark, tmp_path):
         parts=("collapse", "bands", "sets"),
         min_batches=3,
         max_delta_fraction=0.5,
-        fold=lambda sp: minhash_fold(sp, path, defer_delete=True),
+        fold=lambda sp, tomb: minhash_fold(
+            sp, path, tombstone_path=tomb, defer_delete=True
+        ),
     )
 
     def docs(lo, hi):
@@ -615,6 +619,59 @@ def test_maintenance_fold_applies_tombstones(spark, tmp_path):
     assert got == want
 
 
+def test_maintenance_custom_fold_receives_tombstones(spark, tmp_path):
+    """r11 (r10 advice): a dataset registered with BOTH a custom fold
+    and a tombstone relation has the tombstone path passed INTO the
+    fold callable, so fold-time physical reclamation holds for
+    materializing folds by construction — after the tick the MinHash
+    index's parts hold only survivors and the stored representative
+    shifts to the surviving copy on disk (not just at read time)."""
+    from paas_auditor_spark.operators.atomic import (
+        batch_data_paths,
+        tombstones_collector,
+    )
+    from paas_auditor_spark.operators.dedup import (
+        minhash_fold,
+        minhash_index_collector,
+    )
+
+    svc = Service(spark, warehouse_dir=str(tmp_path / "wh"))
+    path = str(tmp_path / "mh")
+    tomb = str(tmp_path / "tomb")
+    hook = svc.register_collector_dataset(
+        path,
+        minhash_index_collector(path, num_hashes=24, num_bands=12),
+        parts=("collapse", "bands", "sets"),
+        min_batches=2,
+        tombstone_path=tomb,
+        fold=lambda sp, tp: minhash_fold(
+            sp, path, tombstone_path=tp, defer_delete=True
+        ),
+    )
+    boiler = ("alpha beta gamma delta epsilon zeta eta theta iota "
+              "kappa lambda mu nu xi omicron pi rho sigma tau shared")
+    hook(spark.createDataFrame([(1, boiler)], ["doc_id", "text"]), 0)
+    hook(spark.createDataFrame([(2, boiler)], ["doc_id", "text"]), 1)
+    tombstones_collector(tomb)(
+        spark.createDataFrame([(1,)], "doc_id long"), 0
+    )
+
+    assert svc.maintenance_tick() == 2
+    for part in ("collapse", "bands", "sets"):
+        ids = {
+            r["doc_id"]
+            for r in spark.read.option("mergeSchema", "true")
+            .parquet(*batch_data_paths(path, "rename", part))
+            .select("doc_id")
+            .collect()
+        }
+        assert ids == {2}, part  # doc 1 physically reclaimed
+    collapse = spark.read.parquet(
+        *batch_data_paths(path, "rename", "collapse")
+    ).collect()
+    assert {r["_rep"] for r in collapse} == {2}  # rep shifted on disk
+
+
 @pytest.mark.parametrize(
     "crash_point", ["gen_renamed_no_flip", "flipped_no_cleanup"]
 )
@@ -720,16 +777,20 @@ def test_service_restart_after_kill_during_fold(
     assert assembled() == one_shot(120)
 
     # accumulate to the churn guard again; the next fold must succeed,
-    # skipping over / superseding whatever the kill left behind
-    next_id = 3
-    while (
-        sum(
+    # skipping over / superseding whatever the kill left behind.  The
+    # guard counts DELTA dirs: once a folded generation exists its
+    # batch-0 is the fold artifact, not ingest churn (r10 advice)
+    def _delta_dirs():
+        root = atomic.collector_root(path)
+        return sum(
             1
-            for d in os.listdir(atomic.collector_root(path))
+            for d in os.listdir(root)
             if d.startswith("batch-")
+            and not (root != path and d == "batch-0")
         )
-        < 3
-    ):
+
+    next_id = 3
+    while _delta_dirs() < 3:
         hook(keys(next_id * 40, (next_id + 1) * 40), next_id)
         next_id += 1
     folded = svc.maintenance_tick()

@@ -353,6 +353,44 @@ def test_hll_overlap_accuracy(spark, sf_dir):
         assert abs(e - exact) <= max(2.0, 0.10 * exact), (a, b, e, exact)
 
 
+def test_hll_md5_bottom_k_bound(spark):
+    """r11 (r10 verdict task #3): the md5 certification twin's summary
+    is a TRUE bottom-k — per-segment state is exactly k entries when
+    the population exceeds k (never the population size, the r10
+    fixed-rate sample's failure mode at scale), and the two-stage
+    salted rank produces the globally smallest k hashes (equals a
+    single-pass brute-force rank)."""
+    import datetime as dt
+    import hashlib
+
+    from paas_auditor_spark.queries import hll_md5_bottom_k_sketches
+
+    k = 16
+    rows = [
+        (t, u, dt.datetime(2024, 1, 1 + d))
+        for t in ("a", "b")
+        for u in range(40)  # 40 users × 5 days = 200 idents >> k
+        for d in range(5)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_type string, user_id long, ts timestamp"
+    )
+    sk = {
+        r["event_type"]: [(e["h"], e["ident"]) for e in r["sk"]]
+        for r in hll_md5_bottom_k_sketches(ev, k).collect()
+    }
+    assert set(sk) == {"a", "b"}
+    for t, arr in sk.items():
+        assert len(arr) == k, t  # binding: exactly k, not population
+        idents = [
+            f"{u}:2024-01-{1 + d:02d}" for u in range(40) for d in range(5)
+        ]
+        want = sorted(
+            (hashlib.md5(i.encode()).hexdigest(), i) for i in idents
+        )[:k]
+        assert arr == want, t  # globally smallest k, salt stages exact
+
+
 def test_pca_matches_numpy_and_beats_jl(spark, sf_dir):
     """The distributed-covariance PCA equals a pure-numpy PCA on the
     collected vectors (same projection up to the shared 4dp rounding),
