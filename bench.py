@@ -206,9 +206,34 @@ HEADLINE = [
 # carries its own contention calibration (r10 needed a separate
 # tools/drift_control.py session to explain a 164 s vs 148 s face-value
 # gap whose per-query median was 0.998).  The verdict can read the
-# inflation factor directly: controls_end/controls_headline ≈ 1 means a
-# quiet box; a prior round's control block normalizes cross-round totals.
+# inflation factor directly: ``inflation`` = controls_headline /
+# controls_end — how much slower the controls ran inside the headline
+# sweep than at the quiet tail; ≈ 1 means an uncontended sweep, and a
+# prior round's control block normalizes cross-round totals.
 CONTROLS = ["unshipped_events", "pricing_summary", "dedup_exact"]
+
+
+def _best_of_two(fn, spark, sf_dir: str) -> float:
+    """The one timing protocol both the headline sweep and the
+    end-of-run control re-time use — the inflation ratio is only
+    meaningful because both sides measure IDENTICALLY.  Best-of-2 (the
+    first pass pays JIT/codegen warm-up and any host CPU-steal noise;
+    the min is the steady-state number a warm cluster would see), full
+    materialization through the noop sink, then ref-drop + one gc pass:
+    localCheckpoint blocks (minhash, LSH, CC, kmeans) are freed by the
+    ContextCleaner only after the Python DataFrame is GC'd — across 50+
+    queries the dead blocks otherwise pile up in executor storage and
+    later queries pay the GC pressure (measured: simhash 0.4 s isolated
+    vs 1.7 s late in a long run)."""
+    runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        runs.append(time.perf_counter() - t0)
+    df = None
+    gc.collect()
+    return round(min(runs), 3)
 
 
 def main() -> None:
@@ -223,45 +248,18 @@ def main() -> None:
     # warm up the JVM / codegen path so query 1 isn't charged for startup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    # best-of-2 per query: the first pass pays JIT/codegen warm-up and any
-    # host-level CPU-steal noise; the min is the steady-state number a warm
-    # cluster would see.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = REGISTRY[name].fn
-        runs = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(min(runs), 3)
+        timings[name] = _best_of_two(REGISTRY[name].fn, spark, sf_dir)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
-        # localCheckpoint blocks from checkpointing queries (minhash, LSH,
-        # CC, kmeans) are freed by the ContextCleaner only after the Python
-        # DataFrame is GC'd — across 50+ headline queries the dead blocks
-        # otherwise pile up in executor storage and later queries pay the
-        # GC pressure (measured: simhash 0.4 s isolated vs 1.7 s late in a
-        # long bench run).  Dropping refs + one gc pass between queries
-        # keeps every query's measurement independent.
-        df = None
-        gc.collect()
 
-    # end-of-run control re-time: same code, same session, measured
-    # AFTER the full headline sweep — the spread vs each control's
-    # in-sequence number is pure box/scheduler contention
-    controls_end: dict[str, float] = {}
-    for name in CONTROLS:
-        fn = REGISTRY[name].fn
-        runs = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        controls_end[name] = round(min(runs), 3)
-        df = None
-        gc.collect()
+    # end-of-run control re-time: same protocol (_best_of_two), same
+    # session, measured AFTER the full headline sweep — the spread vs
+    # each control's in-sequence number is pure box/scheduler contention
+    controls_end = {
+        name: _best_of_two(REGISTRY[name].fn, spark, sf_dir)
+        for name in CONTROLS
+    }
     try:
         loadavg = [round(x, 2) for x in os.getloadavg()]
     except OSError:

@@ -450,7 +450,18 @@ def avro_scan(
     publishes whole ``job-<id>`` directories by one atomic rename,
     hand-dropped flat files work too, and a torn job's dot-prefixed
     attempt dir is invisible by Spark's hidden-path rule — so a reader
-    can never see a partial job."""
+    can never see a partial job.
+
+    Routing runs ONE metadata-only listing job at plan time (one
+    (path, length) row per landing file — the same driver-side listing
+    the split scanner always did; content is never read) and hands the
+    oversized rows straight to the split scanner, so the zone is
+    listed once per scan.  The split scanner reads ranges through
+    ``open()``, so routing engages only for LOCAL paths (``file:``
+    URIs — the landing-zone shape this engine's collector writes);
+    oversized files on other storage schemes keep the one-task-per-file
+    decode, preserving the pre-routing behavior there (on a real
+    cluster the range reads would ride the storage client instead)."""
     from pyspark.sql import functions as F
 
     listing = (
@@ -459,26 +470,29 @@ def avro_scan(
         .option("pathGlobFilter", "*.avro")
         .load(path)
     )
-    has_big = bool(
-        listing.select("length")
-        .where(F.col("length") > F.lit(split_threshold_bytes))
-        .limit(1)
-        .collect()
-    )  # metadata-only existence probe: content column pruned
-    whole = listing
-    if has_big:
-        whole = whole.where(F.col("length") <= F.lit(split_threshold_bytes))
-    small = _decode_files(spark, whole.select("content"), spark_schema)
-    if not has_big:
-        return small
-    big = avro_scan_split(
+    # bounded driver collect: one metadata row per landing file
+    meta = listing.select("path", "length").collect()
+    big = [
+        r for r in meta
+        if r["length"] > split_threshold_bytes
+        and r["path"].startswith("file:")
+    ]
+    if not big:
+        return _decode_files(spark, listing.select("content"), spark_schema)
+    big_paths = {r["path"] for r in big}
+    small = _decode_files(
+        spark,
+        listing.where(~F.col("path").isin(*big_paths)).select("content"),
+        spark_schema,
+    )
+    split = avro_scan_split(
         spark,
         path,
         spark_schema,
         split_bytes=split_bytes,
-        min_file_bytes=split_threshold_bytes + 1,
+        listing=big,
     )
-    return small.unionByName(big)
+    return small.unionByName(split)
 
 
 def avro_stream(
@@ -781,7 +795,7 @@ def avro_scan_split(
     path: str,
     spark_schema: str,
     split_bytes: int = 128 * 1024 * 1024,
-    min_file_bytes: int = 0,
+    listing=None,
 ):
     """Sync-marker SPLIT scan — the past-multi-GB upgrade path
     ``avro_scan`` documents, made real: instead of one task per file,
@@ -799,24 +813,21 @@ def avro_scan_split(
     missing non-nullable field refused at planning time) — an evolving
     bronze zone keeps split scanning.  Local/shared filesystem paths;
     on a real cluster the same ownership rule rides the storage client
-    instead of ``open()``.  ``min_file_bytes`` restricts the listing to
-    files at least that large — the router's filter when ``avro_scan``
-    sends only the oversized files here and decodes the rest whole."""
+    instead of ``open()``.  ``listing`` (optional, rows with ``path``
+    and ``length``) reuses a listing the caller already collected —
+    ``avro_scan``'s router passes its oversized rows here so a routed
+    zone is listed exactly once."""
     from pyspark.sql import functions as F
 
-    listing_df = (
-        spark.read.format("binaryFile")
-        .option("recursiveFileLookup", "true")
-        .option("pathGlobFilter", "*.avro")
-        .load(path)
-        .select("path", "length")
-    )
-    if min_file_bytes > 0:
-        listing_df = listing_df.where(
-            F.col("length") >= F.lit(min_file_bytes)
-        )
-    # bounded: one row per landing file, content never loaded
-    listing = listing_df.collect()
+    if listing is None:
+        listing = (
+            spark.read.format("binaryFile")
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.avro")
+            .load(path)
+            .select("path", "length")
+            .collect()
+        )  # bounded: one row per landing file, content never loaded
     from pyspark.sql.pandas.types import to_arrow_schema
 
     _target, names, instant, ntz, nullable, internal = _target_info(

@@ -2,7 +2,10 @@
 (SURVEY r11 candidate #3, pulled into r10): the registered
 ``knn_ivf_persisted`` probe at sf0.1 / 10× / 100× / 1000× embeddings
 slices — build-once (cached, run 1) then probe-only best-of-N, with
-the plan-shape fingerprint diffed across slices.
+the plan-shape fingerprint diffed across slices.  Timing, plan
+fingerprinting, and the table emitter live in
+``tools.scale_rehearsal.rehearse_probe`` (shared with the persisted
+tool so a methodology fix lands once).
 
 Usage: PYTHONPATH=. python tools/ann_probe_rehearsal.py
            [--slices sf0.1,sf1,sf10,sf100] [--runs 2]
@@ -11,11 +14,8 @@ Usage: PYTHONPATH=. python tools/ann_probe_rehearsal.py
 from __future__ import annotations
 
 import argparse
-import gc
-import json
-import time
 
-from tools.scale_rehearsal import plan_shape
+from tools.scale_rehearsal import rehearse_probe
 
 SLICE_DIRS = {
     "sf0.1": "/root/testdata/sf0.1",
@@ -38,45 +38,14 @@ def main() -> None:
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
-    fn = REGISTRY["knn_ivf_persisted"].fn
-
-    results, shapes = [], {}
-    for name in args.slices.split(","):
-        sf_dir = SLICE_DIRS[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        build_s = round(time.perf_counter() - t0, 3)  # includes build
-        best = float("inf")
-        for _ in range(args.runs):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-            gc.collect()
-        shapes[name] = plan_shape(fn(spark, sf_dir))
-        rec = {
-            "slice": name,
-            "first_run_incl_build_s": build_s,
-            "probe_s": round(best, 3),
-        }
-        results.append(rec)
-        print(json.dumps(rec), flush=True)
-
-    base = results[0]
-    print("\n| slice | probe (warm) | vs sf0.1 | plan Δ vs sf0.1 |")
-    print("|---|---|---|---|")
-    for r in results:
-        nm = r["slice"]
-        diff = {
-            k: (shapes[nm].get(k, 0), shapes[base["slice"]].get(k, 0))
-            for k in set(shapes[nm]) | set(shapes[base["slice"]])
-            if shapes[nm].get(k, 0) != shapes[base["slice"]].get(k, 0)
-        }
-        print(
-            f"| {nm} | {r['probe_s']} s "
-            f"| {round(r['probe_s'] / base['probe_s'], 2)}x "
-            f"| {diff if diff else 'invariant'} |"
-        )
+    rehearse_probe(
+        spark,
+        REGISTRY["knn_ivf_persisted"].fn,
+        SLICE_DIRS,
+        args.slices.split(","),
+        args.runs,
+        "knn_ivf_persisted",
+    )
 
 
 if __name__ == "__main__":

@@ -58,6 +58,63 @@ def plan_shape(df) -> dict[str, int]:
     return counts
 
 
+def rehearse_probe(spark, fn, slice_dirs, slices, runs, query_label):
+    """Build-then-probe scale curve shared by the probe rehearsal tools
+    (ann/persisted): at each slice, run 1 pays the cached-artifact build
+    through the registered query itself, subsequent runs are probe-only
+    best-of-N, and the plan-shape fingerprint is diffed against the
+    FIRST slice in ``slices`` (the labels follow it — a run that skips
+    the smallest slice reports ratios against its own baseline, not a
+    mislabeled sf0.1).  One JSON line per slice plus a markdown table
+    for SURVEY §6; returns the result records."""
+    import gc
+    import json
+    import time
+
+    results, shapes = [], {}
+    for name in slices:
+        sf_dir = slice_dirs[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        build_s = round(time.perf_counter() - t0, 3)  # includes build
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            df = None
+            gc.collect()
+        shapes[name] = plan_shape(fn(spark, sf_dir))
+        rec = {
+            "query": query_label,
+            "slice": name,
+            "first_run_incl_build_s": build_s,
+            "probe_s": round(best, 3),
+        }
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    base = results[0]
+    bname = base["slice"]
+    print(f"\n### {query_label}")
+    print(f"| slice | probe (warm) | vs {bname} | plan Δ vs {bname} |")
+    print("|---|---|---|---|")
+    for r in results:
+        nm = r["slice"]
+        diff = {
+            k: (shapes[nm].get(k, 0), shapes[bname].get(k, 0))
+            for k in set(shapes[nm]) | set(shapes[bname])
+            if shapes[nm].get(k, 0) != shapes[bname].get(k, 0)
+        }
+        print(
+            f"| {nm} | {r['probe_s']} s "
+            f"| {round(r['probe_s'] / base['probe_s'], 2)}x "
+            f"| {diff if diff else 'invariant'} |"
+        )
+    return results
+
+
 def time_query(fn, spark, sf_dir: str, runs: int) -> float:
     best = float("inf")
     for _ in range(runs):
