@@ -109,6 +109,9 @@ HEADLINE = [
     "lm_perplexity",
     "lm_perplexity_interp",
     "lm_perplexity_persisted",
+    # the per-ingest-batch deployment twin (broadcast-semi probe of the
+    # persisted model — zero model shuffles); r12 candidate #5
+    "lm_perplexity_sharded",
     "lm_perplexity_retracted",
     "temperature_sample",
     "knn_ivfpq",
@@ -186,6 +189,9 @@ HEADLINE = [
     "mixture_weights_fit",
     "bloom_decontaminate",
     "bloom_decontaminate_persisted",
+    # the per-ingest-batch deployment twin (range-pruned batch scan
+    # against the persisted filter literal); r12 candidate #5
+    "bloom_decontaminate_sharded",
     "bloom_pruned_join",
     "token_entropy",
     "hard_negatives",

@@ -564,6 +564,7 @@ def trigram_interp_perplexity_from_model(
     text_col: str = "text",
     id_col: str = "doc_id",
     lambdas: tuple = (0.5, 0.3, 0.2),
+    batch_probe: bool = False,
 ) -> DataFrame:
     """Score documents against a FINALIZED persisted trigram LM
     (lm_index_finalize) — the deployment shape of
@@ -595,7 +596,24 @@ def trigram_interp_perplexity_from_model(
     out-of-corpus bigram contexts would add two bigram-keyed left
     joins; the zero-floor form keeps the single-shuffle plan and is
     the standard perplexity-filter behavior — unseen mass scores at
-    the Laplace floor.)"""
+    the Laplace floor.)
+
+    ``batch_probe=True`` is the PER-INGEST-BATCH geometry: when the
+    scored set is one bounded ingest batch (a few hundred documents)
+    rather than a corpus-scale stream, the default left join prices
+    every batch at the model relation's size (the stream side of a
+    left-outer cannot be the broadcast build side, so Spark
+    sort-merges BOTH sides — a full model shuffle per batch).
+    Instead the batch's distinct trigram keys (batch-bounded by
+    construction) broadcast into a ``left_semi`` probe of the model —
+    the model is scanned map-side, column-pruned, NEVER shuffled —
+    and the surviving rows (≤ batch distinct trigrams) broadcast back
+    onto the raw occurrence stream; the unigram marginals get the
+    same semi-join cut before their broadcasts.  Per-batch cost is
+    one model map-scan plus batch-sized work, whatever the corpus
+    size (no SortMergeJoin / no model-side Exchange,
+    plan-asserted).  Identical expression tree → value-identical to
+    the default geometry (equality-pinned in tests/test_corpus.py)."""
     l3, l2, l1 = lambdas
     model = spark.read.parquet(f"{model_path}/model")
     b2 = spark.read.parquet(f"{model_path}/b2")
@@ -612,6 +630,20 @@ def trigram_interp_perplexity_from_model(
         F.col("g.w2").alias("w2"),
         F.col("g.w3").alias("w3"),
     )
+    if batch_probe:
+        # batch-bounded key sets drive map-side semi-joins: the model
+        # and marginal relations are scanned once each, never shuffled
+        keys = occ.select("w1", "w2", "w3").distinct()
+        model = F.broadcast(
+            model.join(F.broadcast(keys), ["w1", "w2", "w3"], "left_semi")
+        )
+        b2 = b2.join(
+            F.broadcast(keys.select("w2").distinct()), "w2", "left_semi"
+        )
+        u3 = u3.join(
+            F.broadcast(keys.select("w3").distinct()), "w3", "left_semi"
+        )
+    joined = occ.join(model, on=["w1", "w2", "w3"], how="left")
     p = (
         F.lit(l3)
         * (F.coalesce(F.col("c3"), F.lit(0)) + 1)
@@ -624,7 +656,7 @@ def trigram_interp_perplexity_from_model(
         / (F.col("n_total") + F.col("v"))
     )
     scored = (
-        occ.join(model, on=["w1", "w2", "w3"], how="left")
+        joined
         .join(F.broadcast(b2), on="w2", how="left")
         .join(F.broadcast(u3), on="w3", how="left")
         .crossJoin(F.broadcast(meta))
@@ -634,6 +666,10 @@ def trigram_interp_perplexity_from_model(
         F.count(F.lit(1)).alias("n_trigrams"),
         (F.sum("nll") / F.count(F.lit(1))).alias("raw_nll"),
     )
+    if batch_probe:
+        # batch-sized by construction — keep the attach join broadcast
+        # so the static plan carries zero sort-merge joins
+        per_doc = F.broadcast(per_doc)
     return (
         toked.select(id_col)
         .join(per_doc, on=id_col, how="left")

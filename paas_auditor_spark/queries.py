@@ -3847,7 +3847,20 @@ ORDER BY p.p_partkey
 """
 
 
-ORACLE_BLOOM_DECONTAMINATE = """
+# one bounded ingest tick: a fixed 256-doc id range (dense doc_ids make
+# it exactly 256 docs at every SF; scale-slice copies shift ids by 1e9
+# per copy, so the batch stays the SAME absolute size at any factor —
+# the per-batch deployment shapes below are flat-cost by construction)
+_INGEST_BATCH_PRED = "doc_id >= 16 AND doc_id < 272"
+
+
+def _bloom_oracle(probe_pred: str = "") -> str:
+    """The Bloom-decontamination replay, parameterized by an optional
+    bare-boolean predicate that restricts ONLY the probed document set
+    (the benchmark filter always builds from the full corpus) — the
+    sharded variant gates one ingest batch."""
+    extra = f" AND {probe_pred}" if probe_pred else ""
+    return f"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
   FROM documents),
@@ -3863,7 +3876,8 @@ pos AS (
           + j * CAST(concat('0x', substr(md5(g), 13, 12)) AS BIGINT))
          % 1048576 AS p
   FROM bench CROSS JOIN range(4) r(j)),
-cg AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 97 <> 0),
+cg AS (SELECT DISTINCT doc_id, g FROM grams
+       WHERE doc_id % 97 <> 0{extra}),
 probe AS (
   SELECT doc_id, g,
          (CAST(concat('0x', substr(md5(g), 1, 12)) AS BIGINT)
@@ -3878,9 +3892,12 @@ SELECT d.doc_id,
        CAST(coalesce(p.n_bloom_hits, 0) AS BIGINT) AS n_bloom_hits,
        coalesce(p.n_bloom_hits, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
-WHERE d.doc_id % 97 <> 0
+WHERE d.doc_id % 97 <> 0{extra.replace("doc_id", "d.doc_id")}
 ORDER BY d.doc_id
 """
+
+
+ORACLE_BLOOM_DECONTAMINATE = _bloom_oracle()
 
 
 def _bloom_words_cached(spark: SparkSession, sf_dir: str, m: int, k: int):
@@ -3957,6 +3974,57 @@ def q_bloom_decontaminate_persisted(spark: SparkSession, sf_dir: str) -> DataFra
     return (
         docs.filter(F.col("doc_id") % 97 != 0)
         .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bloom_hits", F.lit(0)).alias("n_bloom_hits"),
+            (F.coalesce("n_bloom_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_bloom_decontaminate_sharded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PER-INGEST-BATCH shape of Bloom decontamination (SURVEY
+    round-12 candidate #5): same persisted benchmark filter as
+    `bloom_decontaminate_persisted` (O(m) literal assembly, corpus
+    never re-shingled), but the probe gates ONE bounded ingest tick —
+    a fixed 256-doc id range — instead of the whole corpus.  The
+    range predicate reaches the parquet scan (PushedFilters,
+    plan-asserted), so at any corpus size the run reads row-group-
+    pruned batch bytes + the ~16k filter words: the flat-cost
+    per-batch twin of the corpus-linear full scan, which is the
+    deployment cadence when decontamination runs on arrival rather
+    than as a backfill.  Same per-document values as the full-corpus
+    query on the batch docs (equality-pinned in tests/test_bloom.py),
+    certified under the batch-restricted oracle."""
+    from paas_auditor_spark.operators.bloom import (
+        bloom_blob_from_words,
+        bloom_contains,
+    )
+
+    m, k = 1 << 20, 4
+    words = _bloom_words_cached(spark, sf_dir, m, k)
+    bitmap = bloom_blob_from_words(words, m=m, k=k)
+    batch = _th(spark, sf_dir, "documents").filter(
+        F.expr(_INGEST_BATCH_PRED)
+    )
+    grams = batch.select(
+        "doc_id", F.explode(tx.ngrams(F.col("text"), 8)).alias("g")
+    )
+    hits = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .where(bloom_contains(F.col("g"), bitmap, m=m, k=k))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_bloom_hits"))
+    )
+    return (
+        batch.filter(F.col("doc_id") % 97 != 0)
+        # hits is batch-bounded by construction — pin the broadcast so
+        # the attach join's plan is invariant across corpus decades
+        # (unpinned, size estimates flip it SMJ↔BHJ between slices)
+        .join(F.broadcast(hits), "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_bloom_hits", F.lit(0)).alias("n_bloom_hits"),
@@ -9060,11 +9128,18 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_perplexity(docs)
 
 
-def _lm_interp_oracle(where: str = "") -> str:
+def _lm_interp_oracle(where: str = "", score_pred: str = "") -> str:
     """The interpolated-trigram-LM replay, parameterized by a corpus
     predicate (``" WHERE ..."``) applied to BOTH the training stream
     and the scored set — the retracted variant replays retraction as
-    never-ingested."""
+    never-ingested — plus an optional ``score_pred`` (bare boolean
+    SQL) that restricts ONLY the scored set: the sharded variant
+    trains on everything and scores one ingest batch."""
+    score = (
+        ""
+        if not score_pred
+        else (f" AND {score_pred}" if where else f" WHERE {score_pred}")
+    )
     return f"""
         WITH toks AS (
           SELECT doc_id,
@@ -9101,7 +9176,7 @@ def _lm_interp_oracle(where: str = "") -> str:
                coalesce(p.n_trigrams, 0) AS n_trigrams,
                round(p.raw_nll, 4) AS avg_nll,
                round(exp(p.raw_nll), 4) AS ppl
-        FROM (SELECT doc_id FROM documents{where}) d
+        FROM (SELECT doc_id FROM documents{where}{score}) d
         LEFT JOIN per_doc p USING (doc_id)
         ORDER BY d.doc_id
         """
@@ -9162,6 +9237,36 @@ def q_lm_perplexity_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = _lm_model_cached(spark, sf_dir)
     docs = _th(spark, sf_dir, "documents")
     return trigram_interp_perplexity_from_model(spark, model, docs)
+
+
+def q_lm_perplexity_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PER-INGEST-BATCH shape of the persisted trigram LM (SURVEY
+    round-12 candidate #5): the same finalized model as
+    `lm_perplexity_persisted`, scoring ONE bounded ingest tick (a
+    fixed 256-doc id range) under the batch-probe join geometry
+    (operators/corpus.py: trigram_interp_perplexity_from_model,
+    ``batch_probe=True``) — the batch's distinct trigrams broadcast
+    into a left_semi cut of the model, the cut broadcasts back onto
+    the occurrence stream, and the unigram marginals are semi-joined
+    before their broadcasts, so the model relation is map-scanned
+    once and NEVER shuffled (no SortMergeJoin, plan-asserted).  That
+    is the difference that matters at the ingest cadence: the default
+    geometry sort-merges the full model per batch, pricing a 256-doc
+    tick at corpus-model size.  Value-identical to the full-corpus
+    scorer on the batch docs (equality-pinned in
+    tests/test_corpus.py); certified under the score-restricted full
+    oracle (trains on everything, scores the batch)."""
+    from paas_auditor_spark.operators.corpus import (
+        trigram_interp_perplexity_from_model,
+    )
+
+    model = _lm_model_cached(spark, sf_dir)
+    batch = _th(spark, sf_dir, "documents").filter(
+        F.expr(_INGEST_BATCH_PRED)
+    )
+    return trigram_interp_perplexity_from_model(
+        spark, model, batch, batch_probe=True
+    )
 
 
 # SQL-text predicate (not a Column: building one at import time needs an
@@ -11047,6 +11152,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "bloom_decontaminate_persisted": QuerySpec(
         q_bloom_decontaminate_persisted, ORACLE_BLOOM_DECONTAMINATE
     ),
+    # the per-ingest-batch twin: same filter artifact, probe restricted
+    # to one bounded ingest tick — oracle restricted identically
+    "bloom_decontaminate_sharded": QuerySpec(
+        q_bloom_decontaminate_sharded, _bloom_oracle(_INGEST_BATCH_PRED)
+    ),
     "bloom_pruned_join": QuerySpec(
         q_bloom_pruned_join, ORACLE_BLOOM_PRUNED_JOIN
     ),
@@ -12497,6 +12607,13 @@ REGISTRY: dict[str, QuerySpec] = {
     "lm_perplexity_retracted": QuerySpec(
         q_lm_perplexity_retracted,
         _lm_interp_oracle(" WHERE doc_id % 4 <> 1"),
+    ),
+    # the per-ingest-batch twin: full-corpus model, scored set
+    # restricted to one bounded ingest tick (score_pred restricts only
+    # the scored docs — the training stream stays whole)
+    "lm_perplexity_sharded": QuerySpec(
+        q_lm_perplexity_sharded,
+        _lm_interp_oracle(score_pred=_INGEST_BATCH_PRED),
     ),
     "lm_perplexity": QuerySpec(
         q_lm_perplexity,

@@ -713,3 +713,28 @@ def test_merge_accepts_empty_partial(spark):
         bloom_merge(empty, empty)
     with pytest.raises(ValueError, match="empty words relation"):
         _words_geometry(empty)
+
+
+def test_bloom_sharded_is_batch_slice_of_persisted(spark):
+    """bloom_decontaminate_sharded must equal the full persisted
+    decontamination restricted to the ingest batch (same artifact, same
+    verdicts), and its documents scan must push the batch range down to
+    parquet (row-group pruning is what makes the per-batch shape
+    flat-cost at any corpus size)."""
+    from paas_auditor_spark.queries import (
+        _INGEST_BATCH_PRED,
+        q_bloom_decontaminate_persisted,
+        q_bloom_decontaminate_sharded,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = q_bloom_decontaminate_sharded(spark, sf_dir)
+    want = q_bloom_decontaminate_persisted(spark, sf_dir).filter(
+        F.expr(_INGEST_BATCH_PRED)
+    )
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+    plan = got._jdf.queryExecution().toString()
+    assert "GreaterThanOrEqual(doc_id,16)" in plan
+    assert "LessThan(doc_id,272)" in plan

@@ -647,3 +647,42 @@ def test_lm_counts_collector_under_real_stream(spark, tmp_path):
         for r in trigram_interp_perplexity(union).orderBy("doc_id").collect()
     ]
     assert model_scores(str(tmp_path / "m2"), union) == want2
+
+
+def test_lm_sharded_batch_probe_geometry(spark, sf_dir):
+    """The per-ingest-batch scorer (batch_probe=True) must be
+    value-identical to the default geometry on the same batch, and its
+    static plan must carry ZERO sort-merge joins — the model relation
+    is map-scanned via broadcast semi/hash joins, never shuffled (the
+    deployment difference: the default geometry sort-merges the full
+    model per batch)."""
+    from pyspark.sql import functions as F
+
+    from paas_auditor_spark.operators.corpus import (
+        trigram_interp_perplexity_from_model,
+    )
+    from paas_auditor_spark.queries import (
+        _INGEST_BATCH_PRED,
+        _lm_model_cached,
+    )
+
+    model = _lm_model_cached(spark, sf_dir)
+    batch = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.expr(_INGEST_BATCH_PRED))
+    )
+    fast = trigram_interp_perplexity_from_model(
+        spark, model, batch, batch_probe=True
+    )
+    slow = trigram_interp_perplexity_from_model(spark, model, batch)
+    assert [tuple(r) for r in fast.collect()] == [
+        tuple(r) for r in slow.collect()
+    ]
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    # every shuffle in the plan keys on batch-derived streams (trigram
+    # key distincts, the per-doc aggregate, the final sort) — none may
+    # repartition the model/marginal relations' columns (c3, b2, u3...)
+    for line in plan.splitlines():
+        if "Exchange" in line and "Broadcast" not in line:
+            assert "c3" not in line and "n_total" not in line, line
