@@ -632,8 +632,15 @@ def trigram_interp_perplexity_from_model(
     )
     if batch_probe:
         # batch-bounded key sets drive map-side semi-joins: the model
-        # and marginal relations are scanned once each, never shuffled
-        keys = occ.select("w1", "w2", "w3").distinct()
+        # and marginal relations are scanned once each, never shuffled.
+        # keys feeds three broadcasts — checkpoint the distinct once so
+        # the explode+distinct isn't re-run per consumer (the toked
+        # checkpoint two lines up exists for the same reason)
+        keys = (
+            occ.select("w1", "w2", "w3")
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
         model = F.broadcast(
             model.join(F.broadcast(keys), ["w1", "w2", "w3"], "left_semi")
         )

@@ -3856,9 +3856,12 @@ _INGEST_BATCH_PRED = "doc_id >= 16 AND doc_id < 272"
 
 def _bloom_oracle(probe_pred: str = "") -> str:
     """The Bloom-decontamination replay, parameterized by an optional
-    bare-boolean predicate that restricts ONLY the probed document set
-    (the benchmark filter always builds from the full corpus) — the
-    sharded variant gates one ingest batch."""
+    bare-boolean predicate over ``doc_id`` that restricts ONLY the
+    probed document set (the benchmark filter always builds from the
+    full corpus) — the sharded variant gates one ingest batch.  The
+    predicate is spliced only into single-relation scopes (the cg CTE
+    and the final derived table), so bare column references stay
+    unambiguous."""
     extra = f" AND {probe_pred}" if probe_pred else ""
     return f"""
 WITH toks AS (
@@ -3891,8 +3894,8 @@ perdoc AS (SELECT doc_id, count(*) AS n_bloom_hits FROM hits GROUP BY doc_id)
 SELECT d.doc_id,
        CAST(coalesce(p.n_bloom_hits, 0) AS BIGINT) AS n_bloom_hits,
        coalesce(p.n_bloom_hits, 0) > 0 AS contaminated
-FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
-WHERE d.doc_id % 97 <> 0{extra.replace("doc_id", "d.doc_id")}
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0{extra}) d
+LEFT JOIN perdoc p ON d.doc_id = p.doc_id
 ORDER BY d.doc_id
 """
 
@@ -3935,6 +3938,50 @@ def _bloom_words_cached(spark: SparkSession, sf_dir: str, m: int, k: int):
     return spark.read.parquet(path)
 
 
+def _bloom_gate_persisted(
+    spark: SparkSession,
+    sf_dir: str,
+    docs: DataFrame,
+    *,
+    broadcast_hits: bool = False,
+) -> DataFrame:
+    """The shared probe pipeline of the persisted/sharded twins: read
+    the cached benchmark filter words, pack the O(m) probe literal,
+    shingle ``docs``, gate, and attach per-doc hit counts.  One body so
+    the twins (contractually equal on shared docs, test-pinned) cannot
+    drift; ``broadcast_hits`` pins the attach join when the caller
+    knows hits is batch-bounded."""
+    from paas_auditor_spark.operators.bloom import (
+        bloom_blob_from_words,
+        bloom_contains,
+    )
+
+    m, k = 1 << 20, 4
+    words = _bloom_words_cached(spark, sf_dir, m, k)
+    bitmap = bloom_blob_from_words(words, m=m, k=k)
+    grams = docs.select(
+        "doc_id", F.explode(tx.ngrams(F.col("text"), 8)).alias("g")
+    )
+    hits = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .where(bloom_contains(F.col("g"), bitmap, m=m, k=k))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_bloom_hits"))
+    )
+    if broadcast_hits:
+        hits = F.broadcast(hits)
+    return (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bloom_hits", F.lit(0)).alias("n_bloom_hits"),
+            (F.coalesce("n_bloom_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_bloom_decontaminate_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DEPLOYMENT shape of Bloom decontamination: the benchmark
     filter is built once and persisted in its mergeable (w, bits, m, k)
@@ -3953,33 +4000,8 @@ def q_bloom_decontaminate_persisted(spark: SparkSession, sf_dir: str) -> DataFra
     which is the difference that matters when the reference set is a
     full eval-suite shingle inventory and decontamination runs per
     corpus shard."""
-    from paas_auditor_spark.operators.bloom import (
-        bloom_blob_from_words,
-        bloom_contains,
-    )
-
-    m, k = 1 << 20, 4
-    words = _bloom_words_cached(spark, sf_dir, m, k)
-    bitmap = bloom_blob_from_words(words, m=m, k=k)
-    docs = _th(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id", F.explode(tx.ngrams(F.col("text"), 8)).alias("g")
-    )
-    hits = (
-        grams.filter(F.col("doc_id") % 97 != 0)
-        .where(bloom_contains(F.col("g"), bitmap, m=m, k=k))
-        .groupBy("doc_id")
-        .agg(F.countDistinct("g").alias("n_bloom_hits"))
-    )
-    return (
-        docs.filter(F.col("doc_id") % 97 != 0)
-        .join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_bloom_hits", F.lit(0)).alias("n_bloom_hits"),
-            (F.coalesce("n_bloom_hits", F.lit(0)) > 0).alias("contaminated"),
-        )
-        .orderBy("doc_id")
+    return _bloom_gate_persisted(
+        spark, sf_dir, _th(spark, sf_dir, "documents")
     )
 
 
@@ -3999,38 +4021,14 @@ def q_bloom_decontaminate_sharded(
     than as a backfill.  Same per-document values as the full-corpus
     query on the batch docs (equality-pinned in tests/test_bloom.py),
     certified under the batch-restricted oracle."""
-    from paas_auditor_spark.operators.bloom import (
-        bloom_blob_from_words,
-        bloom_contains,
-    )
-
-    m, k = 1 << 20, 4
-    words = _bloom_words_cached(spark, sf_dir, m, k)
-    bitmap = bloom_blob_from_words(words, m=m, k=k)
     batch = _th(spark, sf_dir, "documents").filter(
         F.expr(_INGEST_BATCH_PRED)
     )
-    grams = batch.select(
-        "doc_id", F.explode(tx.ngrams(F.col("text"), 8)).alias("g")
-    )
-    hits = (
-        grams.filter(F.col("doc_id") % 97 != 0)
-        .where(bloom_contains(F.col("g"), bitmap, m=m, k=k))
-        .groupBy("doc_id")
-        .agg(F.countDistinct("g").alias("n_bloom_hits"))
-    )
-    return (
-        batch.filter(F.col("doc_id") % 97 != 0)
-        # hits is batch-bounded by construction — pin the broadcast so
-        # the attach join's plan is invariant across corpus decades
-        # (unpinned, size estimates flip it SMJ↔BHJ between slices)
-        .join(F.broadcast(hits), "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_bloom_hits", F.lit(0)).alias("n_bloom_hits"),
-            (F.coalesce("n_bloom_hits", F.lit(0)) > 0).alias("contaminated"),
-        )
-        .orderBy("doc_id")
+    # broadcast_hits: hits is batch-bounded by construction — pin the
+    # broadcast so the attach join's plan is invariant across corpus
+    # decades (unpinned, size estimates flip it SMJ↔BHJ between slices)
+    return _bloom_gate_persisted(
+        spark, sf_dir, batch, broadcast_hits=True
     )
 
 

@@ -715,7 +715,7 @@ def test_merge_accepts_empty_partial(spark):
         _words_geometry(empty)
 
 
-def test_bloom_sharded_is_batch_slice_of_persisted(spark):
+def test_bloom_sharded_is_batch_slice_of_persisted(spark, sf_dir):
     """bloom_decontaminate_sharded must equal the full persisted
     decontamination restricted to the ingest batch (same artifact, same
     verdicts), and its documents scan must push the batch range down to
@@ -727,7 +727,6 @@ def test_bloom_sharded_is_batch_slice_of_persisted(spark):
         q_bloom_decontaminate_sharded,
     )
 
-    sf_dir = "/root/testdata/sf0.001"
     got = q_bloom_decontaminate_sharded(spark, sf_dir)
     want = q_bloom_decontaminate_persisted(spark, sf_dir).filter(
         F.expr(_INGEST_BATCH_PRED)
