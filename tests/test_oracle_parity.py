@@ -128,3 +128,39 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_oracle_predicate_splice_rules():
+    """The parameterized oracle templates splice predicates into
+    single-relation scopes only (review finding r11): the LM template's
+    score_pred must AND onto an existing training WHERE but open its own
+    WHERE when training is unrestricted, and the bloom template's
+    probe_pred must land in both the cg CTE and the final derived table
+    with bare (unqualified) column references."""
+    from paas_auditor_spark.queries import _bloom_oracle, _lm_interp_oracle
+
+    # LM: all four (where, score_pred) combinations
+    plain = _lm_interp_oracle()
+    assert "AND" not in plain.split("FROM (SELECT doc_id FROM documents")[1].split(")")[0]
+    trained = _lm_interp_oracle(" WHERE doc_id % 4 <> 1")
+    assert "FROM (SELECT doc_id FROM documents WHERE doc_id % 4 <> 1)" in trained
+    scored = _lm_interp_oracle(score_pred="doc_id < 10")
+    assert "FROM (SELECT doc_id FROM documents WHERE doc_id < 10)" in scored
+    assert "FROM documents)" in scored  # toks (training) unrestricted
+    both = _lm_interp_oracle(" WHERE doc_id % 4 <> 1", "doc_id < 10")
+    assert (
+        "FROM (SELECT doc_id FROM documents WHERE doc_id % 4 <> 1"
+        " AND doc_id < 10)" in both
+    )
+    # the training stream never sees score_pred
+    head = both.split("occ AS")[0]
+    assert "doc_id < 10" not in head
+
+    # bloom: the probe predicate lands in cg and the final derived
+    # table, never qualified, and never in the bench (filter-build) CTE
+    b = _bloom_oracle("doc_id >= 16 AND doc_id < 272")
+    assert "WHERE doc_id % 97 <> 0 AND doc_id >= 16 AND doc_id < 272)" in b
+    assert b.count("doc_id >= 16") == 2
+    assert "d.doc_id >= 16" not in b
+    bench_cte = b.split("bench AS")[1].split("pos AS")[0]
+    assert "doc_id >= 16" not in bench_cte
