@@ -37,8 +37,10 @@ into many parallel tasks — test-pinned equal to the whole-file scan.
 from __future__ import annotations
 
 import io
+import itertools
 import json
 import os
+import shutil
 import struct
 import zlib
 from typing import Iterable, Iterator
@@ -98,7 +100,14 @@ def _read_long(view: memoryview, pos: int) -> tuple[int, int]:
         pos += 1
         acc |= (b & 0x7F) << shift
         if not b & 0x80:
-            return _unzigzag(acc), pos
+            val = _unzigzag(acc)
+            if not -(1 << 63) <= val < (1 << 63):
+                # a 10-byte varint with high bits set in the final byte
+                # encodes a value outside int64 — canonical readers
+                # reject it; passing it through would yield impossible
+                # field values or nonsense block/byte counts
+                raise ValueError("Avro varint exceeds int64 (corrupt)")
+            return val, pos
         shift += 7
         if shift > 63:  # canonical readers cap varints at 10 bytes —
             # fail fast on corruption instead of growing an unbounded
@@ -113,6 +122,11 @@ def _write_bytes(buf: io.BytesIO, b: bytes) -> None:
 
 def _read_bytes(view: memoryview, pos: int) -> tuple[bytes, int]:
     n, pos = _read_long(view, pos)
+    if n < 0:
+        # a negative length would slice the memoryview with wraparound
+        # semantics — garbage bytes and a REGRESSED position, which in
+        # the header metadata loop can cycle forever
+        raise ValueError("negative Avro bytes length (corrupt)")
     return bytes(view[pos:pos + n]), pos + n
 
 
@@ -233,7 +247,10 @@ def write_container(
         n_block = 0
 
     for row in rows:
-        for v, t in zip(row, field_types):
+        # strict: a row whose arity disagrees with the schema must fail
+        # loudly — silent truncation writes a structurally corrupt block
+        # (the reader decodes the next record's bytes as missing fields)
+        for v, t in zip(row, field_types, strict=True):
             _write_value(block, v, t)
         n_block += 1
         total += 1
@@ -249,27 +266,10 @@ def read_container(blob: bytes) -> tuple[dict, Iterator[tuple]]:
     markers — a torn or corrupt landing file fails loudly, never yields
     a silent prefix."""
     view = memoryview(blob)
-    if bytes(view[:4]) != MAGIC:
-        raise ValueError("not an Avro object container (bad magic)")
-    pos = 4
-    meta: dict[str, bytes] = {}
-    while True:
-        n, pos = _read_long(view, pos)
-        if n == 0:
-            break
-        if n < 0:  # spec: negative count precedes a block byte size
-            _, pos = _read_long(view, pos)
-            n = -n
-        for _ in range(n):
-            k, pos = _read_bytes(view, pos)
-            v, pos = _read_bytes(view, pos)
-            meta[k.decode()] = v
-    schema = json.loads(meta["avro.schema"].decode())
-    codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate"):
-        raise ValueError(f"unsupported Avro codec {codec!r}")
-    sync = bytes(view[pos:pos + 16])
-    pos += 16
+    # one header-parse implementation for both the whole-blob and the
+    # stream path (a guard added to one can't miss the other): delegate
+    # to _read_header over a BytesIO of the blob
+    schema, codec, sync, pos = _read_header(io.BytesIO(blob))
     field_types = [f["type"] for f in schema["fields"]]
 
     def rows() -> Iterator[tuple]:
@@ -277,6 +277,8 @@ def read_container(blob: bytes) -> tuple[dict, Iterator[tuple]]:
         while p < len(view):
             n_rows, p = _read_long(view, p)
             n_bytes, p = _read_long(view, p)
+            if n_rows < 0 or n_bytes < 0:
+                raise ValueError("negative Avro block count/size (corrupt)")
             data = view[p:p + n_bytes]
             p += n_bytes
             if bytes(view[p:p + 16]) != sync:
@@ -286,15 +288,37 @@ def read_container(blob: bytes) -> tuple[dict, Iterator[tuple]]:
             p += 16
             if codec == "deflate":
                 data = memoryview(zlib.decompress(bytes(data), wbits=-15))
-            dp = 0
-            for _ in range(n_rows):
-                vals = []
-                for t in field_types:
-                    v, dp = _read_value(data, dp, t)
-                    vals.append(v)
-                yield tuple(vals)
+            yield from _block_rows(data, n_rows, field_types)
 
     return schema, rows()
+
+
+def _block_rows(
+    data: memoryview, n_rows: int, field_types
+) -> Iterator[tuple]:
+    """Decode exactly ``n_rows`` records spanning exactly ``len(data)``
+    bytes.  Both directions of count/size disagreement fail loudly: a
+    corrupted (shrunken) row count would otherwise silently DROP the
+    block's tail (the sync check passes — position comes from the byte
+    size, not the count), and an inflated count would overrun the
+    buffer with a raw IndexError."""
+    dp = 0
+    try:
+        for _ in range(n_rows):
+            vals = []
+            for t in field_types:
+                v, dp = _read_value(data, dp, t)
+                vals.append(v)
+            yield tuple(vals)
+    except IndexError:
+        raise ValueError(
+            "Avro block overran its byte size (corrupt row count)"
+        ) from None
+    if dp != len(data):
+        raise ValueError(
+            f"Avro block decoded {dp} of {len(data)} bytes "
+            "(corrupt row count would silently drop rows)"
+        )
 
 
 # ---------------------------------------------------------- Spark plumbing
@@ -333,27 +357,25 @@ def avro_schema_for(spark_schema, name: str = "record") -> dict:
     return {"type": "record", "name": name, "fields": fields}
 
 
-def _is_ts(avro_t) -> bool:
-    if isinstance(avro_t, list):
-        return any(_is_ts(t) for t in avro_t if t != "null")
-    return isinstance(avro_t, dict) and avro_t.get("logicalType") in (
-        "timestamp-micros",
-        "local-timestamp-micros",
-    )
-
-
 def avro_write(df, out_dir: str, codec: str = "null") -> int:
-    """Distributed Avro sink: every partition's task encodes its rows
-    into ONE container file in a hidden attempt directory (task-owned
-    file, no cross-task coordination — the Hadoop FileOutputCommitter
-    shape), then the DRIVER publishes with ONE atomic rename of the
-    attempt dir to a visible ``job-<id>`` subdirectory.  Readers list
-    recursively, so there is no window where some of a job's files are
-    visible and others are not: a crash before the rename leaves only
-    the dot-prefixed attempt (invisible by Spark's hidden-path rule),
-    and after the rename the whole job is visible at once.  ``_SUCCESS``
-    inside the job dir is observability, not the correctness mechanism.
-    Returns the total row count written.
+    """Distributed Avro sink: every TASK ATTEMPT encodes its rows into
+    its own container file in a hidden attempt directory (task-owned
+    file named by partition + attempt id, no cross-task coordination —
+    the Hadoop FileOutputCommitter shape), then the DRIVER publishes
+    exactly the files the collected results name — one per partition,
+    from the attempt whose output Spark kept — by moving them into a
+    hidden commit dir and atomically renaming THAT to a visible
+    ``job-<id>`` subdirectory.  Orphan files from failed or speculative
+    attempts (``spark.task.maxFailures`` > 1, speculation) never reach
+    the visible tree: they stay in the dot-prefixed attempt dir, which
+    is removed best-effort after the commit (a still-running straggler
+    writing there post-commit is harmless — hidden, then deleted).
+    Readers list recursively, so there is no window where some of a
+    job's files are visible and others are not: a crash before the
+    rename leaves only hidden dirs (invisible by Spark's hidden-path
+    rule), and after the rename the whole job is visible at once.
+    ``_SUCCESS`` inside the job dir is observability, not the
+    correctness mechanism.  Returns the total row count written.
 
     The exchange is ``mapInArrow``, not pandas: Arrow carries an
     explicit null mask, so NULL stays distinct from NaN in doubles and
@@ -389,9 +411,15 @@ def avro_write(df, out_dir: str, codec: str = "null") -> int:
     schema_json = json.dumps(schema)
 
     def encode_partition(batches):
+        from pyspark import TaskContext
+
         sch = json.loads(schema_json)
         part = uuid.uuid4().hex
-        path = os.path.join(attempt, f"part-{part}.avro")
+        tc = TaskContext.get()
+        ident = (
+            f"{tc.partitionId()}-{tc.taskAttemptId()}" if tc else part
+        )
+        path = os.path.join(attempt, f"part-{ident}-{part}.avro")
 
         def rows():
             for batch in batches:
@@ -413,10 +441,19 @@ def avro_write(df, out_dir: str, codec: str = "null") -> int:
 
     results = df.mapInArrow(
         encode_partition, schema="path string, n long"
-    ).collect()  # bounded: one row per partition
-    with open(os.path.join(attempt, "_SUCCESS"), "w"):
+    ).collect()  # bounded: one row per partition (the winning attempt)
+    # publish ONLY the files the results name — a failed or speculative
+    # attempt's orphan file stays behind in the hidden attempt dir
+    commit = os.path.join(out_dir, f".commit-{job}")
+    os.makedirs(commit)
+    for r in results:
+        os.replace(
+            r["path"], os.path.join(commit, os.path.basename(r["path"]))
+        )
+    with open(os.path.join(commit, "_SUCCESS"), "w"):
         pass
-    os.rename(attempt, os.path.join(out_dir, f"job-{job}"))  # the commit
+    os.rename(commit, os.path.join(out_dir, f"job-{job}"))  # the commit
+    shutil.rmtree(attempt, ignore_errors=True)  # orphans, best-effort
     return sum(r["n"] for r in results)
 
 
@@ -529,9 +566,9 @@ def _target_info(spark, spark_schema: str):
     (target StructType, names, instant ts columns, ntz ts columns,
     nullability map, and the INTERNAL exchange schema — identical to
     the target except instant columns stay LongType: instants travel as
-    exact UTC epoch micros through the pandas exchange and become
+    exact UTC epoch micros through the Arrow exchange and become
     TimestampType JVM-SIDE afterwards (``timestamp_micros``), because a
-    pandas-side naive-wall-clock rebuild is lossy — a DST fall-back hour
+    Python-side naive-wall-clock rebuild is lossy — a DST fall-back hour
     maps two distinct instants to one wall time."""
     from pyspark.sql import types as T
 
@@ -632,6 +669,25 @@ def _assemble_batch(columns: dict, n_rows: int, arrow_schema):
     )
 
 
+_DECODE_CHUNK_ROWS = 65536
+
+
+def _chunked_batches(rows, writer_names, arrow_schema):
+    """Yield Arrow batches of at most ``_DECODE_CHUNK_ROWS`` rows from a
+    decoded row iterator — the decode paths must NOT materialize a whole
+    container (or 128 MB split range) as Python tuples plus one giant
+    RecordBatch per task: deflate inflation plus Python object overhead
+    turns a 256 MB file into multiple GB of a single task's heap.
+    Bounded chunks cap per-task memory at chunk size whatever the file
+    size."""
+    while True:
+        chunk = list(itertools.islice(rows, _DECODE_CHUNK_ROWS))
+        if not chunk:
+            return
+        by_writer = dict(zip(writer_names, zip(*chunk)))
+        yield _assemble_batch(by_writer, len(chunk), arrow_schema)
+
+
 def _decode_files(spark, files, spark_schema: str):
     from pyspark.sql import functions as F
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -659,9 +715,7 @@ def _decode_files(spark, files, spark_schema: str):
                         f"field(s) {hard} (writer fields: {got})"
                     )
                 _check_ts_kinds(schema["fields"], instant, ntz)
-                data = list(rows)
-                by_writer = dict(zip(got, zip(*data))) if data else {}
-                yield _assemble_batch(by_writer, len(data), arrow_schema)
+                yield from _chunked_batches(rows, got, arrow_schema)
 
     decoded = files.mapInArrow(decode, schema=internal)
     return decoded.select(
@@ -689,7 +743,11 @@ def _stream_varint(fh, eof_ok: bool = False) -> int | None:
             raise ValueError("truncated Avro varint")
         acc |= (b[0] & 0x7F) << shift
         if not b[0] & 0x80:
-            return _unzigzag(acc)
+            val = _unzigzag(acc)
+            if not -(1 << 63) <= val < (1 << 63):
+                # the _read_long int64-range check, stream-side
+                raise ValueError("Avro varint exceeds int64 (corrupt)")
+            return val
         shift += 7
         if shift > 63:  # the _read_long 10-byte cap, stream-side
             raise ValueError("Avro varint longer than 10 bytes (corrupt)")
@@ -704,6 +762,10 @@ def _read_header(fh) -> tuple[dict, str, bytes, int]:
 
     def read_bytes() -> bytes:
         n = _stream_varint(fh)
+        if n is None or n < 0:
+            # fh.read(-3) would slurp the remaining file into memory;
+            # a corrupt negative length must fail loudly instead
+            raise ValueError("bad Avro header bytes length (corrupt)")
         out = fh.read(n)
         if len(out) != n:
             raise ValueError("truncated Avro header")
@@ -773,6 +835,8 @@ def _range_rows(
             if n_rows is None:
                 return  # clean EOF after the final sync
             n_bytes = _stream_varint(fh)
+            if n_rows < 0 or n_bytes < 0:
+                raise ValueError("negative Avro block count/size (corrupt)")
             data = fh.read(n_bytes)
             if len(data) != n_bytes or fh.read(16) != sync:
                 raise ValueError(
@@ -780,14 +844,7 @@ def _range_rows(
                 )
             if codec == "deflate":
                 data = zlib.decompress(data, wbits=-15)
-            view = memoryview(data)
-            dp = 0
-            for _ in range(n_rows):
-                out = []
-                for t in field_types:
-                    v, dp = _read_value(view, dp, t)
-                    out.append(v)
-                yield tuple(out)
+            yield from _block_rows(memoryview(data), n_rows, field_types)
 
 
 def avro_scan_split(
@@ -879,20 +936,17 @@ def avro_scan_split(
         for batch in batches:
             for t in zip(*[c.to_pylist() for c in batch.columns]):
                 path_, start_, end_, ftypes_, fnames_, codec_, sync_ = t
-                rows = list(
-                    _range_rows(
-                        path_, int(start_), int(end_),
-                        json.loads(ftypes_), codec_, bytes(sync_),
-                    )
+                rows = _range_rows(
+                    path_, int(start_), int(end_),
+                    json.loads(ftypes_), codec_, bytes(sync_),
                 )
                 # columns keyed by WRITER names: the assembler resolves
                 # (extras dropped, nullable missing null-filled) exactly
-                # as the whole-file scan's decode does
-                columns = {
-                    n: [r[i] for r in rows]
-                    for i, n in enumerate(json.loads(fnames_))
-                }
-                yield _assemble_batch(columns, len(rows), arrow_schema)
+                # as the whole-file scan's decode does; bounded chunks,
+                # never one giant range-sized batch
+                yield from _chunked_batches(
+                    rows, json.loads(fnames_), arrow_schema
+                )
 
     decoded = splits.mapInArrow(decode, schema=internal)
     return decoded.select(

@@ -761,3 +761,83 @@ def test_our_reader_reads_jvm_written_containers(spark, tmp_path):
         key=key,
     )
     assert got2 == got
+
+
+def test_corrupt_lengths_fail_loudly():
+    """r11 review findings: a negative bytes length must not slice the
+    memoryview with wraparound semantics (garbage bytes + REGRESSED
+    position → potential infinite header loop), and a 10-byte varint
+    with high bits in its final byte must not decode to a value outside
+    int64 (canonical readers reject it)."""
+    from paas_auditor_spark.sources.avro_io import _read_bytes, _read_long
+
+    # zigzag 0x05 = -3: pre-fix this returned (b'ABCD', -2)
+    with pytest.raises(ValueError, match="negative"):
+        _read_bytes(memoryview(b"\x05ABCDEF"), 0)
+    with pytest.raises(ValueError, match="int64"):
+        _read_long(memoryview(bytes([0xFF] * 9 + [0x7F])), 0)
+
+
+def test_corrupt_block_row_count_fails_loudly():
+    """A bit-flipped row count must fail, BOTH directions: shrunken
+    would silently DROP the block's tail (the sync check passes —
+    position comes from the byte size), inflated overruns the buffer."""
+    from paas_auditor_spark.sources.avro_io import _read_header
+
+    buf = io.BytesIO()
+    write_container(buf, SCHEMA, iter(ROWS), block_rows=3)
+    blob = bytearray(buf.getvalue())
+    _, _, _, first = _read_header(io.BytesIO(bytes(blob)))
+    assert blob[first] == 0x06  # zigzag(3): the single block's count
+    blob[first] = 0x02  # count=1: a silent 2-row drop pre-fix
+    with pytest.raises(ValueError, match="decoded"):
+        list(read_container(bytes(blob))[1])
+    blob[first] = 0x08  # count=4: overruns the block's bytes
+    with pytest.raises(ValueError, match="overran"):
+        list(read_container(bytes(blob))[1])
+
+
+def test_write_rejects_arity_mismatch():
+    """A row whose arity disagrees with the schema must fail loudly —
+    pre-fix zip() silently truncated, writing a structurally corrupt
+    block (the reader decodes the next record's bytes as the missing
+    fields)."""
+    with pytest.raises(ValueError):
+        write_container(
+            io.BytesIO(), SCHEMA, iter([(1, "x", 1.5, True)])
+        )
+
+
+def test_write_publishes_exactly_collected_files(spark, tmp_path):
+    """The commit publishes exactly the files the collected results
+    name — per-task-attempt file naming plus winner-only publication
+    keeps failed/speculative attempts' orphans out of the visible tree
+    (they die with the hidden attempt dir)."""
+    out = str(tmp_path / "zone")
+    df = spark.range(40).selectExpr(
+        "id AS a", "cast(id AS string) AS b"
+    ).repartition(4)
+    avro_write(df, out)
+    (job,) = os.listdir(out)
+    assert job.startswith("job-")
+    files = sorted(os.listdir(os.path.join(out, job)))
+    assert files.count("_SUCCESS") == 1
+    assert len([f for f in files if f.endswith(".avro")]) == 4
+    # no hidden attempt/commit residue at the zone root
+    assert [d for d in os.listdir(out) if d.startswith(".")] == []
+
+
+def test_decode_chunking_preserves_rows(spark, tmp_path, monkeypatch):
+    """Bounded decode chunks (never one giant per-file RecordBatch) are
+    value-invisible: with the chunk size forced below the row count the
+    scan still returns exactly the written rows."""
+    from paas_auditor_spark.sources import avro_io
+
+    monkeypatch.setattr(avro_io, "_DECODE_CHUNK_ROWS", 7)
+    out = str(tmp_path / "zone")
+    df = spark.range(100).selectExpr("id AS a", "cast(id AS string) AS b")
+    avro_write(df.coalesce(1), out)
+    got = avro_scan(spark, out, "a long, b string").orderBy("a").collect()
+    assert [(r["a"], r["b"]) for r in got] == [
+        (i, str(i)) for i in range(100)
+    ]
