@@ -26,6 +26,11 @@ from paas_auditor_spark.functions.exprs import fan_out, let
 from paas_auditor_spark.functions.text import normalized_text, tokens
 
 HASH_PRIME = 2147483647  # 2^31 - 1, Mersenne prime for cheap affine perms
+# pre-reduction modulus for the polynomial band-key fold: the largest
+# prime below 2^43 such that (FOLD_MOD-1)*1000003 + HASH_PRIME < 2^63 —
+# keeps every fold step inside int64 under ANSI mode at any
+# rows_per_band, while being a no-op for rows_per_band <= 2 (acc < 2^31)
+FOLD_MOD = 8796093022151
 
 
 def exact_duplicates(
@@ -63,6 +68,12 @@ def shingles(text_col: str, k: int = 3) -> F.Column:
     lambdas), turning an O(n) split into O(n²) regex work per row.  The
     ``let`` binding makes the tokenizer run exactly once per row.
     """
+    if k < 1:
+        # k=0 silently degrades shingles to bare tokens (the slice
+        # bounds go degenerate), turning shingle Jaccard into unigram
+        # Jaccard — word-reordered documents would score 1.0.  Loudly,
+        # like every other parameter in this family.
+        raise ValueError(f"shingle k must be >= 1, got {k}")
 
     def build(toks: Column) -> Column:
         n = F.size(toks)
@@ -212,7 +223,17 @@ def _band_keys_sql(
     for bi in range(num_bands):
         fold = "0L"
         for r in range(rows_per_band):
-            fold = f"({fold} * 1000003L + {mh(bi * rows_per_band + r)})"
+            # pre-reduce the accumulator before each multiply so the
+            # step stays inside int64 under ANSI mode at ANY
+            # rows_per_band: minima are < 2^31 (HASH_PRIME), so with
+            # acc < FOLD_MOD (< 2^43, prime) the product + addend is
+            # < 2^63.  For rows_per_band <= 2 the reduction is a no-op
+            # (acc < 2^31 both steps) — persisted band keys and the
+            # oracle twins' ratio-2 folds are bit-unchanged.
+            fold = (
+                f"(pmod({fold}, {FOLD_MOD}L) * 1000003L"
+                f" + {mh(bi * rows_per_band + r)})"
+            )
         bands.append(fold)
     return "array(" + ",".join(bands) + ")"
 
@@ -361,6 +382,33 @@ def _content_key(arr: Column, ordered: bool = False) -> Column:
     )
 
 
+def _min_rep_collapse(slim: DataFrame, id_col: str) -> DataFrame:
+    """(id, _ckey, _rep) with the min-id representative per STORED
+    content key — the ONE collapse body shared by the collector write
+    path, the maintenance fold, and the legacy probe (the r9
+    ``_collapse_identical`` lesson: inline copies of exactly this shape
+    drifted once already).  NULL content keys — rows from a pre-_ckey
+    index layout surfacing through a mergeSchema read — are coalesced
+    to a per-row synthetic key, so each such row is its OWN
+    representative: never collapsed into one bogus NULL group, never
+    dropped by the null-unsafe equi-join (either failure silently
+    un-gates every pre-upgrade document)."""
+    keyed = slim.select(
+        F.col(id_col),
+        F.coalesce(
+            F.col("_ckey"),
+            F.struct(
+                F.xxhash64(F.lit("null-ckey"), F.col(id_col)).alias("h1"),
+                F.xxhash64(F.lit(3), F.col(id_col)).alias("h2"),
+            ),
+        ).alias("_ckey"),
+    )
+    reps = keyed.groupBy("_ckey").agg(F.min(id_col).alias("_rep"))
+    return keyed.join(reps, "_ckey").select(
+        F.col(id_col), F.col("_ckey"), F.col("_rep")
+    )
+
+
 def _collapse_identical(
     df: DataFrame, id_col: str, key: Column
 ) -> tuple[DataFrame, DataFrame]:
@@ -425,7 +473,12 @@ def _banded(
             F.aggregate(
                 F.slice("signature", bi * rows_per_band + 1, rows_per_band),
                 F.lit(0).cast("long"),
-                lambda acc, x: acc * F.lit(1000003) + x,
+                # pmod pre-reduction: int64-safe under ANSI at any
+                # rows_per_band, bit-identical to the plain fold for
+                # rows_per_band <= 2 (see _band_keys_sql / FOLD_MOD)
+                lambda acc, x: F.pmod(acc, F.lit(FOLD_MOD))
+                * F.lit(1000003)
+                + x,
             )
             for bi in range(num_bands)
         ]
@@ -601,6 +654,14 @@ def jaccard_pairs_hashed(
     the incremental gates have disjoint sides, and unioning both into one
     relation made the id_a join scan the whole — at deployment scale,
     corpus-sized — index sets for zero possible matches).
+
+    The returned jaccard is 4dp-ROUNDED, and downstream threshold
+    filters deliberately apply to the rounded value: the boundary is
+    defined at 4dp on BOTH engines (the cross-engine oracle rounding
+    convention), so a pair whose exact ratio sits within 5e-5 below the
+    threshold rounds up and passes — by design, identically here and in
+    the DuckDB replay.  Consumers needing an exact-cut contract should
+    re-filter on their own recomputation.
     """
     a = sets_df.select(
         F.col(id_col).alias("id_a"), F.col("hset").alias("set_a")
@@ -969,28 +1030,26 @@ def minhash_index_collector(
                         "probe time; rebuild the index or fix the "
                         "hook's parameters"
                     )
-            sets_df = hashed_shingle_sets(
-                batch_df, text_col, id_col, shingle_k, hash_fn
-            ).localCheckpoint(eager=False)  # tokenize+hash once, 3 writes
+            sets_df = (
+                hashed_shingle_sets(
+                    batch_df, text_col, id_col, shingle_k, hash_fn
+                )
+                .withColumn("_ckey", _content_key(F.col("hset")))
+                # tokenize+hash+key ONCE, 3 writes (the _ckey rides the
+                # checkpoint so the salted double-xxhash64 over every
+                # shingle set is not paid twice per batch)
+                .localCheckpoint(eager=False)
+            )
             sets_df.select(
-                F.col(id_col),
-                F.col("hset"),
-                _content_key(F.col("hset")).alias("_ckey"),
+                F.col(id_col), F.col("hset"), F.col("_ckey")
             ).write.parquet(f"{tmp}/sets")
             # batch-LOCAL collapse: one batch-sized groupBy at WRITE
             # time (amortized over ingestion) so the probe never pays it
-            slim = sets_df.select(
-                F.col(id_col), _content_key(F.col("hset")).alias("_ckey")
-            )
-            reps = slim.groupBy("_ckey").agg(F.min(id_col).alias("_rep"))
             (
-                slim.join(reps, "_ckey")
-                .select(
-                    F.col(id_col),
-                    F.col("_ckey"),
-                    F.col("_rep"),
-                    F.lit(False).alias("_global"),
+                _min_rep_collapse(
+                    sets_df.select(F.col(id_col), F.col("_ckey")), id_col
                 )
+                .withColumn("_global", F.lit(False))
                 .write.parquet(f"{tmp}/collapse")
             )
             (
@@ -1054,16 +1113,11 @@ def minhash_fold(
         if dead is not None:
             df = df.join(dead, id_col, "left_anti")
         if part == "collapse":
-            slim = df.select(F.col(id_col), F.col("_ckey"))
-            reps = slim.groupBy("_ckey").agg(F.min(id_col).alias("_rep"))
             out = (
-                slim.join(reps, "_ckey")
-                .select(
-                    F.col(id_col),
-                    F.col("_ckey"),
-                    F.col("_rep"),
-                    F.lit(True).alias("_global"),
+                _min_rep_collapse(
+                    df.select(F.col(id_col), F.col("_ckey")), id_col
                 )
+                .withColumn("_global", F.lit(True))
                 .localCheckpoint(eager=False)  # collapse write + bands flag
             )
             state["rep_ids"] = out.filter(
@@ -1172,6 +1226,11 @@ def minhash_incremental_persisted(
         tombstone_ids,
     )
 
+    if max_bucket is not None and max_bucket < 2:
+        # one check at the public entry (reported BEFORE the plan-time
+        # stats job runs), instead of copies buried in each probe shape
+        raise ValueError(f"max_bucket={max_bucket} must be >= 2 or None")
+
     try:
         band_paths = batch_data_paths(index_path, protocol, "bands")
         set_paths = batch_data_paths(index_path, protocol, "sets")
@@ -1194,7 +1253,12 @@ def minhash_incremental_persisted(
             "rebuild or re-parameterize"
         )
     banded_idx = banded_idx.drop("num_hashes", "num_bands", "hash_fn")
-    idx_sets = spark.read.parquet(*set_paths)
+    # mergeSchema is load-bearing here exactly as on the bands read: a
+    # pre-_ckey index extended by the current collector mixes layouts,
+    # and a schema inferred from one arbitrary new file would read old
+    # rows' _ckey as NULL — collapsing every pre-upgrade document into
+    # one bogus NULL group and silently dropping them from the gate
+    idx_sets = spark.read.option("mergeSchema", "true").parquet(*set_paths)
     dead = None
     if tombstone_path is not None:
         doomed = tombstone_ids(spark, tombstone_path, protocol)
@@ -1225,10 +1289,11 @@ def minhash_incremental_persisted(
     banded_idx = banded_idx.drop("_is_rep", "_occ")
     if dead is not None:
         idx_sets = idx_sets.join(dead, id_col, "left_anti")
-    slim = idx_sets.select(F.col(id_col), F.col("_ckey"))
-    reps = slim.groupBy("_ckey").agg(F.min(id_col).alias("_rep"))
-    m_idx = slim.join(reps, "_ckey").select(F.col(id_col), F.col("_rep"))
-    rep_ids = reps.select(F.col("_rep").alias(id_col))
+    collapsed = _min_rep_collapse(
+        idx_sets.select(F.col(id_col), F.col("_ckey")), id_col
+    )
+    m_idx = collapsed.select(F.col(id_col), F.col("_rep"))
+    rep_ids = collapsed.select(F.col("_rep").alias(id_col)).distinct()
     banded_idx_reps = banded_idx.join(rep_ids, id_col)
     idx_rep_sets = idx_sets.join(rep_ids, id_col).select(
         F.col(id_col), F.col("hset")
@@ -1314,11 +1379,7 @@ def _gate_persisted_materialized(
         # stored flags + occupancy comparison + stored membership — no
         # aggregation, no window, no extra joins.
         r_bands = banded_idx.filter(F.coalesce(F.col("_is_rep"), F.lit(False)))
-        if max_bucket is not None:
-            if max_bucket < 2:
-                raise ValueError(
-                    f"max_bucket={max_bucket} must be >= 2 or None"
-                )
+        if max_bucket is not None:  # validated at the public entry
             r_bands = r_bands.filter(
                 F.coalesce(F.col("_occ"), F.lit(0)) <= F.lit(max_bucket)
             )
@@ -1392,11 +1453,7 @@ def _gate_persisted_materialized(
     ).otherwise(F.coalesce(F.col("_is_rep"), F.lit(False)))
     r_bands = bands_flagged.filter(is_rep_now)
 
-    if max_bucket is not None:
-        if max_bucket < 2:
-            raise ValueError(
-                f"max_bucket={max_bucket} must be >= 2 or None"
-            )
+    if max_bucket is not None:  # validated at the public entry
         # exact corrected occupancy for buckets touched by rep changes
         chg_rows = banded_idx.join(F.broadcast(changes), id_col)
         docc = chg_rows.groupBy("band_id", "band_hash").agg(
@@ -1518,6 +1575,8 @@ def simhash_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket: int | None = None,
+    identical_edges: str = "all",
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding + exact Hamming verify.
 
@@ -1527,51 +1586,66 @@ def simhash_near_duplicates(
     distance 4 can place one differing bit in each band and never share a
     key, so ``max_hamming > 3`` would return silently INCOMPLETE results —
     rejected here (more bands / multi-probe banding is the correct tool).
-    """
+
+    Hot-bucket posture (r11 review: this path previously had NONE of the
+    minhash guards, so one 10⁶-copy page — routine at web-crawl scale —
+    fanned ~5×10¹¹ pairs per band into a post-join distinct): identical
+    FINGERPRINTS collapse to one representative before banding (exact,
+    not approximate — equal simhashes are interchangeable w.r.t. every
+    Hamming distance this operator computes), candidate pairs leave the
+    band join exactly once via the first-shared-band filter (no
+    ``.distinct()``), verification runs at representative level and
+    fans back out (``_expand_group_pairs``), and the minhash
+    ``max_bucket`` / ``identical_edges="star"`` guards are available
+    with the same semantics (defaults ``None`` / ``"all"`` preserve the
+    classic exhaustive pair list bit-for-bit — oracle-pinned)."""
     if not 0 <= max_hamming <= 3:
         raise ValueError(
             f"max_hamming={max_hamming} outside the 4×16-bit banding "
             "guarantee (pigeonhole covers Hamming distance ≤ 3)"
         )
-    # checkpoint: the banded fingerprints feed both sides of the self-join
-    # (see minhash_near_duplicates for the localCheckpoint-vs-persist note)
+    _check_identical_edges(identical_edges)
+    # checkpoint: the fingerprints feed the collapse, both sides of the
+    # band self-join, and the verify join (see minhash_near_duplicates
+    # for the localCheckpoint-vs-persist note)
     sh = simhash(df, text_col, id_col).localCheckpoint(eager=False)
-    banded = sh.select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
-                    for i in range(4)
-                ]
-            )
-        ).alias("band_id", "band_key"),
+    membership, rep_sh = _collapse_identical(sh, id_col, F.col("simhash"))
+    bkeys = F.array(
+        *[
+            F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
+            for i in range(4)
+        ]
     )
-    l, r = banded.alias("l"), banded.alias("r")
-    cands = (
-        l.join(
-            r,
-            on=[
-                F.col("l.band_id") == F.col("r.band_id"),
-                F.col("l.band_key") == F.col("r.band_key"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.simhash").alias("sh_a"),
-            F.col("r.simhash").alias("sh_b"),
-        )
-        .distinct()
+    banded = rep_sh.select(F.col(id_col), bkeys.alias("bkeys")).select(
+        F.col(id_col),
+        F.posexplode("bkeys").alias("band_id", "band_hash"),
+        F.expr("slice(bkeys, 1, band_id)").alias("prior"),
+    )
+    cands = _pairs_from_banded(
+        banded, banded, id_col, self_join=True, max_bucket=max_bucket
+    )
+    fp_a = rep_sh.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a")
+    )
+    fp_b = rep_sh.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b")
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        cands.select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+    verified = (
+        cands.join(fp_a, "id_a")
+        .join(fp_b, "id_b")
+        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .orderBy("id_a", "id_b")
     )
+    inter = (
+        verified
+        if identical_edges == "star"
+        else _expand_group_pairs(verified, membership, id_col, ["hamming"])
+    )
+    intra = _intra_group_pairs(membership, id_col, identical_edges).select(
+        "id_a", "id_b", F.lit(0).cast("int").alias("hamming")
+    )
+    return inter.unionByName(intra).orderBy("id_a", "id_b")
 
 
 def connected_components(
@@ -1723,6 +1797,15 @@ def connected_components_star(
             e = contracted
             break
         e = contracted
+    else:
+        # the same fail-loudly contract as connected_components: labels
+        # from a non-converged contraction can still split one true
+        # component, and downstream keep-min-per-cluster dedup would
+        # silently keep extra duplicates
+        raise RuntimeError(
+            f"star connected components did not reach its fixpoint in "
+            f"{max_iter} rounds — raise max_iter"
+        )
     labels = e.select(F.col("a").alias("node"), F.col("b").alias("component"))
     roots = e.select(F.col("b").alias("node")).distinct().withColumn(
         "component", F.col("node")

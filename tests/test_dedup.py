@@ -1256,3 +1256,125 @@ def test_minhash_folded_probe_cap_corrections_exact(spark, tmp_path):
     survivors = [r for r in all_rows if r[0] != 101]
     for cap in (None, 3):
         assert gate(cap, tombstone_path=tomb) == want(survivors, cap), cap
+
+
+def test_band_fold_int64_safe_at_any_rows_per_band(spark):
+    """r11 review: the polynomial band-key fold overflowed int64 under
+    ANSI mode for rows_per_band >= 3 (validation accepts those configs);
+    the pmod pre-reduction must keep every step in-range AND be a no-op
+    for rows_per_band <= 2 (persisted ratio-2 band keys bit-unchanged)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta {i % 4} common tail")
+         for i in range(30)],
+        ["doc_id", "text"],
+    )
+    # ratio 3 and 4: crashed with ARITHMETIC_OVERFLOW pre-fix
+    for nh, nb in [(24, 8), (48, 12)]:
+        assert dedup.minhash_near_duplicates(
+            docs, num_hashes=nh, num_bands=nb
+        ).count() >= 0
+    # ratio-2 bit-stability: the Spark fold equals the plain python
+    # polynomial (no modular reduction observable)
+    sets_df = dedup.hashed_shingle_sets(docs, "text", "doc_id", 3)
+    row = (
+        sets_df.select(
+            "doc_id",
+            F.expr(dedup._band_keys_sql(8, 4)).alias("bkeys"),
+            "hset",
+        )
+        .orderBy("doc_id")
+        .first()
+    )
+    a, b = dedup._minhash_coeffs(8)
+    minima = [
+        min(((h * a[i] + b[i]) % dedup.HASH_PRIME) for h in row["hset"])
+        for i in range(8)
+    ]
+    expect = [
+        minima[2 * bi] * 1000003 + minima[2 * bi + 1] for bi in range(4)
+    ]
+    assert list(row["bkeys"]) == expect
+
+
+def test_simhash_guards_value_identical_and_star(spark):
+    """The simhash path's new hot-bucket guards must not change the
+    default output (collapse + first-shared-band replace the post-join
+    distinct bit-for-bit), and identical_edges='star' must stay
+    connected-components-equivalent on a duplicate-heavy corpus."""
+    docs = spark.createDataFrame(
+        [(i, "the exact same page content repeated many times over")
+         for i in range(12)]
+        + [(100 + i, f"distinct content number {i} with its own words")
+           for i in range(4)],
+        ["doc_id", "text"],
+    )
+    allp = dedup.simhash_near_duplicates(docs).collect()
+    # 12 identical docs -> all 66 intra pairs at hamming 0, every pair
+    # emitted exactly once
+    intra = [(r.id_a, r.id_b) for r in allp if r.id_a < 12 and r.id_b < 12]
+    assert len(intra) == len(set(intra)) == 66
+    assert all(r.hamming == 0 for r in allp if (r.id_a, r.id_b) in intra)
+    star = dedup.simhash_near_duplicates(
+        docs, identical_edges="star"
+    ).collect()
+    # star: the 12-copy group contributes 11 edges instead of 66
+    sintra = [(r.id_a, r.id_b) for r in star if r.id_a < 12 and r.id_b < 12]
+    assert len(sintra) == 11
+    # same connectivity: identical component partitions
+    edges = spark.createDataFrame(
+        [(r.id_a, r.id_b) for r in allp], ["id_a", "id_b"]
+    )
+    sedges = spark.createDataFrame(
+        [(r.id_a, r.id_b) for r in star], ["id_a", "id_b"]
+    )
+    comp = {
+        (r.node, r.component)
+        for r in dedup.connected_components_star(edges).collect()
+    }
+    scomp = {
+        (r.node, r.component)
+        for r in dedup.connected_components_star(sedges).collect()
+    }
+    assert comp == scomp
+
+
+def test_min_rep_collapse_null_ckey_rows_stand_alone(spark):
+    """Rows with NULL _ckey (pre-_ckey index layout through a
+    mergeSchema read) must each be their OWN representative — never
+    collapsed into one NULL group, never dropped."""
+    from pyspark.sql import functions as F
+
+    slim = spark.createDataFrame(
+        [(1, 7, 8), (2, 7, 8), (3, None, None), (4, None, None)],
+        "id long, h1 long, h2 long",
+    ).select(
+        "id",
+        F.when(
+            F.col("h1").isNotNull(), F.struct("h1", "h2")
+        ).alias("_ckey"),
+    )
+    out = {r["id"]: r["_rep"] for r in dedup._min_rep_collapse(slim, "id").collect()}
+    assert out == {1: 1, 2: 1, 3: 3, 4: 4}
+
+
+def test_star_cc_raises_on_non_convergence(spark):
+    """connected_components_star must fail loudly (like its sibling)
+    when max_iter exhausts before the fixpoint — silent still-split
+    labels would under-deduplicate downstream."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        dedup.connected_components_star(chain, max_iter=1)
+
+
+def test_parameter_validation_is_loud(spark):
+    docs = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="shingle k"):
+        dedup.minhash_near_duplicates(docs, shingle_k=0).collect()
+    with pytest.raises(ValueError, match="max_bucket"):
+        dedup.minhash_incremental_persisted(
+            spark, "/nonexistent", docs, max_bucket=1
+        )
