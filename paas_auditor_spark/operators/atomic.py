@@ -42,6 +42,8 @@ from collections.abc import Callable
 
 __all__ = [
     "GenerationSupersededError",
+    "anti_join_tombstones",
+    "apply_tombstones_fold",
     "batch_data_paths",
     "collector_root",
     "commit_batch_dir",
@@ -50,6 +52,8 @@ __all__ = [
     "committed_batch_dirs",
     "compact_batches",
     "replay_floor",
+    "tombstone_ids",
+    "tombstones_collector",
     "vacuum_superseded",
 ]
 
@@ -847,12 +851,44 @@ def tombstone_ids(spark, path: str, protocol: str = "rename"):
     doomed ids), or ``None`` when nothing has been tombstoned yet — the
     bootstrap convention index readers branch on (no anti-join at all
     on the common no-deletes path, so the probe plan is unchanged until
-    the first takedown lands)."""
+    the first takedown lands).
+
+    A dataset that HAS committed batches — but under the other commit
+    protocol — raises instead of returning None (r11 review): the
+    single ``protocol`` argument is commonly reused for both the index
+    and its tombstones, and a mismatch would otherwise be
+    indistinguishable from 'nothing deleted yet', silently serving
+    GDPR-deleted rows forever.  (A typo'd *path* still reads as
+    bootstrap — callers that require an existing dataset should check
+    the path themselves.)"""
     try:
         paths = batch_data_paths(path, protocol)
     except ValueError:
-        return None
+        other = "marker" if protocol == "rename" else "rename"
+        try:
+            batch_data_paths(path, other)
+        except ValueError:
+            return None  # genuinely nothing committed: bootstrap
+        raise ValueError(
+            f"tombstone dataset at {path!r} has batches committed under "
+            f"the {other!r} protocol but was read with {protocol!r} — "
+            "deletes would be silently ignored; pass the dataset's "
+            "protocol"
+        )
     return spark.read.parquet(*paths).distinct()
+
+
+def anti_join_tombstones(df, doomed, id_col: str):
+    """Drop tombstoned ids from ``df``: the ONE rename + left_anti body
+    shared by every read-time deletion site (BM25, IVF, IVF-PQ, the
+    minhash gates, maintenance).  ``doomed`` is ``tombstone_ids``'s
+    result; ``None`` (nothing tombstoned) returns ``df`` unchanged, so
+    the no-deletes plan never grows the join."""
+    if doomed is None:
+        return df
+    return df.join(
+        doomed.withColumnRenamed("id", id_col), id_col, "left_anti"
+    )
 
 
 def apply_tombstones_fold(
@@ -878,10 +914,8 @@ def apply_tombstones_fold(
     # no forced broadcast hint: tombstone sets are tiny in the common
     # case (AQE broadcasts them on its own) but a bulk-erasure campaign
     # can be arbitrarily large — let the planner pick the join strategy
-    dead = doomed.withColumnRenamed("id", id_col)
-
     def drop_doomed(part, df):
-        return df.join(dead, id_col, "left_anti")
+        return anti_join_tombstones(df, doomed, id_col)
 
     return compact_batches(
         spark,

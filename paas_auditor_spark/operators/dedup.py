@@ -1098,20 +1098,18 @@ def minhash_fold(
     one maintenance job.  Single-writer contract as ``compact_batches``.
     Returns the number of batch dirs folded."""
     from paas_auditor_spark.operators.atomic import (
+        anti_join_tombstones,
         compact_batches,
         tombstone_ids,
     )
 
     dead = None
     if tombstone_path is not None:
-        doomed = tombstone_ids(spark, tombstone_path, protocol)
-        if doomed is not None:
-            dead = doomed.withColumnRenamed("id", id_col)
+        dead = tombstone_ids(spark, tombstone_path, protocol)
     state: dict[str, DataFrame] = {}
 
     def tf(part: str, df: DataFrame) -> DataFrame:
-        if dead is not None:
-            df = df.join(dead, id_col, "left_anti")
+        df = anti_join_tombstones(df, dead, id_col)
         if part == "collapse":
             out = (
                 _min_rep_collapse(
@@ -1222,6 +1220,7 @@ def minhash_incremental_persisted(
     import os
 
     from paas_auditor_spark.operators.atomic import (
+        anti_join_tombstones,
         batch_data_paths,
         tombstone_ids,
     )
@@ -1263,6 +1262,9 @@ def minhash_incremental_persisted(
     if tombstone_path is not None:
         doomed = tombstone_ids(spark, tombstone_path, protocol)
         if doomed is not None:
+            # kept renamed (not anti_join_tombstones): this relation
+            # feeds left_anti AND left_semi joins across both probe
+            # shapes, all keyed by id_col
             dead = doomed.withColumnRenamed("id", id_col)
 
     collapse_paths = batch_data_paths(index_path, protocol, "collapse")

@@ -296,6 +296,7 @@ def bm25_from_postings(
     exclude it (test-pinned), not just the result rows.  The no-deletes
     path is branch-free (no anti-join in the plan at all)."""
     from paas_auditor_spark.operators.atomic import (
+        anti_join_tombstones,
         batch_data_paths,
         tombstone_ids,
     )
@@ -308,10 +309,8 @@ def bm25_from_postings(
     )
     if tombstone_path is not None:
         doomed = tombstone_ids(spark, tombstone_path, protocol)
-        if doomed is not None:
-            dead = doomed.withColumnRenamed("id", id_col)
-            postings = postings.join(dead, id_col, "left_anti")
-            doclens = doclens.join(dead, id_col, "left_anti")
+        postings = anti_join_tombstones(postings, doomed, id_col)
+        doclens = anti_join_tombstones(doclens, doomed, id_col)
 
     qterms = [t.lower() for t in query_terms]
     tf = postings.filter(F.col("term").isin(qterms))

@@ -1015,13 +1015,14 @@ def ivf_topk_persisted(
             ).filter(F.col("list_id").isin(probed_ids))
         )
     if tombstone_path is not None:
-        from paas_auditor_spark.operators.atomic import tombstone_ids
+        from paas_auditor_spark.operators.atomic import (
+            anti_join_tombstones,
+            tombstone_ids,
+        )
 
-        doomed = tombstone_ids(spark, tombstone_path, protocol)
-        if doomed is not None:
-            lists = lists.join(
-                doomed.withColumnRenamed("id", "c_id"), "c_id", "left_anti"
-            )
+        lists = anti_join_tombstones(
+            lists, tombstone_ids(spark, tombstone_path, protocol), "c_id"
+        )
     scored = (
         lists.withColumnRenamed("list_id", "centroid_id")
         .join(F.broadcast(probes), on="centroid_id")
@@ -1490,13 +1491,19 @@ def ivfpq_topk_persisted(
         # anti-joined, frozen quantizer/codebooks untouched; an excluded
         # candidate can never reach the rerank shortlist, so the single
         # anti-join covers both tiers
-        from paas_auditor_spark.operators.atomic import tombstone_ids
+        from paas_auditor_spark.operators.atomic import (
+            anti_join_tombstones,
+            tombstone_ids,
+        )
 
-        doomed = tombstone_ids(spark, tombstone_path, protocol)
-        if doomed is not None:
-            lists = lists.join(
-                doomed.withColumnRenamed("id", "c_id"), "c_id", "left_anti"
-            )
+        lists = anti_join_tombstones(
+            lists, tombstone_ids(spark, tombstone_path, protocol), "c_id"
+        )
+    # a vector present in both the base lists and a collector shard must
+    # not duplicate (or displace) a neighbor in the final top-k — the
+    # IVF twin's dropDuplicates guard, applied at the cheapest point
+    # (candidate granularity, before reconstruction/scoring)
+    lists = lists.dropDuplicates(["c_id", "list_id"])
     lists = lists.withColumnRenamed("list_id", "centroid_id")
     approx = lists.select(
         "c_id",
@@ -1539,7 +1546,11 @@ def ivfpq_topk_persisted(
     # rerank × |queries|, never the corpus
     vectors = spark.read.parquet(os.path.join(index_path, "vectors"))
     if shard_vecs is not None:
-        vectors = vectors.unionByName(shard_vecs)
+        # the re-rank store is id-keyed (one row per vector by
+        # contract); a vector ingested into both the base build and a
+        # collector shard would otherwise match the shortlist row twice
+        # and duplicate the neighbor in the final top-k
+        vectors = vectors.unionByName(shard_vecs).dropDuplicates(["c_id"])
     rescored = shortlist.join(
         vectors.withColumnRenamed("c_id", "neighbor_id"), on="neighbor_id"
     ).select(

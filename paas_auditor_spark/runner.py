@@ -296,6 +296,7 @@ class Service:
         import os
 
         from paas_auditor_spark.operators.atomic import (
+            anti_join_tombstones,
             collector_root,
             compact_batches,
             tombstone_ids,
@@ -363,10 +364,9 @@ class Service:
             if tomb_path is not None:
                 doomed = tombstone_ids(self.spark, tomb_path, protocol)
                 if doomed is not None:
-                    dead = doomed.withColumnRenamed("id", tomb_id_col)
                     transform = (
-                        lambda part, df, _dead=dead, _c=tomb_id_col:
-                        df.join(_dead, _c, "left_anti")
+                        lambda part, df, _d=doomed, _c=tomb_id_col:
+                        anti_join_tombstones(df, _d, _c)
                     )
             with lock:
                 folded += compact_batches(

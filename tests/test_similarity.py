@@ -819,3 +819,106 @@ def test_ivf_empty_corpus_returns_empty_not_crash(spark):
         [], "centroid_id long, cv array<double>, cnorm double"
     )
     assert _ivf_assign(queries, cents, "vec_id", "embedding").count() == 0
+
+
+def test_ivfpq_shard_tombstones_fold_and_base_shard_dup(spark, sf_dir, tmp_path):
+    """r11 review: the IVF-PQ deletion contract must hold through the
+    SHARD tier too — tombstoned shard vectors excluded at read time,
+    physically dropped from BOTH shard parts by apply_tombstones_fold
+    (codes and re-rank vectors stay paired) — and a vector present in
+    both the base lists and a collector shard must not duplicate or
+    displace a neighbor in the final top-k."""
+    from paas_auditor_spark.operators.atomic import (
+        apply_tombstones_fold,
+        batch_data_paths,
+        tombstone_ids,
+        tombstones_collector,
+    )
+    from paas_auditor_spark.operators.similarity import (
+        ivfpq_index_write,
+        ivfpq_shard_collector,
+        ivfpq_topk_persisted,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    dead_pred = (F.col("vec_id") >= 320) & (F.col("vec_id") % 7 == 0)
+
+    grown = str(tmp_path / "grown")
+    ivfpq_index_write(
+        emb.filter(F.col("vec_id") < 300), grown, n_centroids=8, m=4,
+        codes=16,
+    )
+    hook = ivfpq_shard_collector(spark, grown)
+    # shard 0 re-ingests 10 BASE vectors (the base+shard duplicate)
+    hook(
+        emb.filter(
+            (F.col("vec_id") >= 300)
+            | ((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+        ),
+        0,
+    )
+    surv = str(tmp_path / "surv")
+    ivfpq_index_write(
+        emb.filter(~dead_pred), surv, n_centroids=8, m=4, codes=16
+    )
+    tomb = str(tmp_path / "tomb")
+    tombstones_collector(tomb, id_col="vec_id")(
+        emb.filter(dead_pred).select("vec_id"), 0
+    )
+    want = ivfpq_topk_persisted(
+        spark, surv, queries, k=5, nprobe=2, rerank=32
+    ).collect()
+    got = ivfpq_topk_persisted(
+        spark, grown, queries, k=5, nprobe=2, rerank=32,
+        tombstone_path=tomb,
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    # fold physically drops the doomed ids from BOTH shard parts
+    shards = str(tmp_path / "grown" / "shards")
+    # both shard parts key the vector id as c_id (the lists/vectors
+    # store convention); a wrong id_col fails loudly by contract
+    with pytest.raises(Exception, match="vec_id"):
+        apply_tombstones_fold(
+            spark, shards, tomb, parts=("lists", "vectors"),
+            id_col="vec_id",
+        )
+    assert apply_tombstones_fold(
+        spark, shards, tomb, parts=("lists", "vectors"), id_col="c_id"
+    ) == 1
+    dead_ids = {r["vec_id"] for r in emb.filter(dead_pred).collect()}
+    for part in ("lists", "vectors"):
+        left = {
+            r["c_id"]
+            for r in spark.read.parquet(
+                *batch_data_paths(shards, "rename", part)
+            ).collect()
+        }
+        assert not (left & dead_ids), part
+    # post-fold probe (tombstones still cover the base tier) unchanged
+    after = ivfpq_topk_persisted(
+        spark, grown, queries, k=5, nprobe=2, rerank=32,
+        tombstone_path=tomb,
+    ).collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in want]
+
+
+def test_tombstone_protocol_mismatch_raises(spark, tmp_path):
+    """r11 review: a tombstone dataset committed under one protocol but
+    read with the other must raise — returning None there is
+    indistinguishable from 'nothing deleted yet' and would serve
+    GDPR-deleted rows forever."""
+    from paas_auditor_spark.operators.atomic import (
+        tombstone_ids,
+        tombstones_collector,
+    )
+
+    tomb = str(tmp_path / "tomb")
+    tombstones_collector(tomb, id_col="vec_id")(
+        spark.range(5).withColumnRenamed("id", "vec_id"), 0
+    )
+    with pytest.raises(ValueError, match="protocol"):
+        tombstone_ids(spark, tomb, protocol="marker")
+    # a genuinely absent dataset still reads as bootstrap
+    assert tombstone_ids(spark, str(tmp_path / "nope")) is None
