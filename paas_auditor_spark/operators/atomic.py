@@ -63,6 +63,9 @@ _CURRENT = "CURRENT"
 # skips it, so a recursiveFileLookup parquet read of a generation dir
 # never trips over the metadata file
 _FLOOR = "_COMPACTED_THROUGH"
+# apply_tombstones_fold's steady-state watermark: the set of tombstone
+# batch dirs folded into this generation (same hidden-path convention)
+_TOMB_FP = "_TOMBSTONES_THROUGH"
 
 
 def collector_root(path: str) -> str:
@@ -190,6 +193,21 @@ def _move_published_batch(src: str, dst: str) -> str:
     names), so the simple existence check stays valid there."""
     src_marker = os.path.join(src, _MARKER)
     marker_protocol = os.path.exists(src_marker)
+    if not marker_protocol:
+        try:
+            entries = os.listdir(src)
+        except OSError:
+            return "skipped"
+        if not entries or all(e.startswith("attempt-") for e in entries):
+            # marker-protocol scaffolding with NO marker yet (an
+            # in-flight or dead writer's attempt dirs, or a bare
+            # makedirs): nothing is committed here — bare-renaming it
+            # as if it were a rename-protocol publish would migrate a
+            # half-written attempt into the live generation and let the
+            # writer's later marker publish commit a partial batch
+            # (r11 review).  Leave it: the writer's own post-publish
+            # self-rescue places it if the marker ever lands.
+            return "skipped"
     if marker_protocol and not _marker_committed(src):
         # an EMPTY marker is external corruption (the protocol links a
         # fully written file) — the codebase's posture on it is LOUD
@@ -319,7 +337,22 @@ def commit_batch_dir_marker(
         _check_generation_stable(path, root, batch_id)
         return True
     except BaseException:
-        shutil.rmtree(data, ignore_errors=True)
+        # clean up ONLY while unpublished: once the marker names this
+        # attempt the data is the committed copy — deleting it here
+        # (e.g. when _check_generation_stable raises the retry-safe
+        # superseded error AFTER the link) would wedge a non-empty
+        # marker over a missing attempt, and the retry would see
+        # "already committed" and suppress the replay: permanent loss
+        # (r11 review).
+        try:
+            published = (
+                os.path.getsize(marker) > 0
+                and open(marker).read().strip() == attempt
+            )
+        except OSError:
+            published = False
+        if not published:
+            shutil.rmtree(data, ignore_errors=True)
         raise
 
 
@@ -488,18 +521,13 @@ def compact_batches(
             int(os.path.basename(os.path.dirname(d)).split("-", 1)[1])
             for d in data_dirs
         ]
-        # refuse to compact past a wedged (empty) marker: the fold's
-        # replay floor is max(committed id), so a wedged batch with a
-        # LOWER id would be silently absorbed (replay suppressed, data
-        # deleted with the old generation) — the exact silent loss the
-        # commit path raises on.  Loud here too; repair, then compact.
         # the fold's replay floor will be max(committed id, old floor):
         # any batch dir at or below it that is NOT in the committed set
         # would have its retry suppressed while its data dir vanishes
         # with the old generation — silent loss.  Two shapes of that
-        # hazard, both refused loudly (repair, then compact):
-        floor = max(ids, default=-1)
-        floor = max(floor, replay_floor(root))
+        # hazard (a wedged empty marker, a torn unmarked attempt), both
+        # refused loudly below (repair, then compact):
+        floor = max(max(ids, default=-1), replay_floor(root))
         if os.path.isdir(root):
             for d in os.listdir(root):
                 if not d.startswith("batch-"):
@@ -544,6 +572,7 @@ def compact_batches(
                 except ValueError:
                     continue  # foreign batch-* name: tolerated, not folded
                 data_dirs.append(os.path.join(root, d))
+        floor = max(max(ids, default=-1), replay_floor(root))
     # a plain fold of one batch dir is a no-op rewrite; a TRANSFORMING
     # fold of one batch dir is real work (tombstones must still apply)
     if len(data_dirs) < (1 if transform is not None else 2):
@@ -586,9 +615,10 @@ def compact_batches(
                 fh.write("attempt-compact\n")
         # never BELOW the previous generation's floor: the compacted
         # batch-0 artifact carries id 0, which must not reopen replay
-        # protection for ids the prior fold already absorbed
+        # protection for ids the prior fold already absorbed (the one
+        # floor value, computed once per protocol branch above)
         with open(os.path.join(tmp, _FLOOR), "w") as fh:
-            fh.write(f"{max(max(ids), replay_floor(root))}\n")
+            fh.write(f"{floor}\n")
         os.rename(tmp, os.path.join(path, new_gen))
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -676,7 +706,20 @@ def batch_data_paths(path: str, protocol: str, part: str = "") -> list[str]:
                 int(d.split("-", 1)[1])
             except ValueError:
                 continue  # foreign name: tolerated, never read
-            batches.append(os.path.join(root, d))
+            full = os.path.join(root, d)
+            if os.path.exists(os.path.join(full, _MARKER)):
+                # a batch dir carrying a _COMMITTED marker was published
+                # by the MARKER protocol: its parquet lives one level
+                # deeper under the named attempt dir, so a rename-
+                # protocol read here would scan attempt scaffolding —
+                # torn and losing attempts included (r11 review; the
+                # reverse mismatch already raised in batch listing)
+                raise ValueError(
+                    f"dataset at {path!r} has marker-protocol batches "
+                    "but was read with protocol='rename' — pass "
+                    "protocol='marker'"
+                )
+            batches.append(full)
     if not batches:
         raise ValueError(f"no committed batches under {path!r}")
     return [os.path.join(b, part) if part else b for b in batches]
@@ -737,8 +780,23 @@ def vacuum_superseded(
     now = time.time()
 
     def old_enough(p: str) -> bool:
+        # age from the NEWEST directory mtime in the tree (r11 review):
+        # a long fold sets the build dir's own mtime at creation and
+        # then writes only inside nested part/batch subdirs, so the
+        # top-level mtime goes stale minutes into a write that may
+        # legitimately exceed orphan_age_s — but every part FILE a task
+        # creates bumps its parent DIR's mtime, so the newest dir mtime
+        # in the tree tracks live write activity.  Cost: one walk over
+        # the candidate dir's directories (bounded: parts × batches).
         try:
-            return now - os.path.getmtime(p) > orphan_age_s
+            ts = [os.path.getmtime(p)]
+            for droot, dnames, _ in os.walk(p):
+                for dn in dnames:
+                    try:
+                        ts.append(os.path.getmtime(os.path.join(droot, dn)))
+                    except OSError:
+                        pass
+            return now - max(ts) > orphan_age_s
         except OSError:
             return False  # vanished under us: another reaper got it
 
@@ -778,7 +836,14 @@ def vacuum_superseded(
                 # gen-backup above — tolerance must reach the delete,
                 # not just the parse (r9 fix-review)
                 continue
-        elif not d.startswith(".batch-"):
+        elif d.startswith(".batch-"):
+            # same in-flight-work age gate as .gen-* build dirs (r11
+            # review): a raw-hook commit that resolved root=path just
+            # before the first flip may still be writing here — only a
+            # quiescent tmp is a crash orphan
+            if not old_enough(full):
+                continue
+        else:
             continue
         shutil.rmtree(full, ignore_errors=True)
         removed += 1
@@ -907,17 +972,56 @@ def apply_tombstones_fold(
     current families) would fail loudly rather than silently keep
     doomed rows.  No-op (0) when nothing is tombstoned.  Runs under the
     fold's single-writer contract like any compaction; the default
-    ``defer_delete=True`` keeps the reader grace window."""
+    ``defer_delete=True`` keeps the reader grace window.
+
+    Steady-state no-op (r11 review): once any tombstone has ever been
+    committed, ``doomed`` is never None again — without a watermark
+    every invocation would pay a full dataset rewrite even with zero
+    new batches and zero new tombstones.  After each fold the set of
+    folded tombstone batch dirs is recorded in the new generation
+    (``_TOMBSTONES_THROUGH``); a later call whose data dirs are exactly
+    the prior fold's artifact AND whose tombstone batch set is
+    unchanged returns 0 without a Spark job.  (The runner additionally
+    gates on min_batches/delta-fraction; this guard protects DIRECT
+    callers of the documented maintenance entry point.)"""
+    import hashlib
+
     doomed = tombstone_ids(spark, tomb_path, protocol)
     if doomed is None:
         return 0
+    tomb_fp = hashlib.md5(
+        "\n".join(
+            sorted(
+                os.path.relpath(p, tomb_path)
+                for p in batch_data_paths(tomb_path, protocol)
+            )
+        ).encode()
+    ).hexdigest()
+    root = collector_root(path)
+    fp_file = os.path.join(root, _TOMB_FP)
+    try:
+        with open(fp_file) as fh:
+            prior_fp = fh.read().strip()
+    except OSError:
+        prior_fp = None
+    if prior_fp == tomb_fp:
+        try:
+            data_dirs = batch_data_paths(path, protocol)
+        except ValueError:
+            data_dirs = []  # nothing committed: let compact no-op
+        if len(data_dirs) == 1:
+            # the only batch is the prior fold's artifact and the
+            # tombstone set hasn't changed: the rewrite would reproduce
+            # the generation byte-for-byte
+            return 0
+
     # no forced broadcast hint: tombstone sets are tiny in the common
     # case (AQE broadcasts them on its own) but a bulk-erasure campaign
     # can be arbitrarily large — let the planner pick the join strategy
     def drop_doomed(part, df):
         return anti_join_tombstones(df, doomed, id_col)
 
-    return compact_batches(
+    n = compact_batches(
         spark,
         path,
         parts=parts,
@@ -925,3 +1029,9 @@ def apply_tombstones_fold(
         defer_delete=defer_delete,
         transform=drop_doomed,
     )
+    # record the folded tombstone set in the LIVE generation (the fold
+    # is single-writer by contract; underscore prefix keeps Spark's
+    # hidden-path rule away from the metadata file)
+    with open(os.path.join(collector_root(path), _TOMB_FP), "w") as fh:
+        fh.write(tomb_fp + "\n")
+    return n

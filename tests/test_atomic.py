@@ -316,7 +316,10 @@ def test_vacuum_superseded_reaps_generations_and_orphans(spark, tmp_path):
     os.makedirs(tmp_path / "words" / "gen-7" / "batch-0")
     os.makedirs(tmp_path / "words" / ".gen-8.tmp999")
     past = __import__("time").time() - 3600
+    # backdate the TREES (r11: the gate ages by the newest dir mtime in
+    # the tree, so a fresh nested dir reads as in-flight work)
     os.utime(tmp_path / "words" / "gen-7", (past, past))
+    os.utime(tmp_path / "words" / "gen-7" / "batch-0", (past, past))
     os.utime(tmp_path / "words" / ".gen-8.tmp999", (past, past))
     assert vacuum_superseded(path) == 5  # 3 stale batches + orphan + tmp
     left = sorted(os.listdir(path))
@@ -630,7 +633,9 @@ def test_vacuum_rescues_unfolded_batch_and_spares_fresh_orphans(
     assert not os.path.isdir(tmp_path / "words" / "gen-0")  # reclaimed
     assert os.path.isdir(tmp_path / "words" / "gen-5")  # fresh: spared
     past = __import__("time").time() - 3600
+    # backdate the tree (r11: the gate ages by newest dir mtime in it)
     os.utime(tmp_path / "words" / "gen-5", (past, past))
+    os.utime(tmp_path / "words" / "gen-5" / "batch-0", (past, past))
     vacuum_superseded(path, retain=0)
     assert not os.path.isdir(tmp_path / "words" / "gen-5")  # aged: reaped
 
@@ -715,3 +720,156 @@ def test_compact_tolerates_foreign_batch_names(spark, tmp_path):
         assert compact_batches(spark, path, protocol=protocol) == 3
         before = _assemble(spark, path, protocol=protocol)
         assert before  # dataset still reads fine after the fold
+
+
+def test_rename_read_of_marker_dataset_raises(tmp_path):
+    """r11 review: a marker-committed dataset read with
+    protocol='rename' must raise — the rename listing would hand Spark
+    batch dirs whose parquet sits one level deeper under attempt
+    scaffolding (torn and losing attempts included)."""
+    from paas_auditor_spark.operators.atomic import batch_data_paths
+
+    path = str(tmp_path)
+    assert commit_batch_dir_marker(path, 0, _write_file) is True
+    with pytest.raises(ValueError, match="marker"):
+        batch_data_paths(path, "rename")
+
+
+def test_rescue_skips_unmarked_marker_scaffolding(tmp_path):
+    """r11 review: _move_published_batch must not bare-rename a
+    marker-protocol batch dir whose marker has not landed yet (an
+    in-flight writer's attempt dirs) — migrating half an attempt lets
+    the writer's later publish commit a partial batch."""
+    from paas_auditor_spark.operators.atomic import _move_published_batch
+
+    src = tmp_path / "old" / "batch-3"
+    (src / "attempt-123-abc").mkdir(parents=True)
+    with open(src / "attempt-123-abc" / "part-0", "w") as fh:
+        fh.write("x")
+    dst = tmp_path / "live" / "batch-3"
+    dst.parent.mkdir()
+    assert _move_published_batch(str(src), str(dst)) == "skipped"
+    assert src.exists() and not dst.exists()
+    # an empty scaffolding dir (bare makedirs) is equally not a publish
+    src2 = tmp_path / "old" / "batch-4"
+    src2.mkdir()
+    assert _move_published_batch(
+        str(src2), str(tmp_path / "live" / "batch-4")
+    ) == "skipped"
+
+
+def test_marker_commit_keeps_published_data_on_late_failure(
+    tmp_path, monkeypatch
+):
+    """r11 review: once the marker names the attempt, the cleanup
+    handler must NOT delete the attempt data — a failure AFTER publish
+    (e.g. the generation-stability guard raising) would otherwise wedge
+    a non-empty marker over a missing attempt, with the retry seeing
+    'already committed' and suppressing the replay: permanent loss."""
+    from paas_auditor_spark.operators import atomic
+
+    def boom(path, root, batch_id):
+        raise RuntimeError("post-publish failure")
+
+    monkeypatch.setattr(atomic, "_check_generation_stable", boom)
+    path = str(tmp_path)
+    with pytest.raises(RuntimeError, match="post-publish"):
+        commit_batch_dir_marker(path, 0, _write_file)
+    # the publish survived: the batch is committed-visible and readable
+    dirs = committed_batch_dirs(path)
+    assert len(dirs) == 1
+    assert os.path.isfile(os.path.join(dirs[0], "part-0"))
+
+
+def test_vacuum_age_gates_batch_tmp_and_uses_tree_mtime(spark, tmp_path):
+    """r11 review: (a) .batch-*.tmp dirs get the same in-flight age
+    gate as .gen-* build dirs; (b) the age comes from the newest DIR
+    mtime in the tree, so a long fold whose writes land in nested
+    subdirs is not reaped while actively writing."""
+    import time
+
+    from paas_auditor_spark.operators.atomic import (
+        commit_batch_dir,
+        compact_batches,
+        vacuum_superseded,
+    )
+
+    path = str(tmp_path / "ds")
+
+    def w(i):
+        def write(d):
+            spark.range(i * 10, i * 10 + 10).write.parquet(d)
+
+        return write
+
+    for i in range(3):
+        commit_batch_dir(path, i, w(i))
+    assert compact_batches(spark, path) == 3  # dataset goes generational
+
+    # a FRESH .batch tmp (in-flight commit) must be spared
+    fresh = os.path.join(path, ".batch-9.tmp123")
+    os.makedirs(fresh)
+    vacuum_superseded(path, retain=0)
+    assert os.path.isdir(fresh)
+    # backdate it: now it is a crash orphan and is reaped
+    old = time.time() - 10_000
+    os.utime(fresh, (old, old))
+    vacuum_superseded(path, retain=0)
+    assert not os.path.isdir(fresh)
+
+    # a build dir whose TOP mtime is stale but whose nested write dir
+    # is fresh (a long fold mid-write) must be spared
+    build = os.path.join(path, ".gen-9.tmp123")
+    inner = os.path.join(build, "batch-0", "bands")
+    os.makedirs(inner)
+    os.utime(build, (old, old))
+    os.utime(os.path.join(build, "batch-0"), (old, old))
+    # inner stays fresh (just created)
+    vacuum_superseded(path, retain=0)
+    assert os.path.isdir(build)
+    os.utime(inner, (old, old))
+    vacuum_superseded(path, retain=0)
+    assert not os.path.isdir(build)
+
+
+def test_tombstone_fold_steady_state_noop(spark, tmp_path):
+    """r11 review: after a fold, re-invoking apply_tombstones_fold with
+    no new batches and an unchanged tombstone set must be a no-op (0)
+    instead of a full dataset rewrite per tick forever."""
+    from paas_auditor_spark.operators.atomic import (
+        apply_tombstones_fold,
+        collector_root,
+        commit_batch_dir,
+        tombstones_collector,
+    )
+
+    path = str(tmp_path / "ds")
+    for i in range(3):
+        commit_batch_dir(
+            path,
+            i,
+            lambda d, i=i: spark.range(i * 10, i * 10 + 10)
+            .withColumnRenamed("id", "doc_id")
+            .write.parquet(d),
+        )
+    tomb = str(tmp_path / "tomb")
+    tombstones_collector(tomb, id_col="doc_id")(
+        spark.range(5).withColumnRenamed("id", "doc_id"), 0
+    )
+    assert apply_tombstones_fold(spark, path, tomb, id_col="doc_id") == 3
+    gen_after_first = collector_root(path)
+    # steady state: no new batches, same tombstones -> no rewrite
+    assert apply_tombstones_fold(spark, path, tomb, id_col="doc_id") == 0
+    assert collector_root(path) == gen_after_first
+    # a NEW tombstone batch re-arms the fold
+    tombstones_collector(tomb, id_col="doc_id")(
+        spark.range(5, 8).withColumnRenamed("id", "doc_id"), 1
+    )
+    assert apply_tombstones_fold(spark, path, tomb, id_col="doc_id") == 1
+    left = {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            os.path.join(collector_root(path), "batch-0")
+        ).collect()
+    }
+    assert left == set(range(8, 30))
