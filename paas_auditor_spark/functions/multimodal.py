@@ -336,28 +336,27 @@ def image_tile_features(
                         "tiles (partial tiles are out of contract)"
                     )
                 img = flat.reshape(h, w, 3).astype(np.int64)
-                tw = w // tile
-                for ty in range(h // tile):
-                    for tx in range(tw):
-                        t = img[
-                            ty * tile : (ty + 1) * tile,
-                            tx * tile : (tx + 1) * tile,
-                        ]
-                        csum = t.sum(axis=(0, 1))  # exact int64 per channel
-                        ids.append(vid)
-                        tix.append(ty * tw + tx)
-                        sr.append(int(csum[0]))
-                        sg.append(int(csum[1]))
-                        sb.append(int(csum[2]))
-                        pk.append(int(t.max()))
-                        luma.append(
-                            (
-                                2126 * int(csum[0])
-                                + 7152 * int(csum[1])
-                                + 722 * int(csum[2])
-                            )
-                            / (10000.0 * tile * tile)
-                        )
+                th_, tw = h // tile, w // tile
+                # all tiles in one vectorized pass (guide §4.2): block the
+                # image into (ty, tile, tx, tile, 3) and reduce the two
+                # tile axes — the same exact int64 channel sums and integer
+                # luma weights as the per-tile loop, bit-equal values
+                t = img.reshape(th_, tile, tw, tile, 3)
+                csum = t.sum(axis=(1, 3))  # (th, tw, 3) exact int64
+                pk_t = t.max(axis=(1, 3)).max(axis=-1)  # (th, tw)
+                luma_t = (
+                    2126 * csum[..., 0]
+                    + 7152 * csum[..., 1]
+                    + 722 * csum[..., 2]
+                ) / (10000.0 * tile * tile)
+                n_tiles = th_ * tw
+                ids.extend([vid] * n_tiles)
+                tix.extend(range(n_tiles))
+                sr.extend(csum[..., 0].ravel().tolist())
+                sg.extend(csum[..., 1].ravel().tolist())
+                sb.extend(csum[..., 2].ravel().tolist())
+                pk.extend(pk_t.ravel().tolist())
+                luma.extend(luma_t.ravel().tolist())
             yield pd.DataFrame(
                 {
                     id_col: ids,
@@ -453,7 +452,7 @@ def audio_window_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, widx, ns, srs, rms, zcr, peak = [], [], [], [], [], [], []
+            ids, widx, srs, rms, zcr, peak = [], [], [], [], [], []
             for vid, blob in zip(pdf[id_col], pdf[blob_col]):
                 with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
                     if w.getnchannels() != 1 or w.getsampwidth() != 2:
@@ -467,23 +466,31 @@ def audio_window_features(
                         w.readframes(w.getnframes()), dtype="<i2"
                     )
                 n_win = len(pcm) // window
-                for i in range(n_win):
-                    s = pcm[i * window : (i + 1) * window].astype(np.int64)
-                    sum_sq = int((s * s).sum())
-                    nonneg = s >= 0
-                    flips = int((nonneg[1:] != nonneg[:-1]).sum())
-                    ids.append(vid)
-                    widx.append(i)
-                    ns.append(window)
-                    srs.append(sr)
-                    rms.append(float(np.sqrt(sum_sq / window)))
-                    zcr.append(flips / (window - 1))
-                    peak.append(int(np.abs(s).max()))
+                if not n_win:
+                    continue
+                # all windows of the blob in one vectorized pass (guide
+                # §4.2): reshape to (n_win, window) and reduce per row —
+                # arithmetic identical to the per-window loop (int64 sums
+                # < 2^53, float64 division/sqrt), so values are bit-equal
+                s = (
+                    pcm[: n_win * window]
+                    .astype(np.int64)
+                    .reshape(n_win, window)
+                )
+                sum_sq = (s * s).sum(axis=1)
+                nonneg = s >= 0
+                flips = (nonneg[:, 1:] != nonneg[:, :-1]).sum(axis=1)
+                ids.extend([vid] * n_win)
+                widx.extend(range(n_win))
+                srs.extend([sr] * n_win)
+                rms.extend(np.sqrt(sum_sq / window).tolist())
+                zcr.extend((flips / (window - 1)).tolist())
+                peak.extend(np.abs(s).max(axis=1).tolist())
             yield pd.DataFrame(
                 {
                     id_col: ids,
                     "window_idx": widx,
-                    "n_samples": ns,
+                    "n_samples": [window] * len(ids),
                     "sample_rate": srs,
                     "rms": rms,
                     "zcr": zcr,

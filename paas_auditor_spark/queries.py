@@ -2776,7 +2776,11 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema/batching/UDF shape is the real thing."""
     from paas_auditor_spark.functions.multimodal import binary_features
 
-    docs = _th(spark, sf_dir, "documents")
+    # _t not _th (r11 optimization): the Python stage is cheap per row
+    # (one sha256 per blob), so the rebalance shuffle + 32 extra
+    # Arrow-boundary task round-trips cost more than the compute they
+    # parallelize; at 100 TB rebalance_scan is a no-op anyway
+    docs = _t(spark, sf_dir, "documents")
     blobs = docs.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")
     )
@@ -2791,7 +2795,8 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     NUL-safe varchar concatenation."""
     from paas_auditor_spark.functions.multimodal import sample_frames
 
-    docs = _th(spark, sf_dir, "documents")
+    # _t not _th: cheap-per-row Python stage — see q_multimodal_features
+    docs = _t(spark, sf_dir, "documents")
     blobs = docs.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")
     )
@@ -2823,7 +2828,8 @@ def q_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_ppm,
     )
 
-    emb = _th(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
+    # _t not _th: 40 rows of cheap-per-row Python — see q_multimodal_features
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
     ppms = synth_ppm(emb.select("vec_id", "embedding"), width=16, height=12)
     feats = image_tile_features(ppms, tile=4)
     return feats.select(
@@ -2892,7 +2898,12 @@ def q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_wav,
     )
 
-    emb = _th(spark, sf_dir, "embeddings")
+    # _t not _th (r11 optimization, measured 3.5 s → 0.7 s at sf0.1): the
+    # whole synth+decode Python stage is ~0.14 s of compute, so the 32-way
+    # rebalance bought nothing and charged ~20 ms of Arrow-boundary
+    # overhead per (task × python eval) — and the trailing orderBy's
+    # range-sampling pass re-executed all of it a second time
+    emb = _t(spark, sf_dir, "embeddings")
     wavs = synth_wav(emb.select("vec_id", "embedding"), reps=25)
     # window=250 deliberately does NOT divide the 64-sample tile, so
     # every window sits at a different phase and the six feature rows
