@@ -218,9 +218,11 @@ def bigram_lm_perplexity(
         F.sum("m").alias("n_bigrams"),
         (F.sum("nll") / F.sum("m")).alias("raw_nll"),
     )
-    # left join back so < 2-token docs keep a row (n_bigrams 0, NULL ppl)
+    # left join back so < 2-token docs keep a row (n_bigrams 0, NULL ppl);
+    # spine off the RAW input (column-pruned id scan) rather than reading
+    # the fat (id, toks) checkpoint blocks back just for the ids
     return (
-        toked.select(id_col)
+        docs_df.select(F.col(id_col))
         .join(per_doc, on=id_col, how="left")
         .select(
             id_col,
@@ -310,6 +312,12 @@ def trigram_interp_perplexity(
         .agg(F.count(F.lit(1)).alias("m"))
         .localCheckpoint(eager=False)
     )
+    # c3 and b23 stay localCheckpoint'd: an r11 A/B removed them hoping
+    # AQE stage reuse would dedupe the shared Exchange-rooted aggregates,
+    # but exec time rose MORE than the ~0.28 s/call build-time planning
+    # fell (interp exec 1.54 → 2.15 s, jobs 72 → 96 at sf0.1) — the
+    # consumers' stages do not canonicalize equal, so the marginal
+    # aggregations really recompute per consumer without the lineage cut.
     c3 = (
         occ.groupBy("w1", "w2", "w3")
         .agg(F.sum("m").alias("c3"))
@@ -348,8 +356,12 @@ def trigram_interp_perplexity(
         F.sum("m").alias("n_trigrams"),
         (F.sum("nll") / F.sum("m")).alias("raw_nll"),
     )
+    # spine off the RAW input, not toked: the id set is identical (toked
+    # is a straight select), but the parquet scan prunes to the id
+    # column, where the checkpointed toked blocks store (id, toks) rows
+    # that would all be read back just to project the ids
     return (
-        toked.select(id_col)
+        docs_df.select(F.col(id_col))
         .join(per_doc, on=id_col, how="left")
         .select(
             id_col,
@@ -621,7 +633,14 @@ def trigram_interp_perplexity_from_model(
     meta = spark.read.parquet(f"{model_path}/meta")
     toked = docs_df.select(
         F.col(id_col), tokens(F.lower(F.col(text_col))).alias("toks")
-    ).localCheckpoint(eager=False)
+    )
+    if batch_probe:
+        # the tokenized batch feeds TWO evaluation sites (the keys
+        # broadcast build and the scored stream) — checkpoint so the
+        # tokenizer runs once.  On the non-batch path occ has a single
+        # consumer chain (the spine below reads the raw input), so the
+        # checkpoint would be pure build-time planning cost (r11).
+        toked = toked.localCheckpoint(eager=False)
     occ = toked.select(
         id_col, F.explode(_tri_structs(F.col("toks"))).alias("g")
     ).select(
@@ -634,8 +653,9 @@ def trigram_interp_perplexity_from_model(
         # batch-bounded key sets drive map-side semi-joins: the model
         # and marginal relations are scanned once each, never shuffled.
         # keys feeds three broadcasts — checkpoint the distinct once so
-        # the explode+distinct isn't re-run per consumer (the toked
-        # checkpoint two lines up exists for the same reason)
+        # the explode+distinct isn't re-run per consumer (r11 A/B: the
+        # reuse-instead-of-checkpoint variant re-ran it per broadcast,
+        # sharded exec 0.59 → 1.70 s)
         keys = (
             occ.select("w1", "w2", "w3")
             .distinct()
@@ -677,8 +697,9 @@ def trigram_interp_perplexity_from_model(
         # batch-sized by construction — keep the attach join broadcast
         # so the static plan carries zero sort-merge joins
         per_doc = F.broadcast(per_doc)
+    # spine off the RAW input: identical id set, column-pruned scan
     return (
-        toked.select(id_col)
+        docs_df.select(F.col(id_col))
         .join(per_doc, on=id_col, how="left")
         .select(
             id_col,
@@ -875,6 +896,10 @@ def dsir_scores(
     # totals fold out of the ≤buckets-row distribution tables — summing
     # them is free, while counting the token relations again would be
     # two more corpus-sized aggregation jobs
+    # the dist checkpoints stay: an r11 A/B dropped them in favor of AQE
+    # stage reuse and the corpus-sized explode+count recomputed per
+    # consumer instead (exec 1.16 → 1.86 s at sf0.1, dwarfing the
+    # ~0.28 s/call build-time planning saved)
     tgt_dist = (
         tgt_tok.groupBy("b")
         .agg(F.count(F.lit(1)).alias("ct"))

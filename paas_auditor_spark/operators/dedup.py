@@ -1689,6 +1689,11 @@ def connected_components(
             .groupBy("s")
             .agg(F.min("component").alias("nbr_min"))
         )
+        # convergence flag computed INLINE (r11 optimization): labels
+        # only ever decrease, so new != old ⇔ nbr_min < component — no
+        # separate join-back against the old labels per round.  The one
+        # action per round both materializes the checkpoint and folds
+        # the change count.
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.s, "left")
             .select(
@@ -1696,16 +1701,14 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce("nbr_min", "component")
                 ).alias("component"),
+                (F.coalesce("nbr_min", "component") < F.col("component"))
+                .cast("long")
+                .alias("_chg"),
             )
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.agg(F.sum("_chg")).first()[0] or 0
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     else:
@@ -1763,6 +1766,10 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # carry the canonical edge count across rounds: e was counted when
+    # it was last round's `contracted`, so re-counting it every round
+    # was one redundant job per round (r11)
+    n_e = e.count()
     for _ in range(max_iter):
         # -- large-star: neighborhoods over BOTH orientations
         und = e.unionByName(
@@ -1792,13 +1799,12 @@ def connected_components_star(
             .localCheckpoint(eager=False)
         )
         # exact fixpoint: same canonical edge set as last round
-        if (
-            contracted.count() == e.count()
-            and contracted.exceptAll(e).limit(1).count() == 0
-        ):
+        n_c = contracted.count()
+        if n_c == n_e and contracted.exceptAll(e).limit(1).count() == 0:
             e = contracted
             break
         e = contracted
+        n_e = n_c
     else:
         # the same fail-loudly contract as connected_components: labels
         # from a non-converged contraction can still split one true
@@ -1875,6 +1881,11 @@ def _dup_span_intervals(
         )
         .select("id", F.col("pg.pos").alias("pos"), F.col("pg.gh").alias("gh"))
     )
+    # grams deliberately NOT checkpointed (r11 A/B): it feeds both the
+    # dup-count groupBy and the LEFT SEMI probe side, but materializing
+    # the corpus-sized (id, pos, gh) stream costs far more than running
+    # the codegen'd concat+hash map twice (span_removal 2.5 → 5.1 s
+    # checkpointed at sf0.1)
     dup_gh = (
         grams.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("cnt"))

@@ -6521,37 +6521,38 @@ def q_chunk_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chunk_tokens",
         tx.logistic_quality_score(F.col("chunk_text")).alias("score"),
     )
-    kept = scored.where(F.col("score") >= 0.5)
-    base = scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_chunks"),
-        F.sum("n_chunk_tokens").cast("long").alias("n_tokens"),
-    )
-    agg = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("kept_chunks"),
-        F.sum("n_chunk_tokens").cast("long").alias("kept_tokens"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("chunk_idx", "chunk_text"))
-                ),
-                lambda s: s["chunk_text"],
-            ),
-        ).alias("cleaned_text"),
-    )
+    # ONE conditional aggregate instead of base ⟗ kept (r11, guide §2.4):
+    # the base/kept split ran the chunker+scorer narrow map twice (the two
+    # groupBy subtrees differ by the filter, so nothing reuses) and paid a
+    # second Exchange plus the join.  when()-guarded aggregates compute
+    # the kept-side stats in the same pass — collect_list skips the NULLs
+    # the guard produces, and concat_ws over the empty array is "", so
+    # no-chunks-kept docs come out identically to the old left join.
+    keep = F.col("score") >= 0.5
     return (
-        base.join(agg, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_chunks",
-            "n_tokens",
-            F.coalesce("kept_chunks", F.lit(0)).cast("long").alias(
-                "kept_chunks"
-            ),
-            F.coalesce("kept_tokens", F.lit(0)).cast("long").alias(
-                "kept_tokens"
-            ),
-            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_chunk_tokens").cast("long").alias("n_tokens"),
+            F.coalesce(
+                F.sum(F.when(keep, 1).otherwise(0)), F.lit(0)
+            ).cast("long").alias("kept_chunks"),
+            F.coalesce(
+                F.sum(F.when(keep, F.col("n_chunk_tokens"))), F.lit(0)
+            ).cast("long").alias("kept_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                keep, F.struct("chunk_idx", "chunk_text")
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+            ).alias("cleaned_text"),
         )
         .orderBy("doc_id")
     )
