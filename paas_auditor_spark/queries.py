@@ -9613,6 +9613,11 @@ def q_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.xxhash64("g").alias("gh"))
         .distinct()
     )
+    # groupBy + join deliberately kept over the tempting single-lineage
+    # window (r11 A/B): ``count(*) over (partition by gh)`` forces an
+    # Exchange + full SORT of the gram stream, measured 1.41 → 2.17 s at
+    # sf0.1 — the hash-aggregate + join shape never sorts, and the
+    # gram-keyed shuffles it pays are AQE-coalesced.
     freq = gs.groupBy("gh").agg(F.count(F.lit(1)).alias("ns"))
     return (
         gs.join(freq, "gh")
@@ -10056,9 +10061,25 @@ def q_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_df = docterm.groupBy("source", "term").agg(
         F.count(F.lit(1)).alias("a")
     )
-    df_tot = docterm.groupBy("term").agg(F.count(F.lit(1)).alias("df_tot"))
+    # df_tot and n_all DERIVE from earlier aggregates (r11, guide §2.3
+    # "aggregate before you shuffle" / §1.2 "don't compute things
+    # twice"): each doc has exactly one source, so the per-term doc
+    # frequency is the sum of the per-(source, term) partials —
+    # computed as a window sum over ``term`` ON a_df itself, keeping a
+    # SINGLE lineage for the corpus pass.  The old
+    # ``docterm.groupBy(term)`` + broadcast join ran the corpus-sized
+    # explode+distinct a SECOND time under the broadcast build (plan
+    # showed duplicated scan subtrees — no exchange reuse across the
+    # broadcast boundary).  Post-aggregation the window partition for
+    # ANY term holds at most one row per source, so the hot-key hazard
+    # windows usually carry does not exist here.  Same value by
+    # construction: Σ_source a = count of distinct (doc, term) = old
+    # df_tot; Σ n_src = count(docs) = old n_all.
+    a_df = a_df.withColumn(
+        "df_tot", F.sum("a").over(Window.partitionBy("term"))
+    )
     n_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
-    n_all = docs.agg(F.count(F.lit(1)).alias("n_all"))
+    n_all = n_src.agg(F.sum("n_src").alias("n_all"))
     a, b = F.col("a"), F.col("df_tot") - F.col("a")
     c = F.col("n_src") - F.col("a")
     d = F.col("n_all") - F.col("n_src") - b
@@ -10084,8 +10105,7 @@ def q_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chi2").desc(), F.col("term").asc()
     )
     return (
-        a_df.join(F.broadcast(df_tot), "term")
-        .join(F.broadcast(n_src), "source")
+        a_df.join(F.broadcast(n_src), "source")
         .crossJoin(F.broadcast(n_all))
         .filter(F.col("df_tot") < F.col("n_all"))  # no-signal terms
         .withColumn("chi2", F.round(chi2, 4))

@@ -44,6 +44,10 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_AQE_ADVISORY", "64m"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "true"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # native cf_events DataSource claims the created_at predicate (S2)
