@@ -407,7 +407,26 @@ def bloom_bitmap(
     if m % 64:
         raise ValueError(f"m must be a multiple of 64, got {m}")
     words = m // 64
-    pos_bits = keys.where(F.col(key_col).isNotNull()).select(
+    pos_bits = _pos_bits(keys, key_col, m, k, scheme)
+    zeros = keys.sparkSession.range(words).select(
+        F.col("id").alias("w"), F.lit(0).cast("long").alias("bits")
+    )
+    dense = (
+        pos_bits.unionByName(zeros)
+        .groupBy("w")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    return _render_blob(dense)
+
+
+def _pos_bits(
+    keys: DataFrame, key_col: str, m: int, k: int, scheme: str
+) -> Column:
+    """(w, bits) rows: each non-null key's k bit positions as 64-bit
+    word index + single-bit mask — the shared sparse base of the
+    relational build (``bloom_bitmap``) and the driver-packed literal
+    build (``bloom_literal``)."""
+    return keys.where(F.col(key_col).isNotNull()).select(
         F.explode(
             F.array(
                 *[
@@ -422,15 +441,6 @@ def bloom_bitmap(
             "bits"
         ),
     )
-    zeros = keys.sparkSession.range(words).select(
-        F.col("id").alias("w"), F.lit(0).cast("long").alias("bits")
-    )
-    dense = (
-        pos_bits.unionByName(zeros)
-        .groupBy("w")
-        .agg(F.bit_or("bits").alias("bits"))
-    )
-    return _render_blob(dense)
 
 
 def bloom_literal(
@@ -442,10 +452,31 @@ def bloom_literal(
 ) -> Column:
     """Build the filter and return it as a single BinaryType Literal —
     the form ``bloom_contains`` wants on the probe side (see module
-    docstring for why a literal, and why binary)."""
-    return bloom_blob_literal(
-        bloom_bitmap(keys, key_col, m=m, k=k, scheme=scheme), m
+    docstring for why a literal, and why binary).
+
+    The build collects the SPARSE (w, bits) aggregate — ≤ m/64 narrow
+    rows, the same O(m)-payload bound as the one-row blob fetch — and
+    packs the bytes driver-side (r11, guide §1.2): the relational
+    render (``bloom_bitmap`` + collect) pays a zero-densify union plus
+    a second shuffle down to one row whose single task does per-word
+    hex string assembly; the driver pack replaces both with a trivial
+    Python loop over ≤16 K words.  Bit-equal to the relational path by
+    the same packing as ``bloom_blob_from_words`` (little-endian words,
+    byte i = bits 8i..8i+7), pinned by
+    ``test_bloom.py::test_literal_equals_relational_render``.  Keep
+    ``bloom_bitmap`` when the blob must stay a relation."""
+    if m % 64:
+        raise ValueError(f"m must be a multiple of 64, got {m}")
+    sparse = (
+        _pos_bits(keys, key_col, m, k, scheme)
+        .groupBy("w")
+        .agg(F.bit_or("bits").alias("bits"))
     )
+    words = [0] * (m // 64)
+    for r in sparse.collect():
+        words[int(r["w"])] |= int(r["bits"]) & 0xFFFFFFFFFFFFFFFF
+    blob = b"".join(wd.to_bytes(8, "little") for wd in words)
+    return F.lit(blob)
 
 
 def bloom_blob_literal(bitmap_df: DataFrame, m: int) -> Column:

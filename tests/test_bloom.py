@@ -737,3 +737,27 @@ def test_bloom_sharded_is_batch_slice_of_persisted(spark, sf_dir):
     plan = got._jdf.queryExecution().toString()
     assert "GreaterThanOrEqual(doc_id,16)" in plan
     assert "LessThan(doc_id,272)" in plan
+
+
+def test_literal_equals_relational_render(spark):
+    """The driver-packed ``bloom_literal`` blob (r11: sparse collect +
+    Python pack, no densify union / one-row render shuffle) is
+    BIT-EQUAL to the relational ``bloom_bitmap`` render for the same
+    keys and geometry — the packing change is representation plumbing,
+    not semantics.  Also pins the empty-keys case (all-zero blob of
+    exactly m/8 bytes)."""
+    from paas_auditor_spark.operators.bloom import bloom_literal
+
+    keys = _keys(spark, 0, 500)
+    lit_blob = spark.range(1).select(
+        bloom_literal(keys, "k", m=M, k=K).alias("b")
+    ).collect()[0]["b"]
+    rel_blob = bloom_bitmap(keys, "k", m=M, k=K).collect()[0]["bloom"]
+    assert bytes(lit_blob) == bytes(rel_blob)
+    assert len(lit_blob) == M // 8
+
+    empty = _keys(spark, 0, 0)
+    empty_blob = spark.range(1).select(
+        bloom_literal(empty, "k", m=M, k=K).alias("b")
+    ).collect()[0]["b"]
+    assert bytes(empty_blob) == b"\x00" * (M // 8)
