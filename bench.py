@@ -2,17 +2,22 @@
 
 Prints TWO JSON lines to stdout:
   1. the full record (metric/value/unit/queries/sf) — the complete
-     per-query map, also written verbatim to BENCH_DETAIL.json next to
-     this script so the numbers survive any log-capture truncation —
-     but ONLY when the run is marked official (``--official`` flag or
-     ``SPARK_GRAFT_BENCH_DETAIL=<path>`` env): an ad-hoc control run
-     must not clobber the committed official record (VERDICT r7 #4);
+     per-query map, ALSO written verbatim to BENCH_DETAIL.json next to
+     this script on EVERY run (VERDICT r11 #2: the driver's PERF reads
+     the sidecar the summary points at; official-only writes left two
+     rounds of ad-hoc driver runs with no per-query data at all).  The
+     record carries ``"official": true/false`` so a committed official
+     close is distinguishable from an ad-hoc control run that
+     overwrote the working-tree copy (the VERDICT r7 #4 concern —
+     resolved by self-identification instead of by not writing);
   2. LAST, a compact summary (metric/value/unit/n_queries/slowest/sf)
      small enough (<1 KB) that a bounded tail-capture of stdout always
      retains one intact, parseable line carrying total_wall.
 The capture window that records official runs keeps the final ~2000
 bytes of stdout; round 6's single 3.5 KB line was cut mid-record
-(parsed: null, first 46 queries lost), hence this layout.
+(parsed: null, first 46 queries lost), and the full 143-query map is
+~3.4 KB even at 2-decimal compact encoding — it can never fit the
+tail window, hence sidecar + compact-summary layout.
 
 Each query is fully materialized through the noop sink (so limits/projections
 can't short-circuit the measurement) after a small JVM warm-up.
@@ -207,15 +212,23 @@ HEADLINE = [
 
 
 # Paired drift controls (r10 verdict task #6): three stable, plan-simple
-# queries re-timed at the END of the run, emitted alongside their
+# queries re-timed at the START (right after JVM warm-up, before the
+# headline sweep) and at the END of the run, emitted alongside their
 # in-sequence headline timings plus loadavg — so a cross-round record
 # carries its own contention calibration (r10 needed a separate
 # tools/drift_control.py session to explain a 164 s vs 148 s face-value
-# gap whose per-query median was 0.998).  The verdict can read the
-# inflation factor directly: ``inflation`` = controls_headline /
-# controls_end — how much slower the controls ran inside the headline
-# sweep than at the quiet tail; ≈ 1 means an uncontended sweep, and a
-# prior round's control block normalizes cross-round totals.
+# gap whose per-query median was 0.998).  Two ratios (VERDICT r11 #7 —
+# the old single ratio conflated JVM warm-up with CPU steal because the
+# three controls are the FIRST headline entries):
+#   ``inflation``       = controls_headline / controls_end — how much
+#     slower the controls ran in-sequence than at the quiet tail;
+#   ``inflation_start`` = controls_start / controls_end — box drift
+#     between the two bracketing re-times, warm-up-free on both sides.
+# ≈ 1 on both means an uncontended sweep; a prior round's control block
+# normalizes cross-round totals.  NOTE the start re-time warms the three
+# control queries before their in-sequence headline pass; best-of-2
+# already takes the warm minimum, so the headline number's meaning is
+# unchanged (measured: within noise of the r11 protocol).
 CONTROLS = ["unshipped_events", "pricing_summary", "dedup_exact"]
 
 
@@ -254,6 +267,14 @@ def main() -> None:
     # warm up the JVM / codegen path so query 1 isn't charged for startup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # start-of-run control re-time (VERDICT r11 #7): same protocol, same
+    # session, AFTER warm-up but BEFORE the sweep — pairs with the end
+    # block so drift is measured warm-up-free at both ends
+    controls_start = {
+        name: _best_of_two(REGISTRY[name].fn, spark, sf_dir)
+        for name in CONTROLS
+    }
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         timings[name] = _best_of_two(REGISTRY[name].fn, spark, sf_dir)
@@ -271,48 +292,49 @@ def main() -> None:
     except OSError:
         loadavg = []
     ctl_headline = round(sum(timings[c] for c in CONTROLS), 3)
+    ctl_start = round(sum(controls_start.values()), 3)
     ctl_end = round(sum(controls_end.values()), 3)
     control_block = {
         "queries": controls_end,
+        "queries_start": controls_start,
         "headline_total": ctl_headline,
+        "start_total": ctl_start,
         "end_total": ctl_end,
         "inflation": round(ctl_headline / ctl_end, 3) if ctl_end else None,
+        "inflation_start": (
+            round(ctl_start / ctl_end, 3) if ctl_end else None
+        ),
         "loadavg": loadavg,
     }
 
     total = round(sum(timings.values()), 3)
+    official = "--official" in sys.argv or bool(
+        os.environ.get("SPARK_GRAFT_BENCH_DETAIL")
+    )
     full = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "controls": control_block,
+        "official": official,
         "sf": sf,
     }
     full_line = json.dumps(full)
     print(full_line)
-    # sidecar: the complete per-query map, immune to tail truncation.
-    # Written ONLY on runs explicitly marked official — a plain
-    # `python bench.py` control run leaves the committed BENCH_DETAIL.json
-    # untouched (VERDICT r7 #4: an ad-hoc judge run clobbered the driver's
-    # official per-query record in the working tree).
-    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL")
-    if detail_path is None and "--official" in sys.argv:
-        detail_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-        )
-    if detail_path:
-        try:
-            with open(detail_path, "w") as fh:
-                fh.write(full_line + "\n")
-        except OSError as ex:  # read-only checkout: summary lines carry totals
-            print(f"# BENCH_DETAIL not written: {ex}", file=sys.stderr)
-    else:
-        print(
-            "# ad-hoc run: BENCH_DETAIL.json NOT written "
-            "(pass --official or set SPARK_GRAFT_BENCH_DETAIL)",
-            file=sys.stderr,
-        )
+    # sidecar: the complete per-query map, immune to tail truncation —
+    # written on EVERY run (VERDICT r11 #2: the driver benches ad hoc, and
+    # official-only writes meant PERF never saw per-query data; the
+    # ``official`` flag inside the record preserves the r7 #4 distinction
+    # between a committed official close and an ad-hoc overwrite).
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            fh.write(full_line + "\n")
+    except OSError as ex:  # read-only checkout: summary lines carry totals
+        print(f"# BENCH_DETAIL not written: {ex}", file=sys.stderr)
     # LAST line: compact summary that a 2000-byte stdout tail always
     # retains intact — this is the line the official record parses.
     slowest = dict(

@@ -10,11 +10,23 @@ from pyspark.sql import functions as F
 
 def _scan_split_estimate(df) -> int | None:
     """Estimated scan task count from input-file sizes (parquet footer
-    listing only — NO job, NO physical planning): per file,
-    ceil(bytes / maxPartitionBytes), floored at 1.  Returns ``None``
-    when the input set is unknowable driver-side (non-file relation,
-    checkpoint, unreadable path) — callers fall back to the exact
-    (expensive) partition probe."""
+    listing only — NO job, NO physical planning), mirroring Spark's own
+    split arithmetic (FilePartition.maxSplitBytes, ADVICE r11 #1):
+
+      totalBytes   = Σ (file_size + openCostInBytes)
+      bytesPerCore = totalBytes / defaultParallelism
+      maxSplit     = min(maxPartitionBytes, max(openCost, bytesPerCore))
+      estimate     = ceil(totalBytes / maxSplit)
+
+    (bin-packing approximated by the ceiling division — Spark packs the
+    per-file pieces greedily into partitions of ``maxSplit`` capacity,
+    so the true count is within ±1 of this for same-sized files; parquet
+    row-group boundaries can still make a byte-split land empty, which
+    is exactly the under-split case callers guard against).  Returns
+    ``None`` when the input set is unknowable driver-side (non-file
+    relation, checkpoint, unreadable path) or a byte conf is
+    unparseable/zero — callers fall back to the exact (expensive)
+    partition probe."""
     import math
     import os
 
@@ -25,29 +37,45 @@ def _scan_split_estimate(df) -> int | None:
     if not files:
         return None
     try:
-        mpb = df.sparkSession.conf.get(
-            "spark.sql.files.maxPartitionBytes", "134217728"
+        conf = df.sparkSession.conf
+        mpb = _parse_byte_conf(
+            conf.get("spark.sql.files.maxPartitionBytes", "134217728")
         )
-        mpb_bytes = _parse_byte_conf(mpb)
+        open_cost = _parse_byte_conf(
+            conf.get("spark.sql.files.openCostInBytes", "4194304")
+        )
+        if mpb is None or open_cost is None:
+            return None
+        parallelism = max(
+            1, df.sparkSession.sparkContext.defaultParallelism
+        )
         total = 0
         for f in files:
-            size = os.path.getsize(f.removeprefix("file:"))
-            total += max(1, math.ceil(size / mpb_bytes))
-        return total
+            total += os.path.getsize(f.removeprefix("file:")) + open_cost
+        max_split = min(mpb, max(open_cost, total // parallelism))
+        return max(1, math.ceil(total / max(1, max_split)))
     except OSError:
         return None
 
 
-def _parse_byte_conf(v: str) -> int:
+def _parse_byte_conf(v: str) -> int | None:
     """Parse a Spark byte conf value ("128m", "1g", "134217728b", plain
-    int) into bytes."""
+    int) into bytes.  Returns ``None`` on unparseable or non-positive
+    values (ADVICE r11 #4: silently mapping a misconfigured conf to the
+    128 MB default masked the problem — callers fall back to the exact
+    partition probe instead)."""
     s = v.strip().lower()
     units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
     if s.endswith("b") and not s[:-1].isdigit():
         s = s[:-1]  # "128mb" -> "128m"
-    if s and s[-1] in units:
-        return int(float(s[:-1]) * units[s[-1]])
-    return int(s.rstrip("b") or 0) or (128 << 20)
+    try:
+        if s and s[-1] in units:
+            n = int(float(s[:-1]) * units[s[-1]])
+        else:
+            n = int(s.rstrip("b"))
+    except ValueError:
+        return None
+    return n if n > 0 else None
 
 
 def fan_out(df, min_partitions: int | None = None):
@@ -67,10 +95,12 @@ def fan_out(df, min_partitions: int | None = None):
     is file-backed (r11 optimization: the exact probe —
     ``df.rdd.getNumPartitions()`` — forces full physical planning +
     codegen of the subtree at plan-BUILD time, measured 0.1-0.4 s per
-    call; the size estimate is ~2 ms and makes the identical
-    repartition-or-not decision, since both sides of the threshold are
-    derived from the same file-split arithmetic).  Non-file inputs fall
-    back to the exact probe.
+    call; the size estimate is ~2 ms and mirrors Spark's own
+    FilePartition.maxSplitBytes arithmetic, so the repartition-or-not
+    decision agrees with the exact probe up to bin-packing rounding —
+    and when they do differ near the threshold, both answers are
+    acceptable: the input is already ≈ cluster-parallel).  Non-file
+    inputs fall back to the exact probe.
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism

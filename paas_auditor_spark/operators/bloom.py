@@ -421,7 +421,7 @@ def bloom_bitmap(
 
 def _pos_bits(
     keys: DataFrame, key_col: str, m: int, k: int, scheme: str
-) -> Column:
+) -> DataFrame:
     """(w, bits) rows: each non-null key's k bit positions as 64-bit
     word index + single-bit mask — the shared sparse base of the
     relational build (``bloom_bitmap``) and the driver-packed literal

@@ -54,6 +54,7 @@ def segment_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     width: int = 8,
+    spine: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-document duplicate-segment removal (C4-style).
 
@@ -114,9 +115,13 @@ def segment_dedup(
     )
     # contract: ONE row per input document — docs whose text yields no
     # segments (empty/whitespace/NULL) would otherwise vanish from the
-    # inner pipeline; left-join them back with an all-clean zero row
+    # inner pipeline; left-join them back with an all-clean zero row.
+    # spine = an id-only relation equal to docs_df.select(id_col); see
+    # bigram_lm_perplexity (r11 verdict #1)
+    if spine is None:
+        spine = docs_df.select(id_col)
     return (
-        docs_df.select(id_col)
+        spine.select(id_col)
         .join(per_doc, id_col, "left")
         .select(
             id_col,
@@ -133,6 +138,7 @@ def bigram_lm_perplexity(
     docs_df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    spine: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document perplexity under a corpus-trained word-bigram LM with
     Laplace (add-one) smoothing:
@@ -219,10 +225,17 @@ def bigram_lm_perplexity(
         (F.sum("nll") / F.sum("m")).alias("raw_nll"),
     )
     # left join back so < 2-token docs keep a row (n_bigrams 0, NULL ppl);
-    # spine off the RAW input (column-pruned id scan) rather than reading
-    # the fat (id, toks) checkpoint blocks back just for the ids
+    # spine = an id-only relation equal to docs_df.select(id_col).  The
+    # caller should pass a bare column-pruned scan when docs_df carries
+    # lineage the id projection doesn't need — e.g. a fan_out rebalance
+    # Exchange added for the tokenizer (r11 verdict #1: deriving the
+    # spine from the rebalanced docs_df re-paid the scan AND the
+    # repartition; from the fat (id, toks) checkpoint it re-read whole
+    # rows just to project ids).
+    if spine is None:
+        spine = docs_df.select(F.col(id_col))
     return (
-        docs_df.select(F.col(id_col))
+        spine.select(F.col(id_col))
         .join(per_doc, on=id_col, how="left")
         .select(
             id_col,
@@ -257,6 +270,7 @@ def trigram_interp_perplexity(
     text_col: str = "text",
     id_col: str = "doc_id",
     lambdas: tuple = (0.5, 0.3, 0.2),
+    spine: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document perplexity under an INTERPOLATED trigram LM
     (Jelinek–Mercer linear interpolation, the classic smoothing of
@@ -356,12 +370,14 @@ def trigram_interp_perplexity(
         F.sum("m").alias("n_trigrams"),
         (F.sum("nll") / F.sum("m")).alias("raw_nll"),
     )
-    # spine off the RAW input, not toked: the id set is identical (toked
-    # is a straight select), but the parquet scan prunes to the id
-    # column, where the checkpointed toked blocks store (id, toks) rows
-    # that would all be read back just to project the ids
+    # spine = an id-only relation equal to docs_df.select(id_col); see
+    # bigram_lm_perplexity — callers pass a bare pruned scan so the id
+    # projection doesn't re-pay a rebalance Exchange or re-read fat
+    # checkpoint rows (r11 verdict #1)
+    if spine is None:
+        spine = docs_df.select(F.col(id_col))
     return (
-        docs_df.select(F.col(id_col))
+        spine.select(F.col(id_col))
         .join(per_doc, on=id_col, how="left")
         .select(
             id_col,
@@ -577,6 +593,7 @@ def trigram_interp_perplexity_from_model(
     id_col: str = "doc_id",
     lambdas: tuple = (0.5, 0.3, 0.2),
     batch_probe: bool = False,
+    spine: DataFrame | None = None,
 ) -> DataFrame:
     """Score documents against a FINALIZED persisted trigram LM
     (lm_index_finalize) — the deployment shape of
@@ -697,9 +714,12 @@ def trigram_interp_perplexity_from_model(
         # batch-sized by construction — keep the attach join broadcast
         # so the static plan carries zero sort-merge joins
         per_doc = F.broadcast(per_doc)
-    # spine off the RAW input: identical id set, column-pruned scan
+    # spine = an id-only relation equal to docs_df.select(id_col); see
+    # bigram_lm_perplexity (r11 verdict #1)
+    if spine is None:
+        spine = docs_df.select(F.col(id_col))
     return (
-        docs_df.select(F.col(id_col))
+        spine.select(F.col(id_col))
         .join(per_doc, on=id_col, how="left")
         .select(
             id_col,

@@ -9126,7 +9126,10 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from paas_auditor_spark.operators.corpus import segment_dedup
 
     docs = _th(spark, sf_dir, "documents")
-    return segment_dedup(docs, width=8)
+    # spine = bare pruned id scan: the fan_out rebalance exists for the
+    # segmenter, not for the id projection (r11 verdict #1)
+    spine = _t(spark, sf_dir, "documents").select("doc_id")
+    return segment_dedup(docs, width=8, spine=spine)
 
 
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9135,7 +9138,8 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from paas_auditor_spark.operators.corpus import bigram_lm_perplexity
 
     docs = _th(spark, sf_dir, "documents")
-    return bigram_lm_perplexity(docs)
+    spine = _t(spark, sf_dir, "documents").select("doc_id")
+    return bigram_lm_perplexity(docs, spine=spine)
 
 
 def _lm_interp_oracle(where: str = "", score_pred: str = "") -> str:
@@ -9203,7 +9207,8 @@ def q_lm_perplexity_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from paas_auditor_spark.operators.corpus import trigram_interp_perplexity
 
     docs = _th(spark, sf_dir, "documents")
-    return trigram_interp_perplexity(docs)
+    spine = _t(spark, sf_dir, "documents").select("doc_id")
+    return trigram_interp_perplexity(docs, spine=spine)
 
 
 def _lm_model_cached(spark: SparkSession, sf_dir: str) -> str:
@@ -9246,7 +9251,10 @@ def q_lm_perplexity_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     model = _lm_model_cached(spark, sf_dir)
     docs = _th(spark, sf_dir, "documents")
-    return trigram_interp_perplexity_from_model(spark, model, docs)
+    spine = _t(spark, sf_dir, "documents").select("doc_id")
+    return trigram_interp_perplexity_from_model(
+        spark, model, docs, spine=spine
+    )
 
 
 def q_lm_perplexity_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9274,8 +9282,15 @@ def q_lm_perplexity_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = _th(spark, sf_dir, "documents").filter(
         F.expr(_INGEST_BATCH_PRED)
     )
+    # bare pruned+filtered id scan: the batch range predicate pushes to
+    # the parquet scan, no rebalance Exchange on the id-only spine
+    spine = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.expr(_INGEST_BATCH_PRED))
+        .select("doc_id")
+    )
     return trigram_interp_perplexity_from_model(
-        spark, model, batch, batch_probe=True
+        spark, model, batch, batch_probe=True, spine=spine
     )
 
 
@@ -9335,7 +9350,14 @@ def q_lm_perplexity_retracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _th(spark, sf_dir, "documents").filter(
         ~F.expr(_LM_RETRACT_PRED)
     )
-    return trigram_interp_perplexity_from_model(spark, model, docs)
+    spine = (
+        _t(spark, sf_dir, "documents")
+        .filter(~F.expr(_LM_RETRACT_PRED))
+        .select("doc_id")
+    )
+    return trigram_interp_perplexity_from_model(
+        spark, model, docs, spine=spine
+    )
 
 
 def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -7,7 +7,11 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from paas_auditor_spark.plans import assert_plan_contains, assert_plan_lacks
+from paas_auditor_spark.plans import (
+    assert_plan_contains,
+    assert_plan_lacks,
+    physical_plan,
+)
 from paas_auditor_spark.queries import (
     q_knn_bruteforce,
     q_pricing_summary,
@@ -762,3 +766,19 @@ def test_final_wave_plan_shapes(spark, sf_dir):
         )
         for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert node not in plan, (name, node)
+
+
+def test_sharded_twins_plan_pins(spark, sf_dir):
+    """r12 (VERDICT r11 #4): the per-ingest-batch deployment twins'
+    docstring claims are plan-asserted — the batch range predicate
+    reaches the parquet scan (PushedFilters) and neither twin pays a
+    sort-merge join (the persisted model/filter is probed via
+    broadcast-semi / map-side literal, never shuffled)."""
+    from paas_auditor_spark.queries import REGISTRY
+
+    for name in ("lm_perplexity_sharded", "bloom_decontaminate_sharded"):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        plan = physical_plan(df)
+        assert "SortMergeJoin" not in plan, name
+        assert "GreaterThanOrEqual(doc_id,16)" in plan, name
+        assert "LessThan(doc_id,272)" in plan, name

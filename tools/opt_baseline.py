@@ -36,7 +36,7 @@ def main() -> None:
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r11",
+        os.environ.get("SPARK_GRAFT_PLANS_DIR", "r12"),
     )
     os.makedirs(plans_dir, exist_ok=True)
 
@@ -62,7 +62,9 @@ def main() -> None:
         runs = []
         build_s = exec_s = 0.0
         df = None
+        jobs_single = 0
         for _ in range(n_runs):
+            jobs_before = len(sc.statusTracker().getJobIdsForGroup(name))
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             t1 = time.perf_counter()
@@ -70,6 +72,11 @@ def main() -> None:
             t2 = time.perf_counter()
             runs.append(t2 - t0)
             build_s, exec_s = t1 - t0, t2 - t1
+            # per-execution job count (ADVICE r11: the old len-of-group
+            # accumulated across all n_runs)
+            jobs_single = (
+                len(sc.statusTracker().getJobIdsForGroup(name)) - jobs_before
+            )
         # plan AFTER the timed runs so plan compilation isn't double-paid
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
@@ -78,13 +85,12 @@ def main() -> None:
             fh.write(buf.getvalue())
         df = None
         gc.collect()
-        jobs = sc.statusTracker().getJobIdsForGroup(name)
         rec = {
             "sec": round(min(runs), 3),
             "runs": [round(r, 3) for r in runs],
             "build2": round(build_s, 3),
             "exec2": round(exec_s, 3),
-            "jobs": len(jobs),
+            "jobs": jobs_single,
         }
         out[name] = rec
         print(f"{name}: {rec}", flush=True)
