@@ -940,7 +940,9 @@ def tombstone_ids(spark, path: str, protocol: str = "rename"):
             "deletes would be silently ignored; pass the dataset's "
             "protocol"
         )
-    return spark.read.parquet(*paths).distinct()
+    from paas_auditor_spark.sources.tables import read_parquet_cached
+
+    return read_parquet_cached(spark, *paths).distinct()
 
 
 def anti_join_tombstones(df, doomed, id_col: str):

@@ -602,8 +602,9 @@ def bloom_words_read(spark, path: str, protocol: str = "rename") -> DataFrame:
     compacted dataset reads its live generation only (the path rules
     live in one place: ``atomic.batch_data_paths``)."""
     from paas_auditor_spark.operators.atomic import batch_data_paths
+    from paas_auditor_spark.sources.tables import read_parquet_cached
 
-    return spark.read.parquet(*batch_data_paths(path, protocol))
+    return read_parquet_cached(spark, *batch_data_paths(path, protocol))
 
 
 def bloom_contains(

@@ -643,11 +643,16 @@ def trigram_interp_perplexity_from_model(
     size (no SortMergeJoin / no model-side Exchange,
     plan-asserted).  Identical expression tree → value-identical to
     the default geometry (equality-pinned in tests/test_corpus.py)."""
+    from paas_auditor_spark.sources.tables import read_parquet_cached
+
     l3, l2, l1 = lambdas
-    model = spark.read.parquet(f"{model_path}/model")
-    b2 = spark.read.parquet(f"{model_path}/b2")
-    u3 = spark.read.parquet(f"{model_path}/u3")
-    meta = spark.read.parquet(f"{model_path}/meta")
+    # cached-schema reads: a probe-per-ingest-tick deployment re-reads
+    # the same immutable finalized model every tick — four schema
+    # inference jobs per probe for metadata that cannot change (r12)
+    model = read_parquet_cached(spark, f"{model_path}/model")
+    b2 = read_parquet_cached(spark, f"{model_path}/b2")
+    u3 = read_parquet_cached(spark, f"{model_path}/u3")
+    meta = read_parquet_cached(spark, f"{model_path}/meta")
     toked = docs_df.select(
         F.col(id_col), tokens(F.lower(F.col(text_col))).alias("toks")
     )

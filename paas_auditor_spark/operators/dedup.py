@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from paas_auditor_spark.functions.exprs import fan_out, let
 from paas_auditor_spark.functions.text import normalized_text, tokens
+from paas_auditor_spark.sources.tables import read_parquet_cached
 
 HASH_PRIME = 2147483647  # 2^31 - 1, Mersenne prime for cheap affine perms
 # pre-reduction modulus for the polynomial band-key fold: the largest
@@ -932,7 +933,7 @@ def _stored_band_params(spark, band_paths):
     and therefore xxhash64 by construction.  One-row sample: sound
     because the write-time check enforces one parameter set per
     dataset by induction."""
-    banded = spark.read.option("mergeSchema", "true").parquet(*band_paths)
+    banded = read_parquet_cached(spark, *band_paths, merge_schema=True)
     has_hf = "hash_fn" in banded.columns
     cols = ["num_hashes", "num_bands"] + (["hash_fn"] if has_hf else [])
     row = banded.select(*cols).first()
@@ -1257,7 +1258,7 @@ def minhash_incremental_persisted(
     # and a schema inferred from one arbitrary new file would read old
     # rows' _ckey as NULL — collapsing every pre-upgrade document into
     # one bogus NULL group and silently dropping them from the gate
-    idx_sets = spark.read.option("mergeSchema", "true").parquet(*set_paths)
+    idx_sets = read_parquet_cached(spark, *set_paths, merge_schema=True)
     dead = None
     if tombstone_path is not None:
         doomed = tombstone_ids(spark, tombstone_path, protocol)
@@ -1362,8 +1363,8 @@ def _gate_persisted_materialized(
     # same four columns), but a future fold-added collapse column must
     # not be silently dropped depending on which file Spark happens to
     # infer the schema from (r10 advice)
-    collapse = spark.read.option("mergeSchema", "true").parquet(
-        *collapse_paths
+    collapse = read_parquet_cached(
+        spark, *collapse_paths, merge_schema=True
     )
     folded = collapse.filter(F.col("_global"))
     delta = collapse.filter(~F.col("_global"))

@@ -301,11 +301,13 @@ def bm25_from_postings(
         tombstone_ids,
     )
 
-    postings = spark.read.parquet(
-        *batch_data_paths(path, protocol, "postings")
+    from paas_auditor_spark.sources.tables import read_parquet_cached
+
+    postings = read_parquet_cached(
+        spark, *batch_data_paths(path, protocol, "postings")
     )
-    doclens = spark.read.parquet(
-        *batch_data_paths(path, protocol, "doclens")
+    doclens = read_parquet_cached(
+        spark, *batch_data_paths(path, protocol, "doclens")
     )
     if tombstone_path is not None:
         doomed = tombstone_ids(spark, tombstone_path, protocol)

@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from paas_auditor_spark.functions.exprs import fan_out
+from paas_auditor_spark.sources.tables import read_parquet_cached
 
 
 def _plane_coeffs(p: int, dim: int = 64) -> list:
@@ -841,7 +842,7 @@ def ivf_index_append(
     pure per-row function of (vector, centroids)."""
     import os
 
-    cents = spark.read.parquet(os.path.join(index_path, "centroids"))
+    cents = read_parquet_cached(spark, os.path.join(index_path, "centroids"))
     _ivf_assign(shard_df, cents, id_col, vec_col).write.mode(
         "append"
     ).partitionBy("list_id").parquet(os.path.join(index_path, "lists"))
@@ -884,7 +885,7 @@ def ivf_shard_collector(
     commit = commit_fn(protocol)
     nearest = nearest_lists_udf(
         _cent_rows_from_df(
-            spark.read.parquet(os.path.join(index_path, "centroids"))
+            read_parquet_cached(spark, os.path.join(index_path, "centroids"))
         ),
         1,
     )
@@ -926,7 +927,7 @@ def _shard_lists(spark, index_path: str, protocol: str):
         paths = batch_data_paths(root, protocol)
     except ValueError:
         return None  # dirs exist but nothing committed yet
-    return spark.read.parquet(*paths)
+    return read_parquet_cached(spark, *paths)
 
 
 def ivf_topk_persisted(
@@ -973,7 +974,7 @@ def ivf_topk_persisted(
 
     nearest = nearest_lists_udf(
         _cent_rows_from_df(
-            spark.read.parquet(os.path.join(index_path, "centroids"))
+            read_parquet_cached(spark, os.path.join(index_path, "centroids"))
         ),
         nprobe,
     )
@@ -999,7 +1000,7 @@ def ivf_topk_persisted(
         for r in probes.select("centroid_id").distinct().collect()
     ]
     lists = (
-        spark.read.parquet(os.path.join(index_path, "lists"))
+        read_parquet_cached(spark, os.path.join(index_path, "lists"))
         .withColumn("list_id", F.col("list_id").cast("long"))
         .filter(F.col("list_id").isin(probed_ids))
     )
@@ -1285,9 +1286,9 @@ def _read_ivfpq_model(spark, index_path: str):
     import os
 
     cents = _cent_rows_from_df(
-        spark.read.parquet(os.path.join(index_path, "centroids"))
+        read_parquet_cached(spark, os.path.join(index_path, "centroids"))
     )
-    book_rows = spark.read.parquet(
+    book_rows = read_parquet_cached(spark, 
         os.path.join(index_path, "codebooks")
     ).collect()
     m = 1 + max(int(r["j"]) for r in book_rows)
@@ -1416,8 +1417,8 @@ def _ivfpq_shard_parts(spark, index_path: str, protocol: str):
     if not os.path.isdir(root):
         return None, None
     try:
-        lists = spark.read.parquet(*batch_data_paths(root, protocol, "lists"))
-        vecs = spark.read.parquet(*batch_data_paths(root, protocol, "vectors"))
+        lists = read_parquet_cached(spark, *batch_data_paths(root, protocol, "lists"))
+        vecs = read_parquet_cached(spark, *batch_data_paths(root, protocol, "vectors"))
     except ValueError:
         return None, None
     return lists, vecs
@@ -1475,7 +1476,7 @@ def ivfpq_topk_persisted(
         for r in probes.select("centroid_id").distinct().collect()
     ]
     lists = (
-        spark.read.parquet(os.path.join(index_path, "lists"))
+        read_parquet_cached(spark, os.path.join(index_path, "lists"))
         .withColumn("list_id", F.col("list_id").cast("long"))
         .filter(F.col("list_id").isin(probed_ids))
     )
@@ -1544,7 +1545,7 @@ def ivfpq_topk_persisted(
     )
     # the only touch of full float vectors: an id join sized
     # rerank × |queries|, never the corpus
-    vectors = spark.read.parquet(os.path.join(index_path, "vectors"))
+    vectors = read_parquet_cached(spark, os.path.join(index_path, "vectors"))
     if shard_vecs is not None:
         # the re-rank store is id-keyed (one row per vector by
         # contract); a vector ingested into both the base build and a

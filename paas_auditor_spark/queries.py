@@ -3946,7 +3946,9 @@ def _bloom_words_cached(spark: SparkSession, sf_dir: str, m: int, k: int):
         "paas_bloom_words_",
         build,
     )
-    return spark.read.parquet(path)
+    from paas_auditor_spark.sources.tables import read_parquet_cached
+
+    return read_parquet_cached(spark, path)
 
 
 def _bloom_gate_persisted(
